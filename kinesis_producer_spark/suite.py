@@ -1,0 +1,17 @@
+"""Import every query module so the registry is fully populated."""
+
+from __future__ import annotations
+
+import importlib
+
+from kinesis_producer_spark.registry import ORACLE, QUERIES
+
+_MODULES = [
+    "kinesis_producer_spark.operators.relational",
+]
+
+
+def load_all() -> tuple[dict, dict]:
+    for m in _MODULES:
+        importlib.import_module(m)
+    return QUERIES, ORACLE
