@@ -1,0 +1,177 @@
+"""Unit tests for the XML/ETL operator library (SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kinesis_producer_spark.operators.eav_pivot import pivot_declared, pivot_dynamic  # noqa: E402
+from kinesis_producer_spark.operators.flatten import flatten_components  # noqa: E402
+from kinesis_producer_spark.operators.splitter import split_concatenated  # noqa: E402
+from kinesis_producer_spark.sources.xml import (  # noqa: E402
+    parse_component_docs,
+    parse_signal_messages,
+)
+
+NS = "http://uptake.com/bhp/1/sensors"
+CNS = "http://www.uptake.com/bhp/1/vehicleComponent"
+
+
+def _msg(readings: str, envelope: str = "<NS1:siteId>s1</NS1:siteId>") -> str:
+    return (
+        f'<NS1:message xmlns:NS1="{NS}"><NS1:messagePayload>{envelope}'
+        f"<NS1:readingCollection>{readings}</NS1:readingCollection>"
+        f"</NS1:messagePayload></NS1:message>"
+    )
+
+
+def _reading(name: str, value: str | None, uom: str | None = None) -> str:
+    v = f"<NS1:attributeValue>{value}</NS1:attributeValue>" if value is not None else ""
+    u = f"<NS1:attributeUoM>{uom}</NS1:attributeUoM>" if uom is not None else ""
+    return f"<NS1:reading><NS1:attributeName>{name}</NS1:attributeName>{v}{u}</NS1:reading>"
+
+
+def test_signal_parse_and_declared_pivot(spark):
+    xml = _msg(_reading("speed", "42", "kph") + _reading("RMSTotalDB", "7.5"))
+    df = spark.createDataFrame([(xml,)], "payload string")
+    parsed = parse_signal_messages(df)
+    wide = pivot_declared(parsed).collect()[0]
+    assert wide["speed"] == "42"
+    assert wide["speed_UoM"] == "kph"
+    assert wide["RMSTotalDB"] == "7.5"
+    assert wide["weight"] is None  # declared-but-absent → null
+    assert wide["envelope"]["siteId"] == "s1"
+
+
+def test_duplicate_attribute_last_wins(spark):
+    # reference semantics: dict assignment → last write wins
+    xml = _msg(_reading("speed", "1") + _reading("speed", "2"))
+    df = spark.createDataFrame([(xml,)], "payload string")
+    wide = pivot_declared(parse_signal_messages(df)).collect()[0]
+    assert wide["speed"] == "2"
+
+
+def test_undeclared_reading_goes_to_extras(spark):
+    xml = _msg(_reading("speed", "1") + _reading("MysteryReading", "9"))
+    df = spark.createDataFrame([(xml,)], "payload string")
+    wide = pivot_declared(parse_signal_messages(df)).collect()[0]
+    assert wide["extras"] == {"MysteryReading": "9"}
+
+
+def test_dynamic_pivot_accretes_columns(spark):
+    rows = [(_msg(_reading("a", "1")),), (_msg(_reading("b", "2", "u")),)]
+    df = spark.createDataFrame(rows, "payload string")
+    wide = pivot_dynamic(parse_signal_messages(df))
+    assert set(wide.columns) >= {"a", "b", "b_UoM"}
+    got = {r["a"]: (r["b"], r["b_UoM"]) for r in wide.collect()}
+    assert got == {"1": (None, None), None: ("2", "u")}
+
+
+def test_permissive_routes_corrupt_failfast_raises(spark):
+    rows = [(_msg(_reading("a", "1")),), ("<broken", )]
+    df = spark.createDataFrame(rows, "payload string")
+    out = parse_signal_messages(df, mode="PERMISSIVE").collect()
+    corrupt = [r for r in out if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1 and "ParseError" in corrupt[0]["_corrupt_record"]
+
+    with pytest.raises(Exception, match="Malformed XML"):
+        parse_signal_messages(df, mode="FAILFAST").collect()
+
+
+def test_unknown_collection_is_error(spark):
+    xml = (
+        f'<NS1:message xmlns:NS1="{NS}"><NS1:messagePayload>'
+        f"<NS1:weirdCollection><NS1:x>1</NS1:x></NS1:weirdCollection>"
+        f"</NS1:messagePayload></NS1:message>"
+    )
+    df = spark.createDataFrame([(xml,)], "payload string")
+    out = parse_signal_messages(df).collect()[0]
+    assert "Unknown collection" in out["_corrupt_record"]
+
+
+def _component(code: str | None, children: str = "", attrs: str = "", name: str = "") -> str:
+    c = f"<NS1:componentCode>{code}</NS1:componentCode>" if code is not None else ""
+    n = f"<NS1:componentName>{name}</NS1:componentName>" if name else ""
+    a = f"<NS1:componentAttributeCollection>{attrs}</NS1:componentAttributeCollection>" if attrs else ""
+    s = f"<NS1:subcomponentCollection>{children}</NS1:subcomponentCollection>" if children else ""
+    return f"<NS1:component>{c}{n}{a}{s}</NS1:component>"
+
+
+def _vc_doc(components: str, scalars: str = "<NS1:vehicleIdentifier>v1</NS1:vehicleIdentifier>") -> str:
+    return (
+        f'<NS1:vehicleComponent xmlns:NS1="{CNS}">{scalars}'
+        f"<NS1:componentCollection>{components}</NS1:componentCollection>"
+        f"</NS1:vehicleComponent>"
+    )
+
+
+def test_component_flatten_four_levels(spark):
+    xml = _vc_doc(
+        _component("a", children=_component("b", children=_component("c", children=_component("d"))))
+    )
+    df = spark.createDataFrame([(xml,)], "payload string")
+    flat = flatten_components(parse_component_docs(df), include_depth=True)
+    rows = {r["componentCode"]: r for r in flat.collect()}
+    assert rows["a"]["parent_code"] is None and rows["a"]["depth"] == 0
+    assert rows["b"]["parent_code"] == "a" and rows["b"]["depth"] == 1
+    assert rows["c"]["parent_code"] == "b"
+    assert rows["d"]["parent_code"] == "c" and rows["d"]["depth"] == 3
+    # document scalar broadcast onto every row
+    assert all(r["vehicleIdentifier"] == "v1" for r in rows.values())
+
+
+def test_component_missing_code_and_one_element_attr(spark):
+    attr_full = (
+        "<NS1:attribute><NS1:attributeName>sn</NS1:attributeName>"
+        "<NS1:attributeValue>123</NS1:attributeValue></NS1:attribute>"
+    )
+    attr_nameonly = "<NS1:attribute><NS1:attributeName>note</NS1:attributeName></NS1:attribute>"
+    xml = _vc_doc(_component(None, attrs=attr_full + attr_nameonly, name="anon"))
+    df = spark.createDataFrame([(xml,)], "payload string")
+    flat = flatten_components(parse_component_docs(df))
+    row = flat.collect()[0]
+    assert row["componentName"] == "anon"
+    assert row["sn"] == "123"
+    assert row["note"] is None
+    assert row["parent_code"] is None
+
+
+def test_splitter_drops_blanks_and_reassembles(spark):
+    tag = "</NS1:message>"
+    blob = f"  <a>1</a>{tag}\n\n<a>2</a>{tag}   \n"
+    df = spark.createDataFrame([(blob,)], "blob string")
+    out = split_concatenated(df, "blob", tag).select("payload").collect()
+    assert sorted(r["payload"] for r in out) == [f"<a>1</a>\n{tag}", f"<a>2</a>\n{tag}"]
+
+
+def test_sinks_partitioned_roundtrip(spark, tmp_path):
+    from kinesis_producer_spark.sinks import write_hive_partitioned_csv, write_jsonlines
+
+    df = spark.createDataFrame(
+        [("ACOUSTIC", "2022", "a"), ("IMPACT", "2022", "b")], "reading_type string, year string, v string"
+    )
+    csv_path = str(tmp_path / "csv")
+    write_hive_partitioned_csv(df, csv_path, partition_by=["reading_type", "year"])
+    back = spark.read.option("header", True).csv(csv_path)
+    assert sorted(r["v"] for r in back.collect()) == ["a", "b"]
+    assert {r["reading_type"] for r in back.collect()} == {"ACOUSTIC", "IMPACT"}
+
+    json_path = str(tmp_path / "json")
+    write_jsonlines(df, json_path, partition_by=["reading_type"], max_records_per_file=1000)
+    assert spark.read.json(json_path).count() == 2
+
+
+def test_schema_codegen(spark):
+    from kinesis_producer_spark.plans.codegen import accessor_code, schema_code, snake_case
+
+    df = spark.createDataFrame([(1, "x")], "MsgId long, vehicleIdentifier string")
+    code = schema_code(df)
+    assert "T.StructField('MsgId', T.LongType(), True)" in code
+    assert snake_case("vehicleIdentifier") == "vehicle_identifier"
+    assert "vehicle_identifier = df['vehicleIdentifier']" in accessor_code(df)
