@@ -1,0 +1,263 @@
+"""Kinesis-style streaming sink (SURVEY.md §2a rows 22-24 — north star).
+
+The reference's producer (main.py:18-34) sends one ``put_records`` call
+per event-time batch from a single process, logs per-record failures,
+and drops the batch on error. This sink is the Spark-first rebuild:
+
+- runs inside ``writeStream.foreachBatch`` (or on any batch DataFrame),
+  sending **from executors in parallel** — each partition chunks its
+  records and calls the transport; nothing funnels through the driver;
+- respects the public AWS API limits by construction: ≤500 records and
+  ≤5 MB per call, ≤1 MB per record (AWS service quotas — these bound
+  the reference's ``put_records`` at main.py:20);
+- inspects every response record (`ErrorCode` → failed) and **retries
+  the failed subset** with exponential backoff — an explicit upgrade
+  over the reference, which only logs failures (main.py:26-34);
+- records still failing after ``max_retries`` become dead-letter rows
+  instead of being silently dropped (reference drops the whole batch,
+  main.py:45-49).
+
+The transport is pluggable: ``RecordingTransport`` (deterministic
+failure injection, for tests/oracle), ``KinesisTransport`` (boto3,
+gated behind import-try — boto3 is not in this image).
+
+At 100 TB the scale knobs are partition count (parallel put_records
+streams) and Kinesis shard count; per-shard caps (1 MB/s, 1000 rec/s)
+are the service-side bound, so the sink optionally pre-partitions by
+partition key to keep per-shard ordering while spreading load.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAX_RECORDS_PER_CALL = 500
+MAX_BYTES_PER_CALL = 5 * 1024 * 1024
+MAX_BYTES_PER_RECORD = 1024 * 1024
+
+ACK_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_key", T.StringType()),
+        T.StructField("data_md5", T.StringType()),
+        T.StructField("status", T.StringType()),  # ok | dead_letter
+        T.StructField("attempts", T.IntegerType()),
+        T.StructField("error_code", T.StringType()),
+        T.StructField("sequence_number", T.StringType()),
+        T.StructField("shard_id", T.StringType()),
+    ]
+)
+
+
+class Transport:
+    """Minimal put_records contract (mirrors the AWS response shape)."""
+
+    def put_records(self, stream_name: str, records: list[dict]) -> dict:
+        raise NotImplementedError
+
+
+class RecordingTransport(Transport):
+    """Deterministic in-process mock.
+
+    Failure injection: a record fails with
+    ``ProvisionedThroughputExceededException`` on attempts ≤
+    ``fail_attempts_for(record)``; by default records whose data-md5
+    starts with '0' fail exactly once (≈1/16 of traffic), so retry
+    logic is exercised deterministically. Shard assignment is
+    ``int(md5(partition_key)[0], 16) % n_shards`` — reproducible in
+    SQL for the oracle.
+    """
+
+    def __init__(self, n_shards: int = 4, fail_first_attempt_prefix: str = "0"):
+        self.n_shards = n_shards
+        self.fail_prefix = fail_first_attempt_prefix
+        self.calls: list[list[dict]] = []
+        self._attempts: dict[str, int] = {}
+
+    def put_records(self, stream_name: str, records: list[dict]) -> dict:
+        if len(records) > MAX_RECORDS_PER_CALL:
+            raise ValueError(f"put_records: {len(records)} records > {MAX_RECORDS_PER_CALL}")
+        total = sum(len(r["Data"]) + len(r["PartitionKey"].encode()) for r in records)
+        if total > MAX_BYTES_PER_CALL:
+            raise ValueError(f"put_records: {total} bytes > {MAX_BYTES_PER_CALL}")
+        self.calls.append(records)
+        out, failed = [], 0
+        for r in records:
+            md5 = hashlib.md5(r["Data"]).hexdigest()
+            n = self._attempts.get(md5, 0) + 1
+            self._attempts[md5] = n
+            if md5.startswith(self.fail_prefix) and n == 1:
+                failed += 1
+                out.append(
+                    {
+                        "ErrorCode": "ProvisionedThroughputExceededException",
+                        "ErrorMessage": "Rate exceeded (injected)",
+                    }
+                )
+            else:
+                shard = int(md5_hex_first(r["PartitionKey"]), 16) % self.n_shards
+                out.append(
+                    {
+                        "SequenceNumber": f"seq-{md5[:12]}",
+                        "ShardId": f"shardId-{shard:012d}",
+                    }
+                )
+        return {"FailedRecordCount": failed, "Records": out}
+
+
+def md5_hex_first(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()[0]
+
+
+class KinesisTransport(Transport):
+    """Real AWS transport — optional, needs boto3 + credentials."""
+
+    def __init__(self, region_name: str | None = None):
+        try:
+            import boto3  # noqa: F401 — optional dependency
+        except ImportError as exc:  # pragma: no cover
+            raise ImportError("KinesisTransport requires boto3 (not in this image)") from exc
+        import boto3
+
+        self._client = boto3.client("kinesis", region_name=region_name)
+
+    def put_records(self, stream_name: str, records: list[dict]) -> dict:  # pragma: no cover
+        return self._client.put_records(StreamName=stream_name, Records=records)
+
+
+def _chunk(records: list[dict]) -> Iterator[list[dict]]:
+    """Greedy chunking under both API limits (count and bytes)."""
+    batch: list[dict] = []
+    size = 0
+    for r in records:
+        rec_size = len(r["Data"]) + len(r["PartitionKey"].encode())
+        if len(r["Data"]) > MAX_BYTES_PER_RECORD:
+            raise ValueError(f"record of {len(r['Data'])} bytes exceeds the 1 MB per-record limit")
+        if batch and (len(batch) >= MAX_RECORDS_PER_CALL or size + rec_size > MAX_BYTES_PER_CALL):
+            yield batch
+            batch, size = [], 0
+        batch.append(r)
+        size += rec_size
+    if batch:
+        yield batch
+
+
+@dataclass
+class KinesisSink:
+    """foreachBatch-compatible writer with ack/retry/dead-letter."""
+
+    stream_name: str
+    transport_factory: Callable[[], Transport]
+    max_retries: int = 3
+    backoff_s: float = 0.05
+    repartition_by_key: bool = False
+
+    def send_partition(self, records: list[dict]) -> list[dict]:
+        """Send one partition's records; return one ack row per record."""
+        transport = self.transport_factory()
+        acks: dict[int, dict] = {}
+        pending = list(enumerate(records))  # (original index, record)
+        attempt = 0
+        while pending and attempt <= self.max_retries:
+            attempt += 1
+            failed: list[tuple[int, dict]] = []
+            consumed = 0
+            for chunk in _chunk([r for _, r in pending]):
+                piece = pending[consumed : consumed + len(chunk)]
+                consumed += len(chunk)
+                resp = transport.put_records(self.stream_name, chunk)
+                for (i, rec), r in zip(piece, resp["Records"]):
+                    md5 = hashlib.md5(rec["Data"]).hexdigest()
+                    if "ErrorCode" in r:
+                        acks[i] = {
+                            "partition_key": rec["PartitionKey"],
+                            "data_md5": md5,
+                            "status": "dead_letter",
+                            "attempts": attempt,
+                            "error_code": r["ErrorCode"],
+                            "sequence_number": None,
+                            "shard_id": None,
+                        }
+                        failed.append((i, rec))
+                    else:
+                        acks[i] = {
+                            "partition_key": rec["PartitionKey"],
+                            "data_md5": md5,
+                            "status": "ok",
+                            "attempts": attempt,
+                            "error_code": None,
+                            "sequence_number": r["SequenceNumber"],
+                            "shard_id": r["ShardId"],
+                        }
+            pending = failed
+            if pending and attempt <= self.max_retries:
+                time.sleep(self.backoff_s * (2 ** (attempt - 1)))
+        return [acks[i] for i in sorted(acks)]
+
+    def write_batch(
+        self,
+        df: DataFrame,
+        data_col: str | Column = "data",
+        partition_key_col: str | Column = "partition_key",
+    ) -> DataFrame:
+        """Send a (micro-)batch; returns the ack/dead-letter DataFrame.
+
+        Executes on executors via mapInPandas — each partition opens its
+        own transport and streams its chunks. The returned ack frame is
+        lazy; the caller (foreachBatch) decides where acks/dead letters
+        go.
+        """
+        data = F.col(data_col) if isinstance(data_col, str) else data_col
+        key = F.col(partition_key_col) if isinstance(partition_key_col, str) else partition_key_col
+        src = df.select(data.cast("binary").alias("_data"), key.cast("string").alias("_key"))
+        if self.repartition_by_key:
+            src = src.repartition("_key")
+
+        sink = self
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                records = [
+                    {"Data": bytes(d), "PartitionKey": k}
+                    for d, k in zip(pdf["_data"], pdf["_key"])
+                ]
+                if not records:
+                    continue
+                yield pd.DataFrame(sink.send_partition(records), columns=ACK_SCHEMA.fieldNames())
+
+        return src.mapInPandas(run, ACK_SCHEMA)
+
+    def foreach_batch_writer(
+        self,
+        ack_path: str | None = None,
+        data_col: str = "data",
+        partition_key_col: str = "partition_key",
+    ) -> Callable[[DataFrame, int], None]:
+        """Adapter for ``writeStream.foreachBatch``.
+
+        Batch-level containment mirrors the reference (main.py:45-49):
+        an unexpected transport explosion is logged and the stream
+        continues with the next micro-batch — but unlike the reference
+        the per-record path never discards silently (dead-letter rows).
+        """
+
+        def write(batch_df: DataFrame, epoch_id: int) -> None:
+            try:
+                acks = self.write_batch(batch_df, data_col, partition_key_col)
+                if ack_path:
+                    acks.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+                        ack_path
+                    )
+                else:
+                    acks.foreach(lambda _: None)  # force the send
+            except Exception as exc:  # noqa: BLE001
+                print(f"kinesis sink: batch {epoch_id} failed: {exc}")
+
+        return write

@@ -1,0 +1,206 @@
+"""Oracle-checked queries for the streaming layer.
+
+Sink/replay/transform semantics are deterministic by construction
+(mock transport failure injection keyed on md5, event-time batching),
+so even these have DuckDB oracles; the windowed aggregations run as
+*actual streaming queries* (file source → memory sink) whose final
+tables DuckDB reproduces relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_producer_spark.functions import dsum_sql
+from kinesis_producer_spark.registry import query
+from kinesis_producer_spark.tables import load_table
+
+
+@query(
+    "q40_kinesis_sink_acks",
+    oracle="""
+    SELECT 'evt:' || CAST(event_id AS VARCHAR) AS payload,
+           event_type AS partition_key,
+           MD5('evt:' || CAST(event_id AS VARCHAR)) AS data_md5,
+           'ok' AS status,
+           CASE WHEN MD5('evt:' || CAST(event_id AS VARCHAR)) LIKE '0%' THEN 2 ELSE 1 END AS attempts,
+           'shardId-' || LPAD(CAST((INSTR('0123456789abcdef', SUBSTR(MD5(event_type), 1, 1)) - 1) % 4 AS VARCHAR), 12, '0') AS shard_id
+    FROM events
+    """,
+)
+def q40_kinesis_sink_acks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sink path on executors: chunking ≤500/≤5MB, per-record acks,
+    failed-subset retry (deterministic ~1/16 throttle injection), shard
+    assignment — every ack hash-checked against the oracle."""
+    from kinesis_producer_spark.streaming.kinesis_sink import KinesisSink, RecordingTransport
+
+    e = load_table(spark, sf_dir, "events")
+    payloads = e.select(
+        F.concat(F.lit("evt:"), F.col("event_id").cast("string")).alias("payload"),
+        F.col("event_type").alias("partition_key"),
+    )
+    sink = KinesisSink(
+        stream_name="test-stream",
+        transport_factory=lambda: RecordingTransport(n_shards=4),
+        max_retries=3,
+        backoff_s=0.0,
+    )
+    acks = sink.write_batch(payloads, data_col="payload", partition_key_col="partition_key")
+    return acks.select(
+        F.col("data_md5"),
+        "partition_key",
+        "status",
+        "attempts",
+        "shard_id",
+    ).join(
+        payloads.select(
+            "payload", "partition_key", F.md5(F.col("payload").cast("binary")).alias("data_md5")
+        ),
+        ["data_md5", "partition_key"],
+    ).select("payload", "partition_key", "data_md5", "status", "attempts", "shard_id")
+
+
+@query(
+    "q41_replay_batching",
+    oracle="""
+    WITH b AS (SELECT ts, COUNT(*) AS n FROM events GROUP BY ts)
+    SELECT COUNT(*) AS n_batches,
+           CAST(SUM(n) AS BIGINT) AS n_records,
+           CAST(MAX(n) AS BIGINT) AS max_batch,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM b
+    """,
+)
+def q41_replay_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time batch grouping contract (inferred xml_generator, §0):
+    same-ts records batched together, ascending order."""
+    from kinesis_producer_spark.streaming.replay import event_time_batches
+
+    e = load_table(spark, sf_dir, "events")
+    batches = event_time_batches(e, "ts", F.col("event_id").cast("string"))
+    return batches.agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum(F.size("payloads")).alias("n_records"),
+        F.max(F.size("payloads")).alias("max_batch"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@query(
+    "q42_stream_tumbling",
+    oracle=f"""
+    SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n, {dsum_sql('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q42_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real streaming query: file source → tumbling window → memory."""
+    from kinesis_producer_spark.streaming.windows import (
+        events_stream,
+        run_stream_to_memory,
+        tumbling_agg,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    return run_stream_to_memory(tumbling_agg(stream, "1 hour"), spark)
+
+
+@query(
+    "q43_stream_sliding",
+    oracle="""
+    WITH starts AS (
+      SELECT TIME_BUCKET(INTERVAL 30 MINUTE, ts) AS window_start, event_type FROM events
+      UNION ALL
+      SELECT TIME_BUCKET(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type FROM events
+    )
+    SELECT window_start, event_type, COUNT(*) AS n
+    FROM starts GROUP BY 1, 2
+    """,
+)
+def q43_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding window (1h / 30m): every event lands in exactly
+    two windows; oracle reproduces via the shifted-bucket union."""
+    from kinesis_producer_spark.streaming.windows import (
+        events_stream,
+        run_stream_to_memory,
+        sliding_agg,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    return run_stream_to_memory(sliding_agg(stream, "1 hour", "30 minutes"), spark)
+
+
+@query(
+    "q44_session_windows",
+    oracle="""
+    WITH g AS (
+      -- Spark session_window merges while the next event starts strictly
+      -- inside [last_ts, last_ts + gap): split when diff >= gap
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    ), per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events FROM s GROUP BY 1, 2
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events
+    FROM per_session GROUP BY user_id
+    """,
+)
+def q44_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(gap 30m) per user — Spark's native session operator
+    vs DuckDB's cumulative-gap reconstruction."""
+    from kinesis_producer_spark.streaming.windows import session_agg
+
+    e = load_table(spark, sf_dir, "events")
+    return session_agg(e, "30 minutes")
+
+
+@query(
+    "q45_firehose_transform",
+    oracle=f"""
+    SELECT event_type AS typeOfReading,
+           COUNT(*) AS n_ok,
+           {dsum_sql('value')} AS sum_value,
+           COUNT(*) AS n_with_uom
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q45_firehose_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b64(XML)→b64(JSON) record transform chained end-to-end: encode the
+    signal XML, transform, decode the JSON output, aggregate."""
+    from kinesis_producer_spark.operators.etl_queries import _signal_xml_from_events
+    from kinesis_producer_spark.streaming.transform import firehose_transform
+
+    e = load_table(spark, sf_dir, "events")
+    records = _signal_xml_from_events(e).select(
+        F.base64(F.col("payload").cast("binary")).alias("data")
+    )
+    out = firehose_transform(records, declared=["value", "k"], uom_for=["value"])
+    decoded = out.filter(F.col("result") == "Ok").select(
+        F.unbase64("data_out").cast("string").alias("j")
+    )
+    return decoded.select(
+        F.get_json_object("j", "$.typeOfReading").alias("typeOfReading"),
+        F.get_json_object("j", "$.value").cast("double").alias("v"),
+        F.get_json_object("j", "$.value_UoM").alias("uom"),
+    ).groupBy("typeOfReading").agg(
+        F.count(F.lit(1)).alias("n_ok"),
+        F.sum(F.floor(F.col("v") * 10000 + F.lit(0.5)).cast("decimal(38,0)")).cast("double").alias("_s"),
+        F.count(F.when(F.col("uom") == "db", 1)).alias("n_with_uom"),
+    ).withColumn("sum_value", F.col("_s") / 10000.0).drop("_s")

@@ -1,0 +1,91 @@
+"""Watermarked window aggregations (SURVEY.md §2b streaming row).
+
+The reference has no consumer-side state; these are the Spark
+built-ins our engine surface exposes for it — tumbling / sliding /
+session windows with event-time watermarks, runnable identically in
+batch (for the oracle) and streaming (``readStream`` file source →
+memory sink, exercised in tests).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_producer_spark.functions import dsum
+
+
+def tumbling_agg(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_agg(events: DataFrame, duration: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", duration, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based session windows per user (batch & streaming capable)."""
+    sessions = (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture as a bounded file stream (for tests).
+
+    Reads the raw parquet with the nanos→long conf and restores the
+    micros timestamp, exactly like tables.load_table.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source requires a directory: expose the single
+    # fixture file through a symlink dir (read-only testdata untouched)
+    import hashlib
+    import os
+    import tempfile
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+    )
+    raw = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream_to_memory(agg: DataFrame, spark: SparkSession) -> DataFrame:
+    """Execute a (bounded) streaming aggregation to completion.
+
+    Complete output mode → every window is emitted even without
+    watermark closure; fine for bounded fixture streams.
+    """
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
