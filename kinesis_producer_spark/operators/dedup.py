@@ -1,0 +1,172 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families over a text corpus, each designed for 100 TB:
+
+- **exact**: hash-groupBy on a content digest — one shuffle on the
+  digest, map-side combine; the canonical representative is the min id.
+- **MinHash + LSH**: per-row shingle→signature (zero shuffle — the
+  signature is a pure column expression), band→bucket, candidate pairs
+  from a self-join on bucket only (never all-pairs), then exact-Jaccard
+  verification of candidates.
+- **SimHash**: per-row 16-bit signature via per-bit majority vote over
+  token hashes; collisions = near-dup buckets.
+- **n-gram Jaccard**: exact set similarity, for verification or small
+  blocked domains.
+- **embedding cosine**: see operators/similarity.py.
+
+Hashing is md5 (identical everywhere) and all scores are quantized to
+integer micro-units with portable ``floor(x·10⁶+0.5)`` so results are
+engine-reproducible (same rationale as functions.dsum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def words(col: Column | str, pattern: str = r"\s+") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, pattern)
+
+
+def shingles(col: Column | str, n: int = 2) -> Column:
+    """Distinct word n-grams (default bigrams) of a text column.
+
+    Pure column expression (transform over an index range) — no
+    explode, no shuffle; each row computes its own shingle set.
+    """
+    w = words(col)
+    if n == 1:
+        return F.array_distinct(w)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical content: (digest, representative, copies)."""
+    return (
+        df.select(F.md5(F.col(text_col).cast("binary")).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signature(df: DataFrame, shingle_col: Column, k: int = 8) -> Column:
+    """k md5-min-hashes as an array column — per-row, shuffle-free.
+
+    minhash_i = lexicographic MIN over shingles of md5('<i>:'+shingle);
+    md5 is uniform so the lexicographic min is a valid min-hash.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "signature",
+    band_size: int = 2,
+) -> DataFrame:
+    """Pairs sharing at least one LSH band bucket (id_a < id_b).
+
+    Scale shape: explode to (band_idx, bucket) — k/band_size rows per
+    doc — then self-join on the bucket. The join key space is the
+    bucket domain, so co-bucketed docs only ever meet; AQE splits any
+    hot bucket.
+    """
+    sig = F.col(sig_col)
+    n_bands = (F.size(sig) / band_size).cast("int")
+    bands = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_bands - 1),
+                lambda b: F.md5(
+                    F.concat_ws("|", F.slice(sig, b * band_size + 1, F.lit(band_size)))
+                ),
+            )
+        ).alias("band_idx", "bucket"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_micro(set_a: Column, set_b: Column) -> Column:
+    """⌊10⁶·|A∩B|/|A∪B|+0.5⌋ as BIGINT (portable quantization)."""
+    inter = F.size(F.array_intersect(set_a, set_b)).cast("double")
+    union = F.size(F.array_distinct(F.concat(set_a, set_b))).cast("double")
+    return F.floor(F.lit(1e6) * inter / union + F.lit(0.5)).cast("bigint")
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 2,
+    threshold_micro: int = 500_000,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection: verified pairs."""
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    sh = sh.withColumn("signature", minhash_signature(sh, F.col("sh"), k=k))
+    pairs = lsh_candidate_pairs(sh, id_col=id_col, sig_col="signature", band_size=band_size)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jaccard_micro(F.col("sh_a"), F.col("sh_b")).alias("jaccard_micro"))
+    )
+    return verified.filter(F.col("jaccard_micro") >= threshold_micro)
+
+
+def _hex_high(token: Column, i: int) -> Column:
+    """True when hex digit i (0-based) of md5(token) is ≥ 8."""
+    digit = F.substring(F.md5(token), i + 1, 1)
+    # position in '0123456789abcdef' is value+1 → value ≥ 8 ⇔ pos ≥ 9
+    pos = F.array_position(F.array(*[F.lit(c) for c in HEX]), digit)
+    return pos >= 9
+
+
+def simhash16(col: Column | str) -> Column:
+    """16-bit SimHash over whitespace tokens.
+
+    Bit i = majority over tokens of (hex digit i of md5(token) ≥ 8);
+    expressed with higher-order functions only — per-row, JVM-side,
+    zero shuffle.
+    """
+    w = words(col)
+    total = F.lit(0)
+
+    def _voter(i: int):
+        # closure factory, NOT a default arg: `lambda acc, t, i=i` would
+        # have arity 3 and Spark would resolve the 3-arg merge variant
+        return lambda acc, t: acc + F.when(_hex_high(t, i), F.lit(1)).otherwise(F.lit(-1))
+
+    for i in range(16):
+        vote = F.aggregate(w, F.lit(0), _voter(i))
+        total = total + F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return total.cast("bigint")

@@ -1,0 +1,360 @@
+"""Oracle-checked queries for the LLM-data-pipeline operators
+(dedup, similarity search, text analysis, multimodal columns)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_producer_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_micro,
+    minhash_dedup,
+    shingles,
+    simhash16,
+)
+from kinesis_producer_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    near_dup_pairs,
+)
+from kinesis_producer_spark.operators.text import analyze
+from kinesis_producer_spark.registry import query
+from kinesis_producer_spark.tables import load_table
+
+
+def _qdot_sql(x: str, y: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({x})+1), "
+        f"i -> CAST(FLOOR(CAST({x}[i] AS DOUBLE)*CAST({y}[i] AS DOUBLE)*1e12 + 0.5) AS BIGINT)))"
+    )
+
+
+_COS_MICRO_SQL = (
+    f"CAST(FLOOR(1e6 * CAST({_qdot_sql('a.embedding','b.embedding')} AS DOUBLE) / "
+    f"SQRT(CAST({_qdot_sql('a.embedding','a.embedding')} AS DOUBLE) * "
+    f"CAST({_qdot_sql('b.embedding','b.embedding')} AS DOUBLE)) + 0.5) AS BIGINT)"
+)
+
+_BIGRAMS_SQL = (
+    "list_distinct(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1]))"
+)
+
+
+@query(
+    "q50_dedup_exact",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT MD5(text) AS digest, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+    FROM corpus GROUP BY MD5(text)
+    """,
+)
+def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-digest hash aggregation; duplicates are
+    injected (every 10th doc repeated) so the grouping is exercised."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return exact_dedup(d.unionByName(dups))
+
+
+@query(
+    "q51_minhash_lsh",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') a FROM documents),
+    sh AS (SELECT doc_id, {_BIGRAMS_SQL} s FROM w),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    mh AS (SELECT doc_id, seed, MIN(MD5(CAST(seed AS VARCHAR) || ':' || g)) m
+           FROM ex CROSS JOIN (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
+    sig AS (SELECT doc_id, list(m ORDER BY seed) sg FROM mh GROUP BY doc_id),
+    bands AS (SELECT doc_id, b, MD5(sg[2*b+1] || '|' || sg[2*b+2]) bucket
+              FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+    cand AS (SELECT DISTINCT x.doc_id ia, y.doc_id ib FROM bands x JOIN bands y
+             ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+    SELECT ia AS id_a, ib AS id_b,
+           CAST(FLOOR(1e6 * len(list_intersect(x.s, y.s))
+                      / len(list_distinct(list_concat(x.s, y.s))) + 0.5) AS BIGINT) AS jaccard_micro
+    FROM cand JOIN sh x ON x.doc_id = ia JOIN sh y ON y.doc_id = ib
+    WHERE CAST(FLOOR(1e6 * len(list_intersect(x.s, y.s))
+                     / len(list_distinct(list_concat(x.s, y.s))) + 0.5) AS BIGINT) >= 500000
+    """,
+)
+def q51_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) → LSH(4 bands × 2) → candidate pairs → exact-Jaccard
+    verification at 0.5 over word-bigram shingles."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_dedup(d, k=8, band_size=2, shingle_n=2, threshold_micro=500_000)
+
+
+def _simhash_sql() -> str:
+    terms = []
+    for i in range(16):
+        bit = (
+            f"CASE WHEN COALESCE(list_sum(list_transform(a, t -> "
+            f"CASE WHEN INSTR('0123456789abcdef', SUBSTR(MD5(t), {i + 1}, 1)) >= 9 "
+            f"THEN 1 ELSE -1 END)), 0) > 0 THEN {1 << i} ELSE 0 END"
+        )
+        terms.append(bit)
+    return " + ".join(terms)
+
+
+@query(
+    "q52_simhash",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') a FROM documents)
+    SELECT doc_id, CAST({_simhash_sql()} AS BIGINT) AS simhash
+    FROM w
+    """,
+)
+def q52_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash (bitwise token-hash majority vote)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash16("text").alias("simhash"))
+
+
+@query(
+    "q53_ngram_jaccard",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, regexp_split_to_array(text, '\\s+') a FROM documents),
+    sh AS (SELECT doc_id, source, {_BIGRAMS_SQL} s FROM w)
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+           CAST(FLOOR(1e6 * len(list_intersect(x.s, y.s))
+                      / len(list_distinct(list_concat(x.s, y.s))) + 0.5) AS BIGINT) AS jaccard_micro
+    FROM sh x JOIN sh y ON x.source = y.source AND x.doc_id < y.doc_id
+    WHERE CAST(FLOOR(1e6 * len(list_intersect(x.s, y.s))
+                     / len(list_distinct(list_concat(x.s, y.s))) + 0.5) AS BIGINT) >= 300000
+    """,
+)
+def q53_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact n-gram Jaccard (word bigrams, same-source blocks)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", "source", shingles("text", 2).alias("s"))
+    a = sh.select(F.col("source"), F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    b = sh.select(F.col("source"), F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    return (
+        a.join(b, "source")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard_micro(F.col("s_a"), F.col("s_b")).alias("jaccard_micro"))
+        .filter(F.col("jaccard_micro") >= 300_000)
+    )
+
+
+@query(
+    "q54_embedding_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_MICRO_SQL} AS cos_micro
+    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_MICRO_SQL} >= 300000
+    """,
+)
+def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, label-blocked."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return near_dup_pairs(e, block_col="label", threshold_micro=300_000)
+
+
+@query(
+    "q55_ann_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+      SELECT q.query_id, b.vec_id, {_qdot_sql("q.embedding", "b.embedding")} AS qxy,
+             {_qdot_sql("q.embedding", "q.embedding")} AS qxx,
+             {_qdot_sql("b.embedding", "b.embedding")} AS qyy
+      FROM embeddings b CROSS JOIN q
+    ), cos AS (
+      SELECT query_id, vec_id,
+             CAST(FLOOR(1e6 * CAST(qxy AS DOUBLE) /
+                  SQRT(CAST(qxx AS DOUBLE) * CAST(qyy AS DOUBLE)) + 0.5) AS BIGINT) AS cos_micro
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_micro, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_micro DESC, vec_id) AS rank
+      FROM cos
+    ) WHERE rank <= 10
+    """,
+)
+def q55_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 3 query vectors over the whole corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(e, queries, k=10)
+    return out.select("query_id", "vec_id", "cos_micro", "rank")
+
+
+@query(
+    "q56_ann_ivf",
+    oracle=f"""
+    WITH cells AS (
+      SELECT vec_id, embedding, label,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) AS cell
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding, cell FROM cells WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+      SELECT q.query_id, b.vec_id, {_qdot_sql("q.embedding", "b.embedding")} AS qxy,
+             {_qdot_sql("q.embedding", "q.embedding")} AS qxx,
+             {_qdot_sql("b.embedding", "b.embedding")} AS qyy
+      FROM cells b JOIN q ON b.cell = q.cell
+    ), cos AS (
+      SELECT query_id, vec_id,
+             CAST(FLOOR(1e6 * CAST(qxy AS DOUBLE) /
+                  SQRT(CAST(qxx AS DOUBLE) * CAST(qyy AS DOUBLE)) + 0.5) AS BIGINT) AS cos_micro
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_micro, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_micro DESC, vec_id) AS rank
+      FROM cos
+    ) WHERE rank <= 5
+    """,
+)
+def q56_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe only the query's sign-bit coarse cell."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(e, queries, k=5, bits=2)
+    return out.select("query_id", "vec_id", "cos_micro", "rank")
+
+
+_LANG_SCORE_SQL = {
+    "de": "len(list_filter(a, t -> t IN ('der','die','und','das','ist')))",
+    "en": "len(list_filter(a, t -> t IN ('the','a','of','and','is')))",
+    "es": "len(list_filter(a, t -> t IN ('el','la','de','que','y')))",
+    "fr": "len(list_filter(a, t -> t IN ('le','la','et','les','des')))",
+}
+
+
+@query(
+    "q57_lang_id",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') a FROM documents),
+    s AS (SELECT doc_id, lang,
+                 {_LANG_SCORE_SQL['de']} s_de, {_LANG_SCORE_SQL['en']} s_en,
+                 {_LANG_SCORE_SQL['es']} s_es, {_LANG_SCORE_SQL['fr']} s_fr
+          FROM w)
+    SELECT doc_id, lang,
+           CASE WHEN s_de >= GREATEST(s_en, s_es, s_fr, 1) THEN 'de'
+                WHEN s_en >= GREATEST(s_es, s_fr, 1) THEN 'en'
+                WHEN s_es >= GREATEST(s_fr, 1) THEN 'es'
+                WHEN s_fr >= 1 THEN 'fr'
+                ELSE 'und' END AS lang_pred
+    FROM s
+    """,
+)
+def q57_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word-voting language ID (alphabetical tie-break, 'und'
+    when no markers hit)."""
+    from kinesis_producer_spark.operators.text import lang_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "q58_text_quality",
+    oracle="""
+    WITH w AS (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') a FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(a) AS ws_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+')) AS word_tokens,
+             len(regexp_extract_all(text, '[0-9]+')) AS digit_tokens,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct_tokens,
+             CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+             CAST(len(a) AS DOUBLE) AS n_words,
+             CAST(len(list_filter(a, t -> t IN ('the','a','of','and','is','to','in'))) AS DOUBLE) AS n_stop
+      FROM w)
+    SELECT doc_id, ws_tokens, word_tokens, digit_tokens, punct_tokens,
+           CAST(FLOOR((
+             LEAST(n_chars / 500.0, 1.0)
+             + LEAST(n_stop / GREATEST(n_words, 1.0) * 5.0, 1.0)
+             + (1.0 - LEAST(CAST(punct_tokens AS DOUBLE) / GREATEST(n_chars, 1.0) * 10.0, 1.0))
+           ) / 3.0 * 1e6 + 0.5) AS BIGINT) AS quality_micro
+    FROM m
+    """,
+)
+def q58_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-class counts + composite quality score."""
+    from kinesis_producer_spark.operators.text import quality_score_micro, token_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    tc = token_counts("text")
+    return d.select(
+        "doc_id",
+        *[c.alias(n) for n, c in tc.items()],
+        quality_score_micro("text").alias("quality_micro"),
+    )
+
+
+@query(
+    "q59_fingerprint",
+    oracle="""
+    WITH w AS (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') a FROM documents)
+    SELECT doc_id,
+           MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\\s]', '', 'g'),
+                                   '\\s+', ' ', 'g'))) AS fingerprint,
+           list_min(list_transform(
+             list_distinct(list_transform(range(1, len(a) - 2),
+               i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3])),
+             g -> MD5(g))) AS shingle_fingerprint
+    FROM w
+    """,
+)
+def q59_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content digest + min-shingle (winnowing) fingerprint."""
+    from kinesis_producer_spark.operators.text import fingerprint, min_shingle_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint("text").alias("fingerprint"),
+        min_shingle_fingerprint("text", 4).alias("shingle_fingerprint"),
+    )
+
+
+@query(
+    "q60_multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(STRLEN(text) AS BIGINT) AS n_bytes,
+           MD5(text) AS content_md5,
+           LOWER(HEX(ENCODE(SUBSTR(text, 1, 4)))) AS magic_hex,
+           CASE WHEN SUBSTR(text, 1, 4) = 'RIFF' THEN 'audio/wav'
+                WHEN SUBSTR(text, 1, 4) = 'OggS' THEN 'audio/ogg'
+                ELSE 'application/octet-stream' END AS media_type
+    FROM documents
+    """,
+)
+def q60_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media column plumbing: metadata extraction stage
+    (size/digest/magic sniff) over blobs via mapInPandas."""
+    from kinesis_producer_spark.operators.multimodal import extract_metadata
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("content")
+    )
+    return extract_metadata(d)
+
+
+@query("q61_multimodal_decode")
+def q61_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake-decode plumbing (no oracle: codecs are stubbed;
+    rows-only check). Schema/batching/partitioning are the real path."""
+    from kinesis_producer_spark.operators.multimodal import decode_media
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("content")
+    )
+    return decode_media(d, decode_stub="fake")

@@ -1,0 +1,130 @@
+"""Embedding similarity search (ANN) over ``array<float>`` columns.
+
+Engine-portable exact math: per-element products are quantized to
+integer picounits (``floor(a·b·10¹² + 0.5)``) and summed exactly, so
+Spark and the DuckDB oracle produce bit-identical scores regardless of
+summation order (same scheme as functions.dsum). Final cosine is
+reported in integer micro-units.
+
+Scale path:
+- **brute force**: one broadcast of the (tiny) query set, one pass
+  over the corpus, per-partition top-k via window — O(N·d·Q), fully
+  parallel, no shuffle of the corpus beyond the final top-k.
+- **IVF-style**: a deterministic coarse quantizer (sign bits of the
+  leading dimensions) partitions the corpus; a query probes only its
+  own cell — the classic inverted-file trade of recall for a
+  ``2^bits``-fold scan reduction. On a real 100 TB corpus the cell id
+  becomes a partition column so Catalyst prunes files by cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+PICO = 1e12
+
+
+def qdot(a: Column, b: Column) -> Column:
+    """Exact quantized dot product of two float-array columns → BIGINT."""
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(x.cast("double") * y.cast("double") * PICO + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    return F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, p: acc + p)
+
+
+def cosine_micro(a: Column, b: Column) -> Column:
+    """⌊10⁶·cos(a,b)+0.5⌋ from quantized dot products."""
+    num = qdot(a, b).cast("double")
+    den = F.sqrt(qdot(a, a).cast("double") * qdot(b, b).cast("double"))
+    return F.floor(F.lit(1e6) * num / den + F.lit(0.5)).cast("bigint")
+
+
+def ivf_cell(emb: Column, bits: int = 2) -> Column:
+    """Coarse quantizer: sign bits of the first ``bits`` dimensions."""
+    cell = F.lit(0)
+    for i in range(bits):
+        cell = cell + F.when(F.element_at(emb, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return cell.cast("int")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query. ``queries`` must be small (broadcast)."""
+    q = queries.select(
+        F.col(query_id_col), F.col(emb_col).alias("_q_emb")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_micro(F.col(emb_col), F.col("_q_emb")).alias("cos_micro"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cos_micro").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k probing only the query's coarse cell."""
+    cells = corpus.withColumn("_cell", ivf_cell(F.col(emb_col), bits))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(emb_col).alias("_q_emb"),
+        ivf_cell(F.col(emb_col), bits).alias("_cell"),
+    )
+    scored = cells.join(F.broadcast(q), "_cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_micro(F.col(emb_col), F.col("_q_emb")).alias("cos_micro"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cos_micro").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    block_col: str = "label",
+    threshold_micro: int = 350_000,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicates within blocking groups (id_a < id_b).
+
+    Blocking bounds the pair count (all-pairs only within a block);
+    at scale the block column is an LSH bucket or IVF cell rather than
+    a label.
+    """
+    a = df.select(
+        F.col(block_col).alias("_blk"), F.col(id_col).alias("id_a"), F.col(emb_col).alias("_ea")
+    )
+    b = df.select(
+        F.col(block_col).alias("_blk"), F.col(id_col).alias("id_b"), F.col(emb_col).alias("_eb")
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_micro(F.col("_ea"), F.col("_eb")).alias("cos_micro"),
+        )
+        .filter(F.col("cos_micro") >= threshold_micro)
+    )

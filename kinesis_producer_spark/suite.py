@@ -9,6 +9,7 @@ from kinesis_producer_spark.registry import ORACLE, QUERIES
 _MODULES = [
     "kinesis_producer_spark.operators.relational",
     "kinesis_producer_spark.operators.etl_queries",
+    "kinesis_producer_spark.operators.llm_queries",
     "kinesis_producer_spark.streaming.queries",
 ]
 
