@@ -1,0 +1,80 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is materialized through the noop sink so the full plan
+executes (scan → shuffle → sink) without concentrating rows on the
+driver — the same discipline a 100 TB run needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+os.environ["PYTHONPATH"] = _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+# One headline per engine area: TPC-H-style agg, join+agg, as-of join,
+# window top-k, event rollup, XML parse+pivot, tar source, Kinesis sink,
+# exact + MinHash dedup, ANN search, text analysis.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q04_customer_order_stats",
+    "q08_asof_join",
+    "q09_topk_per_group",
+    "q21_hourly_rollup",
+    "q30_signal_xml_roundtrip",
+    "q35_tar_roundtrip",
+    "q40_kinesis_sink_acks",
+    "q50_dedup_exact",
+    "q51_minhash_lsh",
+    "q55_ann_bruteforce",
+    "q58_text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from kinesis_producer_spark.session import get_spark
+    from kinesis_producer_spark.suite import load_all
+
+    queries, _ = load_all()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths outside the timed region.
+    queries["q01_pricing_summary"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
