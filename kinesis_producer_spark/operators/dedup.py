@@ -35,16 +35,22 @@ def words(col: Column | str, pattern: str = r"\s+") -> Column:
 def shingles(col: Column | str, n: int = 2) -> Column:
     """Distinct word n-grams (default bigrams) of a text column.
 
-    Pure column expression (transform over an index range) — no
-    explode, no shuffle; each row computes its own shingle set.
+    Pure column expression — no explode, no shuffle. Grams are built by
+    zipping the word array with its own shifted slices; the word array
+    only ever appears as a direct higher-order-function argument, never
+    inside a lambda body (an ``element_at(w, i)`` inside the lambda
+    would re-evaluate the split per element — O(words²) regex work).
     """
     w = words(col)
     if n == 1:
         return F.array_distinct(w)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
-    )
+    grams = w
+    for j in range(1, n):
+        shifted = F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0)))
+        # zip_with pads the shorter side with null; concat_ws skips
+        # nulls, so the tail produces partial grams — sliced off below.
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.slice(grams, 1, F.greatest(F.size(w) - (n - 1), F.lit(0)))
     return F.array_distinct(grams)
 
 

@@ -191,6 +191,23 @@ _component_udf = F.pandas_udf(
 )
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Ensure the Python-heavy parse stage uses every core.
+
+    A small input (one parquet file < maxPartitionBytes) arrives as a
+    single split, serializing the per-row XML parse on one core. When
+    upstream parallelism is below the cluster default, repartition —
+    the shuffle moves raw strings once and is dwarfed by the parse. At
+    scale (splits ≫ cores) this is a no-op.
+    """
+    if df.isStreaming:  # micro-batch sizing is the trigger's job
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _apply_mode(df: DataFrame, mode: str) -> DataFrame:
     if mode == "FAILFAST":
         probe = F.when(
@@ -207,7 +224,7 @@ def parse_signal_messages(
     df: DataFrame, xml_col: str | Column = "payload", mode: str = "PERMISSIVE"
 ) -> DataFrame:
     """Add ``envelope`` / ``readings`` / ``_corrupt_record`` columns."""
-    parsed = df.withColumn("_parsed", _signal_udf(_col(xml_col)))
+    parsed = _fan_out(df).withColumn("_parsed", _signal_udf(_col(xml_col)))
     out = parsed.select("*", "_parsed.envelope", "_parsed.readings", "_parsed._corrupt_record").drop(
         "_parsed"
     )
@@ -218,7 +235,7 @@ def parse_component_docs(
     df: DataFrame, xml_col: str | Column = "payload", mode: str = "PERMISSIVE"
 ) -> DataFrame:
     """Add ``doc_attrs`` / ``components`` / ``_corrupt_record`` columns."""
-    parsed = df.withColumn("_parsed", _component_udf(_col(xml_col)))
+    parsed = _fan_out(df).withColumn("_parsed", _component_udf(_col(xml_col)))
     out = parsed.select(
         "*", "_parsed.doc_attrs", "_parsed.components", "_parsed._corrupt_record"
     ).drop("_parsed")
