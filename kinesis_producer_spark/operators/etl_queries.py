@@ -352,3 +352,36 @@ def q36_record_wrap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("record", "$.partition_id").alias("partition_id"),
         F.md5(F.unbase64(F.base64(F.col("text").cast("binary")))).alias("b64_roundtrip_md5"),
     )
+
+
+@query(
+    "q37_observed_metrics",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(COUNT(CASE WHEN value > 900 THEN 1 END) AS BIGINT) AS n_hot,
+           CAST(COUNT(value) AS BIGINT) AS n_values,
+           {dsum_sql('value')} AS sum_value
+    FROM events
+    """,
+)
+def q37_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability (SURVEY §2a row 28): the reference's thread-global
+    counters (decompression.py:20-21,45,50-53) as Observation metrics —
+    computed on executors during the action, merged race-free, no
+    second pass over the data."""
+    from kinesis_producer_spark.functions import SCALE
+    from kinesis_producer_spark.observability import metrics_frame, observe
+
+    e = load_table(spark, sf_dir, "events")
+    observed, obs = observe(
+        e,
+        "unpack_counters",
+        F.count(F.lit(1)).alias("n_records"),
+        F.count(F.when(F.col("value") > 900, 1)).alias("n_hot"),
+        F.count("value").alias("n_values"),
+        dsum("value", "sum_value"),
+    )
+    observed.write.mode("overwrite").format("noop").save()
+    return metrics_frame(
+        spark, obs, "n_records bigint, n_hot bigint, n_values bigint, sum_value double"
+    )

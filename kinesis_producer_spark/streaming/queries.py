@@ -171,6 +171,30 @@ def q44_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q46_stateful_first_seen",
+    oracle="""
+    SELECT user_id, MIN(ts) AS first_ts, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q46_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user first-seen timestamp + running count carried across 4
+    micro-batches; update emissions collapse to an order-insensitive
+    final answer the oracle reproduces relationally."""
+    from kinesis_producer_spark.streaming.stateful import (
+        events_multifile_stream,
+        finalize_first_seen,
+        run_stream_update,
+        stateful_first_seen,
+    )
+
+    stream = events_multifile_stream(spark, sf_dir, n_files=4)
+    emissions = run_stream_update(stateful_first_seen(stream), spark)
+    return finalize_first_seen(emissions)
+
+
+@query(
     "q45_firehose_transform",
     oracle=f"""
     SELECT event_type AS typeOfReading,

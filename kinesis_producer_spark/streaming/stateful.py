@@ -1,0 +1,107 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+The reference keeps no consumer-side state (SURVEY.md §2b streaming
+row); this module supplies the custom-stateful surface a Spark engine
+offers for it. The flagship operator is a streaming first-seen tracker
+— the stateful core of a streaming dedup: per key it remembers the
+earliest event time and a cumulative event count across micro-batches.
+
+Scale notes:
+- state is per-key and O(1) (a timestamp + a counter), so the state
+  store grows with key cardinality only, never with event volume;
+- emissions are **order-insensitive under the final aggregation**
+  (min of partial mins = global min; max of cumulative counts = total),
+  so results are deterministic regardless of micro-batch boundaries —
+  which also makes the operator oracle-checkable in SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+FIRST_SEEN_OUTPUT = "user_id bigint, first_ts timestamp, cum_events bigint"
+FIRST_SEEN_STATE = "first_ts timestamp, cum_events bigint"
+
+
+def _first_seen_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    batch_min = None
+    batch_n = 0
+    for pdf in pdfs:
+        if len(pdf):
+            m = pdf["ts"].min()
+            batch_min = m if batch_min is None else min(batch_min, m)
+            batch_n += len(pdf)
+    if batch_n == 0:
+        return
+    if state.exists:
+        first_ts, cum = state.get
+        if batch_min is not None and batch_min < first_ts:
+            first_ts = batch_min
+        cum += batch_n
+    else:
+        first_ts, cum = batch_min, batch_n
+    state.update((first_ts, cum))
+    yield pd.DataFrame({"user_id": [key[0]], "first_ts": [first_ts], "cum_events": [cum]})
+
+
+def stateful_first_seen(events: DataFrame) -> DataFrame:
+    """Per-user first event time + running count, one emission per
+    micro-batch in which the user appears (update semantics)."""
+    return events.select("user_id", "ts").groupBy("user_id").applyInPandasWithState(
+        _first_seen_fn,
+        outputStructType=FIRST_SEEN_OUTPUT,
+        stateStructType=FIRST_SEEN_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def finalize_first_seen(emissions: DataFrame) -> DataFrame:
+    """Collapse per-batch update emissions to the final per-key answer."""
+    return emissions.groupBy("user_id").agg(
+        F.min("first_ts").alias("first_ts"),
+        F.max("cum_events").alias("n_events"),
+    )
+
+
+def events_multifile_stream(spark, sf_dir: str, n_files: int = 4) -> DataFrame:
+    """The events fixture as a bounded *multi-batch* file stream.
+
+    Splits events into ``n_files`` ts-range parquet files (one-time
+    prep via repartitionByRange) and streams them one file per trigger,
+    so stateful operators genuinely carry state across micro-batches.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from kinesis_producer_spark.tables import load_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    prep = os.path.join(tempfile.gettempdir(), f"events_mf_{tag}_{n_files}")
+    if not os.path.exists(os.path.join(prep, "_SUCCESS")):
+        e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+        e.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(prep)
+    return spark.readStream.schema("event_id bigint, ts timestamp, user_id bigint").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(prep)
+
+
+def run_stream_update(df: DataFrame, spark) -> DataFrame:
+    """Execute a bounded update-mode stream; return the accumulated
+    emissions (memory sink appends each trigger's updated rows)."""
+    import uuid
+
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    q = df.writeStream.outputMode("update").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
