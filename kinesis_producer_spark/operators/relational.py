@@ -688,3 +688,109 @@ def q23_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 100)
         .drop("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles / median — interpolation kept bit-exact across engines
+# by quantizing inputs to integer cents first (integer lattice + binary
+# fractions 0.25/0.5/0.75 → every intermediate is representable).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q24_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(FLOOR(l_extendedprice * 100 + 0.5), [0.25, 0.5, 0.75]) AS price_quartiles,
+           quantile_cont(FLOOR(l_quantity * 100 + 0.5), 0.5) AS qty_median
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q24_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (sort-based, interpolating) percentiles per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+    qcents = F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(cents, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(
+            "price_quartiles"
+        ),
+        F.percentile(qcents, F.lit(0.5)).alias("qty_median"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array + map scalar functions (SURVEY §2b scalar-fn row, collection side)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q25_array_map_fns",
+    oracle="""
+    WITH base AS (
+      SELECT p_partkey, p_brand, (p_size % 5) + 2 AS n FROM part
+    ), arr AS (
+      SELECT p_partkey, p_brand, n, range(1, n + 1) AS seq FROM base
+    )
+    SELECT p_partkey,
+           len(seq) AS seq_len,
+           seq[-1] AS seq_last,
+           list_reverse(seq)[1] AS rev_first,
+           CAST(list_sum(list_transform(seq, x -> x * x)) AS BIGINT) AS sum_sq,
+           list_contains(seq, 3) AS has_three,
+           seq[2:3] AS mid_slice,
+           p_brand AS brand_lookup,
+           CAST(n AS BIGINT) AS size_lookup
+    FROM arr
+    """,
+)
+def q25_array_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction/transform/aggregate + map build/lookup, all as
+    JVM-side column expressions (no UDFs, codegen-friendly)."""
+    p = load_table(spark, sf_dir, "part")
+    n = (F.col("p_size") % 5 + 2).cast("int")
+    seq = F.sequence(F.lit(1), n)
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("size"), n.cast("string")
+    )
+    return p.select(
+        "p_partkey",
+        F.size(seq).alias("seq_len"),
+        F.element_at(seq, -1).alias("seq_last"),
+        F.element_at(F.reverse(seq), 1).alias("rev_first"),
+        F.aggregate(
+            F.transform(seq, lambda x: (x * x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_sq"),
+        F.array_contains(seq, 3).alias("has_three"),
+        F.slice(seq, 2, 2).alias("mid_slice"),
+        F.element_at(m, "brand").alias("brand_lookup"),
+        F.element_at(m, "size").cast("bigint").alias("size_lookup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated subqueries (EXISTS / IN / scalar) through the SQL surface
+# ---------------------------------------------------------------------------
+
+_Q26_SQL = """
+    SELECT c.c_custkey, c.c_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {orders} o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') AS n_finished
+    FROM {customer} c
+    WHERE EXISTS (SELECT 1 FROM {orders} o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      AND c.c_nationkey IN (SELECT n_nationkey FROM {nation} WHERE n_regionkey <= 2)
+"""
+
+
+@query("q26_correlated_subqueries", oracle=_Q26_SQL.format(orders="orders", customer="customer", nation="nation"))
+def q26_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + IN + correlated scalar subquery in one statement —
+    Catalyst decorrelates all three into joins (plan-audited: no
+    per-row subquery execution)."""
+    for t in ("customer", "orders", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(_Q26_SQL.format(orders="v_orders", customer="v_customer", nation="v_nation"))

@@ -195,6 +195,29 @@ def q46_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q47_watermarked_append",
+    oracle=f"""
+    WITH m AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS wm FROM events)
+    SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n, {dsum_sql('value')} AS sum_value
+    FROM events, m
+    WHERE DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= wm
+    GROUP BY 1, 2
+    """,
+)
+def q47_watermarked_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling windows in APPEND mode over a 4-batch
+    ts-ordered file stream: a window emits exactly once when the
+    watermark (max event time − 30 min) passes its end; open tail
+    windows are withheld — the oracle reproduces the cutoff."""
+    from kinesis_producer_spark.streaming.stateful import events_multifile_stream
+    from kinesis_producer_spark.streaming.windows import run_stream_append, watermarked_tumbling
+
+    stream = events_multifile_stream(spark, sf_dir, n_files=4)
+    return run_stream_append(watermarked_tumbling(stream, "1 hour", "30 minutes"), spark)
+
+
+@query(
     "q45_firehose_transform",
     oracle=f"""
     SELECT event_type AS typeOfReading,

@@ -86,13 +86,20 @@ def events_multifile_stream(spark, sf_dir: str, n_files: int = 4) -> DataFrame:
     from kinesis_producer_spark.tables import load_table
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    prep = os.path.join(tempfile.gettempdir(), f"events_mf_{tag}_{n_files}")
+    prep = os.path.join(tempfile.gettempdir(), f"events_mf2_{tag}_{n_files}")
     if not os.path.exists(os.path.join(prep, "_SUCCESS")):
-        e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
         e.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(prep)
-    return spark.readStream.schema("event_id bigint, ts timestamp, user_id bigint").option(
-        "maxFilesPerTrigger", 1
-    ).parquet(prep)
+    # Pin ascending mtimes in part-file (= ts-range) order so the file
+    # source processes micro-batches in deterministic event-time order.
+    parts = sorted(f for f in os.listdir(prep) if f.startswith("part-"))
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(prep, f), (1_000_000 + i, 1_000_000 + i))
+    return spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(prep)
 
 
 def run_stream_update(df: DataFrame, spark) -> DataFrame:

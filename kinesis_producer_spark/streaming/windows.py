@@ -46,6 +46,30 @@ def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def watermarked_tumbling(
+    events: DataFrame, duration: str = "1 hour", delay: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling window agg with an event-time watermark — the
+    append-mode (late-data-discarding) path: a window is emitted once,
+    when the watermark passes its end, and state for it is evicted."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def run_stream_append(agg: DataFrame, spark: SparkSession) -> DataFrame:
+    """Execute a bounded watermarked stream in append mode; the memory
+    table holds exactly the watermark-closed windows."""
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events fixture as a bounded file stream (for tests).
 
