@@ -176,3 +176,53 @@ def simhash16(col: Column | str) -> Column:
         vote = F.aggregate(w, F.lit(0), _voter(i))
         total = total + F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return total.cast("bigint")
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster assignment: each node's label converges to the
+    minimum id in its connected component (min-label propagation).
+
+    The iterative shape is the standard Spark pattern for graph
+    fixpoints: per round, every node takes the min of its own label and
+    its neighbors' labels — one shuffle per round, rounds ≈ graph
+    diameter (dup clusters are shallow). localCheckpoint truncates
+    lineage so plans don't grow with iterations; convergence is an
+    exact changed-label count (an action per round, aggregate-only).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

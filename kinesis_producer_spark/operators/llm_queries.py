@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kinesis_producer_spark.operators.dedup import (
@@ -358,3 +359,110 @@ def q61_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("content")
     )
     return decode_media(d, decode_stub="fake")
+
+
+@query(
+    "q62_edit_distance",
+    oracle="""
+    WITH p AS (SELECT doc_id, source, SUBSTR(text, 1, 24) AS pfx FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.pfx, b.pfx) AS INT) AS dist
+    FROM p a JOIN p b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= 8
+    """,
+)
+def q62_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein near-match on prefixes — the classic fuzzy
+    string-dedup primitive, as a built-in JVM expression."""
+    d = load_table(spark, sf_dir, "documents")
+    p = d.select("doc_id", "source", F.substring("text", 1, 24).alias("pfx"))
+    a = p.select("source", F.col("doc_id").alias("id_a"), F.col("pfx").alias("pfx_a"))
+    b = p.select("source", F.col("doc_id").alias("id_b"), F.col("pfx").alias("pfx_b"))
+    return (
+        a.join(b, "source")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.levenshtein("pfx_a", "pfx_b").alias("dist"))
+        .filter(F.col("dist") <= 8)
+    )
+
+
+@query(
+    "q63_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(LOWER(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q63_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level term salience: tf × N/df (rational form — no log,
+    so the score is IEEE-exact in both engines), top-3 terms per doc.
+    Shape at scale: explode → two partial-agg groupBys → broadcast the
+    (small) df table back — df shuffle is term-cardinality-bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+
+
+@query(
+    "q64_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') a FROM documents),
+    sh AS (SELECT doc_id, {_BIGRAMS_SQL} s FROM w),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    mh AS (SELECT doc_id, seed, MIN(MD5(CAST(seed AS VARCHAR) || ':' || g)) m
+           FROM ex CROSS JOIN (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
+    sig AS (SELECT doc_id, list(m ORDER BY seed) sg FROM mh GROUP BY doc_id),
+    bands AS (SELECT doc_id, b, MD5(sg[2*b+1] || '|' || sg[2*b+2]) bucket
+              FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+    cand AS (SELECT DISTINCT x.doc_id ia, y.doc_id ib FROM bands x JOIN bands y
+             ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+    pairs AS (
+      SELECT ia, ib FROM cand JOIN sh x ON x.doc_id = ia JOIN sh y ON y.doc_id = ib
+      WHERE CAST(FLOOR(1e6 * len(list_intersect(x.s, y.s))
+                       / len(list_distinct(list_concat(x.s, y.s))) + 0.5) AS BIGINT) >= 500000
+    ),
+    edges AS (SELECT ia a, ib b FROM pairs UNION SELECT ib, ia FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    """,
+)
+def q64_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: MinHash-LSH verified pairs →
+    iterative min-label propagation (one shuffle per round, rounds ≈
+    component diameter). Oracle reproduces the fixpoint with a
+    recursive transitive-closure CTE."""
+    from kinesis_producer_spark.operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup(d, k=8, band_size=2, shingle_n=2, threshold_micro=500_000)
+    return connected_components(pairs)

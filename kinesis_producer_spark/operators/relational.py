@@ -794,3 +794,65 @@ def q26_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "nation"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
     return spark.sql(_Q26_SQL.format(orders="v_orders", customer="v_customer", nation="v_nation"))
+
+
+# ---------------------------------------------------------------------------
+# Skew & range-join strategies (operators/skew.py) — semantics must be
+# indistinguishable from the naive join, which is exactly what the
+# oracle checks.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q27_salted_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice, o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def q27_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-proof fact⋈fact join: the key is salted 16 ways (left
+    sprays by line-number hash, right replicated) — same rows as the
+    plain equi-join, but no single reducer ever owns a whole key."""
+    from kinesis_producer_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice", "o_orderpriority"
+    )
+    return salted_join(li, o, on="l_orderkey", salt=16, left_entropy_col="l_linenumber")
+
+
+@query(
+    "q28_binned_range_join",
+    oracle="""
+    WITH iv AS (
+      SELECT c_custkey, c_acctbal * 50.0 AS lo, c_acctbal * 50.0 + 25000.0 AS hi
+      FROM customer
+    )
+    SELECT iv.c_custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS HUGEINT)) AS BIGINT) AS sum_cents
+    FROM iv JOIN orders o ON o.o_totalprice >= iv.lo AND o.o_totalprice < iv.hi
+    GROUP BY iv.c_custkey
+    """,
+)
+def q28_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap theta join rewritten as bin-equi-join +
+    residual filter: each interval claims its overlapped bins, points
+    hash to one bin — the quadratic compare never leaves a bin."""
+    from kinesis_producer_spark.operators.skew import binned_range_join
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    iv = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal") * 50.0).alias("lo"),
+        (F.col("c_acctbal") * 50.0 + 25000.0).alias("hi"),
+    )
+    pairs = binned_range_join(o, iv, "o_totalprice", "lo", "hi", bin_width=25000.0)
+    return pairs.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )
