@@ -466,3 +466,30 @@ def q64_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = minhash_dedup(d, k=8, band_size=2, shingle_n=2, threshold_micro=500_000)
     return connected_components(pairs)
+
+
+@query("q65_media_pipeline")
+def q65_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal plumbing chain (rows-only check: codecs are
+    stubbed with deterministic fakes): metadata → resize → frame-sample
+    → per-media frame counts, all Arrow-batched mapInPandas stages."""
+    from kinesis_producer_spark.operators.multimodal import (
+        extract_metadata,
+        resize_media,
+        sample_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("content")
+    )
+    meta = extract_metadata(d)
+    resized = resize_media(d, 16, 16, decode_stub="fake")
+    frames = sample_frames(d, every_n=4, max_frames=4, decode_stub="fake")
+    per_media = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"), F.min("frame_md5").alias("min_frame_md5")
+    )
+    return (
+        meta.join(resized.select("media_id", F.length("resized").alias("resized_bytes")), "media_id")
+        .join(per_media, "media_id")
+        .select("media_id", "n_bytes", "media_type", "resized_bytes", "n_frames", "min_frame_md5")
+    )

@@ -136,3 +136,95 @@ def repartition_by_bytes(
     total = df.select(F.sum(F.length(F.col(content_col)))).collect()[0][0] or 0
     n = max(1, int(total / target_bytes))
     return df.repartition(n)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    decode_stub: str = "fail",
+) -> DataFrame:
+    """Resize stage: one output row per media blob.
+
+    Real implementation needs PIL (not in this image) — ``'fail'``
+    raises with the dependency name; ``'fake'`` emits a deterministic
+    md5-stretched byte payload so the Arrow batch plumbing is tested."""
+    if decode_stub not in ("fail", "fake"):
+        raise ValueError("decode_stub must be 'fail' or 'fake'")
+    src = df.select(F.col(id_col).alias("media_id"), F.col(content_col).alias("_blob"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["_blob"]):
+                if decode_stub == "fail":
+                    raise NotImplementedError(
+                        "media resize requires PIL — not in this image; "
+                        "use decode_stub='fake' for plumbing tests"
+                    )
+                b = bytes(blob) if blob is not None else b""
+                h = hashlib.md5(b).digest()
+                payload = (h * (width * height // len(h) + 1))[: width * height]
+                rows.append(
+                    {"media_id": mid, "width": width, "height": height, "resized": payload}
+                )
+            yield pd.DataFrame(rows, columns=RESIZED_SCHEMA.fieldNames())
+
+    return src.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 4,
+    max_frames: int = 8,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    decode_stub: str = "fail",
+) -> DataFrame:
+    """Frame-sampling stage: one output row per sampled frame — a
+    row-multiplying mapInPandas (the video analogue of explode).
+
+    ``'fake'`` derives a deterministic frame count from the blob digest
+    and keeps every ``every_n``-th frame up to ``max_frames``."""
+    if decode_stub not in ("fail", "fake"):
+        raise ValueError("decode_stub must be 'fail' or 'fake'")
+    src = df.select(F.col(id_col).alias("media_id"), F.col(content_col).alias("_blob"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["_blob"]):
+                if decode_stub == "fail":
+                    raise NotImplementedError(
+                        "frame sampling requires ffmpeg — not in this image; "
+                        "use decode_stub='fake' for plumbing tests"
+                    )
+                b = bytes(blob) if blob is not None else b""
+                h = hashlib.md5(b)
+                n_frames = 1 + h.digest()[0]
+                for idx in range(0, min(n_frames, every_n * max_frames), every_n):
+                    fh = hashlib.md5(h.digest() + idx.to_bytes(4, "big")).hexdigest()
+                    rows.append({"media_id": mid, "frame_idx": idx, "frame_md5": fh})
+            yield pd.DataFrame(rows, columns=FRAMES_SCHEMA.fieldNames())
+
+    return src.mapInPandas(run, FRAMES_SCHEMA)

@@ -856,3 +856,41 @@ def q28_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_cents"),
     )
+
+
+@query(
+    "q29_full_outer_join",
+    oracle="""
+    WITH big AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) n_big
+                 FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey),
+    urgent AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) n_urgent
+               FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
+    SELECT COALESCE(b.o_custkey, u.o_custkey) AS custkey,
+           b.n_big, u.n_urgent,
+           COALESCE(b.n_big, 0) + COALESCE(u.n_urgent, 0) AS total
+    FROM big b FULL OUTER JOIN urgent u ON b.o_custkey = u.o_custkey
+    """,
+)
+def q29_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with null-side coalescing — completes the join
+    family (inner/left/right/full/semi/anti/cross all covered)."""
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        o.filter(F.col("o_totalprice") > 300000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    b, u = big.alias("b"), urgent.alias("u")
+    return b.join(u, F.col("b.o_custkey") == F.col("u.o_custkey"), "full_outer").select(
+        F.coalesce(F.col("b.o_custkey"), F.col("u.o_custkey")).alias("custkey"),
+        "n_big",
+        "n_urgent",
+        (F.coalesce(F.col("n_big"), F.lit(0)) + F.coalesce(F.col("n_urgent"), F.lit(0))).alias(
+            "total"
+        ),
+    )

@@ -1,0 +1,260 @@
+"""Property-based tests (SURVEY.md §5.4): random inputs vs exact
+Python models of the operator semantics.
+
+Each hypothesis example builds one small DataFrame and runs the real
+operator; example counts are kept low because every example is a Spark
+job. Deadlines are off (JVM warmup skews timing)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import sys
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+WORD = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+NAME = st.text(alphabet="mnopqr", min_size=1, max_size=3)
+VALUE = st.text(alphabet="0123456789xyz", min_size=0, max_size=5)
+
+
+# ---------------------------------------------------------------------------
+# EAV pivot (LAST_WIN) / melt round-trip
+# ---------------------------------------------------------------------------
+
+READINGS = st.lists(
+    st.tuples(NAME, VALUE, st.one_of(st.none(), VALUE)), min_size=0, max_size=8
+)
+
+
+@SETTINGS
+@given(rows=st.lists(READINGS, min_size=1, max_size=5))
+def test_pivot_dynamic_matches_last_win_model(spark, rows):
+    from kinesis_producer_spark.operators.eav_pivot import pivot_dynamic
+
+    schema = T.StructType(
+        [
+            T.StructField("rid", T.IntegerType()),
+            T.StructField(
+                "readings",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("name", T.StringType()),
+                            T.StructField("value", T.StringType()),
+                            T.StructField("uom", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, [(n, v, u) for n, v, u in r]) for i, r in enumerate(rows)], schema
+    )
+    out = {r["rid"]: r.asDict() for r in pivot_dynamic(df).collect()}
+
+    all_names = sorted({n for r in rows for n, _, _ in r})
+    for i, r in enumerate(rows):
+        model: dict[str, str | None] = {}
+        uoms: dict[str, str] = {}
+        for n, v, u in r:  # dict assignment order = last write wins
+            model[n] = v
+            if u is not None:
+                uoms[n] = u
+        for n in all_names:
+            assert out[i].get(n) == model.get(n)
+        for n, u in uoms.items():
+            assert out[i].get(f"{n}_UoM") == u
+
+
+@SETTINGS
+@given(rows=st.lists(st.tuples(VALUE, VALUE), min_size=1, max_size=6))
+def test_melt_pivot_roundtrip(spark, rows):
+    from kinesis_producer_spark.operators.eav_pivot import melt
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "rid int, ca string, cb string"
+    )
+    melted = melt(df, ["rid"], ["ca", "cb"])
+    got = {(r["rid"], r["name"]): r["value"] for r in melted.collect()}
+    for i, (a, b) in enumerate(rows):
+        assert got[(i, "ca")] == a
+        assert got[(i, "cb")] == b
+
+
+# ---------------------------------------------------------------------------
+# Recursive component-tree flatten: XML → adjacency list reconstruction
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def component_tree(draw, depth=0):
+    node = {
+        "fields": draw(
+            st.dictionaries(
+                st.text(alphabet="stuv", min_size=2, max_size=3), VALUE, max_size=3
+            )
+        ),
+        "attrs": draw(
+            st.lists(
+                st.tuples(NAME, st.one_of(st.none(), VALUE)), max_size=3, unique_by=lambda t: t[0]
+            )
+        ),
+        "children": []
+        if depth >= 3
+        else draw(st.lists(component_tree(depth=depth + 1), max_size=2 if depth < 2 else 0)),
+    }
+    return node
+
+
+def _assign_codes(node, counter):
+    node["code"] = f"c{counter[0]}"
+    counter[0] += 1
+    for c in node["children"]:
+        _assign_codes(c, counter)
+
+
+def _render(node):
+    parts = ["<component>", f"<componentCode>{node['code']}</componentCode>"]
+    for k, v in node["fields"].items():
+        parts.append(f"<{k}>{v}</{k}>" if v != "" else f"<{k}></{k}>")
+    if node["attrs"]:
+        parts.append("<componentAttributeCollection>")
+        for n, v in node["attrs"]:
+            if v is None:
+                parts.append(f"<attr><n>{n}</n></attr>")
+            else:
+                parts.append(f"<attr><n>{n}</n><v>{v}</v></attr>")
+        parts.append("</componentAttributeCollection>")
+    if node["children"]:
+        parts.append("<subcomponentCollection>")
+        parts.extend(_render(c) for c in node["children"])
+        parts.append("</subcomponentCollection>")
+    parts.append("</component>")
+    return "".join(parts)
+
+
+def _edges(node, parent=None, acc=None):
+    acc = acc if acc is not None else []
+    acc.append((node["code"], parent))
+    for c in node["children"]:
+        _edges(c, node["code"], acc)
+    return acc
+
+
+@SETTINGS
+@given(trees=st.lists(component_tree(), min_size=1, max_size=2))
+def test_component_flatten_reconstructs_tree(spark, trees):
+    from kinesis_producer_spark.operators.flatten import flatten_components
+    from kinesis_producer_spark.sources.xml import parse_component_docs
+
+    counter = [0]
+    for t in trees:
+        _assign_codes(t, counter)
+    xml = (
+        "<vehicleComponent><docTag>dv</docTag><componentCollection>"
+        + "".join(_render(t) for t in trees)
+        + "</componentCollection></vehicleComponent>"
+    )
+    df = spark.createDataFrame([(1, xml)], "doc_id int, payload string")
+    parsed = parse_component_docs(df, "payload", mode="FAILFAST")
+    flat = flatten_components(parsed, id_cols=["doc_id"])
+    rows = {r["componentCode"]: r.asDict() for r in flat.collect()}
+
+    expected_edges = [e for t in trees for e in _edges(t)]
+    assert len(rows) == len(expected_edges)
+    for code, parent in expected_edges:
+        assert rows[code]["parent_code"] == parent
+        assert rows[code]["docTag"] == "dv"  # doc attrs broadcast to every row
+    for t in trees:
+
+        def check(node):
+            row = rows[node["code"]]
+            for k, v in node["fields"].items():
+                # empty XML element text parses as None
+                assert row[k] == (v if v != "" else None)
+            for n, v in node["attrs"]:
+                # empty XML element text parses as None (1-element
+                # attr form and <v></v> both land as null)
+                assert row[n] == (v or None)
+            for c in node["children"]:
+                check(c)
+
+        check(t)
+
+
+# ---------------------------------------------------------------------------
+# Dedup primitives vs exact Python models
+# ---------------------------------------------------------------------------
+
+
+@SETTINGS
+@given(texts=st.lists(st.lists(WORD, min_size=1, max_size=12), min_size=1, max_size=6))
+def test_shingles_and_jaccard_match_model(spark, texts):
+    from kinesis_producer_spark.operators.dedup import jaccard_micro, shingles
+
+    docs = [" ".join(ws) for ws in texts]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "i int, text string")
+    got = {r["i"]: sorted(r["s"]) for r in df.select("i", shingles("text", 2).alias("s")).collect()}
+    model = {}
+    for i, t in enumerate(docs):
+        ws = re.split(r"\s+", t)
+        model[i] = sorted(set(" ".join(ws[j : j + 2]) for j in range(len(ws) - 1)))
+    assert got == model
+
+    if len(docs) >= 2:
+        a, b = set(model[0]), set(model[1])
+        expect = int((1e6 * len(a & b)) / len(a | b) + 0.5) if a | b else None
+        pair = spark.createDataFrame([(docs[0], docs[1])], "ta string, tb string")
+        jm = pair.select(
+            jaccard_micro(shingles("ta", 2), shingles("tb", 2)).alias("j")
+        ).collect()[0]["j"]
+        if expect is not None:
+            assert jm == expect
+
+
+@SETTINGS
+@given(words=st.lists(WORD, min_size=1, max_size=10))
+def test_simhash_matches_model(spark, words):
+    from kinesis_producer_spark.operators.dedup import simhash16
+
+    text = " ".join(words)
+    tokens = re.split(r"\s+", text)
+    expect = 0
+    for i in range(16):
+        vote = sum(
+            1 if int(hashlib.md5(t.encode()).hexdigest()[i], 16) >= 8 else -1 for t in tokens
+        )
+        if vote > 0:
+            expect |= 1 << i
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(simhash16("text").alias("s")).collect()[0]["s"]
+    assert got == expect
+
+
+@SETTINGS
+@given(vals=st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=20))
+def test_dsum_matches_quantized_model(spark, vals):
+    import math
+
+    from kinesis_producer_spark.functions import dsum
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.agg(dsum("x", "s")).collect()[0]["s"]
+    expect = sum(math.floor(v * 10000 + 0.5) for v in vals) / 10000.0
+    assert got == expect

@@ -1,0 +1,137 @@
+"""Scale-strategy tests: bucketed co-located joins (exchange
+elimination), salted-join equivalence, byte-budget repartitioning."""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_eliminates_exchange(spark, tmp_path):
+    """Both sides bucketed+sorted on the join key → sort-merge join with
+    zero Exchange nodes: the co-location discipline that makes repeated
+    fact⋈fact joins affordable at 100 TB."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    o = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_totalprice")
+
+    spark.sql("DROP TABLE IF EXISTS b_li")
+    spark.sql("DROP TABLE IF EXISTS b_o")
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", str(tmp_path / "b_li"))
+        .saveAsTable("b_li")
+    )
+    (
+        o.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", str(tmp_path / "b_o"))
+        .saveAsTable("b_o")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_li").join(
+            spark.table("b_o"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # and the result is the plain join's result
+        expect = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).count()
+        assert joined.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_li")
+        spark.sql("DROP TABLE IF EXISTS b_o")
+
+
+def test_salted_join_handles_synthetic_skew(spark):
+    """One key owning 90% of rows: salted join equals the plain join."""
+    from kinesis_producer_spark.operators.skew import salted_join
+
+    rows = [(1, i) for i in range(900)] + [(k, 0) for k in range(2, 102)]
+    left = spark.createDataFrame(rows, "k int, payload int")
+    right = spark.createDataFrame([(k, f"d{k}") for k in range(1, 102)], "k int, dim string")
+    got = salted_join(left, right, on="k", salt=8, left_entropy_col="payload")
+    expect = left.join(right, "k")
+    assert got.count() == expect.count() == 1000
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+
+
+def test_binned_range_join_boundary_exactness(spark):
+    """Points exactly on bin and interval boundaries: lo inclusive, hi
+    exclusive, no epsilon drift."""
+    from kinesis_producer_spark.operators.skew import binned_range_join
+
+    points = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 5.0, 10.0, 15.0, 20.0])], "pid int, x double"
+    )
+    iv = spark.createDataFrame([(1, 5.0, 15.0), (2, 10.0, 10.0)], "iid int, lo double, hi double")
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in binned_range_join(points, iv, "x", "lo", "hi", bin_width=10.0).collect()
+    )
+    # interval [5,15): points 5.0 and 10.0; empty interval [10,10): none
+    assert got == [(1, 1), (2, 1)]
+
+
+def test_repartition_by_bytes(spark):
+    from kinesis_producer_spark.operators.multimodal import repartition_by_bytes
+
+    df = spark.createDataFrame(
+        [(i, b"x" * 1000) for i in range(100)], "media_id int, content binary"
+    )
+    out = repartition_by_bytes(df, target_bytes=20_000)  # 100 KB total → 5 parts
+    assert out.rdd.getNumPartitions() == 5
+    assert out.count() == 100
+
+
+def test_media_decode_fail_mode_raises(spark):
+    """'fail' is the honest stub: executing the plan surfaces the
+    missing codec dependency instead of fabricating data."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from kinesis_producer_spark.operators.multimodal import decode_media, resize_media
+
+    df = spark.createDataFrame([(1, b"RIFFxxxx")], "media_id long, content binary")
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        decode_media(df, decode_stub="fail").collect()
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        resize_media(df, decode_stub="fail").collect()
+    with pytest.raises(ValueError):
+        decode_media(df, decode_stub="bogus")
+
+
+def test_frame_sampling_shape(spark):
+    from kinesis_producer_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(i, bytes([i]) * 10) for i in range(20)], "media_id long, content binary"
+    )
+    frames = sample_frames(df, every_n=4, max_frames=4, decode_stub="fake")
+    rows = frames.collect()
+    assert {r["frame_idx"] % 4 for r in rows} == {0}
+    per = frames.groupBy("media_id").count().collect()
+    assert all(1 <= r["count"] <= 4 for r in per)
+    # deterministic across runs
+    again = sorted(map(tuple, sample_frames(df, 4, 4, decode_stub="fake").collect()))
+    assert sorted(map(tuple, rows)) == again
