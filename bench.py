@@ -38,6 +38,8 @@ HEADLINE = [
     "q51_minhash_lsh",
     "q55_ann_bruteforce",
     "q58_text_quality",
+    "q27_salted_join",
+    "q63_tfidf",
 ]
 
 

@@ -417,13 +417,15 @@ def q63_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = d.count()
-    scored = tf.join(df, "term").select(
+    # corpus size stays in-plan (broadcast 1-row cross join) — no
+    # separate driver-side count() job
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(df, "term").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "term",
         "tf",
         "df",
-        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias("score"),
+        ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias("score"),
     )
     w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)

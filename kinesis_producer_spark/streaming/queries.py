@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_producer_spark.functions import dsum_sql
+from kinesis_producer_spark.functions import dsum, dsum_sql
 from kinesis_producer_spark.registry import query
 from kinesis_producer_spark.tables import load_table
 
@@ -215,6 +215,53 @@ def q47_watermarked_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = events_multifile_stream(spark, sf_dir, n_files=4)
     return run_stream_append(watermarked_tumbling(stream, "1 hour", "30 minutes"), spark)
+
+
+@query(
+    "q48_stream_dedup",
+    oracle=f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, {dsum_sql('value')} AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q48_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: every event arrives twice (same
+    micro-batch by construction); dropDuplicatesWithinWatermark keys on
+    event_id with watermark-TTL'd state — the scalable form (state is
+    bounded by the watermark horizon, unlike dropDuplicates' unbounded
+    key set). Aggregate of the deduped stream equals the plain table."""
+    from kinesis_producer_spark.streaming.stateful import events_multifile_stream
+    from kinesis_producer_spark.streaming.windows import run_stream_to_memory
+
+    stream = events_multifile_stream(spark, sf_dir, n_files=4, duplicate=True)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
+    )
+    return run_stream_to_memory(agg, spark)
+
+
+@query(
+    "q49_stream_static_join",
+    oracle=f"""
+    SELECT user_id % 3 AS tier, CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('value')} AS sum_value
+    FROM events GROUP BY user_id % 3
+    """,
+)
+def q49_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: micro-batches join a broadcast-able static
+    dimension (per-user tier) before a streaming aggregate — the
+    standard enrich-then-aggregate topology."""
+    from kinesis_producer_spark.streaming.stateful import events_multifile_stream
+    from kinesis_producer_spark.streaming.windows import run_stream_to_memory
+
+    stream = events_multifile_stream(spark, sf_dir, n_files=4)
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    dim = users.select("user_id", (F.col("user_id") % 3).alias("tier"))
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("tier").agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    return run_stream_to_memory(agg, spark)
 
 
 @query(

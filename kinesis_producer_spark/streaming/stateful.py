@@ -72,12 +72,16 @@ def finalize_first_seen(emissions: DataFrame) -> DataFrame:
     )
 
 
-def events_multifile_stream(spark, sf_dir: str, n_files: int = 4) -> DataFrame:
+def events_multifile_stream(
+    spark, sf_dir: str, n_files: int = 4, duplicate: bool = False
+) -> DataFrame:
     """The events fixture as a bounded *multi-batch* file stream.
 
     Splits events into ``n_files`` ts-range parquet files (one-time
     prep via repartitionByRange) and streams them one file per trigger,
     so stateful operators genuinely carry state across micro-batches.
+    ``duplicate=True`` writes every event twice (same ts → same range
+    file → same micro-batch) to exercise streaming dedup.
     """
     import hashlib
     import os
@@ -86,11 +90,14 @@ def events_multifile_stream(spark, sf_dir: str, n_files: int = 4) -> DataFrame:
     from kinesis_producer_spark.tables import load_table
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    prep = os.path.join(tempfile.gettempdir(), f"events_mf2_{tag}_{n_files}")
+    suffix = "_dup" if duplicate else ""
+    prep = os.path.join(tempfile.gettempdir(), f"events_mf2_{tag}_{n_files}{suffix}")
     if not os.path.exists(os.path.join(prep, "_SUCCESS")):
         e = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "event_type", "value"
         )
+        if duplicate:
+            e = e.unionByName(e)
         e.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(prep)
     # Pin ascending mtimes in part-file (= ts-range) order so the file
     # source processes micro-batches in deterministic event-time order.
