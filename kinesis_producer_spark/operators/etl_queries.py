@@ -385,3 +385,54 @@ def q37_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics_frame(
         spark, obs, "n_records bigint, n_hot bigint, n_values bigint, sum_value double"
     )
+
+
+@query(
+    "q38_flatten_pipeline_roundtrip",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('value')} AS sum_value,
+           MAX(STRFTIME(ts, '%Y-%m-%dT%H:%M:%S.%f')) AS max_rts
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q38_flatten_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flatten *pipeline* through real storage: events → signal XML
+    → compacted JSON-lines on disk → flatten_day (parse, dynamic pivot,
+    quoted Hive-partitioned CSV) → re-read CSV → aggregate. Exercises
+    the sink/source edges q30 covers only in-plan."""
+    import hashlib
+    import os
+    import tempfile
+
+    from kinesis_producer_spark.pipelines import flatten_day
+    from kinesis_producer_spark.sinks import write_jsonlines
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"flatten_pipe_{tag}")
+    compacted, flattened = f"{root}/compacted", f"{root}/flattened"
+    slice_ = "ACOUSTIC/year=2024/month=01/day=01"
+
+    e = load_table(spark, sf_dir, "events")
+    msgs = _signal_xml_from_events(e).select(
+        "payload", F.lit("bhp").alias("tenant_id"), F.lit("ACOUSTIC").alias("partition_id")
+    )
+    write_jsonlines(msgs, f"{compacted}/{slice_}", mode="overwrite")
+    flatten_day(spark, compacted, flattened, "ACOUSTIC", "2024", "01", "01")
+
+    flat = spark.read.option("header", True).csv(f"{flattened}/{slice_}")
+    return (
+        flat.select(
+            F.col("typeOfReading").alias("event_type"),
+            F.col("value").cast("double").alias("v"),
+            F.col("readingTimestampUTC").alias("rts"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("v", "sum_value"),
+            F.max("rts").alias("max_rts"),
+        )
+    )
