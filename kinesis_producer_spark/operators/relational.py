@@ -894,3 +894,24 @@ def q29_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total"
         ),
     )
+
+
+@query(
+    "q39_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q39_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy().limit() — Catalyst compiles to TakeOrderedAndProject:
+    per-partition top-k, then a k-row merge on one reducer; no global
+    sort ever materializes (contrast q23's window form)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )

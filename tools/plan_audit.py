@@ -21,8 +21,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.1")
 
 # Queries where a nested-loop broadcast is the *intended* physical
-# strategy: the inner side is a handful of query vectors / constants.
-NLJ_OK = {"q55_ann_bruteforce", "q07_band_join", "q08_asof_join"}
+# strategy: the inner side is a handful of query vectors / constants
+# (q63: a broadcast 1-row corpus count).
+NLJ_OK = {"q55_ann_bruteforce", "q07_band_join", "q08_asof_join", "q63_tfidf"}
+
+# Full outer joins cannot broadcast (both sides need null extension) —
+# SortMergeJoin is the correct physical plan.
+SMJ_OK = {"q29_full_outer_join"}
 
 
 def audit(name: str, plan: str) -> list[str]:
@@ -33,7 +38,12 @@ def audit(name: str, plan: str) -> list[str]:
         flags.append("CartesianProduct join")
     if "BroadcastNestedLoopJoin" in plan and name not in NLJ_OK:
         flags.append("BroadcastNestedLoopJoin — check join keys")
-    if "SortMergeJoin" in plan and "documents" not in plan and "embeddings" not in plan:
+    if (
+        "SortMergeJoin" in plan
+        and name not in SMJ_OK
+        and "documents" not in plan
+        and "embeddings" not in plan
+    ):
         # dims at sf<=0.1 are all under the 64MB broadcast threshold;
         # SMJ against them means a missed broadcast
         flags.append("SortMergeJoin present — verify the big-side/big-side claim")
