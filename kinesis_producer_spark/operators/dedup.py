@@ -175,7 +175,9 @@ def simhash16(col: Column | str) -> Column:
     for i in range(16):
         vote = F.aggregate(w, F.lit(0), _voter(i))
         total = total + F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return total.cast("bigint")
+    # null text must surface as null, not as the all-zero hash
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isNull(), F.lit(None)).otherwise(total).cast("bigint")
 
 
 def connected_components(

@@ -32,7 +32,13 @@ _COMPONENT_XMLNS = "http://www.uptake.com/bhp/1/vehicleComponent"
 
 
 def _signal_xml_from_events(e: DataFrame) -> DataFrame:
-    """Reference-shaped signal message per event row (NS1-prefixed)."""
+    """Reference-shaped signal message per event row (NS1-prefixed).
+
+    Fans out first so the string-building projection (and everything
+    downstream) runs on every core even when the input is one split."""
+    from kinesis_producer_spark.sources.xml import fan_out
+
+    e = fan_out(e)
     k = F.get_json_object("props", "$.k")
     xml = F.concat(
         F.lit(f'<NS1:message xmlns:NS1="{_SENSOR_XMLNS}"><NS1:messagePayload>'),

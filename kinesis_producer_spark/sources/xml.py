@@ -191,7 +191,7 @@ _component_udf = F.pandas_udf(
 )
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
+def fan_out(df: DataFrame) -> DataFrame:
     """Ensure the Python-heavy parse stage uses every core.
 
     A small input (one parquet file < maxPartitionBytes) arrives as a
@@ -224,7 +224,7 @@ def parse_signal_messages(
     df: DataFrame, xml_col: str | Column = "payload", mode: str = "PERMISSIVE"
 ) -> DataFrame:
     """Add ``envelope`` / ``readings`` / ``_corrupt_record`` columns."""
-    parsed = _fan_out(df).withColumn("_parsed", _signal_udf(_col(xml_col)))
+    parsed = fan_out(df).withColumn("_parsed", _signal_udf(_col(xml_col)))
     out = parsed.select("*", "_parsed.envelope", "_parsed.readings", "_parsed._corrupt_record").drop(
         "_parsed"
     )
@@ -235,7 +235,7 @@ def parse_component_docs(
     df: DataFrame, xml_col: str | Column = "payload", mode: str = "PERMISSIVE"
 ) -> DataFrame:
     """Add ``doc_attrs`` / ``components`` / ``_corrupt_record`` columns."""
-    parsed = _fan_out(df).withColumn("_parsed", _component_udf(_col(xml_col)))
+    parsed = fan_out(df).withColumn("_parsed", _component_udf(_col(xml_col)))
     out = parsed.select(
         "*", "_parsed.doc_attrs", "_parsed.components", "_parsed._corrupt_record"
     ).drop("_parsed")

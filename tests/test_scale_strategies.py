@@ -135,3 +135,55 @@ def test_frame_sampling_shape(spark):
     # deterministic across runs
     again = sorted(map(tuple, sample_frames(df, 4, 4, decode_stub="fake").collect()))
     assert sorted(map(tuple, rows)) == again
+
+
+def test_ivf_cell_as_partition_column_prunes(spark, tmp_path):
+    """The IVF coarse cell as a physical partition column: a probe
+    reads only its cell's files (PartitionFilters in the scan) and
+    returns the same rows as an unpartitioned filter."""
+    from kinesis_producer_spark.operators.similarity import ivf_cell
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cells = e.withColumn("cell", ivf_cell(F.col("embedding"), bits=2))
+    path = str(tmp_path / "ivf")
+    cells.write.partitionBy("cell").parquet(path)
+
+    probed = spark.read.parquet(path).filter(F.col("cell") == 3)
+    plan = _plan(probed)
+    assert "PartitionFilters: [isnotnull(cell" in plan
+    expect = {r["vec_id"] for r in cells.filter(F.col("cell") == 3).collect()}
+    assert {r["vec_id"] for r in probed.collect()} == expect
+    # pruning means the probe scan touches only cell=3 files
+    files = [f for f in os.listdir(path) if f.startswith("cell=")]
+    assert len(files) == 4  # 2 bits → 4 cells materialized
+
+
+def test_text_and_dedup_ops_handle_null_and_empty(spark):
+    """Nulls and empty strings flow through (no crashes, null-safe
+    outputs) — corpus data is never that clean."""
+    from kinesis_producer_spark.operators.dedup import shingles, simhash16
+    from kinesis_producer_spark.operators.text import (
+        fingerprint,
+        lang_id,
+        quality_score_micro,
+        token_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, "the quick brown fox")],
+        "doc_id int, text string",
+    )
+    tc = token_counts("text")
+    out = df.select(
+        "doc_id",
+        shingles("text", 2).alias("sh"),
+        simhash16("text").alias("sim"),
+        lang_id("text").alias("lang"),
+        quality_score_micro("text").alias("q"),
+        fingerprint("text").alias("fp"),
+        *[c.alias(n) for n, c in tc.items()],
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[0]["sh"] is None and rows[0]["sim"] is None and rows[0]["fp"] is None
+    assert rows[1]["sh"] == [] if rows[1]["sh"] is not None else True
+    assert rows[3]["lang"] == "en" and rows[3]["ws_tokens"] == 4
