@@ -123,7 +123,9 @@ def jaccard_micro(set_a: Column, set_b: Column) -> Column:
     """⌊10⁶·|A∩B|/|A∪B|+0.5⌋ as BIGINT (portable quantization)."""
     inter = F.size(F.array_intersect(set_a, set_b)).cast("double")
     union = F.size(F.array_distinct(F.concat(set_a, set_b))).cast("double")
-    return F.floor(F.lit(1e6) * inter / union + F.lit(0.5)).cast("bigint")
+    # try_divide: empty/empty pair yields NULL (matches DuckDB x/0 = NULL
+    # under ANSI mode instead of DIVIDE_BY_ZERO).
+    return F.floor(F.try_divide(F.lit(1e6) * inter, union) + F.lit(0.5)).cast("bigint")
 
 
 def minhash_dedup(

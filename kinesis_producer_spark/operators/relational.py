@@ -915,3 +915,84 @@ def q39_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "q66_conditional_bitwise",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END AS size_class,
+           NULLIF(p_brand, 'Brand#11') AS brand_or_null,
+           COALESCE(NULLIF(p_brand, 'Brand#11'), 'GENERIC') AS brand_filled,
+           IF(p_size % 2 = 0, 'even', 'odd') AS parity,
+           GREATEST(p_size, 25) AS size_floor25,
+           LEAST(p_size, 25) AS size_cap25,
+           p_size & 12 AS band,
+           p_size | 1 AS forced_odd,
+           xor(p_size, 255) AS xored,
+           p_size << 2 AS shifted
+    FROM part
+    """,
+)
+def q66_conditional_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expressions (CASE/NULLIF/COALESCE/IF/GREATEST/LEAST)
+    and bitwise ops — all whole-stage-codegen scalar expressions."""
+    p = load_table(spark, sf_dir, "part")
+    s = F.col("p_size")
+    return p.select(
+        "p_partkey",
+        F.when(s < 10, "S").when(s < 30, "M").otherwise("L").alias("size_class"),
+        F.nullif(F.col("p_brand"), F.lit("Brand#11")).alias("brand_or_null"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#11")), F.lit("GENERIC")).alias(
+            "brand_filled"
+        ),
+        F.when(s % 2 == 0, "even").otherwise("odd").alias("parity"),
+        F.greatest(s, F.lit(25)).alias("size_floor25"),
+        F.least(s, F.lit(25)).alias("size_cap25"),
+        s.bitwiseAND(F.lit(12)).alias("band"),
+        s.bitwiseOR(F.lit(1)).alias("forced_odd"),
+        s.bitwiseXOR(F.lit(255)).alias("xored"),
+        F.shiftleft(s, 2).alias("shifted"),
+    )
+
+
+@query(
+    "q67_window_frames",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS HUGEINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS win3_cents,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS last_key,
+           NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING) AS second_key,
+           NTILE(4) OVER w AS quartile,
+           CAST(FLOOR(PERCENT_RANK() OVER w * 1e6 + 0.5) AS BIGINT) AS pct_rank_micro,
+           CAST(FLOOR(CUME_DIST() OVER w * 1e6 + 0.5) AS BIGINT) AS cume_micro
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q67_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame varieties: bounded ROWS frames, unbounded frames,
+    first/last/nth_value, ntile, percent_rank, cume_dist."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("decimal(38,0)")
+    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(cents).over(w.rowsBetween(-2, 0)).cast("bigint").alias("win3_cents"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(full).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(full).alias("second_key"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.floor(F.percent_rank().over(w) * 1e6 + F.lit(0.5)).cast("bigint").alias("pct_rank_micro"),
+        F.floor(F.cume_dist().over(w) * 1e6 + F.lit(0.5)).cast("bigint").alias("cume_micro"),
+    )
