@@ -495,3 +495,58 @@ def q65_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per_media, "media_id")
         .select("media_id", "n_bytes", "media_type", "resized_bytes", "n_frames", "min_frame_md5")
     )
+
+
+@query(
+    "q70_train_val_split",
+    oracle="""
+    SELECT doc_id, lang,
+           substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents
+    """,
+)
+def q70_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val split by content-stable hash bucket —
+    the portable alternative to rand()-based sampling for training-data
+    pipelines: the assignment is a pure function of the key, so it is
+    reproducible across engines, runs, and cluster sizes (no seed
+    coordination, no shuffle — a codegen'd scalar expression). md5 first
+    hex char < 'c' => 12/16 = 75% train.
+
+    At 100 TB this is the only sane split strategy: rand() sampling
+    changes membership under retries/speculative execution; hash-bucket
+    membership never does."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < "c", "train").otherwise("val").alias("split"),
+    )
+
+
+@query(
+    "q71_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, rn FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 3
+    """,
+)
+def q71_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: top-k per stratum (lang)
+    ordered by a content-stable hash — uniform-at-random within each
+    stratum but fully reproducible. One hash-partitioned window per
+    stratum; no global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )

@@ -996,3 +996,89 @@ def q67_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.percent_rank().over(w) * 1e6 + F.lit(0.5)).cast("bigint").alias("pct_rank_micro"),
         F.floor(F.cume_dist().over(w) * 1e6 + F.lit(0.5)).cast("bigint").alias("cume_micro"),
     )
+
+
+@query(
+    "q68_regex_string_fns",
+    oracle="""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+           regexp_replace(c_mktsegment, '[AEIOU]', '', 'g') AS seg_novowels,
+           regexp_matches(c_mktsegment, '^B') AS is_b,
+           split_part(c_name, '#', 2) AS name_tail,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+           reverse(c_mktsegment) AS seg_rev,
+           instr(c_name, '#') AS hash_pos,
+           substring(c_mktsegment, 1, 3) AS seg3,
+           printf('%08d', c_custkey) AS key_fmt,
+           ascii(c_mktsegment) AS seg_ascii,
+           repeat(substring(c_mktsegment, 1, 1), 3) AS seg_rep
+    FROM customer
+    """,
+)
+def q68_regex_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex + string scalar-function family (SURVEY §2b string fns) —
+    regexp extract/replace/match, split_part, translate, pad/format,
+    all whole-stage-codegen JVM expressions."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = F.col("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)", 1).cast("bigint").alias("name_num"),
+        F.regexp_replace(seg, "[AEIOU]", "").alias("seg_novowels"),
+        seg.rlike("^B").alias("is_b"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_tail"),
+        F.translate(seg, "AEIOU", "aeiou").alias("seg_lower_vowels"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_pad"),
+        F.reverse(seg).alias("seg_rev"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.substring(seg, 1, 3).alias("seg3"),
+        F.format_string("%08d", "c_custkey").alias("key_fmt"),
+        F.ascii(seg).alias("seg_ascii"),
+        F.repeat(F.substring(seg, 1, 1), 3).alias("seg_rep"),
+    )
+
+
+@query(
+    "q69_datetime_fns",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           day(o_orderdate) AS dy,
+           quarter(o_orderdate) AS qtr,
+           dayofyear(o_orderdate) AS doy,
+           isodow(o_orderdate) AS iso_dow,
+           week(o_orderdate) AS wk,
+           o_orderdate + INTERVAL 30 DAY AS plus30,
+           last_day(o_orderdate) AS month_end,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders
+    """,
+)
+def q69_datetime_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar-function family (SURVEY §2b date fns): truncation,
+    part extraction (ISO week/day-of-week), interval arithmetic,
+    month boundaries, epoch seconds, formatting."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).alias("month_start"),
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dy"),
+        F.quarter(d).alias("qtr"),
+        F.dayofyear(d).alias("doy"),
+        (F.weekday(d) + F.lit(1)).alias("iso_dow"),
+        F.weekofyear(d).alias("wk"),
+        (d + F.expr("INTERVAL 30 DAYS")).alias("plus30"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d).alias("days_to_98"),
+        F.unix_timestamp(d).alias("epoch_s"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    )
