@@ -550,3 +550,66 @@ def q71_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "q75_bpe_token_count",
+    oracle="""
+    WITH t AS (SELECT doc_id, n_chars,
+                      regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\\s]+') AS toks
+               FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CAST(FLOOR(CAST(n_chars AS DOUBLE) / GREATEST(len(toks), 1) * 1e6 + 0.5) AS BIGINT)
+             AS chars_per_token_micro
+    FROM t
+    """,
+)
+def q75_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE-ish token count + compression ratio (chars/token,
+    micro-units) — the token-budget primitive for LLM data curation.
+    Pure projection: no shuffle, scales linearly with the corpus."""
+    from kinesis_producer_spark.operators.text import bpe_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = bpe_tokens("text")
+    n_tok = F.size(toks)
+    ratio = F.col("n_chars").cast("double") / F.greatest(n_tok, F.lit(1))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.floor(ratio * 1e6 + F.lit(0.5)).cast("bigint").alias("chars_per_token_micro"),
+    )
+
+
+@query(
+    "q76_vocab_topk",
+    oracle="""
+    WITH t AS (SELECT unnest(regexp_extract_all(text,
+                 ' ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\\s]+')) AS token
+               FROM documents)
+    SELECT token, COUNT(*) AS freq
+    FROM t GROUP BY token
+    ORDER BY freq DESC, token ASC LIMIT 50
+    """,
+)
+def q76_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 BPE-ish pre-tokens by frequency — the
+    counting pass of BPE vocabulary induction.
+
+    Scale: explode happens map-side; the groupBy partial-aggregates
+    per partition before shuffling (token cardinality ≪ token count),
+    and the final ORDER BY runs on the aggregated frame only. Ordering
+    is total (freq desc, token asc — token is the group key, so unique)
+    → deterministic top-k across engines.
+    """
+    from kinesis_producer_spark.operators.text import bpe_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(bpe_tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(50)
+    )

@@ -1082,3 +1082,161 @@ def q69_datetime_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(d).alias("epoch_s"),
         F.date_format(d, "yyyy-MM").alias("ym"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nested aggregation: share-of-total per group — TPC-H Q8 (market share) shape
+# ---------------------------------------------------------------------------
+@query(
+    "q72_market_share",
+    oracle=f"""
+    WITH v AS (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           ({dsum_sql("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")})
+             / ({dsum_sql('volume')}) AS mkt_share
+    FROM v GROUP BY o_year
+    """,
+)
+def q72_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3 suppliers' share of PROMO-part volume sold
+    to AMERICA customers, per order year.
+
+    Scale: part/supplier/customer/nation/region all broadcast (dims);
+    the only shuffle is lineitem⋈orders on the orderkey, then a tiny
+    groupBy on ~7 distinct years. The share is a ratio of two
+    quantized-exact sums (functions.dsum), so the single double
+    division is bit-identical across engines.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    v = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey"))),
+            F.col("c_nationkey") == F.col("c_nk"),
+        )
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(
+            F.broadcast(
+                n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+            ),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    nation_volume = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    return v.groupBy("o_year").agg(
+        (dsum(nation_volume) / dsum("volume")).alias("mkt_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Agg + scalar-subquery max + join-back — TPC-H Q15 (top supplier) shape
+# ---------------------------------------------------------------------------
+@query(
+    "q73_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q73_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with max quarterly revenue.
+
+    The max is computed once on the aggregated (≤|suppliers| rows) frame
+    and broadcast back — no second scan of lineitem, no window over the
+    whole fact table. Revenue equality is exact (dsum), so the
+    max-match predicate is portable across engines.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated aggregate threshold (join on pre-agg) — TPC-H Q17 shape
+# ---------------------------------------------------------------------------
+@query(
+    "q74_small_quantity_revenue",
+    oracle=f"""
+    WITH qa AS (
+      SELECT l_partkey AS pk, 0.2 * {davg_sql('l_quantity')} AS qty_threshold
+      FROM lineitem GROUP BY l_partkey)
+    SELECT {dsum_sql('l_extendedprice')} / 7.0 AS avg_yearly, COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN qa   ON pk = l_partkey
+    WHERE p_brand = 'Brand#23' AND l_quantity < qty_threshold
+    """,
+)
+def q74_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-avg-quantity line items of one
+    brand, expressed as a join against the per-part aggregate (the
+    idiomatic Spark decorrelation of TPC-H's correlated scalar subquery).
+
+    Scale: the per-part aggregate is |part|-sized → broadcast back onto
+    lineitem; the part dim is broadcast too, so the fact table is
+    scanned once with zero shuffles of the big side. The threshold is
+    0.2 × an exact average (functions.davg), so the `<` comparison is
+    bit-identical across engines.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    qa = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * davg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(qa), F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

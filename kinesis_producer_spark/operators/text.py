@@ -59,6 +59,25 @@ def lang_id(text_col: Column | str) -> Column:
     return best_lang
 
 
+# GPT-2-style pre-tokenizer: an optional leading space glued onto a run
+# of letters, a 1-3 digit group, or a punctuation run. Alternation order
+# is honored identically by Java regex (Spark) and RE2 (DuckDB) —
+# leftmost-first — so the split is engine-portable.
+BPE_PRETOKEN_RE = r" ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(text_col: Column | str) -> Column:
+    """BPE-ish subword pre-tokenization → array<string>.
+
+    This is the deterministic pre-tokenize stage of a BPE tokenizer
+    (the merge-table lookup that follows is model-specific); counting
+    these units approximates LLM token counts for budgeting/filtering.
+    Pure column expression — JVM regex, codegen-friendly, zero shuffle.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_RE), F.lit(0))
+
+
 def token_counts(text_col: Column | str) -> dict[str, Column]:
     """Whitespace tokens plus BPE-ish regex token classes."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
