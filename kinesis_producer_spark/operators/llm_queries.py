@@ -613,3 +613,131 @@ def q76_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/val contamination check: rare-4-gram overlap across the split
+# ---------------------------------------------------------------------------
+_4GRAMS_SQL = (
+    "list_distinct(list_transform(range(1, len(a) - 2), "
+    "i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]))"
+)
+
+
+@query(
+    "q80_split_contamination",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS a FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                  THEN 'train' ELSE 'val' END AS split,
+             unnest({_4GRAMS_SQL}) AS gram
+      FROM w),
+    rare AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) <= 100),
+    t AS (SELECT gram, doc_id FROM g WHERE split = 'train' AND gram IN (SELECT gram FROM rare)),
+    v AS (SELECT gram, doc_id FROM g WHERE split = 'val'   AND gram IN (SELECT gram FROM rare))
+    SELECT v.doc_id AS val_doc_id,
+           COUNT(DISTINCT t.doc_id) AS n_train_docs,
+           COUNT(DISTINCT v.gram)   AS n_shared_grams
+    FROM v JOIN t ON v.gram = t.gram
+    GROUP BY v.doc_id
+    """,
+)
+def q80_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit over the q70 hash-bucket split: for
+    each val document, how many train documents share a rare word
+    4-gram with it, and how many distinct 4-grams leak.
+
+    Scale: the 4-gram explode is shuffle-free; the only shuffles hash
+    on the gram string. The document-frequency cap (df ≤ 100) is the
+    hot-key defense — stop-phrase grams that would fan the gram-gram
+    join out quadratically are dropped BEFORE the join, which is also
+    what makes the check meaningful (ubiquitous grams aren't leakage).
+    AQE skew-join splitting backstops any remaining heavy gram.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "c", "train"
+    ).otherwise("val")
+    g = d.select(
+        "doc_id", split.alias("split"), F.explode(shingles("text", 4)).alias("gram")
+    )
+    rare = g.groupBy("gram").agg(F.count_distinct("doc_id").alias("df")).filter(
+        F.col("df") <= 100
+    ).select("gram")
+    g = g.join(rare, "gram")
+    t = g.filter(F.col("split") == "train").select(
+        "gram", F.col("doc_id").alias("train_doc_id")
+    )
+    v = g.filter(F.col("split") == "val").select(
+        "gram", F.col("doc_id").alias("val_doc_id")
+    )
+    return (
+        v.join(t, "gram")
+        .groupBy("val_doc_id")
+        .agg(
+            F.count_distinct("train_doc_id").alias("n_train_docs"),
+            F.count_distinct("gram").alias("n_shared_grams"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: capacity-chunked token bins for training batches
+# ---------------------------------------------------------------------------
+@query(
+    "q81_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    c AS (
+      SELECT source, n_tok,
+             CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tok) / 2048.0) AS BIGINT) AS bin
+      FROM t)
+    SELECT source, bin, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+    FROM c GROUP BY source, bin
+    """,
+)
+def q81_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~2048-token training sequences (next-fit on a
+    deterministic hash order), reporting per-bin document and token
+    counts. A bin may overflow by at most one document's tokens — the
+    standard streaming-pack tolerance; what matters for training is
+    that assignment is reproducible under retries (hash order, no
+    rand()).
+
+    Scale: one window per source partition (shuffle on source), then a
+    map-side-combinable groupBy on (source, bin). For skewed sources,
+    salt the partition key with a hash prefix and re-offset bins by the
+    per-salt token totals (associative — same technique as the
+    two-level dsum).
+
+    Exactness: token counts are integers and 2048 is a power of two, so
+    the float division is exact in IEEE-754 — no cross-engine rounding.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = t.select(
+        "source",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(2048.0)).alias("bin"),
+    )
+    return c.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )

@@ -1240,3 +1240,193 @@ def q74_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dual correlated EXISTS / NOT EXISTS (decorrelated) — TPC-H Q21 shape
+# ---------------------------------------------------------------------------
+@query(
+    "q77_sole_heavy_supplier",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 45) h
+    JOIN orders   ON o_orderkey = h.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = h.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = h.l_orderkey AND l2.l_suppkey <> h.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = h.l_orderkey AND l3.l_suppkey <> h.l_suppkey
+                        AND l3.l_quantity > 45)
+    GROUP BY s_name
+    """,
+)
+def q77_sole_heavy_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (main.py has no joins at all — SURVEY §2b): per
+    supplier, the finished multi-supplier orders where it was the ONLY
+    supplier with a heavy (>45 qty) line. The oracle keeps the textbook
+    EXISTS / NOT EXISTS form; the Spark side is the idiomatic
+    decorrelation — one per-order aggregate computed in a single pass
+    over lineitem instead of two correlated re-scans.
+
+    Scale: lineitem is shuffled ONCE on l_orderkey; the per-order
+    aggregate, the distinct heavy pairs, and both joins back are all
+    co-partitioned on that same key (exchange reuse). orders⋈ on the
+    orderkey rides the same partitioning; supplier is a broadcast dim.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_quantity") > 45, F.col("l_suppkey"))
+        ).alias("n_heavy"),
+    )
+    heavy = l.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_suppkey").distinct()
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        heavy.join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_heavy") == 1)),
+            "l_orderkey",
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery threshold + NOT EXISTS anti-join — TPC-H Q22 shape
+# ---------------------------------------------------------------------------
+@query(
+    "q78_inactive_high_balance",
+    oracle=f"""
+    WITH pool AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             CAST(FLOOR(c_acctbal * 10000 + 0.5) AS HUGEINT) AS bal_q
+      FROM customer
+      WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY', 'FURNITURE')),
+    thr AS (SELECT SUM(bal_q) AS sum_q, COUNT(*) AS cnt FROM pool WHERE c_acctbal > 0)
+    SELECT c_mktsegment AS segment, COUNT(*) AS numcust,
+           {dsum_sql('c_acctbal')} AS totacctbal
+    FROM pool, thr
+    WHERE bal_q * cnt > sum_q
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q78_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers in three segments with above-average
+    positive balance and no URGENT orders, rolled up per segment. (The
+    synthetic orders table gives nearly every customer an order, so the
+    textbook "no orders at all" predicate is vacuous here; restricting
+    the NOT EXISTS to urgent orders keeps the anti-join non-trivial.)
+
+    Cross-engine exactness: the `acctbal > avg(acctbal)` comparison is
+    multiplied through into the quantized-integer domain
+    (bal·10⁴·count > Σbal·10⁴) so no float division is compared.
+
+    Scale: the threshold is a single-row aggregate (broadcast cross
+    join); the NOT EXISTS is a left-anti join of customer against
+    orders on custkey — the only shuffle of big data, and AQE converts
+    it to broadcast when the filtered customer side is small.
+    """
+    segs = ("AUTOMOBILE", "MACHINERY", "FURNITURE")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment").isin(*segs))
+    bal_q = F.floor(F.col("c_acctbal") * 10000 + F.lit(0.5)).cast("decimal(38,0)")
+    pool = c.select("c_custkey", "c_mktsegment", "c_acctbal", bal_q.alias("bal_q"))
+    thr = (
+        pool.filter(F.col("c_acctbal") > 0)
+        .agg(F.sum("bal_q").alias("sum_q"), F.count(F.lit(1)).alias("cnt"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        pool.crossJoin(F.broadcast(thr))
+        .filter(F.col("bal_q") * F.col("cnt") > F.col("sum_q"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated share-of-part threshold + semi-join — TPC-H Q20 shape
+# ---------------------------------------------------------------------------
+@query(
+    "q79_dominant_red_suppliers",
+    oracle="""
+    WITH sq AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             SUM(CAST(FLOOR(l_quantity * 10000 + 0.5) AS HUGEINT)) AS qty_q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey),
+    tot AS (SELECT pk, SUM(qty_q) AS tot_q FROM sq GROUP BY pk),
+    qual AS (
+      SELECT DISTINCT sq.sk
+      FROM sq
+      JOIN tot  ON tot.pk = sq.pk
+      JOIN part ON p_partkey = sq.pk
+      WHERE p_name LIKE 'red %' AND 2 * qty_q > tot_q)
+    SELECT s_name, n_name
+    FROM supplier JOIN qual ON s_suppkey = sk
+    JOIN nation ON n_nationkey = s_nationkey
+    """,
+)
+def q79_dominant_red_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp fixture, so the availability
+    predicate becomes a shipped-share predicate): suppliers that shipped
+    a majority (>50%) of some red part's 1997 volume, with their nation.
+
+    The >50% share test is `2·qty > total` in quantized-integer space —
+    no float ratio crosses engines.
+
+    Scale: one shuffle of the filtered year of lineitem on
+    (partkey, suppkey); the per-part total re-aggregates the ALREADY
+    aggregated (≤ |part|·|supp-per-part| rows) frame, and the
+    threshold join is co-partitioned on partkey. part is a broadcast
+    dim; the final supplier/nation joins are broadcasts onto a
+    DISTINCT-ed, tiny qualifier set.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    qty_q = F.floor(F.col("l_quantity") * 10000 + F.lit(0.5)).cast("decimal(38,0)")
+    sq = (
+        l.select(
+            F.col("l_partkey").alias("pk"),
+            F.col("l_suppkey").alias("sk"),
+            qty_q.alias("q"),
+        )
+        .groupBy("pk", "sk")
+        .agg(F.sum("q").alias("qty_q"))
+    )
+    tot = sq.groupBy("pk").agg(F.sum("qty_q").alias("tot_q"))
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red %"))
+    qual = (
+        sq.join(tot, "pk")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("pk"), "left_semi")
+        .filter(2 * F.col("qty_q") > F.col("tot_q"))
+        .select("sk")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        qual.join(F.broadcast(s), F.col("sk") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )
