@@ -1430,3 +1430,446 @@ def q79_dominant_red_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated min over a dimension-filtered join — TPC-H Q2 shape
+# ---------------------------------------------------------------------------
+@query(
+    "q82_min_price_supplier",
+    oracle="""
+    WITH eu AS (
+      SELECT s_suppkey, s_name, n_name
+      FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'),
+    pp AS (SELECT p_partkey, p_name FROM part WHERE p_type = 'LARGE' AND p_size <= 10),
+    pl AS (
+      SELECT l_partkey, l_suppkey, l_extendedprice
+      FROM lineitem
+      JOIN eu ON s_suppkey = l_suppkey
+      JOIN pp ON p_partkey = l_partkey),
+    m AS (SELECT l_partkey, MIN(l_extendedprice) AS min_price FROM pl GROUP BY l_partkey)
+    SELECT DISTINCT pp.p_partkey, pp.p_name, eu.s_name, eu.n_name, m.min_price
+    FROM pl
+    JOIN m  ON m.l_partkey = pl.l_partkey AND pl.l_extendedprice = m.min_price
+    JOIN pp ON pp.p_partkey = pl.l_partkey
+    JOIN eu ON eu.s_suppkey = pl.l_suppkey
+    """,
+)
+def q82_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp fixture — lineitem stands in as the
+    part-supplier price relation): for each LARGE small-size part, the
+    EUROPE supplier(s) that quoted its minimum extended price. The
+    correlated MIN subquery decorrelates to one aggregate + self-join.
+
+    Cross-engine exactness: MIN selects an existing double (no
+    arithmetic), so the equality re-join sees bit-identical values.
+
+    Scale: both dimension filters (region-filtered supplier, the part
+    slice) broadcast INTO the lineitem scan before any shuffle, so the
+    priced relation `pl` is tiny; the min + equality re-join then
+    shuffles only `pl` on partkey, reusing one exchange for both sides.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    pp = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 10))
+        .select("p_partkey", "p_name")
+    )
+    pl = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(F.broadcast(eu), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(pp), F.col("p_partkey") == F.col("l_partkey"))
+    )
+    m = pl.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        pl.join(
+            m,
+            (F.col("mk") == F.col("l_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .select("p_partkey", "p_name", "s_name", "n_name", "min_price")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bi-directional nation-pair volume — TPC-H Q7 shape
+# ---------------------------------------------------------------------------
+@query(
+    "q83_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(YEAR(l_shipdate) AS INT) AS l_year,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, CAST(YEAR(l_shipdate) AS INT)
+    """,
+)
+def q83_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations in both
+    directions, per ship year. The disjunctive nation-pair predicate
+    can only be applied after both nation bindings exist.
+
+    Scale: supplier⋈nation and customer⋈nation are broadcast dims; the
+    only big-data shuffle is lineitem⋈orders on orderkey. The two-year
+    shipdate filter is pushed to the parquet scan (PushedFilters), and
+    each single-nation filter is pushed into its own broadcast build
+    side BEFORE the pair-disjunction runs — the OR only sees rows whose
+    supplier and customer nations are already in the two-nation set.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    nations = ("NATION_1", "NATION_2")
+    n1 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*nations))
+        .select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*nations))
+        .select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("nk1") == F.col("s_nationkey"))
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("nk2") == F.col("c_nationkey"))
+        .select("c_custkey", "cust_nation")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        l.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product-line profit by nation and year — TPC-H Q9 shape
+# ---------------------------------------------------------------------------
+@query(
+    "q84_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+           {dsum_sql('l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1')} AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, CAST(YEAR(o_orderdate) AS INT)
+    """,
+)
+def q84_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp: supply cost modeled as 10% of the
+    part's retail price per unit): profit on widget parts by supplier
+    nation and order year.
+
+    Cross-engine exactness: the profit expression is evaluated in
+    IEEE-754 double with the same association order on both engines,
+    then quantized per-term and summed exactly (dsum).
+
+    Scale: part (LIKE-filtered), supplier, nation are all broadcast;
+    the single big shuffle is lineitem⋈orders on orderkey. The LIKE
+    filter prunes ~87% of parts before the broadcast build, which in
+    turn prunes lineitem rows at probe time — no full-fact shuffle
+    happens before the selective join.
+    """
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(0.1)
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(dsum(profit, "profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global-share HAVING threshold — TPC-H Q11 shape
+# ---------------------------------------------------------------------------
+@query(
+    "q85_important_parts",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS HUGEINT)) AS val_q
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT SUM(val_q) AS tot_q FROM v)
+    SELECT l_partkey AS partkey, CAST(val_q AS DOUBLE) / 10000.0 AS part_value
+    FROM v, tot
+    WHERE val_q * 2500 > tot_q
+    """,
+)
+def q85_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose total discounted revenue exceeds a
+    fixed fraction (1/2500) of the global total — a HAVING threshold
+    against a scalar subquery over the same aggregate.
+
+    Cross-engine exactness: the share test compares exact quantized
+    integers (val·2500 > total) — no float ratio; the reported value
+    divides the exact integer by 10⁴ once.
+
+    Scale: ONE shuffle of lineitem on partkey produces the per-part
+    aggregate; the global total re-aggregates that (tiny) frame and
+    broadcasts back as a single-row cross join. At 100 TB the partial
+    aggregation combines map-side, so the shuffle carries one row per
+    (task, partkey), not raw lineitems.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    val_q = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    v = l.select(F.col("l_partkey"), val_q.alias("q")).groupBy("l_partkey").agg(
+        F.sum("q").alias("val_q")
+    )
+    tot = v.agg(F.sum("val_q").alias("tot_q"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("val_q") * 2500 > F.col("tot_q"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("val_q").cast("double") / F.lit(10000.0)).alias("part_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution of per-customer order counts — TPC-H Q13 shape
+# ---------------------------------------------------------------------------
+@query(
+    "q86_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON o_custkey = c_custkey
+                      AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey) cc
+    GROUP BY c_count
+    """,
+)
+def q86_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of customers by how many qualifying
+    orders they placed (priority filter standing in for the comment
+    NOT-LIKE), preserving zero-order customers via the left join.
+
+    Scale: the outer-join predicate on priority is pushed into the
+    orders scan (it's a join-side filter on the preserved-row side's
+    opposite table, so pre-filtering is semantics-preserving). One
+    shuffle co-partitions both tables on custkey; the second aggregate
+    runs on ≤ |distinct counts| rows. At scale the first groupBy
+    reuses the join's partitioning on c_custkey — no extra exchange.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .select("o_custkey", "o_orderkey")
+    )
+    cc = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return cc.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Distinct-supplier counting with NOT-IN exclusion — TPC-H Q16 shape
+# ---------------------------------------------------------------------------
+@query(
+    "q87_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q87_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct (non-excluded) suppliers ship
+    each qualifying (brand, type, size) part family. The NOT IN
+    subquery (suppliers in arrears, standing in for the complaints
+    LIKE) becomes a left-anti join; safe here because s_suppkey is
+    never NULL, which is the one case where anti-join and NOT IN agree.
+
+    Scale: part slice and the excluded-supplier set are both broadcast
+    (the anti side is 6 rows); lineitem never shuffles until the
+    count-distinct, which Spark runs as a two-phase expand/partial —
+    keyed on (brand, type, size, suppkey) first, so the map side
+    dedups before the exchange.
+    """
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IN-subquery with HAVING over a fact aggregate — TPC-H Q18 shape
+# ---------------------------------------------------------------------------
+@query(
+    "q88_large_volume_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             SUM(CAST(FLOOR(l_quantity * 10000 + 0.5) AS HUGEINT)) AS qty_q
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(FLOOR(l_quantity * 10000 + 0.5) AS HUGEINT)) > 250 * 10000)
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(qty_q AS DOUBLE) / 10000.0 AS total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q88_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds 250,
+    with their customer. The IN (… HAVING …) subquery is the aggregate
+    itself joined back — no second scan of lineitem.
+
+    Cross-engine exactness: the HAVING compares exact quantized
+    integers; the reported quantity divides once at the end.
+
+    Scale: lineitem aggregates on orderkey (map-side partials), the
+    HAVING prunes to a tiny survivor set, and BOTH subsequent joins
+    flip to broadcast under AQE because the build side is the
+    already-filtered aggregate, not a base table.
+    """
+    qty_q = F.floor(F.col("l_quantity") * 10000 + F.lit(0.5)).cast("decimal(38,0)")
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", qty_q.alias("q"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("q").alias("qty_q"))
+        .filter(F.col("qty_q") > 250 * 10000)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            (F.col("qty_q").cast("double") / F.lit(10000.0)).alias("total_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Disjunction of conjunctive join predicates — TPC-H Q19 shape
+# ---------------------------------------------------------------------------
+@query(
+    "q89_disjunctive_revenue",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q89_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three brand/size/quantity
+    conjunctions — the classic test that the optimizer splits a
+    disjunctive join predicate into pushable single-table parts.
+
+    Scale: Catalyst derives the implied single-table filters — part
+    rows must satisfy SOME (brand, size) branch and lineitem rows SOME
+    quantity branch — and pushes both below the join (the lineitem
+    bound reaches the parquet scan as PushedFilters), so the broadcast
+    hash join probes only candidate rows; the residual OR runs as the
+    join filter. A global single-row dsum finishes map-side.
+    """
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    branch = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#15")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(branch)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
