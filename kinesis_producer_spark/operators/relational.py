@@ -1873,3 +1873,278 @@ def q89_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(branch)
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Unshipped-order revenue top-k — TPC-H Q3 shape
+# ---------------------------------------------------------------------------
+@query(
+    "q90_shipping_priority",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+      FROM customer
+      JOIN orders   ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate  > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority)
+    SELECT * FROM rev
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q90_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 highest-revenue orders placed before a
+    date whose lines ship after it (BUILDING segment).
+
+    Cross-engine exactness: revenue is a dsum (exact integer domain),
+    and the ORDER BY is made total with (o_orderdate, l_orderkey)
+    tiebreakers, so the LIMIT 10 cut is deterministic in both engines.
+
+    Scale: the segment filter prunes customers before the broadcast;
+    the date filters reach both parquet scans as PushedFilters. The
+    orders⋈lineitem join and the groupBy share the orderkey
+    partitioning, so there is ONE fact shuffle; the top-10 runs as
+    TakeOrderedAndProject (per-partition heap + driver merge of 10
+    rows per task — no global sort at any scale).
+    """
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXISTS-correlated priority count — TPC-H Q4 shape
+# ---------------------------------------------------------------------------
+@query(
+    "q91_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q91_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: how many orders per priority had at least one
+    line shipped more than 30 days after the order date (the fixtures
+    lack commit/receipt dates, so ship-lag stands in for the
+    late-delivery EXISTS). The correlated EXISTS decorrelates to a
+    LEFT SEMI join on orderkey with the lag comparison as a join-side
+    condition.
+
+    Scale: the date range prunes the orders scan (PushedFilters); the
+    semi join shuffles both sides on orderkey but emits each order at
+    most once (no fan-out), and the final aggregate is 5 rows — the
+    count collapses map-side.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Returned-item customer ranking — TPC-H Q10 shape
+# ---------------------------------------------------------------------------
+@query(
+    "q92_returned_items",
+    oracle=f"""
+    WITH rev AS (
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+             {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+      FROM customer
+      JOIN orders   ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON n_nationkey = c_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name)
+    SELECT * FROM rev
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q92_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers who returned the most revenue
+    in a quarter, with their nation.
+
+    Scale: returnflag and the date range are both scan-level filters;
+    nation broadcasts. orders⋈lineitem shuffles on orderkey, then ONE
+    re-shuffle on custkey serves the aggregate; top-20 is
+    TakeOrderedAndProject (no global sort), made deterministic by the
+    c_custkey tiebreaker on the exact dsum revenue.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional-share of revenue — TPC-H Q14 shape
+# ---------------------------------------------------------------------------
+@query(
+    "q93_promo_revenue",
+    oracle="""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS HUGEINT)
+                 ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS HUGEINT)) AS DOUBLE)
+           AS promo_pct
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def q93_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: PROMO parts' share of one month's revenue — a
+    conditional aggregate over the same rows as the unconditional one.
+
+    Cross-engine exactness: both sums accumulate exact quantized
+    integers; the single 100·a/b double expression is evaluated with
+    the same operand order in both engines, so it is bit-identical.
+
+    Scale: one broadcast join (part is the small side), zero shuffles
+    of lineitem beyond the final single-row aggregate — both CASE
+    branches fold into one partial aggregate, so the month of lineitem
+    is read once and reduced map-side.
+    """
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    q = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", q).otherwise(F.lit(0).cast("decimal(38,0)"))
+    )
+    total = F.sum(q)
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            (F.lit(100.0) * promo.cast("double") / total.cast("double")).alias(
+                "promo_pct"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-way conditional counts per group — TPC-H Q12 shape
+# ---------------------------------------------------------------------------
+@query(
+    "q94_priority_by_linestatus",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS low_line_count
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q94_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per line status (the fixtures' stand-in for
+    ship mode), how many 1997-shipped lines belong to high- vs
+    low-priority orders — paired conditional counts over one pass.
+
+    Scale: the year filter prunes the lineitem scan; the fact-fact
+    join shuffles both sides on orderkey (sort-merge at scale, AQE may
+    flip to shuffled-hash); both CASE counts fold into one partial
+    aggregate keyed by the 2-value linestatus, collapsing map-side to
+    a handful of rows per task before the final 2-row exchange.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linestatus")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    one = F.lit(1)
+    zero = F.lit(0)
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, one).otherwise(zero)).alias("high_line_count"),
+            F.sum(F.when(~hi, one).otherwise(zero)).alias("low_line_count"),
+        )
+    )
