@@ -741,3 +741,129 @@ def q81_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("source", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub: detect + redact emails/phones (SURVEY §2 extension)
+# ---------------------------------------------------------------------------
+@query(
+    "q95_pii_redaction",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example.com or 555-123-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE text END AS text
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+             AS n_emails,
+           len(regexp_extract_all(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS n_phones,
+           MD5(regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                '[EMAIL]', 'g'),
+                 '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def q95_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub for training corpora: count and mask email/phone spans
+    (reference has no text ops — this extends the flatten stage's
+    string handling, file_flattener.py:47-55, to corpus hygiene).
+
+    The synthetic fixtures contain no PII, so every third document gets
+    a deterministic doc_id-derived email+phone appended — computed
+    identically in both engines — making the redaction oracle
+    non-vacuous (nonzero counts, changed digests).
+
+    Scale: pure per-row projection — no shuffle, no UDF; regexes run
+    inside codegen (Java regex JVM-side), so the scan streams at
+    parquet speed and partitions are embarrassingly parallel.
+    """
+    from kinesis_producer_spark.operators.text import pii_counts, redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    t = d.select("doc_id", aug.alias("text"))
+    pc = pii_counts("text")
+    return t.select(
+        "doc_id",
+        pc["n_emails"].alias("n_emails"),
+        pc["n_phones"].alias("n_phones"),
+        F.md5(redact_pii("text")).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word-repetition quality signal (Gopher-style rep filters)
+# ---------------------------------------------------------------------------
+@query(
+    "q96_word_repetition",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word
+      FROM documents),
+    c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY doc_id, word),
+    m AS (SELECT doc_id, SUM(cnt) AS n_words, COUNT(*) AS n_distinct, MAX(cnt) AS max_cnt
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, n_words, n_distinct,
+           CAST(FLOOR((1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE)) * 1e6 + 0.5)
+                AS BIGINT) AS rep_ratio_micro,
+           CAST(FLOOR(CAST(max_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) * 1e6 + 0.5)
+                AS BIGINT) AS top_share_micro
+    FROM m
+    """,
+)
+def q96_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals per document: duplicate-word ratio
+    (1 − distinct/total) and the most-frequent word's share — the
+    Gopher/RefinedWeb-style filters that catch boilerplate and
+    degenerate generations.
+
+    Implemented distributed (explode → two keyed aggregates), NOT as a
+    per-row array HOF: counting each distinct word's frequency inside
+    a lambda is O(words²) per document and re-evaluates the split per
+    element (see shingles() pitfall) — explode keeps it O(words) and
+    scales to book-length documents without per-row blowup.
+
+    Exactness: ratios quantized to integer micro-units after a single
+    deterministic double division.
+
+    Scale: one shuffle on (doc_id, word) — map-side partial counts
+    collapse repeated words before the exchange — then a (doc_id)
+    aggregate that AQE coalesces; no data ever concentrates on one key
+    because doc_id is unique per document.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    )
+    c = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    m = c.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    micro = lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        micro(
+            1.0 - F.col("n_distinct").cast("double") / F.col("n_words").cast("double")
+        ).alias("rep_ratio_micro"),
+        micro(
+            F.col("max_cnt").cast("double") / F.col("n_words").cast("double")
+        ).alias("top_share_micro"),
+    )

@@ -134,3 +134,33 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         fingerprint(text_col).alias("fingerprint"),
         min_shingle_fingerprint(text_col).alias("shingle_fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+# Patterns restricted to syntax valid in BOTH Java regex (Spark) and RE2
+# (DuckDB oracle): no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_counts(text_col: Column | str) -> dict[str, Column]:
+    """How many email / phone spans a document contains."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return {
+        "n_emails": F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))),
+        "n_phones": F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))),
+    }
+
+
+def redact_pii(text_col: Column | str) -> Column:
+    """Replace every email / phone span with a typed placeholder token.
+
+    Order matters: emails first (an email never contains a phone match,
+    but masking phones first could split a digit-bearing local part).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )

@@ -175,3 +175,48 @@ def test_schema_codegen(spark):
     assert "T.StructField('MsgId', T.LongType(), True)" in code
     assert snake_case("vehicleIdentifier") == "vehicle_identifier"
     assert "vehicle_identifier = df['vehicleIdentifier']" in accessor_code(df)
+
+
+def test_pii_redaction(spark):
+    from kinesis_producer_spark.operators.text import pii_counts, redact_pii
+
+    rows = [
+        ("mail a.b-c_d%x+1@sub.example.co and 212-555-0142 end",),
+        ("no pii here",),
+        ("twice x@y.org z@w.io; ph 999-000-1234 555-123-4567",),
+        ("digits 123-45-6789 are not a phone; 12-345-6789 neither",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    pc = pii_counts("text")
+    out = df.select(
+        pc["n_emails"].alias("e"), pc["n_phones"].alias("p"),
+        redact_pii("text").alias("r"),
+    ).collect()
+    assert [(r["e"], r["p"]) for r in out] == [(1, 1), (0, 0), (2, 2), (0, 0)]
+    assert out[0]["r"] == "mail [EMAIL] and [PHONE] end"
+    assert out[2]["r"] == "twice [EMAIL] [EMAIL]; ph [PHONE] [PHONE]"
+    assert out[3]["r"] == rows[3][0]
+
+
+def test_word_repetition_model(spark):
+    """q96 semantics vs a pure-Python model on a tiny frame."""
+    from kinesis_producer_spark.operators.llm_queries import q96_word_repetition  # noqa: F401
+    from collections import Counter
+
+    texts = {1: "a a a b", 2: "x y z", 3: "q"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    w = df.select("doc_id", F.explode(F.split("text", r"\s+")).alias("word"))
+    c = w.groupBy("doc_id", "word").count()
+    m = {
+        r["doc_id"]: (r["n"], r["d"], r["mx"])
+        for r in c.groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n"),
+            F.count(F.lit(1)).alias("d"),
+            F.max("count").alias("mx"),
+        )
+        .collect()
+    }
+    for doc_id, text in texts.items():
+        cnt = Counter(text.split())
+        assert m[doc_id] == (sum(cnt.values()), len(cnt), max(cnt.values()))
