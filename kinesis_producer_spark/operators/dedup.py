@@ -137,9 +137,22 @@ def minhash_dedup(
     shingle_n: int = 2,
     threshold_micro: int = 500_000,
 ) -> DataFrame:
-    """End-to-end MinHash-LSH near-dup detection: verified pairs."""
-    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    """End-to-end MinHash-LSH near-dup detection: verified pairs.
+
+    The shingle→signature projection (k·|shingles| hashes per row) is
+    the dominant cost and is consumed FOUR times downstream (band
+    self-join ×2, verification join ×2), so it is fanned out across
+    every core and persisted — at 100 TB the persisted frame is
+    (id, shingles, signature), far smaller than the raw text, and
+    MEMORY_AND_DISK spills gracefully instead of recomputing.
+    """
+    from pyspark import StorageLevel
+
+    from kinesis_producer_spark.tables import fan_out
+
+    sh = fan_out(df).select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
     sh = sh.withColumn("signature", minhash_signature(sh, F.col("sh"), k=k))
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_candidate_pairs(sh, id_col=id_col, sig_col="signature", band_size=band_size)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

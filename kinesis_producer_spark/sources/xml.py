@@ -191,21 +191,7 @@ _component_udf = F.pandas_udf(
 )
 
 
-def fan_out(df: DataFrame) -> DataFrame:
-    """Ensure the Python-heavy parse stage uses every core.
-
-    A small input (one parquet file < maxPartitionBytes) arrives as a
-    single split, serializing the per-row XML parse on one core. When
-    upstream parallelism is below the cluster default, repartition —
-    the shuffle moves raw strings once and is dwarfed by the parse. At
-    scale (splits ≫ cores) this is a no-op.
-    """
-    if df.isStreaming:  # micro-batch sizing is the trigger's job
-        return df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from kinesis_producer_spark.tables import fan_out  # noqa: E402  (shared: re-export)
 
 
 def _apply_mode(df: DataFrame, mode: str) -> DataFrame:

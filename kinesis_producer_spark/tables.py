@@ -57,3 +57,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Ensure a compute-heavy per-row stage uses every core.
+
+    A small input (one parquet file < maxPartitionBytes) arrives as a
+    single split, serializing expensive per-row work (XML parse, k·|shingles|
+    hashing) on one core. When upstream parallelism is below the cluster
+    default, repartition — the shuffle moves raw strings once and is
+    dwarfed by the compute. At scale (splits ≫ cores) this is a no-op.
+    """
+    if df.isStreaming:  # micro-batch sizing is the trigger's job
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
