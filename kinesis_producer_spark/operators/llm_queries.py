@@ -413,8 +413,12 @@ def q63_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the score is IEEE-exact in both engines), top-3 terms per doc.
     Shape at scale: explode → two partial-agg groupBys → broadcast the
     (small) df table back — df shuffle is term-cardinality-bounded."""
+    from kinesis_producer_spark.tables import fan_out
+
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+    toks = fan_out(d).select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     # corpus size stays in-plan (broadcast 1-row cross join) — no

@@ -23,11 +23,23 @@ SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.1")
 # Queries where a nested-loop broadcast is the *intended* physical
 # strategy: the inner side is a handful of query vectors / constants
 # (q63: a broadcast 1-row corpus count).
-NLJ_OK = {"q55_ann_bruteforce", "q07_band_join", "q08_asof_join", "q63_tfidf"}
+NLJ_OK = {
+    "q55_ann_bruteforce",
+    "q07_band_join",
+    "q08_asof_join",
+    "q63_tfidf",
+    # single-row global-total broadcast cross join (share-of-total)
+    "q85_important_parts",
+}
 
 # Full outer joins cannot broadcast (both sides need null extension) —
 # SortMergeJoin is the correct physical plan.
-SMJ_OK = {"q29_full_outer_join"}
+SMJ_OK = {
+    "q29_full_outer_join",
+    # fact aggregate re-joined to the fact it came from: both sides share
+    # the partkey partitioning, SMJ reuses one exchange — correct at scale
+    "q82_min_price_supplier",
+}
 
 
 def audit(name: str, plan: str) -> list[str]:
