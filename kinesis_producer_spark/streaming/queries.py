@@ -298,3 +298,65 @@ def q45_firehose_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("v") * 10000 + F.lit(0.5)).cast("decimal(38,0)")).cast("double").alias("_s"),
         F.count(F.when(F.col("uom") == "db", 1)).alias("n_with_uom"),
     ).withColumn("sum_value", F.col("_s") / 10000.0).drop("_s")
+
+
+@query(
+    "q97_stream_stream_join",
+    oracle="""
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
+    FROM events a
+    JOIN events b
+      ON b.user_id = a.user_id
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+)
+def q97_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: clicks joined
+    to same-user purchases within 30 minutes — the attribution
+    topology. Both sides are genuine file streams with watermarks; the
+    time-range condition lets Spark expire buffered state (without it,
+    both join buffers grow forever).
+
+    Inner-join matches emit as soon as both sides arrive (append mode
+    needs no watermark closure), so the bounded replay produces exactly
+    the batch self-join's rows — which is what the oracle checks.
+
+    Scale: both streams shuffle on user_id; state per key is bounded by
+    the watermark delay + 30-minute range, so steady-state memory is
+    (event rate × horizon), independent of total history length.
+    """
+    from kinesis_producer_spark.streaming.stateful import events_multifile_stream
+    from kinesis_producer_spark.streaming.windows import run_stream_append
+
+    clicks = (
+        events_multifile_stream(spark, sf_dir, n_files=4)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("a_ts"),
+        )
+    )
+    purchases = (
+        events_multifile_stream(spark, sf_dir, n_files=4)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("b_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("b_user") == F.col("a_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = joined.select(
+        F.col("a_user").alias("user_id"), "click_id", "purchase_id"
+    )
+    return run_stream_append(out, spark)
