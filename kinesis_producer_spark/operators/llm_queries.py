@@ -871,3 +871,53 @@ def q96_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_cnt").cast("double") / F.col("n_words").cast("double")
         ).alias("top_share_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture sampling (training-corpus source weighting)
+# ---------------------------------------------------------------------------
+@query(
+    "q98_domain_mix_sample",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, text,
+             CAST(SUBSTR(source, 4) AS INT) % 4 AS rc,
+             substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1) AS h
+      FROM documents),
+    acc AS (
+      SELECT * FROM r
+      WHERE rc = 3 OR h < CASE rc WHEN 0 THEN '4' WHEN 1 THEN '8' ELSE 'c' END)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens
+    FROM acc GROUP BY source
+    """,
+)
+def q98_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling: each source keeps a per-domain
+    fraction of documents (25/50/75/100% here, keyed off the source id)
+    via the same content-stable hash gate as q70 — the reproducible way
+    to hit a target corpus mix. rand()-based mixing changes membership
+    under task retries and cluster resizes; a hash gate never does, and
+    the per-source rate table can be swapped for learned mixture
+    weights (DoReMi-style) without touching the plan shape.
+
+    Scale: the gate is a codegen'd scalar predicate evaluated at scan
+    time — rejected rows never leave the mapper, so shuffle volume is
+    the POST-sampling corpus; the per-source report aggregates
+    map-side to |sources| rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rc = (F.substring("source", 4, 10).cast("int") % 4).alias("rc")
+    h = F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 1)
+    thresh = (
+        F.when(F.col("rc") == 0, "4").when(F.col("rc") == 1, "8").otherwise("c")
+    )
+    acc = (
+        d.select("doc_id", "source", "text", rc, h.alias("h"))
+        .filter((F.col("rc") == 3) | (F.col("h") < thresh))
+    )
+    return acc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", r"\s+"))).alias("n_tokens"),
+    )
