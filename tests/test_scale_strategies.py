@@ -187,3 +187,15 @@ def test_text_and_dedup_ops_handle_null_and_empty(spark):
     assert rows[0]["sh"] is None and rows[0]["sim"] is None and rows[0]["fp"] is None
     assert rows[1]["sh"] == [] if rows[1]["sh"] is not None else True
     assert rows[3]["lang"] == "en" and rows[3]["ws_tokens"] == 4
+
+
+def test_approx_count_distinct_error(spark):
+    """approx_count_distinct (HLL++) stays inside its configured rsd on
+    the fixture keys — the sketch path for 100 TB cardinality estimates
+    where exact count_distinct's shuffle is unaffordable."""
+    l = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    exact, approx = l.select(
+        F.count_distinct("l_orderkey").alias("e"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a"),
+    ).first()
+    assert abs(approx - exact) / exact < 0.06  # 3×rsd safety margin
