@@ -40,6 +40,8 @@ HEADLINE = [
     "q58_text_quality",
     "q27_salted_join",
     "q63_tfidf",
+    "q90_shipping_priority",
+    "q96_word_repetition",
 ]
 
 
