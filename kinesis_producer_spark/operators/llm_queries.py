@@ -921,3 +921,63 @@ def q98_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", r"\s+"))).alias("n_tokens"),
     )
+
+
+@query(
+    "q99_common_passages",
+    oracle="""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') a FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(a) - 3), i ->
+                   a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' || a[i+4])) s
+          FROM w),
+    ex AS (SELECT doc_id, MD5(unnest(s)) AS digest FROM g),
+    c AS (SELECT digest, COUNT(*) AS n_docs FROM ex GROUP BY digest),
+    shared AS (SELECT digest FROM c WHERE n_docs >= 3)
+    SELECT e.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(s.digest) AS n_shared,
+           CAST(FLOOR(1e6 * COUNT(s.digest) / COUNT(*) + 0.5) AS BIGINT) AS shared_ratio_micro
+    FROM ex e LEFT JOIN shared s ON e.digest = s.digest
+    GROUP BY e.doc_id
+    """,
+)
+def q99_common_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage detection (the ExactSubstr-dedup
+    shape from "Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2021, approximated at passage granularity):
+    word 5-grams occurring in >= 3 distinct documents are boilerplate;
+    each document reports how much of it is made of such passages.
+
+    Scale: grams are md5-digested BEFORE the explode leaves the mapper,
+    so the shuffle carries fixed-width 32-byte keys instead of 5-word
+    strings; the per-digest doc-count aggregates map-side. The join
+    back is digest-keyed; the >= 3 filter usually shrinks `shared` far
+    below the corpus (AQE converts the join to broadcast at runtime
+    when it fits, and a shuffle join degrades gracefully when it
+    doesn't — no collect anywhere).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.explode(F.transform(shingles("text", 5), F.md5)).alias("digest")
+    )
+    shared = (
+        ex.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .select("digest")
+    )
+    return (
+        ex.join(shared.withColumn("hit", F.lit(1)), "digest", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_shared"),
+        )
+        .withColumn(
+            "shared_ratio_micro",
+            F.floor(F.lit(1e6) * F.col("n_shared") / F.col("n_grams") + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        )
+    )

@@ -360,3 +360,73 @@ def q97_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a_user").alias("user_id"), "click_id", "purchase_id"
     )
     return run_stream_append(out, spark)
+
+
+@query(
+    "q100_stream_left_outer_join",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    j AS (SELECT c.user_id, c.event_id AS click_id, c.ts AS cts, p.event_id AS purchase_id
+          FROM c LEFT JOIN p
+            ON p.user_id = c.user_id
+           AND p.ts >= c.ts
+           AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+    SELECT user_id, click_id, purchase_id
+    FROM j, mx
+    WHERE purchase_id IS NOT NULL
+       OR cts + INTERVAL 30 MINUTE < mx.m - INTERVAL 10 MINUTE
+    """,
+)
+def q100_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with event-time bounds: every
+    click emits — joined to same-user purchases within 30 minutes when
+    one exists, with a null purchase once the watermark proves no match
+    can still arrive. The null rows are the interesting part: Spark
+    holds the unmatched click in join state and emits it only when the
+    watermark passes click_ts + 30min (the state-removal bound derived
+    from the join condition), so the oracle admits a null row iff
+    click_ts + 30min < max_ts - delay — clicks nearer the end of the
+    bounded input stay unmatched-but-open and correctly never emit.
+
+    Scale: identical state bound to q97 (rate x horizon per user_id
+    partition, history-independent); outer emission adds no state, it
+    piggybacks on watermark-driven eviction. Delay is 10 minutes here
+    (vs q97's 2 hours) so eviction actually fires within the fixture's
+    30-day span.
+    """
+    from kinesis_producer_spark.streaming.stateful import events_multifile_stream
+    from kinesis_producer_spark.streaming.windows import run_stream_append
+
+    clicks = (
+        events_multifile_stream(spark, sf_dir, n_files=4)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("a_ts"),
+        )
+    )
+    purchases = (
+        events_multifile_stream(spark, sf_dir, n_files=4)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("b_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("b_user") == F.col("a_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    out = joined.select(
+        F.col("a_user").alias("user_id"), "click_id", "purchase_id"
+    )
+    return run_stream_append(out, spark)
