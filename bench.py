@@ -42,6 +42,7 @@ HEADLINE = [
     "q63_tfidf",
     "q90_shipping_priority",
     "q96_word_repetition",
+    "q99_common_passages",
 ]
 
 

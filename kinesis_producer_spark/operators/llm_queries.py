@@ -474,6 +474,92 @@ def q64_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@query(
+    "q101_dedup_keep_list",
+    oracle=f"""
+    WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') a FROM documents),
+    sh AS (SELECT doc_id, {_BIGRAMS_SQL} s FROM w),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    mh AS (SELECT doc_id, seed, MIN(MD5(CAST(seed AS VARCHAR) || ':' || g)) m
+           FROM ex CROSS JOIN (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
+    sig AS (SELECT doc_id, list(m ORDER BY seed) sg FROM mh GROUP BY doc_id),
+    bands AS (SELECT doc_id, b, MD5(sg[2*b+1] || '|' || sg[2*b+2]) bucket
+              FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+    cand AS (SELECT DISTINCT x.doc_id ia, y.doc_id ib FROM bands x JOIN bands y
+             ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+    pairs AS (
+      SELECT ia, ib FROM cand JOIN sh x ON x.doc_id = ia JOIN sh y ON y.doc_id = ib
+      WHERE CAST(FLOOR(1e6 * len(list_intersect(x.s, y.s))
+                       / len(list_distinct(list_concat(x.s, y.s))) + 0.5) AS BIGINT) >= 500000
+    ),
+    edges AS (SELECT ia a, ib b FROM pairs UNION SELECT ib, ia FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+    membership AS (
+      SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+    per AS (SELECT cluster_id, COUNT(*) AS n_members, MAX(n_chars) AS best_chars
+            FROM membership GROUP BY cluster_id)
+    SELECT p.cluster_id, p.n_members, MIN(m.doc_id) AS kept_doc_id
+    FROM per p JOIN membership m
+      ON m.cluster_id = p.cluster_id AND m.n_chars = p.best_chars
+    GROUP BY p.cluster_id, p.n_members
+    """,
+)
+def q101_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection — the final step of a real
+    dedup pipeline: after MinHash-LSH clustering (q64), every document
+    maps to a cluster (itself when unclustered) and each cluster keeps
+    exactly one member, the longest document with min-doc_id tiebreak.
+    The keep-list (cluster_id, n_members, kept_doc_id) is what a
+    training-data build joins against to drop near-duplicates.
+
+    Scale: cluster assignments are tiny relative to the corpus (only
+    docs that matched an LSH band), so the membership join broadcasts;
+    representative selection is the argmax-join pattern (pre-aggregate
+    per cluster, join back on equality) — two shuffles on cluster_id,
+    both after projection to (id, cluster, n_chars).
+    """
+    from kinesis_producer_spark.operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = minhash_dedup(
+        load_table(spark, sf_dir, "documents"),
+        k=8,
+        band_size=2,
+        shingle_n=2,
+        threshold_micro=500_000,
+    )
+    clusters = connected_components(pairs)
+    membership = (
+        d.join(F.broadcast(clusters), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    per = (
+        membership.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.max("n_chars").alias("best_chars"))
+        .select(
+            F.col("cluster_id").alias("p_cluster"),
+            "n_members",
+            "best_chars",
+        )
+    )
+    return (
+        membership.join(
+            per,
+            (F.col("cluster_id") == F.col("p_cluster"))
+            & (F.col("n_chars") == F.col("best_chars")),
+        )
+        .groupBy("p_cluster", "n_members")
+        .agg(F.min("doc_id").alias("kept_doc_id"))
+        .withColumnRenamed("p_cluster", "cluster_id")
+    )
+
+
 @query("q65_media_pipeline")
 def q65_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal plumbing chain (rows-only check: codecs are
