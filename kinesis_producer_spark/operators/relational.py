@@ -2148,3 +2148,59 @@ def q94_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~hi, one).otherwise(zero)).alias("low_line_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical time rollup: daily stats RE-AGGREGATED from hourly
+# partials (the hypertable continuous-aggregate shape) — never touching
+# raw rows twice. The oracle aggregates events directly, so the match
+# proves the re-aggregation property holds exactly: count/sum/min/max
+# compose, and the exact-integer sum domain (functions.dsum rationale)
+# makes the two-level double sum bit-identical to the one-level one.
+# ---------------------------------------------------------------------------
+@query(
+    "q102_hierarchical_rollup",
+    oracle=f"""
+    SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day_start, event_type,
+           COUNT(*) AS n,
+           {dsum_sql('value')} AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           COUNT(DISTINCT DATE_TRUNC('hour', ts)) AS n_hours
+    FROM events
+    GROUP BY DATE_TRUNC('day', ts), event_type
+    """,
+)
+def q102_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level rollup: hour partials → day finals. At 100 TB the
+    hourly layer is a materialized continuous aggregate (millions of
+    rows, not billions); day/week/month views re-aggregate it at
+    ~1000× less input, and the partial layout (count + quantized
+    integer sum + min + max) is exactly what makes that sound —
+    doubles summed hour-then-day would drift, integers don't.
+
+    Scale: first shuffle keys on (hour, type) with full map-side
+    combine; the second input is already tiny, so the day shuffle is
+    noise. n_hours falls out of the partial count for free (the
+    distinct-hour count a raw-row plan would need a separate pass for).
+    """
+    from kinesis_producer_spark.functions import SCALE, _quant
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(_quant("value")).alias("sq"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return hourly.groupBy(
+        F.date_trunc("day", "hour_start").alias("day_start"), "event_type"
+    ).agg(
+        F.sum("pn").alias("n"),
+        (F.sum("sq").cast("double") / F.lit(float(SCALE))).alias("sum_value"),
+        F.min("mn").alias("min_value"),
+        F.max("mx").alias("max_value"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
