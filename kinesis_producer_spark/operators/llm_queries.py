@@ -1067,3 +1067,35 @@ def q99_common_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q103_fixed_size_sample",
+    oracle="""
+    WITH h AS (SELECT doc_id, lang, MD5('sample:' || CAST(doc_id AS VARCHAR)) AS hkey
+               FROM documents)
+    SELECT doc_id, lang, hkey FROM h ORDER BY hkey LIMIT 200
+    """,
+)
+def q103_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N deterministic uniform sample: order by a content-stable
+    hash and take the first N — the reproducible way to carve a
+    fixed-size eval/holdout set (rate-gated sampling q70/q98 gives a
+    *fraction*; this gives a *count*). md5 is uniform, so hash order is
+    a uniform permutation, and the same N docs come back under retries,
+    cluster resizes, and engine changes. The weighted variant is one
+    step away (Efraimidis-Spirakis key u^(1/w) on the same hash) but
+    needs float ln(), which is not bit-portable across engines — so the
+    exact gate stays integer/string-ordered on purpose.
+
+    Scale: orderBy+limit compiles to TakeOrderedAndProject — each task
+    keeps a local top-N heap and the driver merges P×N candidate rows;
+    no global sort, no full-corpus shuffle ever happens.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        "lang",
+        F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))).alias("hkey"),
+    )
+    return h.orderBy("hkey").limit(200)
