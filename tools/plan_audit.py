@@ -30,6 +30,8 @@ NLJ_OK = {
     "q63_tfidf",
     # single-row global-total broadcast cross join (share-of-total)
     "q85_important_parts",
+    # single-row balance-threshold broadcast cross join (Q22 shape)
+    "q78_inactive_high_balance",
 }
 
 # Full outer joins cannot broadcast (both sides need null extension) —
