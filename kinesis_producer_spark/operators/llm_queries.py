@@ -1099,3 +1099,50 @@ def q103_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))).alias("hkey"),
     )
     return h.orderBy("hkey").limit(200)
+
+
+@query(
+    "q104_length_shards",
+    oracle="""
+    WITH bs AS (
+      SELECT quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS b
+      FROM documents),
+    a AS (
+      SELECT doc_id, n_chars,
+             len(list_filter(b, x -> x < n_chars)) AS bucket
+      FROM documents, bs)
+    SELECT bucket, COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM a GROUP BY bucket
+    """,
+)
+def q104_length_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth length sharding: decile boundaries over document
+    length, then every doc assigned to the shard whose boundary range
+    holds it — how a packing/batching pipeline groups like-sized docs
+    so sequence fill stays high without a global sort. Boundary ties
+    land in the lower shard in both engines (strict `<` on both sides).
+
+    Scale: the boundary set is a 9-value global aggregate broadcast to
+    every task; assignment is a scan-side expression (count of
+    boundaries below the length), so the only data shuffle is the
+    10-group final rollup. Exact percentile is itself sort-heavy at
+    100 TB — swap in approx_percentile there; the plan shape (tiny
+    broadcast + scan-side assign) is unchanged.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    bounds = d.agg(
+        F.percentile(
+            "n_chars", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+        ).alias("b")
+    )
+    assigned = d.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "n_chars",
+        F.size(F.filter("b", lambda x: x < F.col("n_chars"))).alias("bucket"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
