@@ -1146,3 +1146,56 @@ def q104_length_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@query(
+    "q105_incremental_ingest",
+    oracle="""
+    WITH seen AS (
+      SELECT DISTINCT MD5(text) AS digest FROM documents WHERE doc_id < 250),
+    incoming AS (
+      SELECT doc_id, MD5(text) AS digest FROM documents WHERE doc_id >= 250
+      UNION ALL
+      SELECT doc_id + 200000, MD5(text) FROM documents WHERE doc_id < 250 AND doc_id % 7 = 0),
+    novel AS (
+      SELECT i.doc_id, i.digest FROM incoming i
+      WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.digest = i.digest)),
+    first_in_batch AS (
+      SELECT digest, MIN(doc_id) AS admitted_id, COUNT(*) AS n_in_batch
+      FROM novel GROUP BY digest)
+    SELECT digest, admitted_id, n_in_batch FROM first_in_batch
+    """,
+)
+def q105_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingest — the production form of dedup: an
+    incoming batch (which includes replays of already-ingested docs) is
+    admitted only where its content digest (a) is absent from the seen
+    corpus (anti-join) and (b) is the first occurrence within the batch
+    (min-id per digest). q50 dedups a corpus against itself; this
+    dedups a delta against history, which is what runs daily.
+
+    Scale: the anti-join shuffles both sides on the digest — at real
+    scale the seen set is billions of rows, so broadcast is off the
+    table, but Spark's runtime bloom filter (InjectRuntimeFilter) cuts
+    the incoming side at the scan before the shuffle; the within-batch
+    min-id agg combines map-side. History stays a digest-only table —
+    32 bytes/doc, not the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = (
+        d.filter(F.col("doc_id") < 250)
+        .select(F.md5(F.col("text").cast("binary")).alias("digest"))
+        .distinct()
+    )
+    replays = d.filter((F.col("doc_id") < 250) & (F.col("doc_id") % 7 == 0)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    incoming = (
+        d.filter(F.col("doc_id") >= 250)
+        .unionByName(replays)
+        .select("doc_id", F.md5(F.col("text").cast("binary")).alias("digest"))
+    )
+    novel = incoming.join(seen, "digest", "left_anti")
+    return novel.groupBy("digest").agg(
+        F.min("doc_id").alias("admitted_id"), F.count(F.lit(1)).alias("n_in_batch")
+    )
