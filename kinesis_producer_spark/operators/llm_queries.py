@@ -1199,3 +1199,55 @@ def q105_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novel.groupBy("digest").agg(
         F.min("doc_id").alias("admitted_id"), F.count(F.lit(1)).alias("n_in_batch")
     )
+
+
+@query(
+    "q106_vocab_coverage",
+    oracle="""
+    WITH tok AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t FROM documents),
+    vc AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+    tot AS (SELECT SUM(n) AS s FROM vc),
+    ranked AS (SELECT t, n, ROW_NUMBER() OVER (ORDER BY n DESC, t) AS rank FROM vc),
+    top AS (SELECT * FROM ranked WHERE rank <= 100)
+    SELECT rank, t AS token, n,
+           CAST(FLOOR(1e6 * SUM(n) OVER (ORDER BY rank) / s + 0.5) AS BIGINT)
+             AS cum_share_micro
+    FROM top, tot
+    """,
+)
+def q106_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for the top-100 tokens by corpus
+    frequency, the cumulative share of all token occurrences they
+    cover — the Zipf head/tail diagnostic that sizes a vocabulary
+    (how many types cover 95% of tokens?).
+
+    Scale: the token count is the only corpus-sized stage (explode +
+    map-side-combined groupBy); everything after operates on the
+    aggregated vocab — top-100 via TakeOrderedAndProject (per-task
+    heaps, no vocab-wide sort), then rank/cumsum windows over exactly
+    100 rows and a broadcast 1-row total. The single-partition window
+    never sees more than k rows, so global ordering stays cheap at any
+    corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vc = (
+        d.select(F.explode(F.split("text", r"\s+")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = vc.agg(F.sum("n").alias("s"))
+    top = vc.orderBy(F.desc("n"), F.asc("t")).limit(100)
+    wr = W.orderBy(F.desc("n"), F.asc("t"))
+    ranked = top.withColumn("rank", F.row_number().over(wr))
+    cum = F.sum("n").over(W.orderBy("rank"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            F.col("t").alias("token"),
+            "n",
+            F.floor(F.lit(1e6) * cum / F.col("s") + F.lit(0.5))
+            .cast("bigint")
+            .alias("cum_share_micro"),
+        )
+    )
