@@ -2204,3 +2204,60 @@ def q102_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("mx").alias("max_value"),
         F.count(F.lit(1)).alias("n_hours"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed global ranking (the TeraSort composition): range-partition
+# on the key, rank locally per partition, add broadcast prefix offsets.
+# No single-partition global window ever exists — the classic scale
+# failure of ROW_NUMBER() OVER (ORDER BY ...) on big data.
+# ---------------------------------------------------------------------------
+@query(
+    "q107_global_rank",
+    oracle="""
+    WITH h AS (SELECT doc_id, MD5('rank:' || CAST(doc_id AS VARCHAR)) AS hkey
+               FROM documents)
+    SELECT doc_id, hkey,
+           ROW_NUMBER() OVER (ORDER BY hkey) AS global_rank
+    FROM h
+    """,
+)
+def q107_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-order global rank over the whole table without a global
+    sort: rows split into ordered range buckets derived from the key
+    itself, each bucket ranks locally, and a broadcast prefix-sum of
+    per-bucket counts lifts local ranks to global ones. The result
+    equals ROW_NUMBER() OVER (ORDER BY key) — which is what the oracle
+    computes — but the plan never funnels the table through one
+    partition: local windows sort only their bucket and the offset
+    table is |buckets| rows. Bucket placement doesn't affect the
+    answer (offset + local rank is invariant to where the ranges
+    fall); deriving buckets from the key rather than sampled
+    boundaries (repartitionByRange) keeps the two consumers of the
+    bucketed frame trivially consistent — there is no sampling step to
+    re-execute.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("rank:"), F.col("doc_id").cast("string"))).alias("hkey"),
+    )
+    # Content-derived range buckets: the key's first hex digit gives 16
+    # ordered ranges deterministically — no sampled boundaries to
+    # re-execute differently across the two consumers below. At real
+    # scale widen to 2-3 hex digits (256/4096 buckets).
+    parts = d.withColumn("bucket", F.substring("hkey", 1, 1))
+    counts = parts.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    prefix = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("cnt").over(prefix), F.lit(0))
+    ).select("bucket", "offset")
+    local = W.partitionBy("bucket").orderBy("hkey")
+    return (
+        parts.withColumn("local_rank", F.row_number().over(local))
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "hkey",
+            (F.col("offset") + F.col("local_rank")).alias("global_rank"),
+        )
+    )
