@@ -2261,3 +2261,63 @@ def q107_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.col("local_rank")).alias("global_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered-funnel analysis: per-user stage progression with strict
+# event-time ordering between stages (view -> click after it ->
+# purchase after that), reported as one funnel row.
+# ---------------------------------------------------------------------------
+@query(
+    "q108_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked,
+           (SELECT COUNT(*) FROM p) AS n_purchased
+    """,
+)
+def q108_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel: users who viewed, then
+    clicked after their first view, then purchased after that first
+    qualifying click. Each stage conditions on the previous stage's
+    event time, so out-of-order events (click before any view) don't
+    count — the semantics rand()-free product analytics needs.
+
+    Scale: every stage is a user-keyed aggregate joined to the
+    previous stage's (user, ts) frame — all shuffles share the
+    user_id key so AQE/co-partitioning reuses the layout, and each
+    stage's frame only shrinks (funnel monotonicity). The final
+    report is three 1-row aggregates cross-joined — constant data
+    after the last user-level stage.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased")))
+    )
