@@ -1251,3 +1251,39 @@ def q106_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_share_micro"),
         )
     )
+
+
+@query(
+    "q110_inverted_index",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token
+      FROM documents)
+    SELECT token, COUNT(*) AS df,
+           (list(doc_id ORDER BY doc_id))[1:20] AS postings
+    FROM tok GROUP BY token
+    """,
+)
+def q110_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token → document frequency + the first 20
+    doc ids of its sorted posting list (capped so hot tokens don't
+    dominate the result; a real index shards long lists instead). The
+    search/retrieval primitive over the corpus.
+
+    Scale: the explode is the corpus-sized stage; the (doc, token)
+    distinct and the posting aggregation both key on token, sharing
+    one shuffle layout. Stopword tokens are the canonical skew case —
+    their groups are exactly what AQE skew-split handles, and the cap
+    bounds output row width regardless of df. collect_list order is
+    nondeterministic under parallel merge, so the list is sorted
+    before slicing — determinism comes from the data, not the
+    schedule.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("token")
+    ).distinct()
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.slice(F.array_sort(F.collect_list("doc_id")), 1, 20).alias("postings"),
+    )

@@ -2321,3 +2321,60 @@ def q108_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: users grouped by first-activity week; per
+# (cohort_week, week_offset) cell, how many came back that week.
+# ---------------------------------------------------------------------------
+@query(
+    "q109_retention_cohorts",
+    oracle="""
+    WITH firstw AS (
+      SELECT user_id, MIN(DATE_TRUNC('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(DATE_DIFF('week', f.cohort_week, DATE_TRUNC('week', e.ts)) AS BIGINT)
+               AS week_offset
+      FROM events e JOIN firstw f ON e.user_id = f.user_id)
+    SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, week_offset,
+           COUNT(*) AS n_active
+    FROM active GROUP BY cohort_week, week_offset
+    """,
+)
+def q109_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: each user joins the cohort of their
+    first active week; every later active week increments that
+    cohort's (week_offset) cell once per user. The classic engagement
+    report, computed without any per-user state machine.
+
+    Scale: first-week per user and the activity join share the
+    user_id shuffle key; the distinct collapses (user, cohort,
+    offset) before the final small aggregate, and the cohort frame is
+    |users| rows — broadcastable when users ≪ events, shuffled
+    otherwise (AQE decides). week_offset arithmetic is scan-side.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    wk = F.date_trunc("week", F.col("ts"))
+    firstw = e.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = (
+        e.join(firstw, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    (
+                        F.unix_timestamp(wk)
+                        - F.unix_timestamp(F.col("cohort_week"))
+                    )
+                    / F.lit(7 * 24 * 3600)
+                )
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
