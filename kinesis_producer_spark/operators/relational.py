@@ -2378,3 +2378,60 @@ def q109_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix: per-user event bigrams (LAG over the
+# user's event-time order) aggregated into Markov transition counts
+# and per-source shares.
+# ---------------------------------------------------------------------------
+@query(
+    "q111_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events),
+    pairs AS (SELECT prev_type, event_type AS next_type FROM seq
+              WHERE prev_type IS NOT NULL),
+    cnt AS (SELECT prev_type, next_type, COUNT(*) AS n FROM pairs
+            GROUP BY prev_type, next_type),
+    tot AS (SELECT prev_type, SUM(n) AS t FROM cnt GROUP BY prev_type)
+    SELECT c.prev_type, c.next_type, c.n,
+           CAST(FLOOR(1e6 * c.n / t.t + 0.5) AS BIGINT) AS share_micro
+    FROM cnt c JOIN tot t ON c.prev_type = t.prev_type
+    """,
+)
+def q111_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams:
+    for every (prev_type → next_type) bigram, the count and its share
+    of all transitions out of prev_type. (ts, event_id) is the
+    deterministic sort key — simultaneous events tie-break stably.
+
+    Scale: the LAG window partitions by user_id, so each task sorts
+    only its users' events (no global sort); the bigram aggregate
+    collapses to |types|² rows map-side, and the share join runs on
+    that tiny square matrix. This is the sequence-statistics shape:
+    one user-keyed shuffle, then constant-size data.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select("prev_type", F.col("event_type").alias("next_type"))
+    )
+    cnt = pairs.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return (
+        cnt.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.floor(F.lit(1e6) * F.col("n") / F.col("t") + F.lit(0.5))
+            .cast("bigint")
+            .alias("share_micro"),
+        )
+    )
