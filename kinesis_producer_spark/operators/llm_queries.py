@@ -1287,3 +1287,79 @@ def q110_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("df"),
         F.slice(F.array_sort(F.collect_list("doc_id")), 1, 20).alias("postings"),
     )
+
+
+@query(
+    "q112_centroid_distances",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label, d, CAST(embedding[d] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d)),
+    cent AS (
+      SELECT label, d,
+             CAST(SUM(CAST(FLOOR(x * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+               / (1e6 * COUNT(*)) AS c
+      FROM dims GROUP BY label, d),
+    diffs AS (
+      SELECT m.vec_id, m.label,
+             CAST(FLOOR((m.x - ct.c) * (m.x - ct.c) * 1e6 + 0.5) AS BIGINT) AS dq
+      FROM dims m JOIN cent ct ON m.label = ct.label AND m.d = ct.d),
+    pervec AS (SELECT vec_id, label, SUM(dq) AS dist_q
+               FROM diffs GROUP BY vec_id, label)
+    SELECT label, COUNT(*) AS n_vecs,
+           CAST(FLOOR(CAST(SUM(dist_q) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+             AS avg_dist_sq_micro
+    FROM pervec GROUP BY label
+    """,
+)
+def q112_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means E-step over the embedding corpus: per-label
+    centroids (per-dimension means) and each cluster's mean squared
+    distance to its centroid — the inertia diagnostic that drives
+    cluster-count and data-pruning decisions (SemDeDup-style).
+
+    Cross-engine exactness end-to-end: per-dimension sums accumulate
+    in the quantized integer domain (order-independent), the centroid
+    is one double division, and per-term squared differences are
+    re-quantized before summing — no step depends on float addition
+    order. The fixture's 64 dims are explicit in the oracle's range().
+
+    Scale: dimension explode is 64× rows but 1/64th width; both the
+    centroid aggregate and the diff join key on (label, dim), sharing
+    one shuffle layout, and the centroid frame (labels × dims rows)
+    broadcasts. At real scale the same plan runs per IVF cell — this
+    is exactly the assignment step of that index build.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "xf")).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("d"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    cent = (
+        dims.groupBy("label", "d")
+        .agg(
+            F.sum(F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("decimal(38,0)")).alias("sq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "d",
+            (F.col("sq").cast("double") / (F.lit(1e6) * F.col("n"))).alias("c"),
+        )
+    )
+    diffs = dims.join(F.broadcast(cent), ["label", "d"]).select(
+        "vec_id",
+        "label",
+        F.floor((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("dq"),
+    )
+    pervec = diffs.groupBy("vec_id", "label").agg(F.sum("dq").alias("dist_q"))
+    return pervec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.floor(F.sum("dist_q").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("avg_dist_sq_micro"),
+    )
