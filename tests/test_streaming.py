@@ -122,14 +122,12 @@ def test_replay_pacing_and_error_containment(spark):
             raise RuntimeError("boom")
         sent.append((ts, payloads))
 
-    t0 = time.time()
     stats = replay(batches, produce, speedup=10.0, max_sleep_s=0.2)
-    elapsed = time.time() - t0
     assert stats["batches"] == 2 and stats["skipped_batches"] == 1
     assert [p for _, p in sent] == [["a"], ["c"]]
-    # two 1s gaps at 10× speedup → ~0.2s of sleep, bounded well under 1s
-    assert 0.05 < elapsed < 1.5
-    assert stats["slept_s"] > 0
+    # two 1s gaps at 10× speedup → ~0.2s of requested sleep, each capped at 0.2s;
+    # assert on the pacer's own accounting (wall-clock is load-sensitive and flaky)
+    assert 0.05 <= stats["slept_s"] <= 0.45
 
     fast = replay(batches, lambda ts, p: None, speedup=math.inf)
     assert fast["slept_s"] == 0
