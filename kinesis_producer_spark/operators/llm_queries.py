@@ -1363,3 +1363,195 @@ def q112_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("avg_dist_sq_micro"),
     )
+
+
+@query(
+    "q113_unigram_lm_quality",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+                 FROM documents),
+    v AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+    tot AS (SELECT SUM(n) AS s FROM v),
+    share AS (SELECT t, CAST(FLOOR(1e9 * n / s + 0.5) AS BIGINT) AS share_nano
+              FROM v, tot)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(FLOOR(CAST(SUM(share_nano) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+             AS avg_share_nano
+    FROM tok JOIN share USING (t)
+    GROUP BY doc_id
+    """,
+)
+def q113_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fluency proxy: score each document by the mean corpus
+    frequency share of its tokens — the log-free stand-in for unigram
+    perplexity (documents full of rare/garbage tokens score low,
+    boilerplate scores high). The CCNet/RedPajama-style signal that a
+    real pipeline computes with a KenLM model; the aggregation shape
+    is identical, only the per-token score table differs.
+
+    Exactness: each token's corpus share is quantized to an integer
+    nano-unit after one double expression evaluated in a fixed order
+    ((1e9 * n) / s); per-doc sums then accumulate in the integer
+    domain, so no result depends on float addition order.
+
+    Scale: two corpus-sized stages that share the token-keyed shuffle
+    layout — the vocab count and the score join — then a doc-keyed
+    aggregate. The vocab frame follows a Zipf law, so the score join's
+    hot keys (stopwords) are exactly AQE skew-split territory; the
+    1-row total broadcasts. Nothing materializes on the driver.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("t"))
+    v = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    tot = v.agg(F.sum("n").alias("s"))
+    share = v.crossJoin(F.broadcast(tot)).select(
+        "t",
+        F.floor(F.lit(1e9) * F.col("n") / F.col("s") + F.lit(0.5))
+        .cast("bigint")
+        .alias("share_nano"),
+    )
+    return (
+        tok.join(share, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.floor(F.sum("share_nano").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
+            .cast("bigint")
+            .alias("avg_share_nano"),
+        )
+    )
+
+
+@query(
+    "q114_stopword_discovery",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+                 FROM documents),
+    dfreq AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    stop AS (SELECT t FROM dfreq, nd WHERE df * 2 > n)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           SUM(CASE WHEN s.t IS NOT NULL THEN 1 ELSE 0 END) AS n_stop,
+           CAST(FLOOR(1e6 * SUM(CASE WHEN s.t IS NOT NULL THEN 1 ELSE 0 END)
+                          / COUNT(*) + 0.5) AS BIGINT) AS stop_ratio_micro
+    FROM tok LEFT JOIN stop s USING (t)
+    GROUP BY doc_id
+    """,
+)
+def q114_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven stoplist + per-document stopword ratio: a token is a
+    stopword iff it appears in more than half of all documents (pure
+    document frequency — no hand-curated list), and each document
+    reports what fraction of its tokens are stopwords. Complements the
+    fixed-list ratio in q58: this one adapts to the corpus and works
+    for unlabeled languages.
+
+    Scale: document frequency is the (token, doc) distinct + count —
+    one token-keyed shuffle over the corpus. The discovered stoplist
+    is by construction tiny (only tokens in >N/2 docs survive), so the
+    membership join broadcasts no matter how large the corpus; the
+    per-doc aggregate keys on unique doc_id, which cannot skew.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("t"))
+    dfreq = tok.distinct().groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    stop = (
+        dfreq.crossJoin(F.broadcast(nd))
+        .filter(F.col("df") * 2 > F.col("n"))
+        .select("t", F.lit(1).alias("is_stop"))
+    )
+    marked = tok.join(F.broadcast(stop), "t", "left")
+    n_stop = F.sum(F.coalesce(F.col("is_stop"), F.lit(0)))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        n_stop.alias("n_stop"),
+        F.floor(F.lit(1e6) * n_stop / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("stop_ratio_micro"),
+    )
+
+
+@query(
+    "q117_median_mad",
+    oracle="""
+    WITH vc AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY n_chars),
+    cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cc FROM vc),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    med AS (SELECT (MIN(CASE WHEN cc >= (n + 1) // 2 THEN v END)
+                  + MIN(CASE WHEN cc >= (n + 2) // 2 THEN v END)) / 2.0 AS m
+            FROM cum, n),
+    dev AS (SELECT CAST(FLOOR(ABS(n_chars - m) * 1e6 + 0.5) AS BIGINT) AS dv
+            FROM documents, med),
+    dvc AS (SELECT dv, COUNT(*) AS c FROM dev GROUP BY dv),
+    dcum AS (SELECT dv, SUM(c) OVER (ORDER BY dv) AS cc FROM dvc),
+    dmid AS (SELECT MIN(CASE WHEN cc >= (n + 1) // 2 THEN dv END) AS dlo,
+                    MIN(CASE WHEN cc >= (n + 2) // 2 THEN dv END) AS dhi
+             FROM dcum, n)
+    SELECT n.n AS n_docs,
+           CAST(FLOOR(m * 1e6 + 0.5) AS BIGINT) AS median_micro,
+           CAST(FLOOR((dlo + dhi) / 2.0 + 0.5) AS BIGINT) AS mad_micro
+    FROM n, med, dmid
+    """,
+)
+def q117_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median and median-absolute-deviation of document length —
+    the robust center/spread pair behind outlier-document filtering
+    (keep docs within k·MAD of the median). Computed WITHOUT a global
+    sort: lengths collapse to a value-domain histogram (one row per
+    distinct length), a cumulative-count window over that tiny
+    histogram locates the two middle order statistics, and their mean
+    is the exact even-N median. The same machinery runs a second pass
+    over quantized absolute deviations for the MAD.
+
+    Exactness: order statistics are integers; the median is one double
+    division; deviations are quantized to integer micro-units before
+    the second histogram, so both medians are engine-independent.
+
+    Scale: the corpus-sized stages are two hash aggregates (value →
+    count); the windows only ever see the distinct-value histogram
+    (bounded by the value domain, not the row count), so the
+    single-partition sort is over thousands of rows at any corpus
+    size. This is the standard exact-quantile-by-histogram shape for
+    discrete domains; continuous domains would bucket first.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    vc = d.groupBy(F.col("n_chars").alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    cum = vc.withColumn("cc", F.sum("c").over(W.orderBy("v")))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    pos = n.select(
+        "n",
+        F.floor((F.col("n") + 1) / 2).alias("lo"),
+        F.floor((F.col("n") + 2) / 2).alias("hi"),
+    )
+    med = (
+        cum.crossJoin(F.broadcast(pos))
+        .agg(
+            F.min(F.when(F.col("cc") >= F.col("lo"), F.col("v"))).alias("vlo"),
+            F.min(F.when(F.col("cc") >= F.col("hi"), F.col("v"))).alias("vhi"),
+        )
+        .select(((F.col("vlo") + F.col("vhi")) / 2.0).alias("m"))
+    )
+    dev = d.crossJoin(F.broadcast(med)).select(
+        F.floor(F.abs(F.col("n_chars") - F.col("m")) * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("dv"),
+        "m",
+    )
+    dvc = dev.groupBy("dv").agg(F.count(F.lit(1)).alias("c"))
+    dcum = dvc.withColumn("cc", F.sum("c").over(W.orderBy("dv")))
+    dmid = dcum.crossJoin(F.broadcast(pos)).agg(
+        F.min(F.when(F.col("cc") >= F.col("lo"), F.col("dv"))).alias("dlo"),
+        F.min(F.when(F.col("cc") >= F.col("hi"), F.col("dv"))).alias("dhi"),
+    )
+    return (
+        pos.crossJoin(med)
+        .crossJoin(dmid)
+        .select(
+            F.col("n").alias("n_docs"),
+            F.floor(F.col("m") * 1e6 + F.lit(0.5)).cast("bigint").alias("median_micro"),
+            F.floor((F.col("dlo") + F.col("dhi")) / 2.0 + F.lit(0.5))
+            .cast("bigint")
+            .alias("mad_micro"),
+        )
+    )

@@ -2435,3 +2435,110 @@ def q111_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Anomaly detection: per-(user, day) event-rate z-scores against exact
+# global moments — the monitoring/outlier-mining shape over event logs.
+# ---------------------------------------------------------------------------
+@query(
+    "q115_event_zscore",
+    oracle="""
+    WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS cnt
+                   FROM events GROUP BY user_id, date_trunc('day', ts)),
+    st AS (SELECT COUNT(*) AS n, SUM(cnt) AS s1, SUM(cnt * cnt) AS s2 FROM daily),
+    z AS (SELECT user_id, day, cnt,
+            CAST(FLOOR(1e6 * (cnt - CAST(s1 AS DOUBLE) / n)
+                 / SQRT(CAST(s2 AS DOUBLE) / n
+                        - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                 + 0.5) AS BIGINT) AS z_micro
+          FROM daily, st)
+    SELECT user_id, day, cnt AS n_events, z_micro
+    FROM z WHERE ABS(z_micro) >= 1500000
+    """,
+)
+def q115_event_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: each (user, day) activity count is
+    z-scored against the exact global mean/variance of all such
+    counts, and cells beyond 1.5σ are flagged. The standard
+    monitoring/outlier query over behavioral logs.
+
+    Exactness: counts are integers, so the moment sums (Σx, Σx²)
+    accumulate exactly; mean and variance are then a fixed sequence of
+    double ops (s1/n, s2/n − mean²) replicated verbatim in the oracle,
+    and sqrt is IEEE correctly-rounded — no step is order-sensitive.
+
+    Scale: one shuffle keyed on (user_id, day) with map-side partial
+    counts; the moment aggregate reduces the daily frame to one
+    broadcast row; the z-score is a map-side expression. The daily
+    frame is |users|×|days| — already tiny relative to raw events —
+    and the final filter returns only the anomalous tail.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    st = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    z = daily.crossJoin(F.broadcast(st)).select(
+        "user_id",
+        "day",
+        F.col("cnt").alias("n_events"),
+        F.floor(F.lit(1e6) * (F.col("cnt") - mean) / F.sqrt(var) + F.lit(0.5))
+        .cast("bigint")
+        .alias("z_micro"),
+    )
+    return z.filter(F.abs(F.col("z_micro")) >= 1500000)
+
+
+# ---------------------------------------------------------------------------
+# Histogram: fixed-width value bucketing with exact per-bucket money sums
+# — the profiling/EDA shape (SELECT width_bucket(...) GROUP BY).
+# ---------------------------------------------------------------------------
+@query(
+    "q116_price_histogram",
+    oracle="""
+    SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+           COUNT(*) AS n_orders,
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS sum_cents,
+           MIN(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS min_cents,
+           MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS max_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def q116_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value (width_bucket shape): ten
+    50k-wide buckets with an overflow top bucket, each reporting count
+    and exact min/max/sum in integer cents. The data-profiling query
+    that sizes skew and picks partition boundaries before a big job.
+
+    Exactness: prices quantize to integer cents per row before any
+    aggregation, so sums are order-independent; bucket assignment is
+    one floor division on the raw double, identical in both engines.
+
+    Scale: a pure map-side-combine hash aggregate onto ≤10 groups —
+    the partial rows per task are the histogram itself, so the
+    exchange moves ~10 rows per task regardless of table size. This is
+    the cheapest possible full-scan shape; at 100 TB the scan
+    dominates and the parquet reader prunes to the one needed column.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        o.select(
+            F.least(F.floor(F.col("o_totalprice") / 50000).cast("bigint"), F.lit(9).cast("bigint")).alias("bucket"),
+            cents.alias("cents"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )

@@ -32,6 +32,12 @@ NLJ_OK = {
     "q85_important_parts",
     # single-row balance-threshold broadcast cross join (Q22 shape)
     "q78_inactive_high_balance",
+    # single-row corpus-total / doc-count / moment-row broadcast cross joins
+    "q113_unigram_lm_quality",
+    "q114_stopword_discovery",
+    "q115_event_zscore",
+    # order-statistic positions + median row: all broadcast single-row frames
+    "q117_median_mad",
 }
 
 # Full outer joins cannot broadcast (both sides need null extension) —
