@@ -1555,3 +1555,214 @@ def q117_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mad_micro"),
         )
     )
+
+
+@query(
+    "q118_token_source_assoc",
+    oracle="""
+    WITH tok AS (SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS t
+                 FROM documents),
+    o AS (SELECT source, t, COUNT(*) AS o FROM tok GROUP BY source, t),
+    r AS (SELECT source, SUM(o) AS r FROM o GROUP BY source),
+    c AS (SELECT t, SUM(o) AS c FROM o GROUP BY t),
+    tt AS (SELECT SUM(o) AS tt FROM o),
+    terms AS (
+      SELECT o.t,
+             CAST(FLOOR(1e6 * (o.o - CAST(r.r AS DOUBLE) * c.c / tt.tt)
+                            * (o.o - CAST(r.r AS DOUBLE) * c.c / tt.tt)
+                            / (CAST(r.r AS DOUBLE) * c.c / tt.tt) + 0.5) AS BIGINT)
+               AS term
+      FROM o JOIN r USING (source) JOIN c USING (t), tt),
+    chi AS (SELECT t, SUM(term) AS chi2_micro FROM terms GROUP BY t)
+    SELECT t AS token, chi2_micro,
+           ROW_NUMBER() OVER (ORDER BY chi2_micro DESC, t) AS rank
+    FROM chi ORDER BY chi2_micro DESC, t LIMIT 50
+    """,
+)
+def q118_token_source_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token↔source association by observed-cell chi-square: for each
+    token, Σ over sources of (observed − expected)²/expected, where
+    expected is the independence estimate row_total·col_total/grand.
+    The top-50 tokens are the most source-discriminative vocabulary —
+    the signal behind domain-tagging and contamination triage.
+    (Observed-cell variant: zero cells contribute nothing; identical
+    convention on both engines.)
+
+    Exactness: contingency counts are integers; each cell's term is
+    one fixed-order double expression quantized to micro-units before
+    the per-token sum, so the chi-square never depends on float
+    addition order. Rank ties break on the token itself.
+
+    Scale: the (source, token) contingency build is the one
+    corpus-sized shuffle; row totals (|sources| rows) and the grand
+    total broadcast, and the column-total join keys on token — the
+    same layout the contingency table already has. The final top-50 is
+    TakeOrderedAndProject over the vocab-sized chi frame.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", r"\s+")).alias("t"))
+    o = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("o"))
+    r = o.groupBy("source").agg(F.sum("o").alias("r"))
+    c = o.groupBy("t").agg(F.sum("o").alias("c"))
+    tt = o.agg(F.sum("o").alias("tt"))
+    e_exp = F.col("r").cast("double") * F.col("c") / F.col("tt")
+    terms = (
+        o.join(F.broadcast(r), "source")
+        .join(c, "t")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "t",
+            F.floor(
+                F.lit(1e6) * (F.col("o") - e_exp) * (F.col("o") - e_exp) / e_exp
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("term"),
+        )
+    )
+    chi = terms.groupBy("t").agg(F.sum("term").alias("chi2_micro"))
+    top = chi.orderBy(F.desc("chi2_micro"), F.asc("t")).limit(50)
+    return top.select(
+        F.col("t").alias("token"),
+        "chi2_micro",
+        F.row_number()
+        .over(W.orderBy(F.desc("chi2_micro"), F.asc("t")))
+        .alias("rank"),
+    )
+
+
+@query(
+    "q119_embedding_dim_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT d, CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
+      FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d)),
+    agg AS (SELECT d, COUNT(*) AS n, SUM(q) AS sq, SUM(q * q) AS sq2
+            FROM dims GROUP BY d)
+    SELECT d, n AS n_vecs,
+           CAST(FLOOR(CAST(sq AS DOUBLE) / n + 0.5) AS BIGINT) AS mean_micro,
+           CAST(FLOOR(1e6 * SQRT(CAST(sq2 AS DOUBLE) / (1e12 * n)
+                  - (CAST(sq AS DOUBLE) / (1e6 * n)) * (CAST(sq AS DOUBLE) / (1e6 * n)))
+                + 0.5) AS BIGINT) AS std_micro
+    FROM agg
+    """,
+)
+def q119_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean and standard deviation over the embedding
+    corpus — the feature-normalization statistics every similarity /
+    clustering pipeline computes first (whitening, dead-dimension
+    detection, quantizer calibration).
+
+    Exactness: elements quantize to integer micro-units per row; Σq
+    and Σq² accumulate exactly (decimal/HUGEINT), and mean/variance
+    are a fixed sequence of double ops replicated in the oracle —
+    sqrt is IEEE correctly-rounded, so std is bit-identical.
+
+    Scale: posexplode multiplies rows by d but the aggregate keys on
+    dimension index — 64 groups with map-side partials, so the
+    exchange carries 64 rows per task regardless of corpus size. The
+    same single-pass moment layout extends to any per-feature stat.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(F.posexplode("embedding").alias("pos", "x")).select(
+        (F.col("pos") + 1).alias("d"),
+        F.floor(F.col("x").cast("double") * 1e6 + F.lit(0.5)).cast("bigint").alias("q"),
+    )
+    agg = dims.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("sq"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("sq2"),
+    )
+    mean = F.col("sq").cast("double") / (F.lit(1e6) * F.col("n"))
+    ex2 = F.col("sq2").cast("double") / (F.lit(1e12) * F.col("n"))
+    return agg.select(
+        "d",
+        F.col("n").alias("n_vecs"),
+        F.floor(F.col("sq").cast("double") / F.col("n") + F.lit(0.5))
+        .cast("bigint")
+        .alias("mean_micro"),
+        F.floor(F.lit(1e6) * F.sqrt(ex2 - mean * mean) + F.lit(0.5))
+        .cast("bigint")
+        .alias("std_micro"),
+    )
+
+
+@query(
+    "q120_knn_label_vote",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS true_label, embedding
+               FROM embeddings WHERE vec_id % 100 = 7),
+    scored AS (
+      SELECT q.query_id, b.vec_id, b.label,
+             {_qdot_sql("q.embedding", "b.embedding")} AS qxy,
+             {_qdot_sql("q.embedding", "q.embedding")} AS qxx,
+             {_qdot_sql("b.embedding", "b.embedding")} AS qyy
+      FROM embeddings b CROSS JOIN q WHERE b.vec_id != q.query_id),
+    cos AS (SELECT query_id, vec_id, label,
+                   CAST(FLOOR(1e6 * CAST(qxy AS DOUBLE) /
+                        SQRT(CAST(qxx AS DOUBLE) * CAST(qyy AS DOUBLE)) + 0.5) AS BIGINT)
+                     AS cos_micro
+            FROM scored),
+    top AS (SELECT * FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cos_micro DESC, vec_id) AS rnk
+              FROM cos) WHERE rnk <= 5),
+    votes AS (SELECT query_id, label, COUNT(*) AS votes
+              FROM top GROUP BY query_id, label),
+    pred AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY votes DESC, label) AS rn
+             FROM votes)
+    SELECT p.query_id, q.true_label, p.label AS predicted_label, p.votes
+    FROM pred p JOIN q ON p.query_id = q.query_id WHERE p.rn = 1
+    """,
+)
+def q120_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification by majority vote: every 100th vector is
+    held out as a query, its 5 nearest neighbors (exact quantized
+    cosine, self excluded) vote with their labels, and the plurality
+    label — ties broken toward the smaller label — is the prediction,
+    reported against the true label. The standard label-propagation /
+    quality-probe primitive over an embedded corpus.
+
+    Scale: identical data movement to brute-force ANN (q55) — the
+    query set broadcasts, the corpus streams once, per-query top-k via
+    a window whose partitions are the handful of queries; the vote and
+    argmax then operate on k·|queries| rows. Swapping the scorer to
+    the IVF cell join (q56) scales the same vote to large query sets.
+    """
+    from kinesis_producer_spark.operators.similarity import cosine_micro
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("_qe"),
+    )
+    scored = (
+        e.select("vec_id", "label", "embedding")
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "vec_id",
+            "label",
+            cosine_micro(F.col("embedding"), F.col("_qe")).alias("cos_micro"),
+        )
+    )
+    wk = W.partitionBy("query_id").orderBy(F.desc("cos_micro"), F.asc("vec_id"))
+    top = scored.withColumn("rnk", F.row_number().over(wk)).filter(F.col("rnk") <= 5)
+    votes = top.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = W.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("predicted_label"),
+            "votes",
+        )
+    )
