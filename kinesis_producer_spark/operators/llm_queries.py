@@ -1766,3 +1766,86 @@ def q120_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             "votes",
         )
     )
+
+
+@query(
+    "q121_bigram_collocations",
+    oracle="""
+    WITH doc AS (SELECT regexp_split_to_array(text, '\\s+') AS a FROM documents),
+    bg AS (SELECT unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1]))
+             AS bg FROM doc),
+    bgc AS (SELECT bg, COUNT(*) AS nb FROM bg GROUP BY bg),
+    bb AS (SELECT SUM(nb) AS bb FROM bgc),
+    tok AS (SELECT unnest(a) AS t FROM doc),
+    uni AS (SELECT t, COUNT(*) AS nx FROM tok GROUP BY t),
+    nn AS (SELECT SUM(nx) AS nn FROM uni),
+    lift AS (
+      SELECT bgc.bg, bgc.nb,
+             CAST(FLOOR(1e6 * (CAST(bgc.nb AS DOUBLE) * nn.nn * nn.nn)
+                            / (CAST(bb.bb AS DOUBLE) * u1.nx * u2.nx) + 0.5) AS BIGINT)
+               AS lift_micro
+      FROM bgc
+      JOIN uni u1 ON u1.t = split_part(bgc.bg, ' ', 1)
+      JOIN uni u2 ON u2.t = split_part(bgc.bg, ' ', 2), bb, nn
+      WHERE bgc.nb >= 5)
+    SELECT bg AS bigram, nb, lift_micro
+    FROM lift ORDER BY lift_micro DESC, bg LIMIT 50
+    """,
+)
+def q121_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation discovery: adjacent-token bigrams ranked by
+    pointwise-mutual-information lift p(xy)/(p(x)p(y)) with a min-count
+    support filter — the standard multi-word-expression / phrase-mining
+    primitive over a corpus (PMI without the log; the monotone ratio
+    preserves ranking and avoids transcendental-fn divergence).
+
+    Exactness: all counts are integers; the lift is one fixed-order
+    double expression quantized to micro-units, identical in the
+    oracle. Top-50 ties break on the bigram string.
+
+    Scale: one corpus-sized shuffle builds the bigram counts; unigram
+    counts are vocab-sized and join on the bigram's endpoint tokens
+    (broadcast when the vocab is small, shuffle-on-token otherwise);
+    the grand totals broadcast as single rows. Final top-50 is
+    TakeOrderedAndProject.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    doc = d.select(F.split("text", r"\s+").alias("a"))
+    bg = doc.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("a"), 1, F.size("a") - 1),
+                F.slice(F.col("a"), 2, F.size("a") - 1),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            )
+        ).alias("bg")
+    )
+    bgc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("nb"))
+    bb = bgc.agg(F.sum("nb").alias("bb"))
+    tok = doc.select(F.explode("a").alias("t"))
+    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("nx"))
+    nn = uni.agg(F.sum("nx").alias("nn"))
+    u1 = uni.select(F.col("t").alias("_t1"), F.col("nx").alias("_nx1"))
+    u2 = uni.select(F.col("t").alias("_t2"), F.col("nx").alias("_nx2"))
+    lift = (
+        bgc.filter(F.col("nb") >= 5)
+        .withColumn("_w1", F.split("bg", " ").getItem(0))
+        .withColumn("_w2", F.split("bg", " ").getItem(1))
+        .join(F.broadcast(u1), F.col("_w1") == F.col("_t1"))
+        .join(F.broadcast(u2), F.col("_w2") == F.col("_t2"))
+        .crossJoin(F.broadcast(bb))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("bg").alias("bigram"),
+            "nb",
+            F.floor(
+                F.lit(1e6)
+                * (F.col("nb").cast("double") * F.col("nn") * F.col("nn"))
+                / (F.col("bb").cast("double") * F.col("_nx1") * F.col("_nx2"))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+    )
+    return lift.orderBy(F.desc("lift_micro"), F.asc("bigram")).limit(50)

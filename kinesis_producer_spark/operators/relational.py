@@ -2542,3 +2542,240 @@ def q116_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("max_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline / pareto frontier — 2-D dominance without the O(n^2) self-join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q122_pareto_parts",
+    oracle="""
+    SELECT a.p_partkey, a.p_retailprice, a.p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+    """,
+)
+def q122_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: parts on the pareto frontier of (cheaper price,
+    larger size). A part is dominated when another part is no worse in
+    both dimensions and strictly better in one; exact duplicates of a
+    frontier point are both kept.
+
+    The oracle states the O(n²) NOT-EXISTS dominance definition; the
+    Spark plan is the scalable 2-D skyline: collapse to one row per
+    distinct price (max size), a running max over strictly-cheaper
+    prices, then a price-keyed join back — a part survives iff no
+    strictly-cheaper price reaches its size and nothing at its own
+    price strictly exceeds it.
+
+    Scale: the price-level frame is |distinct prices| rows, so the
+    ordered running max is a window over an already-aggregated frame
+    (range-partition + broadcast prefix offsets generalizes it, q107);
+    the join back keys on price with map-side partials — no quadratic
+    pair blowup anywhere.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    pp = p.groupBy("p_retailprice").agg(F.max("p_size").alias("_msize"))
+    w = W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
+    pp2 = pp.withColumn("_m1", F.max("_msize").over(w))
+    dominated = F.coalesce(
+        F.col("_m1") >= F.col("p_size"), F.lit(False)
+    ) | (F.col("p_size") < F.col("_msize"))
+    return (
+        p.join(pp2, "p_retailprice")
+        .filter(~dominated)
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact Pearson correlation matrix in one pass (quantized moments)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q123_corr_matrix",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(FLOOR(l_quantity      * 1e6 + 0.5) AS BIGINT) AS q1,
+             CAST(FLOOR(l_extendedprice * 1e6 + 0.5) AS BIGINT) AS q2,
+             CAST(FLOOR(l_discount      * 1e6 + 0.5) AS BIGINT) AS q3,
+             CAST(FLOOR(l_tax           * 1e6 + 0.5) AS BIGINT) AS q4
+      FROM lineitem),
+    s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(q1 AS HUGEINT)) AS s1, SUM(CAST(q2 AS HUGEINT)) AS s2,
+             SUM(CAST(q3 AS HUGEINT)) AS s3, SUM(CAST(q4 AS HUGEINT)) AS s4,
+             SUM(CAST(q1 AS HUGEINT) * q1) AS s11, SUM(CAST(q2 AS HUGEINT) * q2) AS s22,
+             SUM(CAST(q3 AS HUGEINT) * q3) AS s33, SUM(CAST(q4 AS HUGEINT) * q4) AS s44,
+             SUM(CAST(q1 AS HUGEINT) * q2) AS s12, SUM(CAST(q1 AS HUGEINT) * q3) AS s13,
+             SUM(CAST(q1 AS HUGEINT) * q4) AS s14, SUM(CAST(q2 AS HUGEINT) * q3) AS s23,
+             SUM(CAST(q2 AS HUGEINT) * q4) AS s24, SUM(CAST(q3 AS HUGEINT) * q4) AS s34
+      FROM q)
+    SELECT x, y, CAST(FLOOR(1e6 * (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+                  * (CAST(n AS DOUBLE) * syy - sy * sy)) + 0.5) AS BIGINT) AS corr_micro
+    FROM (
+      SELECT 'quantity' AS x, 'extendedprice' AS y, CAST(s12 AS DOUBLE) AS sxy,
+             CAST(s1 AS DOUBLE) AS sx, CAST(s2 AS DOUBLE) AS sy,
+             CAST(s11 AS DOUBLE) AS sxx, CAST(s22 AS DOUBLE) AS syy, n FROM s
+      UNION ALL
+      SELECT 'quantity', 'discount', CAST(s13 AS DOUBLE), CAST(s1 AS DOUBLE),
+             CAST(s3 AS DOUBLE), CAST(s11 AS DOUBLE), CAST(s33 AS DOUBLE), n FROM s
+      UNION ALL
+      SELECT 'quantity', 'tax', CAST(s14 AS DOUBLE), CAST(s1 AS DOUBLE),
+             CAST(s4 AS DOUBLE), CAST(s11 AS DOUBLE), CAST(s44 AS DOUBLE), n FROM s
+      UNION ALL
+      SELECT 'extendedprice', 'discount', CAST(s23 AS DOUBLE), CAST(s2 AS DOUBLE),
+             CAST(s3 AS DOUBLE), CAST(s22 AS DOUBLE), CAST(s33 AS DOUBLE), n FROM s
+      UNION ALL
+      SELECT 'extendedprice', 'tax', CAST(s24 AS DOUBLE), CAST(s2 AS DOUBLE),
+             CAST(s4 AS DOUBLE), CAST(s22 AS DOUBLE), CAST(s44 AS DOUBLE), n FROM s
+      UNION ALL
+      SELECT 'discount', 'tax', CAST(s34 AS DOUBLE), CAST(s3 AS DOUBLE),
+             CAST(s4 AS DOUBLE), CAST(s33 AS DOUBLE), CAST(s44 AS DOUBLE), n FROM s)
+    """,
+)
+def q123_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's four numeric
+    measures, computed exactly in ONE pass: micro-quantized values,
+    decimal-exact sums of all first/second/cross moments (14
+    aggregates), then a fixed-order double formula per pair.
+
+    Exactness: the moment sums are integer-exact (decimal(38,0) /
+    HUGEINT); the correlation is the same left-associative double
+    expression on both engines, so corr_micro is bit-identical.
+
+    Scale: single scan, map-side partial aggregation — the exchange
+    carries one 14-column row per task no matter the table size; the
+    6-pair expansion happens on that one row. This is the canonical
+    "all second moments in one pass" layout that also yields
+    covariance, variance and OLS normal equations for free.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = [
+        ("quantity", "l_quantity"),
+        ("extendedprice", "l_extendedprice"),
+        ("discount", "l_discount"),
+        ("tax", "l_tax"),
+    ]
+    q = li.select(
+        *[
+            F.floor(F.col(src) * 1e6 + F.lit(0.5))
+            .cast("bigint")
+            .cast("decimal(38,0)")
+            .alias(f"q{i+1}")
+            for i, (_, src) in enumerate(cols)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(4):
+        aggs.append(F.sum(F.col(f"q{i+1}")).alias(f"s{i+1}"))
+    for i in range(4):
+        for j in range(i, 4):
+            aggs.append(
+                F.sum(F.col(f"q{i+1}") * F.col(f"q{j+1}")).alias(f"s{i+1}{j+1}")
+            )
+    s = q.agg(*aggs)
+
+    def corr(i: int, j: int):
+        n = F.col("n").cast("double")
+        sx = F.col(f"s{i}").cast("double")
+        sy = F.col(f"s{j}").cast("double")
+        sxx = F.col(f"s{i}{i}").cast("double")
+        syy = F.col(f"s{j}{j}").cast("double")
+        sxy = F.col(f"s{i}{j}").cast("double")
+        return (
+            F.floor(
+                F.lit(1e6)
+                * (n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+
+    pairs = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    names = {i + 1: name for i, (name, _) in enumerate(cols)}
+    structs = [
+        F.struct(
+            F.lit(names[i]).alias("x"),
+            F.lit(names[j]).alias("y"),
+            corr(i, j).alias("corr_micro"),
+        )
+        for i, j in pairs
+    ]
+    return s.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# Time-series densify: calendar spine, zero-fill, trailing window
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q124_calendar_gapfill",
+    oracle="""
+    WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                      CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+               FROM orders),
+    daily AS (SELECT d, COUNT(*) AS n, SUM(cents) AS s FROM o GROUP BY d),
+    spine AS (SELECT CAST(UNNEST(generate_series(
+                 CAST((SELECT MIN(d) FROM o) AS TIMESTAMP),
+                 CAST((SELECT MAX(d) FROM o) AS TIMESTAMP),
+                 INTERVAL 1 DAY)) AS DATE) AS day),
+    filled AS (SELECT day, COALESCE(n, 0) AS n_orders, COALESCE(s, 0) AS sum_cents
+               FROM spine LEFT JOIN daily ON day = d)
+    SELECT day, n_orders, sum_cents,
+           SUM(sum_cents) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sum7_cents
+    FROM filled
+    """,
+)
+def q124_calendar_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densify: build a complete calendar spine from min to
+    max order date with sequence+explode, left-join the daily revenue
+    aggregate, zero-fill missing days, and compute a trailing 7-day
+    revenue sum. Gap-filling is what makes the ROWS-based trailing
+    frame equal the calendar-time window — the standard prerequisite
+    for moving averages / burn rates over sparse activity.
+
+    Exactness: revenue in integer cents; the windowed sum is an
+    integer sum. Dates compare as ISO strings.
+
+    Scale: the expensive input collapses to |days| rows before the
+    spine join and window, so both run on a calendar-sized frame —
+    fine in one partition for years of days; for decade+ spans the
+    q107 bucket+prefix-offset layout makes the running window
+    distributed without a global sort.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    daily = o.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    rng = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = rng.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    filled = (
+        spine.join(daily, spine.day == daily.d, "left")
+        .select(
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("s"), F.lit(0)).alias("sum_cents"),
+        )
+    )
+    w7 = W.orderBy("day").rowsBetween(-6, 0)
+    return filled.select(
+        "day",
+        "n_orders",
+        "sum_cents",
+        F.sum("sum_cents").over(w7).alias("sum7_cents"),
+    )
