@@ -1849,3 +1849,186 @@ def q121_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return lift.orderBy(F.desc("lift_micro"), F.asc("bigram")).limit(50)
+
+
+@query(
+    "q125_pq_codebook",
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, s.s AS s,
+             list_transform(range(1, 9),
+               i -> CAST(FLOOR(CAST(embedding[s.s*8 + i] AS DOUBLE)*1e6 + 0.5) AS BIGINT))
+               AS v
+      FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS s) s),
+    cent AS (SELECT vec_id AS code, s, v FROM sub WHERE vec_id < 16),
+    d AS (SELECT sub.vec_id, sub.s, cent.code,
+            list_sum(list_transform(range(1, 9),
+              i -> (sub.v[i] - cent.v[i]) * (sub.v[i] - cent.v[i]))) AS d
+          FROM sub JOIN cent USING (s)),
+    best AS (SELECT vec_id, s, code FROM (
+       SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+       FROM d) WHERE rn = 1)
+    SELECT s AS subspace, code, COUNT(*) AS n_vecs
+    FROM best GROUP BY s, code
+    """,
+)
+def q125_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode step: each 64-dim embedding splits
+    into 8 contiguous 8-dim subvectors; every subvector is assigned to
+    its nearest of 16 codebook centroids (here: the subvectors of
+    vec_id 0..15, a deterministic stand-in for trained centroids) by
+    exact squared-L2 over micro-quantized components; the result is
+    the per-(subspace, code) cell population — the codebook occupancy
+    a PQ index builder reports.
+
+    Exactness: distances are integer sums of squared integer deltas,
+    argmin ties break toward the smaller code — fully deterministic.
+
+    Scale: the codebook (8×16 subvectors) broadcasts; the corpus
+    streams once through a broadcast nested-loop of 16 candidates per
+    subspace with an in-partition argmin (min over (d, code) structs),
+    then a 128-group aggregate. No corpus-sized shuffle: the only
+    exchange carries the 128 partial counts per task. This is exactly
+    the memory-bounded assign step of IVF-PQ index construction.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    micro = lambda c: F.floor(c.cast("double") * 1e6 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.transform(F.slice("embedding", s * 8 + 1, 8), micro).alias("v"),
+            )
+            for s in range(8)
+        ]
+    )
+    sub = e.select("vec_id", F.explode(subs).alias("r")).select(
+        "vec_id", F.col("r.s").alias("s"), F.col("r.v").alias("v")
+    )
+    cent = sub.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code"), F.col("s").alias("_cs"), F.col("v").alias("cv")
+    )
+    d = sub.join(F.broadcast(cent), F.col("s") == F.col("_cs")).select(
+        "vec_id",
+        "s",
+        "code",
+        F.aggregate(
+            F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("d"),
+    )
+    best = d.groupBy("vec_id", "s").agg(
+        F.min(F.struct("d", "code")).getField("code").alias("code")
+    )
+    return best.groupBy(F.col("s").alias("subspace"), "code").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+
+
+# Deterministic ±1 hyperplane matrix for signed-random-projection LSH:
+# 16 planes × 64 dims, derived from a fixed arithmetic formula so Spark
+# and the oracle embed the exact same literals.
+_SRP_SIGNS = [
+    [1 if ((b * 73856093 + (i + 1) * 19349663) % 97) % 2 == 0 else -1 for i in range(64)]
+    for b in range(16)
+]
+
+
+def _srp_sig_sql() -> str:
+    terms = []
+    for b, row in enumerate(_SRP_SIGNS):
+        lst = "[" + ", ".join(str(s) for s in row) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1,65), "
+            f"i -> qe[i] * ({lst})[i])) > 0 THEN {1 << b} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "q126_srp_lsh_neardup",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(range(1, 65),
+               i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE)*1e6 + 0.5) AS BIGINT)) AS qe
+      FROM embeddings),
+    sigs AS (SELECT vec_id, {_srp_sig_sql()} AS sig FROM q)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+    FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 2
+    """,
+)
+def q126_srp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate candidates via signed-random-projection
+    LSH: each vector is hashed to a 16-bit signature (sign of the dot
+    product against 16 fixed ±1 hyperplanes — cosine-LSH), signatures
+    are banded 4×4 bits, vectors sharing any band become candidate
+    pairs, and candidates within Hamming distance 2 are emitted. By
+    pigeonhole, any pair at Hamming ≤ 2 differs in at most 2 of the 4
+    bands, so at least 2 bands agree — the band join has PERFECT
+    recall at this radius, which is why the oracle can state the
+    all-pairs definition while the plan never goes quadratic.
+
+    Exactness: projections are integer dot products of micro-quantized
+    components with ±1 literals — no floats anywhere.
+
+    Scale: signatures are one narrow scan (64×16 int ops/row);
+    the band join shuffles on (band, 4 bits) — candidate count is
+    data-dependent but bounded by bucket sizes, the classic LSH
+    recall/cost dial (more, wider bands → fewer candidates). This is
+    the scale path complementing exact cosine near-dup (q54) and IVF
+    (q56).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    qe = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("bigint"),
+        ).alias("qe"),
+    )
+    sig_col = None
+    for b, row in enumerate(_SRP_SIGNS):
+        dot = F.aggregate(
+            F.zip_with("qe", F.array(*[F.lit(s) for s in row]), lambda x, s: x * s),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(dot > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig_col = term if sig_col is None else sig_col + term
+    sigs = qe.select("vec_id", sig_col.alias("sig"))
+    bands = sigs.select(
+        "vec_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.shiftright("sig", 4 * band).bitwiseAND(F.lit(15)).alias("bits"),
+                    )
+                    for band in range(4)
+                ]
+            )
+        ).alias("r"),
+    ).select("vec_id", "sig", F.col("r.band").alias("band"), F.col("r.bits").alias("bits"))
+    left = bands.select(
+        F.col("vec_id").alias("vec_a"), F.col("sig").alias("_siga"), "band", "bits"
+    )
+    right = bands.select(
+        F.col("vec_id").alias("vec_b"), F.col("sig").alias("_sigb"), "band", "bits"
+    )
+    pairs = (
+        left.join(right, ["band", "bits"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "_siga", "_sigb")
+        .distinct()
+    )
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        F.bit_count(F.col("_siga").bitwiseXOR(F.col("_sigb"))).alias("hamming"),
+    ).filter(F.col("hamming") <= 2)
