@@ -38,6 +38,11 @@ NLJ_OK = {
     "q115_event_zscore",
     # order-statistic positions + median row: all broadcast single-row frames
     "q117_median_mad",
+    # grand-total / token-total single-row broadcast cross joins
+    "q118_token_source_assoc",
+    "q121_bigram_collocations",
+    # brute-force scorer: tiny held-out query set broadcast on purpose
+    "q120_knn_label_vote",
 }
 
 # Full outer joins cannot broadcast (both sides need null extension) —
