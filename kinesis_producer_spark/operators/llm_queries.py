@@ -2032,3 +2032,62 @@ def q126_srp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_b",
         F.bit_count(F.col("_siga").bitwiseXOR(F.col("_sigb"))).alias("hamming"),
     ).filter(F.col("hamming") <= 2)
+
+
+@query(
+    "q127_doc_chunking",
+    oracle="""
+    WITH doc AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS a FROM documents),
+    starts AS (
+      SELECT doc_id, a,
+             unnest(range(0, CASE WHEN len(a) <= 32 THEN 1
+                                  ELSE CAST(CEIL((len(a) - 32) / 24.0) AS BIGINT) + 1 END))
+               AS k
+      FROM doc),
+    chunk AS (
+      SELECT doc_id, k AS chunk_id,
+             list_slice(a, k*24 + 1, LEAST(k*24 + 32, len(a))) AS toks
+      FROM starts)
+    SELECT doc_id, chunk_id, len(toks) AS n_tokens,
+           array_to_string(toks, ' ') AS chunk_text
+    FROM chunk
+    """,
+)
+def q127_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the training-prep / RAG
+    segmentation primitive: each document's token stream is cut into
+    windows of 32 tokens with stride 24 (8-token overlap so no
+    boundary context is lost); the last window is the remainder, and a
+    short document yields exactly one chunk. Output is one row per
+    (doc, chunk) with its token count and text.
+
+    Exactness: pure integer index arithmetic and string slicing —
+    chunk count is ceil((n-32)/24)+1, replicated on both engines.
+
+    Scale: per-row explode with no shuffle at all — chunking is
+    embarrassingly parallel, and the ~1.33× token duplication from
+    overlap is the expected storage cost. Downstream packing (q81)
+    and dedup consume these chunks unchanged.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    doc = d.select("doc_id", F.split("text", r"\s+").alias("a"))
+    n = F.size("a")
+    n_chunks = F.when(n <= 32, F.lit(1).cast("bigint")).otherwise(
+        F.ceil((n - 32) / F.lit(24.0)).cast("bigint") + 1
+    )
+    starts = doc.select(
+        "doc_id",
+        "a",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("k"),
+    )
+    toks = F.slice(
+        F.col("a"),
+        (F.col("k") * 24 + 1).cast("int"),
+        (F.least(F.col("k") * 24 + 32, F.size("a")) - F.col("k") * 24).cast("int"),
+    )
+    return starts.select(
+        "doc_id",
+        F.col("k").alias("chunk_id"),
+        F.size(toks).alias("n_tokens"),
+        F.array_join(toks, " ").alias("chunk_text"),
+    )

@@ -2779,3 +2779,86 @@ def q124_calendar_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_cents",
         F.sum("sum_cents").over(w7).alias("sum7_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (string_agg / sorted collect_list)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q128_supplier_roster",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_suppliers,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS roster
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q128_supplier_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: per nation, the supplier names
+    joined into one comma-separated roster in name order — the
+    string_agg(... ORDER BY ...) shape, expressed Spark-side as
+    collect_list → array_sort → array_join so the result is
+    deterministic regardless of partial-aggregation arrival order.
+
+    Scale: collect_list partials combine map-side but the full roster
+    for a group must fit in one aggregation buffer — correct for
+    bounded group sizes (suppliers per nation); for unbounded groups
+    the scalable form caps the list (slice after sort) or goes through
+    the q110 inverted-index layout instead.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("roster"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence: co-purchased part pairs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q129_copurchase_pairs",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= 3
+    """,
+)
+def q129_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: pairs of parts bought together in
+    at least 3 distinct orders — the candidate-pair step of frequent
+    itemset mining / "bought together" recommendations.
+
+    Scale: the pair generation self-joins on the order key, so pair
+    fan-out is bounded by the square of lines-per-order (≤ ~7 lines →
+    ≤ 21 pairs per order), NOT by table size — the join co-locates on
+    l_orderkey and the pair-count aggregate combines map-side. The
+    min-support HAVING prunes the long tail before any downstream
+    join. For baskets with unbounded width, cap or sample within the
+    basket first (the standard a-priori guard).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
