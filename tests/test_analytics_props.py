@@ -1,0 +1,266 @@
+"""Property-based tests for the corpus-stats / embedding-index /
+analytics queries (q122, q123, q125, q126, q127): random small inputs
+written as parquet fixtures, query output vs an exact Python model.
+
+Example counts are low because every example is a Spark job + parquet
+round-trip (same convention as test_properties.py).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import sys
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+        HealthCheck.large_base_example,
+        HealthCheck.data_too_large,
+    ],
+)
+
+WORD = st.text(alphabet="abcde", min_size=1, max_size=3)
+
+
+def _fixture_dir(spark, name, df):
+    d = tempfile.mkdtemp(prefix="sgfix_")
+    df.write.mode("overwrite").parquet(os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+# ---------------------------------------------------------------------------
+# q127 sliding-window chunking: exact cover model
+# ---------------------------------------------------------------------------
+
+
+def _chunks_model(tokens):
+    n = len(tokens)
+    n_chunks = 1 if n <= 32 else math.ceil((n - 32) / 24.0) + 1
+    out = []
+    for k in range(int(n_chunks)):
+        toks = tokens[k * 24 : min(k * 24 + 32, n)]
+        out.append((k, len(toks), " ".join(toks)))
+    return out
+
+
+@SETTINGS
+@given(docs=st.lists(st.lists(WORD, min_size=1, max_size=90), min_size=1, max_size=6))
+def test_chunking_matches_model(spark, docs):
+    from kinesis_producer_spark.operators.llm_queries import q127_doc_chunking
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    d = _fixture_dir(
+        spark, "documents", spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    try:
+        got = {
+            (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
+            for r in q127_doc_chunking(spark, d).collect()
+        }
+        want = {}
+        for i, words in enumerate(docs):
+            for k, n_tok, text in _chunks_model(words):
+                want[(i, k)] = (n_tok, text)
+        assert got == want
+        # invariant: stride-24 chunks reassemble the original exactly
+        for i, words in enumerate(docs):
+            ks = sorted(k for (doc, k) in got if doc == i)
+            rebuilt = []
+            for k in ks:
+                toks = got[(i, k)][1].split(" ")
+                rebuilt.extend(toks if k == 0 else toks[8:])
+            assert rebuilt == words
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q122 skyline: brute-force dominance model
+# ---------------------------------------------------------------------------
+
+
+@SETTINGS
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=25
+    )
+)
+def test_skyline_matches_bruteforce(spark, pts):
+    from kinesis_producer_spark.operators.relational import q122_pareto_parts
+
+    rows = [(i, float(p), s) for i, (p, s) in enumerate(pts)]
+    d = _fixture_dir(
+        spark,
+        "part",
+        spark.createDataFrame(rows, "p_partkey long, p_retailprice double, p_size int"),
+    )
+    try:
+        got = sorted(r.p_partkey for r in q122_pareto_parts(spark, d).collect())
+        want = sorted(
+            i
+            for i, (p, s) in enumerate(pts)
+            if not any(
+                bp <= p and bs >= s and (bp < p or bs > s) for bp, bs in pts
+            )
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q123 correlation matrix: replicate the fixed-order double formula
+# ---------------------------------------------------------------------------
+
+
+@SETTINGS
+@given(
+    data=st.lists(
+        st.tuples(
+            st.floats(0, 50, allow_nan=False),
+            st.floats(0, 1000, allow_nan=False),
+            st.floats(0, 0.125, allow_nan=False),
+            st.floats(0, 0.0625, allow_nan=False),
+        ),
+        min_size=3,
+        max_size=30,
+    )
+)
+def test_corr_matrix_matches_model(spark, data):
+    from kinesis_producer_spark.operators.relational import q123_corr_matrix
+
+    # guarantee nonzero variance in every column
+    data = data + [(1.0, 2.0, 0.01, 0.02), (40.0, 900.0, 0.09, 0.07)]
+    rows = [(float(a), float(b), float(c), float(d)) for a, b, c, d in data]
+    d = _fixture_dir(
+        spark,
+        "lineitem",
+        spark.createDataFrame(
+            rows,
+            "l_quantity double, l_extendedprice double, l_discount double, l_tax double",
+        ),
+    )
+    try:
+        got = {
+            (r.x, r.y): r.corr_micro for r in q123_corr_matrix(spark, d).collect()
+        }
+        q = [
+            [int(math.floor(v * 1e6 + 0.5)) for v in col]
+            for col in zip(*rows)
+        ]
+        n = len(rows)
+        names = ["quantity", "extendedprice", "discount", "tax"]
+        want = {}
+        for i in range(4):
+            for j in range(i + 1, 4):
+                sx, sy = float(sum(q[i])), float(sum(q[j]))
+                sxx = float(sum(v * v for v in q[i]))
+                syy = float(sum(v * v for v in q[j]))
+                sxy = float(sum(a * b for a, b in zip(q[i], q[j])))
+                nd = float(n)
+                num = nd * sxy - sx * sy
+                den = math.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+                want[(names[i], names[j])] = int(math.floor(1e6 * num / den + 0.5))
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q125 PQ assignment / q126 SRP banding: exact integer models
+# ---------------------------------------------------------------------------
+
+# hypothesis can't shrink 40×64 raw floats; draw one int seed per vector
+# and expand it deterministically to 64 dims.
+EMB = st.lists(st.integers(0, 2**31 - 1), min_size=17, max_size=30).map(
+    lambda seeds: [
+        [((s * (i + 3) + i * i * 37) % 2001 - 1000) / 1000.0 for i in range(64)]
+        for s in seeds
+    ]
+)
+
+
+def _micro(v):
+    return int(math.floor(float(v) * 1e6 + 0.5))
+
+
+@SETTINGS
+@given(vecs=EMB)
+def test_pq_assignment_matches_model(spark, vecs):
+    from kinesis_producer_spark.operators.llm_queries import q125_pq_codebook
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    d = _fixture_dir(
+        spark,
+        "embeddings",
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+    )
+    try:
+        got = {
+            (r.subspace, r.code): r.n_vecs for r in q125_pq_codebook(spark, d).collect()
+        }
+        q = [[_micro(x) for x in v] for v in vecs]
+        want = {}
+        for vid, v in enumerate(q):
+            for s in range(8):
+                sub = v[s * 8 : s * 8 + 8]
+                best = min(
+                    range(16),
+                    key=lambda c: (
+                        sum((a - b) ** 2 for a, b in zip(sub, q[c][s * 8 : s * 8 + 8])),
+                        c,
+                    ),
+                )
+                want[(s, best)] = want.get((s, best), 0) + 1
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@SETTINGS
+@given(vecs=EMB)
+def test_srp_banding_finds_all_close_pairs(spark, vecs):
+    from kinesis_producer_spark.operators.llm_queries import (
+        _SRP_SIGNS,
+        q126_srp_lsh_neardup,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    d = _fixture_dir(
+        spark,
+        "embeddings",
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+    )
+    try:
+        got = {
+            (r.vec_a, r.vec_b): r.hamming
+            for r in q126_srp_lsh_neardup(spark, d).collect()
+        }
+        sigs = []
+        for v in vecs:
+            q = [_micro(x) for x in v]
+            sig = 0
+            for b, signs in enumerate(_SRP_SIGNS):
+                if sum(x * s for x, s in zip(q, signs)) > 0:
+                    sig |= 1 << b
+            sigs.append(sig)
+        want = {}
+        for a in range(len(sigs)):
+            for b in range(a + 1, len(sigs)):
+                h = bin(sigs[a] ^ sigs[b]).count("1")
+                if h <= 2:
+                    want[(a, b)] = h
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
