@@ -2091,3 +2091,89 @@ def q127_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.array_join(toks, " ").alias("chunk_text"),
     )
+
+
+@query(
+    "q130_bm25_retrieval",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+                 FROM documents),
+    nd AS (SELECT COUNT(*) AS nd FROM documents),
+    tot AS (SELECT COUNT(*) AS tot FROM tok),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+    df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    qterms AS (SELECT t, df FROM df, nd
+               WHERE df >= 2 AND df * 10 <= nd
+               ORDER BY t LIMIT 5),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(1e6 * ((nd.nd - q.df + 0.5) / (q.df + 0.5))
+                  * ((CAST(tf.tf AS DOUBLE) * 2.25)
+                     / (tf.tf + 1.25 * (0.25 + 0.75 * dl.dl
+                          / (CAST(tot.tot AS DOUBLE) / nd.nd)))) + 0.5) AS BIGINT)
+               AS term_micro
+      FROM tf JOIN qterms q USING (t) JOIN dl USING (doc_id), nd, tot)
+    SELECT doc_id, COUNT(*) AS n_hit, SUM(term_micro) AS score_micro
+    FROM scored GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id LIMIT 20
+    """,
+)
+def q130_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-shaped ranked retrieval over the corpus: a deterministic
+    5-term query (the alphabetically-first mid-rare tokens, df in
+    [2, N/10]) scores documents with the BM25 tf-saturation term
+    (k1=1.25, b=0.75 — dyadic constants, exactly representable) and a
+    log-free rational idf (N−df+0.5)/(df+0.5) — the same monotone
+    ranking family, minus the non-bit-portable ln (same substitution
+    as q113). Top-20 documents with hit counts.
+
+    Exactness: every per-(doc, term) score is one fixed-order double
+    expression quantized to micro-units; the document score is an
+    integer sum, so ranking never depends on float addition order.
+
+    Scale: tf is the one corpus-sized shuffle (the inverted-index
+    build, q110); the query-term list (≤5 rows), doc count and token
+    total broadcast; document lengths join on doc_id — the same key
+    tf already has. Only documents containing a query term survive
+    the qterms join, so the scoring frame is candidate-sized, and the
+    final top-20 is TakeOrderedAndProject.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("t"))
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    tot = tok.agg(F.count(F.lit(1)).alias("tot"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        df.crossJoin(F.broadcast(nd))
+        .filter((F.col("df") >= 2) & (F.col("df") * 10 <= F.col("nd")))
+        .orderBy("t")
+        .limit(5)
+        .select("t", "df")
+    )
+    avgdl = F.col("tot").cast("double") / F.col("nd")
+    idf = (F.col("nd") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    sat = (F.col("tf").cast("double") * F.lit(2.25)) / (
+        F.col("tf")
+        + F.lit(1.25) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.floor(F.lit(1e6) * idf * sat + F.lit(0.5))
+            .cast("bigint")
+            .alias("term_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"), F.sum("term_micro").alias("score_micro"))
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -2862,3 +2862,156 @@ def q129_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 merge (warehouse dimension history upsert)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q131_scd2_merge",
+    oracle="""
+    WITH cur AS (
+      SELECT s_suppkey, CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM supplier),
+    delta AS (
+      SELECT s_suppkey, cents + 10000 AS cents FROM cur WHERE s_suppkey % 7 = 3
+      UNION ALL
+      SELECT s_suppkey, cents FROM cur WHERE s_suppkey % 7 = 5
+      UNION ALL
+      SELECT s_suppkey + 1000000, cents + 555 FROM cur WHERE s_suppkey % 11 = 0),
+    j AS (
+      SELECT COALESCE(c.s_suppkey, d.s_suppkey) AS s_suppkey,
+             c.cents AS ccents, d.cents AS dcents
+      FROM cur c FULL JOIN delta d ON c.s_suppkey = d.s_suppkey)
+    SELECT s_suppkey, ccents AS acctbal_cents,
+           DATE '2020-01-01' AS valid_from, DATE '2024-01-01' AS valid_to,
+           FALSE AS is_current
+    FROM j WHERE ccents IS NOT NULL AND dcents IS NOT NULL AND ccents != dcents
+    UNION ALL
+    SELECT s_suppkey, COALESCE(dcents, ccents),
+           CASE WHEN dcents IS NOT NULL AND (ccents IS NULL OR ccents != dcents)
+                THEN DATE '2024-01-01' ELSE DATE '2020-01-01' END,
+           CAST(NULL AS DATE), TRUE
+    FROM j
+    """,
+)
+def q131_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 merge: a delta batch (derived
+    deterministically from supplier — every 7th key changed, every
+    other 7th re-sent unchanged, every 11th key as a brand-new
+    supplier) merges into the current dimension. Changed keys close
+    their old version (valid_to stamped, is_current=false) and open a
+    new one; unchanged re-sends are no-ops; new keys insert open
+    versions — the standard warehouse history-preserving upsert
+    (Delta/Iceberg MERGE semantics expressed as a full-outer-join
+    classify + multi-row emit).
+
+    Scale: one full outer join on the dimension key — both sides
+    shuffle once on that key (dimensions are small next to facts; for
+    a billion-row dimension the join co-locates via bucketing on the
+    key). The two-row emit for changed keys is a per-row explode, no
+    extra shuffle. Idempotence: re-running the same delta yields only
+    no-ops, which is what makes the sink retry-safe.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    cur = s.select(
+        "s_suppkey",
+        F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    delta = (
+        cur.filter(F.col("s_suppkey") % 7 == 3)
+        .select("s_suppkey", (F.col("cents") + 10000).alias("cents"))
+        .unionAll(cur.filter(F.col("s_suppkey") % 7 == 5))
+        .unionAll(
+            cur.filter(F.col("s_suppkey") % 11 == 0).select(
+                (F.col("s_suppkey") + 1000000).alias("s_suppkey"),
+                (F.col("cents") + 555).alias("cents"),
+            )
+        )
+    )
+    c = cur.select(F.col("s_suppkey").alias("ck"), F.col("cents").alias("ccents"))
+    d = delta.select(F.col("s_suppkey").alias("dk"), F.col("cents").alias("dcents"))
+    j = c.join(d, c.ck == d.dk, "full").select(
+        F.coalesce("ck", "dk").alias("s_suppkey"), "ccents", "dcents"
+    )
+    t0 = F.lit("2020-01-01").cast("date")
+    t1 = F.lit("2024-01-01").cast("date")
+    changed = (
+        F.col("ccents").isNotNull()
+        & F.col("dcents").isNotNull()
+        & (F.col("ccents") != F.col("dcents"))
+    )
+    closed = F.when(
+        changed,
+        F.struct(
+            F.col("ccents").alias("acctbal_cents"),
+            t0.alias("valid_from"),
+            t1.alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        ),
+    )
+    current = F.struct(
+        F.coalesce("dcents", "ccents").alias("acctbal_cents"),
+        F.when(
+            F.col("dcents").isNotNull() & (F.col("ccents").isNull() | changed), t1
+        )
+        .otherwise(t0)
+        .alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return j.select(
+        "s_suppkey",
+        F.explode(
+            F.filter(F.array(closed, current), lambda x: x.isNotNull())
+        ).alias("r"),
+    ).select("s_suppkey", "r.*")
+
+
+# ---------------------------------------------------------------------------
+# Top-k with "other" bucket — heavy-hitter report shape
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q132_topk_with_other",
+    oracle="""
+    WITH g AS (SELECT event_type, user_id, COUNT(*) AS n
+               FROM events GROUP BY event_type, user_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY n DESC, user_id) AS rn
+          FROM g)
+    SELECT event_type,
+           CASE WHEN rn <= 3 THEN CAST(user_id AS VARCHAR) ELSE 'other' END AS bucket,
+           SUM(n) AS n_events
+    FROM r GROUP BY event_type,
+          CASE WHEN rn <= 3 THEN CAST(user_id AS VARCHAR) ELSE 'other' END
+    """,
+)
+def q132_topk_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter report: per event type, the top-3 users by event
+    count as named rows plus one 'other' row aggregating the long tail
+    — the dashboard-standard "top N + rest" rollup that keeps output
+    cardinality bounded no matter how many distinct users exist.
+
+    Scale: the (type, user) pre-aggregate combines map-side; the
+    ranking window partitions by event type over the aggregated frame
+    (per-type row counts = distinct users per type, not events). The
+    re-group collapses the tail in the same partitioning, so the
+    second aggregation is shuffle-free after the window's exchange.
+    Ties break on user_id, so top-3 membership is deterministic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+    r = g.withColumn("rn", F.row_number().over(w))
+    bucket = F.when(
+        F.col("rn") <= 3, F.col("user_id").cast("string")
+    ).otherwise(F.lit("other"))
+    return (
+        r.select("event_type", bucket.alias("bucket"), "n")
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("n").alias("n_events"))
+    )
