@@ -430,3 +430,64 @@ def q100_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a_user").alias("user_id"), "click_id", "purchase_id"
     )
     return run_stream_append(out, spark)
+
+
+@query(
+    "q133_stream_version_track",
+    oracle="""
+    WITH e AS (SELECT user_id, ts, event_id,
+                      CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    seq AS (SELECT *, LAG(cents) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+            FROM e)
+    SELECT user_id,
+           1 + SUM(CASE WHEN prev IS NOT NULL AND cents != prev
+                        THEN 1 ELSE 0 END) AS n_versions,
+           FIRST(cents ORDER BY ts, event_id) AS first_cents,
+           LAST(cents ORDER BY ts, event_id) AS last_cents
+    FROM seq GROUP BY user_id
+    """,
+)
+def q133_stream_version_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD-style dimension maintenance: a per-user stateful
+    version tracker over a genuine multi-batch file stream — each
+    micro-batch applies its rows in (ts, event_id) order against the
+    carried state, opening a new version whenever the observed value
+    changes (the streaming half of the batch SCD2 merge, q131). The
+    final per-user (version count, first value, current value) triple
+    is checked against the relational replay: LAG over the global
+    event order.
+
+    Scale: state is O(1) per key; ts-range micro-batches mean state
+    transitions equal sequential replay, so correctness never depends
+    on trigger boundaries. The finalize is a per-key max over
+    cumulative emissions (versions grow monotonically).
+    """
+    from kinesis_producer_spark.streaming.stateful import (
+        events_multifile_stream,
+        run_stream_update,
+        stateful_version_track,
+    )
+
+    e = events_multifile_stream(spark, sf_dir, n_files=4).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    emissions = run_stream_update(stateful_version_track(e), spark)
+    return (
+        emissions.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("n_versions", "first_cents", "last_cents")
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.n_versions").alias("n_versions"),
+            F.col("m.first_cents").alias("first_cents"),
+            F.col("m.last_cents").alias("last_cents"),
+        )
+    )

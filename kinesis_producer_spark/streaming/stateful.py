@@ -119,3 +119,55 @@ def run_stream_update(df: DataFrame, spark) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+VERSION_TRACK_OUTPUT = "user_id bigint, n_versions bigint, first_cents bigint, last_cents bigint"
+VERSION_TRACK_STATE = "first_cents bigint, last_cents bigint, n_versions bigint"
+
+
+def _version_track_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    batch = [pdf for pdf in pdfs if len(pdf)]
+    if not batch:
+        return
+    rows = pd.concat(batch).sort_values(["ts", "event_id"])
+    if state.exists:
+        first, last, n = state.get
+    else:
+        first, last, n = None, None, 0
+    for v in rows["cents"]:
+        v = int(v)
+        if n == 0:
+            first, last, n = v, v, 1
+        elif v != last:
+            last, n = v, n + 1
+    state.update((first, last, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_versions": [n],
+            "first_cents": [first],
+            "last_cents": [last],
+        }
+    )
+
+
+def stateful_version_track(events: DataFrame) -> DataFrame:
+    """Per-key SCD-style version counter: rows apply in (ts, event_id)
+    order; a new version opens whenever the value changes from the
+    previous one. Because micro-batches arrive in event-time order
+    (ts-range files) and in-batch rows are explicitly sorted, the
+    version sequence equals the fully-sequential replay — micro-batch
+    boundaries cannot affect the result, which is what makes this
+    streaming operator oracle-checkable.
+
+    Scale: O(1) state per key (two values + a counter); emissions are
+    cumulative, so the finalize step is a per-key max."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _version_track_fn,
+        outputStructType=VERSION_TRACK_OUTPUT,
+        stateStructType=VERSION_TRACK_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
