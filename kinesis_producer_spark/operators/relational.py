@@ -3015,3 +3015,130 @@ def q132_topk_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.sum("n").alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-parent hierarchical shares (region → nation → customer)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q134_percent_of_parent",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name),
+    tot AS (SELECT SUM(cents) AS grand FROM rev),
+    reg AS (SELECT region, SUM(cents) AS rcents FROM rev GROUP BY region)
+    SELECT rev.region, rev.nation, rev.cents,
+           CAST(FLOOR(1e6 * CAST(rev.cents AS DOUBLE) / reg.rcents + 0.5) AS BIGINT)
+             AS share_of_region_micro,
+           CAST(FLOOR(1e6 * CAST(reg.rcents AS DOUBLE) / tot.grand + 0.5) AS BIGINT)
+             AS region_share_micro
+    FROM rev JOIN reg USING (region), tot
+    """,
+)
+def q134_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent hierarchical report: nation revenue as a share
+    of its region, and region revenue as a share of the grand total —
+    the drill-down ratio layout every BI tool renders. Shares are
+    fixed-order double ratios of exact integer cent sums, quantized to
+    micro-units.
+
+    Scale: one fact-side aggregation (orders joined to broadcast
+    dimensions) produces the nation-level frame; the region and grand
+    totals re-aggregate that ~|nations| frame, so the ratio joins all
+    run on dimension-sized data. The fact table is scanned once.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    tot = rev.agg(F.sum("cents").alias("grand"))
+    reg = rev.groupBy("region").agg(F.sum("cents").alias("rcents"))
+    return (
+        rev.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            "cents",
+            F.floor(
+                F.lit(1e6) * F.col("cents").cast("double") / F.col("rcents")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("share_of_region_micro"),
+            F.floor(
+                F.lit(1e6) * F.col("rcents").cast("double") / F.col("grand")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("region_share_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide → long melt) + per-measure aggregate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q135_unpivot_measures",
+    oracle="""
+    WITH long AS (
+      SELECT l_returnflag, measure, CAST(FLOOR(val * 1e6 + 0.5) AS BIGINT) AS micro
+      FROM lineitem
+      UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax)))
+    SELECT l_returnflag, measure, COUNT(*) AS n,
+           SUM(micro) AS sum_micro, MIN(micro) AS min_micro, MAX(micro) AS max_micro
+    FROM long GROUP BY l_returnflag, measure
+    """,
+)
+def q135_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt: the four lineitem measures turned into
+    (measure, value) long format — the wide→long reshape that feeds
+    generic per-metric monitoring — then profiled per return flag.
+    The inverse of the EAV pivot (SURVEY §2a rows 10-11); together
+    they close the reshape round-trip on the relational surface.
+
+    Scale: unpivot is a per-row explode (Spark's Expand operator —
+    4× rows but no shuffle); the profile aggregates on low-cardinality
+    keys with map-side partials, so the exchange stays tiny. Column
+    pruning still reaches the scan: only the four measures + flag are
+    read.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    ).select(
+        "l_returnflag",
+        "measure",
+        F.floor(F.col("val") * 1e6 + F.lit(0.5)).cast("bigint").alias("micro"),
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("micro").alias("sum_micro"),
+        F.min("micro").alias("min_micro"),
+        F.max("micro").alias("max_micro"),
+    )
