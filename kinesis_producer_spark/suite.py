@@ -10,6 +10,7 @@ _MODULES = [
     "kinesis_producer_spark.operators.relational",
     "kinesis_producer_spark.operators.etl_queries",
     "kinesis_producer_spark.operators.llm_queries",
+    "kinesis_producer_spark.operators.curation",
     "kinesis_producer_spark.streaming.queries",
 ]
 
