@@ -90,11 +90,19 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    # probe the footer type via a batch read: driver-regenerated fixtures
+    # have shipped ts as TIMESTAMP(NANOS)-as-long and as plain timestamp[us]
+    ts_type = dict(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
+    )["ts"]
     raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+        f"event_id bigint, ts {ts_type}, user_id bigint, event_type string, "
+        "value double, props string"
     )
     raw = spark.readStream.schema(raw_schema).parquet(stream_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_stream_to_memory(agg: DataFrame, spark: SparkSession) -> DataFrame:

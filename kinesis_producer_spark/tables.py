@@ -40,10 +40,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # this conf, and events.parquet is unreadable without it.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # parquet timestamp[us] without tz → NTZ in Spark 4; cast to
+            # LTZ (identity under the UTC session tz) so epoch arithmetic
+            # (cast to long, unix_timestamp) and window gaps keep working.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
