@@ -1,0 +1,353 @@
+"""Scale-infrastructure operators: integrity sweeps, hierarchy closure,
+iterative graph algorithms, and vector compression.
+
+These are the maintenance/structure operators a 100 TB lakehouse needs
+around the query surface: anti-entropy table fingerprints (validate a
+replicated/migrated table without moving it), transitive-closure
+hierarchy expansion, bounded label-propagation connected components
+(dedup-cluster style grouping at corpus scale), int8 scalar
+quantization of embedding columns (the standard 4x shrink before ANN
+serving), and a corpus character-profile quality gate.
+
+The reference has no analogue (it is an ETL pipeline, SURVEY.md §0);
+these extend the engine along the driver's training-data-pipeline
+mandate. Every float expression is either exact-integer or a mirrored
+single sequence of IEEE double ops, so the DuckDB oracle hash-matches
+bit-for-bit (see functions.dsum docstring for the technique).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_producer_spark.registry import query
+from kinesis_producer_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# q140 — per-bucket table fingerprint (anti-entropy checksum)
+# ---------------------------------------------------------------------------
+
+# 40-bit row hash from the md5 hex prefix, built from primitives both
+# engines share (INSTR/SUBSTR); identical expression text runs on each.
+_NIBBLES = " + ".join(
+    f"CAST(INSTR('0123456789abcdef', SUBSTR(h, {k}, 1)) - 1 AS BIGINT)"
+    f" * {16 ** (10 - k)}"
+    for k in range(1, 11)
+)
+
+_FPR_ORACLE = f"""
+WITH rows_h AS (
+  SELECT l_orderkey % 16 AS bucket,
+         MD5(CONCAT_WS('|', l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                       l_returnflag, l_linestatus)) AS h
+  FROM lineitem)
+SELECT bucket, COUNT(*) AS n_rows,
+       CAST(SUM({_NIBBLES}) AS BIGINT) AS checksum
+FROM rows_h GROUP BY bucket
+"""
+
+
+@query("q140_partition_fingerprint", oracle=_FPR_ORACLE)
+def q140_partition_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum per hash bucket.
+
+    The anti-entropy primitive: two copies of a table (pre/post
+    migration, two regions) compare 16 (bucket, n_rows, checksum)
+    triples instead of 100 TB of rows, and a mismatched bucket narrows
+    the rescan 16x (recurse with a finer modulus for binary search).
+
+    Scale: embarrassingly parallel — the row hash is map-side, the
+    aggregate is a 16-key hash agg with map-side partials, so the
+    exchange carries 16 rows per task regardless of table size. The
+    40-bit-per-row sum stays far from bigint overflow (2^40 x 6e9 rows
+    < 2^73 would overflow — at >1e6 rows per bucket move the sum into
+    decimal(38,0); at fixture scales bigint is exact).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_h = li.select(
+        (F.col("l_orderkey") % 16).alias("bucket"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                "l_orderkey",
+                "l_partkey",
+                "l_suppkey",
+                "l_linenumber",
+                "l_returnflag",
+                "l_linestatus",
+            ).cast("binary")
+        ).alias("h"),
+    )
+    return rows_h.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr(_NIBBLES)).cast("bigint").alias("checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q141 — corpus character profile (log-free entropy proxy quality gate)
+# ---------------------------------------------------------------------------
+
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+
+_CHR_ORACLE = f"""
+WITH counts AS (
+  SELECT source, ch,
+         SUM(LENGTH(t) - LENGTH(REPLACE(t, ch, ''))) AS c,
+         SUM(LENGTH(t)) AS chars_total
+  FROM (SELECT source, LOWER(text) AS t FROM documents)
+  CROSS JOIN (SELECT UNNEST({[c for c in _ALPHABET]!r}) AS ch)
+  GROUP BY source, ch)
+SELECT source,
+       MAX(chars_total) AS total_chars,
+       CAST(SUM(c) AS BIGINT) AS alpha_chars,
+       CAST(FLOOR(1e6 * (CAST(SUM(c * c) AS DOUBLE)
+              / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))) + 0.5) AS BIGINT)
+         AS collision_micro,
+       CAST(FLOOR(1e6 * (CAST(SUM(c) AS DOUBLE) / CAST(MAX(chars_total) AS DOUBLE)) + 0.5)
+         AS BIGINT) AS alpha_ratio_micro
+FROM counts GROUP BY source
+"""
+
+
+@query("q141_char_profile", oracle=_CHR_ORACLE)
+def q141_char_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-distribution profile: collision probability
+    (sum p^2 — a Renyi-2 entropy proxy, deliberately log-free so both
+    engines agree bit-for-bit; see q130's idf note) and alphabetic
+    ratio. Low alpha_ratio or high collision flags boilerplate/binary
+    junk sources — the cheapest corpus-quality gate, run before any
+    tokenization.
+
+    Scale: per-character counts use LENGTH(REPLACE(...)) over a
+    27-row cross join instead of exploding the text to one row per
+    character — the scan stays O(docs x alphabet) rows with all the
+    string work inside whole-stage codegen, and the aggregate keys on
+    (source, ch): a few hundred groups whatever the corpus size.
+    SUM(c*c) at 100 TB: c ~ 1e12 per (source, ch) would overflow
+    bigint squared — the decimal(38,0) accumulator below is exact to
+    1e19 per char; beyond that, profile per (source, shard) first.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    chars = F.explode(F.array(*[F.lit(c) for c in _ALPHABET])).alias("ch")
+    counts = (
+        d.select("source", F.lower("text").alias("t"))
+        .select("source", "t", chars)
+        .groupBy("source", "ch")
+        .agg(
+            F.sum(F.length("t") - F.length(F.replace("t", "ch"))).alias("c"),
+            F.sum(F.length("t")).alias("chars_total"),
+        )
+    )
+    sc = F.sum("c").cast("decimal(38,0)")
+    sc2 = F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)")
+    return counts.groupBy("source").agg(
+        F.max("chars_total").alias("total_chars"),
+        sc.cast("bigint").alias("alpha_chars"),
+        F.floor(
+            F.lit(1e6) * (sc2.cast("double") / (sc.cast("double") * sc.cast("double")))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("collision_micro"),
+        F.floor(
+            F.lit(1e6) * (sc.cast("double") / F.max("chars_total").cast("double"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("alpha_ratio_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q142 — hierarchy transitive closure, recursion vectorized closed-form
+# ---------------------------------------------------------------------------
+
+_MAX_DEPTH = 8  # covers custkey < 10^8 — every fixture scale and then some
+
+_CLOSURE_ORACLE = """
+WITH RECURSIVE r AS (
+  SELECT c_custkey AS custkey, c_custkey // 10 AS ancestor, 1 AS depth
+  FROM customer WHERE c_custkey >= 1
+  UNION ALL
+  SELECT custkey, ancestor // 10, depth + 1 FROM r WHERE ancestor >= 1)
+SELECT custkey, ancestor, depth FROM r
+"""
+
+
+@query("q142_ancestor_closure", oracle=_CLOSURE_ORACLE)
+def q142_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the decimal-digit hierarchy custkey ->
+    custkey/10 -> ... -> 0 (an org-chart / BOM ancestor expansion).
+
+    The oracle recurses; Spark has no WITH RECURSIVE, and the idiomatic
+    answer is NOT a driver-side loop of self-joins: because each node's
+    parent is a pure function of its key, ancestor at depth i is the
+    closed form custkey div 10^i — the whole closure is one explode
+    over depths with an arithmetic validity filter (depth i exists iff
+    custkey >= 10^(i-1)). Zero joins, zero shuffles, zero iterations.
+
+    Scale: rows-out = sum of chain lengths (~log10(key) per row), all
+    map-side. For hierarchies that ARE table-driven (no closed form),
+    the engine's pattern is path-doubling: log2(depth) self-joins on a
+    bucketed key — see q144 for the iterative-join variant.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    depths = F.explode(F.sequence(F.lit(1), F.lit(_MAX_DEPTH))).alias("depth")
+    return (
+        c.filter(F.col("c_custkey") >= 1)
+        .select(F.col("c_custkey").alias("custkey"), depths)
+        .filter(F.col("custkey") >= F.pow(F.lit(10.0), F.col("depth") - 1).cast("bigint"))
+        .select(
+            "custkey",
+            F.expr(f"custkey div cast(pow(10.0, depth) as bigint)").alias("ancestor"),
+            "depth",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q143 — int8 scalar quantization of the embedding column
+# ---------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH dims AS (
+  SELECT d, CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS qx
+  FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS d)),
+stats AS (SELECT d, MIN(qx) AS qmin, MAX(qx) AS qmax FROM dims GROUP BY d),
+coded AS (
+  SELECT dims.d, qx, qmin, qmax,
+         CAST(FLOOR(CAST(qx - qmin AS DOUBLE) * 255.0
+                    / CAST(qmax - qmin AS DOUBLE) + 0.5) AS BIGINT) AS code
+  FROM dims JOIN stats ON dims.d = stats.d)
+SELECT d, COUNT(*) AS n_vecs, MIN(code) AS code_min, MAX(code) AS code_max,
+       CAST(SUM(ABS(qx - (qmin + CAST(FLOOR(CAST(code AS DOUBLE)
+              * CAST(qmax - qmin AS DOUBLE) / 255.0 + 0.5) AS BIGINT)))) AS BIGINT)
+         AS sum_abs_err_micro
+FROM coded GROUP BY d
+"""
+
+
+@query("q143_int8_quantization", oracle=_QUANT_ORACLE)
+def q143_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 scalar quantization with reconstruction-error
+    audit — the standard 4x compression applied to an embedding column
+    before building a serving ANN index (q55/q56): code = round(255 *
+    (x-min)/(max-min)), plus the L1 reconstruction error that decides
+    whether int8 is acceptable or a dim needs float16.
+
+    Exactness: elements quantize to integer micro-units first, so
+    min/max are exact ints and encode/decode is one mirrored sequence
+    of double ops on exact operands (see functions module docstring).
+
+    Scale: pass 1 computes 64 (min,max) rows via a map-side-partial
+    agg; pass 2 re-scans and encodes with those stats broadcast —
+    never shuffling the vectors themselves. That two-scan shape (tiny
+    stats exchange, data stays put) is the only layout that survives a
+    billion-vector corpus; a sort- or window-based min/max would
+    shuffle every element.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(F.posexplode("embedding").alias("pos", "x")).select(
+        (F.col("pos") + 1).alias("d"),
+        F.floor(F.col("x").cast("double") * 1e6 + F.lit(0.5)).cast("bigint").alias("qx"),
+    )
+    stats = dims.groupBy("d").agg(F.min("qx").alias("qmin"), F.max("qx").alias("qmax"))
+    spread = F.col("qmax") - F.col("qmin")
+    code = F.floor(
+        (F.col("qx") - F.col("qmin")).cast("double") * 255.0 / spread.cast("double")
+        + F.lit(0.5)
+    ).cast("bigint")
+    coded = dims.join(F.broadcast(stats), "d").withColumn("code", code)
+    recon = F.col("qmin") + F.floor(
+        F.col("code").cast("double") * spread.cast("double") / 255.0 + F.lit(0.5)
+    ).cast("bigint")
+    return coded.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("code").alias("code_min"),
+        F.max("code").alias("code_max"),
+        F.sum(F.abs(F.col("qx") - recon)).cast("bigint").alias("sum_abs_err_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q144 — bounded label-propagation connected components
+# ---------------------------------------------------------------------------
+
+_LP_ROUNDS = 5
+
+_CC_ORACLE = f"""
+WITH RECURSIVE base AS (
+  WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+  pairs AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+  SELECT a, b FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2),
+und AS (SELECT a AS u, b AS v FROM base UNION ALL SELECT b, a FROM base),
+verts AS (SELECT DISTINCT u AS v FROM und),
+reach AS (
+  SELECT v, v AS u, 0 AS d FROM verts
+  UNION
+  SELECT r.v, e.v AS u, r.d + 1 FROM reach r JOIN und e ON e.u = r.u
+  WHERE r.d < {_LP_ROUNDS})
+SELECT v AS part, MIN(u) AS label FROM reach GROUP BY v
+"""
+
+
+@query("q144_connected_components", oracle=_CC_ORACLE)
+def q144_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-purchase part graph (parts linked
+    when bought together in >= 2 orders) via 5 synchronous rounds of
+    min-label propagation — the same iterated-join shape that groups
+    near-duplicate documents once LSH has produced candidate edges
+    (q101 picks representatives; this labels whole clusters).
+
+    Equivalence used by the oracle: k rounds of min-propagation assign
+    each vertex the minimum vertex id within its k-hop neighborhood,
+    which DuckDB computes as a depth-bounded recursive reachability
+    set. Both sides are deterministic; vertices in components of
+    diameter > 5 would need more rounds (production: loop until a
+    round changes no label, checking with one count per round).
+
+    Scale: each round is one shuffle — join labels to edges on the
+    source endpoint, then min-agg on the destination. Pre-partitioning
+    edges and labels on the same key keeps every round co-located
+    (exchange reuse); label-propagation over billions of edges is
+    bounded by rounds x one co-partitioned join, not by graph size on
+    any single node.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    base = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("t"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("s", "t")
+    )
+    und = base.union(base.select(F.col("t"), F.col("s"))).toDF("u", "v")
+    labels = und.select(F.col("u").alias("part")).distinct().withColumn(
+        "label", F.col("part")
+    )
+    for _ in range(_LP_ROUNDS):
+        neighbor_min = (
+            und.join(labels, und["u"] == labels["part"])
+            .groupBy(F.col("v").alias("part2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels["part"] == F.col("part2"), "left")
+            .select(
+                "part",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+    return labels

@@ -11,6 +11,7 @@ _MODULES = [
     "kinesis_producer_spark.operators.etl_queries",
     "kinesis_producer_spark.operators.llm_queries",
     "kinesis_producer_spark.operators.curation",
+    "kinesis_producer_spark.operators.scale_ops",
     "kinesis_producer_spark.streaming.queries",
 ]
 
