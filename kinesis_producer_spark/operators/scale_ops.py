@@ -311,11 +311,14 @@ def q144_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     round changes no label, checking with one count per round).
 
     Scale: each round is one shuffle — join labels to edges on the
-    source endpoint, then min-agg on the destination. Pre-partitioning
-    edges and labels on the same key keeps every round co-located
-    (exchange reuse); label-propagation over billions of edges is
-    bounded by rounds x one co-partitioned join, not by graph size on
-    any single node.
+    source endpoint, then min-agg on the destination. Two disciplines
+    make the iteration viable beyond toy graphs: (a) the edge list is
+    persisted once (it is re-read every round; recomputing it would
+    redo the pair self-join x5), and (b) each round's labels are
+    localCheckpoint-ed, truncating lineage so round N's plan is one
+    join over two leaf relations instead of an N-deep tree (without
+    this the plan grows ~250 exchanges by round 5 — measured with
+    tools/plan_audit.py). Same pattern as GraphX/GraphFrames Pregel.
     """
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
@@ -331,7 +334,13 @@ def q144_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= 2)
         .select("s", "t")
     )
-    und = base.union(base.select(F.col("t"), F.col("s"))).toDF("u", "v")
+    from pyspark import StorageLevel
+
+    und = (
+        base.union(base.select(F.col("t"), F.col("s")))
+        .toDF("u", "v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     labels = und.select(F.col("u").alias("part")).distinct().withColumn(
         "label", F.col("part")
     )
@@ -349,5 +358,6 @@ def q144_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
+            .localCheckpoint(eager=True)
         )
     return labels
