@@ -442,3 +442,102 @@ def q38_flatten_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
             F.max("rts").alias("max_rts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q146 — greedy size-bounded batch packing (reference aws_utils.py:27-45)
+# ---------------------------------------------------------------------------
+
+_PACK_MAX = 64_000_000
+
+_PACK_ORACLE = f"""
+WITH RECURSIVE inv AS (
+  SELECT p_brand AS g, p_partkey AS key,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) * 200
+           + CASE WHEN p_partkey % 97 = 0 THEN 80000000 ELSE 0 END AS s
+  FROM part),
+objs AS (SELECT g, s, ROW_NUMBER() OVER (PARTITION BY g ORDER BY key) AS rn FROM inv),
+st AS (
+  SELECT g, 0 AS rn, 0 AS acc_n, CAST(0 AS BIGINT) AS acc_size, 0 AS n_closed,
+         CAST(NULL AS INTEGER) AS batch_id, CAST(NULL AS BIGINT) AS s
+  FROM (SELECT DISTINCT g FROM objs)
+  UNION ALL
+  SELECT o.g, o.rn,
+    CASE WHEN st.acc_size + o.s >= {_PACK_MAX}
+         THEN CASE WHEN st.acc_n = 0 THEN 0 ELSE 1 END
+         ELSE st.acc_n + 1 END,
+    CASE WHEN st.acc_size + o.s >= {_PACK_MAX}
+         THEN CASE WHEN st.acc_n = 0 THEN CAST(0 AS BIGINT) ELSE o.s END
+         ELSE st.acc_size + o.s END,
+    CASE WHEN st.acc_size + o.s >= {_PACK_MAX} THEN st.n_closed + 1 ELSE st.n_closed END,
+    CASE WHEN st.acc_size + o.s >= {_PACK_MAX}
+         THEN CASE WHEN st.acc_n = 0 THEN st.n_closed ELSE st.n_closed + 1 END
+         ELSE st.n_closed END,
+    o.s
+  FROM st JOIN objs o ON o.g = st.g AND o.rn = st.rn + 1)
+SELECT g AS prefix, batch_id, COUNT(*) AS n_objs, SUM(s) AS total_bytes
+FROM st WHERE rn > 0 GROUP BY g, batch_id
+"""
+
+
+@query("q146_greedy_batch_packing", oracle=_PACK_ORACLE)
+def q146_greedy_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's size-bounded batch packer (aws_utils.py:27-45)
+    as a distributed operator: greedy sequential accumulation in
+    listing order, a batch closes when adding the next object would
+    reach ``max_batch_size`` (the reference uses ``>=``), and an
+    oversize object arriving on an EMPTY accumulator is emitted as its
+    own single-object batch without touching the accumulator —
+    faithfully including that quirk (aws_utils.py:33-35: the immediate
+    yield skips the reset branch, so accumulation state survives).
+
+    The object inventory is synthesized deterministically from
+    ``part`` (retail-price-derived sizes, ~1%% oversize via the %%97
+    gate); the "prefix" a packing runs over is the brand, mirroring
+    the reference's per-(type, day) prefixes.
+
+    Scale: packing is inherently sequential WITHIN a prefix (each
+    decision depends on the running accumulator — the same reason the
+    reference streams the S3 listing), so the engine runs one
+    applyInPandas group per prefix: sequential inside, parallel across
+    prefixes, which is exactly the reference's process-per-day scatter
+    (mp_unpack.sh:18) with Spark doing the scheduling. Spark's own
+    analogue for its scans is maxPartitionBytes/openCostInBytes
+    (SURVEY §2a row 2); this operator exists for when the *user's*
+    data layout needs reference-identical batch boundaries.
+    """
+    import pandas as pd
+
+    part = load_table(spark, sf_dir, "part")
+    inv = part.select(
+        F.col("p_brand").alias("g"),
+        F.col("p_partkey").alias("key"),
+        (
+            F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("bigint") * 200
+            + F.when(F.col("p_partkey") % 97 == 0, 80_000_000).otherwise(0)
+        ).alias("s"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("key").reset_index(drop=True)
+        acc_n, acc_size, n_closed = 0, 0, 0
+        ids = []
+        for s in pdf["s"]:
+            if acc_size + s >= _PACK_MAX:
+                if acc_n == 0:
+                    ids.append(n_closed)
+                    n_closed += 1
+                else:
+                    n_closed += 1
+                    ids.append(n_closed)
+                    acc_n, acc_size = 1, s
+            else:
+                ids.append(n_closed)
+                acc_n, acc_size = acc_n + 1, acc_size + s
+        pdf["batch_id"] = ids
+        return pdf[["g", "batch_id", "s"]]
+
+    packed = inv.groupBy("g").applyInPandas(pack, "g string, batch_id int, s bigint")
+    return packed.groupBy(F.col("g").alias("prefix"), "batch_id").agg(
+        F.count(F.lit(1)).alias("n_objs"), F.sum("s").alias("total_bytes")
+    )

@@ -361,3 +361,89 @@ def q144_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+# ---------------------------------------------------------------------------
+# q145 — KMV (k-minimum-values) distinct-count sketch, exact cross-engine
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+# 48-bit integer from the first 12 hex chars of a column named kh —
+# double-exact (< 2^53), shared expression text with the oracle.
+_H48 = " + ".join(
+    f"CAST(INSTR('0123456789abcdef', SUBSTR(kh, {k}, 1)) - 1 AS BIGINT)"
+    f" * {16 ** (12 - k)}"
+    for k in range(1, 13)
+)
+
+_KMV_ORACLE = f"""
+WITH d AS (SELECT DISTINCT o_orderpriority AS key,
+                  MD5('c:' || CAST(o_custkey AS VARCHAR)) AS h
+           FROM orders),
+r AS (SELECT key, h, ROW_NUMBER() OVER (PARTITION BY key ORDER BY h) AS rn FROM d),
+kth AS (SELECT key, {_H48.replace('kh', 'h')} AS v48 FROM r WHERE rn = {_KMV_K}),
+ex AS (SELECT o_orderpriority AS key, COUNT(DISTINCT o_custkey) AS exact_distinct
+       FROM orders GROUP BY 1)
+SELECT ex.key, exact_distinct,
+       CAST(FLOOR(CAST({(_KMV_K - 1) * 281474976710656} AS DOUBLE)
+                  / CAST(v48 AS DOUBLE) + 0.5)
+         AS BIGINT) AS kmv_estimate
+FROM ex JOIN kth ON ex.key = kth.key
+"""
+
+
+@query("q145_kmv_distinct_sketch", oracle=_KMV_ORACLE)
+def q145_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order priority via a KMV (k-minimum-
+    values) sketch, reported next to the exact count so the estimate's
+    error is visible in the result itself.
+
+    Unlike HLL (engine-specific register layouts — exercised separately
+    in tests via approx_count_distinct's error bound), KMV is exactly
+    reproducible anywhere: the sketch is the k lexicographically
+    smallest md5 hashes of the distinct values, and the estimator is
+    (k-1)/frac(kth smallest) — pure order statistics, so Spark and
+    DuckDB agree bit-for-bit.
+
+    Scale: KMV is a *mergeable* sketch — the k smallest overall are
+    the k smallest of the per-partition k smallest. The plan computes
+    per-partition partial sketches (collect k per (key, partition)),
+    then merges per key: the exchange carries k rows per partition per
+    key instead of every distinct hash. 100 TB shape: same two-level
+    agg, k·P rows shuffled, never the raw values.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        o.select(
+            F.col("o_orderpriority").alias("key"),
+            F.md5(
+                F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).cast("binary")
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    partials = (
+        d.withColumn("pid", F.spark_partition_id())
+        .groupBy("key", "pid")
+        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, _KMV_K).alias("ks"))
+    )
+    merged = (
+        partials.groupBy("key")
+        .agg(
+            F.slice(F.array_sort(F.flatten(F.collect_list("ks"))), 1, _KMV_K).alias("ks")
+        )
+        .select("key", F.get("ks", _KMV_K - 1).alias("kh"))
+        .filter(F.col("kh").isNotNull())
+        .select("key", F.expr(_H48).alias("v48"))
+    )
+    exact = o.groupBy(F.col("o_orderpriority").alias("key")).agg(
+        F.count_distinct("o_custkey").alias("exact_distinct")
+    )
+    est = F.floor(
+        F.lit(float((_KMV_K - 1) * 281474976710656)) / F.col("v48").cast("double")
+        + F.lit(0.5)
+    ).cast("bigint")
+    return exact.join(F.broadcast(merged), "key").select(
+        "key", "exact_distinct", est.alias("kmv_estimate")
+    )
