@@ -2177,3 +2177,126 @@ def q130_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micro"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q147 — BPE-style vocabulary induction (iterative greedy pair merging)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+_BPE_TOPK = 10
+
+# one merge round in DuckDB: top pair by (count desc, pair asc) from
+# state s{i}, then boundary-safe literal replace into state s{i+1}.
+# Tokens are pipe-delimited with sentinels ('|a|b|c|'), so the pattern
+# '|a|b|' cannot match inside a token and left-to-right non-overlapping
+# REPLACE implements exactly the greedy merge both engines share.
+def _bpe_round_sql(i: int) -> str:
+    return f"""
+p{i + 1} AS (SELECT pr AS pair FROM (
+    SELECT unnest(list_transform(range(1, len(a)), j -> a[j] || ' ' || a[j+1])) AS pr
+    FROM (SELECT list_filter(string_split(s, '|'), t -> len(t) > 0) AS a FROM s{i}))
+  GROUP BY pr ORDER BY COUNT(*) DESC, pr ASC LIMIT 1),
+s{i + 1} AS (SELECT REPLACE(s,
+    '|' || REPLACE((SELECT pair FROM p{i + 1}), ' ', '|') || '|',
+    '|' || REPLACE((SELECT pair FROM p{i + 1}), ' ', '_') || '|') AS s FROM s{i})"""
+
+
+_BPE_ORACLE = (
+    """
+WITH s0 AS (SELECT '|' || array_to_string(regexp_split_to_array(text, '\\s+'), '|') || '|' AS s
+            FROM documents),"""
+    + ",".join(_bpe_round_sql(i) for i in range(_BPE_ROUNDS))
+    + f""",
+tok AS (SELECT unnest(list_filter(string_split(s, '|'), t -> len(t) > 0)) AS token
+        FROM s{_BPE_ROUNDS}),
+v AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token)
+SELECT token, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank
+FROM v ORDER BY n DESC, token ASC LIMIT {_BPE_TOPK}
+"""
+)
+
+
+@query("q147_bpe_vocab_induction", oracle=_BPE_ORACLE)
+def q147_bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary induction, BPE-style: 3 rounds of "count
+    all adjacent token pairs, merge the most frequent pair everywhere"
+    over the corpus, then the top-10 resulting vocabulary. The merge
+    order is fully deterministic (count desc, pair asc tie-break), so
+    the DuckDB oracle replays the identical 3 merges unrolled.
+
+    State is the pipe-delimited token string '|a|b|c|': the pair
+    pattern '|a|b|' is boundary-safe (cannot match inside a token) and
+    literal left-to-right non-overlapping REPLACE — identical
+    semantics in the JVM and DuckDB — is exactly BPE's greedy
+    non-overlapping merge. Merged tokens join with '_' and compete in
+    later rounds like any other token.
+
+    Scale: each round is (a) a pair-count aggregate whose exchange
+    carries vocab-sized counts (map-side partials), (b) a 1-row
+    driver collect of the winning pair (aggregated — the allowed
+    kind), (c) a map-only literal REPLACE over the persisted state.
+    The state persists once per round and lineage stays 1 level deep.
+    Real BPE training runs thousands of merges — same loop, with the
+    per-round count amortized by deleting only the changed pair counts
+    (delta counting); 3 rounds keeps the oracle unrollable.
+    """
+    from pyspark import StorageLevel
+
+    from kinesis_producer_spark.tables import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    state = (
+        fan_out(d)
+        .select(
+            F.concat(
+                F.lit("|"), F.array_join(F.split("text", r"\s+"), "|"), F.lit("|")
+            ).alias("s")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tokens = F.filter(F.split("s", r"\|"), lambda t: F.length(t) > 0)
+
+    def pair_counts(st: DataFrame) -> DataFrame:
+        a = F.col("a")
+        pairs = F.zip_with(
+            a,
+            F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+        pairs = F.slice(pairs, 1, F.greatest(F.size(a) - 1, F.lit(0)))
+        return (
+            st.select(tokens.alias("a"))
+            .select(F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .count()
+        )
+
+    for _ in range(_BPE_ROUNDS):
+        top = (
+            pair_counts(state)
+            .orderBy(F.desc("count"), F.asc("pair"))
+            .limit(1)
+            .collect()[0]["pair"]
+        )
+        pattern = "|" + top.replace(" ", "|") + "|"
+        merged = "|" + top.replace(" ", "_") + "|"
+        new_state = state.select(
+            F.replace(F.col("s"), F.lit(pattern), F.lit(merged)).alias("s")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        state.unpersist()
+        state = new_state
+
+    vocab = (
+        state.select(F.explode(tokens).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(_BPE_TOPK)
+    )
+    from pyspark.sql import Window as _W
+
+    return vocab.withColumn(
+        "rank",
+        F.row_number().over(_W.orderBy(F.desc("n"), F.asc("token"))).cast("bigint"),
+    )
