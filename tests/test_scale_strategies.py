@@ -199,3 +199,48 @@ def test_approx_count_distinct_error(spark):
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a"),
     ).first()
     assert abs(approx - exact) / exact < 0.06  # 3×rsd safety margin
+
+
+def test_approx_percentile_error(spark):
+    """approx_percentile (Greenwald-Khanna) lands within its accuracy
+    budget of the exact interpolated percentiles — the sketch path for
+    100 TB quantiles where an exact global sort is unaffordable
+    (exact per-group percentiles stay oracle-checked in q24)."""
+    l = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    acc = 1000  # rank error <= n/acc
+    row = l.select(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)"
+        ).alias("a"),
+        F.percentile(F.col("l_extendedprice"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("e"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    ).first()
+    spread = row["hi"] - row["lo"]
+    for a, e in zip(row["a"], row["e"]):
+        # rank-error guarantee translated loosely to value space: the
+        # approximate quantile must sit within 1% of the value range of
+        # the exact one on this smooth distribution.
+        assert abs(a - e) <= 0.01 * spread
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A join against a filtered dim triggers DPP: the fact scan's
+    partition filter carries a dynamicpruning subquery, so only the
+    matching partitions are read — the 100 TB date-partitioned join
+    pattern (Catalyst provides it; this pins the plan evidence)."""
+    o = spark.read.parquet(f"{SF}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    o.write.partitionBy("o_year").parquet(path)
+    facts = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(1995, "keep"), (1996, "drop")], "d_year int, tag string"
+    )
+    # DPP requires a selective predicate on the dim side whose result
+    # can seed the fact scan's partition filter (reused broadcast).
+    joined = facts.join(dim.filter(F.col("tag") == "keep"), facts["o_year"] == dim["d_year"])
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower()
