@@ -447,3 +447,80 @@ def q145_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(F.broadcast(merged), "key").select(
         "key", "exact_distinct", est.alias("kmv_estimate")
     )
+
+
+# ---------------------------------------------------------------------------
+# q148 — incremental view maintenance with retractions
+# ---------------------------------------------------------------------------
+
+_IVM_ORACLE = """
+WITH base AS (
+  SELECT user_id,
+         CASE WHEN event_id % 50 = 0 THEN value + 10.0 ELSE value END AS value
+  FROM events),
+late AS (SELECT user_id, value * 0.5 AS value FROM events WHERE event_id % 97 = 0),
+allr AS (SELECT * FROM base UNION ALL SELECT * FROM late)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS HUGEINT)) AS BIGINT) AS sum_cents
+FROM allr GROUP BY user_id
+"""
+
+
+@query("q148_incremental_view_maintenance", oracle=_IVM_ORACLE)
+def q148_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a per-user materialized aggregate under a change batch
+    — corrections (event_id%50: value revised +10) and late-arriving
+    inserts (event_id%97: a 0.5-weighted replay) — WITHOUT rescanning
+    history: the view is updated as
+
+        view' = view  ⊎  (-1)·retract(old rows)  ⊎  (+1)·insert(new rows)
+
+    i.e. signed delta aggregation merged into the old view by key.
+    The oracle recomputes the final state from scratch; equality
+    proves the retraction algebra is exact (counts via Σsign, sums in
+    the quantized integer domain where subtraction is lossless —
+    double sums would drift under retraction).
+
+    Scale: the maintenance scan is O(|delta| + |view|), never
+    O(|history|) — the whole point of a materialized view at 100 TB.
+    This is the batch-expressible form of Structured Streaming's
+    update-mode aggregation (the state store holds `view`, each
+    micro-batch is `delta`); q133 exercises the streaming path.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    old_view = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("s")
+    )
+    corr = e.filter(F.col("event_id") % 50 == 0)
+    retract = corr.select("user_id", F.lit(-1).alias("sign"), cents.alias("c"))
+    insert = corr.select(
+        "user_id",
+        F.lit(1).alias("sign"),
+        F.floor((F.col("value") + F.lit(10.0)) * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("c"),
+    )
+    late = e.filter(F.col("event_id") % 97 == 0).select(
+        "user_id",
+        F.lit(1).alias("sign"),
+        F.floor((F.col("value") * F.lit(0.5)) * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("c"),
+    )
+    delta = (
+        retract.union(insert)
+        .union(late)
+        .groupBy("user_id")
+        .agg(F.sum("sign").alias("dn"), F.sum(F.col("sign") * F.col("c")).alias("ds"))
+    )
+    merged = old_view.join(delta, "user_id", "full_outer").select(
+        "user_id",
+        (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias(
+            "n_events"
+        ),
+        (F.coalesce(F.col("s"), F.lit(0)) + F.coalesce(F.col("ds"), F.lit(0))).alias(
+            "sum_cents"
+        ),
+    )
+    return merged.filter(F.col("n_events") > 0)

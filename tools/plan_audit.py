@@ -52,6 +52,10 @@ SMJ_OK = {
     # fact aggregate re-joined to the fact it came from: both sides share
     # the partkey partitioning, SMJ reuses one exchange — correct at scale
     "q82_min_price_supplier",
+    # materialized view ⊌ signed delta: full outer (null-extends both
+    # sides) cannot broadcast; both sides arrive pre-partitioned on the
+    # view key from their aggs, so the SMJ reuses those exchanges
+    "q148_incremental_view_maintenance",
 }
 
 
