@@ -15,6 +15,7 @@ engine adds for scan locality beyond one time axis.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kinesis_producer_spark.operators.dedup import shingles
@@ -236,3 +237,96 @@ def q139_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("priority")
     )
     return p.orderBy("priority", "doc_id").limit(100)
+
+
+# ---------------------------------------------------------------------------
+# q149 — end-to-end curation pipeline (gate → dedup → budget → shard)
+# ---------------------------------------------------------------------------
+
+_SHARD_TOKENS = 20_000
+
+_CURATE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, text, lang, len(regexp_split_to_array(text, '\\s+')) AS tokens
+  FROM documents),
+gated AS (SELECT * FROM toks WHERE lang = 'en' AND tokens >= 30),
+kept AS (
+  SELECT doc_id, tokens FROM (
+    SELECT doc_id, tokens,
+           ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rn
+    FROM gated) WHERE rn = 1),
+sharded AS (
+  SELECT doc_id, tokens,
+         CAST(COALESCE(SUM(tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              // {_SHARD_TOKENS} AS BIGINT) AS shard
+  FROM kept)
+SELECT shard, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM sharded GROUP BY shard
+"""
+
+
+@query("q149_curation_pipeline", oracle=_CURATE_ORACLE)
+def q149_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation flow a training run needs, as ONE declarative
+    plan: quality gate (language + minimum length) → exact dedup
+    keeping the lowest doc_id per content digest → token-budgeted
+    shard assignment (docs stream into ~20k-token shards in doc_id
+    order) → per-shard manifest. A user of the individual operators
+    (q50, q57/q58, q75, q104) runs this shape daily; the query proves
+    the pieces compose without leaving the DataFrame algebra.
+
+    The shard boundary needs a *global* exclusive running sum of
+    tokens in doc_id order — the one step that naively becomes a
+    single-partition window. Same discipline as q107: range-bucket on
+    doc_id, per-bucket local running sums, broadcast prefix offsets of
+    per-bucket totals; no global sort, no single-partition funnel, and
+    the result equals the oracle's SUM() OVER (ORDER BY doc_id ROWS
+    ... 1 PRECEDING) exactly (integer token counts — order-stable).
+
+    Scale: gate and digest are map-side; dedup is one shuffle on the
+    digest; sharding exchanges only bucket totals (|buckets| rows) and
+    one local window per bucket. Bucket width: doc_id div 500 here —
+    at 100 TB derive ~4096 buckets from the id range the same way.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.size(F.split("text", r"\s+")).alias("tokens"),
+    )
+    gated = toks.filter((F.col("lang") == "en") & (F.col("tokens") >= 30))
+    dedup_w = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    kept = (
+        gated.withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "tokens")
+    )
+    bucketed = kept.withColumn("bucket", F.expr("doc_id div 500"))
+    totals = bucketed.groupBy("bucket").agg(F.sum("tokens").alias("btotal"))
+    prefix_w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("btotal").over(prefix_w), F.lit(0))
+    ).select("bucket", "offset")
+    local_w = (
+        W.partitionBy("bucket").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    )
+    sharded = (
+        bucketed.withColumn(
+            "local_before", F.coalesce(F.sum("tokens").over(local_w), F.lit(0))
+        )
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "tokens",
+            F.expr(f"(offset + local_before) div {_SHARD_TOKENS}").alias("shard"),
+        )
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("sum_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
