@@ -524,3 +524,98 @@ def q148_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataF
         ),
     )
     return merged.filter(F.col("n_events") > 0)
+
+
+# ---------------------------------------------------------------------------
+# q150 — PageRank in the exact integer domain (3 unrolled rounds)
+# ---------------------------------------------------------------------------
+
+_PR_ROUNDS = 3
+
+_PR_EDGES_SQL = """
+base AS (
+  WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+  pairs AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+  SELECT a, b FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2),
+und AS (SELECT a AS u, b AS v FROM base UNION ALL SELECT b, a FROM base),
+deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+r0 AS (SELECT u AS v, CAST(1000000 AS BIGINT) AS r FROM deg)"""
+
+
+def _pr_round_sql(i: int) -> str:
+    return f"""
+r{i + 1} AS (
+  SELECT e.v,
+         CAST(150000 + (SUM(r{i}.r // deg.d) * 85) // 100 AS BIGINT) AS r
+  FROM und e JOIN r{i} ON e.u = r{i}.v JOIN deg ON deg.u = e.u
+  GROUP BY e.v)"""
+
+
+_PR_ORACLE = (
+    "WITH RECURSIVE "
+    + _PR_EDGES_SQL
+    + ","
+    + ",".join(_pr_round_sql(i) for i in range(_PR_ROUNDS))
+    + f"""
+SELECT v AS part, r AS pagerank_micro FROM r{_PR_ROUNDS}
+"""
+)
+
+
+@query("q150_pagerank_integer", oracle=_PR_ORACLE)
+def q150_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 synchronous rounds) over the
+    co-purchase graph, computed ENTIRELY in integer micro-units:
+    contributions are r//deg (integer division), the damped update is
+    150000 + (Σcontrib·85)//100. No doubles exist anywhere in the
+    recursion, so the distributed sum is order-independent and the
+    oracle — the same three rounds unrolled — matches bit-for-bit.
+    This is the general recipe for making iterative numeric algorithms
+    reproducible on a cluster: put the accumulator in an exact domain,
+    quantizing once per round (cf. functions.dsum for one-shot aggs).
+
+    Scale: per round, one co-partitioned join (ranks to edges on the
+    source) + one min-shuffle agg on the destination — identical
+    shape and hygiene to q144 (edges persisted once, ranks
+    localCheckpoint-ed per round so the plan stays constant-size).
+    """
+    from pyspark import StorageLevel
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    base = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("t"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("s", "t")
+    )
+    und = (
+        base.union(base.select(F.col("t"), F.col("s")))
+        .toDF("u", "v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    edges = und.join(deg, "u").persist(StorageLevel.MEMORY_AND_DISK)
+    ranks = deg.select(F.col("u").alias("rv"), F.lit(1_000_000).cast("bigint").alias("r"))
+    for _ in range(_PR_ROUNDS):
+        ranks = (
+            edges.join(ranks, edges["u"] == ranks["rv"])
+            .select("v", F.expr("(r div d)").alias("contrib"))
+            .groupBy("v")
+            .agg(
+                (F.lit(150000) + F.expr("(sum(contrib) * 85) div 100"))
+                .cast("bigint")
+                .alias("r")
+            )
+            .select(F.col("v").alias("rv"), "r")
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("rv").alias("part"), F.col("r").alias("pagerank_micro"))
