@@ -3142,3 +3142,106 @@ def q135_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("micro").alias("min_micro"),
         F.max("micro").alias("max_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted telemetry averaging + outage detection — the two
+# aggregations sensor-reading pipelines (the reference's domain:
+# acoustic/impact/temperature readings, SURVEY §0) actually run, as
+# opposed to naive row-averages that overweight chatty sensors.
+# ---------------------------------------------------------------------------
+@query(
+    "q151_time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             EPOCH_US(LEAD(ts) OVER w) - EPOCH_US(ts) AS dur
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id,
+           CAST(SUM(dur) // 1000000 AS BIGINT) AS span_s,
+           COUNT(dur) AS n_segments,
+           CAST(FLOOR(CAST(SUM(CAST(cents * dur AS HUGEINT)) AS DOUBLE)
+                      / CAST(SUM(dur) AS DOUBLE) + 0.5) AS BIGINT) AS twa_cents
+    FROM seg WHERE dur IS NOT NULL AND dur > 0
+    GROUP BY user_id
+    """,
+)
+def q151_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per sensor (user): each reading
+    holds until the next one, so its weight is the segment duration —
+    the telemetry semantics a row-average gets wrong when emission
+    rates vary. Σ(cents·seconds) accumulates exactly in integers; one
+    final mirrored double division produces the average.
+
+    Scale: one shuffle on the entity key for the ordered window (the
+    partition is each sensor's own history — naturally bounded), then
+    a same-key agg that reuses the window's partitioning: Catalyst
+    plans a single Exchange for both.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seg = e.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        (F.lead(us).over(w) - us).alias("dur"),
+    )
+    seg = seg.filter(F.col("dur").isNotNull() & (F.col("dur") > 0))
+    return seg.groupBy("user_id").agg(
+        F.expr("sum(dur) div 1000000").cast("bigint").alias("span_s"),
+        F.count("dur").alias("n_segments"),
+        F.floor(
+            F.sum((F.col("cents") * F.col("dur")).cast("decimal(38,0)")).cast("double")
+            / F.sum("dur").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("twa_cents"),
+    )
+
+
+@query(
+    "q152_sensor_outages",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) AS gap
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id,
+           COUNT(*) AS n_outages,
+           CAST(MAX(gap) // 1000000 AS BIGINT) AS worst_gap_s,
+           CAST(SUM(gap) // 1000000 AS BIGINT) AS total_gap_s,
+           MIN(ts) AS first_outage_end
+    FROM g WHERE gap IS NOT NULL AND gap > 3600000000
+    GROUP BY user_id
+    """,
+)
+def q152_sensor_outages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outage report per sensor: silent periods longer than an hour
+    between consecutive readings — count, worst, cumulative silence,
+    and when the first outage ended. The monitoring query every
+    telemetry ingest (the reference's produce/flatten pipeline) runs
+    against its own output to detect dead sensors and feed gaps.
+
+    Scale: identical single-exchange shape to q151 — ordered window
+    per sensor, gap filter, same-key agg. The >1h filter lands right
+    after the window, so the agg input is outages only.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = e.select(
+        "user_id",
+        "ts",
+        (us - F.lag(us).over(w)).alias("gap"),
+    )
+    g = g.filter(F.col("gap").isNotNull() & (F.col("gap") > 3_600_000_000))
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_outages"),
+        F.expr("max(gap) div 1000000").cast("bigint").alias("worst_gap_s"),
+        F.expr("sum(gap) div 1000000").cast("bigint").alias("total_gap_s"),
+        F.min("ts").alias("first_outage_end"),
+    )
