@@ -491,3 +491,46 @@ def q133_stream_version_track(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.last_cents").alias("last_cents"),
         )
     )
+
+
+@query(
+    "q153_stateful_sessions",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+                       OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts,
+                 SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g),
+    sess AS (SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                    COUNT(*) AS n_events
+             FROM s GROUP BY user_id, sid),
+    flagged AS (SELECT *, LEAD(sid) OVER (PARTITION BY user_id ORDER BY sid)
+                          IS NOT NULL AS has_succ
+                FROM sess)
+    SELECT user_id, session_start, session_end, n_events
+    FROM flagged
+    WHERE has_succ OR EPOCH_US(session_end) + 1800000000
+                      < (SELECT MAX(EPOCH_US(ts)) FROM events) - 600000000
+    """,
+)
+def q153_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time-timeout sessionization run as a REAL multi-batch
+    stream (ts-range files, one per trigger): closed sessions only,
+    emitted either by a gap-separated successor or by the watermark
+    passing session_end + gap (state evicted — bounded state store).
+    The oracle is batch sessionization filtered by the same closure
+    rule; see stateful.stateful_sessions for why micro-batch
+    boundaries cannot change the emitted set."""
+    from kinesis_producer_spark.streaming.stateful import (
+        events_multifile_stream,
+        run_stream_append_mode,
+        stateful_sessions,
+    )
+
+    stream = events_multifile_stream(spark, sf_dir, n_files=4)
+    return run_stream_append_mode(stateful_sessions(stream), spark)
