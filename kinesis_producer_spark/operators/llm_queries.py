@@ -2300,3 +2300,99 @@ def q147_bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.row_number().over(_W.orderBy(F.desc("n"), F.asc("token"))).cast("bigint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q155 — MMR diverse re-ranking over ANN candidates
+# ---------------------------------------------------------------------------
+
+_MMR_K = 5
+_MMR_CAND = 20
+
+
+def _mmr_round_sql(i: int) -> str:
+    """Selection round i (1-based, i >= 2): max-sim penalty against the
+    i-1 already-selected, argmax of (7·rel − 3·maxsim)//10."""
+    prev_union = " UNION ALL ".join(f"SELECT vec_id FROM s{j}" for j in range(1, i))
+    return f"""
+m{i} AS (
+  SELECT c.vec_id, c.rel, MAX(p.cos) AS ms
+  FROM cand c JOIN pair p ON p.ia = c.vec_id
+  WHERE p.ib IN ({prev_union}) AND c.vec_id NOT IN ({prev_union})
+  GROUP BY c.vec_id, c.rel),
+s{i} AS (SELECT vec_id, rel, (7 * rel - 3 * ms) // 10 AS mmr, {i} AS rank
+         FROM m{i} ORDER BY (7 * rel - 3 * ms) // 10 DESC, vec_id LIMIT 1)"""
+
+
+_MMR_ORACLE = (
+    f"""
+WITH cand AS (
+  SELECT b.vec_id, {_COS_MICRO_SQL} AS rel
+  FROM embeddings b
+  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) a
+  ORDER BY rel DESC, vec_id LIMIT {_MMR_CAND}),
+pair AS (
+  SELECT ca.vec_id AS ia, cb.vec_id AS ib, {_COS_MICRO_SQL} AS cos
+  FROM cand ca JOIN cand cb ON ca.vec_id <> cb.vec_id
+  JOIN embeddings a ON a.vec_id = ca.vec_id
+  JOIN embeddings b ON b.vec_id = cb.vec_id),
+s1 AS (SELECT vec_id, rel, rel AS mmr, 1 AS rank FROM cand ORDER BY rel DESC, vec_id LIMIT 1),"""
+    + ",".join(_mmr_round_sql(i) for i in range(2, _MMR_K + 1))
+    + f"""
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel AS rel_micro, mmr AS mmr_micro FROM (
+  {" UNION ALL ".join(f"SELECT * FROM s{j}" for j in range(1, _MMR_K + 1))})
+"""
+)
+
+
+@query("q155_mmr_rerank", oracle=_MMR_ORACLE)
+def q155_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: from the 20 nearest
+    neighbors of a query vector, greedily select 5 maximizing
+    λ·relevance − (1−λ)·max-similarity-to-selected (λ=0.7) — the
+    standard diversity re-rank between ANN retrieval (q55/q56) and a
+    context window. All scores are integer micro-cosines and the
+    update is (7·rel − 3·maxsim)//10 with a vec_id tie-break, so the
+    greedy trajectory is total-ordered and the oracle replays the
+    identical 5 selections unrolled.
+
+    Scale: the corpus-sized work is exactly the ANN scan that produces
+    the candidates; the MMR loop touches only the k×cand pair matrix
+    (400 integer cosines here) — driver round-trips are 1 aggregated
+    row per selection. Re-rank cost is independent of corpus size.
+    """
+    from kinesis_producer_spark.operators.similarity import cosine_micro
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cand = (
+        e.crossJoin(F.broadcast(qvec))
+        .select("vec_id", "embedding", cosine_micro(F.col("embedding"), F.col("qe")).alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_CAND)
+        .persist()
+    )
+    a = cand.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    pair = (
+        a.join(b, F.col("ia") != F.col("ib"))
+        .select("ia", "ib", cosine_micro(F.col("ea"), F.col("eb")).alias("cos"))
+        .persist()
+    )
+    first = cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1).collect()[0]
+    selected = [(1, first["vec_id"], first["rel"], first["rel"])]
+    for i in range(2, _MMR_K + 1):
+        sel_ids = [s[1] for s in selected]
+        scored = (
+            pair.filter(F.col("ib").isin(sel_ids) & ~F.col("ia").isin(sel_ids))
+            .groupBy("ia")
+            .agg(F.max("cos").alias("ms"))
+            .join(cand.select(F.col("vec_id").alias("ia"), "rel"), "ia")
+            .select("ia", "rel", F.expr("(7 * rel - 3 * ms) div 10").alias("mmr"))
+        )
+        w = scored.orderBy(F.desc("mmr"), F.asc("ia")).limit(1).collect()[0]
+        selected.append((i, w["ia"], w["rel"], w["mmr"]))
+    return spark.createDataFrame(
+        [(int(r), int(v), int(rel), int(mmr)) for r, v, rel, mmr in selected],
+        "rank bigint, vec_id bigint, rel_micro bigint, mmr_micro bigint",
+    )

@@ -619,3 +619,95 @@ def q150_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("rv").alias("part"), F.col("r").alias("pagerank_micro"))
+
+
+# ---------------------------------------------------------------------------
+# q154 — declarative data-quality constraint audit
+# ---------------------------------------------------------------------------
+
+_AUDIT_ORACLE = """
+SELECT 'orphan_lineitem' AS constraint_name,
+       (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations,
+       (SELECT COUNT(*) FROM lineitem) AS n_checked
+UNION ALL
+SELECT 'pk_duplicate_part',
+       (SELECT COUNT(*) - COUNT(DISTINCT p_partkey) FROM part),
+       (SELECT COUNT(*) FROM part)
+UNION ALL
+SELECT 'null_props_events',
+       (SELECT COUNT(*) FROM events WHERE props IS NULL),
+       (SELECT COUNT(*) FROM events)
+UNION ALL
+SELECT 'discount_range_lineitem',
+       (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'nonpositive_qty_lineitem',
+       (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0),
+       (SELECT COUNT(*) FROM lineitem)
+"""
+
+
+@query("q154_constraint_audit", oracle=_AUDIT_ORACLE)
+def q154_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit — the dbt-tests / Deequ shape:
+    referential integrity (orphan facts via anti join), primary-key
+    uniqueness, null-rate, and accepted-range constraints, reported as
+    one (constraint, n_violations, n_checked) frame a scheduler can
+    alert on.
+
+    Scale: every constraint is a scan+agg (the anti join broadcasts
+    the key side or rides AQE at fact-fact size); constraints over the
+    same table share one scan via Spark's plan-level scan reuse. At
+    100 TB, run per-partition and sum — counts compose exactly.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    e = load_table(spark, sf_dir, "events")
+
+    def one(name: str, viol, total) -> DataFrame:
+        return viol.crossJoin(total).select(
+            F.lit(name).alias("constraint_name"),
+            F.col("v").cast("bigint").alias("n_violations"),
+            F.col("t").cast("bigint").alias("n_checked"),
+        )
+
+    orphans = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    checks = [
+        one("orphan_lineitem", orphans, li.agg(F.count(F.lit(1)).alias("t"))),
+        one(
+            "pk_duplicate_part",
+            p.agg((F.count(F.lit(1)) - F.count_distinct("p_partkey")).alias("v")),
+            p.agg(F.count(F.lit(1)).alias("t")),
+        ),
+        one(
+            "null_props_events",
+            e.agg(F.sum(F.col("props").isNull().cast("bigint")).alias("v")),
+            e.agg(F.count(F.lit(1)).alias("t")),
+        ),
+        one(
+            "discount_range_lineitem",
+            li.agg(
+                F.sum(
+                    ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast(
+                        "bigint"
+                    )
+                ).alias("v")
+            ),
+            li.agg(F.count(F.lit(1)).alias("t")),
+        ),
+        one(
+            "nonpositive_qty_lineitem",
+            li.agg(F.sum((F.col("l_quantity") <= 0).cast("bigint")).alias("v")),
+            li.agg(F.count(F.lit(1)).alias("t")),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

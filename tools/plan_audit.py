@@ -43,6 +43,8 @@ NLJ_OK = {
     "q121_bigram_collocations",
     # brute-force scorer: tiny held-out query set broadcast on purpose
     "q120_knn_label_vote",
+    # per-constraint single-row (violations × total) cross joins
+    "q154_constraint_audit",
 }
 
 # Full outer joins cannot broadcast (both sides need null extension) —
