@@ -19,6 +19,7 @@ bit-for-bit (see functions.dsum docstring for the technique).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kinesis_producer_spark.registry import query
@@ -711,3 +712,143 @@ def q154_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q156 — deletion propagation (right-to-be-forgotten cascade manifest)
+# ---------------------------------------------------------------------------
+
+_DEL_ORACLE = """
+WITH del_users AS (SELECT c_custkey FROM customer WHERE c_custkey % 53 = 0),
+del_orders AS (SELECT o_orderkey FROM orders
+               WHERE o_custkey IN (SELECT c_custkey FROM del_users))
+SELECT 'customer' AS table_name,
+       (SELECT COUNT(*) FROM del_users) AS n_deleted,
+       (SELECT COUNT(*) FROM customer) AS n_before
+UNION ALL
+SELECT 'orders', (SELECT COUNT(*) FROM del_orders),
+       (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'lineitem',
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'events',
+       (SELECT COUNT(*) FROM events
+        WHERE user_id IN (SELECT c_custkey FROM del_users)),
+       (SELECT COUNT(*) FROM events)
+"""
+
+
+@query("q156_deletion_propagation", oracle=_DEL_ORACLE)
+def q156_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade: given a deletion set of users,
+    the manifest of rows each downstream table must drop — customers,
+    their orders, those orders' lineitems, and the users' events —
+    with before-counts for the audit trail. The planning half of a
+    GDPR delete at lakehouse scale; the execution half is an anti
+    join per table writing new file versions.
+
+    Scale: each cascade level is one semi join against the (small)
+    key set of the previous level — broadcast all the way down, no
+    fact-fact shuffle. Per-table counts compose across partitions, so
+    the manifest can be produced partition-parallel and summed.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = load_table(spark, sf_dir, "events")
+
+    del_users = c.filter(F.col("c_custkey") % 53 == 0).select("c_custkey")
+    del_orders = o.join(
+        F.broadcast(del_users), o["o_custkey"] == del_users["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+
+    def row(name: str, deleted: DataFrame, full: DataFrame) -> DataFrame:
+        return (
+            deleted.agg(F.count(F.lit(1)).alias("v"))
+            .crossJoin(full.agg(F.count(F.lit(1)).alias("t")))
+            .select(
+                F.lit(name).alias("table_name"),
+                F.col("v").cast("bigint").alias("n_deleted"),
+                F.col("t").cast("bigint").alias("n_before"),
+            )
+        )
+
+    del_li = li.join(
+        F.broadcast(del_orders), li["l_orderkey"] == del_orders["o_orderkey"], "left_semi"
+    )
+    del_e = e.join(
+        F.broadcast(del_users), e["user_id"] == del_users["c_custkey"], "left_semi"
+    )
+    out = row("customer", del_users, c)
+    for name, d_, f_ in (("orders", del_orders, o), ("lineitem", del_li, li), ("events", del_e, e)):
+        out = out.unionByName(row(name, d_, f_))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q157 — temporal validity join (facts against an SCD2-versioned dim)
+# ---------------------------------------------------------------------------
+
+_TEMPORAL_ORACLE = """
+WITH vraw AS (
+  SELECT user_id, ts, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_id % 20 = 0),
+v AS (SELECT user_id, ts, vc FROM vraw WHERE rn = 1),
+f AS (SELECT user_id, ts, event_id FROM events WHERE event_id % 20 <> 0)
+SELECT f.user_id, COUNT(*) AS n_facts, COUNT(v.vc) AS n_matched,
+       CAST(COALESCE(SUM(v.vc), 0) AS BIGINT) AS sum_matched_vc
+FROM f ASOF LEFT JOIN v ON f.user_id = v.user_id AND v.ts <= f.ts
+GROUP BY f.user_id
+"""
+
+
+@query("q157_temporal_validity_join", oracle=_TEMPORAL_ORACLE)
+def q157_temporal_validity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join facts to the dimension version VALID AT each fact's event
+    time — the warehouse temporal join against an SCD2 history (q131
+    builds one; here versions are each user's %20-sampled events).
+    Every fact picks the latest version with version_ts <= fact_ts;
+    facts before any version stay unmatched (left semantics).
+
+    Implementation is the union/as-of shape (operators/asof.py), not a
+    range join: versions and facts union into one stream, one ordered
+    window per user carries the active version forward (last non-null
+    with versions sorting before facts on ts ties), and facts read it.
+    One shuffle on the entity key; no interval explosion, no
+    BroadcastNestedLoopJoin — the only temporal-join layout that
+    survives a billion-fact day. DuckDB's native ASOF JOIN is the
+    oracle.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    vdup = W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    versions = (
+        e.filter(F.col("event_id") % 20 == 0)
+        .withColumn("rn", F.row_number().over(vdup))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "ts", F.lit(0).alias("is_fact"), F.lit(None).cast("bigint").alias("event_id2"),
+            cents.alias("vc"),
+        )
+    )
+    facts = e.filter(F.col("event_id") % 20 != 0).select(
+        "user_id", "ts", F.lit(1).alias("is_fact"), F.col("event_id").alias("event_id2"),
+        F.lit(None).cast("bigint").alias("vc"),
+    )
+    merged = versions.unionByName(facts)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_fact", "event_id2")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = merged.withColumn("active_vc", F.last("vc", ignorenulls=True).over(w))
+    out_facts = carried.filter(F.col("is_fact") == 1)
+    return out_facts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_facts"),
+        F.count("active_vc").alias("n_matched"),
+        F.coalesce(F.sum("active_vc"), F.lit(0)).cast("bigint").alias("sum_matched_vc"),
+    )

@@ -45,6 +45,8 @@ NLJ_OK = {
     "q120_knn_label_vote",
     # per-constraint single-row (violations × total) cross joins
     "q154_constraint_audit",
+    # per-table single-row (deleted × before) manifest cross joins
+    "q156_deletion_propagation",
 }
 
 # Full outer joins cannot broadcast (both sides need null extension) —
