@@ -3245,3 +3245,71 @@ def q152_sensor_outages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(gap) div 1000000").cast("bigint").alias("total_gap_s"),
         F.min("ts").alias("first_outage_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session path mining: most common within-session event-type sequences
+# ---------------------------------------------------------------------------
+@query(
+    "q159_session_paths",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+                       OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts, event_id, event_type,
+                 SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g),
+    paths AS (SELECT user_id, sid,
+                     string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+              FROM s GROUP BY user_id, sid),
+    counted AS (SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path)
+    SELECT path, n_sessions,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS BIGINT) AS rank
+    FROM counted ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+)
+def q159_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 within-session event-type sequences (30-min gap
+    sessions, q20's definition): the product-analytics "common paths"
+    query. The path string aggregates in strict (ts, event_id) order
+    via collect_list → array_sort over (ts, event_id, type) structs —
+    deterministic whatever order partials arrive in.
+
+    Scale: sessionization and path-building share the user-key
+    exchange; the path count agg keys on the path string (bounded by
+    distinct behavioral sequences, not session count). Per-session
+    lists are gap-bounded; for pathological sessions cap with slice
+    after sort (q128's note).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+    )
+    new_session = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    ws = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    s = e.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "sid", F.sum(new_session).over(ws)
+    )
+    paths = s.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda r: r["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    top = counted.orderBy(F.desc("n_sessions"), F.asc("path")).limit(10)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.desc("n_sessions"), F.asc("path"))).cast("bigint"),
+    )

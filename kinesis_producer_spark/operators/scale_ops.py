@@ -852,3 +852,78 @@ def q157_temporal_validity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("active_vc").alias("n_matched"),
         F.coalesce(F.sum("active_vc"), F.lit(0)).cast("bigint").alias("sum_matched_vc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q158 — merge-on-read with deletion vectors (Iceberg/Delta DV shape)
+# ---------------------------------------------------------------------------
+
+_MOR_ORACLE = f"""
+WITH hashed AS (
+  SELECT l_orderkey, l_linenumber,
+         MD5(CONCAT_WS('|', l_orderkey, l_linenumber, l_quantity)) AS h
+  FROM lineitem),
+base AS (
+  SELECT l_orderkey % 8 AS file_id,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey % 8
+                            ORDER BY l_orderkey, l_linenumber, h) AS pos,
+         h
+  FROM hashed),
+survivors AS (SELECT * FROM base WHERE pos % 37 <> 0),
+totals AS (SELECT file_id, COUNT(*) AS n_total FROM base GROUP BY file_id),
+live AS (SELECT file_id, COUNT(*) AS n_live,
+                CAST(SUM({_NIBBLES}) AS BIGINT) AS live_checksum
+         FROM survivors GROUP BY file_id)
+SELECT live.file_id, n_live, n_total - n_live AS n_deleted, live_checksum
+FROM live JOIN totals ON live.file_id = totals.file_id
+"""
+
+
+@query("q158_merge_on_read", oracle=_MOR_ORACLE)
+def q158_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read with positional deletion vectors — the
+    Iceberg v2 / Delta DV mechanism: deletes write (file, position)
+    tombstones instead of rewriting data files, and every read
+    subtracts the deletion vector from its file's rows. Simulated
+    here: files are hash buckets, positions are in-file row numbers,
+    the DV is the pos%37 set; the read reports per-file live/deleted
+    counts plus a content checksum (q140's) of surviving rows,
+    proving the subtraction applied row-exactly.
+
+    Scale: the anti-semantics are per-file and positional, so the
+    merge never shuffles data — each task subtracts its own file's DV
+    (here: a filter; in a real table a hash lookup against that
+    file's tombstone set). Compaction (q146's packing) eventually
+    rewrites files whose DV grows past a threshold.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    hashed = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.md5(
+            F.concat_ws("|", "l_orderkey", "l_linenumber", "l_quantity").cast("binary")
+        ).alias("h"),
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture;
+    # the row hash breaks ties into a total order (identical-h ties are
+    # harmless — swapping identical rows can't change any aggregate).
+    pos_w = W.partitionBy(F.col("l_orderkey") % 8).orderBy(
+        "l_orderkey", "l_linenumber", "h"
+    )
+    base = hashed.select(
+        (F.col("l_orderkey") % 8).alias("file_id"),
+        F.row_number().over(pos_w).alias("pos"),
+        "h",
+    )
+    totals = base.groupBy("file_id").agg(F.count(F.lit(1)).alias("n_total"))
+    survivors = base.filter(F.col("pos") % 37 != 0)
+    live = survivors.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum(F.expr(_NIBBLES)).cast("bigint").alias("live_checksum"),
+    )
+    return live.join(F.broadcast(totals), "file_id").select(
+        "file_id",
+        "n_live",
+        (F.col("n_total") - F.col("n_live")).alias("n_deleted"),
+        "live_checksum",
+    )
