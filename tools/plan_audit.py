@@ -47,6 +47,15 @@ NLJ_OK = {
     "q154_constraint_audit",
     # per-table single-row (deleted × before) manifest cross joins
     "q156_deletion_propagation",
+    # broadcast few-row boundary/total frames: equi-depth shard
+    # boundaries (q104), corpus-total cumulative share (q106), stage
+    # scalar counts (q108), corpus stats row (q130), grand-total share
+    # denominator (q134)
+    "q104_length_shards",
+    "q106_vocab_coverage",
+    "q108_funnel",
+    "q130_bm25_retrieval",
+    "q134_percent_of_parent",
 }
 
 # Full outer joins cannot broadcast (both sides need null extension) —
@@ -60,6 +69,9 @@ SMJ_OK = {
     # sides) cannot broadcast; both sides arrive pre-partitioned on the
     # view key from their aggs, so the SMJ reuses those exchanges
     "q148_incremental_view_maintenance",
+    # SCD2 merge: current-dim ⋈ delta full outer (insert/close/no-op
+    # classification needs null extension on both sides)
+    "q131_scd2_merge",
 }
 
 
