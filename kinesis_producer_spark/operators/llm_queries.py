@@ -2396,3 +2396,99 @@ def q155_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(r), int(v), int(rel), int(mmr)) for r, v, rel, mmr in selected],
         "rank bigint, vec_id bigint, rel_micro bigint, mmr_micro bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# q160 — tokenizer application: corpus-wide merge application stats
+# ---------------------------------------------------------------------------
+
+_TOKAPP_ORACLE = (
+    """
+WITH s0 AS (SELECT source,
+                   '|' || array_to_string(regexp_split_to_array(text, '\\s+'), '|') || '|' AS s
+            FROM documents),"""
+    + ",".join(_bpe_round_sql(i) for i in range(_BPE_ROUNDS))
+    + f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(list_filter(string_split(s0.s, '|'), t -> len(t) > 0))) AS BIGINT)
+         AS tokens_before,
+       CAST(SUM(len(list_filter(string_split(s{_BPE_ROUNDS}.s, '|'), t -> len(t) > 0))) AS BIGINT)
+         AS tokens_after
+FROM s0 POSITIONAL JOIN s{_BPE_ROUNDS}
+GROUP BY source
+"""
+)
+
+
+@query("q160_tokenizer_application", oracle=_TOKAPP_ORACLE)
+def q160_tokenizer_application(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the q147-induced merge table to the whole corpus and
+    report per-source compression: token counts before and after the
+    3 merges — the deployment half of tokenizer induction (train the
+    merges once, tokenize 100 TB with them forever after).
+
+    The merge table is re-derived by the same deterministic loop as
+    q147, then applied as three literal REPLACEs — map-only over the
+    corpus, no Python. The oracle unrolls the same merges and pairs
+    each doc's before/after states positionally.
+
+    Scale: application is embarrassingly parallel (per-row string
+    replaces inside codegen); only the induction loop exchanges
+    anything. A real vocab (thousands of merges) compiles the merge
+    table into one scan with a trie/regex instead of N passes — the
+    plan shape (broadcast vocab, map-only apply) is unchanged.
+    """
+    from pyspark import StorageLevel
+
+    from kinesis_producer_spark.tables import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    state = (
+        fan_out(d)
+        .select(
+            "source",
+            F.concat(
+                F.lit("|"), F.array_join(F.split("text", r"\s+"), "|"), F.lit("|")
+            ).alias("s"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tokens = F.filter(F.split("s", r"\|"), lambda t: F.length(t) > 0)
+
+    def pair_counts(st: DataFrame) -> DataFrame:
+        a = F.col("a")
+        pairs = F.zip_with(
+            a,
+            F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+        pairs = F.slice(pairs, 1, F.greatest(F.size(a) - 1, F.lit(0)))
+        return (
+            st.select(tokens.alias("a"))
+            .select(F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .count()
+        )
+
+    before = state.select("source", F.size(tokens).alias("nt"))
+    cur = state
+    for _ in range(_BPE_ROUNDS):
+        top = (
+            pair_counts(cur)
+            .orderBy(F.desc("count"), F.asc("pair"))
+            .limit(1)
+            .collect()[0]["pair"]
+        )
+        pattern = "|" + top.replace(" ", "|") + "|"
+        merged = "|" + top.replace(" ", "_") + "|"
+        nxt = cur.select(
+            "source", F.replace(F.col("s"), F.lit(pattern), F.lit(merged)).alias("s")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        cur = nxt
+    after = cur.select("source", F.size(tokens).alias("nt"))
+    b = before.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("nt").cast("bigint").alias("tokens_before")
+    )
+    a2 = after.groupBy("source").agg(F.sum("nt").cast("bigint").alias("tokens_after"))
+    return b.join(a2, "source").select("source", "n_docs", "tokens_before", "tokens_after")
