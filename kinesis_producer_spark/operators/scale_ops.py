@@ -927,3 +927,196 @@ def q158_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_total") - F.col("n_live")).alias("n_deleted"),
         "live_checksum",
     )
+
+
+# ---------------------------------------------------------------------------
+# q161 — per-entity least-squares trend slope (exact moment sums)
+# ---------------------------------------------------------------------------
+
+_TREND_ORACLE = """
+WITH pts AS (
+  SELECT user_id,
+         EPOCH_US(ts) // 1000000 AS x,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events),
+mom AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy, SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM pts GROUP BY user_id)
+SELECT user_id, n,
+       CAST(FLOOR(1e6 * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) + 0.5)
+         AS BIGINT) AS slope_micro
+FROM mom WHERE n >= 2
+"""
+
+
+@query("q161_trend_slope", oracle=_TREND_ORACLE)
+def q161_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sensor least-squares trend: slope of value (cents) against
+    time (whole seconds) from the closed form n·Σxy − Σx·Σy over
+    n·Σx² − (Σx)² — drift detection for telemetry (is this bearing's
+    temperature creeping up?). The four moment sums accumulate exactly
+    in integers (decimal(38,0): Σx² at epoch scale overflows bigint),
+    and the slope is one mirrored double sequence at the end.
+
+    Scale: a single map-side-partial aggregation — 4 integer sums and
+    a count per entity; no window, no sort, one vocab-of-entities
+    exchange. The same moment layout yields intercept, r², and
+    variance with zero extra passes (q123's correlation pattern).
+    """
+    e = load_table(spark, sf_dir, "events")
+    x = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    y = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    pts = e.select("user_id", x.alias("x"), y.alias("y"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    return mom.filter(F.col("n") >= 2).select(
+        "user_id",
+        "n",
+        F.floor(F.lit(1e6) * (num / den) + F.lit(0.5)).cast("bigint").alias("slope_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q162 — A-priori frequent triples (candidate-pruned itemset mining)
+# ---------------------------------------------------------------------------
+
+_TRIPLE_SUPPORT = 2
+
+_TRIPLES_ORACLE = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS pa, b.l_partkey AS pb, c.l_partkey AS pc,
+       COUNT(*) AS support
+FROM items a
+JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+JOIN items c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+GROUP BY pa, pb, pc HAVING COUNT(*) >= {_TRIPLE_SUPPORT}
+"""
+
+
+@query("q162_frequent_triples", oracle=_TRIPLES_ORACLE)
+def q162_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets with support >= 2, mined A-priori style:
+    frequent pairs (support >= 2) are computed first, and the triple
+    enumeration joins only pairs that both survived — the downward-
+    closure pruning that keeps k-itemset mining feasible when the raw
+    C(n,3) blowup doesn't. The oracle brute-forces the 3-way self-join
+    (correct but unpruned); identical results prove the pruning is
+    lossless, which is A-priori's theorem.
+
+    Scale: the basket self-joins key on the basket id, so candidate
+    generation never leaves a basket's partition; the pruning semi
+    joins broadcast the frequent-pair list (sublinear in baskets).
+    Each k→k+1 round is the same shape — the loop structure of
+    distributed FP-growth alternatives.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_orderkey").alias("ok"),
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+    )
+    freq_pairs = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= _TRIPLE_SUPPORT)
+        .select("pa", "pb")
+    )
+    # downward closure: a frequent triple's (pa,pb) and (pa,pc) and
+    # (pb,pc) sub-pairs are all frequent — prune candidates to pairs
+    # that survived, then extend with a third basket item.
+    surviving = pairs.join(F.broadcast(freq_pairs), ["pa", "pb"], "left_semi")
+    c = items.alias("c")
+    cand = surviving.join(
+        c,
+        (F.col("ok") == F.col("c.l_orderkey")) & (F.col("pb") < F.col("c.l_partkey")),
+    ).select("ok", "pa", "pb", F.col("c.l_partkey").alias("pc"))
+    cand = cand.join(
+        F.broadcast(freq_pairs.toDF("pa", "pc")), ["pa", "pc"], "left_semi"
+    ).join(F.broadcast(freq_pairs.toDF("pb", "pc")), ["pb", "pc"], "left_semi")
+    return (
+        cand.groupBy("pa", "pb", "pc")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _TRIPLE_SUPPORT)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q163 — triangle counting via degree-ordered edge orientation
+# ---------------------------------------------------------------------------
+
+_TRIANGLES_ORACLE = """
+WITH base AS (
+  WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+  pairs AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+  SELECT a, b FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2)
+SELECT COUNT(*) AS n_triangles FROM base e1
+JOIN base e2 ON e1.b = e2.a
+JOIN base e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+@query("q163_triangle_count", oracle=_TRIANGLES_ORACLE)
+def q163_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the co-purchase graph — the clustering-
+    coefficient numerator. Edges are oriented low-id → high-id, so
+    each triangle is counted exactly once as (a<b<c): join edges
+    (a,b)⋈(b,c) into wedges, then close each wedge against the edge
+    list.
+
+    Scale: the orientation bounds wedge generation by out-degree
+    under the total order, not raw degree (the classic heavy-hitter
+    fix is ordering by degree instead of id — same plan, different
+    orientation key); the closing step is an equi semi join on the
+    full edge pair. Both joins key on vertex ids — hash-partitioned,
+    no nested loops (audited).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    e1 = edges.toDF("x", "y")
+    e2 = edges.toDF("y", "z")
+    wedges = e1.join(e2, "y").select("x", "y", "z")
+    closed = wedges.join(
+        edges.toDF("x", "z"), ["x", "z"], "left_semi"
+    )
+    return closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

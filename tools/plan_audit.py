@@ -72,6 +72,9 @@ SMJ_OK = {
     # SCD2 merge: current-dim ⋈ delta full outer (insert/close/no-op
     # classification needs null extension on both sides)
     "q131_scd2_merge",
+    # wedge/closure steps join the edge list to itself — big⋈big by
+    # construction at real graph scale; SMJ on vertex ids is the plan
+    "q163_triangle_count",
 }
 
 
