@@ -1120,3 +1120,71 @@ def q163_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.toDF("x", "z"), ["x", "z"], "left_semi"
     )
     return closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+# ---------------------------------------------------------------------------
+# q164 — ANALYZE-style per-column statistics collector
+# ---------------------------------------------------------------------------
+
+_ANALYZE_COLS = [
+    ("l_orderkey", "CAST(l_orderkey AS VARCHAR)"),
+    ("l_partkey", "CAST(l_partkey AS VARCHAR)"),
+    ("l_returnflag", "l_returnflag"),
+    ("l_linestatus", "l_linestatus"),
+    ("l_shipdate", "CAST(l_shipdate AS VARCHAR)"),
+]
+
+_ANALYZE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS column_name,
+       COUNT(*) AS n_rows,
+       COUNT({expr}) AS n_nonnull,
+       COUNT(DISTINCT {expr}) AS ndv,
+       MIN({expr}) AS min_str,
+       MAX({expr}) AS max_str,
+       CAST(SUM(LENGTH({expr})) AS BIGINT) AS sum_len
+FROM lineitem"""
+    for name, expr in _ANALYZE_COLS
+)
+
+
+@query("q164_analyze_stats", oracle=_ANALYZE_ORACLE)
+def q164_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANALYZE TABLE shape: per-column row/non-null/NDV counts,
+    min/max, and total byte length — the statistics a cost-based
+    optimizer (and a zone-map writer, q138) feeds on. Values are
+    canonicalized to strings so one frame carries every column's
+    stats; timestamps render identically in both engines via the
+    ISO-like cast.
+
+    Scale: one scan per column group here for oracle clarity; the
+    production layout computes all columns in a single pass
+    (struct-of-aggregates per column) and NDV switches to
+    approx_count_distinct (error-bound pinned in tests) or the
+    mergeable KMV sketch (q145) — exact COUNT(DISTINCT) over 100 TB
+    per column is the one piece that doesn't scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    casts = {
+        "l_orderkey": F.col("l_orderkey").cast("string"),
+        "l_partkey": F.col("l_partkey").cast("string"),
+        "l_returnflag": F.col("l_returnflag"),
+        "l_linestatus": F.col("l_linestatus"),
+        "l_shipdate": F.col("l_shipdate").cast("string"),
+    }
+    outs = []
+    for name, c in casts.items():
+        outs.append(
+            li.select(c.alias("v")).agg(
+                F.lit(name).alias("column_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("v").alias("n_nonnull"),
+                F.count_distinct("v").alias("ndv"),
+                F.min("v").alias("min_str"),
+                F.max("v").alias("max_str"),
+                F.sum(F.length("v")).cast("bigint").alias("sum_len"),
+            )
+        )
+    out = outs[0]
+    for o_ in outs[1:]:
+        out = out.unionByName(o_)
+    return out
