@@ -1188,3 +1188,72 @@ def q164_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o_ in outs[1:]:
         out = out.unionByName(o_)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q165 — A/B experiment readout with exact pooled variance
+# ---------------------------------------------------------------------------
+
+_AB_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         INSTR('0123456789abcdef', SUBSTR(MD5('ab:' || CAST(user_id AS VARCHAR)), 1, 1))
+           % 2 AS arm,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS HUGEINT)) AS cents
+  FROM events GROUP BY user_id),
+mom AS (
+  SELECT arm, COUNT(*) AS n,
+         SUM(cents) AS s1, SUM(cents * cents) AS s2
+  FROM per_user GROUP BY arm)
+SELECT arm, n,
+       CAST(FLOOR(CAST(s1 AS DOUBLE) / n + 0.5) AS BIGINT) AS mean_cents,
+       CAST(FLOOR((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                  / (n - 1) + 0.5) AS BIGINT) AS var_cents2
+FROM mom
+"""
+
+
+@query("q165_ab_experiment", oracle=_AB_ORACLE)
+def q165_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-split into two arms (the
+    same rand()-free assignment discipline as q70 — stable under
+    retries and re-runs), per-user value totals, then per-arm n /
+    mean / sample variance from exact integer moments — the inputs a
+    t-test needs, with the variance computed as (Σx² − (Σx)²/n)/(n−1)
+    in one mirrored double sequence.
+
+    Scale: two aggregations, both map-side-partial — user totals key
+    on user_id, arm moments on the 2-value arm key. No experiment
+    framework dependency: assignment is a pure function of the id, so
+    any table with a user column gets the same split everywhere.
+    """
+    e = load_table(spark, sf_dir, "events")
+    arm = F.expr(
+        "instr('0123456789abcdef', substr(md5(cast('ab:' || cast(user_id as string) as binary)), 1, 1)) % 2"
+    )
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("decimal(38,0)")
+            ).alias("cents")
+        )
+        .select(arm.alias("arm"), "cents")
+    )
+    mom = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    return mom.select(
+        "arm",
+        "n",
+        F.floor(s1d / F.col("n") + F.lit(0.5)).cast("bigint").alias("mean_cents"),
+        F.floor(
+            (F.col("s2").cast("double") - s1d * s1d / F.col("n")) / (F.col("n") - 1)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("var_cents2"),
+    )
