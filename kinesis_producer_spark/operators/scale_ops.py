@@ -1257,3 +1257,101 @@ def q165_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("var_cents2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q166 — join-explosion detector (pre-join cardinality diagnostics)
+# ---------------------------------------------------------------------------
+
+_EXPLOSION_ORACLE = """
+WITH l AS (SELECT l_partkey AS k, COUNT(*) AS nl FROM lineitem GROUP BY 1),
+r AS (SELECT l_suppkey AS k, COUNT(*) AS nr FROM lineitem GROUP BY 1),
+j AS (SELECT l.k, nl, nr, CAST(nl AS BIGINT) * nr AS out_rows
+      FROM l JOIN r ON l.k = r.k)
+SELECT k, nl, nr, out_rows,
+       CAST(ROW_NUMBER() OVER (ORDER BY out_rows DESC, k) AS BIGINT) AS rank
+FROM j ORDER BY out_rows DESC, k LIMIT 10
+"""
+
+
+@query("q166_join_explosion_detector", oracle=_EXPLOSION_ORACLE)
+def q166_join_explosion_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality diagnostic: for a prospective equi-join
+    (here lineitem.partkey against lineitem.suppkey as a stand-in
+    pair), the per-key left-count x right-count product — the exact
+    number of output rows each key will generate. The top offenders
+    tell you BEFORE running the join whether it explodes, and which
+    keys need salting (q27) or pre-aggregation.
+
+    Scale: two key-count aggs (map-side partials) and a join between
+    the two count frames — key-cardinality sized, never data sized.
+    This is what a CBO's estimated-cardinality check does, made
+    explicit and exact; run it as a gate in pipelines that join
+    user-supplied data.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    l = li.groupBy(F.col("l_partkey").alias("k")).agg(F.count(F.lit(1)).alias("nl"))
+    r = li.groupBy(F.col("l_suppkey").alias("k")).agg(F.count(F.lit(1)).alias("nr"))
+    j = l.join(r, "k").select(
+        "k", "nl", "nr", (F.col("nl").cast("bigint") * F.col("nr")).alias("out_rows")
+    )
+    top = j.orderBy(F.desc("out_rows"), F.asc("k")).limit(10)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.desc("out_rows"), F.asc("k"))).cast("bigint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q167 — shuffle-skew profiler (feeds the salting decision)
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH bucketed AS (
+  SELECT (INSTR('0123456789abcdef', SUBSTR(MD5(CAST(o_custkey AS VARCHAR)), 1, 1)) - 1)
+           * 16
+         + INSTR('0123456789abcdef', SUBSTR(MD5(CAST(o_custkey AS VARCHAR)), 2, 1)) - 1
+           AS bucket
+  FROM orders),
+counts AS (SELECT bucket, COUNT(*) AS n FROM bucketed GROUP BY bucket)
+SELECT COUNT(*) AS n_buckets,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MAX(n) AS BIGINT) AS max_bucket,
+       CAST(FLOOR(CAST(SUM(n) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS mean_bucket,
+       CAST(FLOOR(1e6 * CAST(MAX(n) AS DOUBLE)
+                  / (CAST(SUM(n) AS DOUBLE) / COUNT(*)) + 0.5) AS BIGINT)
+         AS skew_ratio_micro
+FROM counts
+"""
+
+
+@query("q167_skew_profile", oracle=_SKEW_ORACLE)
+def q167_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew profile for a prospective partitioning key: rows
+    are bucketed by the first byte of the key's md5 (256 reducers in
+    miniature) and the report gives max-vs-mean bucket load — the
+    skew ratio that decides between plain hash partitioning, AQE skew
+    splitting, and explicit salting (q27). A ratio near 1e6 (1.0x)
+    means balanced; hot keys push it up in direct proportion to the
+    straggler they would create.
+
+    Scale: one 256-key agg with map-side partials, then a 256-row
+    reduction — the profile costs one scan regardless of table size
+    and predicts reducer balance without running the shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    nib = lambda i: F.expr(  # noqa: E731
+        f"instr('0123456789abcdef', substr(md5(cast(cast(o_custkey as string) as binary)), {i}, 1)) - 1"
+    )
+    bucketed = o.select(((nib(1) * 16) + nib(2)).alias("bucket"))
+    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    mean = F.sum("n").cast("double") / F.count(F.lit(1))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_bucket"),
+        F.floor(mean + F.lit(0.5)).cast("bigint").alias("mean_bucket"),
+        F.floor(F.lit(1e6) * F.max("n").cast("double") / mean + F.lit(0.5))
+        .cast("bigint")
+        .alias("skew_ratio_micro"),
+    )
