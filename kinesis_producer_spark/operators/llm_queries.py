@@ -2492,3 +2492,83 @@ def q160_tokenizer_application(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a2 = after.groupBy("source").agg(F.sum("nt").cast("bigint").alias("tokens_after"))
     return b.join(a2, "source").select("source", "n_docs", "tokens_before", "tokens_after")
+
+
+# ---------------------------------------------------------------------------
+# q168 — length-aware dynamic batching (inference padding-waste audit)
+# ---------------------------------------------------------------------------
+
+_BATCH_SIZE = 16
+
+_BATCHING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS n_tok FROM documents),
+by_id AS (
+  SELECT n_tok, CAST((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // {_BATCH_SIZE} AS BIGINT)
+           AS batch_id
+  FROM toks),
+by_len AS (
+  SELECT n_tok, CAST((ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) - 1) // {_BATCH_SIZE} AS BIGINT)
+           AS batch_id
+  FROM toks),
+pad AS (
+  SELECT 'arrival_order' AS strategy, COUNT(DISTINCT batch_id) AS n_batches,
+         CAST(SUM(n_tok) AS BIGINT) AS real_tokens,
+         CAST(SUM(mx) AS BIGINT) AS padded_tokens
+  FROM (SELECT batch_id, n_tok, MAX(n_tok) OVER (PARTITION BY batch_id) AS mx FROM by_id)
+  UNION ALL
+  SELECT 'length_sorted', COUNT(DISTINCT batch_id),
+         CAST(SUM(n_tok) AS BIGINT), CAST(SUM(mx) AS BIGINT)
+  FROM (SELECT batch_id, n_tok, MAX(n_tok) OVER (PARTITION BY batch_id) AS mx FROM by_len))
+SELECT strategy, n_batches, real_tokens, padded_tokens,
+       CAST(FLOOR(1e6 * (CAST(padded_tokens AS DOUBLE) - CAST(real_tokens AS DOUBLE))
+                  / CAST(padded_tokens AS DOUBLE) + 0.5) AS BIGINT) AS waste_micro
+FROM pad
+"""
+
+
+@query("q168_dynamic_batching", oracle=_BATCHING_ORACLE)
+def q168_dynamic_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference batching audit: fixed-size batches pad every sequence
+    to the batch max, so padded-token waste depends on HOW docs are
+    grouped. Compares arrival-order batching against length-sorted
+    batching (the standard bucketing trick) — same docs, same batch
+    count, and the length-sorted waste_micro is the serving-cost
+    saving the sort buys.
+
+    Scale: batch ids come from global ranks — at 100 TB both rankings
+    use the q107 bucket + prefix-offset layout rather than one
+    ordered window; per-batch max is a {_BATCH_SIZE}-row partition
+    window downstream of it. The audit itself is why length bucketing
+    is a standing stage in serving pipelines (vLLM-style schedulers
+    do this continuously).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.size(F.split("text", r"\s+")).alias("n_tok"))
+
+    def strategy(name: str, order_cols) -> DataFrame:
+        rk = W.orderBy(*order_cols)
+        batched = toks.withColumn(
+            "batch_id", F.expr(f"(row_number() over (order by {', '.join(order_cols)}) - 1) div {_BATCH_SIZE}")
+        )
+        mx = W.partitionBy("batch_id")
+        padded = batched.withColumn("mx", F.max("n_tok").over(mx))
+        return padded.agg(
+            F.lit(name).alias("strategy"),
+            F.count_distinct("batch_id").alias("n_batches"),
+            F.sum("n_tok").cast("bigint").alias("real_tokens"),
+            F.sum("mx").cast("bigint").alias("padded_tokens"),
+        )
+
+    out = strategy("arrival_order", ["doc_id"]).unionByName(
+        strategy("length_sorted", ["n_tok", "doc_id"])
+    )
+    waste = F.floor(
+        F.lit(1e6)
+        * (F.col("padded_tokens").cast("double") - F.col("real_tokens").cast("double"))
+        / F.col("padded_tokens").cast("double")
+        + F.lit(0.5)
+    ).cast("bigint")
+    return out.select(
+        "strategy", "n_batches", "real_tokens", "padded_tokens", waste.alias("waste_micro")
+    )
