@@ -45,6 +45,7 @@ from kinesis_producer_spark.tables import load_table
     """,
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: per-flag/status pricing summary — sums, averages, counts over recent lineitems."""
     l = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
@@ -82,6 +83,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation over a date window: fact scan joined to broadcast dims, grouped and summed."""
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
     customer = load_table(spark, sf_dir, "customer")
@@ -119,6 +121,7 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q03_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: forecast revenue delta from discounted small-quantity lineitems in a year band."""
     l = load_table(spark, sf_dir, "lineitem")
     return (
         l.filter(
@@ -151,6 +154,7 @@ def q03_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q04_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order counts and totals: fact agg joined back to the customer dim."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     joined = c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
@@ -182,6 +186,7 @@ def q04_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers having at least one qualifying order (EXISTS shape)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
@@ -207,6 +212,7 @@ def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no orders (NOT EXISTS shape)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     return (
@@ -232,6 +238,7 @@ def q06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q07_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi band join: order price within a +/- band of a small reference frame."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     cond = (
@@ -269,6 +276,7 @@ def q07_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q08_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the latest order at or before its time, per key."""
     from kinesis_producer_spark.operators.asof import asof_join
 
     e = load_table(spark, sf_dir, "events")
@@ -295,6 +303,7 @@ def q08_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q09_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via partitioned row_number — the window-filter idiom."""
     o = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
@@ -320,6 +329,7 @@ def q09_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer over order time (unbounded-preceding window sum)."""
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
     w = (
         W.partitionBy("l_suppkey")
@@ -349,6 +359,7 @@ def q10_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q11_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead deltas per customer: gap to previous and next order amounts."""
     e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
@@ -373,6 +384,7 @@ def q11_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims with exact sums — all 4 grouping combinations in one pass."""
     l = load_table(spark, sf_dir, "lineitem")
     return l.cube("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n")
@@ -391,6 +403,7 @@ def q12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over nation/status hierarchy with subtotal and grand-total rows."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
@@ -412,6 +425,7 @@ def q13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping-id disambiguation of subtotal rows."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     # Spark-dialect mirror of functions.dsum (no HUGEINT in Spark SQL)
     return spark.sql(
@@ -441,6 +455,7 @@ def q14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed distinct and plain aggregates in one grouped pass."""
     l = load_table(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
@@ -467,6 +482,7 @@ def q15_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer key sets, tagged and counted."""
     o = load_table(spark, sf_dir, "orders")
 
     def custs(y0: str, y1: str) -> DataFrame:
@@ -508,6 +524,7 @@ def q16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q17_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar-function battery: case, trim, substring, replace, concat over dim values."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -537,6 +554,7 @@ def q17_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar battery: trunc, extract, date arithmetic over order dates."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
     return o.select(
         "o_orderkey",
@@ -564,6 +582,7 @@ def q18_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q19_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns per priority (declared pivot values)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     quant = F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("decimal(38,0)")
@@ -606,6 +625,7 @@ def q19_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q20_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min) via window lag + running session counter."""
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
@@ -633,6 +653,7 @@ def q20_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q21_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour event rollup (batch analog of the streaming window agg)."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.date_trunc("hour", "ts").alias("hour_start"), "event_type")
@@ -652,6 +673,7 @@ def q21_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q22_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events props column with typed casts."""
     e = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
     return e.groupBy("event_type").agg(
@@ -677,6 +699,7 @@ def q22_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q23_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k by total order value — TakeOrderedAndProject, no full sort."""
     o = load_table(spark, sf_dir, "orders")
     w = W.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     # At scale the single-partition window is the wrong plan; Catalyst
