@@ -2572,3 +2572,64 @@ def q168_dynamic_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "strategy", "n_batches", "real_tokens", "padded_tokens", waste.alias("waste_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# q169 — embedding-space test-set leakage (semantic decontamination)
+# ---------------------------------------------------------------------------
+
+_LEAK_TAU = 400_000  # cosine micro threshold
+
+_LEAK_ORACLE = f"""
+WITH test AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 19 = 0),
+train AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 19 <> 0),
+scored AS (
+  SELECT a.vec_id AS test_id, a.label,
+         MAX({_COS_MICRO_SQL}) AS max_cos
+  FROM test a JOIN train b ON a.label = b.label
+  GROUP BY a.vec_id, a.label)
+SELECT label,
+       COUNT(*) AS n_test,
+       CAST(SUM(CASE WHEN max_cos >= {_LEAK_TAU} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaked,
+       CAST(MAX(max_cos) AS BIGINT) AS worst_cos_micro
+FROM scored GROUP BY label
+"""
+
+
+@query("q169_embedding_decontamination", oracle=_LEAK_ORACLE)
+def q169_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic test-set leakage: for each held-out vector (vec_id%19
+    split — same retry-stable hash-gate discipline as q70), its
+    maximum cosine to any training vector in the same label block;
+    blocks with near-duplicates across the split (cos >= 0.4) are
+    contamination the n-gram check (q136) cannot see — paraphrases
+    and re-encodings share no 8-grams but sit close in embedding
+    space.
+
+    Scale: label blocking bounds the comparison set exactly like
+    q54's near-dup join; at corpus scale the block key becomes the
+    IVF cell (q56) so each test vector scans one cell, and the
+    max-cos agg keys on the (small) test side. Scores are the
+    engine-portable integer micro-cosines (operators/similarity.py).
+    """
+    from kinesis_producer_spark.operators.similarity import cosine_micro
+
+    e = load_table(spark, sf_dir, "embeddings")
+    test = e.filter(F.col("vec_id") % 19 == 0).select(
+        F.col("vec_id").alias("test_id"), "label", F.col("embedding").alias("te")
+    )
+    train = e.filter(F.col("vec_id") % 19 != 0).select(
+        "label", F.col("embedding").alias("tr")
+    )
+    scored = (
+        test.join(train, "label")
+        .select("test_id", "label", cosine_micro(F.col("te"), F.col("tr")).alias("cos"))
+        .groupBy("test_id", "label")
+        .agg(F.max("cos").alias("max_cos"))
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum((F.col("max_cos") >= _LEAK_TAU).cast("bigint")).alias("n_leaked"),
+        F.max("max_cos").cast("bigint").alias("worst_cos_micro"),
+    )
