@@ -68,14 +68,19 @@ def minhash_signature(df: DataFrame, shingle_col: Column, k: int = 8) -> Column:
 
     minhash_i = lexicographic MIN over shingles of md5('<i>:'+shingle);
     md5 is uniform so the lexicographic min is a valid min-hash.
+
+    The per-seed hash closure MUST be built by a factory taking one
+    lambda parameter: a two-parameter lambda (``lambda s, i=i``) is
+    treated by Spark's higher-order functions as the (element, index)
+    form, silently binding the array-index Column to ``i``.
     """
+
+    def seed_hash(i: int):
+        prefix = f"{i}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
     return F.array(
-        *[
-            F.array_min(
-                F.transform(shingle_col, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-            )
-            for i in range(k)
-        ]
+        *[F.array_min(F.transform(shingle_col, seed_hash(i))) for i in range(k)]
     )
 
 

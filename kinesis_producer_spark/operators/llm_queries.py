@@ -2633,3 +2633,103 @@ def q169_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum((F.col("max_cos") >= _LEAK_TAU).cast("bigint")).alias("n_leaked"),
         F.max("max_cos").cast("bigint").alias("worst_cos_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q170 — MinHash-LSH banding parameter sweep (dedup recall/precision tuning)
+# ---------------------------------------------------------------------------
+
+_SWEEP_TAU = 500_000
+
+
+def _sweep_cfg_sql(bands: int, rows: int) -> str:
+    """Candidate pairs + verified-precision stats for one (b, r) config."""
+    band_exprs = ", ".join(
+        "MD5(" + " || '|' || ".join(f"sg[{b * rows + r + 1}]" for r in range(rows)) + f") AS bk{b}"
+        for b in range(bands)
+    )
+    bucket_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, bk{b} AS bucket FROM banded_{bands}x{rows}"
+        for b in range(bands)
+    )
+    return f"""
+banded_{bands}x{rows} AS (SELECT doc_id, {band_exprs} FROM sig),
+buckets_{bands}x{rows} AS ({bucket_union}),
+cand_{bands}x{rows} AS (
+  SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+  FROM buckets_{bands}x{rows} x JOIN buckets_{bands}x{rows} y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+stats_{bands}x{rows} AS (
+  SELECT '{bands}x{rows}' AS config,
+         COUNT(*) AS n_candidates,
+         CAST(SUM(CASE WHEN CAST(FLOOR(1e6 * len(list_intersect(sx.s, sy.s))
+                       / len(list_distinct(list_concat(sx.s, sy.s))) + 0.5) AS BIGINT)
+                       >= {_SWEEP_TAU} THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+  FROM cand_{bands}x{rows} JOIN sh sx ON sx.doc_id = ia JOIN sh sy ON sy.doc_id = ib)"""
+
+
+_SWEEP_ORACLE = (
+    f"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') a FROM documents),
+sh AS (SELECT doc_id, {_BIGRAMS_SQL} s FROM w),
+mh AS (SELECT doc_id, seed, MIN(MD5(CAST(seed AS VARCHAR) || ':' || g)) m
+       FROM (SELECT doc_id, unnest(s) AS g FROM sh)
+       CROSS JOIN (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
+sig AS (SELECT doc_id, list(m ORDER BY seed) sg FROM mh GROUP BY doc_id),"""
+    + ",".join(_sweep_cfg_sql(b, r) for b, r in ((4, 2), (2, 4), (8, 1)))
+    + """
+SELECT * FROM stats_4x2 UNION ALL SELECT * FROM stats_2x4 UNION ALL SELECT * FROM stats_8x1
+"""
+)
+
+
+@query("q170_lsh_parameter_sweep", oracle=_SWEEP_ORACLE)
+def q170_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding sweep: candidate volume and verified-true
+    counts for three (bands x rows) configs over ONE shared signature
+    computation — 8x1 (high recall, many candidates), 4x2 (q51's
+    operating point), 2x4 (high precision). This is how the dedup
+    threshold (q51's tau) gets its banding: pick the config whose
+    candidate count fits the verification budget at the recall the
+    S-curve promises.
+
+    Scale: signatures compute once and persist (the expensive part —
+    k x shingles hashes per doc); each config is a band explode +
+    bucket self-join over the same cached frame, so the sweep costs
+    three bucket joins, not three signature passes.
+    """
+    from pyspark import StorageLevel
+
+    from kinesis_producer_spark.operators.dedup import (
+        jaccard_micro,
+        lsh_candidate_pairs,
+        minhash_signature,
+        shingles,
+    )
+    from kinesis_producer_spark.tables import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = fan_out(d).select(F.col("doc_id"), shingles("text", 2).alias("sh"))
+    sh = sh.withColumn("signature", minhash_signature(sh, F.col("sh"), k=8))
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    outs = []
+    for bands, rows in ((4, 2), (2, 4), (8, 1)):
+        pairs = lsh_candidate_pairs(sh, sig_col="signature", band_size=rows)
+        verified = (
+            pairs.join(a, "id_a")
+            .join(b, "id_b")
+            .select(jaccard_micro(F.col("sh_a"), F.col("sh_b")).alias("j"))
+        )
+        outs.append(
+            verified.agg(
+                F.lit(f"{bands}x{rows}").alias("config"),
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.sum((F.col("j") >= _SWEEP_TAU).cast("bigint")).alias("n_true"),
+            )
+        )
+    out = outs[0]
+    for o_ in outs[1:]:
+        out = out.unionByName(o_)
+    return out
