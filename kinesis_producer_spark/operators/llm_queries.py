@@ -2733,3 +2733,155 @@ def q170_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o_ in outs[1:]:
         out = out.unionByName(o_)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q171 — incremental LSH dedup: delta batch vs indexed corpus
+# ---------------------------------------------------------------------------
+
+_INC_ORACLE = f"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') a FROM documents),
+sh AS (SELECT doc_id, {_BIGRAMS_SQL} s FROM w),
+mh AS (SELECT doc_id, seed, MIN(MD5(CAST(seed AS VARCHAR) || ':' || g)) m
+       FROM (SELECT doc_id, unnest(s) AS g FROM sh)
+       CROSS JOIN (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
+sig AS (SELECT doc_id, list(m ORDER BY seed) sg FROM mh GROUP BY doc_id),
+bands AS (SELECT doc_id, b, MD5(sg[2*b+1] || '|' || sg[2*b+2]) bucket
+          FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+delta_b AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+index_b AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+cand AS (SELECT DISTINCT d.doc_id AS new_id, i.doc_id AS idx_id
+         FROM delta_b d JOIN index_b i ON d.b = i.b AND d.bucket = i.bucket),
+ver AS (SELECT new_id, idx_id,
+               CAST(FLOOR(1e6 * len(list_intersect(x.s, y.s))
+                    / len(list_distinct(list_concat(x.s, y.s))) + 0.5) AS BIGINT) AS j
+        FROM cand JOIN sh x ON x.doc_id = new_id JOIN sh y ON y.doc_id = idx_id)
+SELECT new_id, CAST(COUNT(CASE WHEN j >= 500000 THEN 1 END) AS BIGINT) AS n_dups,
+       CAST(MAX(CASE WHEN j >= 500000 THEN idx_id END) AS BIGINT) AS a_dup_of,
+       CAST(MAX(j) AS BIGINT) AS max_jaccard_micro
+FROM ver GROUP BY new_id
+"""
+
+
+@query("q171_incremental_lsh_dedup", oracle=_INC_ORACLE)
+def q171_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dup screening: a delta batch (doc_id%10) is
+    checked against the already-indexed corpus — candidates come only
+    from delta-band x index-band bucket collisions, never
+    index-vs-index (the q105 incremental discipline applied to LSH
+    instead of exact digests). Per new doc: how many indexed
+    near-dups, one dup id (deterministic max), and the worst Jaccard.
+
+    Scale: the index side's band table is a MAINTAINED artifact (the
+    LSH index) — each ingest batch computes only its own signatures
+    and joins its bands against the stored ones, so per-batch cost is
+    O(|delta| + collisions), independent of corpus size. Verification
+    fetches only colliding index docs' shingles.
+    """
+    from pyspark import StorageLevel
+
+    from kinesis_producer_spark.operators.dedup import (
+        jaccard_micro,
+        minhash_signature,
+        shingles,
+    )
+    from kinesis_producer_spark.tables import fan_out
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = fan_out(d).select(F.col("doc_id"), shingles("text", 2).alias("sh"))
+    sh = sh.withColumn("signature", minhash_signature(sh, F.col("sh"), k=8)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = F.col("signature")
+    n_bands = (F.size(sig) / 2).cast("int")
+    bands = sh.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_bands - 1),
+                lambda b: F.md5(F.concat_ws("|", F.slice(sig, b * 2 + 1, F.lit(2)))),
+            )
+        ).alias("b", "bucket"),
+    )
+    delta_b = bands.filter(F.col("doc_id") % 10 == 0)
+    index_b = bands.filter(F.col("doc_id") % 10 != 0)
+    cand = (
+        delta_b.alias("d")
+        .join(
+            index_b.alias("i"),
+            (F.col("d.b") == F.col("i.b")) & (F.col("d.bucket") == F.col("i.bucket")),
+        )
+        .select(F.col("d.doc_id").alias("new_id"), F.col("i.doc_id").alias("idx_id"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_x"))
+    y = sh.select(F.col("doc_id").alias("idx_id"), F.col("sh").alias("sh_y"))
+    ver = (
+        cand.join(x, "new_id")
+        .join(y, "idx_id")
+        .select("new_id", "idx_id", jaccard_micro(F.col("sh_x"), F.col("sh_y")).alias("j"))
+    )
+    dup = F.when(F.col("j") >= 500_000, F.lit(1))
+    dup_id = F.when(F.col("j") >= 500_000, F.col("idx_id"))
+    return ver.groupBy("new_id").agg(
+        F.count(dup).cast("bigint").alias("n_dups"),
+        F.max(dup_id).cast("bigint").alias("a_dup_of"),
+        F.max("j").cast("bigint").alias("max_jaccard_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q172 — cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+_XSRC_ORACLE = f"""
+WITH w AS (SELECT doc_id, source, regexp_split_to_array(text, '\\s+') a FROM documents),
+sh AS (SELECT doc_id, source, {_BIGRAMS_SQL} s FROM w),
+mh AS (SELECT doc_id, seed, MIN(MD5(CAST(seed AS VARCHAR) || ':' || g)) m
+       FROM (SELECT doc_id, unnest(s) AS g FROM sh)
+       CROSS JOIN (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
+sig AS (SELECT doc_id, list(m ORDER BY seed) sg FROM mh GROUP BY doc_id),
+bands AS (SELECT doc_id, b, MD5(sg[2*b+1] || '|' || sg[2*b+2]) bucket
+          FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
+cand AS (SELECT DISTINCT x.doc_id ia, y.doc_id ib FROM bands x JOIN bands y
+         ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+ver AS (SELECT sx.source AS src_a, sy.source AS src_b
+        FROM cand JOIN sh sx ON sx.doc_id = ia JOIN sh sy ON sy.doc_id = ib
+        WHERE CAST(FLOOR(1e6 * len(list_intersect(sx.s, sy.s))
+                   / len(list_distinct(list_concat(sx.s, sy.s))) + 0.5) AS BIGINT)
+              >= 500000)
+SELECT LEAST(src_a, src_b) AS source_lo, GREATEST(src_a, src_b) AS source_hi,
+       COUNT(*) AS n_dup_pairs
+FROM ver GROUP BY 1, 2
+"""
+
+
+@query("q172_cross_source_dup_matrix", oracle=_XSRC_ORACLE)
+def q172_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where does duplication come from? Verified near-dup pairs
+    (q51's pipeline) rolled up into a source x source matrix —
+    diagonal cells are within-source boilerplate, off-diagonal cells
+    are cross-source syndication/mirroring, which decides whether
+    dedup should run per-source (cheap, blocked) or global
+    (expensive, needed when mass sits off-diagonal).
+
+    Scale: identical cost to q51 (the matrix is a tiny rollup of its
+    verified pairs); source labels ride the persisted shingle frame
+    so no extra join against the corpus.
+    """
+    from kinesis_producer_spark.operators.dedup import minhash_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup(d, k=8, band_size=2, shingle_n=2, threshold_micro=500_000)
+    src = d.select("doc_id", "source")
+    j = (
+        pairs.join(src.toDF("id_a", "src_a"), "id_a")
+        .join(src.toDF("id_b", "src_b"), "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+    )
+    return j.groupBy("source_lo", "source_hi").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs")
+    )
