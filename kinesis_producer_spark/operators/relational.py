@@ -3336,3 +3336,73 @@ def q159_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.row_number().over(W.orderBy(F.desc("n_sessions"), F.asc("path"))).cast("bigint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21-shaped nested correlation on the events stream: users whose
+# LAST event is an error while other event types exist after their
+# last success — double-negation (EXISTS + NOT EXISTS) composition.
+# ---------------------------------------------------------------------------
+@query(
+    "q173_stuck_in_error",
+    oracle="""
+    WITH last_evt AS (
+      SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id),
+    last_rows AS (
+      SELECT e.user_id, e.event_type
+      FROM events e JOIN last_evt l
+        ON e.user_id = l.user_id AND e.ts = l.last_ts),
+    err_last AS (
+      SELECT DISTINCT user_id FROM last_rows WHERE event_type = 'error'),
+    with_view AS (
+      SELECT u.user_id FROM err_last u
+      WHERE EXISTS (SELECT 1 FROM events e
+                    WHERE e.user_id = u.user_id AND e.event_type = 'view')
+        AND NOT EXISTS (SELECT 1 FROM events e
+                        WHERE e.user_id = u.user_id AND e.event_type = 'purchase'
+                          AND e.ts > (SELECT MAX(ts) FROM events x
+                                      WHERE x.user_id = u.user_id
+                                        AND x.event_type = 'error'))
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_stuck_users FROM with_view
+    """,
+)
+def q173_stuck_in_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape on the event stream: users whose latest event
+    is an error, who have engaged (EXISTS a view) but have never
+    purchased after their last error (NOT EXISTS) — the stuck-user
+    audit combining a correlated max, a semi join, and an anti join
+    with a correlated time bound.
+
+    Spark expression: per-user maxes computed once as aggregates
+    (last event ts, last error ts, purchase-after-error flag) and
+    combined with semi/anti joins — the decorrelated form Catalyst
+    would target, written directly so every step is one key-partitioned
+    agg or join rather than a per-row subquery.
+    """
+    e = load_table(spark, sf_dir, "events")
+    last_evt = e.groupBy(F.col("user_id").alias("luid")).agg(F.max("ts").alias("last_ts"))
+    last_rows = e.join(
+        last_evt,
+        (e["user_id"] == F.col("luid")) & (e["ts"] == F.col("last_ts")),
+    ).select(F.col("user_id").alias("uid"), "event_type")
+    err_last = last_rows.filter(F.col("event_type") == "error").select("uid").distinct()
+    viewers = (
+        e.filter(F.col("event_type") == "view").select(F.col("user_id").alias("uid")).distinct()
+    )
+    last_err = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.col("user_id").alias("uid"))
+        .agg(F.max("ts").alias("err_ts"))
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("uid"), F.col("ts").alias("pts")
+    )
+    purchased_after = (
+        purch.join(last_err, "uid").filter(F.col("pts") > F.col("err_ts")).select("uid").distinct()
+    )
+    stuck = (
+        err_last.join(viewers, "uid", "left_semi")
+        .join(purchased_after, "uid", "left_anti")
+    )
+    return stuck.agg(F.count(F.lit(1)).cast("bigint").alias("n_stuck_users"))

@@ -1355,3 +1355,65 @@ def q167_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("skew_ratio_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q174 — sampled join-cardinality estimation vs exact (CBO-style)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_MOD = 16
+
+_EST_ORACLE = f"""
+WITH ls AS (SELECT l_orderkey FROM lineitem
+            WHERE INSTR('0123456789abcdef',
+                        SUBSTR(MD5('s:' || CAST(l_orderkey AS VARCHAR)), 1, 1)) - 1 = 0),
+est AS (SELECT CAST(COUNT(*) AS BIGINT) * {_SAMPLE_MOD} AS est_rows
+        FROM ls JOIN orders ON l_orderkey = o_orderkey),
+ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_rows
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT est_rows, exact_rows,
+       CAST(FLOOR(1e6 * ABS(CAST(est_rows AS DOUBLE) - CAST(exact_rows AS DOUBLE))
+                  / CAST(exact_rows AS DOUBLE) + 0.5) AS BIGINT) AS rel_err_micro
+FROM est CROSS JOIN ex
+"""
+
+
+@query("q174_sampled_join_estimate", oracle=_EST_ORACLE)
+def q174_sampled_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBO-style join-size estimation by correlated sampling: join a
+    deterministic 1/16 hash sample OF THE JOIN KEY against the full
+    other side and scale up. Sampling on the key (not on rows) keeps
+    every sampled key's full multiplicity, so the estimate is unbiased
+    for key-multiplicative joins — row-Bernoulli sampling of both
+    sides would need a 1/p² correction and much more variance. The
+    exact count and realized relative error ride along in the result.
+
+    Scale: the sample predicate is a pushed-down map-side filter
+    (md5 nibble gate, retry-stable like every sample here); the
+    estimate join touches 1/16 of one side. This is the measured
+    version of what q166 predicts from per-key counts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    gate = (
+        F.expr(
+            "instr('0123456789abcdef', substr(md5(cast('s:' || cast(l_orderkey as string) as binary)), 1, 1)) - 1"
+        )
+        == 0
+    )
+    ls = li.filter(gate).select("l_orderkey")
+    est = (
+        ls.join(o, ls["l_orderkey"] == o["o_orderkey"])
+        .agg((F.count(F.lit(1)).cast("bigint") * _SAMPLE_MOD).alias("est_rows"))
+    )
+    ex = li.join(o, li["l_orderkey"] == o["o_orderkey"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_rows")
+    )
+    out = est.crossJoin(ex)
+    rel = F.floor(
+        F.lit(1e6)
+        * F.abs(F.col("est_rows").cast("double") - F.col("exact_rows").cast("double"))
+        / F.col("exact_rows").cast("double")
+        + F.lit(0.5)
+    ).cast("bigint")
+    return out.select("est_rows", "exact_rows", rel.alias("rel_err_micro"))

@@ -47,6 +47,8 @@ NLJ_OK = {
     "q154_constraint_audit",
     # per-table single-row (deleted × before) manifest cross joins
     "q156_deletion_propagation",
+    # single-row (estimate × exact) comparison cross join
+    "q174_sampled_join_estimate",
     # broadcast few-row boundary/total frames: equi-depth shard
     # boundaries (q104), corpus-total cumulative share (q106), stage
     # scalar counts (q108), corpus stats row (q130), grand-total share
