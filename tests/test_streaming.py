@@ -245,3 +245,76 @@ def test_orc_sink_source_roundtrip(spark, tmp_path):
     back = spark.read.orc(p).where(F.col("st") == "F")
     n_f = e.where(F.col("o_orderstatus") == "F").count()
     assert back.count() == n_f
+
+
+def test_append_mode_exactly_once_windows_on_late_arrival(spark, tmp_path):
+    """Out-of-order file arrival (a middle time-slice arrives after
+    the watermark has passed it) must not corrupt append-mode window
+    output: every window is emitted AT MOST once, and each emitted
+    count equals the batch recompute — Spark aggregates the late
+    slice's windows and emits them on immediate eviction (eventual
+    completeness) rather than double-emitting or duplicating.
+
+    (Empirically pinned on Spark 4: late rows whose windows were never
+    in state still aggregate — numRowsDroppedByWatermark stays 0 for
+    this plan — so the engine-level guarantee worth relying on is the
+    exactly-once emission per window, which this asserts.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    span = hi - lo
+    t1 = lo + span / 3
+    t2 = lo + 2 * span / 3
+    prep = str(tmp_path / "slices")
+    e.filter(F.col("ts") < t1).coalesce(1).write.parquet(prep + "/f1")
+    e.filter(F.col("ts") >= t2).coalesce(1).write.parquet(prep + "/f2")
+    e.filter((F.col("ts") >= t1) & (F.col("ts") < t2)).coalesce(1).write.parquet(
+        prep + "/f3"
+    )
+    stream_dir = str(tmp_path / "arrivals")
+    os.makedirs(stream_dir)
+    for i, sub in enumerate(("f1", "f2", "f3")):  # middle slice arrives LAST
+        src = next(f for f in os.listdir(prep + "/" + sub) if f.startswith("part-"))
+        dst = os.path.join(stream_dir, f"{i}_{src}")
+        os.link(os.path.join(prep, sub, src), dst)
+        os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_once")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.table("late_once").select(F.col("w.start").alias("ws"), "n")
+    emitted = {r["ws"]: r["n"] for r in out.collect()}
+    assert out.count() == len(emitted), "a window was emitted twice"
+    batch = {
+        r["ws"]: r["n"]
+        for r in e.groupBy(F.window("ts", "1 hour").start.alias("ws"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # each slice owns disjoint hours, so an emitted window's count must
+    # equal the full batch recompute for that hour
+    for ws, n in emitted.items():
+        assert batch[ws] == n
+    # and emission is near-complete: only windows inside the final
+    # watermark's last hour may still be open
+    assert len(emitted) >= len(batch) - 2
