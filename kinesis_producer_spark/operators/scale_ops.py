@@ -1417,3 +1417,115 @@ def q174_sampled_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5)
     ).cast("bigint")
     return out.select("est_rows", "exact_rows", rel.alias("rel_err_micro"))
+
+
+# ---------------------------------------------------------------------------
+# q175 — dimension snapshot diff (day-over-day change report)
+# ---------------------------------------------------------------------------
+
+_SNAPDIFF_ORACLE = """
+WITH v1 AS (SELECT s_suppkey, CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS bal
+            FROM supplier WHERE s_suppkey % 13 <> 0),
+v2 AS (SELECT s_suppkey,
+              CASE WHEN s_suppkey % 7 = 0
+                   THEN CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) + 100
+                   ELSE CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) END AS bal
+       FROM supplier WHERE s_suppkey % 11 <> 0)
+SELECT 'added' AS change, CAST(COUNT(*) AS BIGINT) AS n FROM v2
+WHERE s_suppkey NOT IN (SELECT s_suppkey FROM v1)
+UNION ALL
+SELECT 'removed', CAST(COUNT(*) AS BIGINT) FROM v1
+WHERE s_suppkey NOT IN (SELECT s_suppkey FROM v2)
+UNION ALL
+SELECT 'changed', CAST(COUNT(*) AS BIGINT)
+FROM v1 JOIN v2 USING (s_suppkey) WHERE v1.bal <> v2.bal
+UNION ALL
+SELECT 'unchanged', CAST(COUNT(*) AS BIGINT)
+FROM v1 JOIN v2 USING (s_suppkey) WHERE v1.bal = v2.bal
+"""
+
+
+@query("q175_snapshot_diff", oracle=_SNAPDIFF_ORACLE)
+def q175_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day dimension snapshot diff: added / removed /
+    changed / unchanged counts between two versions of the supplier
+    dim (deterministically derived: %13 keys absent yesterday, %11
+    absent today, %7 balances revised) — the report every nightly dim
+    load emits before the SCD2 merge (q131) applies it.
+
+    Scale: one full-outer-shaped comparison on the key; here
+    expressed as anti joins for adds/removes and an inner join for
+    value comparison, each a single key exchange. At dim sizes these
+    broadcast; at fact sizes they ride co-partitioning (cf. q140's
+    checksum approach when the diff only needs to LOCATE divergence,
+    not enumerate it).
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    bal = F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    v1 = s.filter(F.col("s_suppkey") % 13 != 0).select("s_suppkey", bal.alias("bal"))
+    v2 = s.filter(F.col("s_suppkey") % 11 != 0).select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 7 == 0, bal + 100).otherwise(bal).alias("bal"),
+    )
+    added = v2.join(v1, "s_suppkey", "left_anti").agg(
+        F.lit("added").alias("change"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    removed = v1.join(v2, "s_suppkey", "left_anti").agg(
+        F.lit("removed").alias("change"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    both = v1.alias("a").join(v2.alias("b"), "s_suppkey")
+    changed = both.filter(F.col("a.bal") != F.col("b.bal")).agg(
+        F.lit("changed").alias("change"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    unchanged = both.filter(F.col("a.bal") == F.col("b.bal")).agg(
+        F.lit("unchanged").alias("change"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return added.unionByName(removed).unionByName(changed).unionByName(unchanged)
+
+
+# ---------------------------------------------------------------------------
+# q176 — per-entity freshness / staleness report
+# ---------------------------------------------------------------------------
+
+_FRESH_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS n_events FROM events GROUP BY user_id),
+g AS (SELECT MAX(last_ts) AS global_max FROM per_user)
+SELECT CAST((EPOCH_US(global_max) - EPOCH_US(last_ts)) // 3600000000 AS BIGINT)
+         AS hours_stale,
+       CAST(COUNT(*) AS BIGINT) AS n_entities,
+       CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM per_user CROSS JOIN g
+GROUP BY 1
+"""
+
+
+@query("q176_freshness_report", oracle=_FRESH_ORACLE)
+def q176_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest freshness histogram: per entity, hours since its last
+    event relative to the stream head, bucketed — the lag report that
+    distinguishes 'pipeline is healthy' from 'these 40 sensors went
+    quiet yesterday' (q152 finds historical gaps; this measures NOW).
+
+    Scale: per-entity max is one map-side-partial agg; the stream
+    head is a 1-row broadcast; the histogram keys on the staleness
+    bucket. Three exchanges totalling |entities| + buckets rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+    g = per_user.agg(F.max("last_ts").alias("global_max"))
+    stale = F.expr(
+        "(unix_micros(cast(global_max as timestamp)) - unix_micros(cast(last_ts as timestamp)))"
+        " div 3600000000"
+    )
+    return (
+        per_user.crossJoin(F.broadcast(g))
+        .select(stale.alias("hours_stale"), "n_events")
+        .groupBy("hours_stale")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_entities"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+    )

@@ -49,6 +49,8 @@ NLJ_OK = {
     "q156_deletion_propagation",
     # single-row (estimate × exact) comparison cross join
     "q174_sampled_join_estimate",
+    # 1-row stream-head broadcast cross join
+    "q176_freshness_report",
     # broadcast few-row boundary/total frames: equi-depth shard
     # boundaries (q104), corpus-total cumulative share (q106), stage
     # scalar counts (q108), corpus stats row (q130), grand-total share
