@@ -3406,3 +3406,97 @@ def q173_stuck_in_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(purchased_after, "uid", "left_anti")
     )
     return stuck.agg(F.count(F.lit(1)).cast("bigint").alias("n_stuck_users"))
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week percent change per event type (BI trend shape)
+# ---------------------------------------------------------------------------
+@query(
+    "q177_week_over_week",
+    oracle="""
+    WITH wk AS (
+      SELECT event_type, DATE_TRUNC('week', ts) AS week_start, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT event_type, week_start, n,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY week_start) AS prev_n
+      FROM wk)
+    SELECT event_type, week_start, n, prev_n,
+           CASE WHEN prev_n IS NULL THEN NULL
+                ELSE CAST(FLOOR(1e6 * (CAST(n AS DOUBLE) - CAST(prev_n AS DOUBLE))
+                           / CAST(prev_n AS DOUBLE) + 0.5) AS BIGINT) END
+             AS wow_change_micro
+    FROM lagged
+    """,
+)
+def q177_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week percent change per event type — the standard BI
+    trend layout: aggregate to the week grain, lag on the aggregated
+    series (tiny — one row per type-week), percent delta in mirrored
+    micro-units with NULL for the first week.
+
+    Scale: the window runs on the AGGREGATED frame (|types| x |weeks|
+    rows), so the sort is trivial no matter how many raw events fed
+    it — the reason trend windows belong after the rollup, never on
+    the fact table.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wk = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("week", "ts")).alias("week_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("week_start")
+    lagged = wk.withColumn("prev_n", F.lag("n").over(w))
+    delta = F.when(
+        F.col("prev_n").isNull(), F.lit(None).cast("bigint")
+    ).otherwise(
+        F.floor(
+            F.lit(1e6)
+            * (F.col("n").cast("double") - F.col("prev_n").cast("double"))
+            / F.col("prev_n").cast("double")
+            + F.lit(0.5)
+        ).cast("bigint")
+    )
+    return lagged.select(
+        "event_type", "week_start", "n", "prev_n", delta.alias("wow_change_micro")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-id remapping: apply the dedup verdict to downstream facts
+# ---------------------------------------------------------------------------
+@query(
+    "q178_canonical_remap",
+    oracle="""
+    WITH groups AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY MD5(text)) AS canon_id
+      FROM documents),
+    remapped AS (
+      SELECT doc_id, canon_id, doc_id <> canon_id AS was_remapped FROM groups)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN was_remapped THEN 1 ELSE 0 END) AS BIGINT) AS n_remapped,
+           CAST(COUNT(DISTINCT canon_id) AS BIGINT) AS n_canonical
+    FROM remapped
+    """,
+)
+def q178_canonical_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The application half of exact dedup (q50 detects; this
+    applies): every doc_id maps to the minimum id of its content
+    group, producing the remap table a downstream fact join uses to
+    collapse duplicate references — plus the audit counts (how many
+    ids changed, how many canonical survivors).
+
+    Scale: one digest-partitioned window (equivalently a groupBy-min
+    join-back); the remap table ships as a broadcast to fact-side
+    joins when the dup fraction is small, or co-partitions on doc_id
+    when it is not.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5(F.col("text").cast("binary")))
+    remap = d.select(
+        "doc_id", F.min("doc_id").over(w).alias("canon_id")
+    ).withColumn("was_remapped", F.col("doc_id") != F.col("canon_id"))
+    return remap.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("was_remapped").cast("bigint")).cast("bigint").alias("n_remapped"),
+        F.count_distinct("canon_id").cast("bigint").alias("n_canonical"),
+    )
