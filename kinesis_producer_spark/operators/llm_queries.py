@@ -2885,3 +2885,132 @@ def q172_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("source_lo", "source_hi").agg(
         F.count(F.lit(1)).alias("n_dup_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# q179 — Python UDTF chunker (the table-function API surface)
+# ---------------------------------------------------------------------------
+
+_UDTF_CHUNK, _UDTF_STRIDE = 80, 60
+
+_UDTF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, len(regexp_split_to_array(text, '\\s+')) AS t FROM documents),
+chunks AS (
+  SELECT source, i AS chunk_idx,
+         CASE WHEN t - {_UDTF_STRIDE} * i < {_UDTF_CHUNK}
+              THEN t - {_UDTF_STRIDE} * i ELSE {_UDTF_CHUNK} END AS n_tokens
+  FROM toks CROSS JOIN (SELECT unnest(range(0, 100000)) AS i)
+  WHERE {_UDTF_STRIDE} * i < t)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_chunk_tokens,
+       CAST(MAX(chunk_idx) AS BIGINT) AS max_chunk_idx
+FROM chunks GROUP BY source
+"""
+
+
+@query("q179_udtf_chunker", oracle=_UDTF_ORACLE)
+def q179_udtf_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking through a REAL Python UDTF
+    (pyspark.sql.functions.udtf, the table-function API): each doc
+    row lateral-joins to one output row per 80-token/60-stride chunk.
+    q127 does the same shape with array expressions (the fast path);
+    this exercises the UDTF surface the engine offers for chunkers
+    that need imperative logic (tokenizer calls, sentence boundaries)
+    — and the oracle pins that both formulations agree.
+
+    Scale: UDTFs evaluate per-partition like any Python stage; chunk
+    arithmetic here is O(tokens) per doc with rows-out bounded by
+    ceil(T/stride). Prefer the array-expression form when logic fits
+    expressions; the UDTF is the escape hatch, not the default.
+    """
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int")
+    class Chunker:
+        def eval(self, n_tok: int):  # noqa: D102
+            if n_tok is None:
+                return
+            start, i = 0, 0
+            while start < n_tok:
+                yield i, min(_UDTF_CHUNK, n_tok - start)
+                start += _UDTF_STRIDE
+                i += 1
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.size(F.split("text", r"\s+")).alias("t"))
+    toks.createOrReplaceTempView("q179_toks")
+    spark.udtf.register("q179_chunker", Chunker)
+    chunks = spark.sql(
+        "SELECT source, c.chunk_idx, c.n_tokens "
+        "FROM q179_toks, LATERAL q179_chunker(t) AS c"
+    )
+    return chunks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("sum_chunk_tokens"),
+        F.max("chunk_idx").cast("bigint").alias("max_chunk_idx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q180 — grouped-agg pandas UDF: per-entity max drawdown
+# ---------------------------------------------------------------------------
+
+_DRAWDOWN_ORACLE = """
+WITH pts AS (
+  SELECT user_id, ts, event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+runmax AS (
+  SELECT user_id, cents,
+         MAX(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS rm
+  FROM pts)
+SELECT user_id, CAST(MAX(rm - cents) AS BIGINT) AS max_drawdown_cents
+FROM runmax GROUP BY user_id
+"""
+
+
+@query("q180_grouped_agg_drawdown", oracle=_DRAWDOWN_ORACLE)
+def q180_grouped_agg_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity maximum drawdown (largest drop from a running peak)
+    computed by a GROUPED_AGG pandas UDF — the Python-aggregate API
+    surface: the group's (ts, event_id, cents) series arrives as
+    aligned pandas columns, is sorted in event order inside the UDF,
+    and reduces in one O(n) pass over exact integer cents. The oracle
+    reproduces it relationally (running-max window, max difference),
+    pinning the sequential algorithm against the declarative form.
+
+    Scale: one shuffle on the entity key; each group reduces locally
+    to a single value (no per-row output). Use this API when the
+    per-group algorithm doesn't decompose into windows; here it does
+    (the oracle proves it), which is the audit that keeps Python
+    aggregates honest.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("bigint", PandasUDFType.GROUPED_AGG)
+    def max_drawdown(ts, event_id, cents):
+        df = pd.DataFrame({"ts": ts, "eid": event_id, "c": cents}).sort_values(
+            ["ts", "eid"]
+        )
+        peak, worst = None, 0
+        for c in df["c"]:
+            c = int(c)
+            if peak is None or c > peak:
+                peak = c
+            if peak - c > worst:
+                worst = peak - c
+        return worst
+
+    e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        e.select("user_id", "ts", "event_id", cents.alias("cents"))
+        .groupBy("user_id")
+        .agg(
+            max_drawdown(F.col("ts"), F.col("event_id"), F.col("cents")).alias(
+                "max_drawdown_cents"
+            )
+        )
+    )

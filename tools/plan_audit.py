@@ -84,7 +84,9 @@ SMJ_OK = {
 
 def audit(name: str, plan: str) -> list[str]:
     flags = []
-    if "BatchEvalPython" in plan:
+    # BatchEvalPythonUDTF is the table-function API (lateral join), not a
+    # row-at-a-time scalar UDF in a projection — only flag the latter.
+    if plan.count("BatchEvalPython") > plan.count("BatchEvalPythonUDTF"):
         flags.append("row-at-a-time Python UDF (BatchEvalPython) — use Arrow")
     if "CartesianProduct" in plan and name not in NLJ_OK:
         flags.append("CartesianProduct join")
