@@ -3500,3 +3500,134 @@ def q178_canonical_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("was_remapped").cast("bigint")).cast("bigint").alias("n_remapped"),
         F.count_distinct("canon_id").cast("bigint").alias("n_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-Markov transitions: event-type transition counts + mean dwell
+# ---------------------------------------------------------------------------
+@query(
+    "q181_dwell_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS a, ts,
+             LEAD(event_type) OVER w AS b,
+             EPOCH_US(LEAD(ts) OVER w) - EPOCH_US(ts) AS dwell_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(dwell_us) // 1000000 AS BIGINT) AS total_dwell_s,
+           CAST(FLOOR(CAST(SUM(dwell_us) AS DOUBLE) / (1e6 * COUNT(*)) + 0.5) AS BIGINT)
+             AS mean_dwell_s
+    FROM seq WHERE b IS NOT NULL
+    GROUP BY a, b
+    """,
+)
+def q181_dwell_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-Markov upgrade of q111's transition matrix: each a→b
+    transition carries its dwell time (how long the user sat in state
+    a), reported as counts plus total and mean dwell — the timing
+    model behind funnel latency and abandonment analyses. Durations
+    in exact microseconds (the q151/q152 discipline).
+
+    Scale: one entity-key window for (next-type, dwell), then a
+    |types|² agg — the exchange after the window carries transition
+    keys, not events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+        (F.lead(us).over(w) - us).alias("dwell_us"),
+    ).filter(F.col("b").isNotNull())
+    return seq.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        F.expr("sum(dwell_us) div 1000000").cast("bigint").alias("total_dwell_s"),
+        F.floor(
+            F.sum("dwell_us").cast("double") / (F.lit(1e6) * F.count(F.lit(1)))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("mean_dwell_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation across gaps (telemetry resampling)
+# ---------------------------------------------------------------------------
+@query(
+    "q182_linear_interpolation",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, ts,
+             EPOCH_US(ts) AS t_us,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+             EPOCH_US(LEAD(ts) OVER w) AS t1_us,
+             CAST(FLOOR(LEAD(value) OVER w * 100 + 0.5) AS BIGINT) AS c1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    gaps AS (
+      SELECT user_id, t_us, c, t1_us, c1,
+             (t_us // 3600000000 + 1) * 3600000000 AS grid_us
+      FROM pts
+      WHERE t1_us IS NOT NULL AND t1_us - t_us > 3600000000),
+    interp AS (
+      SELECT user_id,
+             grid_us,
+             c + CAST(FLOOR(CAST(c1 - c AS DOUBLE) * CAST(grid_us - t_us AS DOUBLE)
+                            / CAST(t1_us - t_us AS DOUBLE) + 0.5) AS BIGINT)
+               AS interp_cents
+      FROM gaps WHERE grid_us < t1_us)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_interp_points,
+           CAST(SUM(interp_cents) AS BIGINT) AS sum_interp_cents
+    FROM interp GROUP BY user_id
+    """,
+)
+def q182_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry resampling: for every >1h silent gap between
+    consecutive readings, synthesize the first hour-aligned grid point
+    inside the gap by linear interpolation between the bracketing
+    readings — the standard regularization before feeding
+    irregular sensor series to a model (q124 gap-fills with carries;
+    this interpolates). Interpolation arithmetic is one mirrored
+    double sequence over exact integer endpoints.
+
+    Scale: one entity-key window produces each gap's bracketing pair;
+    interpolation is map-side arithmetic on the gap rows only (no
+    explode of the full grid — gaps are the rare case by definition).
+    Extending to EVERY grid point in a gap is a bounded sequence()
+    explode of gap rows only.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    pts = e.select(
+        "user_id",
+        us.alias("t_us"),
+        cents.alias("c"),
+        F.lead(us).over(w).alias("t1_us"),
+        F.lead(cents).over(w).alias("c1"),
+    )
+    gaps = pts.filter(
+        F.col("t1_us").isNotNull() & (F.col("t1_us") - F.col("t_us") > 3_600_000_000)
+    ).withColumn(
+        "grid_us", (F.expr("t_us div 3600000000") + 1) * F.lit(3_600_000_000)
+    )
+    interp = gaps.filter(F.col("grid_us") < F.col("t1_us")).select(
+        "user_id",
+        (
+            F.col("c")
+            + F.floor(
+                (F.col("c1") - F.col("c")).cast("double")
+                * (F.col("grid_us") - F.col("t_us")).cast("double")
+                / (F.col("t1_us") - F.col("t_us")).cast("double")
+                + F.lit(0.5)
+            ).cast("bigint")
+        ).alias("interp_cents"),
+    )
+    return interp.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_interp_points"),
+        F.sum("interp_cents").cast("bigint").alias("sum_interp_cents"),
+    )
