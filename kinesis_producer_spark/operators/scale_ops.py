@@ -1529,3 +1529,100 @@ def q176_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").cast("bigint").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q183 — log2-binned histogram (portable, no floating log)
+# ---------------------------------------------------------------------------
+
+_LOGHIST_ORACLE = """
+WITH toks AS (
+  SELECT source, len(regexp_split_to_array(text, '\\s+')) AS n FROM documents)
+SELECT source, CAST(LENGTH(BIN(n)) AS BIGINT) AS log2_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n) AS BIGINT) AS min_tokens,
+       CAST(MAX(n) AS BIGINT) AS max_tokens
+FROM toks GROUP BY source, log2_bin
+"""
+
+
+@query("q183_log_histogram", oracle=_LOGHIST_ORACLE)
+def q183_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length histogram on log2-spaced bins —
+    the right shape for heavy-tailed length distributions where
+    equi-width bins (q116) put everything in one bucket. The bin is
+    floor(log2(n))+1 computed as LENGTH(BIN(n)) — pure integer bit
+    arithmetic both engines share, dodging floating LOG2's
+    last-ulp portability hazard entirely (same reasoning as the
+    log-free idf in q130 and collision entropy in q141).
+
+    Scale: map-side bin + a (sources x ~15 bins) agg; the histogram
+    is the input to length-sharding (q104) and batching (q168)
+    policies.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", r"\s+"))
+    return (
+        d.select("source", n.alias("n"))
+        .groupBy("source", F.length(F.bin("n")).cast("bigint").alias("log2_bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n").cast("bigint").alias("min_tokens"),
+            F.max("n").cast("bigint").alias("max_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q184 — retention-policy sweep (TTL audit across tables)
+# ---------------------------------------------------------------------------
+
+_TTL_ORACLE = """
+SELECT 'events' AS table_name,
+       CAST((SELECT COUNT(*) FROM events
+             WHERE ts < TIMESTAMP '2024-01-15 00:00:00') AS BIGINT) AS n_expired,
+       CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_rows
+UNION ALL
+SELECT 'orders',
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00') AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'lineitem',
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_shipdate < TIMESTAMP '1995-01-01 00:00:00') AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+"""
+
+
+@query("q184_retention_sweep", oracle=_TTL_ORACLE)
+def q184_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-policy audit: per time-partitioned table, how many
+    rows are past their TTL cutoff — the nightly report that sizes
+    the deletion job before it runs (the execution is a partition
+    drop when the cutoff aligns with the layout, q18's Hive
+    partitioning; an anti-join rewrite otherwise, q156).
+
+    Scale: each count is a scan with the cutoff pushed into the
+    parquet reader (min/max zone maps skip whole files, q138) — on a
+    date-partitioned table it becomes pure partition pruning, no data
+    read at all.
+    """
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def row(name: str, df: DataFrame, col: str, cutoff: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.sum((F.col(col) < F.lit(cutoff).cast("timestamp")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_expired"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+
+    return (
+        row("events", e, "ts", "2024-01-15 00:00:00")
+        .unionByName(row("orders", o, "o_orderdate", "1995-01-01 00:00:00"))
+        .unionByName(row("lineitem", li, "l_shipdate", "1995-01-01 00:00:00"))
+    )
