@@ -1626,3 +1626,53 @@ def q184_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("orders", o, "o_orderdate", "1995-01-01 00:00:00"))
         .unionByName(row("lineitem", li, "l_shipdate", "1995-01-01 00:00:00"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q185 — cross-domain identity consistency (warehouse ↔ event stream)
+# ---------------------------------------------------------------------------
+
+_XDOM_ORACLE = """
+WITH c AS (SELECT DISTINCT c_custkey AS id FROM customer),
+e AS (SELECT DISTINCT user_id AS id FROM events)
+SELECT 'both' AS cohort, CAST(COUNT(*) AS BIGINT) AS n
+FROM c WHERE id IN (SELECT id FROM e)
+UNION ALL
+SELECT 'customer_only', CAST(COUNT(*) AS BIGINT)
+FROM c WHERE id NOT IN (SELECT id FROM e)
+UNION ALL
+SELECT 'events_only', CAST(COUNT(*) AS BIGINT)
+FROM e WHERE id NOT IN (SELECT id FROM c)
+"""
+
+
+@query("q185_identity_consistency", oracle=_XDOM_ORACLE)
+def q185_identity_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity reconciliation between the warehouse dimension and
+    the event stream: ids present in both, customers who never emit
+    events, and event emitters unknown to the dimension — the
+    cross-system audit run before any join between the two worlds is
+    trusted (events_only > 0 means the dim load lags the stream or
+    ids don't share a namespace).
+
+    Scale: distinct-key semi/anti joins — key-cardinality sized, the
+    smaller key set broadcast. Same family as q154's referential
+    check but across systems rather than within one schema.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id")
+    ).distinct()
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("id")
+    ).distinct()
+
+    def row(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("cohort"), F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+
+    return (
+        row("both", c.join(e, "id", "left_semi"))
+        .unionByName(row("customer_only", c.join(e, "id", "left_anti")))
+        .unionByName(row("events_only", e.join(c, "id", "left_anti")))
+    )
