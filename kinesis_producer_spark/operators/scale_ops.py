@@ -1676,3 +1676,84 @@ def q185_identity_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("customer_only", c.join(e, "id", "left_anti")))
         .unionByName(row("events_only", e.join(c, "id", "left_anti")))
     )
+
+
+# ---------------------------------------------------------------------------
+# q186 — A/B readout on behavioral (session) metrics
+# ---------------------------------------------------------------------------
+
+_ABSESS_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g),
+per_user AS (
+  SELECT user_id, COUNT(DISTINCT sid) AS n_sessions, COUNT(*) AS n_events
+  FROM s GROUP BY user_id),
+armed AS (
+  SELECT INSTR('0123456789abcdef',
+               SUBSTR(MD5('ab:' || CAST(user_id AS VARCHAR)), 1, 1)) % 2 AS arm,
+         n_sessions, n_events
+  FROM per_user)
+SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_sessions) AS BIGINT) AS total_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       CAST(FLOOR(1e6 * CAST(SUM(n_events) AS DOUBLE)
+                  / CAST(SUM(n_sessions) AS DOUBLE) + 0.5) AS BIGINT)
+         AS events_per_session_micro
+FROM armed GROUP BY arm
+"""
+
+
+@query("q186_ab_session_metrics", oracle=_ABSESS_ORACLE)
+def q186_ab_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout on a BEHAVIORAL metric: the q165 hash-split
+    arms evaluated on sessionized engagement (q20's 30-min gap
+    sessions) — users, sessions, events, and events-per-session per
+    arm. The composition every product experiment actually ships:
+    value metrics (q165) and behavior metrics (this) from the same
+    stable assignment function.
+
+    Scale: sessionization's entity-key window and the per-user rollup
+    share one exchange; the arm rollup is a 2-key agg. The assignment
+    being a pure id function means both readouts join-free agree on
+    who is in which arm.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    ns = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    ws = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    s = e.select("user_id", "ts", "event_id").withColumn("sid", F.sum(ns).over(ws))
+    per_user = s.groupBy("user_id").agg(
+        F.count_distinct("sid").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+    arm = F.expr(
+        "instr('0123456789abcdef', substr(md5(cast('ab:' || cast(user_id as string) as binary)), 1, 1)) % 2"
+    )
+    return (
+        per_user.select(arm.alias("arm"), "n_sessions", "n_events")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n_sessions").cast("bigint").alias("total_sessions"),
+            F.sum("n_events").cast("bigint").alias("total_events"),
+            F.floor(
+                F.lit(1e6)
+                * F.sum("n_events").cast("double")
+                / F.sum("n_sessions").cast("double")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("events_per_session_micro"),
+        )
+    )
