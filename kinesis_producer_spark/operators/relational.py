@@ -3631,3 +3631,54 @@ def q182_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_interp_points"),
         F.sum("interp_cents").cast("bigint").alias("sum_interp_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU stickiness: distinct users over a 7-day sliding window
+# ---------------------------------------------------------------------------
+@query(
+    "q187_dau_wau",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day
+                FROM events),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+    contrib AS (SELECT user_id, day + CAST(i AS INTEGER) AS target_day
+                FROM ud CROSS JOIN (SELECT UNNEST(RANGE(0, 7)) AS i)),
+    wau AS (SELECT target_day AS day, COUNT(DISTINCT user_id) AS wau
+            FROM contrib GROUP BY target_day)
+    SELECT dau.day, dau, wau,
+           CAST(FLOOR(1e6 * CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) + 0.5) AS BIGINT)
+             AS stickiness_micro
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+)
+def q187_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU stickiness per day — the engagement
+    curve. Distinct-users over a SLIDING window can't reuse window
+    partials (distinct doesn't decompose), so the scalable shape is a
+    bounded contribution-explode: each (user, day) pair feeds the 7
+    target days it counts toward, and WAU is a plain distinct-agg per
+    target day. Days with activity in the preceding week but none
+    that day drop out via the DAU inner join (matching the oracle).
+
+    Scale: the explode is x7 on the DISTINCT (user, day) frame — far
+    smaller than raw events — and both aggs are map-side-partial
+    distincts keyed on day. The same pattern gives MAU with x30 on
+    day grain (or x4ish on week grain).
+    """
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.transform(F.sequence(F.lit(0), F.lit(6)), lambda i: F.date_add("day", i))
+        ).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(F.count_distinct("user_id").alias("wau"))
+    out = dau.join(wau, "day")
+    stick = F.floor(
+        F.lit(1e6) * F.col("dau").cast("double") / F.col("wau").cast("double")
+        + F.lit(0.5)
+    ).cast("bigint")
+    return out.select("day", "dau", "wau", stick.alias("stickiness_micro"))
