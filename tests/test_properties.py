@@ -256,5 +256,5 @@ def test_dsum_matches_quantized_model(spark, vals):
 
     df = spark.createDataFrame([(v,) for v in vals], "x double")
     got = df.agg(dsum("x", "s")).collect()[0]["s"]
-    expect = sum(math.floor(v * 10000 + 0.5) for v in vals) / 10000.0
+    expect = sum(math.floor(v * 10000 + 0.5) for v in vals)
     assert got == expect

@@ -1,0 +1,90 @@
+"""Audit the gate surface of every registered query.
+
+The driver's correctness gate canonicalizes results through pandas and
+hashes cell values; round 1 showed two hazard classes on that surface:
+
+1. array/map-typed cells  → ``TypeError: unhashable type: 'list'``
+2. computed doubles       → rendering/ulp exposure (q04 hash-mismatch)
+
+This tool builds each ``queries()`` DataFrame (plan only — nothing is
+executed) and reports any output column whose type is Array/Map/Struct,
+or Double/Float.  Doubles that are raw fixture-column passthroughs are
+reported separately from computed ones (passthroughs are bit-identical
+on both engines by construction and have passed the gate; computed
+doubles should be quantized or integerized).
+
+Usage: python tools/surface_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+# Raw fixture double columns: passthrough of these (by name) is benign.
+RAW_DOUBLE_COLS = {
+    "o_totalprice",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "c_acctbal",
+    "s_acctbal",
+    "p_retailprice",
+    "value",
+}
+
+# (query, column) pairs whose double column is a raw cell value under an
+# alias — MIN/MAX/lag/lead of a fixture column involve no arithmetic, so
+# both engines surface bit-identical parquet values. Audited by hand.
+RAW_PROPAGATED = {
+    ("q11_lag_lead", "prev_value"),
+    ("q11_lag_lead", "next_value"),
+    ("q82_min_price_supplier", "min_price"),
+    ("q102_hierarchical_rollup", "min_value"),
+    ("q102_hierarchical_rollup", "max_value"),
+}
+
+
+def main() -> int:
+    from pyspark.sql import types as T
+
+    from kinesis_producer_spark.session import get_spark
+    from kinesis_producer_spark.suite import load_all
+
+    only = set(sys.argv[1:])
+    queries, _ = load_all()
+    spark = get_spark("surface_audit", cpus=4)
+
+    n_flag = 0
+    for name, fn in sorted(queries.items()):
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, SF_DIR)
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR  {name}: {type(e).__name__}: {e}")
+            n_flag += 1
+            continue
+        for f in df.schema.fields:
+            t = f.dataType
+            if isinstance(t, (T.ArrayType, T.MapType, T.StructType)):
+                print(f"FLAG {name}: {f.name} is {t.simpleString()} (unhashable cell)")
+                n_flag += 1
+            elif isinstance(t, (T.DoubleType, T.FloatType)):
+                raw = f.name in RAW_DOUBLE_COLS or (name, f.name) in RAW_PROPAGATED
+                kind = "raw-passthrough" if raw else "COMPUTED"
+                print(f"{'flag' if kind == 'COMPUTED' else 'note'} {name}: {f.name} is {t.simpleString()} ({kind})")
+                if kind == "COMPUTED":
+                    n_flag += 1
+    print(f"\n{n_flag} flagged")
+    spark.stop()
+    return 1 if n_flag else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
