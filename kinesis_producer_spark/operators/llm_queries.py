@@ -2617,7 +2617,6 @@ def q168_dynamic_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.size(F.split("text", r"\s+")).alias("n_tok"))
 
     def strategy(name: str, order_cols) -> DataFrame:
-        rk = W.orderBy(*order_cols)
         batched = toks.withColumn(
             "batch_id", F.expr(f"(row_number() over (order by {', '.join(order_cols)}) - 1) div {_BATCH_SIZE}")
         )

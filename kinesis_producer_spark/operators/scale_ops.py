@@ -142,7 +142,9 @@ def q141_char_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sc = F.sum("c").cast("decimal(38,0)")
-    sc2 = F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)")
+    # cast each factor BEFORE the multiply: per-row c*c in bigint would
+    # silently overflow at c > ~3e9 long before the post-sum cast ran
+    sc2 = F.sum(F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)"))
     return counts.groupBy("source").agg(
         F.max("chars_total").alias("total_chars"),
         sc.cast("bigint").alias("alpha_chars"),
@@ -219,8 +221,9 @@ WITH dims AS (
 stats AS (SELECT d, MIN(qx) AS qmin, MAX(qx) AS qmax FROM dims GROUP BY d),
 coded AS (
   SELECT dims.d, qx, qmin, qmax,
-         CAST(FLOOR(CAST(qx - qmin AS DOUBLE) * 255.0
-                    / CAST(qmax - qmin AS DOUBLE) + 0.5) AS BIGINT) AS code
+         CASE WHEN qmax = qmin THEN 0
+              ELSE CAST(FLOOR(CAST(qx - qmin AS DOUBLE) * 255.0
+                         / CAST(qmax - qmin AS DOUBLE) + 0.5) AS BIGINT) END AS code
   FROM dims JOIN stats ON dims.d = stats.d)
 SELECT d, COUNT(*) AS n_vecs, MIN(code) AS code_min, MAX(code) AS code_max,
        CAST(SUM(ABS(qx - (qmin + CAST(FLOOR(CAST(code AS DOUBLE)
@@ -256,10 +259,15 @@ def q143_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = dims.groupBy("d").agg(F.min("qx").alias("qmin"), F.max("qx").alias("qmax"))
     spread = F.col("qmax") - F.col("qmin")
-    code = F.floor(
-        (F.col("qx") - F.col("qmin")).cast("double") * 255.0 / spread.cast("double")
-        + F.lit(0.5)
-    ).cast("bigint")
+    # constant dimension (qmax == qmin) would otherwise compute 0·255/0
+    # = NaN, and NaN→bigint casts diverge across engines; both sides
+    # take the explicit zero branch instead
+    code = F.when(spread == 0, F.lit(0).cast("bigint")).otherwise(
+        F.floor(
+            (F.col("qx") - F.col("qmin")).cast("double") * 255.0 / spread.cast("double")
+            + F.lit(0.5)
+        ).cast("bigint")
+    )
     coded = dims.join(F.broadcast(stats), "d").withColumn("code", code)
     recon = F.col("qmin") + F.floor(
         F.col("code").cast("double") * spread.cast("double") / 255.0 + F.lit(0.5)
@@ -1207,8 +1215,9 @@ mom AS (
   FROM per_user GROUP BY arm)
 SELECT arm, n,
        CAST(FLOOR(CAST(s1 AS DOUBLE) / n + 0.5) AS BIGINT) AS mean_cents,
-       CAST(FLOOR((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
-                  / (n - 1) + 0.5) AS BIGINT) AS var_cents2
+       CASE WHEN n <= 1 THEN NULL
+            ELSE CAST(FLOOR((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                       / (n - 1) + 0.5) AS BIGINT) END AS var_cents2
 FROM mom
 """
 
@@ -1250,11 +1259,15 @@ def q165_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "arm",
         "n",
         F.floor(s1d / F.col("n") + F.lit(0.5)).cast("bigint").alias("mean_cents"),
-        F.floor(
-            (F.col("s2").cast("double") - s1d * s1d / F.col("n")) / (F.col("n") - 1)
-            + F.lit(0.5)
+        # n=1 arm: (n-1)=0 — div-by-zero semantics differ across
+        # engines, so both take the explicit NULL branch
+        F.when(F.col("n") <= 1, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(
+                (F.col("s2").cast("double") - s1d * s1d / F.col("n")) / (F.col("n") - 1)
+                + F.lit(0.5)
+            ).cast("bigint")
         )
-        .cast("bigint")
         .alias("var_cents2"),
     )
 

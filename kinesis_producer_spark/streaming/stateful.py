@@ -89,7 +89,12 @@ def events_multifile_stream(
 
     from kinesis_producer_spark.tables import load_table
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # The cache tag includes the fixture's mtime: the driver regenerates
+    # events.parquet in place between rounds, and a tag keyed on path
+    # alone would serve stale micro-batches against a fresh batch oracle.
+    src = os.path.join(sf_dir, "events.parquet")
+    mtime = os.stat(src).st_mtime_ns if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf_dir}:{mtime}".encode()).hexdigest()[:8]
     suffix = "_dup" if duplicate else ""
     prep = os.path.join(tempfile.gettempdir(), f"events_mf2_{tag}_{n_files}{suffix}")
     if not os.path.exists(os.path.join(prep, "_SUCCESS")):
