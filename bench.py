@@ -43,6 +43,10 @@ HEADLINE = [
     "q90_shipping_priority",
     "q96_word_repetition",
     "q99_common_passages",
+    # Iterative algorithms — heaviest non-headline families; tracked so
+    # round-over-round regressions in loop-convergence cost are visible.
+    "q144_connected_components",
+    "q147_bpe_vocab_induction",
 ]
 
 

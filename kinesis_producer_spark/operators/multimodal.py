@@ -128,6 +128,103 @@ def decode_media(
     return src.mapInPandas(run, DECODED_SCHEMA)
 
 
+HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("color_type", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+    ]
+)
+
+# PNG color type → sample count per pixel (PNG spec §4.1.1: grayscale,
+# truecolor, palette-indexed, gray+alpha, truecolor+alpha).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _parse_png_ihdr(b: bytes) -> dict | None:
+    """Real PNG header parse (no codec deps — pure byte layout).
+
+    Layout per the PNG spec: 8-byte signature, then the IHDR chunk
+    (4-byte big-endian length, 4-byte type, 13-byte payload:
+    width u32be, height u32be, bit depth u8, color type u8, ...).
+    """
+    if len(b) < 29 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+        return None
+    width = int.from_bytes(b[16:20], "big")
+    height = int.from_bytes(b[20:24], "big")
+    bit_depth = b[24]
+    color_type = b[25]
+    return {
+        "media_type": "image/png",
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+        "n_channels": _PNG_CHANNELS.get(color_type),
+    }
+
+
+def _parse_wav_fmt(b: bytes) -> dict | None:
+    """Real WAV (RIFF) fmt-chunk parse: walk chunks after 'RIFF....WAVE'
+    until 'fmt ' — u16le audio format, u16le channels, u32le sample
+    rate, u32le byte rate, u16le block align, u16le bits per sample."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    while pos + 8 <= len(b):
+        chunk_id = b[pos : pos + 4]
+        chunk_len = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if chunk_id == b"fmt " and pos + 8 + 16 <= len(b):
+            body = b[pos + 8 :]
+            return {
+                "media_type": "audio/wav",
+                "n_channels": int.from_bytes(body[2:4], "little"),
+                "sample_rate": int.from_bytes(body[4:8], "little"),
+                "bits_per_sample": int.from_bytes(body[14:16], "little"),
+            }
+        pos += 8 + chunk_len + (chunk_len % 2)  # RIFF chunks are 2-byte aligned
+    return None
+
+
+def decode_headers(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Real (non-stubbed) media metadata decode for container formats
+    whose headers are parseable without codec libraries: PNG IHDR
+    (width/height/bit-depth/color-type) and WAV fmt (channels/sample
+    rate/bits). Unknown formats yield a row with null fields — the
+    PERMISSIVE analogue of reference file_flattener.py:78's FAILFAST.
+
+    Arrow-batched mapInPandas: blobs stream through executors in
+    columnar batches; at 100 TB pair with ``repartition_by_bytes`` so
+    fat rows don't skew task memory.
+    """
+    src = df.select(F.col(id_col).alias("media_id"), F.col(content_col).alias("_blob"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = HEADER_SCHEMA.fieldNames()
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["_blob"]):
+                b = bytes(blob) if blob is not None else b""
+                parsed = _parse_png_ihdr(b) or _parse_wav_fmt(b) or {
+                    "media_type": "application/octet-stream"
+                }
+                row = {c: None for c in cols}
+                row["media_id"] = mid
+                row.update(parsed)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(run, HEADER_SCHEMA)
+
+
 def repartition_by_bytes(
     df: DataFrame, content_col: str = "content", target_bytes: int = 128 * 1024 * 1024
 ) -> DataFrame:

@@ -83,3 +83,88 @@ def write_hive_partitioned_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_with_manifest(
+    df: DataFrame,
+    path: str,
+    fmt: str = "json",
+    partition_by: list[str] | None = None,
+    dataset_type: str = "compacted",
+    mode: str = "overwrite",
+    rename_parts: bool = False,
+) -> list[dict]:
+    """Partitioned write + filename-metadata manifest.
+
+    The reference embeds ``<type>_<n_files>_<bytes>`` in every compacted
+    object name (decompression.py:46-48) and the flatten row count in
+    CSV names (file_flattener.py:167-168) so downstream auditors can
+    verify completeness without opening files. Spark part-file names
+    carry no such metadata, so this helper writes a ``_manifest.jsonl``
+    next to the data: one line per output file with
+    ``{file, dataset_type, n_rows, n_bytes, name_tag}`` where
+    ``name_tag = <type>_<n_rows>_<bytes>`` reproduces the reference's
+    naming contract. With ``rename_parts=True`` the part files
+    themselves are renamed to ``<name_tag>.<ext>`` (rename-on-commit).
+
+    Driver-side listing is O(#files), not O(rows): per-file row counts
+    come from parquet footers / a per-file count aggregation, never from
+    collecting data. On object stores the listing goes through the same
+    ``os``-level contract exposed by the local FS here; swap in the
+    Hadoop FileSystem API when targeting s3a.
+
+    Returns the manifest entries (also written to disk).
+    """
+    import json
+    import os
+
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    getattr(w, fmt)(path)
+
+    spark = df.sparkSession
+    ext = {"json": ".json", "csv": ".csv", "parquet": ".parquet", "orc": ".orc"}[fmt]
+    part_files = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith("part-") and f.endswith(ext):
+                part_files.append(os.path.join(root, f))
+    # Per-file row counts without reading data into the driver:
+    # input_file_name() groupBy — one Spark job over the written files.
+    from urllib.parse import unquote
+
+    reader = spark.read.option("header", True) if fmt == "csv" else spark.read
+    counts = {
+        unquote(r["file"]): r["n"]
+        for r in getattr(reader, fmt)(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    entries = []
+    for p in sorted(part_files):
+        n_bytes = os.path.getsize(p)
+        # Part-file *basenames* repeat across partition dirs (one task
+        # writes the same part number into every partition it owns), so
+        # match on the partition-relative path, not the basename.
+        rel = os.path.relpath(p, path)
+        uri_keys = [k for k in counts if k.endswith("/" + rel)]
+        n_rows = int(counts[uri_keys[0]]) if uri_keys else 0
+        tag = f"{dataset_type}_{n_rows}_{n_bytes}"
+        entry = {
+            "file": os.path.relpath(p, path),
+            "dataset_type": dataset_type,
+            "n_rows": n_rows,
+            "n_bytes": n_bytes,
+            "name_tag": tag,
+        }
+        if rename_parts:
+            new_path = os.path.join(os.path.dirname(p), tag + ext)
+            os.rename(p, new_path)
+            entry["file"] = os.path.relpath(new_path, path)
+        entries.append(entry)
+    with open(os.path.join(path, "_manifest.jsonl"), "w") as fh:
+        for e in entries:
+            fh.write(json.dumps(e) + "\n")
+    return entries

@@ -26,6 +26,21 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Money-typed columns per table. The driver regenerates fixtures between
+# rounds and physical types can drift (events.ts nanos→µs already did);
+# if a money column arrives as decimal(p,2) instead of double, normalize
+# to double so every downstream cents-quantization (floor(x*100+0.5))
+# keeps bit-identical semantics with the DuckDB oracle, which applies
+# the same arithmetic to the same parquet values.
+MONEY_COLUMNS: dict[str, tuple[str, ...]] = {
+    "lineitem": ("l_extendedprice", "l_discount", "l_tax"),
+    "orders": ("o_totalprice",),
+    "customer": ("c_acctbal",),
+    "supplier": ("s_acctbal",),
+    "part": ("p_retailprice",),
+    "events": ("value",),
+}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet scan → pushdown + pruning for free.
@@ -51,6 +66,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # LTZ (identity under the UTC session tz) so epoch arithmetic
             # (cast to long, unix_timestamp) and window gaps keep working.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    money = MONEY_COLUMNS.get(name, ())
+    if money:
+        from pyspark.sql import functions as F
+
+        dtypes = dict(df.dtypes)
+        for c in money:
+            if dtypes.get(c, "").startswith("decimal"):
+                df = df.withColumn(c, F.col(c).cast("double"))
     return df
 
 

@@ -11,6 +11,33 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+@pytest.fixture(scope="session", autouse=True)
+def fixture_invariants():
+    """Assert the driver-generated fixtures still satisfy the physical
+    invariants the suite relies on — fail fast with a clear message when
+    a regeneration drifts (the events.ts nanos→µs churn already
+    happened once; money double→decimal is the next likely flip)."""
+    import pyarrow.parquet as pq
+
+    from kinesis_producer_spark.tables import MONEY_COLUMNS, TABLES
+
+    for sf_dir in (SF_SMOKE, SF_ORACLE):
+        for t in TABLES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            assert os.path.exists(path), f"fixture missing: {path}"
+            schema = pq.read_schema(path)
+            for c in MONEY_COLUMNS.get(t, ()):
+                typ = str(schema.field(c).type)
+                assert typ in ("double", "float") or typ.startswith("decimal"), (
+                    f"{t}.{c} has unexpected physical type {typ}; "
+                    "extend tables.MONEY_COLUMNS normalization"
+                )
+        ts_type = str(pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type)
+        assert "timestamp" in ts_type or ts_type == "int64", (
+            f"events.ts physical type {ts_type} unhandled by tables.load_table"
+        )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from kinesis_producer_spark.session import get_spark

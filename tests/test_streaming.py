@@ -318,3 +318,66 @@ def test_append_mode_exactly_once_windows_on_late_arrival(spark, tmp_path):
     # and emission is near-complete: only windows inside the final
     # watermark's last hour may still be open
     assert len(emitted) >= len(batch) - 2
+
+
+def test_kinesis_transport_boto3_contract(monkeypatch):
+    """Drive the REAL KinesisTransport code path against a fake boto3
+    module and assert the AWS service bounds the reference relies on at
+    main.py:20-23: every put_records call carries ≤500 records and the
+    sum of Data+PartitionKey bytes is ≤5 MB."""
+    import sys
+    import types
+
+    calls: list[list[dict]] = []
+
+    class FakeKinesisClient:
+        def put_records(self, StreamName, Records):
+            calls.append(Records)
+            assert len(Records) <= MAX_RECORDS_PER_CALL, "record-count bound violated"
+            total = sum(len(r["Data"]) + len(r["PartitionKey"].encode()) for r in Records)
+            assert total <= MAX_BYTES_PER_CALL, "byte bound violated"
+            return {
+                "FailedRecordCount": 0,
+                "Records": [
+                    {"SequenceNumber": f"seq-{i}", "ShardId": "shardId-000000000000"}
+                    for i in range(len(Records))
+                ],
+            }
+
+    fake_boto3 = types.ModuleType("boto3")
+    fake_boto3.client = lambda service, region_name=None: FakeKinesisClient()
+    monkeypatch.setitem(sys.modules, "boto3", fake_boto3)
+
+    from kinesis_producer_spark.streaming.kinesis_sink import KinesisTransport
+
+    sink = KinesisSink(stream_name="s", transport_factory=KinesisTransport)
+    # 1200 small records -> count-bound chunking (500/500/200)
+    acks = sink.send_partition(_records(1200, size=10))
+    assert [len(c) for c in calls] == [500, 500, 200]
+    assert all(a["status"] == "ok" for a in acks)
+    # 20 fat records (900 KB each) -> byte-bound chunking (5 per call)
+    calls.clear()
+    sink.send_partition(_records(20, size=900 * 1024))
+    assert all(len(c) <= 5 for c in calls)
+    assert sum(len(c) for c in calls) == 20
+
+
+def test_kinesis_transport_missing_boto3(monkeypatch):
+    """Without boto3 the transport raises a clear ImportError instead of
+    failing deep inside a Spark task."""
+    import builtins
+    import sys
+
+    monkeypatch.delitem(sys.modules, "boto3", raising=False)
+    real_import = builtins.__import__
+
+    def no_boto3(name, *a, **k):
+        if name == "boto3":
+            raise ImportError("No module named 'boto3'")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_boto3)
+    from kinesis_producer_spark.streaming.kinesis_sink import KinesisTransport
+
+    with pytest.raises(ImportError, match="boto3"):
+        KinesisTransport()
