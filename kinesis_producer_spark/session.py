@@ -17,6 +17,34 @@ from pyspark.sql import SparkSession
 _MAX_PARTITION_BYTES = 128 * 1024 * 1024
 
 
+def s3_tuning_profile(connection_pool: int = 50) -> dict[str, str]:
+    """s3a configuration preset mirroring the reference's S3 client
+    tuning (aws_utils.py:11 pins botocore max_pool_connections=50).
+
+    Inert in this sandbox (no real S3); pass to ``get_spark(extra_conf=
+    s3_tuning_profile())`` when pointing at s3a:// paths. Values follow
+    the public Hadoop s3a documentation: pooled connections sized to the
+    reference's constant, fast upload with disk buffering (the analogue
+    of the reference's BytesIO-then-upload, minus the OOM risk), and
+    directory-marker retention for modern committers.
+    """
+    return {
+        "spark.hadoop.fs.s3a.connection.maximum": str(connection_pool),
+        "spark.hadoop.fs.s3a.threads.max": str(connection_pool),
+        "spark.hadoop.fs.s3a.fast.upload": "true",
+        "spark.hadoop.fs.s3a.fast.upload.buffer": "disk",
+        "spark.hadoop.fs.s3a.block.size": str(_MAX_PARTITION_BYTES),
+        "spark.hadoop.fs.s3a.directory.marker.retention": "keep",
+        "spark.hadoop.fs.s3a.committer.name": "magic",
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a": (
+            "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory"
+        ),
+    }
+
+
 def get_spark(
     app_name: str = "kinesis_producer_spark",
     cpus: int | None = None,

@@ -258,3 +258,75 @@ def test_dsum_matches_quantized_model(spark, vals):
     got = df.agg(dsum("x", "s")).collect()[0]["s"]
     expect = sum(math.floor(v * 10000 + 0.5) for v in vals)
     assert got == expect
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=24, max_size=24),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_passjoin_blocking_is_complete(spark, strings):
+    """PassJoin candidate generation never drops a true edit-distance≤k
+    pair (the pigeonhole bound) — checked against brute-force
+    Levenshtein over a 3-letter alphabet, which makes near-pairs
+    common enough to be non-vacuous."""
+    from kinesis_producer_spark.operators.dedup import passjoin_candidate_pairs
+
+    k = 3
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "doc_id long, pfx string"
+    )
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in passjoin_candidate_pairs(df, "doc_id", "pfx", k=k, slen=24).collect()
+    }
+    truth = {
+        (i, j)
+        for i in range(len(strings))
+        for j in range(i + 1, len(strings))
+        if _levenshtein(strings[i], strings[j]) <= k
+    }
+    assert truth <= cand, f"dropped true pairs: {truth - cand}"
+
+
+def test_passjoin_planted_near_duplicates(spark):
+    """Deterministic planted cases: distance 0..3 survive blocking and
+    the verify stage; distance ≥4 is filtered by the verifier."""
+    from kinesis_producer_spark.operators.dedup import passjoin_candidate_pairs
+
+    base = "the quick brown fox jump"  # 24 chars
+    variants = [
+        (0, base),
+        (1, base[:5] + "X" + base[6:]),           # 1 substitution
+        (2, ("Z" + base)[:24]),                   # shift: 1 ins + 1 del at end
+        (3, base[:3] + base[4:] + "Q"),           # del + append
+        (4, "XXXX" + base[4:]),                   # 4 substitutions → out
+        (5, "completely different str"),
+    ]
+    df = spark.createDataFrame(variants, "doc_id long, pfx string")
+    cand = passjoin_candidate_pairs(df, "doc_id", "pfx", k=3, slen=24)
+    verified = {
+        (r["id_a"], r["id_b"])
+        for r in cand.select(
+            "id_a", "id_b", F.levenshtein("str_a", "str_b").alias("d")
+        ).filter(F.col("d") <= 3).collect()
+    }
+    assert (0, 1) in verified
+    assert (0, 2) in verified
+    assert (0, 3) in verified
+    assert (0, 4) not in verified
+    assert (0, 5) not in verified

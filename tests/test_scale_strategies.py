@@ -244,3 +244,17 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     joined = facts.join(dim.filter(F.col("tag") == "keep"), facts["o_year"] == dim["d_year"])
     plan = _plan(joined)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_s3_tuning_profile_contract():
+    """The s3a preset pins the reference's 50-connection pool
+    (aws_utils.py:11) and only emits spark.hadoop./spark.sql. keys."""
+    from kinesis_producer_spark.session import s3_tuning_profile
+
+    p = s3_tuning_profile()
+    assert p["spark.hadoop.fs.s3a.connection.maximum"] == "50"
+    assert p["spark.hadoop.fs.s3a.fast.upload.buffer"] == "disk"
+    assert all(k.startswith(("spark.hadoop.", "spark.sql.")) for k in p)
+    assert s3_tuning_profile(connection_pool=200)[
+        "spark.hadoop.fs.s3a.threads.max"
+    ] == "200"
