@@ -3118,21 +3118,31 @@ def _le_bytes(c: F.Column, n_hex: int) -> F.Column:
     "q188_media_header_decode",
     oracle="""
     SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
-           CASE WHEN doc_id % 2 = 0 THEN CAST(1 + doc_id % 1920 AS INT) END AS width,
-           CASE WHEN doc_id % 2 = 0 THEN CAST(1 + doc_id % 1080 AS INT) END AS height,
-           CASE WHEN doc_id % 2 = 0 THEN CAST(8 AS INT) END AS bit_depth,
-           CASE WHEN doc_id % 2 = 0 THEN
+           CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                           WHEN 2 THEN 'image/jpeg' ELSE 'image/gif' END AS media_type,
+           CAST(CASE doc_id % 4
+                  WHEN 0 THEN 1 + doc_id % 1920
+                  WHEN 2 THEN 1 + doc_id % 1920
+                  WHEN 3 THEN 1 + doc_id % 640 END AS INT) AS width,
+           CAST(CASE doc_id % 4
+                  WHEN 0 THEN 1 + doc_id % 1080
+                  WHEN 2 THEN 1 + doc_id % 1080
+                  WHEN 3 THEN 1 + doc_id % 480 END AS INT) AS height,
+           CAST(CASE doc_id % 4
+                  WHEN 0 THEN 8 WHEN 2 THEN 8
+                  WHEN 3 THEN 1 + doc_id % 8 END AS INT) AS bit_depth,
+           CASE WHEN doc_id % 4 = 0 THEN
              CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END AS INT)
            END AS color_type,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN
-                  CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
-                ELSE CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END
-           END AS INT) AS n_channels,
-           CASE WHEN doc_id % 2 = 1 THEN
+           CAST(CASE doc_id % 4
+                  WHEN 0 THEN CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+                  WHEN 1 THEN CASE WHEN doc_id % 8 = 1 THEN 1 ELSE 2 END
+                  WHEN 2 THEN CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+                  ELSE 1 END AS INT) AS n_channels,
+           CASE WHEN doc_id % 4 = 1 THEN
              CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INT)
            END AS sample_rate,
-           CASE WHEN doc_id % 2 = 1 THEN CAST(16 AS INT) END AS bits_per_sample
+           CASE WHEN doc_id % 4 = 1 THEN CAST(16 AS INT) END AS bits_per_sample
     FROM documents
     """,
 )
@@ -3167,7 +3177,7 @@ def q188_media_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bytearray(b"\x00\x00\x00")),  # compression/filter/interlace
         F.lit(bytearray(b"\x00\x00\x00\x00")),  # CRC placeholder
     )
-    nch = F.when(F.col("doc_id") % 4 == 1, 1).otherwise(2).cast("long")
+    nch = F.when(F.col("doc_id") % 8 == 1, 1).otherwise(2).cast("long")
     rate = (
         F.when(F.col("doc_id") % 3 == 0, 8000)
         .when(F.col("doc_id") % 3 == 1, 16000)
@@ -3185,8 +3195,38 @@ def q188_media_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _le_bytes((nch * 2).cast("long"), 4),  # block align
         _le_bytes(F.lit(16).cast("long"), 4),  # bits per sample
     )
+    # JPEG: SOI + SOF0 frame header (precision 8, height, width,
+    # component count) + zero-padded component spec + EOI.
+    ncomp = (
+        F.when(F.col("doc_id") % 3 == 0, 1).when(F.col("doc_id") % 3 == 1, 3).otherwise(4)
+    ).cast("long")
+    jpeg = F.concat(
+        F.lit(bytearray(b"\xff\xd8\xff\xc0")),
+        _be_bytes((F.lit(8) + ncomp * 3).cast("long"), 4),  # segment length
+        F.lit(bytearray(b"\x08")),  # precision
+        _be_bytes(height, 4),
+        _be_bytes(width, 4),
+        _be_bytes(ncomp, 2),
+        F.lit(bytearray(bytes(12))),  # component spec padding
+        F.lit(bytearray(b"\xff\xd9")),
+    )
+    # GIF: version signature + logical screen descriptor (u16le dims,
+    # packed flags carrying global-palette depth-1 in the low 3 bits).
+    gwidth = (F.lit(1) + F.col("doc_id") % 640).cast("long")
+    gheight = (F.lit(1) + F.col("doc_id") % 480).cast("long")
+    gdepth = (F.lit(1) + F.col("doc_id") % 8).cast("long")
+    gif = F.concat(
+        F.lit(bytearray(b"GIF89a")),
+        _le_bytes(gwidth, 4),
+        _le_bytes(gheight, 4),
+        _be_bytes(F.lit(0xF0).cast("long") + gdepth - 1, 2),  # packed byte
+        F.lit(bytearray(b"\x00\x00")),
+    )
+    m = F.col("doc_id") % 4
     blobs = d.select(
         F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 2 == 0, png).otherwise(wav).alias("content"),
+        F.when(m == 0, png).when(m == 1, wav).when(m == 2, jpeg).otherwise(gif).alias(
+            "content"
+        ),
     )
     return decode_headers(blobs)

@@ -50,6 +50,8 @@ DECODED_SCHEMA = T.StructType(
 _MAGIC = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
+    b"GIF87a": "image/gif",
+    b"GIF89a": "image/gif",
     b"RIFF": "audio/wav",
     b"OggS": "audio/ogg",
 }
@@ -192,14 +194,67 @@ def _parse_wav_fmt(b: bytes) -> dict | None:
     return None
 
 
+# JPEG start-of-frame markers that carry dimensions (baseline,
+# extended-sequential, progressive, lossless — the SOFn family minus
+# DHT/DAC/RST which reuse the numeric range).
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def _parse_jpeg_sof(b: bytes) -> dict | None:
+    """Real JPEG header parse: walk marker segments (FF xx + u16be
+    length) from SOI until an SOFn frame header — u8 precision,
+    u16be height, u16be width, u8 component count."""
+    if len(b) < 4 or b[:3] != b"\xff\xd8\xff":
+        return None
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None  # marker desync — corrupt stream
+        marker = b[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI/RSTn: no length
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        if marker in _JPEG_SOF and pos + 9 <= len(b):
+            body = b[pos + 4 :]
+            return {
+                "media_type": "image/jpeg",
+                "bit_depth": body[0],
+                "height": int.from_bytes(body[1:3], "big"),
+                "width": int.from_bytes(body[3:5], "big"),
+                "n_channels": body[5],
+            }
+        pos += 2 + seg_len
+    return None
+
+
+def _parse_gif_screen(b: bytes) -> dict | None:
+    """Real GIF header parse: 6-byte version signature then the logical
+    screen descriptor — u16le width, u16le height, packed flags whose
+    low 3 bits encode global-palette bit depth minus one."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    return {
+        "media_type": "image/gif",
+        "width": int.from_bytes(b[6:8], "little"),
+        "height": int.from_bytes(b[8:10], "little"),
+        "bit_depth": (b[10] & 0x07) + 1,
+        "n_channels": 1,  # palette-indexed
+    }
+
+
 def decode_headers(
     df: DataFrame, id_col: str = "media_id", content_col: str = "content"
 ) -> DataFrame:
     """Real (non-stubbed) media metadata decode for container formats
     whose headers are parseable without codec libraries: PNG IHDR
-    (width/height/bit-depth/color-type) and WAV fmt (channels/sample
-    rate/bits). Unknown formats yield a row with null fields — the
-    PERMISSIVE analogue of reference file_flattener.py:78's FAILFAST.
+    (width/height/bit-depth/color-type), WAV fmt (channels/sample
+    rate/bits), JPEG SOFn (dimensions/precision/components), and GIF
+    logical screen descriptor. Unknown formats yield a row with null
+    fields — the PERMISSIVE analogue of reference file_flattener.py:78's
+    FAILFAST.
 
     Arrow-batched mapInPandas: blobs stream through executors in
     columnar batches; at 100 TB pair with ``repartition_by_bytes`` so
@@ -213,9 +268,13 @@ def decode_headers(
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["_blob"]):
                 b = bytes(blob) if blob is not None else b""
-                parsed = _parse_png_ihdr(b) or _parse_wav_fmt(b) or {
-                    "media_type": "application/octet-stream"
-                }
+                parsed = (
+                    _parse_png_ihdr(b)
+                    or _parse_wav_fmt(b)
+                    or _parse_jpeg_sof(b)
+                    or _parse_gif_screen(b)
+                    or {"media_type": "application/octet-stream"}
+                )
                 row = {c: None for c in cols}
                 row["media_id"] = mid
                 row.update(parsed)

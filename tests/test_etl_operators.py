@@ -329,3 +329,48 @@ def test_manifest_rename_on_commit(spark, tmp_path):
     e = entries[0]
     assert e["file"] == f"impact_10_{e['n_bytes']}.json"
     assert spark.read.json(path + "/" + e["file"]).count() == 10
+
+
+def test_jpeg_gif_header_parsers_on_real_bytes():
+    """JPEG SOF walk and GIF screen descriptor parse genuine byte
+    layouts, including skipping APP0/DQT segments before the frame."""
+    import struct
+
+    from kinesis_producer_spark.operators.multimodal import (
+        _parse_gif_screen,
+        _parse_jpeg_sof,
+    )
+
+    # JPEG: SOI + APP0(JFIF) + DQT filler + SOF0 (progressive walk).
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + bytes(65)
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + struct.pack(">BHHB", 8, 1080, 1920, 3)
+        + bytes(9)
+    )
+    jpeg = b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+    j = _parse_jpeg_sof(jpeg)
+    assert j == {
+        "media_type": "image/jpeg",
+        "bit_depth": 8,
+        "height": 1080,
+        "width": 1920,
+        "n_channels": 3,
+    }
+    # progressive SOF2 also matches; truncated-before-SOF returns None
+    assert _parse_jpeg_sof(jpeg.replace(b"\xff\xc0", b"\xff\xc2"))["width"] == 1920
+    assert _parse_jpeg_sof(b"\xff\xd8" + app0) is None
+
+    # GIF89a: width=320 height=200, 8-bit global palette.
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + bytes([0xF7, 0, 0])
+    g = _parse_gif_screen(gif)
+    assert g == {
+        "media_type": "image/gif",
+        "width": 320,
+        "height": 200,
+        "bit_depth": 8,
+        "n_channels": 1,
+    }
+    assert _parse_gif_screen(b"GIF90a" + bytes(7)) is None
