@@ -3230,3 +3230,135 @@ def q188_media_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return decode_headers(blobs)
+
+
+@query(
+    "q189_dup_ngram_fraction",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS a FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, a[i] || ' ' || a[i+1] AS gram
+      FROM toks, UNNEST(range(1, len(a))) AS t(i)
+    ),
+    c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+    m2 AS (
+      SELECT doc_id, SUM(cnt) AS n2,
+             SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup2
+      FROM c2 GROUP BY doc_id
+    ),
+    g3 AS (
+      SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS gram
+      FROM toks, UNNEST(range(1, len(a) - 1)) AS t(i)
+    ),
+    c3 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g3 GROUP BY doc_id, gram),
+    m3 AS (SELECT doc_id, SUM(cnt) AS n3, MAX(cnt) AS top3 FROM c3 GROUP BY doc_id)
+    SELECT m2.doc_id,
+           CAST(m2.n2 AS BIGINT) AS n_bigrams,
+           CAST(FLOOR(CAST(m2.dup2 AS DOUBLE) / CAST(m2.n2 AS DOUBLE) * 1e6 + 0.5)
+                AS BIGINT) AS dup_bigram_micro,
+           CAST(FLOOR(CAST(m3.top3 AS DOUBLE) / CAST(m3.n3 AS DOUBLE) * 1e6 + 0.5)
+                AS BIGINT) AS top_trigram_micro
+    FROM m2 JOIN m3 ON m2.doc_id = m3.doc_id
+    """,
+)
+def q189_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate n-gram filters (public Rae et al. 2021
+    heuristics): fraction of bigram occurrences that are duplicates
+    within the document, and the top trigram's share of all trigrams.
+    Catches loops/boilerplate that word-level repetition (q96) misses.
+
+    Grams are built with an O(n) array transform (no self-join), then
+    exploded into keyed aggregates: one (doc_id, gram) shuffle with
+    map-side partial counts, then a doc_id rollup. doc_id is unique →
+    no hot keys; same shape as q96 and scales identically.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    a = F.split(F.col("text"), r"\s+")
+    gram2 = F.transform(
+        F.sequence(F.lit(0), F.size(a) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(a, i + 1), F.element_at(a, i + 2)),
+    )
+    gram3 = F.transform(
+        F.sequence(F.lit(0), F.size(a) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(a, i + 1),
+            F.element_at(a, i + 2),
+            F.element_at(a, i + 3),
+        ),
+    )
+    base = d.select("doc_id", gram2.alias("g2"), gram3.alias("g3"))
+    c2 = (
+        base.select("doc_id", F.explode("g2").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m2 = c2.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n2"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup2"),
+    )
+    c3 = (
+        base.select("doc_id", F.explode("g3").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m3 = c3.groupBy("doc_id").agg(F.sum("cnt").alias("n3"), F.max("cnt").alias("top3"))
+    micro = lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return m2.join(m3, "doc_id").select(
+        "doc_id",
+        F.col("n2").cast("bigint").alias("n_bigrams"),
+        micro(F.col("dup2").cast("double") / F.col("n2").cast("double")).alias(
+            "dup_bigram_micro"
+        ),
+        micro(F.col("top3").cast("double") / F.col("n3").cast("double")).alias(
+            "top_trigram_micro"
+        ),
+    )
+
+
+@query(
+    "q190_ann_ivf_multiprobe",
+    oracle=f"""
+    WITH cells AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS cell
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding, cell FROM cells WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+      SELECT q.query_id, b.vec_id, {_qdot_sql("q.embedding", "b.embedding")} AS qxy,
+             {_qdot_sql("q.embedding", "q.embedding")} AS qxx,
+             {_qdot_sql("b.embedding", "b.embedding")} AS qyy
+      FROM cells b JOIN q
+        ON b.cell IN (q.cell, xor(q.cell, 1), xor(q.cell, 2), xor(q.cell, 4))
+    ), cos AS (
+      SELECT query_id, vec_id,
+             CAST(FLOOR(1e6 * CAST(qxy AS DOUBLE) /
+                  SQRT(CAST(qxx AS DOUBLE) * CAST(qyy AS DOUBLE)) + 0.5) AS BIGINT) AS cos_micro
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_micro, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_micro DESC, vec_id) AS rank
+      FROM cos
+    ) WHERE rank <= 5
+    """,
+)
+def q190_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN: the query's sign-bit cell plus all cells
+    one sign-flip away (4 probes of 8 cells at bits=3) — the recall
+    repair for boundary queries that single-probe IVF (q56) drops.
+    The oracle replicates the probe set exactly, so this checks the
+    probing logic, not just the scoring."""
+    from kinesis_producer_spark.operators.similarity import ivf_topk_multiprobe
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk_multiprobe(e, queries, k=5, bits=3)
+    return out.select("query_id", "vec_id", "cos_micro", "rank")

@@ -128,3 +128,40 @@ def near_dup_pairs(
         )
         .filter(F.col("cos_micro") >= threshold_micro)
     )
+
+
+def ivf_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Multi-probe IVF: probe the query's cell plus every cell at
+    Hamming distance 1 (bits+1 probes of 2^bits cells).
+
+    The standard recall fix for coarse quantizers (public multi-probe
+    LSH literature, Lv et al. VLDB'07): a query near a quantization
+    boundary finds neighbors that landed one sign-flip away, at the
+    cost of scanning (bits+1)/2^bits of the corpus instead of 1/2^bits.
+    The probe fan-out is on the broadcast query side — the corpus is
+    still scanned once, hash-joined on cell id; at 100 TB the cell id
+    is a partition column and the probe list prunes files.
+    """
+    cells = corpus.withColumn("_cell", ivf_cell(F.col(emb_col), bits))
+    qc = ivf_cell(F.col(emb_col), bits)
+    probes = F.array(qc, *[qc.bitwiseXOR(F.lit(1 << i)) for i in range(bits)])
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(emb_col).alias("_q_emb"),
+        F.explode(probes).alias("_cell"),
+    )
+    scored = cells.join(F.broadcast(q), "_cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_micro(F.col(emb_col), F.col("_q_emb")).alias("cos_micro"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cos_micro").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -258,3 +258,28 @@ def test_s3_tuning_profile_contract():
     assert s3_tuning_profile(connection_pool=200)[
         "spark.hadoop.fs.s3a.threads.max"
     ] == "200"
+
+
+def test_multiprobe_recovers_boundary_neighbors(spark):
+    """A neighbor one sign-flip across the quantization boundary is
+    invisible to single-probe IVF but found by multi-probe."""
+    from pyspark.sql import functions as F
+
+    from kinesis_producer_spark.operators.similarity import ivf_topk, ivf_topk_multiprobe
+
+    rows = [
+        (0, [0.9, 0.5, 0.5, 0.1]),   # query: cell 111
+        (1, [-0.1, 0.5, 0.5, 0.1]),  # near-identical but dim1 flipped: cell 110
+        (2, [0.8, 0.4, 0.6, 0.2]),   # same cell as query
+        (3, [-0.9, -0.5, -0.5, 0.3]),  # far away, cell 000
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    single = {r["vec_id"] for r in ivf_topk(df, q, k=4, bits=3).collect()}
+    multi = {r["vec_id"] for r in ivf_topk_multiprobe(df, q, k=4, bits=3).collect()}
+    assert 1 not in single, "boundary vector should be outside the single probe cell"
+    assert 1 in multi, "multi-probe must recover the one-flip neighbor"
+    assert 2 in single and 2 in multi
+    assert 3 not in multi, "distance-2 cell must not be probed"
