@@ -47,6 +47,11 @@ HEADLINE = [
     # round-over-round regressions in loop-convergence cost are visible.
     "q144_connected_components",
     "q147_bpe_vocab_induction",
+    # Round-2 operator families: codec-free media header decode
+    # (mapInPandas over synthesized binary containers) and PassJoin
+    # segment-blocked edit-distance join.
+    "q188_media_header_decode",
+    "q62_edit_distance",
 ]
 
 

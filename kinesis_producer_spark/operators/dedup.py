@@ -231,20 +231,25 @@ def connected_components(
     for _ in range(max_iter):
         msgs = (
             edges.join(labels, edges.src == labels.id)
-            .select(F.col("dst").alias("id"), "label")
+            .select(
+                F.col("dst").alias("id"),
+                "label",
+                F.lit(None).cast(dict(labels.dtypes)["label"]).alias("old"),
+            )
         )
-        new_labels = (
-            labels.unionByName(msgs)
+        # Convergence check fused into the propagation aggregate: the
+        # node's own row carries its previous label through the union,
+        # so "did anything change" is a filter over the checkpointed
+        # result — no extra join (and no extra shuffle) per round.
+        agg = (
+            labels.select("id", "label", F.col("label").alias("old"))
+            .unionByName(msgs)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = agg.filter(F.col("label") < F.col("old")).count()
+        labels = agg.select("id", "label")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

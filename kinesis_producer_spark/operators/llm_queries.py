@@ -3362,3 +3362,73 @@ def q190_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ivf_topk_multiprobe(e, queries, k=5, bits=3)
     return out.select("query_id", "vec_id", "cos_micro", "rank")
+
+
+def _le_hex(c: F.Column, n_hex: int) -> F.Column:
+    """Little-endian hex STRING of an int column (for F.repeat-able
+    byte patterns; unhex at the end)."""
+    h = F.lpad(F.hex(c), n_hex, "0")
+    return F.concat(*[F.substring(h, i, 2) for i in range(n_hex - 1, 0, -2)])
+
+
+@query(
+    "q191_audio_pcm_features",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             2 * (doc_id % 50) + 1 AS n,
+             1 + doc_id % 30000 AS amp,
+             CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(n AS INT) AS n_samples,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(FLOOR(CAST(n * 1000 AS DOUBLE) / rate + 0.5) AS INT) AS duration_ms,
+           CAST(amp AS INT) AS peak,
+           CAST(FLOOR(CAST(1000 * amp AS DOUBLE) / n + 0.5) AS BIGINT) AS mean_milli,
+           CAST(amp AS INT) AS rms
+    FROM p
+    """,
+)
+def q191_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM audio decode: synthesizes a byte-exact 16-bit mono WAV
+    per document (an odd-length alternating ±A square wave, so sample
+    signedness must be decoded correctly for the mean to come out
+    right), then runs ``decode_audio_pcm``'s genuine RIFF-walk +
+    int16 sample decode. The oracle recomputes every feature from the
+    generating formula: n samples, duration at the declared rate, peak
+    |A|, mean A/n in milli-units, RMS A. Any endianness, signedness,
+    chunk-offset, or off-by-one error in the decoder mismatches."""
+    from kinesis_producer_spark.operators.multimodal import decode_audio_pcm
+
+    d = load_table(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 50).cast("long")
+    n = (m * 2 + 1).cast("long")
+    amp = (F.lit(1) + F.col("doc_id") % 30000).cast("long")
+    neg = (F.lit(65536) - amp).cast("long")  # two's-complement -A
+    rate = (
+        F.when(F.col("doc_id") % 3 == 0, 8000)
+        .when(F.col("doc_id") % 3 == 1, 16000)
+        .otherwise(44100)
+    ).cast("long")
+    data_hex = F.concat(
+        _le_hex(amp, 4), F.repeat(F.concat(_le_hex(neg, 4), _le_hex(amp, 4)), m.cast("int"))
+    )
+    blob = F.concat(
+        F.lit(bytearray(b"RIFF")),
+        _le_bytes((F.lit(36) + n * 2).cast("long"), 8),
+        F.lit(bytearray(b"WAVEfmt ")),
+        _le_bytes(F.lit(16).cast("long"), 8),
+        _le_bytes(F.lit(1).cast("long"), 4),  # PCM
+        _le_bytes(F.lit(1).cast("long"), 4),  # mono
+        _le_bytes(rate, 8),
+        _le_bytes((rate * 2).cast("long"), 8),  # byte rate
+        _le_bytes(F.lit(2).cast("long"), 4),  # block align
+        _le_bytes(F.lit(16).cast("long"), 4),  # bits per sample
+        F.lit(bytearray(b"data")),
+        _le_bytes((n * 2).cast("long"), 8),
+        F.unhex(data_hex),
+    )
+    blobs = d.select(F.col("doc_id").alias("media_id"), blob.alias("content"))
+    return decode_audio_pcm(blobs)

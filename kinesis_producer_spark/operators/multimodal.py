@@ -10,11 +10,16 @@ Design for binary-media corpora at 100 TB:
 - partitioning: media rows are *fat* — size-based repartition (bytes
   per partition, not rows) keeps task memory bounded.
 
-The actual codec work (PIL/ffmpeg/soundfile) is NOT in this image, so
-decoders are stubbed: ``decode_stub='fail'`` raises
-NotImplementedError listing the real dependency; ``'fake'`` produces a
-deterministic fake decode so the full Spark plumbing (schema, batch
-shape, partitioning) is testable end-to-end.
+Decode layers, from real to stubbed:
+- ``decode_headers`` — REAL, codec-free: PNG IHDR / WAV fmt / JPEG
+  SOFn / GIF screen-descriptor metadata from pure byte layout.
+- ``decode_audio_pcm`` — REAL, codec-free: 16-bit PCM WAV sample
+  decode (count/duration/peak/mean/RMS) via numpy.
+- ``decode_media`` / ``resize_media`` / ``sample_frames`` — pixel and
+  compressed-audio/video work needs PIL/ffmpeg (NOT in this image):
+  ``decode_stub='fail'`` raises NotImplementedError naming the
+  dependency; ``'fake'`` produces a deterministic pseudo-decode so the
+  Spark plumbing (schema, batch shape, partitioning) stays testable.
 """
 
 from __future__ import annotations
@@ -384,3 +389,82 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=FRAMES_SCHEMA.fieldNames())
 
     return src.mapInPandas(run, FRAMES_SCHEMA)
+
+
+PCM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("mean_milli", T.LongType()),
+        T.StructField("rms", T.IntegerType()),
+    ]
+)
+
+
+def _parse_wav_pcm(b: bytes):
+    """Locate the RIFF 'data' chunk and decode 16-bit little-endian PCM
+    samples. Returns (sample_rate, int16 numpy array) or None. Pure
+    byte layout — PCM needs no codec, unlike compressed audio."""
+    import numpy as np
+
+    fmt = _parse_wav_fmt(b)
+    if fmt is None or fmt.get("bits_per_sample") != 16:
+        return None
+    pos = 12
+    while pos + 8 <= len(b):
+        chunk_id = b[pos : pos + 4]
+        chunk_len = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if chunk_id == b"data":
+            raw = b[pos + 8 : pos + 8 + chunk_len]
+            return fmt["sample_rate"], np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2")
+        pos += 8 + chunk_len + (chunk_len % 2)
+    return None
+
+
+def decode_audio_pcm(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """REAL audio decode for PCM WAV: sample count, duration, peak
+    amplitude, mean (signedness check) and RMS, computed from the
+    decoded int16 samples — stdlib/numpy only, no audio libraries.
+    Non-PCM/unparseable blobs yield null feature fields.
+
+    Arrow-batched mapInPandas; samples never leave the executor, and
+    per-blob work is O(n_samples) vectorized numpy.
+    """
+    import math
+
+    import numpy as np
+
+    src = df.select(F.col(id_col).alias("media_id"), F.col(content_col).alias("_blob"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = PCM_SCHEMA.fieldNames()
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["_blob"]):
+                b = bytes(blob) if blob is not None else b""
+                parsed = _parse_wav_pcm(b)
+                row = {c: None for c in cols}
+                row["media_id"] = mid
+                if parsed is not None:
+                    rate, s = parsed
+                    n = int(s.size)
+                    if n:
+                        a = s.astype("int64")
+                        total = int(a.sum())
+                        row.update(
+                            n_samples=n,
+                            sample_rate=rate,
+                            duration_ms=int(math.floor(n * 1000 / rate + 0.5)),
+                            peak=int(np.abs(a).max()),
+                            mean_milli=int(math.floor(1000 * total / n + 0.5)),
+                            rms=int(math.floor(math.sqrt(float((a * a).sum()) / n) + 0.5)),
+                        )
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(run, PCM_SCHEMA)

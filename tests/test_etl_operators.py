@@ -374,3 +374,36 @@ def test_jpeg_gif_header_parsers_on_real_bytes():
         "n_channels": 1,
     }
     assert _parse_gif_screen(b"GIF90a" + bytes(7)) is None
+
+
+def test_pcm_decode_on_real_wave_file(spark):
+    """decode_audio_pcm on a stdlib-wave-written file with known
+    samples: peak/mean/RMS must match values computed from the source
+    samples, and a non-PCM blob yields null features."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from kinesis_producer_spark.operators.multimodal import decode_audio_pcm
+
+    samples = [100, -200, 300, -400, 500]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<5h", *samples))
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"OggSjunk"))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r.asDict() for r in decode_audio_pcm(df).collect()}
+    r = rows[1]
+    assert r["n_samples"] == 5
+    assert r["sample_rate"] == 8000
+    assert r["duration_ms"] == math.floor(5 * 1000 / 8000 + 0.5)
+    assert r["peak"] == 500
+    assert r["mean_milli"] == math.floor(1000 * sum(samples) / 5 + 0.5)
+    assert r["rms"] == math.floor(math.sqrt(sum(s * s for s in samples) / 5) + 0.5)
+    assert rows[2]["n_samples"] is None and rows[2]["rms"] is None
