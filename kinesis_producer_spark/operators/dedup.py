@@ -64,24 +64,52 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def minhash_signature(df: DataFrame, shingle_col: Column, k: int = 8) -> Column:
-    """k md5-min-hashes as an array column — per-row, shuffle-free.
+    """k min-hashes as an array column — per-row, shuffle-free, ONE
+    md5 per shingle.
 
-    minhash_i = lexicographic MIN over shingles of md5('<i>:'+shingle);
-    md5 is uniform so the lexicographic min is a valid min-hash.
+    minhash_i = lexicographic MIN over shingles of the 64-bit hex
+    window ``substr(md5(shingle), 1+2i, 16)`` — the rotation family
+    from one-permutation hashing (Li et al., NIPS'12): each window is a
+    uniform 64-bit hash, so its lexicographic min is a valid min-hash,
+    and deriving all k from a single digest cuts the dominant
+    signature cost k-fold versus hashing k seeded copies (the round-1
+    scheme). Windows overlap by 14 hex chars, so estimates are mildly
+    correlated — irrelevant here because LSH only generates candidates
+    and exact Jaccard verifies. Catalyst's subexpression elimination
+    evaluates the shared ``transform(shingles, md5)`` once per row.
 
-    The per-seed hash closure MUST be built by a factory taking one
-    lambda parameter: a two-parameter lambda (``lambda s, i=i``) is
-    treated by Spark's higher-order functions as the (element, index)
-    form, silently binding the array-index Column to ``i``.
+    k ≤ 9 keeps every window inside the 32-hex digest (no wraparound).
+
+    The hash closure MUST be built by a factory taking one lambda
+    parameter: a two-parameter lambda (``lambda s, i=i``) is treated
+    by Spark's higher-order functions as the (element, index) form,
+    silently binding the array-index Column to ``i``.
     """
+    if k > 9:
+        raise ValueError("k must be ≤ 9 (64-bit windows of a 128-bit digest)")
+    digests = F.transform(shingle_col, lambda s: F.md5(s))
 
-    def seed_hash(i: int):
-        prefix = f"{i}:"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    # Single fold over the digest array holding all k running mins in
+    # the accumulator. Building k separate array_min(transform(...))
+    # expressions re-evaluates the md5 transform per hash — Catalyst's
+    # subexpression elimination does not share a non-trivial lambda
+    # subtree across sibling expressions (measured: 8 window-mins cost
+    # the same as 8 seeded md5 passes). The fold references ``digests``
+    # exactly once, so md5 runs once per shingle; '~' (0x7E) sorts
+    # after every hex char and marks "no shingles" → null, matching
+    # array_min's empty-array behavior.
+    init = F.array(*[F.lit("~") for _ in range(k)])
 
-    return F.array(
-        *[F.array_min(F.transform(shingle_col, seed_hash(i))) for i in range(k)]
-    )
+    def fold_mins(acc: Column, h: Column) -> Column:
+        return F.array(
+            *[
+                F.least(F.element_at(acc, i + 1), F.substring(h, 1 + 2 * i, 16))
+                for i in range(k)
+            ]
+        )
+
+    sig = F.aggregate(digests, init, fold_mins)
+    return F.transform(sig, lambda m: F.when(m == "~", F.lit(None)).otherwise(m))
 
 
 def lsh_candidate_pairs(

@@ -148,7 +148,7 @@ def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') a FROM documents),
     sh AS (SELECT doc_id, {_BIGRAMS_SQL} s FROM w),
     ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-    mh AS (SELECT doc_id, seed, MIN(MD5(CAST(seed AS VARCHAR) || ':' || g)) m
+    mh AS (SELECT doc_id, seed, MIN(SUBSTR(MD5(g), 1 + 2*seed, 16)) m
            FROM ex CROSS JOIN (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
     sig AS (SELECT doc_id, list(m ORDER BY seed) sg FROM mh GROUP BY doc_id),
     bands AS (SELECT doc_id, b, MD5(sg[2*b+1] || '|' || sg[2*b+2]) bucket
@@ -202,7 +202,7 @@ def q52_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') a FROM documents),
     sh AS (SELECT doc_id, {_BIGRAMS_SQL} s FROM w),
     ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-    mh AS (SELECT doc_id, seed, MIN(MD5(CAST(seed AS VARCHAR) || ':' || g)) m
+    mh AS (SELECT doc_id, seed, MIN(SUBSTR(MD5(g), 1 + 2*seed, 16)) m
            FROM ex CROSS JOIN (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
     sig AS (SELECT doc_id, list(m ORDER BY seed) sg FROM mh GROUP BY doc_id),
     bands AS (SELECT doc_id, b, MD5(sg[b+1]) bucket
@@ -588,7 +588,7 @@ def q63_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') a FROM documents),
     sh AS (SELECT doc_id, {_BIGRAMS_SQL} s FROM w),
     ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-    mh AS (SELECT doc_id, seed, MIN(MD5(CAST(seed AS VARCHAR) || ':' || g)) m
+    mh AS (SELECT doc_id, seed, MIN(SUBSTR(MD5(g), 1 + 2*seed, 16)) m
            FROM ex CROSS JOIN (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
     sig AS (SELECT doc_id, list(m ORDER BY seed) sg FROM mh GROUP BY doc_id),
     bands AS (SELECT doc_id, b, MD5(sg[2*b+1] || '|' || sg[2*b+2]) bucket
@@ -627,7 +627,7 @@ def q64_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') a FROM documents),
     sh AS (SELECT doc_id, {_BIGRAMS_SQL} s FROM w),
     ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-    mh AS (SELECT doc_id, seed, MIN(MD5(CAST(seed AS VARCHAR) || ':' || g)) m
+    mh AS (SELECT doc_id, seed, MIN(SUBSTR(MD5(g), 1 + 2*seed, 16)) m
            FROM ex CROSS JOIN (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
     sig AS (SELECT doc_id, list(m ORDER BY seed) sg FROM mh GROUP BY doc_id),
     bands AS (SELECT doc_id, b, MD5(sg[2*b+1] || '|' || sg[2*b+2]) bucket
@@ -2758,7 +2758,7 @@ _SWEEP_ORACLE = (
     f"""
 WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') a FROM documents),
 sh AS (SELECT doc_id, {_BIGRAMS_SQL} s FROM w),
-mh AS (SELECT doc_id, seed, MIN(MD5(CAST(seed AS VARCHAR) || ':' || g)) m
+mh AS (SELECT doc_id, seed, MIN(SUBSTR(MD5(g), 1 + 2*seed, 16)) m
        FROM (SELECT doc_id, unnest(s) AS g FROM sh)
        CROSS JOIN (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
 sig AS (SELECT doc_id, list(m ORDER BY seed) sg FROM mh GROUP BY doc_id),"""
@@ -2828,7 +2828,7 @@ def q170_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INC_ORACLE = f"""
 WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') a FROM documents),
 sh AS (SELECT doc_id, {_BIGRAMS_SQL} s FROM w),
-mh AS (SELECT doc_id, seed, MIN(MD5(CAST(seed AS VARCHAR) || ':' || g)) m
+mh AS (SELECT doc_id, seed, MIN(SUBSTR(MD5(g), 1 + 2*seed, 16)) m
        FROM (SELECT doc_id, unnest(s) AS g FROM sh)
        CROSS JOIN (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
 sig AS (SELECT doc_id, list(m ORDER BY seed) sg FROM mh GROUP BY doc_id),
@@ -2923,7 +2923,7 @@ def q171_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _XSRC_ORACLE = f"""
 WITH w AS (SELECT doc_id, source, regexp_split_to_array(text, '\\s+') a FROM documents),
 sh AS (SELECT doc_id, source, {_BIGRAMS_SQL} s FROM w),
-mh AS (SELECT doc_id, seed, MIN(MD5(CAST(seed AS VARCHAR) || ':' || g)) m
+mh AS (SELECT doc_id, seed, MIN(SUBSTR(MD5(g), 1 + 2*seed, 16)) m
        FROM (SELECT doc_id, unnest(s) AS g FROM sh)
        CROSS JOIN (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
 sig AS (SELECT doc_id, list(m ORDER BY seed) sg FROM mh GROUP BY doc_id),
