@@ -189,9 +189,20 @@ def minhash_dedup(
     pairs = lsh_candidate_pairs(sh, id_col=id_col, sig_col="signature", band_size=band_size)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # Size-ratio prefilter (result-preserving): |A∩B| ≤ min and
+    # |A∪B| ≥ max give J ≤ min/max, and floor(1e6·x+0.5) is monotone,
+    # so a pair whose quantized size-ratio bound is below the threshold
+    # cannot verify. Two integer size comparisons prune the O(|sh|)
+    # intersect/union work per candidate — at high-recall bandings
+    # (band_size=1) candidates outnumber true pairs ~100:1.
+    sza, szb = F.size(F.col("sh_a")).cast("double"), F.size(F.col("sh_b")).cast("double")
+    bound = F.floor(
+        F.lit(1e6) * F.least(sza, szb) / F.greatest(sza, szb) + F.lit(0.5)
+    ).cast("bigint")
     verified = (
         pairs.join(a, "id_a")
         .join(b, "id_b")
+        .filter(bound >= threshold_micro)
         .select("id_a", "id_b", jaccard_micro(F.col("sh_a"), F.col("sh_b")).alias("jaccard_micro"))
     )
     return verified.filter(F.col("jaccard_micro") >= threshold_micro)
