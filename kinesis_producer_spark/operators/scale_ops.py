@@ -330,43 +330,53 @@ def q144_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     tools/plan_audit.py). Same pattern as GraphX/GraphFrames Pregel.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    base = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    # Pair generation without a self-join: one groupBy(orderkey) builds
+    # the per-order part set, a higher-order-function nested transform
+    # emits each unordered pair in-row, and one groupBy counts support.
+    # Two exchanges where the alias self-join shape needed four; the
+    # in-row blowup is bounded by max(order size)² — single digits in
+    # TPC-H-shaped data, so no skew hazard.
+    parts_per_order = (
+        li.groupBy("l_orderkey").agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    idx = F.sequence(F.lit(1), F.size("ps"))
+    pair_structs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(F.col("ps"), i + 1, F.size("ps")),
+                lambda q: F.struct(
+                    F.element_at(F.col("ps"), i).alias("s"), q.alias("t")
+                ),
+            ),
         )
-        .groupBy(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("t"))
+    )
+    base = (
+        parts_per_order.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.s").alias("s"), F.col("p.t").alias("t"))
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .select("s", "t")
     )
     from pyspark import StorageLevel
 
+    verts = base.select(F.col("s").alias("u")).union(base.select("t")).distinct()
+    # Symmetrized edges + a self-loop per vertex: min over in-neighbors
+    # of (edges + self-loops) IS min(own label, neighbor labels), so
+    # each round is join + min-agg — two exchanges, no per-round left
+    # join to merge the previous label back in.
     und = (
         base.union(base.select(F.col("t"), F.col("s")))
         .toDF("u", "v")
+        .union(verts.select(F.col("u"), F.col("u").alias("v")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = und.select(F.col("u").alias("part")).distinct().withColumn(
-        "label", F.col("part")
-    )
+    labels = verts.select(F.col("u").alias("part"), F.col("u").alias("label"))
     for _ in range(_LP_ROUNDS):
-        neighbor_min = (
-            und.join(labels, und["u"] == labels["part"])
-            .groupBy(F.col("v").alias("part2"))
-            .agg(F.min("label").alias("nlabel"))
-        )
         labels = (
-            labels.join(neighbor_min, labels["part"] == F.col("part2"), "left")
-            .select(
-                "part",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-            )
+            und.join(labels, und["u"] == labels["part"])
+            .groupBy(F.col("v").alias("part"))
+            .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
     return labels
