@@ -132,6 +132,87 @@ class KinesisTransport(Transport):
         return self._client.put_records(StreamName=stream_name, Records=records)
 
 
+PER_SHARD_BYTES_PER_S = 1024 * 1024
+PER_SHARD_RECORDS_PER_S = 1000
+
+
+class ShardRateLimiter:
+    """Token-bucket limiter for the per-shard Kinesis ingest quotas
+    (1 MB/s and 1,000 records/s per shard — the AWS service limits
+    that bound the reference's producer at main.py:20).
+
+    Kinesis assigns shards server-side by hashing the partition key;
+    the producer-side prediction uses the same md5-derived assignment
+    as ``RecordingTransport`` so tests are deterministic. Clock and
+    sleeper are injectable — tests run on virtual time.
+
+    One limiter instance lives per partition task (transport-factory
+    scope); with ``repartition_by_key`` each shard's traffic flows
+    through one task, so local buckets enforce the global quota. Without
+    key partitioning the enforcement is per-task (conservative overall
+    only if tasks ≲ shards), which is still the right backpressure
+    shape: throttle at the source of the burst.
+    """
+
+    def __init__(
+        self,
+        n_shards: int = 4,
+        bytes_per_s: int = PER_SHARD_BYTES_PER_S,
+        records_per_s: int = PER_SHARD_RECORDS_PER_S,
+        clock: Callable[[], float] = time.monotonic,
+        sleeper: Callable[[float], None] = time.sleep,
+    ):
+        self.n_shards = n_shards
+        self.bytes_per_s = bytes_per_s
+        self.records_per_s = records_per_s
+        self._clock = clock
+        self._sleep = sleeper
+        now = clock()
+        # start with one second's allowance per shard (AWS buckets burst)
+        self._bytes = {s: float(bytes_per_s) for s in range(n_shards)}
+        self._records = {s: float(records_per_s) for s in range(n_shards)}
+        self._last = {s: now for s in range(n_shards)}
+
+    def shard_for(self, partition_key: str) -> int:
+        return int(md5_hex_first(partition_key), 16) % self.n_shards
+
+    def _refill(self, shard: int) -> None:
+        now = self._clock()
+        dt = max(0.0, now - self._last[shard])
+        self._last[shard] = now
+        self._bytes[shard] = min(
+            float(self.bytes_per_s), self._bytes[shard] + dt * self.bytes_per_s
+        )
+        self._records[shard] = min(
+            float(self.records_per_s), self._records[shard] + dt * self.records_per_s
+        )
+
+    def acquire(self, shard: int, n_records: int, n_bytes: int) -> float:
+        """Block until the shard's buckets can cover the batch, then
+        charge it; returns the seconds slept (0.0 when under quota).
+
+        A batch larger than one second's allowance cannot ever fit in
+        the (capacity-capped) bucket, so the target is
+        ``min(request, capacity)`` and the full request is charged
+        afterward — the bucket goes negative and later acquires absorb
+        the debt, keeping the long-run rate at the quota without
+        deadlocking on oversized bursts."""
+        slept = 0.0
+        tgt_b = min(float(n_bytes), float(self.bytes_per_s))
+        tgt_r = min(float(n_records), float(self.records_per_s))
+        while True:
+            self._refill(shard)
+            need_b = tgt_b - self._bytes[shard]
+            need_r = tgt_r - self._records[shard]
+            if need_b <= 0 and need_r <= 0:
+                self._bytes[shard] -= n_bytes
+                self._records[shard] -= n_records
+                return slept
+            wait = max(need_b / self.bytes_per_s, need_r / self.records_per_s)
+            self._sleep(wait)
+            slept += wait
+
+
 def _chunk(records: list[dict]) -> Iterator[list[dict]]:
     """Greedy chunking under both API limits (count and bytes)."""
     batch: list[dict] = []
@@ -158,10 +239,12 @@ class KinesisSink:
     max_retries: int = 3
     backoff_s: float = 0.05
     repartition_by_key: bool = False
+    rate_limiter_factory: Callable[[], "ShardRateLimiter"] | None = None
 
     def send_partition(self, records: list[dict]) -> list[dict]:
         """Send one partition's records; return one ack row per record."""
         transport = self.transport_factory()
+        limiter = self.rate_limiter_factory() if self.rate_limiter_factory else None
         acks: dict[int, dict] = {}
         pending = list(enumerate(records))  # (original index, record)
         attempt = 0
@@ -172,6 +255,14 @@ class KinesisSink:
             for chunk in _chunk([r for _, r in pending]):
                 piece = pending[consumed : consumed + len(chunk)]
                 consumed += len(chunk)
+                if limiter is not None:
+                    by_shard: dict[int, list[int]] = {}
+                    for rec in chunk:
+                        by_shard.setdefault(limiter.shard_for(rec["PartitionKey"]), []).append(
+                            len(rec["Data"]) + len(rec["PartitionKey"].encode())
+                        )
+                    for shard, sizes in by_shard.items():
+                        limiter.acquire(shard, len(sizes), sum(sizes))
                 resp = transport.put_records(self.stream_name, chunk)
                 for (i, rec), r in zip(piece, resp["Records"]):
                     md5 = hashlib.md5(rec["Data"]).hexdigest()

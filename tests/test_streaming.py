@@ -381,3 +381,99 @@ def test_kinesis_transport_missing_boto3(monkeypatch):
 
     with pytest.raises(ImportError, match="boto3"):
         KinesisTransport()
+
+
+def test_shard_rate_limiter_virtual_time():
+    """Token buckets enforce the AWS per-shard quotas (1000 rec/s,
+    1 MB/s) on a virtual clock: bursts beyond the one-second allowance
+    sleep exactly the refill time, per shard independently."""
+    from kinesis_producer_spark.streaming.kinesis_sink import ShardRateLimiter
+
+    clock = {"t": 0.0}
+    slept: list[float] = []
+
+    def fake_sleep(s):
+        slept.append(s)
+        clock["t"] += s
+
+    lim = ShardRateLimiter(
+        n_shards=2, records_per_s=1000, bytes_per_s=1024 * 1024,
+        clock=lambda: clock["t"], sleeper=fake_sleep,
+    )
+    # within the initial 1s allowance: no sleep
+    assert lim.acquire(0, 1000, 1000) == 0.0
+    # next 500 records on shard 0 must wait 0.5s of refill
+    s = lim.acquire(0, 500, 500)
+    assert abs(s - 0.5) < 1e-9
+    # shard 1 is untouched: full allowance, no sleep
+    assert lim.acquire(1, 1000, 1000) == 0.0
+    # both quotas bind: the drained record bucket needs 1/1000 s for one
+    # record, the byte bucket needs 1000/1MiB s — the max (records) wins
+    s = lim.acquire(1, 1, 1024 * 1024)
+    assert abs(s - max(1 / 1000, 1000 / (1024 * 1024))) < 1e-9
+    assert slept and all(x > 0 for x in slept)
+
+
+def test_sink_applies_rate_limiter_per_predicted_shard():
+    """send_partition routes each chunk's records through the limiter
+    keyed by the md5-predicted shard before the transport call."""
+    from kinesis_producer_spark.streaming.kinesis_sink import ShardRateLimiter
+
+    clock = {"t": 0.0}
+
+    def fake_sleep(s):
+        clock["t"] += s
+
+    acquired: list[tuple[int, int]] = []
+
+    class SpyLimiter(ShardRateLimiter):
+        def acquire(self, shard, n_records, n_bytes):
+            acquired.append((shard, n_records))
+            return super().acquire(shard, n_records, n_bytes)
+
+    lim = SpyLimiter(
+        n_shards=4, records_per_s=50, bytes_per_s=1024 * 1024,
+        clock=lambda: clock["t"], sleeper=fake_sleep,
+    )
+    sink = KinesisSink(
+        stream_name="s",
+        transport_factory=lambda: RecordingTransport(fail_first_attempt_prefix="zz"),
+        rate_limiter_factory=lambda: lim,
+    )
+    recs = [
+        {"Data": b"x" * 10, "PartitionKey": k}
+        for k in ("acoustic", "impact", "temperature", "visual") * 75
+    ]
+    acks = sink.send_partition(recs)
+    assert all(a["status"] == "ok" for a in acks)
+    assert sum(n for _, n in acquired) == 300
+    shards = {s for s, _ in acquired}
+    assert len(shards) > 1, "keys should spread across predicted shards"
+    # first burst rides the initial allowance into debt (no sleep);
+    # the second batch on the same limiter must pay that debt in time
+    assert clock["t"] == 0.0
+    sink.send_partition(recs)
+    assert clock["t"] > 0, "debt from the 75-records/key burst must be paid"
+
+
+def test_rate_limiter_oversized_burst_goes_into_debt():
+    """A single acquire larger than one second's allowance must not
+    deadlock: it waits for a full bucket, charges the debt, and the
+    next acquire pays it off in waiting time."""
+    from kinesis_producer_spark.streaming.kinesis_sink import ShardRateLimiter
+
+    clock = {"t": 0.0}
+
+    def fake_sleep(s):
+        clock["t"] += s
+
+    lim = ShardRateLimiter(
+        n_shards=1, records_per_s=100, bytes_per_s=10**9,
+        clock=lambda: clock["t"], sleeper=fake_sleep,
+    )
+    s1 = lim.acquire(0, 350, 1)  # 3.5× the per-second record allowance
+    assert s1 == 0.0  # initial bucket is full → send immediately, go -250
+    s2 = lim.acquire(0, 1, 1)  # must wait for the debt plus its own token
+    assert abs(s2 - 2.51) < 1e-9
+    # long-run: 351 records took ≈3.51s of virtual time ⇒ ~100 rec/s
+    assert abs(clock["t"] - 2.51) < 1e-9
