@@ -230,6 +230,64 @@ def _chunk(records: list[dict]) -> Iterator[list[dict]]:
         yield batch
 
 
+AGG_MAGIC = b"KPSAGG1\x00"
+
+
+def aggregate_records(
+    records: list[dict], max_bytes: int = MAX_BYTES_PER_RECORD
+) -> list[dict]:
+    """KPL-style record aggregation: pack many small records that share
+    a partition key into one ≤1 MB Kinesis record, lifting the
+    1000-records/s/shard bound to a bytes bound (the real KPL's core
+    trick; framing here is a documented magic + u32 length-prefix
+    format rather than KPL's protobuf — deaggregate_records is the
+    inverse). Order is preserved within each partition key, matching
+    Kinesis per-shard ordering semantics.
+    """
+    by_key: dict[str, list[bytes]] = {}
+    order: list[str] = []
+    for r in records:
+        k = r["PartitionKey"]
+        if k not in by_key:
+            by_key[k] = []
+            order.append(k)
+        by_key[k].append(r["Data"])
+    out: list[dict] = []
+    for k in order:
+        buf = bytearray(AGG_MAGIC)
+        for data in by_key[k]:
+            frame = len(data).to_bytes(4, "big") + data
+            if len(buf) + len(frame) > max_bytes and len(buf) > len(AGG_MAGIC):
+                out.append({"Data": bytes(buf), "PartitionKey": k})
+                buf = bytearray(AGG_MAGIC)
+            if len(AGG_MAGIC) + len(frame) > max_bytes:
+                raise ValueError("single record exceeds max aggregate size")
+            buf += frame
+        if len(buf) > len(AGG_MAGIC):
+            out.append({"Data": bytes(buf), "PartitionKey": k})
+    return out
+
+
+def deaggregate_records(records: list[dict]) -> list[dict]:
+    """Inverse of aggregate_records; passes non-aggregated records
+    through untouched (consumers must handle mixed streams)."""
+    out: list[dict] = []
+    for r in records:
+        data = r["Data"]
+        if not data.startswith(AGG_MAGIC):
+            out.append(r)
+            continue
+        pos = len(AGG_MAGIC)
+        while pos + 4 <= len(data):
+            n = int.from_bytes(data[pos : pos + 4], "big")
+            payload = data[pos + 4 : pos + 4 + n]
+            if len(payload) != n:
+                raise ValueError("truncated aggregate frame")
+            out.append({"Data": payload, "PartitionKey": r["PartitionKey"]})
+            pos += 4 + n
+    return out
+
+
 @dataclass
 class KinesisSink:
     """foreachBatch-compatible writer with ack/retry/dead-letter."""

@@ -330,3 +330,81 @@ def test_passjoin_planted_near_duplicates(spark):
     assert (0, 3) in verified
     assert (0, 4) not in verified
     assert (0, 5) not in verified
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(1, 2**31 - 1),
+    st.integers(1, 2**31 - 1),
+    st.sampled_from([1, 2, 4, 8, 16]),
+    st.sampled_from([0, 2, 3, 4, 6]),
+)
+def test_png_header_roundtrip_property(width, height, depth, color):
+    """synth(fields) → parse == fields for the full PNG IHDR domain."""
+    import struct
+
+    from kinesis_producer_spark.operators.multimodal import _PNG_CHANNELS, _parse_png_ihdr
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, 0)
+        + b"\x00\x00\x00\x00"
+    )
+    p = _parse_png_ihdr(png)
+    assert p["width"] == width and p["height"] == height
+    assert p["bit_depth"] == depth and p["color_type"] == color
+    assert p["n_channels"] == _PNG_CHANNELS[color]
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(1, 8),
+    st.integers(1, 192000),
+    st.sampled_from([8, 16, 24, 32]),
+    st.integers(0, 6),  # junk chunks before fmt
+)
+def test_wav_header_roundtrip_property(channels, rate, bits, n_junk):
+    """synth(fields) → parse == fields, with arbitrary chunks (odd
+    lengths included — RIFF pads to 2-byte alignment) before 'fmt '."""
+    import struct
+
+    from kinesis_producer_spark.operators.multimodal import _parse_wav_fmt
+
+    chunks = b""
+    for i in range(n_junk):
+        body = bytes(i + 1)  # odd and even lengths
+        chunks += b"JUNK" + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate, rate * channels * bits // 8, channels * bits // 8, bits)
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks) + len(fmt)) + b"WAVE" + chunks + fmt
+    p = _parse_wav_fmt(wav)
+    assert p is not None, "fmt chunk must be found behind junk chunks"
+    assert p["n_channels"] == channels
+    assert p["sample_rate"] == rate
+    assert p["bits_per_sample"] == bits
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(1, 65535), st.integers(1, 65535), st.integers(0, 5), st.integers(1, 4))
+def test_jpeg_gif_roundtrip_property(width, height, n_segments, ncomp):
+    """JPEG SOF behind arbitrary marker segments; GIF screen descriptor."""
+    import struct
+
+    from kinesis_producer_spark.operators.multimodal import (
+        _parse_gif_screen,
+        _parse_jpeg_sof,
+    )
+
+    segs = b""
+    for i in range(n_segments):
+        body = bytes(i)
+        segs += b"\xff\xe1" + struct.pack(">H", 2 + len(body)) + body
+    sof = b"\xff\xc1" + struct.pack(">H", 8 + 3 * ncomp) + struct.pack(">BHHB", 8, height, width, ncomp) + bytes(3 * ncomp)
+    j = _parse_jpeg_sof(b"\xff\xd8" + segs + sof + b"\xff\xd9")
+    assert j["width"] == width and j["height"] == height and j["n_channels"] == ncomp
+
+    depth = 1 + (width % 8)
+    gif = b"GIF87a" + struct.pack("<HH", width, height) + bytes([0xF0 | (depth - 1), 0, 0])
+    g = _parse_gif_screen(gif)
+    assert g["width"] == width and g["height"] == height and g["bit_depth"] == depth

@@ -477,3 +477,55 @@ def test_rate_limiter_oversized_burst_goes_into_debt():
     assert abs(s2 - 2.51) < 1e-9
     # long-run: 351 records took ≈3.51s of virtual time ⇒ ~100 rec/s
     assert abs(clock["t"] - 2.51) < 1e-9
+
+
+def test_record_aggregation_roundtrip_and_call_reduction():
+    """aggregate → deaggregate is the identity (per-key order kept),
+    and aggregation collapses 2000 small records into a handful of
+    put_records-sized payloads — the KPL throughput trick."""
+    from kinesis_producer_spark.streaming.kinesis_sink import (
+        MAX_BYTES_PER_RECORD,
+        aggregate_records,
+        deaggregate_records,
+        _chunk,
+    )
+
+    recs = [
+        {"Data": f"evt-{i}".encode(), "PartitionKey": f"key-{i % 3}"}
+        for i in range(2000)
+    ]
+    agg = aggregate_records(recs)
+    assert len(agg) <= 3, "2000 tiny records should fit one aggregate per key"
+    assert all(len(a["Data"]) <= MAX_BYTES_PER_RECORD for a in agg)
+    back = deaggregate_records(agg)
+    # identity up to key-grouped reordering: within a key, order is kept
+    by_key_in = {}
+    for r in recs:
+        by_key_in.setdefault(r["PartitionKey"], []).append(r["Data"])
+    by_key_out = {}
+    for r in back:
+        by_key_out.setdefault(r["PartitionKey"], []).append(r["Data"])
+    assert by_key_in == by_key_out
+    # 2000 records → 4 put_records calls unaggregated; 1 aggregated
+    assert len(list(_chunk(agg))) < len(list(_chunk(recs)))
+
+
+def test_record_aggregation_splits_at_size_and_rejects_oversize():
+    from kinesis_producer_spark.streaming.kinesis_sink import (
+        aggregate_records,
+        deaggregate_records,
+    )
+
+    big = [{"Data": b"x" * 400_000, "PartitionKey": "k"} for _ in range(5)]
+    agg = aggregate_records(big)
+    assert len(agg) == 3, "5×400KB must split into 2+2+1 aggregates"
+    assert [r["Data"] for r in deaggregate_records(agg)] == [r["Data"] for r in big]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exceeds"):
+        aggregate_records([{"Data": b"y" * (2 * 1024 * 1024), "PartitionKey": "k"}])
+
+    # non-aggregated records pass deaggregation untouched
+    plain = [{"Data": b"plain", "PartitionKey": "k"}]
+    assert deaggregate_records(plain) == plain
