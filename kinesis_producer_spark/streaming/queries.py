@@ -534,3 +534,69 @@ def q153_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = events_multifile_stream(spark, sf_dir, n_files=4)
     return run_stream_append_mode(stateful_sessions(stream), spark)
+
+
+@query(
+    "q192_kpl_aggregation_roundtrip",
+    oracle="""
+    SELECT event_type AS partition_key,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(STRLEN('evt:' || CAST(event_id AS VARCHAR))) AS BIGINT) AS total_bytes,
+           MIN(MD5('evt:' || CAST(event_id AS VARCHAR))) AS min_md5,
+           MAX(MD5('evt:' || CAST(event_id AS VARCHAR))) AS max_md5
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q192_kpl_aggregation_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPL-style aggregation integrity through the gate: every event
+    payload is packed into ≤1 MB length-prefixed aggregate records per
+    partition key and unpacked again INSIDE an Arrow-batched
+    mapInPandas stage; the per-key count/bytes/md5-extrema of what
+    comes out must equal what the oracle computes from the raw events.
+    A framing bug (length prefix, magic, split boundary) corrupts a
+    payload and flips an md5 extremum or count."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from kinesis_producer_spark.streaming.kinesis_sink import (
+        aggregate_records,
+        deaggregate_records,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    src = e.select(
+        F.concat(F.lit("evt:"), F.col("event_id").cast("string")).alias("payload"),
+        F.col("event_type").alias("partition_key"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("partition_key", T.StringType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            records = [
+                {"Data": p.encode(), "PartitionKey": k}
+                for p, k in zip(pdf["payload"], pdf["partition_key"])
+            ]
+            if not records:
+                continue
+            back = deaggregate_records(aggregate_records(records))
+            yield pd.DataFrame(
+                [{"partition_key": r["PartitionKey"], "data": r["Data"]} for r in back],
+                columns=out_schema.fieldNames(),
+            )
+
+    back = src.mapInPandas(roundtrip, out_schema)
+    return back.groupBy("partition_key").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.length("data")).alias("total_bytes"),
+        F.min(F.md5("data")).alias("min_md5"),
+        F.max(F.md5("data")).alias("max_md5"),
+    )
