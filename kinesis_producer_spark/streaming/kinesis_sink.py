@@ -388,6 +388,7 @@ class KinesisSink:
         ack_path: str | None = None,
         data_col: str = "data",
         partition_key_col: str = "partition_key",
+        exactly_once: bool = False,
     ) -> Callable[[DataFrame, int], None]:
         """Adapter for ``writeStream.foreachBatch``.
 
@@ -395,9 +396,33 @@ class KinesisSink:
         an unexpected transport explosion is logged and the stream
         continues with the next micro-batch — but unlike the reference
         the per-record path never discards silently (dead-letter rows).
+
+        ``exactly_once=True`` adds an epoch commit ledger under
+        ``ack_path``: Structured Streaming re-invokes foreachBatch with
+        the SAME epoch_id after a failure, and without a ledger a
+        replayed epoch double-sends to Kinesis and double-appends acks.
+        The marker is created atomically ('x' open) AFTER the ack write
+        commits, so the guarantee is the standard idempotent-commit
+        shape: replays of a committed epoch are skipped entirely;
+        a crash before the marker re-sends (at-least-once to the
+        transport, whose dedup key is the record md5 in the acks).
+        Requires ``ack_path``. Local-FS ledger here; an object-store
+        deployment swaps in a conditional-put on the same layout.
         """
+        if exactly_once and not ack_path:
+            raise ValueError("exactly_once requires ack_path (the ledger lives there)")
 
         def write(batch_df: DataFrame, epoch_id: int) -> None:
+            import os
+
+            marker = (
+                os.path.join(ack_path, "_epoch_ledger", f"epoch-{epoch_id}")
+                if ack_path
+                else None
+            )
+            if exactly_once and marker and os.path.exists(marker):
+                print(f"kinesis sink: epoch {epoch_id} already committed, skipping replay")
+                return
             try:
                 acks = self.write_batch(batch_df, data_col, partition_key_col)
                 if ack_path:
@@ -406,6 +431,10 @@ class KinesisSink:
                     )
                 else:
                     acks.foreach(lambda _: None)  # force the send
+                if exactly_once and marker:
+                    os.makedirs(os.path.dirname(marker), exist_ok=True)
+                    with open(marker, "x") as fh:
+                        fh.write("committed")
             except Exception as exc:  # noqa: BLE001
                 print(f"kinesis sink: batch {epoch_id} failed: {exc}")
 

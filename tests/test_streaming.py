@@ -529,3 +529,34 @@ def test_record_aggregation_splits_at_size_and_rejects_oversize():
     # non-aggregated records pass deaggregation untouched
     plain = [{"Data": b"plain", "PartitionKey": "k"}]
     assert deaggregate_records(plain) == plain
+
+
+def test_exactly_once_epoch_ledger_skips_replay(spark, tmp_path):
+    """foreachBatch replays of a committed epoch are skipped: same
+    epoch twice → one set of acks, one transport send; a NEW epoch
+    still writes. Without a ledger the replay double-appends."""
+    transports: list[RecordingTransport] = []
+
+    def factory():
+        t = RecordingTransport(fail_first_attempt_prefix="zz")
+        transports.append(t)
+        return t
+
+    sink = KinesisSink("s", factory, backoff_s=0.0)
+    ack_path = str(tmp_path / "acks")
+    writer = sink.foreach_batch_writer(ack_path=ack_path, exactly_once=True)
+    df = spark.createDataFrame(
+        [(f"payload-{i}", "k") for i in range(10)], "data string, partition_key string"
+    )
+    writer(df, 7)
+    n_calls_after_first = len(transports)
+    writer(df, 7)  # replay of the SAME epoch — must be a no-op
+    assert len(transports) == n_calls_after_first, "replayed epoch re-sent to transport"
+    acks = spark.read.parquet(ack_path)
+    assert acks.count() == 10
+    writer(df, 8)  # a new epoch still goes through
+    assert spark.read.parquet(ack_path).count() == 20
+    assert (tmp_path / "acks" / "_epoch_ledger" / "epoch-7").exists()
+
+    with pytest.raises(ValueError, match="ack_path"):
+        sink.foreach_batch_writer(exactly_once=True)
