@@ -71,7 +71,12 @@ def main() -> None:
     # the scale-relevant number; worker spawn is a fixed cost that
     # amortizes to noise on a long-running cluster.
     warm_sf = "/root/testdata/sf0.001"
-    for wq in ("q01_pricing_summary", "q30_signal_xml_roundtrip", "q51_minhash_lsh"):
+    for wq in (
+        "q01_pricing_summary",
+        "q30_signal_xml_roundtrip",
+        "q51_minhash_lsh",
+        "q144_connected_components",  # warms the iterative-loop codegen path
+    ):
         queries[wq](spark, warm_sf).write.mode("overwrite").format("noop").save()
 
     times: dict[str, float] = {}

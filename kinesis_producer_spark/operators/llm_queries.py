@@ -3432,3 +3432,65 @@ def q191_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     blobs = d.select(F.col("doc_id").alias("media_id"), blob.alias("content"))
     return decode_audio_pcm(blobs)
+
+
+@query(
+    "q193_bmp_resize_pixels",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(4 AS INT) AS width,
+           CAST(3 AS INT) AS height,
+           CAST(1000 * (doc_id % 256) AS BIGINT) AS mean_r_milli,
+           CAST(1000 * ((doc_id * 7) % 256) AS BIGINT) AS mean_g_milli,
+           CAST(1000 * ((doc_id * 13) % 256) AS BIGINT) AS mean_b_milli
+    FROM documents
+    """,
+)
+def q193_bmp_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel-path resize through the gate: per document a solid-
+    color 24-bit BMP (varying dimensions, row padding included) is
+    synthesized with binary column expressions, nearest-neighbor
+    resized to 4x3 by ``resize_bmp`` (actual pixel array resample +
+    BMP re-encode), then ``decode_bmp_stats`` decodes the RESIZED bytes
+    back to per-channel means. Solid fills make the means invariant
+    under any correct resample, so the oracle knows them from doc_id;
+    dimension fields prove the resample ran. Any error in BGR order,
+    bottom-up rows, row padding, the NN index map, or the re-encode
+    shows up as a wrong mean or dimension. Patterned-pixel exactness
+    is pinned separately in tests/test_etl_operators.py."""
+    from kinesis_producer_spark.operators.multimodal import decode_bmp_stats, resize_bmp
+
+    d = load_table(spark, sf_dir, "documents")
+    w = (F.lit(1) + F.col("doc_id") % 16).cast("long")
+    h = (F.lit(1) + F.col("doc_id") % 12).cast("long")
+    r = (F.col("doc_id") % 256).cast("long")
+    g = ((F.col("doc_id") * 7) % 256).cast("long")
+    bb = ((F.col("doc_id") * 13) % 256).cast("long")
+    bgr_hex = F.concat(
+        F.lpad(F.hex(bb), 2, "0"), F.lpad(F.hex(g), 2, "0"), F.lpad(F.hex(r), 2, "0")
+    )
+    row_bytes = (w * 3 + 3) - ((w * 3 + 3) % 4)
+    pad = (row_bytes - w * 3).cast("int")
+    row_hex = F.concat(F.repeat(bgr_hex, w.cast("int")), F.repeat(F.lit("00"), pad))
+    data_hex = F.repeat(row_hex, h.cast("int"))
+    data_len = (row_bytes * h).cast("long")
+    blob = F.concat(
+        F.lit(bytearray(b"BM")),
+        _le_bytes((F.lit(54) + data_len).cast("long"), 8),
+        F.lit(bytearray(bytes(4))),
+        _le_bytes(F.lit(54).cast("long"), 8),  # pixel data offset
+        _le_bytes(F.lit(40).cast("long"), 8),  # BITMAPINFOHEADER size
+        _le_bytes(w, 8),
+        _le_bytes(h, 8),
+        _le_bytes(F.lit(1).cast("long"), 4),  # planes
+        _le_bytes(F.lit(24).cast("long"), 4),  # bpp
+        _le_bytes(F.lit(0).cast("long"), 8),  # BI_RGB
+        _le_bytes(data_len, 8),
+        F.lit(bytearray(bytes(16))),
+        F.unhex(data_hex),
+    )
+    blobs = d.select(F.col("doc_id").alias("media_id"), blob.alias("content"))
+    resized = resize_bmp(blobs, width=4, height=3).select(
+        "media_id", F.col("resized").alias("content")
+    )
+    return decode_bmp_stats(resized)

@@ -15,6 +15,9 @@ Decode layers, from real to stubbed:
   SOFn / GIF screen-descriptor metadata from pure byte layout.
 - ``decode_audio_pcm`` — REAL, codec-free: 16-bit PCM WAV sample
   decode (count/duration/peak/mean/RMS) via numpy.
+- ``decode_bmp_stats`` / ``resize_bmp`` — REAL, codec-free: 24-bit BMP
+  pixel decode (padding/bottom-up/BGR) and nearest-neighbor resize
+  with BMP re-encode.
 - ``decode_media`` / ``resize_media`` / ``sample_frames`` — pixel and
   compressed-audio/video work needs PIL/ffmpeg (NOT in this image):
   ``decode_stub='fail'`` raises NotImplementedError naming the
@@ -468,3 +471,144 @@ def decode_audio_pcm(
             yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(run, PCM_SCHEMA)
+
+
+BMP_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r_milli", T.LongType()),
+        T.StructField("mean_g_milli", T.LongType()),
+        T.StructField("mean_b_milli", T.LongType()),
+    ]
+)
+
+
+def _parse_bmp(b: bytes):
+    """Real BMP parse for 24-bit uncompressed bitmaps: BITMAPFILEHEADER
+    ('BM', u32le size, u32le pixel-data offset) + BITMAPINFOHEADER
+    (i32le width, i32le height — positive means bottom-up rows, each
+    row padded to 4 bytes, pixels BGR). Returns (width, height,
+    top-down HxWx3 RGB numpy array) or None."""
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    offset = int.from_bytes(b[10:14], "little")
+    width = int.from_bytes(b[18:22], "little", signed=True)
+    height = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    bottom_up = height > 0
+    h = abs(height)
+    row_bytes = (width * 3 + 3) // 4 * 4
+    need = offset + row_bytes * h
+    if len(b) < need:
+        return None
+    rows = np.frombuffer(b[offset : offset + row_bytes * h], dtype=np.uint8)
+    rows = rows.reshape(h, row_bytes)[:, : width * 3].reshape(h, width, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return width, h, rows[:, :, ::-1]  # BGR → RGB
+
+
+def _encode_bmp(rgb) -> bytes:
+    """Inverse of _parse_bmp: 24-bit bottom-up BMP bytes from a
+    top-down HxWx3 RGB array."""
+    import numpy as np
+
+    h, w, _ = rgb.shape
+    row_bytes = (w * 3 + 3) // 4 * 4
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # top-down RGB → bottom-up BGR
+    data = body.tobytes()
+    offset = 54
+    header = (
+        b"BM"
+        + (offset + len(data)).to_bytes(4, "little")
+        + bytes(4)
+        + offset.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + bytes(4)  # BI_RGB
+        + len(data).to_bytes(4, "little")
+        + bytes(16)
+    )
+    return header + data
+
+
+def decode_bmp_stats(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """REAL pixel decode for 24-bit BMPs: dimensions and per-channel
+    mean intensities (milli-units) from the actual pixel array —
+    row padding, bottom-up order, and BGR layout all handled. Unknown
+    or non-24-bit blobs yield null fields."""
+    import math
+
+    src = df.select(F.col(id_col).alias("media_id"), F.col(content_col).alias("_blob"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = BMP_STATS_SCHEMA.fieldNames()
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["_blob"]):
+                b = bytes(blob) if blob is not None else b""
+                parsed = _parse_bmp(b)
+                row = {c: None for c in cols}
+                row["media_id"] = mid
+                if parsed is not None:
+                    w, h, rgb = parsed
+                    means = rgb.reshape(-1, 3).mean(axis=0)
+                    row.update(
+                        width=w,
+                        height=h,
+                        mean_r_milli=int(math.floor(1000 * float(means[0]) + 0.5)),
+                        mean_g_milli=int(math.floor(1000 * float(means[1]) + 0.5)),
+                        mean_b_milli=int(math.floor(1000 * float(means[2]) + 0.5)),
+                    )
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(run, BMP_STATS_SCHEMA)
+
+
+def resize_bmp(
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """REAL resize for 24-bit BMPs: nearest-neighbor resample of the
+    decoded pixel array (src index = floor(dst·src_dim/dst_dim), the
+    standard NN mapping), re-encoded as BMP bytes — the first resize
+    path that needs no codec library. Non-BMP blobs yield null bytes.
+    """
+    import numpy as np
+
+    src = df.select(F.col(id_col).alias("media_id"), F.col(content_col).alias("_blob"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = RESIZED_SCHEMA.fieldNames()
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["_blob"]):
+                b = bytes(blob) if blob is not None else b""
+                parsed = _parse_bmp(b)
+                row = {"media_id": mid, "width": width, "height": height, "resized": None}
+                if parsed is not None:
+                    w0, h0, rgb = parsed
+                    xi = (np.arange(width) * w0) // width
+                    yi = (np.arange(height) * h0) // height
+                    row["resized"] = _encode_bmp(rgb[yi][:, xi])
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(run, RESIZED_SCHEMA)

@@ -407,3 +407,43 @@ def test_pcm_decode_on_real_wave_file(spark):
     assert r["mean_milli"] == math.floor(1000 * sum(samples) / 5 + 0.5)
     assert r["rms"] == math.floor(math.sqrt(sum(s * s for s in samples) / 5) + 0.5)
     assert rows[2]["n_samples"] is None and rows[2]["rms"] is None
+
+
+def test_bmp_pixel_roundtrip_and_nearest_neighbor_resize(spark):
+    """Exact pixel semantics on a patterned bitmap: encode → parse is
+    the identity, and NN-resize maps dst (x,y) to src
+    (x·w0//w, y·h0//h) pixel-for-pixel."""
+    import numpy as np
+
+    from kinesis_producer_spark.operators.multimodal import (
+        _encode_bmp,
+        _parse_bmp,
+        decode_bmp_stats,
+        resize_bmp,
+    )
+
+    rgb = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+         [[10, 20, 30], [40, 50, 60], [70, 80, 90]]],
+        dtype=np.uint8,
+    )  # 2 rows x 3 cols
+    bmp = _encode_bmp(rgb)
+    w, h, back = _parse_bmp(bmp)
+    assert (w, h) == (3, 2)
+    assert np.array_equal(back, rgb), "encode→parse must be the identity"
+
+    df = spark.createDataFrame([(1, bytearray(bmp)), (2, bytearray(b"nope"))],
+                               "media_id long, content binary")
+    out = {r["media_id"]: r for r in resize_bmp(df, width=6, height=4).collect()}
+    assert out[2]["resized"] is None
+    rw, rh, resized = _parse_bmp(bytes(out[1]["resized"]))
+    assert (rw, rh) == (6, 4)
+    expect = rgb[(np.arange(4) * 2) // 4][:, (np.arange(6) * 3) // 6]
+    assert np.array_equal(resized, expect), "NN index map must be exact"
+
+    stats = {r["media_id"]: r for r in decode_bmp_stats(df).collect()}
+    m = stats[1]
+    flat = rgb.reshape(-1, 3).mean(axis=0)
+    assert m["mean_r_milli"] == int(np.floor(1000 * flat[0] + 0.5))
+    assert m["mean_b_milli"] == int(np.floor(1000 * flat[2] + 0.5))
+    assert stats[2]["width"] is None
