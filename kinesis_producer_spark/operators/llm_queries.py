@@ -3494,3 +3494,71 @@ def q193_bmp_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", F.col("resized").alias("content")
     )
     return decode_bmp_stats(resized)
+
+
+@query(
+    "q194_avi_frame_sampling",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(23 AS INT) AS frame_bytes,
+           CAST(1 + doc_id % 640 AS INT) AS width,
+           CAST(1 + doc_id % 480 AS INT) AS height
+    FROM documents, UNNEST(range(0, 1 + doc_id % 6, 2)) AS t(i)
+    """,
+)
+def q194_avi_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling through the gate: per document a
+    byte-exact MJPEG-in-AVI container (RIFF + skipped hdrl LIST +
+    movi LIST of odd-length '00dc' JPEG chunks with RIFF pad bytes) is
+    synthesized from doc_id, demuxed by ``sample_frames_avi`` keeping
+    every 2nd frame, and each sampled frame's dimensions decoded by the
+    real JPEG SOF parser. The oracle enumerates the expected sampled
+    frame indexes and dimensions from the generating formulas, so any
+    error in chunk walking, 2-byte alignment, the sampling stride, or
+    frame-level JPEG parsing mismatches."""
+    from kinesis_producer_spark.operators.multimodal import sample_frames_avi
+
+    d = load_table(spark, sf_dir, "documents")
+    n_frames = (F.lit(1) + F.col("doc_id") % 6).cast("int")
+    w = (F.lit(1) + F.col("doc_id") % 640).cast("long")
+    h = (F.lit(1) + F.col("doc_id") % 480).cast("long")
+    frame_hex = F.concat(
+        F.lit("FFD8FFC0"),
+        F.lpad(F.hex(F.lit(17)), 4, "0"),  # SOF0 segment length
+        F.lit("08"),  # precision
+        F.lpad(F.hex(h), 4, "0"),
+        F.lpad(F.hex(w), 4, "0"),
+        F.lit("03"),  # components
+        F.lit("00" * 9),
+        F.lit("FFD9"),
+    )  # 23 bytes — odd, so every chunk carries a RIFF pad byte
+    chunk_hex = F.concat(
+        F.lit(bytes(b"00dc").hex().upper()),
+        _le_hex(F.lit(23).cast("long"), 8),
+        frame_hex,
+        F.lit("00"),  # 2-byte alignment pad
+    )
+    movi_payload = F.repeat(chunk_hex, n_frames)
+    movi_len = (F.lit(4) + n_frames.cast("long") * 32).cast("long")  # 'movi' + chunks
+    hdrl_hex = F.concat(
+        F.lit(bytes(b"LIST").hex().upper()), _le_hex(F.lit(4).cast("long"), 8),
+        F.lit(bytes(b"hdrl").hex().upper()),
+    )  # minimal header LIST the demuxer must skip
+    riff_len = (F.lit(4) + F.lit(12) + F.lit(8) + movi_len).cast("long")
+    blob_hex = F.concat(
+        F.lit(bytes(b"RIFF").hex().upper()),
+        _le_hex(riff_len, 8),
+        F.lit(bytes(b"AVI ").hex().upper()),
+        hdrl_hex,
+        F.lit(bytes(b"LIST").hex().upper()),
+        _le_hex(movi_len, 8),
+        F.lit(bytes(b"movi").hex().upper()),
+        movi_payload,
+    )
+    blobs = d.select(
+        F.col("doc_id").alias("media_id"), F.unhex(blob_hex).alias("content")
+    )
+    return sample_frames_avi(blobs, every_n=2, max_frames=8).select(
+        "media_id", "frame_idx", "frame_bytes", "width", "height"
+    )

@@ -18,6 +18,8 @@ Decode layers, from real to stubbed:
 - ``decode_bmp_stats`` / ``resize_bmp`` — REAL, codec-free: 24-bit BMP
   pixel decode (padding/bottom-up/BGR) and nearest-neighbor resize
   with BMP re-encode.
+- ``sample_frames_avi`` — REAL, codec-free: MJPEG-in-AVI container
+  demux with strided frame sampling; frame dims via the JPEG parser.
 - ``decode_media`` / ``resize_media`` / ``sample_frames`` — pixel and
   compressed-audio/video work needs PIL/ffmpeg (NOT in this image):
   ``decode_stub='fail'`` raises NotImplementedError naming the
@@ -612,3 +614,82 @@ def resize_bmp(
             yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(run, RESIZED_SCHEMA)
+
+
+AVI_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def _avi_video_chunks(b: bytes):
+    """Walk a RIFF AVI container to the 'movi' LIST and yield the video
+    stream chunks ('NNdc'/'NNdb' compressed/uncompressed frames) in
+    order — container demux is pure byte layout, no codec involved."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        clen = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if cid == b"LIST" and b[pos + 8 : pos + 12] == b"movi":
+            mpos = pos + 12
+            mend = min(len(b), pos + 8 + clen)
+            while mpos + 8 <= mend:
+                fid = b[mpos : mpos + 4]
+                flen = int.from_bytes(b[mpos + 4 : mpos + 8], "little")
+                if fid[2:4] in (b"dc", b"db"):
+                    yield b[mpos + 8 : mpos + 8 + flen]
+                mpos += 8 + flen + (flen % 2)  # RIFF 2-byte alignment
+            return
+        pos += 8 + clen + (clen % 2)
+
+
+def sample_frames_avi(
+    df: DataFrame,
+    every_n: int = 2,
+    max_frames: int = 8,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """REAL frame sampling for MJPEG-in-AVI: demux the RIFF container
+    (no codec — the frames are stored JPEGs), keep every ``every_n``-th
+    video chunk up to ``max_frames``, and decode each sampled frame's
+    dimensions with the real JPEG SOF parser. The row-multiplying
+    mapInPandas shape (one output row per sampled frame) is the video
+    analogue of explode; non-AVI blobs yield no rows.
+
+    Compressed codecs (H.264 etc.) still need ffmpeg — ``sample_frames``
+    remains the documented stub for those.
+    """
+    src = df.select(F.col(id_col).alias("media_id"), F.col(content_col).alias("_blob"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = AVI_FRAMES_SCHEMA.fieldNames()
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["_blob"]):
+                b = bytes(blob) if blob is not None else b""
+                for idx, frame in enumerate(_avi_video_chunks(b)):
+                    if idx % every_n != 0 or idx // every_n >= max_frames:
+                        continue
+                    sof = _parse_jpeg_sof(frame) or {}
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": idx,
+                            "frame_bytes": len(frame),
+                            "frame_md5": hashlib.md5(frame).hexdigest(),
+                            "width": sof.get("width"),
+                            "height": sof.get("height"),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(run, AVI_FRAMES_SCHEMA)

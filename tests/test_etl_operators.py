@@ -447,3 +447,36 @@ def test_bmp_pixel_roundtrip_and_nearest_neighbor_resize(spark):
     assert m["mean_r_milli"] == int(np.floor(1000 * flat[0] + 0.5))
     assert m["mean_b_milli"] == int(np.floor(1000 * flat[2] + 0.5))
     assert stats[2]["width"] is None
+
+
+def test_avi_demux_ordering_alignment_and_stride(spark):
+    """Handcrafted AVI: distinct frames, odd lengths (pad bytes), an
+    audio '01wb' chunk to ignore, and an hdrl LIST to skip. Sampling
+    stride and per-frame identity are exact."""
+    import hashlib
+    import struct
+
+    from kinesis_producer_spark.operators.multimodal import sample_frames_avi
+
+    frames = [f"FRAME-{i}".encode() + bytes(i % 2) for i in range(5)]  # mixed parity
+    movi = b"movi"
+    for i, fr in enumerate(frames):
+        movi += b"00dc" + struct.pack("<I", len(fr)) + fr + (b"\x00" if len(fr) % 2 else b"")
+        if i == 1:  # interleaved audio chunk must be ignored
+            movi += b"01wb" + struct.pack("<I", 4) + b"AUDI"
+    hdrl = b"LIST" + struct.pack("<I", 4) + b"hdrl"
+    avi = b"RIFF" + struct.pack("<I", 4 + len(hdrl) + 8 + len(movi)) + b"AVI " + hdrl
+    avi += b"LIST" + struct.pack("<I", len(movi)) + movi
+
+    df = spark.createDataFrame([(1, bytearray(avi))], "media_id long, content binary")
+    rows = sorted(
+        (r["frame_idx"], r["frame_bytes"], r["frame_md5"])
+        for r in sample_frames_avi(df, every_n=2, max_frames=8).collect()
+    )
+    assert [i for i, _, _ in rows] == [0, 2, 4], "stride must skip odd frames and audio"
+    for i, nbytes, md5 in rows:
+        assert nbytes == len(frames[i])
+        assert md5 == hashlib.md5(frames[i]).hexdigest()
+    # non-AVI → no rows
+    junk = spark.createDataFrame([(2, bytearray(b"RIFFxxxxWAVE"))], "media_id long, content binary")
+    assert sample_frames_avi(junk).count() == 0
