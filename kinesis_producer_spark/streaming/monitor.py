@@ -1,0 +1,86 @@
+"""Streaming observability: per-micro-batch progress ledger.
+
+The reference tracks pipeline progress with module-global counters
+incremented under threads (decompression.py:20-21,45,50 — racy, and
+log-only). The streaming analogue here is a ``StreamingQueryListener``
+that records every micro-batch's progress event into a structured
+ledger — queryable as a DataFrame, so operational questions ("did
+batch 7 shrink?", "what's the rows/s trend?") are answered with the
+same engine that runs the pipeline.
+
+At 100 TB this is the first diagnostic surface for backpressure: a
+falling ``processed_rows_per_s`` with rising ``batch_duration_ms``
+means the trigger interval no longer covers the batch cost, before any
+data is lost.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQueryListener
+
+PROGRESS_SCHEMA = (
+    "query_id string, run_id string, batch_id long, timestamp string, "
+    "num_input_rows long, input_rows_per_s double, processed_rows_per_s double, "
+    "batch_duration_ms long, state_rows long"
+)
+
+
+class ProgressRecorder(StreamingQueryListener):
+    """Collects one row per micro-batch progress event, thread-safely
+    (listener callbacks arrive on Spark's listener bus thread)."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._rows: list[tuple] = []
+        self.started: list[str] = []
+        self.terminated: list[str] = []
+
+    def onQueryStarted(self, event) -> None:
+        with self._lock:
+            self.started.append(str(event.id))
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        state_rows = sum(s.numRowsTotal for s in (p.stateOperators or []))
+        with self._lock:
+            self._rows.append(
+                (
+                    str(p.id),
+                    str(p.runId),
+                    p.batchId,
+                    p.timestamp,
+                    p.numInputRows,
+                    float(p.inputRowsPerSecond or 0.0),
+                    float(p.processedRowsPerSecond or 0.0),
+                    int(sum((p.durationMs or {}).values())),
+                    state_rows,
+                )
+            )
+
+    def onQueryIdle(self, event) -> None:  # pragma: no cover — version-dependent
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        with self._lock:
+            self.terminated.append(str(event.id))
+
+    def snapshot(self) -> list[tuple]:
+        with self._lock:
+            return list(self._rows)
+
+    def as_dataframe(self, spark: SparkSession) -> DataFrame:
+        """The ledger as a DataFrame (empty-safe via explicit schema)."""
+        return spark.createDataFrame(self.snapshot(), PROGRESS_SCHEMA)
+
+
+def attach(spark: SparkSession) -> ProgressRecorder:
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    return rec
+
+
+def detach(spark: SparkSession, rec: ProgressRecorder) -> None:
+    spark.streams.removeListener(rec)

@@ -560,3 +560,39 @@ def test_exactly_once_epoch_ledger_skips_replay(spark, tmp_path):
 
     with pytest.raises(ValueError, match="ack_path"):
         sink.foreach_batch_writer(exactly_once=True)
+
+
+def test_progress_recorder_ledger(spark, tmp_path):
+    """The listener ledger accounts for every input row across
+    micro-batches and is queryable as a DataFrame."""
+    from kinesis_producer_spark.streaming.monitor import attach, detach
+    from kinesis_producer_spark.streaming.windows import events_stream
+
+    sf = "/root/testdata/sf0.001"
+    rec = attach(spark)
+    try:
+        q = (
+            events_stream(spark, sf)
+            .groupBy("event_type")
+            .count()
+            .writeStream.outputMode("complete")
+            .format("noop")
+            .start()
+        )
+        q.processAllAvailable()
+        qid = q.id
+        q.stop()
+        import time as _t
+
+        deadline = _t.time() + 30
+        while _t.time() < deadline and not rec.snapshot():
+            _t.sleep(0.2)
+        df = rec.as_dataframe(spark)
+        mine = df.filter(F.col("query_id") == str(qid))
+        n_events = spark.read.parquet(f"{sf}/events.parquet").count()
+        got = mine.groupBy().sum("num_input_rows").collect()[0][0]
+        assert got == n_events, f"ledger rows {got} != fixture {n_events}"
+        assert mine.filter(F.col("batch_duration_ms") <= 0).count() == 0
+        assert str(qid) in rec.started
+    finally:
+        detach(spark, rec)
