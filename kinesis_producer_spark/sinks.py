@@ -85,6 +85,55 @@ def write_hive_partitioned_parquet(
     w.parquet(path)
 
 
+def compact_small_files(
+    spark,
+    path: str,
+    fmt: str = "parquet",
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Small-file compaction: rewrite a dataset into ⌈total/target⌉
+    files of ~``target_bytes`` each.
+
+    The output-side mirror of the reference's greedy ≤128 MB *input*
+    packer (aws_utils.py:27-45): streaming/incremental jobs accrete
+    many small files, every later scan pays per-file open cost, and
+    compaction restores the scan-side batch-size invariant. The
+    rewrite is one repartition job (size-based file count, same
+    discipline as ``repartition_by_bytes``); a swap-on-commit rename
+    keeps readers from ever seeing a half-written dataset. Returns
+    {files_before, files_after, bytes} for the caller's ledger.
+
+    Skips (no-op) when the dataset already has < ``min_files`` files.
+    """
+    import math
+    import os
+    import shutil
+
+    ext = "." + fmt
+    files = []
+    for root, _dirs, names in os.walk(path):
+        files += [os.path.join(root, f) for f in names if f.startswith("part-") and f.endswith(ext)]
+    total = sum(os.path.getsize(f) for f in files)
+    if len(files) < min_files:
+        return {"files_before": len(files), "files_after": len(files), "bytes": total}
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = getattr(spark.read, fmt)(path)
+    tmp = path.rstrip("/") + "._compacting"
+    getattr(df.repartition(n_out).write.mode("overwrite"), fmt)(tmp)
+    old = path.rstrip("/") + "._old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    out_files = [
+        os.path.join(r, f)
+        for r, _d, ns in os.walk(path)
+        for f in ns
+        if f.startswith("part-") and f.endswith(ext)
+    ]
+    return {"files_before": len(files), "files_after": len(out_files), "bytes": total}
+
+
 def write_with_manifest(
     df: DataFrame,
     path: str,

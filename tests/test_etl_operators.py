@@ -480,3 +480,23 @@ def test_avi_demux_ordering_alignment_and_stride(spark):
     # non-AVI → no rows
     junk = spark.createDataFrame([(2, bytearray(b"RIFFxxxxWAVE"))], "media_id long, content binary")
     assert sample_frames_avi(junk).count() == 0
+
+
+def test_compact_small_files(spark, tmp_path):
+    """64 tiny files compact into few target-sized files with identical
+    data; an already-compact dataset is left untouched."""
+    from kinesis_producer_spark.sinks import compact_small_files
+
+    path = str(tmp_path / "ds")
+    df = spark.range(10000).selectExpr("id", "id % 7 AS v")
+    df.repartition(64).write.parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    stats = compact_small_files(spark, path, target_bytes=256 * 1024)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] < 64
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before, "compaction must not change data"
+
+    again = compact_small_files(spark, path, target_bytes=256 * 1024, min_files=1000)
+    assert again["files_before"] == again["files_after"], "below min_files → no-op"
