@@ -21,11 +21,22 @@ def fixture_invariants():
 
     from kinesis_producer_spark.tables import MONEY_COLUMNS, TABLES
 
+    required = {
+        "lineitem": {"l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+                     "l_discount", "l_returnflag", "l_linestatus", "l_shipdate"},
+        "orders": {"o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"},
+        "customer": {"c_custkey", "c_nationkey", "c_acctbal"},
+        "events": {"event_id", "user_id", "event_type", "ts", "value"},
+        "documents": {"doc_id", "text", "lang", "source"},
+        "embeddings": {"vec_id", "embedding", "label"},
+    }
     for sf_dir in (SF_SMOKE, SF_ORACLE):
         for t in TABLES:
             path = os.path.join(sf_dir, f"{t}.parquet")
             assert os.path.exists(path), f"fixture missing: {path}"
             schema = pq.read_schema(path)
+            missing = required.get(t, set()) - set(schema.names)
+            assert not missing, f"{t} lost required columns {missing} after regeneration"
             for c in MONEY_COLUMNS.get(t, ()):
                 typ = str(schema.field(c).type)
                 assert typ in ("double", "float") or typ.startswith("decimal"), (

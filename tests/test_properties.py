@@ -408,3 +408,37 @@ def test_jpeg_gif_roundtrip_property(width, height, n_segments, ncomp):
     gif = b"GIF87a" + struct.pack("<HH", width, height) + bytes([0xF0 | (depth - 1), 0, 0])
     g = _parse_gif_screen(gif)
     assert g["width"] == width and g["height"] == height and g["bit_depth"] == depth
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.binary(min_size=0, max_size=200), st.sampled_from("abc")),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(64, 4096),
+)
+def test_kpl_aggregation_roundtrip_property(items, max_bytes):
+    """aggregate→deaggregate preserves every payload and per-key order
+    for arbitrary binary payloads and aggregate size limits."""
+    from hypothesis import assume
+
+    from kinesis_producer_spark.streaming.kinesis_sink import (
+        AGG_MAGIC,
+        aggregate_records,
+        deaggregate_records,
+    )
+
+    assume(all(len(AGG_MAGIC) + 4 + len(d) <= max_bytes for d, _ in items))
+    recs = [{"Data": d, "PartitionKey": k} for d, k in items]
+    agg = aggregate_records(recs, max_bytes=max_bytes)
+    assert all(len(a["Data"]) <= max_bytes for a in agg)
+    back = deaggregate_records(agg)
+    per_key_in: dict = {}
+    for r in recs:
+        per_key_in.setdefault(r["PartitionKey"], []).append(r["Data"])
+    per_key_out: dict = {}
+    for r in back:
+        per_key_out.setdefault(r["PartitionKey"], []).append(r["Data"])
+    assert per_key_in == per_key_out
