@@ -45,6 +45,24 @@ def s3_tuning_profile(connection_pool: int = 50) -> dict[str, str]:
     }
 
 
+def streaming_state_profile() -> dict[str, str]:
+    """Production state-store preset for large streaming state:
+    RocksDB provider (state off executor heap — the HDFS-backed
+    default keeps every key in memory and OOMs at multi-GB state),
+    changelog checkpointing (upload deltas, not full snapshots), and
+    a bounded block-cache. MUST be set as session confs before the
+    query starts — ``writeStream.option()`` silently ignores these
+    keys (pinned by tests/test_streaming.py's provider-artifact
+    check)."""
+    return {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+    }
+
+
 def get_spark(
     app_name: str = "kinesis_producer_spark",
     cpus: int | None = None,

@@ -596,3 +596,60 @@ def test_progress_recorder_ledger(spark, tmp_path):
         assert str(qid) in rec.started
     finally:
         detach(spark, rec)
+
+
+def test_rocksdb_state_store_matches_default_provider(spark, tmp_path):
+    """The production state backend for 100 TB streaming state: the
+    same stateful sessionization run under the RocksDB state store
+    provider emits exactly what the default (heap-backed) provider
+    emits — provider choice is a deployment knob, not a semantics
+    change. RocksDB keeps state off-heap with changelog checkpointing,
+    which is what survives multi-GB per-executor state."""
+    from kinesis_producer_spark.streaming.stateful import (
+        events_multifile_stream,
+        stateful_sessions,
+    )
+
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    # the provider is a SESSION conf — writeStream.option() silently
+    # ignores it (verified), the classic misconfiguration trap
+    default_provider = spark.conf.get(conf_key)
+
+    def run(provider: str | None, out: str) -> dict:
+        if provider:
+            spark.conf.set(conf_key, provider)
+        try:
+            stream = events_multifile_stream(spark, sf, n_files=4)
+            q = (
+                stateful_sessions(stream)
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", out + "_ckpt")
+                .start()
+            )
+            q.processAllAvailable()
+            prog = q.lastProgress or {}
+            q.stop()
+            return prog
+        finally:
+            spark.conf.set(conf_key, default_provider)
+
+    run(None, str(tmp_path / "heap"))
+    prog = run(rocks, str(tmp_path / "rocks"))
+    # prove RocksDB actually ran: its provider reports rocksdb custom
+    # metrics and writes .zip/.changelog state artifacts, not .delta
+    ops = prog.get("stateOperators") or []
+    custom = (ops[0].get("customMetrics") or {}) if ops else {}
+    assert any("rocksdb" in k.lower() for k in custom), f"no rocksdb metrics: {list(custom)[:5]}"
+    state_exts = set()
+    for root, _dirs, names in os.walk(str(tmp_path / "rocks") + "_ckpt/state"):
+        state_exts.update(n.rsplit(".", 1)[-1] for n in names)
+    assert "delta" not in state_exts, "HDFS-provider .delta files mean RocksDB was not used"
+    heap = sorted(map(tuple, spark.read.parquet(str(tmp_path / "heap")).collect()))
+    rocksdb = sorted(map(tuple, spark.read.parquet(str(tmp_path / "rocks")).collect()))
+    assert heap == rocksdb and len(heap) > 0
