@@ -196,8 +196,11 @@ def minhash_dedup(
     # intersect/union work per candidate — at high-recall bandings
     # (band_size=1) candidates outnumber true pairs ~100:1.
     sza, szb = F.size(F.col("sh_a")).cast("double"), F.size(F.col("sh_b")).cast("double")
+    # try_divide: an empty/empty candidate pair (both docs shingle-less)
+    # must yield NULL (filtered) — ANSI mode throws on plain 0.0/0.0,
+    # exactly the hazard jaccard_micro already guards.
     bound = F.floor(
-        F.lit(1e6) * F.least(sza, szb) / F.greatest(sza, szb) + F.lit(0.5)
+        F.try_divide(F.lit(1e6) * F.least(sza, szb), F.greatest(sza, szb)) + F.lit(0.5)
     ).cast("bigint")
     verified = (
         pairs.join(a, "id_a")

@@ -3108,10 +3108,9 @@ def _be_bytes(c: F.Column, n_hex: int) -> F.Column:
 
 
 def _le_bytes(c: F.Column, n_hex: int) -> F.Column:
-    """Little-endian fixed-width binary: byte-swap the padded hex."""
-    h = F.lpad(F.hex(c), n_hex, "0")
-    pairs = [F.substring(h, i, 2) for i in range(n_hex - 1, 0, -2)]
-    return F.unhex(F.concat(*pairs))
+    """Little-endian fixed-width binary: unhex of the byte-swapped hex
+    string (single source of truth for the swap lives in _le_hex)."""
+    return F.unhex(_le_hex(c, n_hex))
 
 
 @query(
@@ -3276,19 +3275,30 @@ def q189_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     a = F.split(F.col("text"), r"\s+")
-    gram2 = F.transform(
-        F.sequence(F.lit(0), F.size(a) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(a, i + 1), F.element_at(a, i + 2)),
-    )
-    gram3 = F.transform(
-        F.sequence(F.lit(0), F.size(a) - 3),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(a, i + 1),
-            F.element_at(a, i + 2),
-            F.element_at(a, i + 3),
+    empty = F.array().cast("array<string>")
+    # Guard short documents: F.sequence(0, n) counts DOWN when n < 0
+    # (sequence(0,-1) = [0,-1]), turning the index lambda into an
+    # ANSI element_at crash on 1-2 token docs. The empty-array branch
+    # matches the oracle, whose range() is simply empty there.
+    gram2 = F.when(
+        F.size(a) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(a) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(a, i + 1), F.element_at(a, i + 2)),
         ),
-    )
+    ).otherwise(empty)
+    gram3 = F.when(
+        F.size(a) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(a) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(a, i + 1),
+                F.element_at(a, i + 2),
+                F.element_at(a, i + 3),
+            ),
+        ),
+    ).otherwise(empty)
     base = d.select("doc_id", gram2.alias("g2"), gram3.alias("g3"))
     c2 = (
         base.select("doc_id", F.explode("g2").alias("gram"))

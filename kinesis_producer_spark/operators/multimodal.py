@@ -227,7 +227,9 @@ def _parse_jpeg_sof(b: bytes) -> dict | None:
         if marker == 0xD9:  # EOI before any SOF
             return None
         seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
-        if marker in _JPEG_SOF and pos + 9 <= len(b):
+        # body[5] below needs 6 frame-header bytes after the 4-byte
+        # marker+length prefix → pos+10 total (pos+9 truncates one short)
+        if marker in _JPEG_SOF and pos + 10 <= len(b):
             body = b[pos + 4 :]
             return {
                 "media_type": "image/jpeg",

@@ -694,11 +694,12 @@ def q22_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle parity: both engines parse JSON (get_json_object ↔
     json_extract_string) and both use a NULL-on-failure cast
-    (Spark non-ANSI cast ↔ DuckDB TRY_CAST), so non-integer or absent
-    ``k`` values degrade identically instead of regex-vs-JSON drift.
+    (Spark ``try_cast`` ↔ DuckDB TRY_CAST — a plain cast THROWS under
+    Spark 4's default ANSI mode), so non-integer or absent ``k``
+    values degrade identically instead of regex-vs-JSON drift.
     """
     e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(k).alias("sum_k"),

@@ -101,7 +101,9 @@ def compact_small_files(
     compaction restores the scan-side batch-size invariant. The
     rewrite is one repartition job (size-based file count, same
     discipline as ``repartition_by_bytes``); a swap-on-commit rename
-    keeps readers from ever seeing a half-written dataset. Returns
+    pair means readers never see *partial* data — at worst a brief
+    ENOENT between the two renames — and an interrupted run is healed
+    (restore-or-discard) at the start of the next invocation. Returns
     {files_before, files_after, bytes} for the caller's ledger.
 
     Skips (no-op) when the dataset already has < ``min_files`` files.
@@ -109,6 +111,21 @@ def compact_small_files(
     import math
     import os
     import shutil
+
+    tmp = path.rstrip("/") + "._compacting"
+    old = path.rstrip("/") + "._old"
+    # Crash recovery from a previous interrupted run BEFORE doing any
+    # work: a surviving ._old with no live dataset means the crash hit
+    # between the two renames — restore it; a surviving ._old alongside
+    # a live dataset means the crash hit after the swap — drop it; a
+    # stale ._compacting is always discardable (pre-commit state).
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
 
     ext = "." + fmt
     files = []
@@ -119,9 +136,10 @@ def compact_small_files(
         return {"files_before": len(files), "files_after": len(files), "bytes": total}
     n_out = max(1, math.ceil(total / target_bytes))
     df = getattr(spark.read, fmt)(path)
-    tmp = path.rstrip("/") + "._compacting"
     getattr(df.repartition(n_out).write.mode("overwrite"), fmt)(tmp)
-    old = path.rstrip("/") + "._old"
+    # Two renames, not atomic: a reader in the gap sees ENOENT briefly
+    # (retryable) rather than partial data; a crash in the gap is
+    # healed by the recovery block above on the next invocation.
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
@@ -183,10 +201,12 @@ def write_with_manifest(
     # input_file_name() groupBy — one Spark job over the written files.
     from urllib.parse import unquote
 
-    reader = spark.read.option("header", True) if fmt == "csv" else spark.read
+    # No header option on the read-back: this function's own write path
+    # emits headerless CSV, and header=True would consume the first
+    # data row of every part file (n_rows off by one per file).
     counts = {
         unquote(r["file"]): r["n"]
-        for r in getattr(reader, fmt)(path)
+        for r in getattr(spark.read, fmt)(path)
         .groupBy(F.input_file_name().alias("file"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()

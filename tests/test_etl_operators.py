@@ -500,3 +500,60 @@ def test_compact_small_files(spark, tmp_path):
 
     again = compact_small_files(spark, path, target_bytes=256 * 1024, min_files=1000)
     assert again["files_before"] == again["files_after"], "below min_files → no-op"
+
+
+def test_truncated_jpeg_header_is_permissive():
+    """A JPEG truncated mid-frame-header must parse to None (PERMISSIVE),
+    not raise inside the worker."""
+    import struct
+
+    from kinesis_producer_spark.operators.multimodal import _parse_jpeg_sof
+
+    # SOF at pos 2; blob ends exactly 5 body bytes after the marker+len
+    truncated = b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 17) + bytes(5)
+    assert _parse_jpeg_sof(truncated) is None
+    # one more byte = complete 6-byte frame header → parses
+    complete = b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 17) + struct.pack(
+        ">BHHB", 8, 10, 20, 3
+    )
+    p = _parse_jpeg_sof(complete)
+    assert p["width"] == 20 and p["height"] == 10
+
+
+def test_manifest_csv_rowcounts_exact(spark, tmp_path):
+    """CSV manifest counts must equal df.count() — the read-back must
+    not consume a data row as a header."""
+    from kinesis_producer_spark.sinks import write_with_manifest
+
+    df = spark.range(30).selectExpr("CAST(id AS STRING) AS id", "'x' AS v").coalesce(3)
+    entries = write_with_manifest(df, str(tmp_path / "csvout"), fmt="csv", dataset_type="t")
+    assert sum(e["n_rows"] for e in entries) == 30
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """Interrupted-run states heal: a stranded ._old with no live
+    dataset is restored; a stale ._old beside a live dataset and a
+    stale ._compacting are discarded."""
+    import os
+    import shutil
+
+    from kinesis_producer_spark.sinks import compact_small_files
+
+    path = str(tmp_path / "ds")
+    spark.range(1000).selectExpr("id").repartition(8).write.parquet(path)
+    rows = spark.read.parquet(path).count()
+
+    # crash between the two renames: dataset lives only in ._old
+    os.rename(path, path + "._old")
+    stats = compact_small_files(spark, path, target_bytes=64 * 1024)
+    assert spark.read.parquet(path).count() == rows
+    assert not os.path.exists(path + "._old")
+
+    # crash after the swap: stale ._old and ._compacting beside live data
+    shutil.copytree(path, path + "._old")
+    os.makedirs(path + "._compacting")
+    compact_small_files(spark, path, target_bytes=64 * 1024)
+    assert not os.path.exists(path + "._old")
+    assert not os.path.exists(path + "._compacting")
+    assert spark.read.parquet(path).count() == rows
+    assert stats["files_before"] == 8

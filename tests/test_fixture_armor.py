@@ -86,3 +86,40 @@ def test_events_ts_micros_flip_is_normalized(spark, tmp_path):
     base = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
     flip = sorted(map(tuple, q(spark, flipped).collect()))
     assert base == flip
+
+
+def test_short_document_texts_do_not_crash_ngram_queries(spark, tmp_path):
+    """Documents with 0/1/2 tokens (possible after regeneration) must
+    not crash the n-gram family under ANSI mode, and must keep
+    matching the DuckDB oracle."""
+    import duckdb
+
+    from kinesis_producer_spark.suite import load_all
+
+    QUERIES, ORACLE = load_all()
+    flipped = _flipped_dir(
+        tmp_path,
+        "documents",
+        "SELECT doc_id, CASE doc_id % 4 WHEN 0 THEN 'one'"
+        " WHEN 1 THEN 'two words' ELSE text END AS text,"
+        " lang, source, n_chars FROM read_parquet('{src}')",
+    )
+    for name in ("q189_dup_ngram_fraction", "q51_minhash_lsh", "q96_word_repetition"):
+        sdf = QUERIES[name](spark, flipped)
+        srows = sorted(map(tuple, sdf.collect()))  # must not raise
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{flipped}/{t}.parquet')"
+            )
+        res = con.execute(ORACLE[name])
+        cols = [d[0] for d in res.description]
+        order = [cols.index(c) for c in sdf.columns]
+        orows = sorted(tuple(r[i] for i in order) for r in res.fetchall())
+        con.close()
+        assert len(srows) == len(orows), f"{name}: row count diverged on short docs"
+        assert [tuple(map(str, r)) for r in srows] == [
+            tuple(map(str, r)) for r in orows
+        ], f"{name}: values diverged on short docs"

@@ -6,9 +6,12 @@ hashes cell values; round 1 showed two hazard classes on that surface:
 1. array/map-typed cells  → ``TypeError: unhashable type: 'list'``
 2. computed doubles       → rendering/ulp exposure (q04 hash-mismatch)
 
-This tool builds each ``queries()`` DataFrame (plan only — nothing is
-executed) and reports any output column whose type is Array/Map/Struct,
-or Double/Float.  Doubles that are raw fixture-column passthroughs are
+This tool builds each ``queries()`` DataFrame and reports any output
+column whose type is Array/Map/Struct, or Double/Float. Most builders
+only construct a plan, but a handful are side-effecting (q37/q38 write
+through a sink, q192 and the streaming queries run micro-batches), so
+a full unfiltered run executes those and takes minutes at sf0.01 —
+pass query names to narrow.  Doubles that are raw fixture-column passthroughs are
 reported separately from computed ones (passthroughs are bit-identical
 on both engines by construction and have passed the gate; computed
 doubles should be quantized or integerized).
