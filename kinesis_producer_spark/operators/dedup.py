@@ -258,10 +258,14 @@ def connected_components(
     lineage so plans don't grow with iterations; convergence is an
     exact changed-label count (an action per round, aggregate-only).
     """
+    # Partition the symmetrized edges on the per-round join key before
+    # checkpointing so each propagation round reuses the exchange
+    # instead of re-shuffling the edge list.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .repartition("src")
         .localCheckpoint()
     )
     labels = (

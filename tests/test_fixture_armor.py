@@ -123,3 +123,21 @@ def test_short_document_texts_do_not_crash_ngram_queries(spark, tmp_path):
         assert [tuple(map(str, r)) for r in srows] == [
             tuple(map(str, r)) for r in orows
         ], f"{name}: values diverged on short docs"
+
+
+def test_embedding_double_flip_is_handled(spark, tmp_path):
+    """embeddings.embedding rewritten as DOUBLE[]: the quantized dot
+    product casts per-element, so ANN results are unchanged."""
+    from kinesis_producer_spark.suite import load_all
+
+    QUERIES, _ = load_all()
+    flipped = _flipped_dir(
+        tmp_path,
+        "embeddings",
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label "
+        "FROM read_parquet('{src}')",
+    )
+    q = QUERIES["q55_ann_bruteforce"]
+    base = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
+    flip = sorted(map(tuple, q(spark, flipped).collect()))
+    assert base == flip
