@@ -608,15 +608,28 @@ def q150_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    base = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    # Same in-row HOF pair generation and key-partitioned edge persist
+    # as q144: two exchanges for the build, and every rank round joins
+    # on u against an already-u-partitioned persisted frame (exchange
+    # reuse instead of a per-round edge shuffle).
+    parts_per_order = (
+        li.groupBy("l_orderkey").agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    idx = F.sequence(F.lit(1), F.size("ps"))
+    pair_structs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(F.col("ps"), i + 1, F.size("ps")),
+                lambda q: F.struct(
+                    F.element_at(F.col("ps"), i).alias("s"), q.alias("t")
+                ),
+            ),
         )
-        .groupBy(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("t"))
+    )
+    base = (
+        parts_per_order.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.s").alias("s"), F.col("p.t").alias("t"))
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .select("s", "t")
@@ -624,6 +637,7 @@ def q150_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = (
         base.union(base.select(F.col("t"), F.col("s")))
         .toDF("u", "v")
+        .repartition("u")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
