@@ -2926,15 +2926,11 @@ def q129_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. For baskets with unbounded width, cap or sample within the
     basket first (the standard a-priori guard).
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b"))
+    from kinesis_producer_spark.operators.baskets import ordered_item_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
     return (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
+        ordered_item_pairs(li, "l_orderkey", "l_partkey", out=("ok", "part_a", "part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 3)

@@ -329,31 +329,16 @@ def q144_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     this the plan grows ~250 exchanges by round 5 — measured with
     tools/plan_audit.py). Same pattern as GraphX/GraphFrames Pregel.
     """
+    from kinesis_producer_spark.operators.baskets import ordered_item_pairs
+
     li = load_table(spark, sf_dir, "lineitem")
-    # Pair generation without a self-join: one groupBy(orderkey) builds
-    # the per-order part set, a higher-order-function nested transform
-    # emits each unordered pair in-row, and one groupBy counts support.
-    # Two exchanges where the alias self-join shape needed four; the
-    # in-row blowup is bounded by max(order size)² — single digits in
-    # TPC-H-shaped data, so no skew hazard.
-    parts_per_order = (
-        li.groupBy("l_orderkey").agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-    )
-    idx = F.sequence(F.lit(1), F.size("ps"))
-    pair_structs = F.flatten(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                F.slice(F.col("ps"), i + 1, F.size("ps")),
-                lambda q: F.struct(
-                    F.element_at(F.col("ps"), i).alias("s"), q.alias("t")
-                ),
-            ),
-        )
-    )
+    # Pair generation without a self-join (ordered_item_pairs): one
+    # groupBy(orderkey) exchange + in-row combination expansion, then
+    # one groupBy counts support — two exchanges where the alias
+    # self-join shape needed four.
     base = (
-        parts_per_order.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.s").alias("s"), F.col("p.t").alias("t"))
+        ordered_item_pairs(li, "l_orderkey", "l_partkey", out=("ok", "s", "t"))
+        .groupBy("s", "t")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .select("s", "t")
@@ -607,29 +592,16 @@ def q150_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark import StorageLevel
 
+    from kinesis_producer_spark.operators.baskets import ordered_item_pairs
+
     li = load_table(spark, sf_dir, "lineitem")
-    # Same in-row HOF pair generation and key-partitioned edge persist
-    # as q144: two exchanges for the build, and every rank round joins
-    # on u against an already-u-partitioned persisted frame (exchange
-    # reuse instead of a per-round edge shuffle).
-    parts_per_order = (
-        li.groupBy("l_orderkey").agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-    )
-    idx = F.sequence(F.lit(1), F.size("ps"))
-    pair_structs = F.flatten(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                F.slice(F.col("ps"), i + 1, F.size("ps")),
-                lambda q: F.struct(
-                    F.element_at(F.col("ps"), i).alias("s"), q.alias("t")
-                ),
-            ),
-        )
-    )
+    # Same in-row pair generation (ordered_item_pairs) and
+    # key-partitioned edge persist as q144: two exchanges for the
+    # build, and every rank round joins on u against an already-
+    # u-partitioned persisted frame (exchange reuse).
     base = (
-        parts_per_order.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.s").alias("s"), F.col("p.t").alias("t"))
+        ordered_item_pairs(li, "l_orderkey", "l_partkey", out=("ok", "s", "t"))
+        .groupBy("s", "t")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .select("s", "t")
@@ -1064,21 +1036,11 @@ def q162_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each k→k+1 round is the same shape — the loop structure of
     distributed FP-growth alternatives.
     """
+    from kinesis_producer_spark.operators.baskets import ordered_item_pairs
+
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_orderkey").alias("ok"),
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-    )
+    pairs = ordered_item_pairs(li, "l_orderkey", "l_partkey", out=("ok", "pa", "pb"))
     freq_pairs = (
         pairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("s"))
@@ -1136,16 +1098,12 @@ def q163_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     full edge pair. Both joins key on vertex ids — hash-partitioned,
     no nested loops (audited).
     """
+    from kinesis_producer_spark.operators.baskets import ordered_item_pairs
+
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        ordered_item_pairs(li, "l_orderkey", "l_partkey", out=("ok", "u", "v"))
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .select("u", "v")

@@ -283,3 +283,30 @@ def test_multiprobe_recovers_boundary_neighbors(spark):
     assert 1 in multi, "multi-probe must recover the one-flip neighbor"
     assert 2 in single and 2 in multi
     assert 3 not in multi, "distance-2 cell must not be probed"
+
+
+def test_ordered_item_pairs_matches_bruteforce(spark):
+    """The HOF basket-pair expansion equals the self-join semantics,
+    including dedup within basket, single-item baskets (no rows),
+    and all-null baskets (no crash, no rows)."""
+    from itertools import combinations
+
+    from kinesis_producer_spark.operators.baskets import ordered_item_pairs
+
+    rows = [
+        (1, 10), (1, 20), (1, 30), (1, 20),   # dup item within basket
+        (2, 5),                               # single item
+        (3, None), (3, None),                 # all-null basket
+        (4, 7), (4, 3),
+    ]
+    df = spark.createDataFrame(rows, "ok long, item long")
+    got = sorted(
+        (r["basket"], r["i_a"], r["i_b"])
+        for r in ordered_item_pairs(df, "ok", "item").collect()
+    )
+    want = []
+    baskets = {1: [10, 20, 30], 2: [5], 3: [], 4: [3, 7]}
+    for bk, items in baskets.items():
+        for a, b in combinations(sorted(set(items)), 2):
+            want.append((bk, a, b))
+    assert got == sorted(want)
