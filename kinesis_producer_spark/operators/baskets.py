@@ -29,10 +29,16 @@ def ordered_item_pairs(
     Baskets with fewer than two distinct items emit nothing, guarded
     explicitly — the inner index expression must not be evaluated for
     them (F.sequence counts DOWN past an empty range and element_at
-    then throws under ANSI mode).
+    then throws under ANSI mode). NULL basket keys are dropped before
+    grouping: the self-join this replaces is null-unsafe (emits
+    nothing for NULL keys), and without the filter groupBy would merge
+    every null-keyed row into one giant pseudo-basket — an O(N²)
+    single-row blowup that breaks the bounded-fan-out guarantee.
     """
-    ppo = df.groupBy(basket_col).agg(
-        F.sort_array(F.collect_set(item_col)).alias("ps")
+    ppo = (
+        df.filter(F.col(basket_col).isNotNull())
+        .groupBy(basket_col)
+        .agg(F.sort_array(F.collect_set(item_col)).alias("ps"))
     )
     idx = F.sequence(F.lit(1), F.size("ps") - 1)
     pair_structs = F.flatten(

@@ -2918,10 +2918,11 @@ def q129_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at least 3 distinct orders — the candidate-pair step of frequent
     itemset mining / "bought together" recommendations.
 
-    Scale: the pair generation self-joins on the order key, so pair
-    fan-out is bounded by the square of lines-per-order (≤ ~7 lines →
-    ≤ 21 pairs per order), NOT by table size — the join co-locates on
-    l_orderkey and the pair-count aggregate combines map-side. The
+    Scale: pair generation uses ordered_item_pairs — one
+    groupBy(orderkey) exchange plus an in-row combination expansion,
+    so pair fan-out is bounded by the square of lines-per-order
+    (≤ ~7 lines → ≤ 21 pairs per order), NOT by table size, and no
+    self-join exchange of the item table exists at all. The
     min-support HAVING prunes the long tail before any downstream
     join. For baskets with unbounded width, cap or sample within the
     basket first (the standard a-priori guard).

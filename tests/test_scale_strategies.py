@@ -298,6 +298,8 @@ def test_ordered_item_pairs_matches_bruteforce(spark):
         (2, 5),                               # single item
         (3, None), (3, None),                 # all-null basket
         (4, 7), (4, 3),
+        (None, 100), (None, 200),             # NULL basket key: self-join
+        (None, 300),                          # emits nothing — no merge
     ]
     df = spark.createDataFrame(rows, "ok long, item long")
     got = sorted(
