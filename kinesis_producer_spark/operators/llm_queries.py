@@ -447,8 +447,11 @@ def q59_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(STRLEN(text) AS BIGINT) AS n_bytes,
            MD5(text) AS content_md5,
            LOWER(HEX(ENCODE(SUBSTR(text, 1, 4)))) AS magic_hex,
-           CASE WHEN SUBSTR(text, 1, 4) = 'RIFF' THEN 'audio/wav'
+           CASE WHEN SUBSTR(text, 1, 6) IN ('GIF87a', 'GIF89a') THEN 'image/gif'
+                WHEN SUBSTR(text, 1, 4) = 'RIFF' THEN 'audio/wav'
                 WHEN SUBSTR(text, 1, 4) = 'OggS' THEN 'audio/ogg'
+                WHEN SUBSTR(text, 1, 2) = 'BM' THEN 'image/bmp'
+                WHEN SUBSTR(text, 1, 4) = 'fLaC' THEN 'audio/flac'
                 ELSE 'application/octet-stream' END AS media_type
     FROM documents
     """,

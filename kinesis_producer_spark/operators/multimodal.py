@@ -64,6 +64,8 @@ _MAGIC = {
     b"GIF89a": "image/gif",
     b"RIFF": "audio/wav",
     b"OggS": "audio/ogg",
+    b"BM": "image/bmp",
+    b"fLaC": "audio/flac",
 }
 
 
@@ -242,6 +244,50 @@ def _parse_jpeg_sof(b: bytes) -> dict | None:
     return None
 
 
+def _parse_bmp_header(b: bytes) -> dict | None:
+    """BMP header fields via the full pixel parser's header walk (24-bit
+    uncompressed only — same constraint as decode_bmp_stats)."""
+    parsed = _parse_bmp(b)
+    if parsed is None:
+        return None
+    w, h, _rgb = parsed
+    return {
+        "media_type": "image/bmp",
+        "width": w,
+        "height": h,
+        "bit_depth": 8,  # per channel
+        "n_channels": 3,
+    }
+
+
+def _parse_flac_streaminfo(b: bytes) -> dict | None:
+    """Real FLAC STREAMINFO parse: 'fLaC' magic, then metadata blocks
+    (1-byte type/last flag + u24be length); STREAMINFO (type 0) packs
+    sample rate (20 bits), channels-1 (3 bits), bits-per-sample-1
+    (5 bits) starting at byte offset 10 of its body — pure bit layout,
+    no codec."""
+    if len(b) < 8 or b[:4] != b"fLaC":
+        return None
+    pos = 4
+    while pos + 4 <= len(b):
+        header = b[pos]
+        btype = header & 0x7F
+        blen = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        if btype == 0 and pos + 4 + 18 <= len(b):
+            body = b[pos + 4 :]
+            bits = int.from_bytes(body[10:14], "big")  # rate(20)|ch-1(3)|bps-1(5)|...
+            return {
+                "media_type": "audio/flac",
+                "sample_rate": bits >> 12,
+                "n_channels": ((bits >> 9) & 0x7) + 1,
+                "bits_per_sample": ((bits >> 4) & 0x1F) + 1,
+            }
+        if header & 0x80:  # last-metadata-block flag
+            return None
+        pos += 4 + blen
+    return None
+
+
 def _parse_gif_screen(b: bytes) -> dict | None:
     """Real GIF header parse: 6-byte version signature then the logical
     screen descriptor — u16le width, u16le height, packed flags whose
@@ -263,8 +309,9 @@ def decode_headers(
     """Real (non-stubbed) media metadata decode for container formats
     whose headers are parseable without codec libraries: PNG IHDR
     (width/height/bit-depth/color-type), WAV fmt (channels/sample
-    rate/bits), JPEG SOFn (dimensions/precision/components), and GIF
-    logical screen descriptor. Unknown formats yield a row with null
+    rate/bits), JPEG SOFn (dimensions/precision/components), GIF
+    logical screen descriptor, 24-bit BMP, and FLAC STREAMINFO
+    (sample rate/channels/bits from the packed bit fields). Unknown formats yield a row with null
     fields — the PERMISSIVE analogue of reference file_flattener.py:78's
     FAILFAST.
 
@@ -285,6 +332,8 @@ def decode_headers(
                     or _parse_wav_fmt(b)
                     or _parse_jpeg_sof(b)
                     or _parse_gif_screen(b)
+                    or _parse_bmp_header(b)
+                    or _parse_flac_streaminfo(b)
                     or {"media_type": "application/octet-stream"}
                 )
                 row = {c: None for c in cols}

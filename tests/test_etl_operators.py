@@ -557,3 +557,44 @@ def test_compaction_crash_recovery(spark, tmp_path):
     assert not os.path.exists(path + "._compacting")
     assert spark.read.parquet(path).count() == rows
     assert stats["files_before"] == 8
+
+
+def test_bmp_and_flac_header_decode(spark):
+    """decode_headers dispatches BMP (via the pixel parser's header
+    walk) and FLAC STREAMINFO (packed 20/3/5-bit fields), including a
+    FLAC whose STREAMINFO sits behind another metadata block."""
+    import numpy as np
+
+    from kinesis_producer_spark.operators.multimodal import (
+        _encode_bmp,
+        _parse_flac_streaminfo,
+        decode_headers,
+    )
+
+    bmp = _encode_bmp(np.zeros((4, 6, 3), dtype=np.uint8))
+
+    def flac(rate, channels, bps, prefix_block=False):
+        bits = (rate << 12) | ((channels - 1) << 9) | ((bps - 1) << 4)
+        body = bytes(10) + bits.to_bytes(4, "big") + bytes(4 + 16)
+        stream = b"\x00" + len(body).to_bytes(3, "big") + body
+        blocks = (b"\x04" + (3).to_bytes(3, "big") + b"xyz") if prefix_block else b""
+        return b"fLaC" + blocks + stream
+
+    f1 = flac(44100, 2, 16)
+    f2 = flac(96000, 6, 24, prefix_block=True)
+    p = _parse_flac_streaminfo(f2)
+    assert p == {
+        "media_type": "audio/flac",
+        "sample_rate": 96000,
+        "n_channels": 6,
+        "bits_per_sample": 24,
+    }
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(f1)), (3, bytearray(f2))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r.asDict() for r in decode_headers(df).collect()}
+    assert rows[1]["media_type"] == "image/bmp"
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["n_channels"]) == (6, 4, 3)
+    assert rows[2]["sample_rate"] == 44100 and rows[2]["bits_per_sample"] == 16
+    assert rows[3]["n_channels"] == 6
