@@ -65,7 +65,7 @@ def _signal_xml_from_events(e: DataFrame) -> DataFrame:
     oracle=f"""
     SELECT event_type, COUNT(*) AS n,
            {dsum_sql('value')} AS sum_value,
-           SUM(CAST(REGEXP_EXTRACT(props, '"k":\\s*([0-9]+)', 1) AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(REGEXP_EXTRACT(props, '"k":\\s*([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n_uom,
            MAX(STRFTIME(ts, '%Y-%m-%dT%H:%M:%S.%f')) AS max_ts
     FROM events
@@ -474,7 +474,7 @@ st AS (
          ELSE st.n_closed END,
     o.s
   FROM st JOIN objs o ON o.g = st.g AND o.rn = st.rn + 1)
-SELECT g AS prefix, batch_id, COUNT(*) AS n_objs, SUM(s) AS total_bytes
+SELECT g AS prefix, batch_id, COUNT(*) AS n_objs, CAST(SUM(s) AS BIGINT) AS total_bytes
 FROM st WHERE rn > 0 GROUP BY g, batch_id
 """
 

@@ -448,7 +448,11 @@ def q59_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            MD5(text) AS content_md5,
            LOWER(HEX(ENCODE(SUBSTR(text, 1, 4)))) AS magic_hex,
            CASE WHEN SUBSTR(text, 1, 6) IN ('GIF87a', 'GIF89a') THEN 'image/gif'
-                WHEN SUBSTR(text, 1, 4) = 'RIFF' THEN 'audio/wav'
+                WHEN SUBSTR(text, 1, 4) = 'RIFF' THEN
+                  CASE SUBSTR(text, 9, 4) WHEN 'WAVE' THEN 'audio/wav'
+                                          WHEN 'AVI ' THEN 'video/x-msvideo'
+                                          WHEN 'WEBP' THEN 'image/webp'
+                                          ELSE 'application/x-riff' END
                 WHEN SUBSTR(text, 1, 4) = 'OggS' THEN 'audio/ogg'
                 WHEN SUBSTR(text, 1, 2) = 'BM' THEN 'image/bmp'
                 WHEN SUBSTR(text, 1, 4) = 'fLaC' THEN 'audio/flac'
@@ -940,7 +944,7 @@ def q80_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                          - n_tok) / 2048.0) AS BIGINT) AS bin
       FROM t)
-    SELECT source, bin, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+    SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
     FROM c GROUP BY source, bin
     """,
 )
@@ -1057,7 +1061,7 @@ def q95_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY doc_id, word),
     m AS (SELECT doc_id, SUM(cnt) AS n_words, COUNT(*) AS n_distinct, MAX(cnt) AS max_cnt
           FROM c GROUP BY doc_id)
-    SELECT doc_id, n_words, n_distinct,
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, n_distinct,
            CAST(FLOOR((1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE)) * 1e6 + 0.5)
                 AS BIGINT) AS rep_ratio_micro,
            CAST(FLOOR(CAST(max_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) * 1e6 + 0.5)
@@ -1584,7 +1588,7 @@ def q113_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd AS (SELECT COUNT(*) AS n FROM documents),
     stop AS (SELECT t FROM dfreq, nd WHERE df * 2 > n)
     SELECT doc_id, COUNT(*) AS n_tokens,
-           SUM(CASE WHEN s.t IS NOT NULL THEN 1 ELSE 0 END) AS n_stop,
+           CAST(SUM(CASE WHEN s.t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
            CAST(FLOOR(1e6 * SUM(CASE WHEN s.t IS NOT NULL THEN 1 ELSE 0 END)
                           / COUNT(*) + 0.5) AS BIGINT) AS stop_ratio_micro
     FROM tok LEFT JOIN stop s USING (t)
@@ -1726,7 +1730,7 @@ def q117_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (CAST(r.r AS DOUBLE) * c.c / tt.tt) + 0.5) AS BIGINT)
                AS term
       FROM o JOIN r USING (source) JOIN c USING (t), tt),
-    chi AS (SELECT t, SUM(term) AS chi2_micro FROM terms GROUP BY t)
+    chi AS (SELECT t, CAST(SUM(term) AS BIGINT) AS chi2_micro FROM terms GROUP BY t)
     SELECT t AS token, chi2_micro,
            ROW_NUMBER() OVER (ORDER BY chi2_micro DESC, t) AS rank
     FROM chi ORDER BY chi2_micro DESC, t LIMIT 50
@@ -2204,7 +2208,7 @@ def q127_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                           / (CAST(tot.tot AS DOUBLE) / nd.nd)))) + 0.5) AS BIGINT)
                AS term_micro
       FROM tf JOIN qterms q USING (t) JOIN dl USING (doc_id), nd, tot)
-    SELECT doc_id, COUNT(*) AS n_hit, SUM(term_micro) AS score_micro
+    SELECT doc_id, COUNT(*) AS n_hit, CAST(SUM(term_micro) AS BIGINT) AS score_micro
     FROM scored GROUP BY doc_id
     ORDER BY score_micro DESC, doc_id LIMIT 20
     """,
@@ -2846,7 +2850,7 @@ ver AS (SELECT new_id, idx_id,
                     / len(list_distinct(list_concat(x.s, y.s))) + 0.5) AS BIGINT) AS j
         FROM cand JOIN sh x ON x.doc_id = new_id JOIN sh y ON y.doc_id = idx_id)
 SELECT new_id, CAST(COUNT(CASE WHEN j >= 500000 THEN 1 END) AS BIGINT) AS n_dups,
-       CAST(MAX(CASE WHEN j >= 500000 THEN idx_id END) AS BIGINT) AS a_dup_of,
+       CAST(COALESCE(MAX(CASE WHEN j >= 500000 THEN idx_id END), -1) AS BIGINT) AS a_dup_of,
        CAST(MAX(j) AS BIGINT) AS max_jaccard_micro
 FROM ver GROUP BY new_id
 """
@@ -2914,7 +2918,9 @@ def q171_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_id = F.when(F.col("j") >= 500_000, F.col("idx_id"))
     return ver.groupBy("new_id").agg(
         F.count(dup).cast("bigint").alias("n_dups"),
-        F.max(dup_id).cast("bigint").alias("a_dup_of"),
+        # -1 sentinel for "no dup found": a NULL-bearing int column
+        # goes float64 under the driver's pandas canonicalization.
+        F.coalesce(F.max(dup_id), F.lit(-1)).cast("bigint").alias("a_dup_of"),
         F.max("j").cast("bigint").alias("max_jaccard_micro"),
     )
 
@@ -3122,29 +3128,29 @@ def _le_bytes(c: F.Column, n_hex: int) -> F.Column:
     SELECT doc_id AS media_id,
            CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
                            WHEN 2 THEN 'image/jpeg' ELSE 'image/gif' END AS media_type,
-           CAST(CASE doc_id % 4
+           CAST(COALESCE(CASE doc_id % 4
                   WHEN 0 THEN 1 + doc_id % 1920
                   WHEN 2 THEN 1 + doc_id % 1920
-                  WHEN 3 THEN 1 + doc_id % 640 END AS INT) AS width,
-           CAST(CASE doc_id % 4
+                  WHEN 3 THEN 1 + doc_id % 640 END, -1) AS INT) AS width,
+           CAST(COALESCE(CASE doc_id % 4
                   WHEN 0 THEN 1 + doc_id % 1080
                   WHEN 2 THEN 1 + doc_id % 1080
-                  WHEN 3 THEN 1 + doc_id % 480 END AS INT) AS height,
-           CAST(CASE doc_id % 4
+                  WHEN 3 THEN 1 + doc_id % 480 END, -1) AS INT) AS height,
+           CAST(COALESCE(CASE doc_id % 4
                   WHEN 0 THEN 8 WHEN 2 THEN 8
-                  WHEN 3 THEN 1 + doc_id % 8 END AS INT) AS bit_depth,
-           CASE WHEN doc_id % 4 = 0 THEN
-             CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END AS INT)
-           END AS color_type,
+                  WHEN 3 THEN 1 + doc_id % 8 END, -1) AS INT) AS bit_depth,
+           CAST(COALESCE(CASE WHEN doc_id % 4 = 0 THEN
+             CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END
+           END, -1) AS INT) AS color_type,
            CAST(CASE doc_id % 4
                   WHEN 0 THEN CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
                   WHEN 1 THEN CASE WHEN doc_id % 8 = 1 THEN 1 ELSE 2 END
                   WHEN 2 THEN CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
                   ELSE 1 END AS INT) AS n_channels,
-           CASE WHEN doc_id % 4 = 1 THEN
-             CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INT)
-           END AS sample_rate,
-           CASE WHEN doc_id % 4 = 1 THEN CAST(16 AS INT) END AS bits_per_sample
+           CAST(COALESCE(CASE WHEN doc_id % 4 = 1 THEN
+             CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
+           END, -1) AS INT) AS sample_rate,
+           CAST(COALESCE(CASE WHEN doc_id % 4 = 1 THEN 16 END, -1) AS INT) AS bits_per_sample
     FROM documents
     """,
 )
@@ -3231,7 +3237,27 @@ def q188_media_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "content"
         ),
     )
-    return decode_headers(blobs)
+    out = decode_headers(blobs)
+    # -1 sentinel for fields a format doesn't define (WAV has no
+    # width, PNG has no sample rate, ...): NULL-bearing int columns
+    # go float64 under the driver's pandas canonicalization, which is
+    # a repr-drift hazard on the hash surface.
+    return out.select(
+        *[
+            F.coalesce(F.col(c), F.lit(-1).cast("int")).alias(c)
+            if c
+            in (
+                "width",
+                "height",
+                "bit_depth",
+                "color_type",
+                "sample_rate",
+                "bits_per_sample",
+            )
+            else F.col(c)
+            for c in out.columns
+        ]
+    )
 
 
 @query(

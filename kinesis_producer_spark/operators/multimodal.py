@@ -62,14 +62,23 @@ _MAGIC = {
     b"\xff\xd8\xff": "image/jpeg",
     b"GIF87a": "image/gif",
     b"GIF89a": "image/gif",
-    b"RIFF": "audio/wav",
     b"OggS": "audio/ogg",
     b"BM": "image/bmp",
     b"fLaC": "audio/flac",
 }
 
+# RIFF is a container family, not a format: the form type at bytes
+# 8-12 says what's inside (WAV audio, AVI video, WebP image, ...).
+_RIFF_FORMS = {
+    b"WAVE": "audio/wav",
+    b"AVI ": "video/x-msvideo",
+    b"WEBP": "image/webp",
+}
+
 
 def _sniff(blob: bytes) -> str:
+    if blob[:4] == b"RIFF":
+        return _RIFF_FORMS.get(blob[8:12], "application/x-riff")
     for magic, mtype in _MAGIC.items():
         if blob[: len(magic)] == magic:
             return mtype
@@ -198,6 +207,10 @@ def _parse_wav_fmt(b: bytes) -> dict | None:
             body = b[pos + 8 :]
             return {
                 "media_type": "audio/wav",
+                # audio_format (1 = integer PCM) isn't in HEADER_SCHEMA
+                # (pd.DataFrame columns= drops it) but _parse_wav_pcm
+                # needs it to refuse compressed/float WAVs.
+                "audio_format": int.from_bytes(body[0:2], "little"),
                 "n_channels": int.from_bytes(body[2:4], "little"),
                 "sample_rate": int.from_bytes(body[4:8], "little"),
                 "bits_per_sample": int.from_bytes(body[14:16], "little"),
@@ -222,6 +235,12 @@ def _parse_jpeg_sof(b: bytes) -> dict | None:
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             return None  # marker desync — corrupt stream
+        # JPEG permits any number of 0xFF fill bytes before a marker;
+        # treat runs of 0xFF as padding, not as a sized segment.
+        while pos + 4 <= len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(b):
+            return None
         marker = b[pos + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI/RSTn: no length
             pos += 2
@@ -462,12 +481,22 @@ PCM_SCHEMA = T.StructType(
 
 def _parse_wav_pcm(b: bytes):
     """Locate the RIFF 'data' chunk and decode 16-bit little-endian PCM
-    samples. Returns (sample_rate, int16 numpy array) or None. Pure
-    byte layout — PCM needs no codec, unlike compressed audio."""
+    samples. Returns (sample_rate, n_channels, int16 numpy array) or
+    None. Pure byte layout — PCM needs no codec, unlike compressed
+    audio. Refuses non-integer-PCM (audio_format != 1), non-16-bit,
+    and malformed fmt chunks with rate or channels <= 0 (a zero rate
+    would otherwise divide-by-zero downstream instead of yielding the
+    documented null row)."""
     import numpy as np
 
     fmt = _parse_wav_fmt(b)
-    if fmt is None or fmt.get("bits_per_sample") != 16:
+    if (
+        fmt is None
+        or fmt.get("audio_format") != 1
+        or fmt.get("bits_per_sample") != 16
+        or fmt.get("sample_rate", 0) <= 0
+        or fmt.get("n_channels", 0) <= 0
+    ):
         return None
     pos = 12
     while pos + 8 <= len(b):
@@ -475,7 +504,11 @@ def _parse_wav_pcm(b: bytes):
         chunk_len = int.from_bytes(b[pos + 4 : pos + 8], "little")
         if chunk_id == b"data":
             raw = b[pos + 8 : pos + 8 + chunk_len]
-            return fmt["sample_rate"], np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2")
+            return (
+                fmt["sample_rate"],
+                fmt["n_channels"],
+                np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2"),
+            )
         pos += 8 + chunk_len + (chunk_len % 2)
     return None
 
@@ -507,15 +540,18 @@ def decode_audio_pcm(
                 row = {c: None for c in cols}
                 row["media_id"] = mid
                 if parsed is not None:
-                    rate, s = parsed
+                    rate, nch, s = parsed
                     n = int(s.size)
                     if n:
                         a = s.astype("int64")
                         total = int(a.sum())
+                        # n counts interleaved samples across channels;
+                        # wall-clock duration is frames / rate.
+                        frames = n // nch
                         row.update(
                             n_samples=n,
                             sample_rate=rate,
-                            duration_ms=int(math.floor(n * 1000 / rate + 0.5)),
+                            duration_ms=int(math.floor(frames * 1000 / rate + 0.5)),
                             peak=int(np.abs(a).max()),
                             mean_milli=int(math.floor(1000 * total / n + 0.5)),
                             rms=int(math.floor(math.sqrt(float((a * a).sum()) / n) + 0.5)),

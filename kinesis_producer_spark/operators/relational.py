@@ -154,7 +154,7 @@ def q03_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_customers,
            COUNT(o.o_orderkey) AS n_orders,
            {dsum_sql('COALESCE(o.o_totalprice, 0)')} AS total_spend,
-           SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_customer_rows_without_orders
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_customer_rows_without_orders
     FROM customer c
     LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c_nationkey
@@ -683,7 +683,7 @@ def q21_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type
@@ -933,7 +933,7 @@ def q28_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     urgent AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) n_urgent
                FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
     SELECT COALESCE(b.o_custkey, u.o_custkey) AS custkey,
-           b.n_big, u.n_urgent,
+           COALESCE(b.n_big, 0) AS n_big, COALESCE(u.n_urgent, 0) AS n_urgent,
            COALESCE(b.n_big, 0) + COALESCE(u.n_urgent, 0) AS total
     FROM big b FULL OUTER JOIN urgent u ON b.o_custkey = u.o_custkey
     """,
@@ -955,8 +955,11 @@ def q29_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     b, u = big.alias("b"), urgent.alias("u")
     return b.join(u, F.col("b.o_custkey") == F.col("u.o_custkey"), "full_outer").select(
         F.coalesce(F.col("b.o_custkey"), F.col("u.o_custkey")).alias("custkey"),
-        "n_big",
-        "n_urgent",
+        # COALESCE to 0 on BOTH sides: a NULL-bearing int column goes
+        # float64 in the driver's pandas canonicalization (repr drift
+        # hazard); 0 is unambiguous since every group has count >= 1.
+        F.coalesce(F.col("n_big"), F.lit(0)).alias("n_big"),
+        F.coalesce(F.col("n_urgent"), F.lit(0)).alias("n_urgent"),
         (F.coalesce(F.col("n_big"), F.lit(0)) + F.coalesce(F.col("n_urgent"), F.lit(0))).alias(
             "total"
         ),
@@ -2183,10 +2186,10 @@ def q93_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q94_priority_by_linestatus",
     oracle="""
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS BIGINT) AS low_line_count
     FROM orders
     JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -2582,7 +2585,7 @@ def q115_event_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
            COUNT(*) AS n_orders,
-           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS sum_cents,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
            MIN(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS min_cents,
            MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS max_cents
     FROM orders GROUP BY 1
@@ -2807,11 +2810,12 @@ def q123_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST((SELECT MIN(d) FROM o) AS TIMESTAMP),
                  CAST((SELECT MAX(d) FROM o) AS TIMESTAMP),
                  INTERVAL 1 DAY)) AS DATE) AS day),
-    filled AS (SELECT day, COALESCE(n, 0) AS n_orders, COALESCE(s, 0) AS sum_cents
+    filled AS (SELECT day, COALESCE(n, 0) AS n_orders,
+                      CAST(COALESCE(s, 0) AS BIGINT) AS sum_cents
                FROM spine LEFT JOIN daily ON day = d)
     SELECT day, n_orders, sum_cents,
-           SUM(sum_cents) OVER (ORDER BY day
-             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sum7_cents
+           CAST(SUM(sum_cents) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum7_cents
     FROM filled
     """,
 )
@@ -3059,7 +3063,7 @@ def q131_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM g)
     SELECT event_type,
            CASE WHEN rn <= 3 THEN CAST(user_id AS VARCHAR) ELSE 'other' END AS bucket,
-           SUM(n) AS n_events
+           CAST(SUM(n) AS BIGINT) AS n_events
     FROM r GROUP BY event_type,
           CASE WHEN rn <= 3 THEN CAST(user_id AS VARCHAR) ELSE 'other' END
     """,
@@ -3109,7 +3113,7 @@ def q132_topk_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY r.r_name, n.n_name),
     tot AS (SELECT SUM(cents) AS grand FROM rev),
     reg AS (SELECT region, SUM(cents) AS rcents FROM rev GROUP BY region)
-    SELECT rev.region, rev.nation, rev.cents,
+    SELECT rev.region, rev.nation, CAST(rev.cents AS BIGINT) AS cents,
            CAST(FLOOR(1e6 * CAST(rev.cents AS DOUBLE) / reg.rcents + 0.5) AS BIGINT)
              AS share_of_region_micro,
            CAST(FLOOR(1e6 * CAST(reg.rcents AS DOUBLE) / tot.grand + 0.5) AS BIGINT)
@@ -3182,7 +3186,8 @@ def q134_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
       UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax)))
     SELECT l_returnflag, measure, COUNT(*) AS n,
-           SUM(micro) AS sum_micro, MIN(micro) AS min_micro, MAX(micro) AS max_micro
+           CAST(SUM(micro) AS BIGINT) AS sum_micro,
+           MIN(micro) AS min_micro, MAX(micro) AS max_micro
     FROM long GROUP BY l_returnflag, measure
     """,
 )
@@ -3473,11 +3478,11 @@ def q173_stuck_in_error(spark: SparkSession, sf_dir: str) -> DataFrame:
              LAG(n) OVER (PARTITION BY event_type ORDER BY week_start) AS prev_n
       FROM wk)
     SELECT event_type, week_start, n, prev_n,
-           CASE WHEN prev_n IS NULL THEN NULL
-                ELSE CAST(FLOOR(1e6 * (CAST(n AS DOUBLE) - CAST(prev_n AS DOUBLE))
-                           / CAST(prev_n AS DOUBLE) + 0.5) AS BIGINT) END
+           CAST(FLOOR(1e6 * (CAST(n AS DOUBLE) - CAST(prev_n AS DOUBLE))
+                      / CAST(prev_n AS DOUBLE) + 0.5) AS BIGINT)
              AS wow_change_micro
     FROM lagged
+    WHERE prev_n IS NOT NULL
     """,
 )
 def q177_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3496,17 +3501,19 @@ def q177_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.to_date(F.date_trunc("week", "ts")).alias("week_start")
     ).agg(F.count(F.lit(1)).alias("n"))
     w = W.partitionBy("event_type").orderBy("week_start")
-    lagged = wk.withColumn("prev_n", F.lag("n").over(w))
-    delta = F.when(
-        F.col("prev_n").isNull(), F.lit(None).cast("bigint")
-    ).otherwise(
-        F.floor(
-            F.lit(1e6)
-            * (F.col("n").cast("double") - F.col("prev_n").cast("double"))
-            / F.col("prev_n").cast("double")
-            + F.lit(0.5)
-        ).cast("bigint")
+    # First week has no prior — drop it rather than emit NULL ints:
+    # week-over-week is only defined from the second week, and a
+    # NULL-bearing int column goes float64 under the driver's pandas
+    # canonicalization (repr-drift hazard on the hash surface).
+    lagged = wk.withColumn("prev_n", F.lag("n").over(w)).filter(
+        F.col("prev_n").isNotNull()
     )
+    delta = F.floor(
+        F.lit(1e6)
+        * (F.col("n").cast("double") - F.col("prev_n").cast("double"))
+        / F.col("prev_n").cast("double")
+        + F.lit(0.5)
+    ).cast("bigint")
     return lagged.select(
         "event_type", "week_start", "n", "prev_n", delta.alias("wow_change_micro")
     )

@@ -101,7 +101,7 @@ WITH counts AS (
   CROSS JOIN (SELECT UNNEST({[c for c in _ALPHABET]!r}) AS ch)
   GROUP BY source, ch)
 SELECT source,
-       MAX(chars_total) AS total_chars,
+       CAST(MAX(chars_total) AS BIGINT) AS total_chars,
        CAST(SUM(c) AS BIGINT) AS alpha_chars,
        CAST(FLOOR(1e6 * (CAST(SUM(c * c) AS DOUBLE)
               / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))) + 0.5) AS BIGINT)

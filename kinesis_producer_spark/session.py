@@ -27,6 +27,12 @@ def s3_tuning_profile(connection_pool: int = 50) -> dict[str, str]:
     reference's constant, fast upload with disk buffering (the analogue
     of the reference's BytesIO-then-upload, minus the OOM risk), and
     directory-marker retention for modern committers.
+
+    Committer keys live in ``s3_committer_profile`` — deliberately NOT
+    here, because ``spark.sql.sources.commitProtocolClass`` governs
+    writes on EVERY filesystem scheme and requires the
+    spark-hadoop-cloud jar on the classpath (ClassNotFoundException on
+    all writes otherwise).
     """
     return {
         "spark.hadoop.fs.s3a.connection.maximum": str(connection_pool),
@@ -35,6 +41,20 @@ def s3_tuning_profile(connection_pool: int = 50) -> dict[str, str]:
         "spark.hadoop.fs.s3a.fast.upload.buffer": "disk",
         "spark.hadoop.fs.s3a.block.size": str(_MAX_PARTITION_BYTES),
         "spark.hadoop.fs.s3a.directory.marker.retention": "keep",
+    }
+
+
+def s3_committer_profile() -> dict[str, str]:
+    """Opt-in S3A magic-committer preset — separate from the
+    connection-pool tuning because these keys have GLOBAL write scope:
+    ``spark.sql.sources.commitProtocolClass`` replaces the commit
+    protocol for every DataFrame write on every filesystem scheme, and
+    ``PathOutputCommitProtocol`` requires the spark-hadoop-cloud jar
+    (ship it via ``spark.jars.packages
+    org.apache.spark:spark-hadoop-cloud_2.13:<spark version>``).
+    Only merge this profile into a session whose writes all target
+    s3a:// and whose classpath carries that jar."""
+    return {
         "spark.hadoop.fs.s3a.committer.name": "magic",
         "spark.sql.sources.commitProtocolClass": (
             "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"

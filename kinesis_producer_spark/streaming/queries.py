@@ -373,7 +373,8 @@ def q97_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ON p.user_id = c.user_id
            AND p.ts >= c.ts
            AND p.ts <= c.ts + INTERVAL 30 MINUTE)
-    SELECT user_id, click_id, purchase_id
+    SELECT user_id, click_id,
+           CAST(COALESCE(purchase_id, -1) AS BIGINT) AS purchase_id
     FROM j, mx
     WHERE purchase_id IS NOT NULL
        OR cts + INTERVAL 30 MINUTE < mx.m - INTERVAL 10 MINUTE
@@ -426,8 +427,12 @@ def q100_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 30 MINUTES")),
         "left_outer",
     )
+    # -1 sentinel for the watermark-proven no-match rows: NULL-bearing
+    # int columns go float64 under the driver's pandas canonicalization.
     out = joined.select(
-        F.col("a_user").alias("user_id"), "click_id", "purchase_id"
+        F.col("a_user").alias("user_id"),
+        "click_id",
+        F.coalesce(F.col("purchase_id"), F.lit(-1).cast("long")).alias("purchase_id"),
     )
     return run_stream_append(out, spark)
 
@@ -442,8 +447,8 @@ def q100_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ORDER BY ts, event_id) AS prev
             FROM e)
     SELECT user_id,
-           1 + SUM(CASE WHEN prev IS NOT NULL AND cents != prev
-                        THEN 1 ELSE 0 END) AS n_versions,
+           CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND cents != prev
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_versions,
            FIRST(cents ORDER BY ts, event_id) AS first_cents,
            LAST(cents ORDER BY ts, event_id) AS last_cents
     FROM seq GROUP BY user_id

@@ -270,6 +270,7 @@ def test_png_wav_header_parsers_on_real_bytes(spark):
     q = _parse_wav_fmt(wav)
     assert q == {
         "media_type": "audio/wav",
+        "audio_format": 1,
         "n_channels": 2,
         "sample_rate": 44100,
         "bits_per_sample": 16,
@@ -598,3 +599,91 @@ def test_bmp_and_flac_header_decode(spark):
     assert (rows[1]["width"], rows[1]["height"], rows[1]["n_channels"]) == (6, 4, 3)
     assert rows[2]["sample_rate"] == 44100 and rows[2]["bits_per_sample"] == 16
     assert rows[3]["n_channels"] == 6
+
+
+def test_riff_sniff_disambiguates_form_type():
+    """RIFF is a container family: the form type at bytes 8-12 decides
+    WAV vs AVI vs WebP (a bare 'RIFF' prefix must not read as audio)."""
+    from kinesis_producer_spark.operators.multimodal import _sniff
+
+    assert _sniff(b"RIFF\x24\x00\x00\x00WAVEfmt ") == "audio/wav"
+    assert _sniff(b"RIFF\x24\x00\x00\x00AVI LIST") == "video/x-msvideo"
+    assert _sniff(b"RIFF\x24\x00\x00\x00WEBPVP8 ") == "image/webp"
+    assert _sniff(b"RIFF\x24\x00\x00\x00JUNK....") == "application/x-riff"
+    assert _sniff(b"RIFF") == "application/x-riff"  # truncated: still RIFF family
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """JPEG permits runs of 0xFF fill bytes before a marker; the SOF
+    walk must skip them rather than parse a fill byte as a sized
+    segment (which misreads the length field)."""
+    import struct
+
+    from kinesis_producer_spark.operators.multimodal import _parse_jpeg_sof
+
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + struct.pack(">BHHB", 8, 480, 640, 3)
+        + bytes(9)
+    )
+    # fill bytes between SOI and SOF0, and a padded APP0 before it
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+    jpeg = b"\xff\xd8" + b"\xff\xff\xff" + app0 + b"\xff\xff" + sof0 + b"\xff\xd9"
+    j = _parse_jpeg_sof(jpeg)
+    assert j is not None and (j["width"], j["height"]) == (640, 480)
+
+
+def test_stereo_wav_duration_counts_frames(spark):
+    """Stereo PCM: n_samples counts interleaved samples but duration
+    is frames/rate — a 2-channel 8000 Hz file with 8000 interleaved
+    samples lasts 500 ms, not 1000 ms."""
+    import io
+    import struct
+    import wave
+
+    from kinesis_producer_spark.operators.multimodal import decode_audio_pcm
+
+    n_frames = 4000
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack(f"<{2 * n_frames}h", *([100, -100] * n_frames)))
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "media_id long, content binary"
+    )
+    r = decode_audio_pcm(df).collect()[0].asDict()
+    assert r["n_samples"] == 2 * n_frames
+    assert r["duration_ms"] == 500
+
+
+def test_malformed_wav_fmt_yields_null_not_crash(spark):
+    """A fmt chunk with sample_rate=0, zero channels, or a non-PCM
+    audio format must yield the documented null row, not divide by
+    zero inside the Spark task."""
+    import struct
+
+    from kinesis_producer_spark.operators.multimodal import decode_audio_pcm
+
+    def wav(audio_format=1, channels=1, rate=8000, bps=16):
+        fmt = struct.pack("<HHIIHH", audio_format, channels, rate, rate * 2, 2, bps)
+        data = struct.pack("<4h", 1, -1, 2, -2)
+        body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(wav())),  # healthy control
+            (2, bytearray(wav(rate=0))),
+            (3, bytearray(wav(channels=0))),
+            (4, bytearray(wav(audio_format=3))),  # IEEE float, not PCM
+        ],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r.asDict() for r in decode_audio_pcm(df).collect()}
+    assert rows[1]["n_samples"] == 4 and rows[1]["duration_ms"] == 1
+    for mid in (2, 3, 4):
+        assert rows[mid]["n_samples"] is None and rows[mid]["rms"] is None

@@ -248,16 +248,24 @@ def test_dynamic_partition_pruning(spark, tmp_path):
 
 def test_s3_tuning_profile_contract():
     """The s3a preset pins the reference's 50-connection pool
-    (aws_utils.py:11) and only emits spark.hadoop./spark.sql. keys."""
-    from kinesis_producer_spark.session import s3_tuning_profile
+    (aws_utils.py:11) and only emits scheme-scoped spark.hadoop.fs.s3a
+    keys — the global-write-scope committer keys live in the separate
+    opt-in s3_committer_profile (they require the spark-hadoop-cloud
+    jar and govern writes on every filesystem scheme)."""
+    from kinesis_producer_spark.session import s3_committer_profile, s3_tuning_profile
 
     p = s3_tuning_profile()
     assert p["spark.hadoop.fs.s3a.connection.maximum"] == "50"
     assert p["spark.hadoop.fs.s3a.fast.upload.buffer"] == "disk"
-    assert all(k.startswith(("spark.hadoop.", "spark.sql.")) for k in p)
+    # connection tuning is entirely s3a-scoped: safe on any session
+    assert all(k.startswith("spark.hadoop.fs.s3a.") for k in p)
+    assert "spark.sql.sources.commitProtocolClass" not in p
     assert s3_tuning_profile(connection_pool=200)[
         "spark.hadoop.fs.s3a.threads.max"
     ] == "200"
+    c = s3_committer_profile()
+    assert c["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert "PathOutputCommitProtocol" in c["spark.sql.sources.commitProtocolClass"]
 
 
 def test_multiprobe_recovers_boundary_neighbors(spark):

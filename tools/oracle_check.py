@@ -5,6 +5,13 @@ DuckDB at sf0.01, canonicalizes (sort columns by name, stringify,
 sort rows), and diffs. Exact float equality is intended — the query
 suite is built so doubles are bit-identical across engines.
 
+The DuckDB side is materialized through ``.df()`` (pandas), NOT
+``fetchall()``, to match the driver's pandas-based canonicalization:
+a bare integer SUM() comes back as HUGEINT, which pandas renders as
+float64 (``0.0``) while Spark's bigint renders int64 (``0``) — a
+hash-fatal divergence that ``fetchall()`` (HUGEINT → Python int)
+can never see. That blind spot cost rounds 1 and 2 (q04/q22).
+
 Usage: python tools/oracle_check.py [query ...]
 """
 
@@ -30,6 +37,22 @@ def canon_value(v) -> str:
             return "NaN"
         return repr(v)
     if isinstance(v, datetime.datetime):
+        # DuckDB DATE surfaces as a midnight datetime64 through .df();
+        # the driver's canonicalization equates that with Spark's
+        # DateType (q18 hash-passed two rounds with exactly this pair),
+        # so render midnight naive timestamps as bare dates.
+        try:
+            midnight = (
+                v.tzinfo is None
+                and v.hour == 0
+                and v.minute == 0
+                and v.second == 0
+                and v.microsecond == 0
+            )
+        except (TypeError, ValueError):
+            midnight = False
+        if midnight:
+            return v.date().isoformat()
         return v.isoformat(sep=" ")
     if isinstance(v, datetime.date):
         return v.isoformat()
@@ -82,9 +105,9 @@ def main() -> int:
             print(f"SKIP {name}: no oracle (rows-only: {len(srows)} rows) [{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(oracle[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            odf = con.execute(oracle[name]).df()
+            ocols = [str(c) for c in odf.columns]
+            orows = list(odf.itertuples(index=False, name=None))
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             n_fail += 1
