@@ -123,7 +123,21 @@ def pivot_dynamic(
     key domain, not the data); pass 2 reuses the zero-shuffle getItem
     path. The collected key set is bounded by the attribute vocabulary,
     not the data size, so the driver action is safe at any scale.
+
+    BATCH ONLY: discovering the attribute vocabulary requires an
+    action over the input, which Spark forbids on a stream (a stream's
+    key domain is unbounded in time anyway — the schema could change
+    every micro-batch). Streams use ``pivot_declared`` with an
+    explicit schema (SURVEY §7 hard-part (b)); this guard keeps the
+    failure mode a clear error instead of an AnalysisException from
+    deep inside the collect.
     """
+    if df.isStreaming:
+        raise ValueError(
+            "pivot_dynamic requires a batch DataFrame: attribute discovery "
+            "needs an action, which streaming forbids — use pivot_declared "
+            "with an explicit declared schema on streams"
+        )
     readings = F.col(readings_col) if isinstance(readings_col, str) else readings_col
     names = sorted(
         r[0]

@@ -1,0 +1,577 @@
+"""Pure-Python + numpy baseline JPEG codec (no PIL/libjpeg).
+
+Closes the last honest decode stub for the fixture's actual image
+format: ``multimodal.decode_media`` can now produce real pixels for
+baseline (SOF0) JPEGs, with no codec libraries in the image. The
+implementation is the textbook baseline pipeline from the public
+JPEG standard (ITU-T T.81) and JFIF spec:
+
+decode: marker parse (DQT/SOF0/DHT/DRI/SOS) → entropy decode
+(Huffman, 0xFF00 byte unstuffing, RSTn restarts) → DC differential +
+AC run-length/zigzag reconstruction → dequantize → 8x8 IDCT (exact
+float basis, matrix form) → chroma upsample (sample replication) →
+YCbCr→RGB (JFIF full-range matrix) → clip to uint8.
+
+encode (the minimal sibling, used to synthesize test/query inputs and
+as the thumbnail-sink format): level shift → 8x8 DCT → quantize →
+zigzag → DC-diff/AC-RLE Huffman with the standard Annex K tables.
+Grayscale or 4:4:4 only — enough to round-trip anything the decoder
+handles without subsampling loss.
+
+Scale posture: the codec is per-blob Python invoked inside
+Arrow-batched ``mapInPandas`` stages (multimodal.py) — blobs never
+leave executors, and the per-task working set is one image. Python
+bit-twiddling is the price of a zero-dependency image; swap
+PIL/libjpeg-turbo in production via the same operator seam
+(``decode_media``'s batch signature does not change).
+
+Reference parity note: the reference repo has no media path at all
+(this family is the LLM-pipeline mandate, not file_flattener.py), so
+there is no reference file to cite; the format knowledge is the
+public T.81/JFIF/Annex-K documents.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Shared constants
+# ---------------------------------------------------------------------------
+
+# Zigzag order: ZIGZAG[i] = (row, col) of the i-th coefficient.
+ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+# 8x8 DCT basis matrix: M[u, x] = c(u)/2 * cos((2x+1) u pi / 16).
+_M = np.zeros((8, 8))
+for _u in range(8):
+    _c = math.sqrt(0.5) if _u == 0 else 1.0
+    for _x in range(8):
+        _M[_u, _x] = _c / 2.0 * math.cos((2 * _x + 1) * _u * math.pi / 16.0)
+
+
+def _idct2(coef: np.ndarray) -> np.ndarray:
+    """Exact 2-D 8x8 inverse DCT (type-III), matrix form."""
+    return _M.T @ coef @ _M
+
+
+def _dct2(block: np.ndarray) -> np.ndarray:
+    """Exact 2-D 8x8 forward DCT (type-II), matrix form."""
+    return _M @ block @ _M.T
+
+
+# Annex K (ITU-T T.81) example quantization tables, zigzag order.
+STD_LUMA_QUANT = [
+    16, 11, 12, 14, 12, 10, 16, 14, 13, 14, 18, 17, 16, 19, 24, 40,
+    26, 24, 22, 22, 24, 49, 35, 37, 29, 40, 58, 51, 61, 60, 57, 51,
+    56, 55, 64, 72, 92, 78, 64, 68, 87, 69, 55, 56, 80, 109, 81, 87,
+    95, 98, 103, 104, 103, 62, 77, 113, 121, 112, 100, 120, 92, 101,
+    103, 99,
+]
+
+STD_CHROMA_QUANT = [
+    17, 18, 18, 24, 21, 24, 47, 26, 26, 47, 99, 66, 56, 66, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# A flat quantization table (all 16s): with block-constant inputs whose
+# shifted value is even, DC quantizes with zero error — the exact
+# round-trip used by the oracle-checked decode query.
+FLAT16_QUANT = [16] * 64
+
+# Annex K standard Huffman tables: (bits[1..16], huffval) per class.
+STD_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+STD_DC_LUMA_VALS = list(range(12))
+STD_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+STD_DC_CHROMA_VALS = list(range(12))
+STD_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+STD_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+STD_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+STD_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(code length, code) → symbol map per T.81 Annex C canonical
+    code assignment."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code length, code), inverse of the decode table."""
+    return {v: (ln, c) for (ln, c), v in _build_decode_table(bits, vals).items()}
+
+
+# ---------------------------------------------------------------------------
+# Bit I/O over the entropy-coded segment
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first bit reader with JPEG byte unstuffing (FF 00 → FF) that
+    stops at any real marker (FF xx, xx != 00 and not RSTn handled by
+    the caller via ``sync_restart``)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> bool:
+        d = self.data
+        if self.pos >= len(d):
+            return False
+        byte = d[self.pos]
+        if byte == 0xFF:
+            if self.pos + 1 < len(d) and d[self.pos + 1] == 0x00:
+                self.pos += 2  # stuffed FF
+            else:
+                return False  # real marker: stop
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | byte
+        self.nbits += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.nbits == 0 and not self._fill():
+            raise EOFError("entropy data exhausted")
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Discard padding bits and consume an RSTn marker."""
+        self.bitbuf = 0
+        self.nbits = 0
+        d = self.data
+        # skip fill bytes then expect FF D0-D7
+        while self.pos + 1 < len(d) and d[self.pos] == 0xFF and d[self.pos + 1] == 0xFF:
+            self.pos += 1
+        if self.pos + 1 < len(d) and d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+        else:
+            raise ValueError("expected RSTn marker")
+
+
+def _decode_huffman(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t-bit magnitude to signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_baseline_jpeg(b: bytes, max_bytes: int = 4 << 20) -> np.ndarray | None:
+    """Decode a baseline (SOF0) JFIF blob to a uint8 pixel array —
+    (H, W) for grayscale, (H, W, 3) RGB otherwise. Returns None for
+    non-JPEG/unsupported input (progressive SOF2, arithmetic coding,
+    12-bit precision) rather than raising: decode stages are
+    PERMISSIVE, mirroring the header decoder's contract.
+
+    ``max_bytes`` bounds the per-row work a poisoned blob can cause
+    inside an executor task (the gate fixtures are tiny; production
+    sets this to its media SLA).
+    """
+    if len(b) > max_bytes or len(b) < 4 or b[:3] != b"\xff\xd8\xff":
+        return None
+    try:
+        return _decode_inner(b)
+    except (ValueError, EOFError, IndexError, KeyError):
+        return None
+
+
+def _decode_inner(b: bytes) -> np.ndarray | None:
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (H, W, comps) comps: list of (cid, h, v, tq)
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("marker desync")
+        while pos + 4 <= len(b) and b[pos + 1] == 0xFF:
+            pos += 1  # fill bytes
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            return None  # reached EOI without a scan
+        seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        body = b[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    return None  # 16-bit tables: not baseline-8
+                vals = body[i + 1 : i + 65]
+                t = np.zeros((8, 8))
+                for k, (r_, c_) in enumerate(ZIGZAG):
+                    t[r_, c_] = vals[k]
+                qt[tq] = t
+                i += 65
+        elif marker == 0xC4:  # DHT — possibly several tables
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _build_decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xC0:  # SOF0 baseline
+            if body[0] != 8:
+                return None  # 12-bit precision
+            H = int.from_bytes(body[1:3], "big")
+            W = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            comps = []
+            for ci in range(nc):
+                cid = body[6 + ci * 3]
+                hv = body[7 + ci * 3]
+                comps.append((cid, hv >> 4, hv & 0xF, body[8 + ci * 3]))
+            frame = (H, W, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame types
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                return None
+            ns = body[0]
+            scan_tables = {}
+            for si in range(ns):
+                cs = body[1 + si * 2]
+                tdta = body[2 + si * 2]
+                scan_tables[cs] = (tdta >> 4, tdta & 0xF)
+            return _decode_scan(
+                b, pos + 2 + seg_len, frame, qt, huff, scan_tables, restart_interval
+            )
+        pos += 2 + seg_len
+    return None
+
+
+def _decode_scan(b, start, frame, qt, huff, scan_tables, restart_interval):
+    H, W, comps = frame
+    if H == 0 or W == 0 or not comps:
+        raise ValueError("empty frame")
+    if len(scan_tables) != len(comps):
+        # multi-scan (non-interleaved) baseline: rare; out of scope
+        raise ValueError("only single interleaved scans supported")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("bad sampling factors")
+    mcux = (W + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+
+    planes = {}
+    for cid, h, v, _tq in comps:
+        planes[cid] = np.zeros((mcuy * v * 8, mcux * h * 8))
+
+    r = _BitReader(b, start)
+    pred = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                r.sync_restart()
+                pred = {cid: 0 for cid, *_ in comps}
+            for cid, h, v, tq in comps:
+                td, ta = scan_tables[cid]
+                dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+                q = qt[tq]
+                for by in range(v):
+                    for bx in range(h):
+                        coef = np.zeros((8, 8))
+                        # DC
+                        t = _decode_huffman(r, dc_tab)
+                        diff = _extend(r.read_bits(t), t)
+                        pred[cid] += diff
+                        coef[0, 0] = pred[cid]
+                        # AC
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huffman(r, ac_tab)
+                            rrrr, ssss = rs >> 4, rs & 0xF
+                            if ssss == 0:
+                                if rrrr == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += rrrr
+                            if k > 63:
+                                raise ValueError("AC index overrun")
+                            val = _extend(r.read_bits(ssss), ssss)
+                            zr, zc = ZIGZAG[k]
+                            coef[zr, zc] = val
+                            k += 1
+                        block = _idct2(coef * q) + 128.0
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+
+    # Upsample each component to full resolution by sample replication,
+    # then crop to the declared dimensions.
+    full = []
+    for cid, h, v, _tq in comps:
+        p = planes[cid]
+        if h != hmax or v != vmax:
+            p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
+        full.append(p[:H, :W])
+
+    if len(full) == 1:
+        return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+    if len(full) == 3:
+        y, cb, cr = full
+        r_ = y + 1.402 * (cr - 128.0)
+        g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b_ = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r_, g_, b_], axis=-1)
+        return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    raise ValueError(f"unsupported component count {len(full)}")
+
+
+# ---------------------------------------------------------------------------
+# Encoder (grayscale / 4:4:4, standard tables)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+def _csize(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def _encode_coef_bits(v: int, t: int) -> int:
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+def _encode_block(w, coef_q, pred, dc_tab, ac_tab):
+    zz = [int(coef_q[r_, c_]) for r_, c_ in ZIGZAG]
+    diff = zz[0] - pred
+    t = _csize(diff)
+    ln, code = dc_tab[t]
+    w.write(code, ln)
+    if t:
+        w.write(_encode_coef_bits(diff, t), t)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_tab[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        s = _csize(zz[k])
+        ln, code = ac_tab[(run << 4) | s]
+        w.write(code, ln)
+        w.write(_encode_coef_bits(zz[k], s), s)
+        run = 0
+    if last_nz != 63:
+        ln, code = ac_tab[0x00]  # EOB
+        w.write(code, ln)
+    return zz[0]
+
+
+def _quant_segment(tq: int, table: list[int]) -> bytes:
+    return b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([tq]) + bytes(table)
+
+
+def _huff_segment(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+    body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def encode_baseline_jpeg(
+    arr: np.ndarray,
+    luma_quant: list[int] | None = None,
+    chroma_quant: list[int] | None = None,
+) -> bytes:
+    """Encode a uint8 array — (H, W) grayscale or (H, W, 3) RGB — as a
+    baseline JFIF JPEG (4:4:4, standard Annex K Huffman tables).
+    Custom quantization tables let callers construct exactly-
+    round-trippable inputs (see FLAT16_QUANT)."""
+    lq = STD_LUMA_QUANT if luma_quant is None else luma_quant
+    cq = STD_CHROMA_QUANT if chroma_quant is None else chroma_quant
+    gray = arr.ndim == 2
+    H, W = arr.shape[:2]
+    if H == 0 or W == 0:
+        raise ValueError("empty image")
+
+    lq_m = np.zeros((8, 8))
+    cq_m = np.zeros((8, 8))
+    for k, (r_, c_) in enumerate(ZIGZAG):
+        lq_m[r_, c_] = lq[k]
+        cq_m[r_, c_] = cq[k]
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+        quants = [lq_m]
+    else:
+        a = arr.astype(np.float64)
+        r_, g_, b_ = a[..., 0], a[..., 1], a[..., 2]
+        y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+        cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
+        cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+        planes = [y, cb, cr]
+        quants = [lq_m, cq_m, cq_m]
+
+    # headers
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _quant_segment(0, lq)
+    if not gray:
+        out += _quant_segment(1, cq)
+    nc = 1 if gray else 3
+    sof = bytes([8]) + H.to_bytes(2, "big") + W.to_bytes(2, "big") + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    out += _huff_segment(0, 0, STD_DC_LUMA_BITS, STD_DC_LUMA_VALS)
+    out += _huff_segment(1, 0, STD_AC_LUMA_BITS, STD_AC_LUMA_VALS)
+    if not gray:
+        out += _huff_segment(0, 1, STD_DC_CHROMA_BITS, STD_DC_CHROMA_VALS)
+        out += _huff_segment(1, 1, STD_AC_CHROMA_BITS, STD_AC_CHROMA_VALS)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+
+    dc_l = _build_encode_table(STD_DC_LUMA_BITS, STD_DC_LUMA_VALS)
+    ac_l = _build_encode_table(STD_AC_LUMA_BITS, STD_AC_LUMA_VALS)
+    dc_c = _build_encode_table(STD_DC_CHROMA_BITS, STD_DC_CHROMA_VALS)
+    ac_c = _build_encode_table(STD_AC_CHROMA_BITS, STD_AC_CHROMA_VALS)
+
+    # pad planes to multiples of 8 by edge replication
+    ph = (H + 7) // 8 * 8
+    pw = (W + 7) // 8 * 8
+    padded = []
+    for p in planes:
+        pp = np.empty((ph, pw))
+        pp[:H, :W] = p
+        if pw > W:
+            pp[:H, W:] = p[:, W - 1 : W]
+        if ph > H:
+            pp[H:, :] = pp[H - 1 : H, :]
+        padded.append(pp)
+
+    w = _BitWriter()
+    preds = [0] * nc
+    # interleaved 4:4:4: one 8x8 block per component per MCU
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci in range(nc):
+                block = padded[ci][by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8]
+                coef = _dct2(block - 128.0)
+                coef_q = np.rint(coef / quants[ci])
+                preds[ci] = _encode_block(
+                    w,
+                    coef_q,
+                    preds[ci],
+                    dc_l if ci == 0 else dc_c,
+                    ac_l if ci == 0 else ac_c,
+                )
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -3601,3 +3601,110 @@ def q194_avi_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames_avi(blobs, every_n=2, max_frames=8).select(
         "media_id", "frame_idx", "frame_bytes", "width", "height"
     )
+
+
+# ---------------------------------------------------------------------------
+# q195 — REAL baseline-JPEG decode: pixel-derived stats, oracle-exact
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q195_jpeg_decode_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'rgb' ELSE 'gray' END AS media_kind,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS INT) AS n_channels,
+           CAST(CASE WHEN doc_id % 3 = 0
+                THEN 1000 * (2 + 4 * ((doc_id * 5) % 63))
+                ELSE 250 * ((2 + 4 * ((doc_id * 1) % 63))
+                          + (2 + 4 * ((doc_id * 2) % 63))
+                          + (2 + 4 * ((doc_id * 3) % 63))
+                          + (2 + 4 * ((doc_id * 4) % 63)))
+                END AS BIGINT) AS mean_luma_milli
+    FROM documents
+    """,
+)
+def q195_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode, end to end and oracle-exact: per
+    document, synthesize a deterministic image (block-flat grayscale,
+    or a gray-valued RGB flat every third id), encode it as a genuine
+    baseline JPEG with the pure-numpy encoder, then DECODE it with the
+    pure-numpy Huffman+IDCT decoder (operators/jpeg.py) and report
+    pixel-derived stats. Exactness by construction: every block is
+    flat with an even level-shifted value and the quant table is all
+    16s, so the only nonzero coefficient (DC = 8*(v-128)) quantizes
+    with zero error and the decoded pixels are bit-identical to the
+    source — the oracle recomputes mean luma in closed form from
+    doc_id. Any bug in either Huffman coder, the zigzag, the DCT
+    pair, byte stuffing, or the YCbCr matrix hash-mismatches.
+
+    Scale: encode+decode run inside one Arrow-batched mapInPandas
+    stage — blobs never move between executors, and the stage is
+    embarrassingly parallel over documents. max_bytes in the decoder
+    bounds per-row work against poisoned blobs.
+    """
+    from kinesis_producer_spark.operators.jpeg import (
+        FLAT16_QUANT,
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    schema = (
+        "media_id long, media_kind string, width int, height int, "
+        "n_channels int, mean_luma_milli long"
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 3 == 0:
+                    v = 2 + 4 * ((did * 5) % 63)
+                    img = np.full((16, 24, 3), v, np.uint8)
+                    jb = encode_baseline_jpeg(
+                        img, luma_quant=FLAT16_QUANT, chroma_quant=FLAT16_QUANT
+                    )
+                    kind = "rgb"
+                else:
+                    vals = np.array(
+                        [
+                            [2 + 4 * ((did * 1) % 63), 2 + 4 * ((did * 2) % 63)],
+                            [2 + 4 * ((did * 3) % 63), 2 + 4 * ((did * 4) % 63)],
+                        ],
+                        np.uint8,
+                    )
+                    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                    jb = encode_baseline_jpeg(img, luma_quant=FLAT16_QUANT)
+                    kind = "gray"
+                arr = decode_baseline_jpeg(jb)
+                total = int(arr.astype(np.int64).sum())
+                rows.append(
+                    {
+                        "media_id": did,
+                        "media_kind": kind,
+                        "width": int(arr.shape[1]),
+                        "height": int(arr.shape[0]),
+                        "n_channels": 1 if arr.ndim == 2 else int(arr.shape[2]),
+                        "mean_luma_milli": (1000 * total) // arr.size,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "media_kind",
+                    "width",
+                    "height",
+                    "n_channels",
+                    "mean_luma_milli",
+                ],
+            )
+
+    return d.mapInPandas(run, schema)

@@ -20,11 +20,16 @@ Decode layers, from real to stubbed:
   with BMP re-encode.
 - ``sample_frames_avi`` — REAL, codec-free: MJPEG-in-AVI container
   demux with strided frame sampling; frame dims via the JPEG parser.
-- ``decode_media`` / ``resize_media`` / ``sample_frames`` — pixel and
-  compressed-audio/video work needs PIL/ffmpeg (NOT in this image):
-  ``decode_stub='fail'`` raises NotImplementedError naming the
-  dependency; ``'fake'`` produces a deterministic pseudo-decode so the
-  Spark plumbing (schema, batch shape, partitioning) stays testable.
+- ``decode_media`` / ``resize_media`` — REAL for baseline JPEG (the
+  pure-numpy Huffman+IDCT codec in ``operators.jpeg``) and, for
+  decode, 24-bit BMP; remaining compressed formats (progressive JPEG,
+  PNG inflate, GIF LZW, compressed audio/video) need PIL/ffmpeg (NOT
+  in this image): ``decode_stub='fail'`` raises NotImplementedError
+  naming the dependency; ``'fake'`` produces a deterministic
+  pseudo-decode so the Spark plumbing (schema, batch shape,
+  partitioning) stays testable.
+- ``sample_frames`` — compressed-video demux needs ffmpeg; the
+  MJPEG-AVI container path (``sample_frames_avi``) is real.
 """
 
 from __future__ import annotations
@@ -117,35 +122,76 @@ def decode_media(
 ) -> DataFrame:
     """Decode + featurize media blobs.
 
-    ``decode_stub='fail'`` — the honest mode: raises at execution time
-    because the codec libraries (PIL / ffmpeg / librosa) are not
-    installed here; the Spark plan, schema and batch plumbing are real.
-    ``'fake'`` — deterministic md5-seeded pseudo-decode for tests.
+    REAL decode paths (no codec libraries needed): baseline JPEG via
+    the pure-numpy codec in ``operators.jpeg`` and 24-bit uncompressed
+    BMP via ``_parse_bmp`` — these produce genuine pixels and a
+    pixel-derived feature vector (per-channel means/std/extrema,
+    normalized to [0, 1]).
+
+    For formats that still need external codecs (progressive JPEG,
+    PNG inflate, GIF LZW, compressed audio/video):
+    ``decode_stub='fail'`` — the honest mode: raises at execution
+    time naming the missing dependency; the Spark plan, schema and
+    batch plumbing are real. ``'fake'`` — deterministic md5-seeded
+    pseudo-decode for plumbing tests.
     """
+    import numpy as np
+
+    from kinesis_producer_spark.operators.jpeg import decode_baseline_jpeg
+
     if decode_stub not in ("fail", "fake"):
         raise ValueError("decode_stub must be 'fail' or 'fake'")
     src = df.select(F.col(id_col).alias("media_id"), F.col(content_col).alias("_blob"))
+
+    def _featurize(arr: np.ndarray) -> dict:
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w, c = arr.shape
+        a = arr.astype(np.float64) / 255.0
+        luma = a.mean(axis=2)
+        feat = [
+            float(luma.mean()),
+            float(luma.std()),
+            float(luma.min()),
+            float(luma.max()),
+        ] + [float(a[..., i % c].mean()) for i in range(3)]
+        feat = (feat + [0.0] * feature_dim)[:feature_dim]
+        return {"width": w, "height": h, "n_channels": c, "feature": feat}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["_blob"]):
-                if decode_stub == "fail":
-                    raise NotImplementedError(
-                        "media decode requires PIL/ffmpeg/soundfile — not in this image; "
-                        "use decode_stub='fake' for plumbing tests"
-                    )
                 b = bytes(blob) if blob is not None else b""
-                h = hashlib.md5(b).digest()
-                rows.append(
-                    {
-                        "media_id": mid,
-                        "width": 1 + h[0],
-                        "height": 1 + h[1],
-                        "n_channels": 1 + h[2] % 4,
-                        "feature": [float(x) / 255.0 for x in h[:feature_dim]],
-                    }
-                )
+                row = {"media_id": mid, "width": None, "height": None,
+                       "n_channels": None, "feature": None}
+                arr = None
+                if b[:3] == b"\xff\xd8\xff":
+                    arr = decode_baseline_jpeg(b)
+                elif b[:2] == b"BM":
+                    parsed = _parse_bmp(b)
+                    if parsed is not None:
+                        arr = parsed[2]
+                if arr is not None:
+                    row.update(_featurize(arr))
+                elif decode_stub == "fail":
+                    raise NotImplementedError(
+                        "decode for this format requires PIL/ffmpeg/soundfile — "
+                        "not in this image (real paths: baseline JPEG, 24-bit "
+                        "BMP); use decode_stub='fake' for plumbing tests"
+                    )
+                else:
+                    h = hashlib.md5(b).digest()
+                    row.update(
+                        {
+                            "media_id": mid,
+                            "width": 1 + h[0],
+                            "height": 1 + h[1],
+                            "n_channels": 1 + h[2] % 4,
+                            "feature": [float(x) / 255.0 for x in h[:feature_dim]],
+                        }
+                    )
+                rows.append(row)
             yield pd.DataFrame(rows, columns=DECODED_SCHEMA.fieldNames())
 
     return src.mapInPandas(run, DECODED_SCHEMA)
@@ -402,9 +448,19 @@ def resize_media(
 ) -> DataFrame:
     """Resize stage: one output row per media blob.
 
-    Real implementation needs PIL (not in this image) — ``'fail'``
-    raises with the dependency name; ``'fake'`` emits a deterministic
-    md5-stretched byte payload so the Arrow batch plumbing is tested."""
+    REAL path for baseline JPEG: pure-numpy decode → nearest-neighbor
+    resize → baseline re-encode (operators.jpeg), so the output is
+    itself a decodable JPEG thumbnail. Other formats still need PIL:
+    ``'fail'`` raises with the dependency name; ``'fake'`` emits a
+    deterministic md5-stretched byte payload so the Arrow batch
+    plumbing is tested."""
+    import numpy as np
+
+    from kinesis_producer_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
     if decode_stub not in ("fail", "fake"):
         raise ValueError("decode_stub must be 'fail' or 'fake'")
     src = df.select(F.col(id_col).alias("media_id"), F.col(content_col).alias("_blob"))
@@ -413,14 +469,22 @@ def resize_media(
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["_blob"]):
-                if decode_stub == "fail":
-                    raise NotImplementedError(
-                        "media resize requires PIL — not in this image; "
-                        "use decode_stub='fake' for plumbing tests"
-                    )
                 b = bytes(blob) if blob is not None else b""
-                h = hashlib.md5(b).digest()
-                payload = (h * (width * height // len(h) + 1))[: width * height]
+                arr = decode_baseline_jpeg(b) if b[:3] == b"\xff\xd8\xff" else None
+                if arr is not None:
+                    ys = (np.arange(height) * arr.shape[0]) // height
+                    xs = (np.arange(width) * arr.shape[1]) // width
+                    small = arr[ys][:, xs]
+                    payload = encode_baseline_jpeg(small)
+                elif decode_stub == "fail":
+                    raise NotImplementedError(
+                        "resize for this format requires PIL — not in this "
+                        "image (real path: baseline JPEG); use "
+                        "decode_stub='fake' for plumbing tests"
+                    )
+                else:
+                    h = hashlib.md5(b).digest()
+                    payload = (h * (width * height // len(h) + 1))[: width * height]
                 rows.append(
                     {"media_id": mid, "width": width, "height": height, "resized": payload}
                 )

@@ -2396,10 +2396,12 @@ def q108_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("p_ts"))
     )
+    # Broadcast the 1-row aggregates by construction rather than
+    # relying on AQE to notice they are tiny at runtime.
     return (
         v.agg(F.count(F.lit(1)).alias("n_viewed"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased")))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_clicked"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchased"))))
     )
 
 

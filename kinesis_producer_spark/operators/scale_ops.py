@@ -281,12 +281,16 @@ def q143_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q144 — bounded label-propagation connected components
+# q144 — fixpoint label-propagation connected components
 # ---------------------------------------------------------------------------
 
-_LP_ROUNDS = 5
+# Safety cap on propagation rounds: fixpoint arrives in O(component
+# diameter) rounds, so the cap only exists to bound a pathological
+# input (a 64-hop chain of co-purchased parts is not a real basket
+# graph shape); hitting it raises rather than silently under-labeling.
+_LP_MAX_ROUNDS = 64
 
-_CC_ORACLE = f"""
+_CC_ORACLE = """
 WITH RECURSIVE base AS (
   WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
   pairs AS (SELECT a.l_partkey AS a, b.l_partkey AS b
@@ -296,38 +300,74 @@ WITH RECURSIVE base AS (
 und AS (SELECT a AS u, b AS v FROM base UNION ALL SELECT b, a FROM base),
 verts AS (SELECT DISTINCT u AS v FROM und),
 reach AS (
-  SELECT v, v AS u, 0 AS d FROM verts
+  SELECT v, v AS u FROM verts
   UNION
-  SELECT r.v, e.v AS u, r.d + 1 FROM reach r JOIN und e ON e.u = r.u
-  WHERE r.d < {_LP_ROUNDS})
+  SELECT r.v, e.v AS u FROM reach r JOIN und e ON e.u = r.u)
 SELECT v AS part, MIN(u) AS label FROM reach GROUP BY v
 """
+
+
+def min_label_components(und: DataFrame, verts: DataFrame, max_rounds: int = _LP_MAX_ROUNDS) -> DataFrame:
+    """Connected-component labels by synchronous min-label propagation,
+    looped to FIXPOINT (not a fixed round count, which under-labels any
+    component whose diameter exceeds the count).
+
+    ``und`` must be the symmetrized edge list (columns u, v) WITH a
+    self-loop per vertex, persisted and pre-partitioned on ``u``;
+    ``verts`` the distinct vertex frame (column u). Convergence check:
+    labels only ever decrease, so ``sum(label)`` is strictly monotone
+    until the fixpoint — one 1-row aggregate per round (no
+    old-vs-new join), and the eager localCheckpoint each round means
+    the check costs no recomputation. This is the Pregel halting rule
+    (no messages change state) expressed as a scalar invariant.
+
+    Scale: per round one co-partitioned join (labels to edges on u)
+    + one min-agg shuffle on v; the checkpoint truncates lineage so
+    round N's plan stays two leaf relations regardless of N.
+    """
+    labels = verts.select(F.col("u").alias("part"), F.col("u").alias("label"))
+    prev_sum = None
+    for _ in range(max_rounds):
+        labels = (
+            und.join(labels, und["u"] == labels["part"])
+            .groupBy(F.col("v").alias("part"))
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        s = labels.agg(F.sum("label")).collect()[0][0]
+        if s == prev_sum:
+            return labels
+        prev_sum = s
+    raise RuntimeError(
+        f"min_label_components did not converge within {max_rounds} rounds"
+    )
 
 
 @query("q144_connected_components", oracle=_CC_ORACLE)
 def q144_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the co-purchase part graph (parts linked
-    when bought together in >= 2 orders) via 5 synchronous rounds of
-    min-label propagation — the same iterated-join shape that groups
+    when bought together in >= 2 orders) via min-label propagation
+    looped to FIXPOINT — the same iterated-join shape that groups
     near-duplicate documents once LSH has produced candidate edges
     (q101 picks representatives; this labels whole clusters).
 
-    Equivalence used by the oracle: k rounds of min-propagation assign
-    each vertex the minimum vertex id within its k-hop neighborhood,
-    which DuckDB computes as a depth-bounded recursive reachability
-    set. Both sides are deterministic; vertices in components of
-    diameter > 5 would need more rounds (production: loop until a
-    round changes no label, checking with one count per round).
+    Fixpoint, not a fixed round count: a bounded loop assigns each
+    vertex the min id of its k-hop neighborhood, which under-labels
+    any component of diameter > k — a silent correctness hazard if
+    the graph shape shifts. The oracle is the matching closed form:
+    full recursive reachability (UNION-deduplicated, so it terminates
+    at the transitive closure) with MIN over each reach set.
 
     Scale: each round is one shuffle — join labels to edges on the
     source endpoint, then min-agg on the destination. Two disciplines
     make the iteration viable beyond toy graphs: (a) the edge list is
     persisted once (it is re-read every round; recomputing it would
-    redo the pair self-join x5), and (b) each round's labels are
-    localCheckpoint-ed, truncating lineage so round N's plan is one
-    join over two leaf relations instead of an N-deep tree (without
-    this the plan grows ~250 exchanges by round 5 — measured with
-    tools/plan_audit.py). Same pattern as GraphX/GraphFrames Pregel.
+    redo the pair self-join each round), and (b) each round's labels
+    are localCheckpoint-ed, truncating lineage so round N's plan is
+    one join over two leaf relations instead of an N-deep tree
+    (without this the plan grows ~250 exchanges by round 5 — measured
+    with tools/plan_audit.py). Same pattern as GraphX/GraphFrames
+    Pregel; see min_label_components for the halting rule.
     """
     from kinesis_producer_spark.operators.baskets import ordered_item_pairs
 
@@ -361,15 +401,7 @@ def q144_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("u")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = verts.select(F.col("u").alias("part"), F.col("u").alias("label"))
-    for _ in range(_LP_ROUNDS):
-        labels = (
-            und.join(labels, und["u"] == labels["part"])
-            .groupBy(F.col("v").alias("part"))
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-    return labels
+    return min_label_components(und, verts)
 
 
 # ---------------------------------------------------------------------------

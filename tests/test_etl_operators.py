@@ -687,3 +687,82 @@ def test_malformed_wav_fmt_yields_null_not_crash(spark):
     assert rows[1]["n_samples"] == 4 and rows[1]["duration_ms"] == 1
     for mid in (2, 3, 4):
         assert rows[mid]["n_samples"] is None and rows[mid]["rms"] is None
+
+
+def test_jpeg_codec_roundtrip_and_rejection():
+    """Pure-numpy baseline JPEG codec: bit-exact round-trip on
+    block-flat content with the flat-16 quant table, bounded error on
+    smooth natural content with the standard Annex K tables, edge
+    padding on non-multiple-of-8 dims, and None (not an exception) on
+    junk, truncation, and progressive frames."""
+    import numpy as np
+
+    from kinesis_producer_spark.operators.jpeg import (
+        FLAT16_QUANT,
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    rng = np.random.default_rng(42)
+    vals = (rng.integers(0, 64, size=(3, 4)) * 4 + 2).astype(np.uint8)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    blob = encode_baseline_jpeg(img, luma_quant=FLAT16_QUANT)
+    assert np.array_equal(decode_baseline_jpeg(blob), img)
+
+    # gray-valued RGB flat: chroma lands exactly on 128, luma exact
+    rgb = np.full((16, 24, 3), 106, np.uint8)
+    blob3 = encode_baseline_jpeg(rgb, luma_quant=FLAT16_QUANT, chroma_quant=FLAT16_QUANT)
+    assert np.array_equal(decode_baseline_jpeg(blob3), rgb)
+
+    # lossy path with standard tables: smooth gradient, small error
+    xs = np.arange(40)
+    smooth = (128 + 80 * np.sin(xs[:, None] / 6.0) * np.cos(xs[None, :] / 9.0)).clip(
+        0, 255
+    ).astype(np.uint8)
+    dec = decode_baseline_jpeg(encode_baseline_jpeg(smooth))
+    assert dec.shape == smooth.shape
+    assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 16
+
+    # odd dimensions survive the pad-and-crop
+    odd = np.full((13, 21), 76, np.uint8)
+    assert decode_baseline_jpeg(encode_baseline_jpeg(odd, luma_quant=FLAT16_QUANT)).shape == (13, 21)
+
+    # rejection: junk, truncation, and a progressive (SOF2) frame
+    assert decode_baseline_jpeg(b"not a jpeg") is None
+    assert decode_baseline_jpeg(blob[:30]) is None
+    assert decode_baseline_jpeg(blob.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
+    assert decode_baseline_jpeg(blob, max_bytes=10) is None
+
+
+def test_decode_and_resize_media_real_jpeg_path(spark):
+    """decode_media produces real pixel stats for baseline JPEG (no
+    stub involved even in 'fail' mode), and resize_media emits a
+    decodable JPEG thumbnail of the requested size."""
+    import numpy as np
+
+    from kinesis_producer_spark.operators.jpeg import (
+        FLAT16_QUANT,
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+    from kinesis_producer_spark.operators.multimodal import decode_media, resize_media
+
+    img = np.repeat(
+        np.repeat(np.array([[50, 130], [210, 26]], np.uint8), 8, 0), 8, 1
+    )
+    blob = encode_baseline_jpeg(img, luma_quant=FLAT16_QUANT)
+    df = spark.createDataFrame([(1, bytearray(blob))], "media_id long, content binary")
+
+    r = decode_media(df, decode_stub="fail").collect()[0].asDict()
+    assert (r["width"], r["height"], r["n_channels"]) == (16, 16, 1)
+    expected_mean = img.mean() / 255.0
+    # feature is array<float> — float32 storage, so ~1e-7 precision
+    assert abs(r["feature"][0] - expected_mean) < 1e-6
+
+    rz = resize_media(df, width=8, height=8, decode_stub="fail").collect()[0]
+    thumb = decode_baseline_jpeg(bytes(rz["resized"]))
+    assert thumb.shape == (8, 8)
+    # nearest-neighbor of a block-flat image keeps the four quadrant
+    # values (re-encode uses the standard tables, so allow quant noise)
+    assert abs(int(thumb[0, 0]) - 50) <= 4
+    assert abs(int(thumb[0, 7]) - 130) <= 8

@@ -320,3 +320,34 @@ def test_ordered_item_pairs_matches_bruteforce(spark):
         for a, b in combinations(sorted(set(items)), 2):
             want.append((bk, a, b))
     assert got == sorted(want)
+
+
+def test_min_label_components_converges_past_any_fixed_round_count(spark):
+    """A path graph of diameter 11 needs 11 propagation rounds — a
+    fixed 5-round loop under-labels it. The fixpoint loop must label
+    every vertex with the component minimum, for both a long path and
+    a disjoint triangle, and must raise (not silently under-label)
+    when the cap is too small."""
+    import pytest
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from kinesis_producer_spark.operators.scale_ops import min_label_components
+
+    # path 0-1-2-...-11 (diameter 11) plus triangle 100-101-102
+    path = [(i, i + 1) for i in range(11)]
+    tri = [(100, 101), (101, 102), (100, 102)]
+    base = spark.createDataFrame(path + tri, "s long, t long")
+    verts = base.select(F.col("s").alias("u")).union(base.select("t")).distinct()
+    und = (
+        base.select(F.col("s").alias("u"), F.col("t").alias("v"))
+        .union(base.select(F.col("t"), F.col("s")))
+        .union(verts.select("u", F.col("u").alias("v")))
+        .repartition("u")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    got = {r["part"]: r["label"] for r in min_label_components(und, verts).collect()}
+    assert got == {**{i: 0 for i in range(12)}, **{v: 100 for v in (100, 101, 102)}}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(und, verts, max_rounds=5)
+    und.unpersist()

@@ -653,3 +653,37 @@ def test_rocksdb_state_store_matches_default_provider(spark, tmp_path):
     heap = sorted(map(tuple, spark.read.parquet(str(tmp_path / "heap")).collect()))
     rocksdb = sorted(map(tuple, spark.read.parquet(str(tmp_path / "rocks")).collect()))
     assert heap == rocksdb and len(heap) > 0
+
+
+def test_streaming_pivot_is_declared_schema_only(spark):
+    """SURVEY §7 hard-part (b): Spark cannot pivot a stream with a
+    discovered schema. The streaming pipeline must use the declared-
+    schema pivot, and attempting the dynamic pivot on a stream must
+    fail with a clear error up front — not an AnalysisException from
+    inside the vocabulary collect."""
+    import inspect
+
+    import pytest
+
+    from kinesis_producer_spark.operators.eav_pivot import pivot_declared, pivot_dynamic
+    from kinesis_producer_spark.streaming import transform
+
+    # the record-transform (Firehose-shape) streaming path is wired to
+    # the declared pivot, never the dynamic one
+    src = inspect.getsource(transform)
+    assert "pivot_declared" in src and "pivot_dynamic" not in src
+
+    stream = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    readings = F.array(
+        F.struct(
+            F.lit("Speed").alias("name"),
+            F.lit("1.0").alias("value"),
+            F.lit("mph").alias("uom"),
+        )
+    )
+    eav = stream.select(readings.alias("readings"))
+    with pytest.raises(ValueError, match="batch DataFrame"):
+        pivot_dynamic(eav)
+    # declared mode builds a streaming plan fine (no action needed)
+    wide = pivot_declared(eav, declared=["Speed"], uom_for=["Speed"])
+    assert wide.isStreaming and "Speed" in wide.columns
