@@ -52,6 +52,9 @@ HEADLINE = [
     # segment-blocked edit-distance join.
     "q188_media_header_decode",
     "q62_edit_distance",
+    # Round-3: real baseline-JPEG encode+decode (pure-numpy codec) per
+    # document inside one mapInPandas stage.
+    "q195_jpeg_decode_stats",
 ]
 
 
