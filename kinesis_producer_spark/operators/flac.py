@@ -1,0 +1,486 @@
+"""Pure-Python FLAC decoder + encoder subset (no libFLAC).
+
+Closes the "compressed audio" decode stub in
+``multimodal.decode_audio_pcm`` for the FLAC container: FLAC's
+lossless pipeline (fixed polynomial predictors + Rice-coded
+residuals) is specified publicly (RFC 9639) and needs no codec
+library — only bit-level parsing.
+
+decode: ``fLaC`` magic → metadata block walk (STREAMINFO) → per
+frame: header (sync, block size / sample rate / channel assignment /
+sample size codes, UTF-8 frame number, CRC-8) → per channel
+subframe: CONSTANT | VERBATIM | FIXED order 0–4 (warmup + Rice
+partitions, escape-to-raw supported) → inverse fixed prediction →
+stereo decorrelation (left/side, right/side, mid/side) → int32
+sample matrix (n_frames_samples, n_channels).
+
+encode (minimal sibling for synthesizing deterministic inputs):
+16-bit PCM → per-block fixed-predictor order 0–2 chosen by residual
+magnitude (or CONSTANT for flat blocks), single Rice partition,
+independent channels, correct CRC-8/CRC-16 — a genuine, compliant
+compressed stream, not a stored-only shortcut.
+
+Unsupported (returns None — the operator layer yields null rows):
+LPC subframes, wasted bits, sample sizes other than 8/12/16/20/24.
+The synthesizer only emits what the decoder handles; real-world
+FLAC with LPC needs libFLAC via the same operator seam.
+
+Scale posture: per-blob Python inside Arrow-batched ``mapInPandas``
+stages; blobs never leave executors.
+
+Reference parity note: the reference repo has no media path (this is
+the LLM-pipeline mandate); format knowledge is public RFC 9639 only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_BLOCK_SIZE_CODES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+_SAMPLE_RATE_CODES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_SAMPLE_SIZE_CODES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
+
+# FIXED predictor coefficients by order: s[i] ≈ Σ coef[j]*s[i-1-j]
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07 if crc & 0x80 else crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005 if crc & 0x8000 else crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitReader:
+    def __init__(self, b: bytes, pos: int = 0):
+        self.b = b
+        self.pos = pos  # byte position
+        self.bit = 0  # bits consumed in current byte (MSB first)
+
+    def read(self, n: int) -> int:
+        v = 0
+        while n > 0:
+            if self.pos >= len(self.b):
+                raise EOFError
+            avail = 8 - self.bit
+            take = min(n, avail)
+            cur = self.b[self.pos]
+            v = (v << take) | ((cur >> (avail - take)) & ((1 << take) - 1))
+            self.bit += take
+            n -= take
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 20:
+                raise EOFError
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+
+def _utf8_number(r: _BitReader) -> int:
+    first = r.read(8)
+    if first < 0x80:
+        return first
+    n_extra = 0
+    mask = 0x40
+    while first & mask:
+        n_extra += 1
+        mask >>= 1
+    if n_extra == 0 or n_extra > 6:
+        raise ValueError
+    v = first & (mask - 1)
+    for _ in range(n_extra):
+        byte = r.read(8)
+        if byte & 0xC0 != 0x80:
+            raise ValueError
+        v = (v << 6) | (byte & 0x3F)
+    return v
+
+
+def _encode_utf8_number(v: int) -> bytes:
+    if v < 0x80:
+        return bytes([v])
+    n = 1
+    while v >= (1 << (5 * n + 6 - n)) or v >> (6 * n) >= (1 << (6 - n)):
+        n += 1
+        if n > 6:
+            raise ValueError
+    lead = (0xFF << (7 - n)) & 0xFF | (v >> (6 * n))
+    rest = [0x80 | ((v >> (6 * i)) & 0x3F) for i in range(n - 1, -1, -1)]
+    return bytes([lead] + rest)
+
+
+def _decode_subframe(r: _BitReader, n: int, bits: int) -> np.ndarray | None:
+    if r.read(1):  # mandatory zero pad bit
+        return None
+    stype = r.read(6)
+    if r.read(1):  # wasted-bits flag unsupported
+        return None
+    if stype == 0:  # CONSTANT
+        return np.full(n, r.read_signed(bits), np.int64)
+    if stype == 1:  # VERBATIM
+        return np.array([r.read_signed(bits) for _ in range(n)], np.int64)
+    if 8 <= stype <= 12:  # FIXED, order = stype - 8
+        order = stype - 8
+        warm = [r.read_signed(bits) for _ in range(order)]
+        res = _read_residuals_fixed(r, n, order)
+        if res is None:
+            return None
+        samples = list(warm)
+        coefs = _FIXED_COEFS[order]
+        for value in res:
+            pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs))
+            samples.append(value + pred)
+        return np.array(samples, np.int64)
+    return None  # LPC unsupported
+
+
+def _read_residuals_fixed(r: _BitReader, n: int, order: int) -> list[int] | None:
+    """Residuals for a FIXED subframe: the first partition holds
+    (n / parts - order) residuals, the rest hold n / parts."""
+    try:
+        method = r.read(2)
+        if method > 1:
+            return None
+        pbits, escape = (4, 0xF) if method == 0 else (5, 0x1F)
+        porder = r.read(4)
+        n_parts = 1 << porder
+        if n % n_parts or (n >> porder) <= order:
+            return None
+        out: list[int] = []
+        for part in range(n_parts):
+            param = r.read(pbits)
+            count = (n >> porder) - (order if part == 0 else 0)
+            if param == escape:
+                raw = r.read(5)
+                for _ in range(count):
+                    out.append(r.read_signed(raw) if raw else 0)
+            else:
+                for _ in range(count):
+                    q = r.read_unary()
+                    u = (q << param) | (r.read(param) if param else 0)
+                    out.append((u >> 1) ^ -(u & 1))
+        return out
+    except (EOFError, ValueError):
+        return None
+
+
+def parse_streaminfo(b: bytes) -> dict | None:
+    """STREAMINFO metadata block → dict (rate, channels, bits,
+    total_samples), or None."""
+    if len(b) < 8 or b[:4] != b"fLaC":
+        return None
+    pos = 4
+    while pos + 4 <= len(b):
+        header = b[pos]
+        length = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        body = b[pos + 4 : pos + 4 + length]
+        if header & 0x7F == 0 and length >= 34:
+            rate = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+            return {
+                "min_block": int.from_bytes(body[0:2], "big"),
+                "max_block": int.from_bytes(body[2:4], "big"),
+                "sample_rate": rate,
+                "n_channels": ((body[12] >> 1) & 0x07) + 1,
+                "bits_per_sample": (((body[12] & 1) << 4) | (body[13] >> 4)) + 1,
+                "total_samples": ((body[13] & 0x0F) << 32)
+                | int.from_bytes(body[14:18], "big"),
+                "frames_at": pos + 4 + length if header & 0x80 else None,
+            }
+        pos += 4 + length
+        if header & 0x80:
+            break
+    return None
+
+
+def decode_flac(b: bytes, max_bytes: int = 8 << 20) -> tuple[np.ndarray, int] | None:
+    """Decode a FLAC blob → (samples, sample_rate) with samples an
+    int32 (n, n_channels) array; None for non-FLAC / corrupt /
+    unsupported (LPC, wasted bits) streams."""
+    if b is None or len(b) > max_bytes:
+        return None
+    info = parse_streaminfo(b)
+    if info is None:
+        return None
+    try:
+        return _decode_frames(b, info)
+    except Exception:
+        return None
+
+
+def _decode_frames(b: bytes, info: dict) -> tuple[np.ndarray, int] | None:
+    # find first frame: skip all metadata blocks
+    pos = 4
+    while pos + 4 <= len(b):
+        header = b[pos]
+        length = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        pos += 4 + length
+        if header & 0x80:
+            break
+    chunks: list[np.ndarray] = []
+    rate = info["sample_rate"]
+    while pos + 5 <= len(b):
+        r = _BitReader(b, pos)
+        sync = r.read(14)
+        if sync != 0x3FFE:
+            return None
+        r.read(1)  # reserved
+        r.read(1)  # blocking strategy
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        chan_code = r.read(4)
+        size_code = r.read(3)
+        r.read(1)  # reserved
+        _utf8_number(r)
+        if bs_code == 6:
+            block_size = r.read(8) + 1
+        elif bs_code == 7:
+            block_size = r.read(16) + 1
+        elif bs_code in _BLOCK_SIZE_CODES:
+            block_size = _BLOCK_SIZE_CODES[bs_code]
+        else:
+            return None
+        if sr_code == 12:
+            rate = r.read(8) * 1000
+        elif sr_code == 13:
+            rate = r.read(16)
+        elif sr_code == 14:
+            rate = r.read(16) * 10
+        elif sr_code in _SAMPLE_RATE_CODES:
+            rate = _SAMPLE_RATE_CODES[sr_code]
+        elif sr_code == 0:
+            rate = info["sample_rate"]
+        else:
+            return None
+        bits = (
+            info["bits_per_sample"] if size_code == 0
+            else _SAMPLE_SIZE_CODES.get(size_code)
+        )
+        if bits is None:
+            return None
+        r.align()
+        if _crc8(b[pos : r.pos]) != r.read(8):
+            return None
+        if chan_code < 8:
+            n_chan = chan_code + 1
+            chans = []
+            for _ in range(n_chan):
+                sub = _decode_subframe(r, block_size, bits)
+                if sub is None:
+                    return None
+                chans.append(sub)
+        elif chan_code in (8, 9, 10):  # stereo decorrelation modes;
+            # the side (difference) channel carries one extra bit
+            if chan_code == 8:  # left + side
+                left = _decode_subframe(r, block_size, bits)
+                side = _decode_subframe(r, block_size, bits + 1)
+                if left is None or side is None:
+                    return None
+                chans = [left, left - side]
+            elif chan_code == 9:  # side + right
+                side = _decode_subframe(r, block_size, bits + 1)
+                right = _decode_subframe(r, block_size, bits)
+                if side is None or right is None:
+                    return None
+                chans = [right + side, right]
+            else:  # mid + side (RFC 9639 §5.3: left = mid*2 + (side&1) + side, /2)
+                mid = _decode_subframe(r, block_size, bits)
+                side = _decode_subframe(r, block_size, bits + 1)
+                if mid is None or side is None:
+                    return None
+                left = (mid * 2 + (side & 1) + side) // 2
+                chans = [left, left - side]
+        else:
+            return None
+        r.align()
+        footer_crc = (b[r.pos] << 8) | b[r.pos + 1]
+        if _crc16(b[pos : r.pos]) != footer_crc:
+            return None
+        chunks.append(np.stack(chans, axis=1))
+        pos = r.pos + 2
+        total = sum(c.shape[0] for c in chunks)
+        if info["total_samples"] and total >= info["total_samples"]:
+            break
+    if not chunks:
+        return None
+    samples = np.concatenate(chunks, axis=0).astype(np.int32)
+    if info["total_samples"]:
+        samples = samples[: info["total_samples"]]
+    return samples, rate
+
+
+# ---------------------------------------------------------------------------
+# Encoder (synthesizes compliant fixed-predictor streams for tests)
+# ---------------------------------------------------------------------------
+
+
+def _best_fixed_order(x: np.ndarray, max_order: int = 2) -> int:
+    best, best_cost = 0, int(np.abs(x).sum())
+    for order in range(1, max_order + 1):
+        if len(x) <= order:
+            break
+        cost = int(np.abs(np.diff(x, order)).sum())
+        if cost < best_cost:
+            best, best_cost = order, cost
+    return best
+
+
+def _rice_param(res: np.ndarray) -> int:
+    if len(res) == 0:
+        return 0
+    mean = max(int(np.abs(res).mean()), 1)
+    k = 0
+    while (1 << (k + 1)) <= mean and k < 14:
+        k += 1
+    return k
+
+
+def _write_rice(w: _BitWriter, res: np.ndarray, param: int) -> None:
+    for v in res:
+        v = int(v)
+        u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+        w.write_unary(u >> param)
+        if param:
+            w.write(u, param)
+
+
+def encode_flac(
+    samples: np.ndarray, sample_rate: int = 44100, block_size: int = 4096
+) -> bytes:
+    """Encode int16 PCM (n,) or (n, n_channels) as a compliant FLAC
+    stream: fixed predictors (order 0–2, per-block choice), CONSTANT
+    for flat blocks, single Rice partition, independent channels."""
+    x = np.asarray(samples, np.int64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, n_chan = x.shape
+    if not (1 <= n_chan <= 8):
+        raise ValueError("1..8 channels")
+    bits = 16
+    out = bytearray(b"fLaC")
+    info = bytearray()
+    info += block_size.to_bytes(2, "big") * 2
+    info += b"\x00\x00\x00" * 2  # min/max frame size unknown
+    info += bytes(
+        [
+            (sample_rate >> 12) & 0xFF,
+            (sample_rate >> 4) & 0xFF,
+            ((sample_rate & 0xF) << 4) | ((n_chan - 1) << 1) | ((bits - 1) >> 4),
+            (((bits - 1) & 0xF) << 4) | ((n >> 32) & 0xF),
+        ]
+    )
+    info += (n & 0xFFFFFFFF).to_bytes(4, "big")
+    info += b"\x00" * 16  # md5 unset
+    out += bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
+
+    for frame_idx, start in enumerate(range(0, n, block_size)):
+        blk = x[start : start + block_size]
+        bs = blk.shape[0]
+        sr_code = {88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5,
+                   22050: 6, 24000: 7, 32000: 8, 44100: 9, 48000: 10,
+                   96000: 11}.get(sample_rate)
+        follow_rate = None if sr_code is not None else sample_rate
+        w = _BitWriter()
+        w.write(0x3FFE, 14)
+        w.write(0, 2)  # reserved + fixed blocking
+        w.write(7, 4)  # 16-bit block size follows
+        w.write(sr_code if sr_code is not None else 13, 4)  # 13: Hz follows
+        w.write(n_chan - 1, 4)
+        w.write(4, 3)  # 16 bits per sample
+        w.write(0, 1)
+        for byte in _encode_utf8_number(frame_idx):
+            w.write(byte, 8)
+        w.write(bs - 1, 16)
+        if follow_rate is not None:
+            w.write(follow_rate, 16)
+        w.align()
+        hdr = bytes(w.out)
+        w.write(_crc8(hdr), 8)
+        for ch in range(n_chan):
+            sig = blk[:, ch]
+            if bs and (sig == sig[0]).all():
+                w.write(0, 1)
+                w.write(0, 6)  # CONSTANT
+                w.write(0, 1)
+                w.write(int(sig[0]), bits)
+                continue
+            order = _best_fixed_order(sig)
+            res = np.diff(sig, order) if order else sig.copy()
+            w.write(0, 1)
+            w.write(8 + order, 6)  # FIXED
+            w.write(0, 1)
+            for warm in sig[:order]:
+                w.write(int(warm), bits)
+            w.write(0, 2)  # rice method 0
+            w.write(0, 4)  # partition order 0
+            param = min(_rice_param(res), 14)
+            w.write(param, 4)
+            _write_rice(w, res, param)
+        w.align()
+        body = bytes(w.out)
+        w.write(_crc16(body), 16)
+        out += bytes(w.out)
+    return bytes(out)

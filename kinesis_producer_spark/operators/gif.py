@@ -1,0 +1,270 @@
+"""Pure-Python GIF codec (LZW decode + encode, no PIL).
+
+Closes the "GIF LZW" decode stub in ``multimodal.decode_media``. GIF
+is LZW over palette indices — ~100 lines of bit-twiddling from the
+public GIF89a specification, no codec library required:
+
+decode: header + logical screen descriptor → global color table →
+block walk (graphic-control / comment / application extensions
+skipped by sub-block framing) → per-frame image descriptor (local
+color table, interlace flag) → LZW decompress (variable code width,
+clear + end-of-information codes, 12-bit cap) → 4-pass de-interlace
+→ palette → (H,W,3) uint8 RGB per frame.
+
+encode (minimal sibling for synthesizing deterministic inputs): one
+global palette, one image block, real LZW compression.
+
+Supported: GIF87a/GIF89a, multi-frame (each frame decoded
+independently against its own descriptor — no inter-frame disposal
+compositing, which animation playback would need but per-frame
+analytics does not), local + global palettes, interlace,
+transparency index surfaced as a mask. Frames narrower than the
+logical screen are returned at their own size.
+
+Scale posture: per-blob Python in Arrow-batched ``mapInPandas``
+stages; blobs stay on executors. Swap PIL/giflib in production via
+the same ``decode_media`` seam.
+
+Reference parity note: the reference repo has no media path (LLM-
+pipeline mandate); format knowledge is the public GIF89a spec only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_INTERLACE_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytearray | None:
+    """GIF-variant LZW: variable code width starting at
+    min_code_size+1, dictionary reset on CLEAR, capped at 12 bits."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # dictionary as list of bytes entries; indices < clear are literals
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_pixels:
+                return out
+    return out
+
+
+def _lzw_encode(min_code_size: int, pixels: bytes) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    run = b""
+    for px in pixels:
+        cand = run + bytes([px])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= (1 << 12):
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        run = bytes([px])
+    if run:
+        emit(table[run])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif_frames(
+    b: bytes, max_bytes: int = 4 << 20, max_frames: int = 64
+) -> list[dict] | None:
+    """Decode every frame of a GIF blob. Each result dict has
+    ``pixels`` (H,W,3 uint8), ``left``/``top`` placement, and
+    ``transparent_mask`` (H,W bool, True where the frame is
+    transparent) or None. Returns None for non-GIF/corrupt input."""
+    if b is None or len(b) > max_bytes or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        return _decode_inner(b, max_frames)
+    except Exception:
+        return None
+
+
+def _decode_inner(b: bytes, max_frames: int) -> list[dict] | None:
+    if len(b) < 13:
+        return None
+    flags = b[10]
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        global_pal = np.frombuffer(b[pos : pos + 3 * size], np.uint8).reshape(-1, 3)
+        pos += 3 * size
+    frames: list[dict] = []
+    transparent_idx = None
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            label = b[pos]
+            pos += 1
+            if label == 0xF9 and b[pos] >= 4:  # graphic control
+                transparent_idx = b[pos + 4] if (b[pos + 1] & 0x01) else None
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:  # not an image descriptor → corrupt
+            return None
+        left = int.from_bytes(b[pos : pos + 2], "little")
+        top = int.from_bytes(b[pos + 2 : pos + 4], "little")
+        w = int.from_bytes(b[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(b[pos + 6 : pos + 8], "little")
+        iflags = b[pos + 8]
+        pos += 9
+        pal = global_pal
+        if iflags & 0x80:
+            size = 2 << (iflags & 0x07)
+            pal = np.frombuffer(b[pos : pos + 3 * size], np.uint8).reshape(-1, 3)
+            pos += 3 * size
+        if pal is None or w <= 0 or h <= 0:
+            return None
+        min_code_size = b[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            n = b[pos]
+            data += b[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+        idx_bytes = _lzw_decode(min_code_size, bytes(data), w * h)
+        if idx_bytes is None or len(idx_bytes) < w * h:
+            return None
+        idx = np.frombuffer(bytes(idx_bytes[: w * h]), np.uint8).reshape(h, w)
+        if iflags & 0x40:  # de-interlace: rows were stored in 4 passes
+            deint = np.empty_like(idx)
+            src = 0
+            for start, step in _INTERLACE_PASSES:
+                rows = range(start, h, step)
+                for y in rows:
+                    deint[y] = idx[src]
+                    src += 1
+            idx = deint
+        if int(idx.max(initial=0)) >= len(pal):
+            return None
+        frames.append(
+            {
+                "pixels": pal[idx],
+                "left": left,
+                "top": top,
+                "transparent_mask": (
+                    idx == transparent_idx if transparent_idx is not None else None
+                ),
+            }
+        )
+        transparent_idx = None
+        if len(frames) >= max_frames:
+            break
+    return frames if frames else None
+
+
+def decode_gif(b: bytes, max_bytes: int = 4 << 20) -> np.ndarray | None:
+    """First-frame convenience decode → (H,W,3) uint8, or None."""
+    frames = decode_gif_frames(b, max_bytes=max_bytes, max_frames=1)
+    return frames[0]["pixels"] if frames else None
+
+
+def encode_gif(
+    frames: np.ndarray | list[np.ndarray],
+    palette: np.ndarray,
+    interlace: bool = False,
+) -> bytes:
+    """Encode palette-index frames as GIF89a. ``frames`` is one
+    (H,W) uint8 index array or a list of them (all same size);
+    ``palette`` is (N,3) uint8 with N a power of two ≥ 2."""
+    if isinstance(frames, np.ndarray) and frames.ndim == 2:
+        frames = [frames]
+    pal = np.asarray(palette, np.uint8)
+    n = len(pal)
+    if n < 2 or n & (n - 1):
+        raise ValueError("palette size must be a power of two >= 2")
+    depth = max(n.bit_length() - 1, 1)
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (depth - 1), 0, 0])  # global table, bg 0
+    out += pal.tobytes()
+    min_code = max(depth, 2)
+    for idx in frames:
+        fh, fw = idx.shape
+        out += b"\x2c" + b"\x00" * 4
+        out += fw.to_bytes(2, "little") + fh.to_bytes(2, "little")
+        out += bytes([0x40 if interlace else 0x00])
+        src = np.asarray(idx, np.uint8)
+        if interlace:
+            rows = [y for start, step in _INTERLACE_PASSES for y in range(start, fh, step)]
+            src = src[rows]
+        out += bytes([min_code])
+        comp = _lzw_encode(min_code, src.tobytes())
+        for i in range(0, len(comp), 255):
+            sub = comp[i : i + 255]
+            out += bytes([len(sub)]) + sub
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

@@ -3708,3 +3708,363 @@ def q195_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# q196–q199 — the remaining compressed-codec decode paths, oracle-exact:
+# PNG (zlib inflate + unfilter), GIF (LZW), FLAC (Rice + fixed
+# predictors), and MJPEG-AVI frame pixels through the JPEG codec.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q196_png_decode_stats",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 1 + doc_id % 7 AS a, 1 + doc_id % 5 AS d,
+             doc_id % 3 AS kind
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, SUM((3 + a * y.v + d * x.v) % 256) AS sv
+      FROM p, UNNEST(range(16)) AS y(v), UNNEST(range(24)) AS x(v)
+      GROUP BY doc_id
+    )
+    SELECT p.doc_id AS media_id,
+           CASE p.kind WHEN 0 THEN 'gray' WHEN 1 THEN 'rgb' ELSE 'rgba' END
+             AS png_kind,
+           CAST(p.doc_id % 5 AS INT) AS filter_type,
+           CAST(CASE WHEN p.doc_id % 11 = 0 THEN 1 ELSE 0 END AS INT)
+             AS interlaced,
+           CAST(24 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(CASE p.kind WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT)
+             AS n_channels,
+           CAST(CASE WHEN p.kind = 2
+                THEN (1000 * (3 * s.sv + 255 * 384)) // 1536
+                ELSE (1000 * s.sv) // 384 END AS BIGINT) AS mean_milli
+    FROM p JOIN s ON p.doc_id = s.doc_id
+    """,
+)
+def q196_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, end to end and oracle-exact: per document,
+    synthesize a deterministic 16x24 gradient image (gray / RGB / RGBA
+    by doc_id), encode it as a genuine PNG with filter_type =
+    doc_id % 5 — so all five scanline filters (None/Sub/Up/Average/
+    Paeth) are exercised across the corpus — and Adam7 interlacing on
+    every 11th document, then DECODE it with the stdlib-zlib +
+    unfilter decoder (operators/png.py) and report pixel-derived
+    stats. PNG is lossless, so the oracle recomputes the pixel sum in
+    closed form from the generating gradient; any bug in inflate
+    framing, any unfilter, de-interlacing, or channel layout
+    hash-mismatches.
+
+    Scale: encode+decode in one Arrow-batched mapInPandas stage,
+    embarrassingly parallel, blobs never leave the executor."""
+    from kinesis_producer_spark.operators.png import decode_png, encode_png
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    schema = (
+        "media_id long, png_kind string, filter_type int, interlaced int, "
+        "width int, height int, n_channels int, mean_milli long"
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        yy = np.arange(16)[:, None]
+        xx = np.arange(24)[None, :]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                a, dlt, kind = 1 + did % 7, 1 + did % 5, did % 3
+                v = ((3 + a * yy + dlt * xx) % 256).astype(np.uint8)
+                if kind == 0:
+                    img = v
+                elif kind == 1:
+                    img = np.repeat(v[:, :, None], 3, axis=2)
+                else:
+                    alpha = np.full_like(v, 255)
+                    img = np.dstack([v, v, v, alpha])
+                ftype = did % 5
+                inter = did % 11 == 0
+                arr = decode_png(encode_png(img, filter_type=ftype, interlace=inter))
+                total = int(arr.astype(np.int64).sum())
+                rows.append(
+                    {
+                        "media_id": did,
+                        "png_kind": {0: "gray", 1: "rgb", 2: "rgba"}[kind],
+                        "filter_type": ftype,
+                        "interlaced": int(inter),
+                        "width": int(arr.shape[1]),
+                        "height": int(arr.shape[0]),
+                        "n_channels": 1 if arr.ndim == 2 else int(arr.shape[2]),
+                        "mean_milli": (1000 * total) // arr.size,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "png_kind", "filter_type", "interlaced",
+                    "width", "height", "n_channels", "mean_milli",
+                ],
+            )
+
+    return d.mapInPandas(run, schema)
+
+
+@query(
+    "q197_gif_decode_stats",
+    oracle="""
+    WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS nf FROM documents),
+    fr AS (
+      SELECT doc_id, f.v AS frame_idx FROM p, UNNEST(range(nf)) AS f(v)
+    ),
+    px AS (
+      SELECT doc_id, frame_idx,
+        SUM((k.v + 1) * ((((k.v + doc_id + frame_idx) % 16) * 17 + doc_id) % 256))
+          AS wsum_r,
+        SUM((k.v + 1) * ((((k.v + doc_id + frame_idx) % 16) * 29 + 3 * doc_id) % 256))
+          AS wsum_g,
+        SUM((k.v + 1) * ((((k.v + doc_id + frame_idx) % 16) * 43 + 7 * doc_id) % 256))
+          AS wsum_b
+      FROM fr, UNNEST(range(192)) AS k(v)
+      GROUP BY doc_id, frame_idx
+    )
+    SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+           CAST(wsum_r AS BIGINT) AS wsum_r,
+           CAST(wsum_g AS BIGINT) AS wsum_g,
+           CAST(wsum_b AS BIGINT) AS wsum_b
+    FROM px
+    """,
+)
+def q197_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode (LZW), end to end and oracle-exact: per
+    document, build a 16-color palette and 1–3 frames of 12x16
+    indices from closed-form arithmetic, encode as a genuine GIF89a
+    (real LZW compression; every odd doc_id interlaced), then DECODE
+    with the pure-Python LZW decoder (operators/gif.py) and report a
+    POSITION-WEIGHTED channel checksum per frame — weighted so a
+    de-interlacing or row-order bug changes the value (a plain sum
+    would be permutation-invariant and miss it). The oracle recomputes
+    the weighted sums from the generating formulas.
+
+    Scale: one Arrow-batched mapInPandas stage; row-multiplying
+    (one output row per frame), the video analogue of explode."""
+    from kinesis_producer_spark.operators.gif import decode_gif_frames, encode_gif
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    schema = (
+        "media_id long, frame_idx int, width int, height int, "
+        "wsum_r long, wsum_g long, wsum_b long"
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        weights = (np.arange(192, dtype=np.int64) + 1).reshape(12, 16)
+        kgrid = np.arange(192, dtype=np.int64).reshape(12, 16)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                i = np.arange(16, dtype=np.int64)
+                pal = np.stack(
+                    [
+                        (i * 17 + did) % 256,
+                        (i * 29 + 3 * did) % 256,
+                        (i * 43 + 7 * did) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                nf = 1 + did % 3
+                frames = [((kgrid + did + f) % 16).astype(np.uint8) for f in range(nf)]
+                blob = encode_gif(frames, pal, interlace=(did % 2 == 1))
+                decoded = decode_gif_frames(blob)
+                for fidx, fr in enumerate(decoded):
+                    px = fr["pixels"].astype(np.int64)
+                    rows.append(
+                        {
+                            "media_id": did,
+                            "frame_idx": fidx,
+                            "width": int(px.shape[1]),
+                            "height": int(px.shape[0]),
+                            "wsum_r": int((weights * px[:, :, 0]).sum()),
+                            "wsum_g": int((weights * px[:, :, 1]).sum()),
+                            "wsum_b": int((weights * px[:, :, 2]).sum()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
+                    "wsum_r", "wsum_g", "wsum_b",
+                ],
+            )
+
+    return d.mapInPandas(run, schema)
+
+
+@query(
+    "q198_flac_decode_samples",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 2 * (64 + doc_id % 500) AS m, 64 + doc_id % 500 AS h,
+             3 + doc_id % 97 AS a, 5 + doc_id % 89 AS b,
+             64 + doc_id % 192 AS n, 1 + doc_id % 2 AS nch,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 16000
+                  ELSE 12345 END AS rate
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             SUM(s1) AS sum1, SUM(s2) AS sum2,
+             SUM(s1 * s1) AS sq1, SUM(s2 * s2) AS sq2,
+             MAX(ABS(s1)) AS p1, MAX(ABS(s2)) AS p2
+      FROM (
+        SELECT doc_id, (i.v * a) % m - h AS s1, (i.v * b) % m - h AS s2
+        FROM p, UNNEST(range(n)) AS i(v)
+      )
+      GROUP BY doc_id
+    )
+    SELECT p.doc_id AS media_id,
+           CAST(p.n * p.nch AS INT) AS n_samples,
+           CAST(p.rate AS INT) AS sample_rate,
+           CAST(FLOOR(CAST(p.n * 1000 AS DOUBLE) / p.rate + 0.5) AS INT)
+             AS duration_ms,
+           CAST(CASE WHEN p.nch = 2 THEN GREATEST(t.p1, t.p2) ELSE t.p1 END
+                AS INT) AS peak,
+           CAST(FLOOR(1000.0 * (CASE WHEN p.nch = 2 THEN t.sum1 + t.sum2
+                                     ELSE t.sum1 END)
+                / (p.n * p.nch) + 0.5) AS BIGINT) AS mean_milli,
+           CAST(FLOOR(SQRT((CASE WHEN p.nch = 2 THEN t.sq1 + t.sq2
+                                 ELSE t.sq1 END) * 1.0 / (p.n * p.nch)) + 0.5)
+                AS INT) AS rms
+    FROM p JOIN t ON p.doc_id = t.doc_id
+    """,
+)
+def q198_flac_decode_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode, end to end and oracle-exact: per
+    document, synthesize a deterministic int16 signal (modular ramp —
+    mono, or stereo with an independent second ramp on odd doc_ids),
+    encode it as a genuine FLAC stream (fixed predictors + Rice
+    residuals, block_size=64 so every blob spans multiple frames, and
+    a non-standard 12345 Hz rate on every third document to exercise
+    the follow-up sample-rate header path), then DECODE it through
+    ``decode_audio_pcm``'s FLAC branch (operators/flac.py). FLAC is
+    lossless, so the oracle recomputes every stat (peak, mean, RMS,
+    duration) from the generating formula; any bug in Rice decoding,
+    fixed-predictor reconstruction, frame framing, CRC handling, or
+    channel interleaving hash-mismatches.
+
+    Scale: encode runs in one mapInPandas stage producing a binary
+    column; decode is the SAME ``decode_audio_pcm`` operator users
+    run on real corpora — two chained Arrow stages, no shuffle."""
+    from kinesis_producer_spark.operators.flac import encode_flac
+    from kinesis_producer_spark.operators.multimodal import decode_audio_pcm
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                m = 2 * (64 + did % 500)
+                h = 64 + did % 500
+                a, b2 = 3 + did % 97, 5 + did % 89
+                n = 64 + did % 192
+                rate = {0: 44100, 1: 16000, 2: 12345}[did % 3]
+                i = np.arange(n, dtype=np.int64)
+                s1 = ((i * a) % m - h).astype(np.int16)
+                if did % 2 == 1:
+                    s2 = ((i * b2) % m - h).astype(np.int16)
+                    sig = np.stack([s1, s2], axis=1)
+                else:
+                    sig = s1
+                rows.append(
+                    {
+                        "media_id": did,
+                        "content": encode_flac(sig, sample_rate=rate, block_size=64),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    blobs = d.mapInPandas(synth, "media_id long, content binary")
+    return decode_audio_pcm(blobs)
+
+
+@query(
+    "q199_avi_frame_pixels",
+    oracle="""
+    WITH p AS (SELECT doc_id, 1 + doc_id % 6 AS nf FROM documents),
+    fr AS (
+      SELECT doc_id, f.v AS frame_idx
+      FROM p, UNNEST(range(nf)) AS f(v)
+      WHERE f.v % 2 = 0
+    )
+    SELECT doc_id AS media_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(24 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(1000 * (2 + 4 * ((doc_id * (frame_idx + 1)) % 63)) AS BIGINT)
+             AS mean_luma_milli
+    FROM fr
+    """,
+)
+def q199_avi_frame_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-frame pixel decode: per document, mux 1–6 genuine
+    baseline JPEGs (flat gray, exact-by-construction as in q195) into
+    a RIFF AVI container, then run the fused demux+decode operator
+    ``decode_avi_frames_luma`` — container walk, frame sampling
+    (every 2nd frame), Huffman+IDCT pixel decode, and per-frame mean
+    luma, all inside one Arrow-batched stage so frame bytes never
+    cross a shuffle. The oracle recomputes the sampled frame set and
+    each frame's luma in closed form.
+
+    This closes the video column of the decode matrix: container
+    demux (q194) now composes with the real image codec into pixel
+    analytics, the exact shape a 100 TB frame-embedding pipeline
+    needs (swap the Python JPEG kernel for libjpeg-turbo via the same
+    operator seam; the plan does not change)."""
+    from kinesis_producer_spark.operators.jpeg import (
+        FLAT16_QUANT,
+        encode_baseline_jpeg,
+    )
+    from kinesis_producer_spark.operators.multimodal import decode_avi_frames_luma
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = []
+                for f in range(1 + did % 6):
+                    v = 2 + 4 * ((did * (f + 1)) % 63)
+                    img = np.full((16, 24), v, np.uint8)
+                    frames.append(encode_baseline_jpeg(img, luma_quant=FLAT16_QUANT))
+                movi = bytearray(b"movi")
+                for fb in frames:
+                    movi += b"00dc" + len(fb).to_bytes(4, "little") + fb
+                    if len(fb) % 2:
+                        movi += b"\x00"
+                hdrl = b"LIST" + (4).to_bytes(4, "little") + b"hdrl"
+                payload = hdrl + b"LIST" + len(movi).to_bytes(4, "little") + bytes(movi)
+                blob = b"RIFF" + (4 + len(payload)).to_bytes(4, "little") + b"AVI " + payload
+                rows.append({"media_id": did, "content": blob})
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    blobs = d.mapInPandas(synth, "media_id long, content binary")
+    return decode_avi_frames_luma(blobs, every_n=2, max_frames=8)

@@ -21,15 +21,19 @@ Decode layers, from real to stubbed:
 - ``sample_frames_avi`` — REAL, codec-free: MJPEG-in-AVI container
   demux with strided frame sampling; frame dims via the JPEG parser.
 - ``decode_media`` / ``resize_media`` — REAL for baseline JPEG (the
-  pure-numpy Huffman+IDCT codec in ``operators.jpeg``) and, for
-  decode, 24-bit BMP; remaining compressed formats (progressive JPEG,
-  PNG inflate, GIF LZW, compressed audio/video) need PIL/ffmpeg (NOT
-  in this image): ``decode_stub='fail'`` raises NotImplementedError
-  naming the dependency; ``'fake'`` produces a deterministic
-  pseudo-decode so the Spark plumbing (schema, batch shape,
-  partitioning) stays testable.
+  pure-numpy Huffman+IDCT codec in ``operators.jpeg``), PNG (stdlib
+  zlib inflate + unfilter in ``operators.png``), GIF (pure-Python
+  LZW in ``operators.gif``) and, for decode, 24-bit BMP; remaining
+  compressed formats (progressive JPEG, WebP, compressed video)
+  need PIL/ffmpeg (NOT in this image): ``decode_stub='fail'``
+  raises NotImplementedError naming the dependency; ``'fake'``
+  produces a deterministic pseudo-decode so the Spark plumbing
+  (schema, batch shape, partitioning) stays testable.
+- ``decode_audio_pcm`` also decodes FLAC (fixed-predictor + Rice
+  subset in ``operators.flac``) — same stats surface as PCM WAV.
 - ``sample_frames`` — compressed-video demux needs ffmpeg; the
-  MJPEG-AVI container path (``sample_frames_avi``) is real.
+  MJPEG-AVI container path (``sample_frames_avi``) is real, and its
+  JPEG frames decode to pixels through ``operators.jpeg``.
 """
 
 from __future__ import annotations
@@ -123,21 +127,25 @@ def decode_media(
     """Decode + featurize media blobs.
 
     REAL decode paths (no codec libraries needed): baseline JPEG via
-    the pure-numpy codec in ``operators.jpeg`` and 24-bit uncompressed
-    BMP via ``_parse_bmp`` — these produce genuine pixels and a
-    pixel-derived feature vector (per-channel means/std/extrema,
-    normalized to [0, 1]).
+    the pure-numpy codec in ``operators.jpeg``, PNG via stdlib-zlib
+    inflate + unfilter (``operators.png``), GIF via pure-Python LZW
+    (``operators.gif``, first frame), and 24-bit uncompressed BMP via
+    ``_parse_bmp`` — these produce genuine pixels and a pixel-derived
+    feature vector (per-channel means/std/extrema, normalized to
+    [0, 1]).
 
     For formats that still need external codecs (progressive JPEG,
-    PNG inflate, GIF LZW, compressed audio/video):
-    ``decode_stub='fail'`` — the honest mode: raises at execution
-    time naming the missing dependency; the Spark plan, schema and
-    batch plumbing are real. ``'fake'`` — deterministic md5-seeded
-    pseudo-decode for plumbing tests.
+    WebP, compressed audio/video): ``decode_stub='fail'`` — the
+    honest mode: raises at execution time naming the missing
+    dependency; the Spark plan, schema and batch plumbing are real.
+    ``'fake'`` — deterministic md5-seeded pseudo-decode for plumbing
+    tests.
     """
     import numpy as np
 
+    from kinesis_producer_spark.operators.gif import decode_gif
     from kinesis_producer_spark.operators.jpeg import decode_baseline_jpeg
+    from kinesis_producer_spark.operators.png import decode_png
 
     if decode_stub not in ("fail", "fake"):
         raise ValueError("decode_stub must be 'fail' or 'fake'")
@@ -168,6 +176,10 @@ def decode_media(
                 arr = None
                 if b[:3] == b"\xff\xd8\xff":
                     arr = decode_baseline_jpeg(b)
+                elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                    arr = decode_png(b)
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    arr = decode_gif(b)
                 elif b[:2] == b"BM":
                     parsed = _parse_bmp(b)
                     if parsed is not None:
@@ -177,8 +189,9 @@ def decode_media(
                 elif decode_stub == "fail":
                     raise NotImplementedError(
                         "decode for this format requires PIL/ffmpeg/soundfile — "
-                        "not in this image (real paths: baseline JPEG, 24-bit "
-                        "BMP); use decode_stub='fake' for plumbing tests"
+                        "not in this image (real paths: baseline JPEG, PNG, "
+                        "GIF, 24-bit BMP); use decode_stub='fake' for "
+                        "plumbing tests"
                     )
                 else:
                     h = hashlib.md5(b).digest()
@@ -448,18 +461,20 @@ def resize_media(
 ) -> DataFrame:
     """Resize stage: one output row per media blob.
 
-    REAL path for baseline JPEG: pure-numpy decode → nearest-neighbor
-    resize → baseline re-encode (operators.jpeg), so the output is
-    itself a decodable JPEG thumbnail. Other formats still need PIL:
-    ``'fail'`` raises with the dependency name; ``'fake'`` emits a
-    deterministic md5-stretched byte payload so the Arrow batch
-    plumbing is tested."""
+    REAL paths: baseline JPEG (pure-numpy decode → nearest-neighbor
+    resize → baseline re-encode, operators.jpeg) and PNG (zlib
+    decode → resize → PNG re-encode, operators.png) — the output is
+    itself a decodable thumbnail in the input's own format. Other
+    formats still need PIL: ``'fail'`` raises with the dependency
+    name; ``'fake'`` emits a deterministic md5-stretched byte
+    payload so the Arrow batch plumbing is tested."""
     import numpy as np
 
     from kinesis_producer_spark.operators.jpeg import (
         decode_baseline_jpeg,
         encode_baseline_jpeg,
     )
+    from kinesis_producer_spark.operators.png import decode_png, encode_png
 
     if decode_stub not in ("fail", "fake"):
         raise ValueError("decode_stub must be 'fail' or 'fake'")
@@ -470,16 +485,22 @@ def resize_media(
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["_blob"]):
                 b = bytes(blob) if blob is not None else b""
-                arr = decode_baseline_jpeg(b) if b[:3] == b"\xff\xd8\xff" else None
+                is_png = b[:8] == b"\x89PNG\r\n\x1a\n"
+                if b[:3] == b"\xff\xd8\xff":
+                    arr = decode_baseline_jpeg(b)
+                elif is_png:
+                    arr = decode_png(b)
+                else:
+                    arr = None
                 if arr is not None:
                     ys = (np.arange(height) * arr.shape[0]) // height
                     xs = (np.arange(width) * arr.shape[1]) // width
                     small = arr[ys][:, xs]
-                    payload = encode_baseline_jpeg(small)
+                    payload = encode_png(small) if is_png else encode_baseline_jpeg(small)
                 elif decode_stub == "fail":
                     raise NotImplementedError(
                         "resize for this format requires PIL — not in this "
-                        "image (real path: baseline JPEG); use "
+                        "image (real paths: baseline JPEG, PNG); use "
                         "decode_stub='fake' for plumbing tests"
                     )
                 else:
@@ -580,10 +601,13 @@ def _parse_wav_pcm(b: bytes):
 def decode_audio_pcm(
     df: DataFrame, id_col: str = "media_id", content_col: str = "content"
 ) -> DataFrame:
-    """REAL audio decode for PCM WAV: sample count, duration, peak
-    amplitude, mean (signedness check) and RMS, computed from the
-    decoded int16 samples — stdlib/numpy only, no audio libraries.
-    Non-PCM/unparseable blobs yield null feature fields.
+    """REAL audio decode for PCM WAV **and FLAC**: sample count,
+    duration, peak amplitude, mean (signedness check) and RMS,
+    computed from decoded samples — stdlib/numpy only, no audio
+    libraries. WAV is raw 16-bit PCM layout; FLAC goes through the
+    fixed-predictor + Rice decoder in ``operators.flac`` (lossless,
+    so the stats are identical to the source PCM's). Unparseable or
+    unsupported blobs yield null feature fields.
 
     Arrow-batched mapInPandas; samples never leave the executor, and
     per-blob work is O(n_samples) vectorized numpy.
@@ -591,6 +615,8 @@ def decode_audio_pcm(
     import math
 
     import numpy as np
+
+    from kinesis_producer_spark.operators.flac import decode_flac
 
     src = df.select(F.col(id_col).alias("media_id"), F.col(content_col).alias("_blob"))
 
@@ -600,7 +626,16 @@ def decode_audio_pcm(
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["_blob"]):
                 b = bytes(blob) if blob is not None else b""
-                parsed = _parse_wav_pcm(b)
+                if b[:4] == b"fLaC":
+                    flac = decode_flac(b)
+                    # flatten to the same interleaved-int view WAV uses
+                    parsed = (
+                        (flac[1], flac[0].shape[1], flac[0].reshape(-1))
+                        if flac is not None and flac[1] > 0
+                        else None
+                    )
+                else:
+                    parsed = _parse_wav_pcm(b)
                 row = {c: None for c in cols}
                 row["media_id"] = mid
                 if parsed is not None:
@@ -844,3 +879,63 @@ def sample_frames_avi(
             yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(run, AVI_FRAMES_SCHEMA)
+
+
+AVI_PIXELS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma_milli", T.LongType()),
+    ]
+)
+
+
+def decode_avi_frames_luma(
+    df: DataFrame,
+    every_n: int = 2,
+    max_frames: int = 8,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """REAL video-frame pixel decode for MJPEG-in-AVI: demux the RIFF
+    container AND decode each sampled frame through the pure-numpy
+    baseline-JPEG codec, emitting per-frame pixel stats (mean luma in
+    milli-units, integer-exact as ``(1000*sum)//n``).
+
+    Demux and decode are fused into ONE mapInPandas stage on purpose:
+    frame bytes never leave the task that read the blob — at 100 TB
+    the alternative (demux stage → shuffle frame payloads → decode
+    stage) would move nearly the whole corpus through a shuffle.
+    Undecodable frames (non-JPEG payloads) yield null pixel fields;
+    non-AVI blobs yield no rows."""
+    import numpy as np
+
+    from kinesis_producer_spark.operators.jpeg import decode_baseline_jpeg
+
+    src = df.select(F.col(id_col).alias("media_id"), F.col(content_col).alias("_blob"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = AVI_PIXELS_SCHEMA.fieldNames()
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["_blob"]):
+                b = bytes(blob) if blob is not None else b""
+                for idx, frame in enumerate(_avi_video_chunks(b)):
+                    if idx % every_n != 0 or idx // every_n >= max_frames:
+                        continue
+                    arr = decode_baseline_jpeg(frame)
+                    row = {c: None for c in cols}
+                    row.update(media_id=mid, frame_idx=idx)
+                    if arr is not None:
+                        total = int(arr.astype(np.int64).sum())
+                        row.update(
+                            width=int(arr.shape[1]),
+                            height=int(arr.shape[0]),
+                            mean_luma_milli=(1000 * total) // arr.size,
+                        )
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(run, AVI_PIXELS_SCHEMA)

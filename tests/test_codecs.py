@@ -1,0 +1,289 @@
+"""Pure-Python codec tests (PNG / GIF / FLAC) plus the Spark operator
+paths that dispatch to them.
+
+These codecs close the compressed-format decode stubs flagged in
+round 2: PNG needs only stdlib zlib, GIF only pure-Python LZW, FLAC
+only bit-level Rice/fixed-predictor math — so all three are REAL
+decoders with no codec libraries in the image. Round-trip tests pin
+losslessness; corruption tests pin the None-not-crash contract the
+mapInPandas operators rely on (a poisoned blob must yield a null row,
+never kill the task)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from kinesis_producer_spark.operators.flac import (
+    decode_flac,
+    encode_flac,
+    parse_streaminfo,
+)
+from kinesis_producer_spark.operators.gif import (
+    decode_gif,
+    decode_gif_frames,
+    encode_gif,
+)
+from kinesis_producer_spark.operators.png import decode_png, encode_png
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_png_roundtrip_all_filters(filter_type, interlace):
+    rng = np.random.RandomState(7 + filter_type)
+    for shape in [(16, 24), (16, 24, 3), (9, 13, 4), (5, 7, 2), (1, 1), (3, 1, 3)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        out = decode_png(encode_png(img, filter_type=filter_type, interlace=interlace))
+        assert out is not None
+        assert np.array_equal(out.reshape(img.shape), img), (shape, filter_type)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def test_png_palette_and_trns():
+    pal = bytes(range(48))  # 16 RGB entries
+    idx = np.array([[0, 1], [2, 15]], np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_png(blob)
+    exp = np.frombuffer(pal, np.uint8).reshape(-1, 3)[idx]
+    assert np.array_equal(out, exp)
+    # with tRNS the result grows an alpha channel
+    blob_a = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal)
+        + _png_chunk(b"tRNS", bytes([10, 255]))
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    out_a = decode_png(blob_a)
+    assert out_a.shape == (2, 2, 4)
+    assert out_a[0, 0, 3] == 10 and out_a[0, 1, 3] == 255 and out_a[1, 0, 3] == 255
+
+
+def test_png_rejects_corruption_and_unsupported():
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    blob = bytearray(encode_png(img))
+    blob[-5] ^= 0xFF  # IEND CRC
+    assert decode_png(bytes(blob)) is None
+    assert decode_png(b"not a png") is None
+    assert decode_png(None) is None
+    assert decode_png(encode_png(img)[:20]) is None
+    # 16-bit depth: honest unsupported → None
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x01\x02"))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png(deep) is None
+    assert decode_png(encode_png(img), max_bytes=10) is None
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n_pal", [2, 4, 16, 256])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_roundtrip(n_pal, interlace):
+    rng = np.random.RandomState(n_pal)
+    pal = rng.randint(0, 256, (n_pal, 3)).astype(np.uint8)
+    for shape in [(16, 24), (7, 5), (1, 1), (33, 31)]:
+        idx = rng.randint(0, n_pal, shape).astype(np.uint8)
+        out = decode_gif(encode_gif(idx, pal, interlace=interlace))
+        assert out is not None
+        assert np.array_equal(out, pal[idx]), (n_pal, shape, interlace)
+
+
+def test_gif_multiframe_and_dict_reset():
+    rng = np.random.RandomState(11)
+    pal = rng.randint(0, 256, (8, 3)).astype(np.uint8)
+    frames = [rng.randint(0, 8, (10, 12)).astype(np.uint8) for _ in range(5)]
+    res = decode_gif_frames(encode_gif(frames, pal))
+    assert len(res) == 5
+    for r, f in zip(res, frames):
+        assert np.array_equal(r["pixels"], pal[f])
+    # noise image large enough to overflow the 12-bit code space →
+    # exercises the CLEAR/reset path in both encoder and decoder
+    pal256 = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    big = rng.randint(0, 256, (80, 80)).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(big, pal256)), pal256[big])
+
+
+def test_gif_rejects_corruption():
+    assert decode_gif(b"hello") is None
+    assert decode_gif(None) is None
+    assert decode_gif_frames(b"GIF89a\x00") is None
+    pal = np.zeros((4, 3), np.uint8)
+    idx = np.zeros((3, 3), np.uint8)
+    blob = bytearray(encode_gif(idx, pal))
+    blob[6] = 0xFF  # implausible width → pixel count mismatch
+    blob[7] = 0xFF
+    # corrupt logical screen alone is tolerated (frame has its own
+    # descriptor); corrupt the frame descriptor width instead
+    blob = bytearray(encode_gif(idx, pal))
+    pos = blob.index(0x2C)
+    blob[pos + 5] = 0xFF
+    blob[pos + 6] = 0x7F
+    assert decode_gif(bytes(blob)) is None
+
+
+# ---------------------------------------------------------------------------
+# FLAC
+# ---------------------------------------------------------------------------
+
+
+def _signals():
+    rng = np.random.RandomState(3)
+    n = 3000
+    t = np.arange(n)
+    return [
+        ("flat", np.full(n, -123, np.int16)),
+        ("ramp", (t % 4000 - 2000).astype(np.int16)),
+        ("sine", (3000 * np.sin(t / 50)).astype(np.int16)),
+        ("noise", rng.randint(-32768, 32768, n).astype(np.int16)),
+    ]
+
+
+@pytest.mark.parametrize("rate", [44100, 12345])
+@pytest.mark.parametrize("n_chan", [1, 2])
+def test_flac_roundtrip(rate, n_chan):
+    for name, sig in _signals():
+        x = sig if n_chan == 1 else np.stack([sig, (-sig).astype(np.int16)], axis=1)
+        res = decode_flac(encode_flac(x, sample_rate=rate, block_size=1024))
+        assert res is not None, (name, rate, n_chan)
+        dec, r = res
+        x2 = x if x.ndim == 2 else x[:, None]
+        assert r == rate
+        assert np.array_equal(dec, x2), (name, rate, n_chan)
+
+
+def test_flac_streaminfo_and_compression():
+    sig = _signals()[2][1]
+    blob = encode_flac(sig, sample_rate=22050)
+    info = parse_streaminfo(blob)
+    assert info["sample_rate"] == 22050
+    assert info["n_channels"] == 1
+    assert info["bits_per_sample"] == 16
+    assert info["total_samples"] == len(sig)
+    # fixed predictors + Rice actually compress a smooth signal
+    assert len(blob) < 2 * len(sig)
+
+
+def test_flac_rejects_corruption():
+    assert decode_flac(b"fLaC" + b"\x00" * 40) is None
+    assert decode_flac(None) is None
+    assert decode_flac(b"RIFF....WAVE") is None
+    blob = bytearray(encode_flac(np.arange(500, dtype=np.int16)))
+    blob[-3] ^= 0x55  # damage Rice residual bytes → CRC-16 mismatch
+    assert decode_flac(bytes(blob)) is None
+    assert decode_flac(encode_flac(np.arange(500, dtype=np.int16)), max_bytes=8) is None
+
+
+# ---------------------------------------------------------------------------
+# Spark operator dispatch
+# ---------------------------------------------------------------------------
+
+
+def test_decode_media_png_gif_paths(spark):
+    from kinesis_producer_spark.operators.multimodal import decode_media
+
+    img = np.full((10, 20, 3), 100, np.uint8)
+    png = encode_png(img, filter_type=4)
+    pal = np.array([[0, 0, 0], [200, 100, 50]], np.uint8)
+    gif = encode_gif(np.ones((6, 8), np.uint8), pal)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(gif))], "media_id long, content binary"
+    )
+    rows = {r["media_id"]: r.asDict() for r in decode_media(df).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["n_channels"]) == (20, 10, 3)
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["n_channels"]) == (8, 6, 3)
+    # flat image → luma mean 100/255 (float32 column), std 0
+    assert abs(rows[1]["feature"][0] - 100 / 255) < 1e-6
+    assert abs(rows[1]["feature"][1]) < 1e-9
+
+
+def test_resize_media_png_thumbnail_is_decodable(spark):
+    from kinesis_producer_spark.operators.multimodal import resize_media
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (32, 48, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(7, bytearray(encode_png(img)))], "media_id long, content binary"
+    )
+    row = resize_media(df, width=8, height=8).collect()[0]
+    thumb = decode_png(bytes(row["resized"]))
+    assert thumb.shape == (8, 8, 3)
+    # nearest-neighbor: every thumb pixel is an exact source pixel
+    ys = (np.arange(8) * 32) // 8
+    xs = (np.arange(8) * 48) // 8
+    assert np.array_equal(thumb, img[ys][:, xs])
+
+
+def test_decode_audio_pcm_flac_matches_wav(spark):
+    """Lossless equivalence: the same signal through the WAV path and
+    the FLAC path must produce identical stats."""
+    import io
+    import wave
+
+    from kinesis_producer_spark.operators.multimodal import decode_audio_pcm
+
+    t = np.arange(2000)
+    sig = (5000 * np.sin(t / 30)).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(sig.tobytes())
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(buf.getvalue())),
+            (2, bytearray(encode_flac(sig, sample_rate=16000))),
+        ],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r.asDict() for r in decode_audio_pcm(df).collect()}
+    for k in ("n_samples", "sample_rate", "duration_ms", "peak", "mean_milli", "rms"):
+        assert rows[1][k] == rows[2][k], k
+    assert rows[1]["sample_rate"] == 16000
+
+
+def test_decode_avi_frames_luma_null_on_non_jpeg_frame(spark):
+    from kinesis_producer_spark.operators.multimodal import decode_avi_frames_luma
+
+    movi = bytearray(b"movi")
+    fb = b"not a jpeg frame"
+    movi += b"00dc" + len(fb).to_bytes(4, "little") + fb
+    payload = b"LIST" + len(movi).to_bytes(4, "little") + bytes(movi)
+    blob = b"RIFF" + (4 + len(payload)).to_bytes(4, "little") + b"AVI " + payload
+    df = spark.createDataFrame([(1, bytearray(blob))], "media_id long, content binary")
+    rows = decode_avi_frames_luma(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["frame_idx"] == 0
+    assert rows[0]["width"] is None and rows[0]["mean_luma_milli"] is None
