@@ -471,21 +471,78 @@ def q60_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_metadata(d)
 
 
-@query("q61_multimodal_decode")
+@query(
+    "q61_multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                WHEN 2 THEN 'gif' ELSE 'bmp' END AS fmt,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 24 WHEN 1 THEN 24
+                WHEN 2 THEN 16 ELSE 20 END AS INT) AS width,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 16 WHEN 1 THEN 16
+                WHEN 2 THEN 12 ELSE 10 END AS INT) AS height,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 1 ELSE 3 END AS INT) AS n_channels
+    FROM documents
+    """,
+)
 def q61_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic fake-decode plumbing (no oracle: codecs are stubbed;
-    rows-only check). Schema/batching/partitioning are the real path."""
+    """REAL mixed-format decode dispatch: every document becomes a
+    genuine blob in a format chosen by doc_id % 4 — baseline JPEG,
+    PNG, GIF, or 24-bit BMP — and ``decode_media`` runs in its
+    default ``'fail'`` mode, so the query CRASHES if any format
+    falls through to a stub. The oracle pins the decoded dimensions
+    and channel count per format. (Until round 3 this was the
+    fake-decode plumbing check; all four image codecs are now real,
+    so the dispatch itself is oracle-gated.)"""
     from kinesis_producer_spark.operators.multimodal import decode_media
 
-    d = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("content")
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from kinesis_producer_spark.operators.gif import encode_gif
+        from kinesis_producer_spark.operators.jpeg import (
+            FLAT16_QUANT,
+            encode_baseline_jpeg,
+        )
+        from kinesis_producer_spark.operators.multimodal import _encode_bmp
+        from kinesis_producer_spark.operators.png import encode_png
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                v = 2 + 4 * ((did * 5) % 63)
+                kind = did % 4
+                if kind == 0:
+                    blob = encode_baseline_jpeg(
+                        np.full((16, 24), v, np.uint8), luma_quant=FLAT16_QUANT
+                    )
+                elif kind == 1:
+                    blob = encode_png(
+                        np.full((16, 24, 3), v, np.uint8), filter_type=did % 5
+                    )
+                elif kind == 2:
+                    pal = np.stack([np.arange(16)] * 3, axis=1).astype(np.uint8) * 17
+                    idx = (np.arange(192, dtype=np.int64).reshape(12, 16) % 16)
+                    blob = encode_gif(idx.astype(np.uint8), pal)
+                else:
+                    blob = _encode_bmp(np.full((10, 20, 3), v, np.uint8))
+                rows.append({"media_id": did, "content": blob})
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    blobs = d.mapInPandas(synth, "media_id long, content binary")
+    fmt = (
+        F.when(F.col("media_id") % 4 == 0, "jpeg")
+        .when(F.col("media_id") % 4 == 1, "png")
+        .when(F.col("media_id") % 4 == 2, "gif")
+        .otherwise("bmp")
     )
-    out = decode_media(d, decode_stub="fake")
-    # Serialize the feature vector: even the rows-only gate path may
-    # canonicalize cells, and list cells are unhashable there.
-    return out.withColumn(
-        "feature_csv", F.concat_ws(",", F.col("feature").cast("array<string>"))
-    ).drop("feature")
+    return decode_media(blobs).select(
+        "media_id", fmt.alias("fmt"), "width", "height", "n_channels"
+    )
 
 
 @query(
@@ -714,30 +771,94 @@ def q101_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q65_media_pipeline")
+@query(
+    "q65_media_pipeline",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 1 + doc_id % 7 AS a, 1 + doc_id % 5 AS d FROM documents
+    ),
+    s AS (
+      SELECT doc_id, SUM((3 + a * y.v + d * ((3 * x.v) // 2)) % 256) AS sv
+      FROM p, UNNEST(range(16)) AS y(v), UNNEST(range(16)) AS x(v)
+      GROUP BY doc_id
+    )
+    SELECT p.doc_id AS media_id,
+           'image/png' AS media_type,
+           CAST(16 AS INT) AS thumb_width,
+           CAST(16 AS INT) AS thumb_height,
+           CAST((1000 * s.sv) // 256 AS BIGINT) AS thumb_mean_milli
+    FROM p JOIN s ON p.doc_id = s.doc_id
+    """,
+)
 def q65_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full multimodal plumbing chain (rows-only check: codecs are
-    stubbed with deterministic fakes): metadata → resize → frame-sample
-    → per-media frame counts, all Arrow-batched mapInPandas stages."""
+    """Full multimodal pipeline, REAL end to end since round 3: per
+    document a genuine PNG gradient → ``extract_metadata`` (magic
+    sniff) → ``resize_media`` (PNG decode → 16x16 nearest-neighbor →
+    PNG re-encode) → a final decode stage re-opens each thumbnail
+    and reports its pixel mean. PNG is lossless, so the oracle
+    recomputes the thumbnail mean in closed form from the gradient
+    and the nearest-neighbor index map ((3x)//2) — a wrong resize
+    index, a lossy re-encode, or a mislabeled media_type all
+    hash-mismatch. Three chained Arrow-batched stages + one
+    broadcast-sized join; blobs never cross a shuffle."""
     from kinesis_producer_spark.operators.multimodal import (
         extract_metadata,
         resize_media,
-        sample_frames,
     )
+    from kinesis_producer_spark.operators.png import encode_png
 
-    d = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("content")
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        yy = np.arange(16)[:, None]
+        xx = np.arange(24)[None, :]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                a, dlt = 1 + did % 7, 1 + did % 5
+                v = ((3 + a * yy + dlt * xx) % 256).astype(np.uint8)
+                img = np.repeat(v[:, :, None], 3, axis=2)
+                rows.append({"media_id": did, "content": encode_png(img)})
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    blobs = d.mapInPandas(synth, "media_id long, content binary")
+    meta = extract_metadata(blobs).select("media_id", "media_type")
+    thumbs = resize_media(blobs, 16, 16).select("media_id", "resized")
+
+    def reopen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from kinesis_producer_spark.operators.png import decode_png
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["resized"]):
+                arr = decode_png(bytes(payload))
+                total = int(arr.astype(np.int64).sum())
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "thumb_width": int(arr.shape[1]),
+                        "thumb_height": int(arr.shape[0]),
+                        "thumb_mean_milli": (1000 * total) // arr.size,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "thumb_width", "thumb_height", "thumb_mean_milli"],
+            )
+
+    stats = thumbs.mapInPandas(
+        reopen,
+        "media_id long, thumb_width int, thumb_height int, thumb_mean_milli long",
     )
-    meta = extract_metadata(d)
-    resized = resize_media(d, 16, 16, decode_stub="fake")
-    frames = sample_frames(d, every_n=4, max_frames=4, decode_stub="fake")
-    per_media = frames.groupBy("media_id").agg(
-        F.count(F.lit(1)).alias("n_frames"), F.min("frame_md5").alias("min_frame_md5")
-    )
-    return (
-        meta.join(resized.select("media_id", F.length("resized").alias("resized_bytes")), "media_id")
-        .join(per_media, "media_id")
-        .select("media_id", "n_bytes", "media_type", "resized_bytes", "n_frames", "min_frame_md5")
+    return meta.join(stats, "media_id").select(
+        "media_id", "media_type", "thumb_width", "thumb_height", "thumb_mean_milli"
     )
 
 
