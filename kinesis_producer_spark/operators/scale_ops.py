@@ -1789,3 +1789,179 @@ def q186_ab_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("events_per_session_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q200 — Bloom-filter join pruning (probe-side pre-filter + exact join)
+# ---------------------------------------------------------------------------
+
+_BLOOM_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+GROUP BY o_orderpriority
+"""
+
+
+@query("q200_bloom_prune_join", oracle=_BLOOM_ORACLE)
+def q200_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join with an explicit Bloom pre-filter (operators/bloom.py):
+    the build side's keys (BUILDING-segment customers) become a
+    broadcast bitmap tested with pure column expressions
+    (xxhash64 + getbit) inside the probe scan's stage; the exact
+    broadcast semi-join that follows kills false positives, so the
+    result is identical to the plain semi-join the oracle computes.
+
+    Scale: at 100 TB the probe scan drops non-candidate rows before
+    any exchange — the pattern Spark's runtime bloom filter applies
+    automatically for joins, made explicit so it can be sized, built
+    once, reused across queries, and placed ahead of UDF stages the
+    optimizer won't reach. No false negatives by construction: the
+    bitmap's positions are computed by the same JVM xxhash64 the
+    probe test uses (build_bloom collects bit positions, bounded by
+    k·|keys|, never build-side rows)."""
+    from kinesis_producer_spark.operators.bloom import bloom_semi_join
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    hit = bloom_semi_join(o, c, "o_custkey", "c_custkey")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(cents).cast("bigint").alias("total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q201 — exact heavy hitters via per-partition threshold pruning
+# ---------------------------------------------------------------------------
+
+_HH_THRESHOLD = 200
+_HH_PARTS = 32
+
+_HH_ORACLE = f"""
+WITH toks AS (
+  SELECT UNNEST(regexp_split_to_array(LOWER(text), '\\s+')) AS tok
+  FROM documents
+)
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks WHERE tok <> ''
+GROUP BY tok HAVING COUNT(*) >= {_HH_THRESHOLD}
+"""
+
+
+@query("q201_heavy_hitters_pruned", oracle=_HH_ORACLE)
+def q201_heavy_hitters_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters (tokens with count ≥ T) without
+    shuffling the full vocabulary. Pass 1 counts tokens WITHIN each
+    partition (mapInPandas, no shuffle) and keeps local candidates
+    with local count ≥ ceil(T/P): by pigeonhole, any token with
+    global count ≥ T must clear that bar in at least one of the P
+    partitions — if all P stayed below ceil(T/P), the total would be
+    ≤ P·(ceil(T/P)−1) < T. Pass 2 exact-counts ONLY the candidate
+    union via a broadcast semi-join. The candidate set is a superset
+    of the truth for ANY partitioning, so the output is exact and
+    deterministic — the oracle is the plain SQL heavy-hitter query.
+
+    Scale: a naive groupBy shuffles every distinct token (billions at
+    100 TB, hash-partial aggregation states included); here the
+    exchange carries only tokens that are locally frequent somewhere
+    — for Zipfian text a few thousand — plus one broadcast of the
+    candidate list. The local pass streams each partition through a
+    dict counter; memory is bounded by per-partition vocabulary,
+    which maxPartitionBytes already bounds."""
+    import math
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .repartition(_HH_PARTS)
+    )
+    local_bar = math.ceil(_HH_THRESHOLD / _HH_PARTS)
+
+    def local_candidates(batches):
+        import pandas as pd
+
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for tok, cnt in pdf["tok"].value_counts().items():
+                counts[tok] = counts.get(tok, 0) + int(cnt)
+        cand = [t for t, c in counts.items() if c >= local_bar]
+        yield pd.DataFrame({"tok": cand})
+
+    candidates = toks.mapInPandas(local_candidates, "tok string").distinct()
+    return (
+        toks.join(F.broadcast(candidates), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= _HH_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q202 — compressed-blob text source (gzip/zlib column inflate)
+# ---------------------------------------------------------------------------
+
+_GUNZIP_ORACLE = """
+SELECT doc_id,
+       MD5(text) AS text_md5,
+       CAST(LENGTH(text) AS INT) AS n_chars,
+       CASE WHEN doc_id % 2 = 0 THEN 'gzip' ELSE 'zlib' END AS container
+FROM documents
+"""
+
+
+@query("q202_gzip_text_source", oracle=_GUNZIP_ORACLE)
+def q202_gzip_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-column text source round-trip: every document's text
+    is deflated into a per-record blob (gzip container on even
+    doc_ids — with mtime pinned to 0 for determinism — zlib framing
+    on odd), then re-inflated by ``sources.compressed.gunzip_text``
+    (stdlib zlib, auto-detecting wbits=47, zip-bomb bounded). The
+    oracle reads the ORIGINAL text, so the md5/length comparison
+    proves byte-exact recovery through both container formats.
+
+    This is the distributed re-expression of the reference's
+    driver-side gunzip (reference ``decompression.py:14-21`` gunzips
+    whole S3 objects on one host): per-record blobs inflate inside
+    Arrow-batched executor stages, so 100 TB of compressed text never
+    converges on a single machine."""
+    from kinesis_producer_spark.sources.compressed import gunzip_text
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def deflate(batches):
+        import gzip
+        import zlib as _z
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = str(text).encode("utf-8")
+                did = int(did)
+                blob = (
+                    gzip.compress(raw, mtime=0)
+                    if did % 2 == 0
+                    else _z.compress(raw)
+                )
+                rows.append({"doc_id": did, "content": blob})
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = d.mapInPandas(deflate, "doc_id long, content binary")
+    out = gunzip_text(blobs)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        F.length("text").cast("int").alias("n_chars"),
+        F.when(F.col("doc_id") % 2 == 0, "gzip").otherwise("zlib").alias("container"),
+    )

@@ -1,0 +1,71 @@
+"""Compressed-blob text source (gzip / zlib, stdlib-only).
+
+Web-scale text corpora arrive as per-document compressed blobs
+(WARC payloads, gzip'd JSON, zlib-framed records). Spark's codec
+layer only decompresses at FILE granularity (.gz whole-file), so a
+binary COLUMN of compressed payloads needs an explicit operator:
+``gunzip_text`` inflates each blob inside an Arrow-batched
+``mapInPandas`` stage — stdlib ``zlib`` with ``wbits=47``
+auto-detects gzip vs zlib framing, the hot loop is C, and blobs
+never leave the executor. Corrupt/oversized/undecodable blobs yield
+null text (the poisoned-blob contract shared with the media
+decoders), never a task failure.
+
+Reference parity: the reference's ``decompression.py`` gunzips
+whole S3 objects driver-side; this is the per-record, distributed
+re-expression of the same capability (cited per SURVEY §2a op 4).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+GUNZIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_bytes_compressed", T.LongType()),
+    ]
+)
+
+
+def gunzip_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    encoding: str = "utf-8",
+    max_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Inflate a binary column of gzip- or zlib-framed payloads into a
+    text column. ``max_bytes`` bounds the DECOMPRESSED size per blob
+    (zip-bomb guard — enforced via ``zlib.decompressobj`` so the bomb
+    is never fully inflated)."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("_blob"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = GUNZIP_SCHEMA.fieldNames()
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["_blob"]):
+                b = bytes(blob) if blob is not None else b""
+                text = None
+                try:
+                    d = zlib.decompressobj(wbits=47)  # auto gzip/zlib
+                    raw = d.decompress(b, max_bytes)
+                    if not d.unconsumed_tail:  # within the size bound
+                        raw += d.flush()
+                        text = raw.decode(encoding)
+                except (zlib.error, UnicodeDecodeError):
+                    text = None
+                rows.append(
+                    {"doc_id": did, "text": text, "n_bytes_compressed": len(b)}
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(run, GUNZIP_SCHEMA)

@@ -1,0 +1,77 @@
+"""Tests for Bloom-filter join pruning and the compressed-text source."""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+
+from pyspark.sql import functions as F
+
+
+def test_bloom_has_no_false_negatives_and_prunes(spark):
+    from kinesis_producer_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    build = spark.range(0, 200).select((F.col("id") * 7).alias("k"))
+    probe = spark.range(0, 20000).select(F.col("id").alias("k"))
+    words = build_bloom(build, "k", m_bits=1 << 14, k=5)
+    kept = probe.where(bloom_might_contain(words, F.col("k"), 1 << 14, 5))
+    kept_keys = {r.k for r in kept.collect()}
+    true_keys = {i * 7 for i in range(200)}
+    # no false negatives: every build key that appears in probe survives
+    assert true_keys & set(range(20000)) <= kept_keys
+    # real pruning: false-positive rate well under 5% of the non-members
+    assert len(kept_keys) < 200 + 0.05 * 20000
+
+
+def test_bloom_semi_join_equals_exact_semi_join(spark):
+    from kinesis_producer_spark.operators.bloom import bloom_semi_join
+
+    build = spark.range(0, 50).select((F.col("id") * 3 + 1).alias("bk"))
+    probe = spark.range(0, 5000).select(
+        F.col("id").alias("pk"), (F.col("id") % 97).alias("payload")
+    )
+    got = sorted(
+        (r.pk, r.payload)
+        for r in bloom_semi_join(probe, build, "pk", "bk", m_bits=1 << 10).collect()
+    )
+    exact = sorted(
+        (r.pk, r.payload)
+        for r in probe.join(
+            build, probe["pk"] == build["bk"], "left_semi"
+        ).collect()
+    )
+    assert got == exact and len(got) == 50
+
+
+def test_gunzip_text_containers_and_poison(spark):
+    from kinesis_producer_spark.sources.compressed import gunzip_text
+
+    text = "hello compressed world éè"
+    rows = [
+        (1, bytearray(gzip.compress(text.encode(), mtime=0))),
+        (2, bytearray(zlib.compress(text.encode()))),
+        (3, bytearray(b"not compressed at all")),
+        (4, bytearray(zlib.compress(b"\xff\xfe invalid utf8? no:") + b"x")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r.doc_id: r.asDict() for r in gunzip_text(df).collect()}
+    assert out[1]["text"] == text and out[2]["text"] == text
+    assert out[3]["text"] is None
+    assert out[4]["text"] is None  # trailing garbage → zlib error → null
+    assert out[1]["n_bytes_compressed"] == len(rows[0][1])
+
+
+def test_gunzip_zip_bomb_guard(spark):
+    from kinesis_producer_spark.sources.compressed import gunzip_text
+
+    bomb = zlib.compress(b"A" * (1 << 20))  # 1 MiB inflates from ~1 KiB
+    df = spark.createDataFrame(
+        [(1, bytearray(bomb))], "doc_id long, content binary"
+    )
+    out = gunzip_text(df, max_bytes=1 << 10).collect()[0]
+    assert out["text"] is None  # over the bound → null, not OOM/crash
+    ok = gunzip_text(df, max_bytes=1 << 21).collect()[0]
+    assert ok["text"] == "A" * (1 << 20)
