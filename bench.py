@@ -55,6 +55,13 @@ HEADLINE = [
     # Round-3: real baseline-JPEG encode+decode (pure-numpy codec) per
     # document inside one mapInPandas stage.
     "q195_jpeg_decode_stats",
+    # Round-3 additions: PNG (zlib+unfilter) and FLAC (Rice+fixed
+    # predictors) codec round-trips, candidate-pruned exact heavy
+    # hitters, and the Bloom-prefiltered semi-join.
+    "q196_png_decode_stats",
+    "q198_flac_decode_samples",
+    "q201_heavy_hitters_pruned",
+    "q200_bloom_prune_join",
 ]
 
 
@@ -82,11 +89,19 @@ def main() -> None:
     ):
         queries[wq](spark, warm_sf).write.mode("overwrite").format("noop").save()
 
+    # min-of-N per query (default 2): this box shares hardware with
+    # noisy neighbors (load spikes inflate shuffle-heavy queries 2-5x
+    # run-to-run); the minimum is the contention-free estimate and is
+    # what round-over-round comparisons should use.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(

@@ -57,21 +57,41 @@ _FIXED_COEFS = {
 }
 
 
+def _make_crc8_table() -> list[int]:
+    table = []
+    for byte in range(256):
+        crc = byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07 if crc & 0x80 else crc << 1) & 0xFF
+        table.append(crc)
+    return table
+
+
+def _make_crc16_table() -> list[int]:
+    table = []
+    for byte in range(256):
+        crc = byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005 if crc & 0x8000 else crc << 1) & 0xFFFF
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _make_crc8_table()
+_CRC16_TABLE = _make_crc16_table()
+
+
 def _crc8(data: bytes) -> int:
     crc = 0
     for byte in data:
-        crc ^= byte
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07 if crc & 0x80 else crc << 1) & 0xFF
+        crc = _CRC8_TABLE[crc ^ byte]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
     for byte in data:
-        crc ^= byte << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005 if crc & 0x8000 else crc << 1) & 0xFFFF
+        crc = _CRC16_TABLE[((crc >> 8) ^ byte) & 0xFF] ^ ((crc << 8) & 0xFFFF)
     return crc
 
 
@@ -102,12 +122,28 @@ class _BitReader:
         return v - (1 << n) if v >= (1 << (n - 1)) else v
 
     def read_unary(self) -> int:
+        """Count leading zero bits up to the next 1 (consumed). Scans
+        byte-at-a-time: the remaining bits of the current byte are
+        checked with one bit_length() instead of per-bit reads."""
         q = 0
-        while self.read(1) == 0:
-            q += 1
-            if q > 1 << 20:
+        while True:
+            if self.pos >= len(self.b):
                 raise EOFError
-        return q
+            avail = 8 - self.bit
+            chunk = self.b[self.pos] & ((1 << avail) - 1)
+            if chunk == 0:
+                q += avail
+                self.bit = 0
+                self.pos += 1
+                if q > 1 << 20:
+                    raise EOFError
+                continue
+            zeros = avail - chunk.bit_length()
+            self.bit += zeros + 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+            return q + zeros
 
     def align(self) -> None:
         if self.bit:
@@ -134,6 +170,26 @@ class _BitWriter:
             self.write(0, 32)
             q -= 32
         self.write(1, q + 1)
+
+    def write_bits(self, bits: np.ndarray) -> None:
+        """Append a 0/1 uint8 bit array in bulk (numpy packbits does
+        the byte assembly; only the sub-byte seams stay in Python)."""
+        if self.nbits:
+            pend = np.array(
+                [(self.acc >> (self.nbits - 1 - i)) & 1 for i in range(self.nbits)],
+                np.uint8,
+            )
+            bits = np.concatenate([pend, bits])
+            self.acc = 0
+            self.nbits = 0
+        packed = np.packbits(bits)
+        rem = len(bits) % 8
+        if rem:
+            self.out += packed[:-1].tobytes()
+            self.acc = int(packed[-1]) >> (8 - rem)
+            self.nbits = rem
+        else:
+            self.out += packed.tobytes()
 
     def align(self) -> None:
         if self.nbits:
@@ -189,12 +245,18 @@ def _decode_subframe(r: _BitReader, n: int, bits: int) -> np.ndarray | None:
         res = _read_residuals_fixed(r, n, order)
         if res is None:
             return None
-        samples = list(warm)
-        coefs = _FIXED_COEFS[order]
-        for value in res:
-            pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs))
-            samples.append(value + pred)
-        return np.array(samples, np.int64)
+        if order == 0:
+            return np.asarray(res, np.int64)
+        # Vectorized inverse of the order-o difference operator: the
+        # residual is Δ^o s, so o successive cumulative sums — each
+        # seeded with the last warmup value of that difference level —
+        # reconstruct the signal (exact int64, no per-sample loop).
+        warm_arr = np.asarray(warm, np.int64)
+        cur = np.asarray(res, np.int64)
+        for level in range(order - 1, -1, -1):
+            seed = int(np.diff(warm_arr, level)[-1]) if level else int(warm_arr[-1])
+            cur = seed + np.cumsum(cur)
+        return np.concatenate([warm_arr, cur])
     return None  # LPC unsupported
 
 
@@ -399,12 +461,20 @@ def _rice_param(res: np.ndarray) -> int:
 
 
 def _write_rice(w: _BitWriter, res: np.ndarray, param: int) -> None:
-    for v in res:
-        v = int(v)
-        u = (v << 1) if v >= 0 else ((-v) << 1) - 1
-        w.write_unary(u >> param)
-        if param:
-            w.write(u, param)
+    """Vectorized Rice coder: compute every code's bit layout with
+    numpy (terminator positions + remainder bits scattered into one
+    bit array), then bulk-append. No per-sample Python bit loop."""
+    res = np.asarray(res, np.int64)
+    if res.size == 0:
+        return
+    u = np.where(res >= 0, res << 1, ((-res) << 1) - 1)
+    q = u >> param
+    ends = np.cumsum(q + 1 + param)
+    bits = np.zeros(int(ends[-1]), np.uint8)
+    bits[ends - 1 - param] = 1  # unary terminators
+    for j in range(param):
+        bits[ends - param + j] = (u >> (param - 1 - j)) & 1
+    w.write_bits(bits)
 
 
 def encode_flac(
