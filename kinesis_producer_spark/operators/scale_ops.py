@@ -1965,3 +1965,53 @@ def q202_gzip_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("int").alias("n_chars"),
         F.when(F.col("doc_id") % 2 == 0, "gzip").otherwise("zlib").alias("container"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q203 — bucketed-table layout: the recurring join with zero shuffle
+# ---------------------------------------------------------------------------
+
+_BUCKETED_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("q203_bucketed_join", oracle=_BUCKETED_ORACLE)
+def q203_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join through hash-bucketed layout
+    (operators/bucketed.py): orders and lineitem are first written
+    ``bucketBy(orderkey)`` + ``sortBy`` into co-located tables, then
+    joined — Spark plans a sort-merge over matching buckets with NO
+    Exchange on either join side (asserted in tests/test_bucketed.py;
+    the only exchange left in this query is the final groupBy's).
+
+    Scale: this is the standing answer to the biggest recurring
+    shuffle in any pipeline that joins the same fact tables daily —
+    pay the layout write once, then every subsequent join on the
+    bucket key moves zero bytes between executors. The bucketed write
+    itself is one shuffle (bucketBy hashes rows to buckets), so it
+    amortizes after the second query; bucket count (8 here, sized to
+    the fixture) would be ~4000 at 100 TB so each bucket-file stays
+    in the hundreds of MB."""
+    import tempfile
+
+    from kinesis_producer_spark.operators.bucketed import bucketed, write_bucketed
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    base = tempfile.gettempdir()
+    write_bucketed(o, "kps_b_orders", "o_orderkey", 8, path=f"{base}/kps_b_orders")
+    write_bucketed(li, "kps_b_lineitem", "l_orderkey", 8, path=f"{base}/kps_b_lineitem")
+    bo = bucketed(spark, "kps_b_orders")
+    bl = bucketed(spark, "kps_b_lineitem")
+    joined = bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(cents).cast("bigint").alias("total_cents"),
+    )
