@@ -96,10 +96,14 @@ def _crc16(data: bytes) -> int:
 
 
 class _BitReader:
-    def __init__(self, b: bytes, pos: int = 0):
+    def __init__(self, b: bytes, pos: int = 0, bits=None, ones=None):
         self.b = b
         self.pos = pos  # byte position
         self.bit = 0  # bits consumed in current byte (MSB first)
+        # optional whole-buffer bit cache (np.unpackbits result and the
+        # indices of its set bits) enabling vectorized Rice decode
+        self.bits = bits
+        self.ones = ones
 
     def read(self, n: int) -> int:
         v = 0
@@ -260,7 +264,53 @@ def _decode_subframe(r: _BitReader, n: int, bits: int) -> np.ndarray | None:
     return None  # LPC unsupported
 
 
-def _read_residuals_fixed(r: _BitReader, n: int, order: int) -> list[int] | None:
+def _read_rice_block(r: _BitReader, count: int, param: int) -> np.ndarray | None:
+    """Fast Rice decode of one partition using the reader's cached
+    whole-blob bit array: terminator '1's are found by walking the
+    precomputed ones-index (skipping the ones that sit inside
+    remainder fields), then all quotients and remainders are
+    reconstructed with vectorized numpy — no per-sample bit reads."""
+    bits, ones = r.bits, r.ones
+    start = r.pos * 8 + r.bit
+    i = int(np.searchsorted(ones, start))
+    step = 1 + param
+    # a code consumes at most one terminator plus param remainder
+    # bits' worth of ones, so this slice bounds the walk; .tolist()
+    # converts once so the loop runs on plain Python ints.
+    seg = ones[i : i + count * step + 1].tolist()
+    n_seg = len(seg)
+    terms = []
+    j = 0
+    nxt = start
+    for _ in range(count):
+        while j < n_seg and seg[j] < nxt:
+            j += 1
+        if j >= n_seg:
+            return None
+        o = seg[j]
+        terms.append(o)
+        nxt = o + step
+        j += 1
+    end = nxt
+    if end > len(bits):
+        return None
+    term = np.array(terms, np.int64)
+    prev_end = np.empty(count, np.int64)
+    prev_end[0] = start
+    prev_end[1:] = term[:-1] + step
+    q = term - prev_end
+    if (q < 0).any():
+        return None
+    u = q << param
+    if param:
+        idx = term[:, None] + 1 + np.arange(param)
+        weights = 1 << np.arange(param - 1, -1, -1, dtype=np.int64)
+        u = u | (bits[idx] @ weights)
+    r.pos, r.bit = end >> 3, end & 7
+    return (u >> 1) ^ -(u & 1)
+
+
+def _read_residuals_fixed(r: _BitReader, n: int, order: int) -> np.ndarray | None:
     """Residuals for a FIXED subframe: the first partition holds
     (n / parts - order) residuals, the rest hold n / parts."""
     try:
@@ -272,20 +322,31 @@ def _read_residuals_fixed(r: _BitReader, n: int, order: int) -> list[int] | None
         n_parts = 1 << porder
         if n % n_parts or (n >> porder) <= order:
             return None
-        out: list[int] = []
+        parts: list[np.ndarray] = []
         for part in range(n_parts):
             param = r.read(pbits)
             count = (n >> porder) - (order if part == 0 else 0)
             if param == escape:
                 raw = r.read(5)
-                for _ in range(count):
-                    out.append(r.read_signed(raw) if raw else 0)
-            else:
-                for _ in range(count):
+                parts.append(
+                    np.array(
+                        [r.read_signed(raw) if raw else 0 for _ in range(count)],
+                        np.int64,
+                    )
+                )
+            elif r.bits is not None:
+                block = _read_rice_block(r, count, param)
+                if block is None:
+                    return None
+                parts.append(block)
+            else:  # no cached bit array (standalone reader) — slow path
+                vals = np.empty(count, np.int64)
+                for t in range(count):
                     q = r.read_unary()
                     u = (q << param) | (r.read(param) if param else 0)
-                    out.append((u >> 1) ^ -(u & 1))
-        return out
+                    vals[t] = (u >> 1) ^ -(u & 1)
+                parts.append(vals)
+        return np.concatenate(parts) if parts else np.empty(0, np.int64)
     except (EOFError, ValueError):
         return None
 
@@ -344,8 +405,11 @@ def _decode_frames(b: bytes, info: dict) -> tuple[np.ndarray, int] | None:
             break
     chunks: list[np.ndarray] = []
     rate = info["sample_rate"]
+    # one unpackbits per blob feeds the vectorized Rice fast path
+    bit_cache = np.unpackbits(np.frombuffer(b, np.uint8)).astype(np.int64)
+    ones_cache = np.flatnonzero(bit_cache)
     while pos + 5 <= len(b):
-        r = _BitReader(b, pos)
+        r = _BitReader(b, pos, bits=bit_cache, ones=ones_cache)
         sync = r.read(14)
         if sync != 0x3FFE:
             return None

@@ -496,7 +496,7 @@ def q61_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the dispatch itself is oracle-gated.)"""
     from kinesis_producer_spark.operators.multimodal import decode_media
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         import numpy as np
@@ -807,7 +807,7 @@ def q65_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kinesis_producer_spark.operators.png import encode_png
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         import numpy as np
@@ -3290,7 +3290,7 @@ def q188_media_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from kinesis_producer_spark.operators.multimodal import decode_headers
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     width = (F.lit(1) + F.col("doc_id") % 1920).cast("long")
     height = (F.lit(1) + F.col("doc_id") % 1080).cast("long")
     color_type = (
@@ -3524,6 +3524,18 @@ def q190_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "cos_micro", "rank")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a narrow frame across all cores before a fat Python
+    synthesis/decode stage. A single parquet file scans as ONE
+    partition, which silently serializes every downstream mapInPandas
+    codec kernel onto one core (observed: q198 ran 4.5s single-threaded
+    vs <1s spread at sf0.1 on local[32]); at 100 TB the same trap
+    appears whenever a small id-list drives heavy per-row Python. The
+    shuffle moves only the pre-synthesis columns (here: one long)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def _le_hex(c: F.Column, n_hex: int) -> F.Column:
     """Little-endian hex STRING of an int column (for F.repeat-able
     byte patterns; unhex at the end)."""
@@ -3562,7 +3574,7 @@ def q191_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk-offset, or off-by-one error in the decoder mismatches."""
     from kinesis_producer_spark.operators.multimodal import decode_audio_pcm
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     m = (F.col("doc_id") % 50).cast("long")
     n = (m * 2 + 1).cast("long")
     amp = (F.lit(1) + F.col("doc_id") % 30000).cast("long")
@@ -3620,7 +3632,7 @@ def q193_bmp_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pinned separately in tests/test_etl_operators.py."""
     from kinesis_producer_spark.operators.multimodal import decode_bmp_stats, resize_bmp
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     w = (F.lit(1) + F.col("doc_id") % 16).cast("long")
     h = (F.lit(1) + F.col("doc_id") % 12).cast("long")
     r = (F.col("doc_id") % 256).cast("long")
@@ -3679,7 +3691,7 @@ def q194_avi_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame-level JPEG parsing mismatches."""
     from kinesis_producer_spark.operators.multimodal import sample_frames_avi
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     n_frames = (F.lit(1) + F.col("doc_id") % 6).cast("int")
     w = (F.lit(1) + F.col("doc_id") % 640).cast("long")
     h = (F.lit(1) + F.col("doc_id") % 480).cast("long")
@@ -3772,7 +3784,7 @@ def q195_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_baseline_jpeg,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     schema = (
         "media_id long, media_kind string, width int, height int, "
         "n_channels int, mean_luma_milli long"
@@ -3884,7 +3896,7 @@ def q196_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel, blobs never leave the executor."""
     from kinesis_producer_spark.operators.png import decode_png, encode_png
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     schema = (
         "media_id long, png_kind string, filter_type int, interlaced int, "
         "width int, height int, n_channels int, mean_milli long"
@@ -3977,7 +3989,7 @@ def q197_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one output row per frame), the video analogue of explode."""
     from kinesis_producer_spark.operators.gif import decode_gif_frames, encode_gif
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
     schema = (
         "media_id long, frame_idx int, width int, height int, "
         "wsum_r long, wsum_g long, wsum_b long"
@@ -4088,7 +4100,7 @@ def q198_flac_decode_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_producer_spark.operators.flac import encode_flac
     from kinesis_producer_spark.operators.multimodal import decode_audio_pcm
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         import numpy as np
@@ -4161,7 +4173,7 @@ def q199_avi_frame_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kinesis_producer_spark.operators.multimodal import decode_avi_frames_luma
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         import numpy as np

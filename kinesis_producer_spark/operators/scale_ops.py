@@ -1936,7 +1936,13 @@ def q202_gzip_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     converges on a single machine."""
     from kinesis_producer_spark.sources.compressed import gunzip_text
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread before the Python deflate/inflate stages: a single parquet
+    # file scans as one partition, serializing the codec onto one core
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def deflate(batches):
         import gzip
