@@ -287,3 +287,16 @@ def test_decode_avi_frames_luma_null_on_non_jpeg_frame(spark):
     assert len(rows) == 1
     assert rows[0]["frame_idx"] == 0
     assert rows[0]["width"] is None and rows[0]["mean_luma_milli"] is None
+
+
+def test_spread_fans_out_single_partition_inputs(spark):
+    """Guard the round-3 fix: codec queries must not feed mapInPandas
+    from a 1-partition scan (serializes Python kernels onto 1 core)."""
+    from kinesis_producer_spark.operators.llm_queries import _spread
+
+    one = spark.range(0, 1000).coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    assert (
+        _spread(one).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
