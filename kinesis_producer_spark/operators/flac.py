@@ -9,21 +9,23 @@ library — only bit-level parsing.
 decode: ``fLaC`` magic → metadata block walk (STREAMINFO) → per
 frame: header (sync, block size / sample rate / channel assignment /
 sample size codes, UTF-8 frame number, CRC-8) → per channel
-subframe: CONSTANT | VERBATIM | FIXED order 0–4 (warmup + Rice
-partitions, escape-to-raw supported) → inverse fixed prediction →
-stereo decorrelation (left/side, right/side, mid/side) → int32
-sample matrix (n_frames_samples, n_channels).
+subframe: CONSTANT | VERBATIM | FIXED order 0–4 | quantized LPC
+(any order, truncating-shift feedback) with Rice-coded residuals
+(partitions + escape-to-raw) → stereo decorrelation (left/side,
+right/side, mid/side) → int32 sample matrix
+(n_frames_samples, n_channels). The Rice hot path is vectorized
+over a cached whole-blob bit array.
 
 encode (minimal sibling for synthesizing deterministic inputs):
 16-bit PCM → per-block fixed-predictor order 0–2 chosen by residual
-magnitude (or CONSTANT for flat blocks), single Rice partition,
-independent channels, correct CRC-8/CRC-16 — a genuine, compliant
-compressed stream, not a stored-only shortcut.
+magnitude (or CONSTANT for flat blocks), single Rice partition;
+opt-in quantized-LPC subframes with caller-chosen coefficients and
+all four stereo modes — so every decoder path is exercised by
+round-trip tests. Correct CRC-8/CRC-16 throughout: a genuine,
+compliant compressed stream, not a stored-only shortcut.
 
 Unsupported (returns None — the operator layer yields null rows):
-LPC subframes, wasted bits, sample sizes other than 8/12/16/20/24.
-The synthesizer only emits what the decoder handles; real-world
-FLAC with LPC needs libFLAC via the same operator seam.
+wasted bits, sample sizes other than 8/12/16/20/24.
 
 Scale posture: per-blob Python inside Arrow-batched ``mapInPandas``
 stages; blobs never leave executors.
@@ -261,7 +263,31 @@ def _decode_subframe(r: _BitReader, n: int, bits: int) -> np.ndarray | None:
             seed = int(np.diff(warm_arr, level)[-1]) if level else int(warm_arr[-1])
             cur = seed + np.cumsum(cur)
         return np.concatenate([warm_arr, cur])
-    return None  # LPC unsupported
+    if stype >= 32:  # LPC, order = (stype & 31) + 1
+        order = (stype & 31) + 1
+        warm = [r.read_signed(bits) for _ in range(order)]
+        precision = r.read(4) + 1
+        if precision == 16:  # 0b1111 is invalid per spec
+            return None
+        shift = r.read_signed(5)
+        if shift < 0:
+            return None
+        coefs = [r.read_signed(precision) for _ in range(order)]
+        res = _read_residuals_fixed(r, n, order)
+        if res is None:
+            return None
+        # quantized-LPC feedback: s[i] = res[i] + (Σ c_j·s[i-1-j] >> shift).
+        # The shift truncates toward -inf (arithmetic >>), which is why
+        # this loop cannot be a linear filter call — plain Python ints.
+        samples = list(warm)
+        res_list = res.tolist()
+        for value in res_list:
+            acc = 0
+            for j, c in enumerate(coefs):
+                acc += c * samples[-1 - j]
+            samples.append(value + (acc >> shift))
+        return np.asarray(samples, np.int64)
+    return None  # reserved subframe types
 
 
 def _read_rice_block(r: _BitReader, count: int, param: int) -> np.ndarray | None:
@@ -542,11 +568,24 @@ def _write_rice(w: _BitWriter, res: np.ndarray, param: int) -> None:
 
 
 def encode_flac(
-    samples: np.ndarray, sample_rate: int = 44100, block_size: int = 4096
+    samples: np.ndarray,
+    sample_rate: int = 44100,
+    block_size: int = 4096,
+    lpc: tuple[list[int], int, int] | None = None,
+    stereo_mode: str = "independent",
 ) -> bytes:
     """Encode int16 PCM (n,) or (n, n_channels) as a compliant FLAC
     stream: fixed predictors (order 0–2, per-block choice), CONSTANT
-    for flat blocks, single Rice partition, independent channels."""
+    for flat blocks, single Rice partition.
+
+    ``lpc=(coefs, shift, precision)`` switches every non-constant
+    subframe to a quantized-LPC subframe with those exact parameters
+    (residual computed against the same truncating-shift predictor
+    the decoder runs) — used to exercise the decoder's LPC path with
+    known coefficients. ``stereo_mode`` in {'independent',
+    'left-side', 'right-side', 'mid-side'} selects the 2-channel
+    decorrelation (non-independent modes require exactly 2 channels;
+    the side channel is coded at bits+1 per spec)."""
     x = np.asarray(samples, np.int64)
     if x.ndim == 1:
         x = x[:, None]
@@ -582,7 +621,13 @@ def encode_flac(
         w.write(0, 2)  # reserved + fixed blocking
         w.write(7, 4)  # 16-bit block size follows
         w.write(sr_code if sr_code is not None else 13, 4)  # 13: Hz follows
-        w.write(n_chan - 1, 4)
+        chan_code = {
+            "independent": n_chan - 1,
+            "left-side": 8,
+            "right-side": 9,
+            "mid-side": 10,
+        }[stereo_mode]
+        w.write(chan_code, 4)
         w.write(4, 3)  # 16 bits per sample
         w.write(0, 1)
         for byte in _encode_utf8_number(frame_idx):
@@ -593,21 +638,63 @@ def encode_flac(
         w.align()
         hdr = bytes(w.out)
         w.write(_crc8(hdr), 8)
-        for ch in range(n_chan):
-            sig = blk[:, ch]
+        if stereo_mode == "independent":
+            subframes = [(blk[:, ch], bits) for ch in range(n_chan)]
+        else:
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right
+            if stereo_mode == "left-side":
+                subframes = [(left, bits), (side, bits + 1)]
+            elif stereo_mode == "right-side":
+                subframes = [(side, bits + 1), (right, bits)]
+            else:  # mid-side: mid = floor((l+r)/2), side carries the lsb
+                mid = (left + right) >> 1
+                subframes = [(mid, bits), (side, bits + 1)]
+        for sig, sbits in subframes:
             if bs and (sig == sig[0]).all():
                 w.write(0, 1)
                 w.write(0, 6)  # CONSTANT
                 w.write(0, 1)
-                w.write(int(sig[0]), bits)
+                w.write(int(sig[0]), sbits)
                 continue
-            order = _best_fixed_order(sig)
-            res = np.diff(sig, order) if order else sig.copy()
-            w.write(0, 1)
-            w.write(8 + order, 6)  # FIXED
-            w.write(0, 1)
-            for warm in sig[:order]:
-                w.write(int(warm), bits)
+            if lpc is not None:
+                coefs, shift, precision = lpc
+                order = len(coefs)
+                if bs <= order:
+                    raise ValueError("block too short for LPC order")
+                w.write(0, 1)
+                w.write(32 + order - 1, 6)  # LPC
+                w.write(0, 1)
+                for warm in sig[:order]:
+                    w.write(int(warm), sbits)
+                w.write(precision - 1, 4)
+                w.write(shift, 5)
+                for c in coefs:
+                    w.write(int(c), precision)
+                # residual against the decoder's exact truncating shift
+                samples_list = sig.tolist()
+                res = np.array(
+                    [
+                        samples_list[i]
+                        - (
+                            sum(
+                                c * samples_list[i - 1 - j]
+                                for j, c in enumerate(coefs)
+                            )
+                            >> shift
+                        )
+                        for i in range(order, bs)
+                    ],
+                    np.int64,
+                )
+            else:
+                order = _best_fixed_order(sig)
+                res = np.diff(sig, order) if order else sig.copy()
+                w.write(0, 1)
+                w.write(8 + order, 6)  # FIXED
+                w.write(0, 1)
+                for warm in sig[:order]:
+                    w.write(int(warm), sbits)
             w.write(0, 2)  # rice method 0
             w.write(0, 4)  # partition order 0
             param = min(_rice_param(res), 14)

@@ -300,3 +300,52 @@ def test_spread_fans_out_single_partition_inputs(spark):
         _spread(one).rdd.getNumPartitions()
         == spark.sparkContext.defaultParallelism
     )
+
+
+@pytest.mark.parametrize(
+    "stereo_mode", ["independent", "left-side", "right-side", "mid-side"]
+)
+def test_flac_stereo_decorrelation_roundtrip(stereo_mode):
+    rng = np.random.RandomState(9)
+    n = 4000
+    t = np.arange(n)
+    left = (2500 * np.sin(t / 40)).astype(np.int16)
+    right = (left * 0.7 + rng.randint(-80, 80, n)).astype(np.int16)
+    x = np.stack([left, right], axis=1)
+    res = decode_flac(encode_flac(x, block_size=512, stereo_mode=stereo_mode))
+    assert res is not None, stereo_mode
+    dec, _ = res
+    assert np.array_equal(dec, x), stereo_mode
+
+
+@pytest.mark.parametrize(
+    "lpc",
+    [
+        ([2, -1], 0, 5),        # fixed-order-2 equivalent, no shift
+        ([3, -1], 1, 6),        # truncating shift path
+        ([5, -3, 1], 2, 8),     # order 3
+        ([-2, 4, -1, 2], 3, 12),  # order 4, wide precision
+    ],
+)
+def test_flac_lpc_roundtrip(lpc):
+    rng = np.random.RandomState(5)
+    n = 3000
+    t = np.arange(n)
+    for sig in [
+        (3000 * np.sin(t / 50)).astype(np.int16),
+        rng.randint(-2000, 2000, n).astype(np.int16),
+    ]:
+        res = decode_flac(encode_flac(sig, block_size=256, lpc=lpc))
+        assert res is not None, lpc
+        dec, _ = res
+        assert np.array_equal(dec[:, 0], sig), lpc
+
+
+def test_flac_lpc_stereo_combined():
+    t = np.arange(2000)
+    left = (1500 * np.sin(t / 25)).astype(np.int16)
+    right = (-left // 2).astype(np.int16)
+    x = np.stack([left, right], axis=1)
+    blob = encode_flac(x, block_size=512, lpc=([2, -1], 0, 5), stereo_mode="mid-side")
+    dec, _ = decode_flac(blob)
+    assert np.array_equal(dec, x)
