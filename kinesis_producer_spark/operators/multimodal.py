@@ -152,6 +152,8 @@ def decode_media(
     src = df.select(F.col(id_col).alias("media_id"), F.col(content_col).alias("_blob"))
 
     def _featurize(arr: np.ndarray) -> dict:
+        if arr.dtype == np.uint16:  # 16-bit PNG → 8-bit feature scale
+            arr = (arr // 257).astype(np.uint8)
         if arr.ndim == 2:
             arr = arr[:, :, None]
         h, w, c = arr.shape
@@ -366,6 +368,40 @@ def _parse_flac_streaminfo(b: bytes) -> dict | None:
     return None
 
 
+def _parse_webp_header(b: bytes) -> dict | None:
+    """Real WebP dimension parse (public RIFF/WebP container spec, no
+    codec): 'VP8 ' (lossy) reads the frame-tag + start-code + 14-bit
+    dims; 'VP8L' (lossless) reads the signature byte + packed 14-bit
+    width-1/height-1; 'VP8X' (extended) reads 24-bit canvas dims-1."""
+    if len(b) < 25 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return None
+    fourcc = b[12:16]
+    base = {"media_type": "image/webp", "bit_depth": 8}
+    if fourcc == b"VP8 ":
+        # frame tag (3 bytes LE), then start code 9D 01 2A, then dims
+        if len(b) < 30 or b[23:26] != b"\x9d\x01\x2a":
+            return None
+        w = int.from_bytes(b[26:28], "little") & 0x3FFF
+        h = int.from_bytes(b[28:30], "little") & 0x3FFF
+        return {**base, "width": w, "height": h, "n_channels": 3}
+    if fourcc == b"VP8L":
+        if b[20] != 0x2F:  # signature byte
+            return None
+        packed = int.from_bytes(b[21:25], "little")
+        w = (packed & 0x3FFF) + 1
+        h = ((packed >> 14) & 0x3FFF) + 1
+        alpha = (packed >> 28) & 1
+        return {**base, "width": w, "height": h, "n_channels": 4 if alpha else 3}
+    if fourcc == b"VP8X":
+        if len(b) < 30:
+            return None
+        w = int.from_bytes(b[24:27], "little") + 1
+        h = int.from_bytes(b[27:30], "little") + 1
+        alpha = (b[20] >> 4) & 1
+        return {**base, "width": w, "height": h, "n_channels": 4 if alpha else 3}
+    return None
+
+
 def _parse_gif_screen(b: bytes) -> dict | None:
     """Real GIF header parse: 6-byte version signature then the logical
     screen descriptor — u16le width, u16le height, packed flags whose
@@ -412,6 +448,7 @@ def decode_headers(
                     or _parse_gif_screen(b)
                     or _parse_bmp_header(b)
                     or _parse_flac_streaminfo(b)
+                    or _parse_webp_header(b)
                     or {"media_type": "application/octet-stream"}
                 )
                 row = {c: None for c in cols}

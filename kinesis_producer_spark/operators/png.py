@@ -44,6 +44,29 @@ _SIG = b"\x89PNG\r\n\x1a\n"
 # color type → samples per pixel (palette is 1 index per pixel)
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# color type → legal bit depths (PNG spec §11.2.2)
+_ALLOWED_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                   4: (8, 16), 6: (8, 16)}
+
+
+def _samples(flat: bytes, width: int, height: int, depth: int, chans: int) -> np.ndarray:
+    """Unfiltered row bytes → (H, W, C) sample array. depth 8/16 are
+    direct views; sub-byte depths (gray/palette, C == 1) unpack MSB-
+    first within each scanline, discarding row-padding bits."""
+    if depth == 8:
+        return np.frombuffer(flat, np.uint8).reshape(height, width, chans)
+    if depth == 16:
+        return np.frombuffer(flat, ">u2").astype(np.uint16).reshape(
+            height, width, chans
+        )
+    stride = (width * depth + 7) // 8
+    rows = np.frombuffer(flat, np.uint8).reshape(height, stride)
+    bits = np.unpackbits(rows, axis=1)[:, : width * depth]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (bits.reshape(height, width, depth) * weights).sum(axis=2)
+    return vals.astype(np.uint8).reshape(height, width, 1)
+
+
 # Adam7 pass layout: (x_start, y_start, x_step, y_step)
 _ADAM7 = [
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -61,10 +84,11 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray | None:
+def _unfilter(raw: bytes, stride: int, height: int, bpp: int) -> bytearray | None:
     """Reverse the five PNG scanline filters. ``raw`` is the inflated
-    stream: height rows of (1 filter byte + width*bpp data bytes)."""
-    stride = width * bpp
+    stream: height rows of (1 filter byte + ``stride`` data bytes);
+    ``bpp`` is the filter delta distance in BYTES (max(1,
+    channels*depth/8) per the spec, so sub-byte depths use 1)."""
     if len(raw) < height * (stride + 1):
         return None
     out = bytearray(height * stride)
@@ -140,36 +164,41 @@ def _decode_inner(b: bytes) -> np.ndarray | None:
     if ihdr is None or not idat:
         return None
     width, height, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or color not in _CHANNELS:
+    if comp != 0 or filt != 0 or color not in _CHANNELS:
+        return None
+    if depth not in _ALLOWED_DEPTHS.get(color, ()):
         return None
     if width <= 0 or height <= 0 or interlace not in (0, 1):
         return None
-    bpp = _CHANNELS[color]
+    chans = _CHANNELS[color]
+    bpp = max(1, chans * depth // 8)  # filter distance in bytes
+    dtype = np.uint16 if depth == 16 else np.uint8
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
-        flat = _unfilter(raw, width, height, bpp)
+        stride = (width * chans * depth + 7) // 8
+        flat = _unfilter(raw, stride, height, bpp)
         if flat is None:
             return None
-        img = np.frombuffer(bytes(flat), np.uint8).reshape(height, width, bpp)
+        img = _samples(bytes(flat), width, height, depth, chans)
     else:  # Adam7: each pass is an independently filtered sub-image
-        img = np.zeros((height, width, bpp), np.uint8)
+        img = np.zeros((height, width, chans), dtype)
         off = 0
         for x0, y0, xs, ys in _ADAM7:
             pw = (width - x0 + xs - 1) // xs
             ph = (height - y0 + ys - 1) // ys
             if pw == 0 or ph == 0:
                 continue
-            span = ph * (1 + pw * bpp)
-            flat = _unfilter(raw[off : off + span], pw, ph, bpp)
+            stride = (pw * chans * depth + 7) // 8
+            span = ph * (1 + stride)
+            flat = _unfilter(raw[off : off + span], stride, ph, bpp)
             if flat is None:
                 return None
             off += span
-            sub = np.frombuffer(bytes(flat), np.uint8).reshape(ph, pw, bpp)
-            img[y0::ys, x0::xs] = sub
+            img[y0::ys, x0::xs] = _samples(bytes(flat), pw, ph, depth, chans)
     if color == 3:
         if palette is None:
             return None
-        idx = img[:, :, 0]
+        idx = img[:, :, 0].astype(np.int64)
         if int(idx.max(initial=0)) >= len(palette):
             return None
         rgb = palette[idx]
@@ -178,7 +207,7 @@ def _decode_inner(b: bytes) -> np.ndarray | None:
             alpha[: len(trns)] = trns
             return np.dstack([rgb, alpha[idx]])
         return rgb
-    if bpp == 1:
+    if chans == 1:
         return img[:, :, 0]
     return img
 
@@ -189,14 +218,20 @@ def encode_png(
     interlace: bool = False,
     level: int = 6,
 ) -> bytes:
-    """Encode uint8 pixels as PNG. ``filter_type`` applies one of the
-    five spec filters to every scanline (tests use this to force each
-    unfilter path in the decoder); ``interlace`` emits Adam7."""
-    a = np.asarray(arr, np.uint8)
+    """Encode uint8 (depth 8) or uint16 (depth 16) pixels as PNG.
+    ``filter_type`` applies one of the five spec filters to every
+    scanline (tests use this to force each unfilter path in the
+    decoder); ``interlace`` emits Adam7."""
+    a = np.asarray(arr)
+    depth = 16 if a.dtype == np.uint16 else 8
+    a = a.astype(np.uint16 if depth == 16 else np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
+    if depth == 16:  # big-endian sample bytes, per spec
+        a = a.astype(">u2").view(np.uint8).reshape(a.shape[0], a.shape[1], -1)
     height, width, bpp = a.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[bpp]
+    chans = bpp // 2 if depth == 16 else bpp
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[chans]
 
     def filter_image(sub: np.ndarray) -> bytes:
         ph, pw = sub.shape[:2]
@@ -243,7 +278,9 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, int(interlace))
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, color, 0, 0, int(interlace)
+    )
     return (
         _SIG
         + chunk(b"IHDR", ihdr)

@@ -75,3 +75,35 @@ def test_gunzip_zip_bomb_guard(spark):
     assert out["text"] is None  # over the bound → null, not OOM/crash
     ok = gunzip_text(df, max_bytes=1 << 21).collect()[0]
     assert ok["text"] == "A" * (1 << 20)
+
+
+def test_gunzip_text_works_on_a_stream(spark, tmp_path):
+    """gunzip_text is a mapInPandas stage, so it must compose with
+    Structured Streaming unchanged — inflate per-record blobs as they
+    arrive (the WARC/compressed-record ingestion shape)."""
+    import gzip as _gz
+
+    import pandas as pd
+
+    src = tmp_path / "gz_stream_src"
+    src.mkdir()
+    rows = [(i, _gz.compress(f"doc number {i}".encode(), mtime=0)) for i in range(20)]
+    spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in rows], "doc_id long, content binary"
+    ).write.mode("overwrite").parquet(str(src))
+
+    from kinesis_producer_spark.sources.compressed import gunzip_text
+
+    stream = spark.readStream.schema("doc_id long, content binary").parquet(str(src))
+    out = gunzip_text(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gz_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: r.text for r in spark.sql("SELECT * FROM gz_stream_t").collect()
+    }
+    assert got == {i: f"doc number {i}" for i in range(20)}

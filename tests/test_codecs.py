@@ -91,7 +91,7 @@ def test_png_rejects_corruption_and_unsupported():
     assert decode_png(b"not a png") is None
     assert decode_png(None) is None
     assert decode_png(encode_png(img)[:20]) is None
-    # 16-bit depth: honest unsupported → None
+    # depth 16 is now a REAL path (big-endian samples)
     ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
     deep = (
         b"\x89PNG\r\n\x1a\n"
@@ -99,7 +99,15 @@ def test_png_rejects_corruption_and_unsupported():
         + _png_chunk(b"IDAT", zlib.compress(b"\x00\x01\x02"))
         + _png_chunk(b"IEND", b"")
     )
-    assert decode_png(deep) is None
+    assert decode_png(deep).tolist() == [[0x0102]]
+    # spec-illegal depth/color combo (depth 3) → None, not crash
+    bad_depth = struct.pack(">IIBBBBB", 1, 1, 3, 0, 0, 0, 0)
+    assert decode_png(
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", bad_depth)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x01"))
+        + _png_chunk(b"IEND", b"")
+    ) is None
     assert decode_png(encode_png(img), max_bytes=10) is None
 
 
@@ -349,3 +357,71 @@ def test_flac_lpc_stereo_combined():
     blob = encode_flac(x, block_size=512, lpc=([2, -1], 0, 5), stereo_mode="mid-side")
     dec, _ = decode_flac(blob)
     assert np.array_equal(dec, x)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_png_16bit_roundtrip(filter_type, interlace):
+    rng = np.random.RandomState(40 + filter_type)
+    for shape in [(9, 13), (6, 10, 3), (4, 5, 4), (1, 1)]:
+        img = rng.randint(0, 65536, shape).astype(np.uint16)
+        out = decode_png(encode_png(img, filter_type=filter_type, interlace=interlace))
+        assert out is not None and out.dtype == np.uint16
+        assert np.array_equal(out.reshape(img.shape), img), (shape, filter_type)
+
+
+def _png_blob(depth, color, w, h, rows, extra=b""):
+    raw = b"".join(b"\x00" + r for r in rows)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0))
+        + extra
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_sub_byte_depths():
+    # depth-4 gray 3x2: samples 1,10,15 / 0,7,2 packed MSB-first
+    out = decode_png(_png_blob(4, 0, 3, 2, [bytes([0x1A, 0xF0]), bytes([0x07, 0x20])]))
+    assert out.tolist() == [[1, 10, 15], [0, 7, 2]]
+    # depth-1 gray 10x1: bits 1010101010 + row padding
+    out = decode_png(_png_blob(1, 0, 10, 1, [bytes([0xAA, 0x80])]))
+    assert out.tolist() == [[1, 0, 1, 0, 1, 0, 1, 0, 1, 0]]
+    # depth-2 palette 5x1: indices 0,1,2,3,1
+    pal = bytes(range(12))
+    out = decode_png(
+        _png_blob(2, 3, 5, 1, [bytes([0b00011011, 0b01000000])],
+                  extra=_png_chunk(b"PLTE", pal))
+    )
+    exp = np.frombuffer(pal, np.uint8).reshape(-1, 3)[[0, 1, 2, 3, 1]]
+    assert np.array_equal(out[0], exp)
+    # illegal combo (RGB at depth 4) → None, not crash
+    assert decode_png(_png_blob(4, 2, 2, 1, [bytes([0x12, 0x34, 0x56])])) is None
+
+
+def test_webp_header_parse():
+    from kinesis_producer_spark.operators.multimodal import _parse_webp_header
+
+    # VP8L (lossless): 300x200, no alpha
+    w, h = 300, 200
+    packed = (w - 1) | ((h - 1) << 14)
+    payload = b"VP8L" + (5).to_bytes(4, "little") + bytes([0x2F]) + packed.to_bytes(4, "little")
+    blob = b"RIFF" + (4 + len(payload)).to_bytes(4, "little") + b"WEBP" + payload + b"\x00"
+    got = _parse_webp_header(blob)
+    assert (got["width"], got["height"], got["n_channels"]) == (300, 200, 3)
+    # VP8 (lossy): 640x480
+    tag = b"\x00\x00\x00"
+    body = tag + b"\x9d\x01\x2a" + (640).to_bytes(2, "little") + (480).to_bytes(2, "little")
+    payload = b"VP8 " + len(body).to_bytes(4, "little") + body
+    blob = b"RIFF" + (4 + len(payload)).to_bytes(4, "little") + b"WEBP" + payload
+    got = _parse_webp_header(blob)
+    assert (got["width"], got["height"]) == (640, 480)
+    # VP8X (extended): canvas 1024x768 with alpha
+    flags = bytes([0x10, 0, 0, 0])
+    body = flags + (1023).to_bytes(3, "little") + (767).to_bytes(3, "little")
+    payload = b"VP8X" + len(body).to_bytes(4, "little") + body
+    blob = b"RIFF" + (4 + len(payload)).to_bytes(4, "little") + b"WEBP" + payload
+    got = _parse_webp_header(blob)
+    assert (got["width"], got["height"], got["n_channels"]) == (1024, 768, 4)
+    assert _parse_webp_header(b"RIFF\x00\x00\x00\x00WAVE") is None
