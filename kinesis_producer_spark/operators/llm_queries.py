@@ -4201,3 +4201,64 @@ def q199_avi_frame_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = d.mapInPandas(synth, "media_id long, content binary")
     return decode_avi_frames_luma(blobs, every_n=2, max_frames=8)
+
+
+@query(
+    "q204_image_patchify",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 1 + doc_id % 7 AS a, 1 + doc_id % 5 AS d FROM documents
+    ),
+    cell AS (
+      SELECT doc_id, y.v // 8 AS pr, x.v // 8 AS pc,
+             SUM((3 + a * y.v + d * x.v) % 256) AS s,
+             COUNT(*) AS npx
+      FROM p, UNNEST(range(16)) AS y(v), UNNEST(range(20)) AS x(v)
+      GROUP BY doc_id, y.v // 8, x.v // 8
+    )
+    SELECT doc_id AS media_id,
+           CAST(pr AS INT) AS patch_row,
+           CAST(pc AS INT) AS patch_col,
+           CAST(8 AS INT) AS patch_h,
+           CAST(CASE WHEN pc = 2 THEN 4 ELSE 8 END AS INT) AS patch_w,
+           CAST((1000 * s) // npx AS BIGINT) AS mean_milli
+    FROM cell
+    """,
+)
+def q204_image_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch extraction, oracle-exact: per document a
+    genuine PNG gradient (16x20 RGB — width chosen so the last patch
+    column is a 8x4 REMAINDER tile, pinning the edge-tile path),
+    decoded and tiled by ``patchify_media`` into one row per 8x8
+    patch with its exact integer pixel mean. The oracle recomputes
+    each tile's mean in closed form from the generating gradient,
+    grouped by the same ⌊y/8⌋,⌊x/8⌋ tiling.
+
+    This is the preprocessing fan-out of a vision-transformer
+    training pipeline: decode + patchify fused in one Arrow stage
+    (pixels never shuffle), uniform bounded row multiplication
+    (6 tiles/image here; (H/p)·(W/p) generally), patch embeddings
+    computable downstream from the tile rows."""
+    from kinesis_producer_spark.operators.multimodal import patchify_media
+    from kinesis_producer_spark.operators.png import encode_png
+
+    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        yy = np.arange(16)[:, None]
+        xx = np.arange(20)[None, :]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                a, dlt = 1 + did % 7, 1 + did % 5
+                v = ((3 + a * yy + dlt * xx) % 256).astype(np.uint8)
+                img = np.repeat(v[:, :, None], 3, axis=2)
+                rows.append({"media_id": did, "content": encode_png(img)})
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    blobs = d.mapInPandas(synth, "media_id long, content binary")
+    return patchify_media(blobs, patch=8)

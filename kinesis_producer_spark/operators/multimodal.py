@@ -976,3 +976,82 @@ def decode_avi_frames_luma(
             yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(run, AVI_PIXELS_SCHEMA)
+
+
+PATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("patch_row", T.IntegerType()),
+        T.StructField("patch_col", T.IntegerType()),
+        T.StructField("patch_h", T.IntegerType()),
+        T.StructField("patch_w", T.IntegerType()),
+        T.StructField("mean_milli", T.LongType()),
+    ]
+)
+
+
+def patchify_media(
+    df: DataFrame,
+    patch: int = 8,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """ViT-style patch extraction: decode each image blob (JPEG / PNG
+    / GIF / BMP via the real codecs) and emit one row per
+    non-overlapping ``patch``×``patch`` tile — the row-multiplying
+    preprocessing shape of a vision-transformer training pipeline
+    (patch embeddings are computed downstream from these tiles).
+    Edge tiles are the image remainder (patch_h/patch_w expose their
+    true size); mean_milli is the exact integer pixel mean across the
+    tile's channels. Undecodable blobs yield no rows.
+
+    Scale: decode + tile in ONE Arrow-batched stage — pixels never
+    cross a shuffle; the fan-out (rows per image = ⌈H/p⌉·⌈W/p⌉) is
+    bounded and uniform, so downstream repartitioning is skew-free."""
+    import numpy as np
+
+    from kinesis_producer_spark.operators.gif import decode_gif
+    from kinesis_producer_spark.operators.jpeg import decode_baseline_jpeg
+    from kinesis_producer_spark.operators.png import decode_png
+
+    src = df.select(F.col(id_col).alias("media_id"), F.col(content_col).alias("_blob"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = PATCH_SCHEMA.fieldNames()
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["_blob"]):
+                b = bytes(blob) if blob is not None else b""
+                if b[:3] == b"\xff\xd8\xff":
+                    arr = decode_baseline_jpeg(b)
+                elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                    arr = decode_png(b)
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    arr = decode_gif(b)
+                elif b[:2] == b"BM":
+                    parsed = _parse_bmp(b)
+                    arr = parsed[2] if parsed is not None else None
+                else:
+                    arr = None
+                if arr is None:
+                    continue
+                a = arr if arr.ndim == 3 else arr[:, :, None]
+                h, w = a.shape[:2]
+                for pr in range((h + patch - 1) // patch):
+                    for pc in range((w + patch - 1) // patch):
+                        tile = a[pr * patch : (pr + 1) * patch,
+                                 pc * patch : (pc + 1) * patch]
+                        total = int(tile.astype(np.int64).sum())
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "patch_row": pr,
+                                "patch_col": pc,
+                                "patch_h": int(tile.shape[0]),
+                                "patch_w": int(tile.shape[1]),
+                                "mean_milli": (1000 * total) // tile.size,
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(run, PATCH_SCHEMA)
