@@ -4262,3 +4262,113 @@ def q204_image_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = d.mapInPandas(synth, "media_id long, content binary")
     return patchify_media(blobs, patch=8)
+
+
+@query(
+    "q205_audio_framing",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 2 * (64 + doc_id % 500) AS m, 64 + doc_id % 500 AS h,
+             3 + doc_id % 97 AS a, 160 + doc_id % 120 AS n
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, m, h, a, f.v AS frame_idx
+      FROM p, UNNEST(range(1 + (n - 64) // 32)) AS f(v)
+    ),
+    smp AS (
+      SELECT doc_id, frame_idx,
+             ((frame_idx * 32 + i.v) * a) % m - h AS s,
+             CASE WHEN i.v < 63
+                  THEN ((frame_idx * 32 + i.v + 1) * a) % m - h END AS s_next
+      FROM fr, UNNEST(range(64)) AS i(v)
+    )
+    SELECT doc_id AS media_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(64 AS INT) AS n,
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN s * s_next < 0 THEN 1 ELSE 0 END) AS INT)
+             AS zero_crossings
+    FROM smp GROUP BY doc_id, frame_idx
+    """,
+)
+def q205_audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing, oracle-exact and through the REAL compressed
+    codec: per document a deterministic modular-ramp signal is
+    FLAC-encoded, then ``frame_audio_features`` decodes it and slides
+    a 64-sample window at hop 32 (overlapping frames — the STFT
+    shape), emitting exact per-frame energy and zero-crossing
+    counts. The oracle regenerates every window's samples from the
+    closed form, including the overlap indexing; an off-by-one in
+    hop arithmetic, channel deinterleaving, or the lossless decode
+    hash-mismatches."""
+    from kinesis_producer_spark.operators.flac import encode_flac
+    from kinesis_producer_spark.operators.multimodal import frame_audio_features
+
+    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                m = 2 * (64 + did % 500)
+                h = 64 + did % 500
+                a = 3 + did % 97
+                n = 160 + did % 120
+                i = np.arange(n, dtype=np.int64)
+                sig = ((i * a) % m - h).astype(np.int16)
+                rows.append(
+                    {"media_id": did, "content": encode_flac(sig, block_size=64)}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    blobs = d.mapInPandas(synth, "media_id long, content binary")
+    return frame_audio_features(blobs, win=64, hop=32)
+
+
+@query(
+    "q206_contrastive_pairs",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, doc_id % 64 AS batch, n_chars FROM documents
+    )
+    SELECT x.batch,
+           x.doc_id AS anchor_id,
+           y.doc_id AS cand_id,
+           CAST(CASE WHEN x.doc_id = y.doc_id THEN 1 ELSE 0 END AS INT)
+             AS label,
+           CAST(x.n_chars AS BIGINT) AS anchor_chars,
+           CAST(y.n_chars AS BIGINT) AS cand_chars
+    FROM b x JOIN b y ON x.batch = y.batch
+    """,
+)
+def q206_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-batch contrastive pair generation (the CLIP/InfoNCE
+    training-batch shape): documents are assigned to fixed-size
+    batches by a content-stable key, and every (anchor, candidate)
+    pair WITHIN a batch is emitted — diagonal pairs labeled positive,
+    off-diagonal ones the in-batch negatives. The quadratic blow-up
+    is bounded by construction (batch size, not corpus size) — that
+    bound is the entire point of in-batch negatives, and it is what
+    makes this safe at 100 TB where sampled-negative joins against
+    the full corpus are not. One shuffle on the batch key; batch
+    sizes are uniform (modular assignment), so no skew."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 64).alias("batch"), "n_chars"
+    )
+    x = d.alias("x")
+    y = d.alias("y")
+    return x.join(y, F.col("x.batch") == F.col("y.batch")).select(
+        F.col("x.batch").alias("batch"),
+        F.col("x.doc_id").alias("anchor_id"),
+        F.col("y.doc_id").alias("cand_id"),
+        F.when(F.col("x.doc_id") == F.col("y.doc_id"), 1).otherwise(0)
+        .cast("int")
+        .alias("label"),
+        F.col("x.n_chars").cast("bigint").alias("anchor_chars"),
+        F.col("y.n_chars").cast("bigint").alias("cand_chars"),
+    )

@@ -1055,3 +1055,76 @@ def patchify_media(
             yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(run, PATCH_SCHEMA)
+
+
+AUDIO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def frame_audio_features(
+    df: DataFrame,
+    win: int = 64,
+    hop: int = 32,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Audio framing (the audio analogue of image patchify): decode
+    each WAV/FLAC blob to samples, slide a ``win``-sample window with
+    ``hop`` stride over channel 0, and emit one row per frame with
+    exact integer features — energy (Σ s²) and zero-crossing count
+    (adjacent pairs with strictly opposite signs). Only full windows
+    are emitted (frames = 1 + (n-win)//hop), matching standard STFT
+    framing; blobs shorter than one window, or undecodable, yield no
+    rows.
+
+    Decode + frame run in ONE Arrow stage (samples never shuffle);
+    the fan-out is uniform, so downstream repartitioning is
+    skew-free. Windowed spectral kernels (FFT filterbanks) slot in at
+    the same seam."""
+    import numpy as np
+
+    from kinesis_producer_spark.operators.flac import decode_flac
+
+    src = df.select(F.col(id_col).alias("media_id"), F.col(content_col).alias("_blob"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = AUDIO_FRAMES_SCHEMA.fieldNames()
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["_blob"]):
+                b = bytes(blob) if blob is not None else b""
+                if b[:4] == b"fLaC":
+                    res = decode_flac(b)
+                    s = res[0][:, 0].astype(np.int64) if res is not None else None
+                else:
+                    parsed = _parse_wav_pcm(b)
+                    if parsed is not None:
+                        rate, nch, samples = parsed
+                        s = samples.astype(np.int64)[::nch]  # channel 0
+                    else:
+                        s = None
+                if s is None or s.size < win:
+                    continue
+                n_frames = 1 + (s.size - win) // hop
+                for f in range(n_frames):
+                    seg = s[f * hop : f * hop + win]
+                    signs = seg[:-1] * seg[1:]
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": f,
+                            "n": win,
+                            "energy": int((seg * seg).sum()),
+                            "zero_crossings": int((signs < 0).sum()),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(run, AUDIO_FRAMES_SCHEMA)
