@@ -32,9 +32,17 @@ def canon_value(v) -> str:
 
     if v is None:
         return "NULL"
+    # NaN / NaT (self-inequality) render as NULL: the driver funnels
+    # BOTH engines through pandas, where a NULL double is NaN and a
+    # NULL timestamp is NaT — Spark-collect None must land in the
+    # same equivalence class (q08/q11/q131 hash-pass the driver gate
+    # with exactly this pairing).
+    try:
+        if v != v:
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
         return repr(v)
     if isinstance(v, datetime.datetime):
         # DuckDB DATE surfaces as a midnight datetime64 through .df();
