@@ -2021,3 +2021,100 @@ def q203_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         F.sum(cents).cast("bigint").alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q207 — webdataset tar-shard packing, round-tripped through the source
+# ---------------------------------------------------------------------------
+
+_WDS_ORACLE = """
+SELECT CAST(doc_id AS VARCHAR) || '.txt' AS member_name,
+       MD5(text) AS text_md5,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+@query("q207_webdataset_roundtrip", oracle=_WDS_ORACLE)
+def q207_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard layout round trip: documents become
+    ``{doc_id}.txt`` members packed into 16 webdataset-style tar
+    shards (``pack_tar_shards`` — hash-assigned, sorted, metadata
+    zeroed), then the SAME engine's tar source (``tar_members``)
+    re-explodes the shards and the query reports each member's md5
+    and length. The oracle reads the original documents, so the
+    comparison proves byte-exact round trip through the pack/unpack
+    pair — sink and source kept honest against each other.
+
+    Scale: pack is one shuffle keyed by shard id; unpack streams one
+    archive per task. This is the layout conversion step between a
+    columnar lakehouse and the sequential-read shard files training
+    loaders consume."""
+    from kinesis_producer_spark.sources.tar import pack_tar_shards, tar_members
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.col("doc_id").cast("string"), F.lit(".txt")).alias("key"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    shards = pack_tar_shards(d, key_col="key", content_col="content", n_shards=16)
+    members = tar_members(
+        shards.select(
+            F.col("shard_id").cast("string").alias("path"),
+            F.col("tar_bytes").alias("content"),
+        ),
+        content_col="content",
+        archive_col="path",
+    )
+    return members.select(
+        "member_name",
+        F.md5("content").alias("text_md5"),
+        F.col("size").cast("bigint").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q208 — epoch-seeded deterministic training shuffle
+# ---------------------------------------------------------------------------
+
+_EPOCH_ORACLE = """
+SELECT doc_id, epoch,
+       ROW_NUMBER() OVER (
+         PARTITION BY epoch
+         ORDER BY MD5('ep:' || CAST(epoch AS VARCHAR) || ':'
+                      || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS position
+FROM documents, (SELECT UNNEST(range(3)) AS epoch)
+"""
+
+
+@query("q208_epoch_shuffle", oracle=_EPOCH_ORACLE)
+def q208_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch shuffle — the training-loader primitive:
+    each epoch orders the corpus by a content-stable hash of
+    (epoch, doc_id), so the permutation is (a) different every epoch,
+    (b) bit-identical across runs, engines, retries, and cluster
+    sizes, and (c) resumable from any position without replaying the
+    stream. rand()-based shuffles guarantee none of these (SURVEY
+    q70 notes the same argument for splits).
+
+    Scale: the ORDER BY inside the window is a range-partitioned
+    sort per epoch — Spark's sort-based shuffle handles corpus-scale
+    ordering; no driver involvement."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(3).select(F.col("id").cast("bigint").alias("epoch"))
+    keyed = d.crossJoin(F.broadcast(epochs)).select(
+        "doc_id",
+        "epoch",
+        F.md5(
+            F.concat(
+                F.lit("ep:"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    w = W.partitionBy("epoch").orderBy("h", "doc_id")
+    return keyed.select(
+        "doc_id", "epoch", F.row_number().over(w).cast("bigint").alias("position")
+    )

@@ -76,3 +76,95 @@ def read_tar_archives(spark: SparkSession, path: str, glob: str | None = None) -
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return tar_members(reader.load(path), content_col="content", archive_col="path")
+
+
+SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.IntegerType()),
+        T.StructField("tar_bytes", T.BinaryType()),
+        T.StructField("n_members", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def pack_tar_shards(
+    df: DataFrame,
+    key_col: str = "key",
+    content_col: str = "content",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Pack (key, content) rows into webdataset-style tar shards —
+    the standard sequential-read training-data layout: one row out
+    per shard, carrying the complete archive bytes. Keys are
+    hash-assigned to shards (content-stable, reproducible across
+    runs and cluster sizes) and sorted within each shard, and tar
+    metadata (mtime/uid/gid) is zeroed, so shard bytes are
+    byte-deterministic. Pair with any binary sink to land
+    ``shard-{id}.tar`` files, or with ``tar_members`` to re-explode
+    in-flight.
+
+    Scale: one shuffle keyed by shard id (applyInPandas groups all
+    of a shard's members into one task); shard count is the knob
+    that bounds per-task memory — size shards to the usual
+    webdataset ~100 MB-1 GB and n_shards to corpus_bytes/shard_size.
+    Samples inside a shard are co-located for the sequential reads
+    training loaders want."""
+    keyed = df.select(
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("shard_id"),
+        F.col(key_col).cast("string").alias("_key"),
+        F.col(content_col).alias("_content"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        buf = io.BytesIO()
+        order = pdf.sort_values("_key", kind="mergesort")
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for key, blob in zip(order["_key"], order["_content"]):
+                data = bytes(blob) if blob is not None else b""
+                info = tarfile.TarInfo(name=str(key))
+                info.size = len(data)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tf.addfile(info, io.BytesIO(data))
+        payload = buf.getvalue()
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "tar_bytes": [payload],
+                "n_members": [len(pdf)],
+                "n_bytes": [len(payload)],
+            }
+        )
+
+    return keyed.groupBy("shard_id").applyInPandas(build, SHARD_SCHEMA)
+
+
+def write_tar_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str = "key",
+    content_col: str = "content",
+    n_shards: int = 16,
+) -> None:
+    """Land packed shards as ``shard-NNNNN.tar`` files under ``path``
+    (executor-side writes; the driver never sees shard bytes)."""
+    import os
+
+    shards = pack_tar_shards(df, key_col, content_col, n_shards)
+
+    def land(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for sid, blob in zip(pdf["shard_id"], pdf["tar_bytes"]):
+                target = os.path.join(path, f"shard-{int(sid):05d}.tar")
+                tmp = target + ".inprogress"
+                with open(tmp, "wb") as f:
+                    f.write(bytes(blob))
+                os.replace(tmp, target)  # rename-on-commit
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    os.makedirs(path, exist_ok=True)
+    shards.mapInPandas(land, "n int").write.format("noop").mode("overwrite").save()
