@@ -4372,3 +4372,73 @@ def q206_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.n_chars").cast("bigint").alias("anchor_chars"),
         F.col("y.n_chars").cast("bigint").alias("cand_chars"),
     )
+
+
+@query(
+    "q209_temperature_mixing",
+    oracle="""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(FLOOR(1e6 * SQRT(COUNT(*))) AS BIGINT) AS w_micro
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(w_micro) AS denom FROM s),
+    quota AS (
+      SELECT source, n_docs, w_micro,
+             CAST((1000 * w_micro) // denom AS BIGINT) AS quota
+      FROM s, tot
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY MD5('mix:' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rnk
+      FROM documents d
+    )
+    SELECT r.doc_id, r.source, CAST(r.rnk AS BIGINT) AS rnk,
+           q.quota, CAST(q.n_docs AS BIGINT) AS source_docs
+    FROM ranked r JOIN quota q ON r.source = q.source
+    WHERE r.rnk <= q.quota
+    """,
+)
+def q209_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (the Pile/DoReMi resampling
+    shape): per-source weights ∝ n^(1/2) (temperature T=2 flattens
+    the natural distribution toward small domains), converted to
+    per-source quotas out of a 1000-doc target, then filled by a
+    content-stable hash ranking within each source. Every step is
+    INTEGER-exact across engines: weights are floor(1e6·sqrt(n))
+    (IEEE sqrt is correctly rounded, so identical), the denominator
+    is an integer sum, and quotas use integer division — no
+    float-summation-order hazard. The hash ranking makes the chosen
+    subset reproducible across runs, engines and cluster sizes.
+
+    Scale: one groupBy for counts (tiny result, broadcast back), one
+    window rank per source (sort-based shuffle on source). The rank
+    is the only corpus-sized work and it is exactly the epoch-shuffle
+    sort (q208) restricted per domain."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.floor(F.lit(1e6) * F.sqrt(F.count(F.lit(1)).cast("double")))
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    denom = s.agg(F.sum("w_micro").alias("denom"))
+    quota = s.crossJoin(F.broadcast(denom)).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("source_docs"),
+        F.floor((F.lit(1000) * F.col("w_micro")) / F.col("denom"))
+        .cast("bigint")
+        .alias("quota"),
+    )
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    ranked = d.select(
+        "doc_id", "source", F.row_number().over(w).cast("bigint").alias("rnk")
+    )
+    return ranked.join(F.broadcast(quota), "source").where(
+        F.col("rnk") <= F.col("quota")
+    ).select("doc_id", "source", "rnk", "quota", "source_docs")
