@@ -4442,3 +4442,78 @@ def q209_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(quota), "source").where(
         F.col("rnk") <= F.col("quota")
     ).select("doc_id", "source", "rnk", "quota", "source_docs")
+
+
+@query(
+    "q210_span_corruption",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, text, n_chars FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, text, n_chars, j.v AS span_idx,
+             1 + ((doc_id * 37 + j.v * 101) % GREATEST(1, n_chars - 12)) AS start,
+             4 + (doc_id + j.v) % 8 AS raw_len
+      FROM p, UNNEST(range(1 + doc_id % 3)) AS j(v)
+    )
+    SELECT doc_id, CAST(span_idx AS INT) AS span_idx,
+           CAST(start AS BIGINT) AS start,
+           CAST(LEAST(raw_len, n_chars - start + 1) AS BIGINT) AS span_len,
+           MD5(SUBSTRING(text, CAST(start AS BIGINT),
+                         CAST(LEAST(raw_len, n_chars - start + 1) AS BIGINT)))
+             AS span_md5
+    FROM spans
+    WHERE start <= n_chars AND LEAST(raw_len, n_chars - start + 1) >= 1
+    """,
+)
+def q210_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption target selection: per document, 1–3
+    deterministic mask spans (start/length derived from content-
+    stable arithmetic, clipped to the document) with the md5 of each
+    extracted span — the sampling step of a denoising pretraining
+    objective, reproducible across runs and engines. All span math is
+    integer and the extraction uses 1-based SUBSTRING on both
+    engines, so the oracle is hash-exact; spans that would fall off
+    a short document are dropped identically on both sides.
+
+    Scale: pure column expressions (codegen'd, no Python, no
+    shuffle); the row multiplication is bounded (≤3 spans/doc)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    spans = d.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.col("doc_id") % 3)).alias("span_idx"),
+    ).select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.col("span_idx").cast("int").alias("span_idx"),
+        (
+            1
+            + F.pmod(
+                F.col("doc_id") * 37 + F.col("span_idx") * 101,
+                F.greatest(F.lit(1), F.col("n_chars") - 12),
+            )
+        ).cast("bigint").alias("start"),
+        (4 + F.pmod(F.col("doc_id") + F.col("span_idx"), F.lit(8)))
+        .cast("bigint")
+        .alias("raw_len"),
+    )
+    out = spans.select(
+        "doc_id",
+        "span_idx",
+        "start",
+        F.least(F.col("raw_len"), F.col("n_chars") - F.col("start") + 1)
+        .cast("bigint")
+        .alias("span_len"),
+        F.md5(
+            F.expr(
+                "substring(text, start, least(raw_len, n_chars - start + 1))"
+            ).cast("binary")
+        ).alias("span_md5"),
+        "n_chars",
+    )
+    return out.where(
+        (F.col("start") <= F.col("n_chars")) & (F.col("span_len") >= 1)
+    ).select("doc_id", "span_idx", "start", "span_len", "span_md5")

@@ -425,3 +425,35 @@ def test_webp_header_parse():
     got = _parse_webp_header(blob)
     assert (got["width"], got["height"], got["n_channels"]) == (1024, 768, 4)
     assert _parse_webp_header(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+
+def test_media_ops_compose_with_streaming(spark, tmp_path):
+    """decode_headers / decode_media are mapInPandas stages, so they
+    must run unchanged inside Structured Streaming — the live-ingest
+    side of a media pipeline."""
+    src = tmp_path / "media_stream_src"
+    src.mkdir()
+    img = np.full((6, 9, 3), 77, np.uint8)
+    rows = [(1, bytearray(encode_png(img))), (2, bytearray(b"garbage"))]
+    spark.createDataFrame(rows, "media_id long, content binary").write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    from kinesis_producer_spark.operators.multimodal import decode_headers
+
+    stream = spark.readStream.schema("media_id long, content binary").parquet(str(src))
+    q = (
+        decode_headers(stream)
+        .writeStream.format("memory")
+        .queryName("media_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.media_id: r.asDict()
+        for r in spark.sql("SELECT * FROM media_stream_t").collect()
+    }
+    assert got[1]["media_type"] == "image/png"
+    assert (got[1]["width"], got[1]["height"]) == (9, 6)
+    assert got[2]["media_type"] == "application/octet-stream"
