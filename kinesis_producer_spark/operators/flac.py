@@ -24,8 +24,10 @@ all four stereo modes — so every decoder path is exercised by
 round-trip tests. Correct CRC-8/CRC-16 throughout: a genuine,
 compliant compressed stream, not a stored-only shortcut.
 
-Unsupported (returns None — the operator layer yields null rows):
-wasted bits, sample sizes other than 8/12/16/20/24.
+Wasted bits (shifted low-precision samples) decode per spec and are
+emittable by the encoder for round-trip coverage. Unsupported
+(returns None — the operator layer yields null rows): sample sizes
+other than 8/12/16/20/24.
 
 Scale posture: per-blob Python inside Arrow-batched ``mapInPandas``
 stages; blobs never leave executors.
@@ -239,8 +241,19 @@ def _decode_subframe(r: _BitReader, n: int, bits: int) -> np.ndarray | None:
     if r.read(1):  # mandatory zero pad bit
         return None
     stype = r.read(6)
-    if r.read(1):  # wasted-bits flag unsupported
-        return None
+    wasted = 0
+    if r.read(1):  # wasted-bits flag: k = unary+1 trailing zero bits
+        wasted = r.read_unary() + 1
+        if wasted >= bits:
+            return None
+        out = _decode_subframe_body(r, n, bits - wasted, stype)
+        return None if out is None else out << wasted
+    return _decode_subframe_body(r, n, bits, stype)
+
+
+def _decode_subframe_body(
+    r: _BitReader, n: int, bits: int, stype: int
+) -> np.ndarray | None:
     if stype == 0:  # CONSTANT
         return np.full(n, r.read_signed(bits), np.int64)
     if stype == 1:  # VERBATIM
@@ -573,6 +586,7 @@ def encode_flac(
     block_size: int = 4096,
     lpc: tuple[list[int], int, int] | None = None,
     stereo_mode: str = "independent",
+    wasted_bits: int = 0,
 ) -> bytes:
     """Encode int16 PCM (n,) or (n, n_channels) as a compliant FLAC
     stream: fixed predictors (order 0–2, per-block choice), CONSTANT
@@ -585,7 +599,11 @@ def encode_flac(
     known coefficients. ``stereo_mode`` in {'independent',
     'left-side', 'right-side', 'mid-side'} selects the 2-channel
     decorrelation (non-independent modes require exactly 2 channels;
-    the side channel is coded at bits+1 per spec)."""
+    the side channel is coded at bits+1 per spec). ``wasted_bits=k``
+    codes every non-constant subframe with the spec's wasted-bits
+    header (samples must carry k trailing zero bits — the shifted
+    representation real encoders use for e.g. 12-bit sources stored
+    as 16)."""
     x = np.asarray(samples, np.int64)
     if x.ndim == 1:
         x = x[:, None]
@@ -657,6 +675,14 @@ def encode_flac(
                 w.write(0, 1)
                 w.write(int(sig[0]), sbits)
                 continue
+            if wasted_bits:
+                if ((sig & ((1 << wasted_bits) - 1)) != 0).any():
+                    raise ValueError(
+                        "wasted_bits requires samples with that many "
+                        "trailing zero bits"
+                    )
+                sig = sig >> wasted_bits
+                sbits -= wasted_bits
             if lpc is not None:
                 coefs, shift, precision = lpc
                 order = len(coefs)
@@ -664,7 +690,11 @@ def encode_flac(
                     raise ValueError("block too short for LPC order")
                 w.write(0, 1)
                 w.write(32 + order - 1, 6)  # LPC
-                w.write(0, 1)
+                if wasted_bits:
+                    w.write(1, 1)
+                    w.write_unary(wasted_bits - 1)
+                else:
+                    w.write(0, 1)
                 for warm in sig[:order]:
                     w.write(int(warm), sbits)
                 w.write(precision - 1, 4)
@@ -692,7 +722,11 @@ def encode_flac(
                 res = np.diff(sig, order) if order else sig.copy()
                 w.write(0, 1)
                 w.write(8 + order, 6)  # FIXED
-                w.write(0, 1)
+                if wasted_bits:
+                    w.write(1, 1)
+                    w.write_unary(wasted_bits - 1)
+                else:
+                    w.write(0, 1)
                 for warm in sig[:order]:
                     w.write(int(warm), sbits)
             w.write(0, 2)  # rice method 0

@@ -486,11 +486,17 @@ def encode_baseline_jpeg(
     arr: np.ndarray,
     luma_quant: list[int] | None = None,
     chroma_quant: list[int] | None = None,
+    subsample: str = "444",
 ) -> bytes:
     """Encode a uint8 array — (H, W) grayscale or (H, W, 3) RGB — as a
-    baseline JFIF JPEG (4:4:4, standard Annex K Huffman tables).
-    Custom quantization tables let callers construct exactly-
-    round-trippable inputs (see FLAT16_QUANT)."""
+    baseline JFIF JPEG (standard Annex K Huffman tables). Custom
+    quantization tables let callers construct exactly-round-trippable
+    inputs (see FLAT16_QUANT). ``subsample='420'`` emits 2x2-sampled
+    luma with 2x2-averaged chroma (the dominant real-world layout),
+    exercising the decoder's MCU interleave + replication upsample;
+    '444' keeps full chroma (lossless-capable with flat blocks)."""
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
     lq = STD_LUMA_QUANT if luma_quant is None else luma_quant
     cq = STD_CHROMA_QUANT if chroma_quant is None else chroma_quant
     gray = arr.ndim == 2
@@ -522,9 +528,11 @@ def encode_baseline_jpeg(
     if not gray:
         out += _quant_segment(1, cq)
     nc = 1 if gray else 3
+    sub420 = subsample == "420" and not gray
     sof = bytes([8]) + H.to_bytes(2, "big") + W.to_bytes(2, "big") + bytes([nc])
     for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        samp = 0x22 if (sub420 and ci == 0) else 0x11
+        sof += bytes([ci + 1, samp, 0 if ci == 0 else 1])
     out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
     out += _huff_segment(0, 0, STD_DC_LUMA_BITS, STD_DC_LUMA_VALS)
     out += _huff_segment(1, 0, STD_AC_LUMA_BITS, STD_AC_LUMA_VALS)
@@ -542,9 +550,10 @@ def encode_baseline_jpeg(
     dc_c = _build_encode_table(STD_DC_CHROMA_BITS, STD_DC_CHROMA_VALS)
     ac_c = _build_encode_table(STD_AC_CHROMA_BITS, STD_AC_CHROMA_VALS)
 
-    # pad planes to multiples of 8 by edge replication
-    ph = (H + 7) // 8 * 8
-    pw = (W + 7) // 8 * 8
+    # pad planes by edge replication; 4:2:0 MCUs are 16x16 in luma
+    unit = 16 if sub420 else 8
+    ph = (H + unit - 1) // unit * unit
+    pw = (W + unit - 1) // unit * unit
     padded = []
     for p in planes:
         pp = np.empty((ph, pw))
@@ -554,23 +563,40 @@ def encode_baseline_jpeg(
         if ph > H:
             pp[H:, :] = pp[H - 1 : H, :]
         padded.append(pp)
+    if sub420:
+        # chroma: 2x2 mean then one 8x8 block per 16x16 luma MCU
+        padded[1:] = [
+            p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)) for p in padded[1:]
+        ]
 
     w = _BitWriter()
     preds = [0] * nc
-    # interleaved 4:4:4: one 8x8 block per component per MCU
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            for ci in range(nc):
-                block = padded[ci][by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8]
-                coef = _dct2(block - 128.0)
-                coef_q = np.rint(coef / quants[ci])
-                preds[ci] = _encode_block(
-                    w,
-                    coef_q,
-                    preds[ci],
-                    dc_l if ci == 0 else dc_c,
-                    ac_l if ci == 0 else ac_c,
-                )
+
+    def put(ci: int, plane: np.ndarray, by: int, bx: int) -> None:
+        block = plane[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8]
+        coef = _dct2(block - 128.0)
+        coef_q = np.rint(coef / quants[ci])
+        preds[ci] = _encode_block(
+            w, coef_q, preds[ci],
+            dc_l if ci == 0 else dc_c,
+            ac_l if ci == 0 else ac_c,
+        )
+
+    if sub420:
+        # interleaved 4:2:0: per MCU, 4 luma blocks then Cb, Cr
+        for my in range(ph // 16):
+            for mx in range(pw // 16):
+                for dy in range(2):
+                    for dx in range(2):
+                        put(0, padded[0], my * 2 + dy, mx * 2 + dx)
+                put(1, padded[1], my, mx)
+                put(2, padded[2], my, mx)
+    else:
+        # interleaved 4:4:4: one 8x8 block per component per MCU
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                for ci in range(nc):
+                    put(ci, padded[ci], by, bx)
     w.flush()
     out += w.out
     out += b"\xff\xd9"  # EOI

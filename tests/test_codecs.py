@@ -457,3 +457,54 @@ def test_media_ops_compose_with_streaming(spark, tmp_path):
     assert got[1]["media_type"] == "image/png"
     assert (got[1]["width"], got[1]["height"]) == (9, 6)
     assert got[2]["media_type"] == "application/octet-stream"
+
+
+def test_flac_wasted_bits_roundtrip():
+    t = np.arange(3000)
+    sig = ((1000 * np.sin(t / 40)).astype(np.int64) << 3).astype(np.int16)
+    dec, _ = decode_flac(encode_flac(sig, block_size=512, wasted_bits=3))
+    assert np.array_equal(dec[:, 0], sig)
+    # combined with LPC + stereo decorrelation
+    x = np.stack([sig, (-sig).astype(np.int16)], axis=1)
+    blob = encode_flac(
+        x, block_size=256, wasted_bits=2, lpc=([2, -1], 0, 5),
+        stereo_mode="left-side",
+    )
+    res = decode_flac(blob)
+    assert res is not None and np.array_equal(res[0], x)
+    # encoder refuses samples without the claimed trailing zeros
+    with pytest.raises(ValueError):
+        encode_flac(np.arange(100, dtype=np.int16) | 1, wasted_bits=2)
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 encode exercises the decoder's MCU interleave (4 luma +
+    2 chroma blocks per MCU) and replication upsample. Flat 16x16
+    gray-valued tiles with even luma are exact by construction even
+    through the chroma averaging."""
+    from kinesis_producer_spark.operators.jpeg import (
+        FLAT16_QUANT,
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    rng = np.random.RandomState(4)
+    tiles = rng.randint(0, 63, (2, 3)) * 4 + 2
+    img = np.repeat(np.repeat(tiles, 16, 0), 16, 1).astype(np.uint8)
+    rgb = np.repeat(img[:, :, None], 3, 2)
+    blob = encode_baseline_jpeg(
+        rgb, luma_quant=FLAT16_QUANT, chroma_quant=FLAT16_QUANT, subsample="420"
+    )
+    assert np.array_equal(decode_baseline_jpeg(blob), rgb)
+    # odd (non-multiple-of-16) dims: edge replication keeps exactness
+    odd = np.full((17, 22, 3), 106, np.uint8)
+    blob = encode_baseline_jpeg(
+        odd, luma_quant=FLAT16_QUANT, chroma_quant=FLAT16_QUANT, subsample="420"
+    )
+    assert np.array_equal(decode_baseline_jpeg(blob), odd)
+    # natural content decodes at the right shape (lossy)
+    nat = rng.randint(0, 256, (24, 40, 3)).astype(np.uint8)
+    out = decode_baseline_jpeg(encode_baseline_jpeg(nat, subsample="420"))
+    assert out.shape == nat.shape
+    with pytest.raises(ValueError):
+        encode_baseline_jpeg(nat, subsample="422")
