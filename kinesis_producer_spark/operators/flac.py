@@ -587,6 +587,7 @@ def encode_flac(
     lpc: tuple[list[int], int, int] | None = None,
     stereo_mode: str = "independent",
     wasted_bits: int = 0,
+    bits: int = 16,
 ) -> bytes:
     """Encode int16 PCM (n,) or (n, n_channels) as a compliant FLAC
     stream: fixed predictors (order 0–2, per-block choice), CONSTANT
@@ -610,7 +611,11 @@ def encode_flac(
     n, n_chan = x.shape
     if not (1 <= n_chan <= 8):
         raise ValueError("1..8 channels")
-    bits = 16
+    if bits not in (8, 12, 16, 20, 24):
+        raise ValueError("bits must be one of 8/12/16/20/24")
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if x.size and (int(x.min()) < lo or int(x.max()) > hi):
+        raise ValueError(f"samples exceed {bits}-bit range")
     out = bytearray(b"fLaC")
     info = bytearray()
     info += block_size.to_bytes(2, "big") * 2
@@ -646,7 +651,7 @@ def encode_flac(
             "mid-side": 10,
         }[stereo_mode]
         w.write(chan_code, 4)
-        w.write(4, 3)  # 16 bits per sample
+        w.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6}[bits], 3)  # sample size code
         w.write(0, 1)
         for byte in _encode_utf8_number(frame_idx):
             w.write(byte, 8)

@@ -508,3 +508,15 @@ def test_jpeg_420_subsampled_roundtrip():
     assert out.shape == nat.shape
     with pytest.raises(ValueError):
         encode_baseline_jpeg(nat, subsample="422")
+
+
+@pytest.mark.parametrize("bits,amp", [(8, 100), (12, 1800), (20, 400000), (24, 4_000_000)])
+def test_flac_all_bit_depths(bits, amp):
+    t = np.arange(4000)
+    sig = (amp * np.sin(t / 30)).astype(np.int64)
+    blob = encode_flac(sig, block_size=512, bits=bits)
+    assert parse_streaminfo(blob)["bits_per_sample"] == bits
+    dec, _ = decode_flac(blob)
+    assert np.array_equal(dec[:, 0], sig)
+    with pytest.raises(ValueError):
+        encode_flac(np.array([1 << bits], np.int64), bits=bits)
