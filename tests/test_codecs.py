@@ -520,3 +520,68 @@ def test_flac_all_bit_depths(bits, amp):
     assert np.array_equal(dec[:, 0], sig)
     with pytest.raises(ValueError):
         encode_flac(np.array([1 << bits], np.int64), bits=bits)
+
+
+# ---------------------------------------------------------------------------
+# Property-based round trips (pure Python, no Spark — generous examples)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as hst  # noqa: E402
+
+_CODEC_SETTINGS = settings(max_examples=40, deadline=None)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=hst.integers(1, 20),
+    w=hst.integers(1, 20),
+    c=hst.sampled_from([1, 2, 3, 4]),
+    ft=hst.integers(0, 4),
+    il=hst.booleans(),
+    seed=hst.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, c, ft, il, seed):
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, c) if c > 1 else (h, w)).astype(np.uint8)
+    out = decode_png(encode_png(img, filter_type=ft, interlace=il))
+    assert out is not None and np.array_equal(out.reshape(img.shape), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=hst.integers(1, 25),
+    w=hst.integers(1, 25),
+    npal_pow=hst.integers(1, 8),
+    il=hst.booleans(),
+    seed=hst.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_property(h, w, npal_pow, il, seed):
+    rng = np.random.RandomState(seed)
+    n_pal = 1 << npal_pow
+    pal = rng.randint(0, 256, (n_pal, 3)).astype(np.uint8)
+    idx = rng.randint(0, n_pal, (h, w)).astype(np.uint8)
+    out = decode_gif(encode_gif(idx, pal, interlace=il))
+    assert out is not None and np.array_equal(out, pal[idx])
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=hst.integers(1, 800),
+    n_chan=hst.sampled_from([1, 2]),
+    block=hst.sampled_from([64, 192, 333]),
+    kind=hst.sampled_from(["noise", "smooth", "flat"]),
+    seed=hst.integers(0, 2**31 - 1),
+)
+def test_flac_roundtrip_property(n, n_chan, block, kind, seed):
+    rng = np.random.RandomState(seed)
+    if kind == "noise":
+        sig = rng.randint(-32768, 32768, n).astype(np.int16)
+    elif kind == "smooth":
+        sig = (3000 * np.sin(np.arange(n) / 17)).astype(np.int16)
+    else:
+        sig = np.full(n, rng.randint(-32768, 32768), np.int16)
+    x = sig if n_chan == 1 else np.stack([sig, rng.permutation(sig)], axis=1)
+    res = decode_flac(encode_flac(x, block_size=block))
+    assert res is not None
+    dec, _ = res
+    assert np.array_equal(dec, x if x.ndim == 2 else x[:, None])
