@@ -420,8 +420,10 @@ def parse_streaminfo(b: bytes) -> dict | None:
 
 def decode_flac(b: bytes, max_bytes: int = 8 << 20) -> tuple[np.ndarray, int] | None:
     """Decode a FLAC blob → (samples, sample_rate) with samples an
-    int32 (n, n_channels) array; None for non-FLAC / corrupt /
-    unsupported (LPC, wasted bits) streams."""
+    int32 (n, n_channels) array. Constant/verbatim/fixed AND LPC
+    subframes, wasted bits, and all stereo decorrelation modes are
+    supported; None for non-FLAC / corrupt / unsupported sample
+    sizes (anything outside 8/12/16/20/24 bits)."""
     if b is None or len(b) > max_bytes:
         return None
     info = parse_streaminfo(b)

@@ -4429,9 +4429,10 @@ def q209_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     quota = s.crossJoin(F.broadcast(denom)).select(
         "source",
         F.col("n_docs").cast("bigint").alias("source_docs"),
-        F.floor((F.lit(1000) * F.col("w_micro")) / F.col("denom"))
-        .cast("bigint")
-        .alias("quota"),
+        # `div` is exact bigint division; floor(a/b) would round through
+        # a double, where a quotient within one ulp of an integer can
+        # floor differently than DuckDB's integer `//`.
+        F.expr("(1000L * w_micro) div denom").cast("bigint").alias("quota"),
     )
     w = W.partitionBy("source").orderBy(
         F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), F.col("doc_id")

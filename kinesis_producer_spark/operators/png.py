@@ -16,11 +16,13 @@ encode (the minimal sibling, used to synthesize deterministic test
 and query inputs): per-row filter (caller-chosen, so tests can force
 every unfilter path) → ``zlib.compress`` → IHDR/IDAT/IEND.
 
-Supported: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
-4 (gray+alpha), 6 (RGBA); both interlace methods. Bit depths
-1/2/4/16 return None (honest partial coverage — the fixture
-synthesizer only emits depth 8, and the operator seam in
-``multimodal.decode_media`` reports undecodable blobs as nulls).
+Supported: all spec bit-depth/color-type combinations — gray (0) at
+1/2/4/8/16, RGB (2) at 8/16, palette (3) at 1/2/4/8, gray+alpha (4)
+and RGBA (6) at 8/16 — plus tRNS and both interlace methods. Depth
+≤8 decodes to uint8, depth 16 to uint16; sub-byte gray samples are
+raw unscaled values (a depth-1 white pixel is 1, not 255). Any
+combination outside the spec table returns None (the operator seam
+in ``multimodal.decode_media`` reports undecodable blobs as nulls).
 
 Scale posture: per-blob Python invoked inside Arrow-batched
 ``mapInPandas`` stages; blobs never leave executors. The inflate hot
@@ -123,10 +125,12 @@ def _unfilter(raw: bytes, stride: int, height: int, bpp: int) -> bytearray | Non
 
 
 def decode_png(b: bytes, max_bytes: int = 4 << 20) -> np.ndarray | None:
-    """Decode a PNG blob to uint8 pixels: (H,W) for grayscale, else
-    (H,W,C). Returns None for non-PNG, corrupt, oversized, or
-    unsupported-depth input — the operator layer reports null rows
-    rather than failing the Spark task."""
+    """Decode a PNG blob to pixels: (H,W) for grayscale, else (H,W,C);
+    dtype uint8 for bit depth ≤8 (sub-byte gray samples are raw,
+    unscaled values) and uint16 for depth 16. Returns None for
+    non-PNG, corrupt, oversized, or spec-invalid depth/color input —
+    the operator layer reports null rows rather than failing the
+    Spark task."""
     if b is None or len(b) > max_bytes or not b.startswith(_SIG):
         return None
     try:

@@ -59,8 +59,16 @@ def gunzip_text(
                     d = zlib.decompressobj(wbits=47)  # auto gzip/zlib
                     raw = d.decompress(b, max_bytes)
                     if not d.unconsumed_tail:  # within the size bound
+                        # flush() BEFORE checking eof (flush is unbounded,
+                        # so it must stay behind the unconsumed_tail gate
+                        # or a bomb inflates here). d.eof then gates on
+                        # stream COMPLETION: a truncated blob inflates to
+                        # a silent prefix with no zlib.error — the gzip
+                        # CRC trailer is only verified at end-of-stream —
+                        # so a prefix would otherwise pass as valid text.
                         raw += d.flush()
-                        text = raw.decode(encoding)
+                        if d.eof:
+                            text = raw.decode(encoding)
                 except (zlib.error, UnicodeDecodeError):
                     text = None
                 rows.append(

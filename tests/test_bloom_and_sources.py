@@ -64,6 +64,30 @@ def test_gunzip_text_containers_and_poison(spark):
     assert out[1]["n_bytes_compressed"] == len(rows[0][1])
 
 
+def test_gunzip_truncated_stream_yields_null_not_prefix(spark):
+    """A chopped gzip/zlib stream inflates to a silent PREFIX with no
+    zlib.error (the CRC trailer is only checked at end-of-stream), so
+    the operator must gate on d.eof — otherwise partial text passes as
+    valid and silently corrupts documents at scale."""
+    from kinesis_producer_spark.sources.compressed import gunzip_text
+
+    text = ("the quick brown fox jumps over the lazy dog " * 40).strip()
+    gz = gzip.compress(text.encode(), mtime=0)
+    zl = zlib.compress(text.encode())
+    rows = [
+        (1, bytearray(gz)),  # intact control
+        (2, bytearray(gz[: len(gz) - 12])),  # trailer+tail chopped
+        (3, bytearray(gz[: len(gz) // 2])),  # half the stream
+        (4, bytearray(zl[: len(zl) - 6])),  # zlib adler32 chopped
+        (5, bytearray(gz[: len(gz) - 1])),  # single byte short
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r.doc_id: r.text for r in gunzip_text(df).collect()}
+    assert out[1] == text
+    for did in (2, 3, 4, 5):
+        assert out[did] is None, f"truncated blob {did} returned partial text"
+
+
 def test_gunzip_zip_bomb_guard(spark):
     from kinesis_producer_spark.sources.compressed import gunzip_text
 
