@@ -117,12 +117,77 @@ def extract_metadata(df: DataFrame, id_col: str = "media_id", content_col: str =
     return src.mapInPandas(run, MEDIA_META_SCHEMA)
 
 
+# ---- codec kernel seam -------------------------------------------------
+# SCALE.md's 100 TB story is "swap libjpeg-turbo (or PIL/ffmpeg) in
+# production via the same operator seam": the per-blob decode callable
+# is a pluggable KERNEL keyed by sniffed format, and swapping it changes
+# neither the Spark plan (same mapInPandas stage, same schema) nor the
+# operator semantics (kernel: bytes -> HxW[xC] ndarray or None).
+#
+# Resolution order: built-in pure-Python kernels < process-global
+# registrations (register_decode_kernel) < per-call `kernels=` dict.
+# The resolved mapping is SNAPSHOTTED into the task closure at plan
+# build time, so executors see exactly the kernels the driver resolved.
+
+_KERNEL_OVERRIDES: dict = {}
+
+
+def sniff_image_format(b: bytes) -> str | None:
+    """Magic-byte sniff for the kernel key ('jpeg'|'png'|'gif'|'bmp')."""
+    if b[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if b[:2] == b"BM":
+        return "bmp"
+    return None
+
+
+def default_decode_kernels() -> dict:
+    from kinesis_producer_spark.operators.gif import decode_gif
+    from kinesis_producer_spark.operators.jpeg import decode_baseline_jpeg
+    from kinesis_producer_spark.operators.png import decode_png
+
+    def _bmp(b: bytes):
+        parsed = _parse_bmp(b)
+        return None if parsed is None else parsed[2]
+
+    return {
+        "jpeg": decode_baseline_jpeg,
+        "png": decode_png,
+        "gif": decode_gif,
+        "bmp": _bmp,
+    }
+
+
+def register_decode_kernel(fmt: str, fn) -> None:
+    """Process-global kernel swap (e.g. ``register_decode_kernel('jpeg',
+    turbojpeg_decode)`` in production). Affects plans built AFTER the
+    call; running plans keep their snapshot."""
+    _KERNEL_OVERRIDES[fmt] = fn
+
+
+def unregister_decode_kernel(fmt: str) -> None:
+    _KERNEL_OVERRIDES.pop(fmt, None)
+
+
+def resolve_decode_kernels(kernels: dict | None = None) -> dict:
+    out = default_decode_kernels()
+    out.update(_KERNEL_OVERRIDES)
+    if kernels:
+        out.update(kernels)
+    return out
+
+
 def decode_media(
     df: DataFrame,
     id_col: str = "media_id",
     content_col: str = "content",
     decode_stub: str = "fail",
     feature_dim: int = 8,
+    kernels: dict | None = None,
 ) -> DataFrame:
     """Decode + featurize media blobs.
 
@@ -143,12 +208,9 @@ def decode_media(
     """
     import numpy as np
 
-    from kinesis_producer_spark.operators.gif import decode_gif
-    from kinesis_producer_spark.operators.jpeg import decode_baseline_jpeg
-    from kinesis_producer_spark.operators.png import decode_png
-
     if decode_stub not in ("fail", "fake"):
         raise ValueError("decode_stub must be 'fail' or 'fake'")
+    kmap = resolve_decode_kernels(kernels)  # snapshot into the closure
     src = df.select(F.col(id_col).alias("media_id"), F.col(content_col).alias("_blob"))
 
     def _featurize(arr: np.ndarray) -> dict:
@@ -175,17 +237,9 @@ def decode_media(
                 b = bytes(blob) if blob is not None else b""
                 row = {"media_id": mid, "width": None, "height": None,
                        "n_channels": None, "feature": None}
-                arr = None
-                if b[:3] == b"\xff\xd8\xff":
-                    arr = decode_baseline_jpeg(b)
-                elif b[:8] == b"\x89PNG\r\n\x1a\n":
-                    arr = decode_png(b)
-                elif b[:6] in (b"GIF87a", b"GIF89a"):
-                    arr = decode_gif(b)
-                elif b[:2] == b"BM":
-                    parsed = _parse_bmp(b)
-                    if parsed is not None:
-                        arr = parsed[2]
+                fmt = sniff_image_format(b)
+                kernel = kmap.get(fmt) if fmt is not None else None
+                arr = kernel(b) if kernel is not None else None
                 if arr is not None:
                     row.update(_featurize(arr))
                 elif decode_stub == "fail":
@@ -463,11 +517,100 @@ def decode_headers(
 def repartition_by_bytes(
     df: DataFrame, content_col: str = "content", target_bytes: int = 128 * 1024 * 1024
 ) -> DataFrame:
-    """Size-aware repartition: media rows are fat, so balance partitions
-    by cumulative byte size rather than row count."""
-    total = df.select(F.sum(F.length(F.col(content_col)))).collect()[0][0] or 0
-    n = max(1, int(total / target_bytes))
-    return df.repartition(n)
+    """Byte-true size-aware repartition: balance partitions by
+    cumulative BYTE size, not row count.
+
+    ``df.repartition(n)`` is round-robin by row — with skewed blob
+    sizes (one 1 GB video among thumbnails) a partition can still
+    collect many fat rows. This operator bin-packs contiguously by
+    running byte total instead:
+
+    1. one narrow (zero-shuffle) ``mapInPandas`` pass stamps each row
+       with its source partition id and the running byte total BEFORE
+       it within that partition — ``mapInPandas`` sees a whole
+       partition as one batch iterator, so the prefix sum needs no
+       window and no exchange;
+    2. per-partition byte totals (one tiny row each) are aggregated
+       and collected; the driver turns them into global offsets — a
+       #partitions-sized exclusive prefix sum, never row data;
+    3. ``bucket = (offset + local_prefix) div target_bytes`` assigns
+       every row a contiguous bucket holding ≈``target_bytes``; the
+       rows move once, via ``repartitionByRange`` on the bucket id.
+
+    Guarantee: a partition holds at most ``target_bytes`` plus the one
+    row that straddles its upper boundary — i.e. ≤ 2×target when no
+    single blob exceeds the target, and a blob larger than the target
+    sits (almost) alone. The stage is persisted between (2) and (3) so
+    the blobs are scanned once, not re-computed per job; callers at
+    100 TB scale should unpersist the RESULT's lineage after the
+    downstream write (or swap persist for a checkpoint) — the
+    alternative of two source scans is usually worse than one
+    DISK_ONLY materialization.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import types as _T
+
+    out_schema = _T.StructType(
+        list(df.schema.fields)
+        + [
+            _T.StructField("_kps_pid", _T.LongType()),
+            _T.StructField("_kps_cum_before", _T.LongType()),
+            _T.StructField("_kps_size", _T.LongType()),
+        ]
+    )
+    cols = df.columns
+
+    def stamp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        cum = 0
+        for pdf in batches:
+            sizes = pdf[content_col].map(
+                lambda b: len(b) if b is not None else 0
+            )
+            pdf = pdf.copy()
+            pdf["_kps_pid"] = pid
+            pdf["_kps_cum_before"] = sizes.cumsum().shift(fill_value=0) + cum
+            pdf["_kps_size"] = sizes
+            cum += int(sizes.sum())
+            yield pdf
+
+    stamped = df.mapInPandas(stamp, out_schema).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    totals = {
+        r["_kps_pid"]: r["t"]
+        for r in stamped.groupBy("_kps_pid")
+        .agg(F.max(F.col("_kps_cum_before") + F.col("_kps_size")).alias("t"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    n = max(1, -(-acc // target_bytes))  # ceil(total / target)
+
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+            "_kps_pid long, _kps_offset long",
+        )
+    )
+    bucketed = stamped.join(off_df, "_kps_pid", "left").withColumn(
+        "_kps_bucket",
+        F.least(
+            F.expr(
+                f"(coalesce(_kps_offset, 0L) + _kps_cum_before) div {int(target_bytes)}L"
+            ),
+            F.lit(n - 1),
+        ),
+    )
+    return bucketed.repartitionByRange(n, "_kps_bucket").drop(
+        "_kps_pid", "_kps_cum_before", "_kps_size", "_kps_offset", "_kps_bucket"
+    )
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -495,6 +638,8 @@ def resize_media(
     id_col: str = "media_id",
     content_col: str = "content",
     decode_stub: str = "fail",
+    kernels: dict | None = None,
+    encode_kernels: dict | None = None,
 ) -> DataFrame:
     """Resize stage: one output row per media blob.
 
@@ -504,17 +649,23 @@ def resize_media(
     itself a decodable thumbnail in the input's own format. Other
     formats still need PIL: ``'fail'`` raises with the dependency
     name; ``'fake'`` emits a deterministic md5-stretched byte
-    payload so the Arrow batch plumbing is tested."""
+    payload so the Arrow batch plumbing is tested.
+
+    Decode goes through the same kernel seam as ``decode_media``
+    (``kernels=`` / ``register_decode_kernel``); re-encode through the
+    per-format ``encode_kernels`` (ndarray → bytes). A format is a
+    real path only when BOTH kernels resolve."""
     import numpy as np
 
-    from kinesis_producer_spark.operators.jpeg import (
-        decode_baseline_jpeg,
-        encode_baseline_jpeg,
-    )
-    from kinesis_producer_spark.operators.png import decode_png, encode_png
+    from kinesis_producer_spark.operators.jpeg import encode_baseline_jpeg
+    from kinesis_producer_spark.operators.png import encode_png
 
     if decode_stub not in ("fail", "fake"):
         raise ValueError("decode_stub must be 'fail' or 'fake'")
+    kmap = resolve_decode_kernels(kernels)
+    emap = {"jpeg": encode_baseline_jpeg, "png": encode_png}
+    if encode_kernels:
+        emap.update(encode_kernels)
     src = df.select(F.col(id_col).alias("media_id"), F.col(content_col).alias("_blob"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -522,18 +673,15 @@ def resize_media(
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["_blob"]):
                 b = bytes(blob) if blob is not None else b""
-                is_png = b[:8] == b"\x89PNG\r\n\x1a\n"
-                if b[:3] == b"\xff\xd8\xff":
-                    arr = decode_baseline_jpeg(b)
-                elif is_png:
-                    arr = decode_png(b)
-                else:
-                    arr = None
+                fmt = sniff_image_format(b)
+                arr = None
+                if fmt is not None and fmt in kmap and fmt in emap:
+                    arr = kmap[fmt](b)
                 if arr is not None:
                     ys = (np.arange(height) * arr.shape[0]) // height
                     xs = (np.arange(width) * arr.shape[1]) // width
                     small = arr[ys][:, xs]
-                    payload = encode_png(small) if is_png else encode_baseline_jpeg(small)
+                    payload = emap[fmt](small)
                 elif decode_stub == "fail":
                     raise NotImplementedError(
                         "resize for this format requires PIL — not in this "

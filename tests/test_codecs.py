@@ -236,6 +236,67 @@ def test_decode_media_png_gif_paths(spark):
     assert abs(rows[1]["feature"][1]) < 1e-9
 
 
+def test_decode_kernel_swap_seam(spark):
+    """The 100 TB kernel-swap contract (SCALE.md): a production codec
+    (libjpeg-turbo, PIL) replaces the pure-Python kernel through the
+    registry WITHOUT changing the operator's plan, schema, or — for a
+    semantics-preserving kernel — its rows."""
+    from kinesis_producer_spark.operators.multimodal import (
+        decode_media,
+        register_decode_kernel,
+        resize_media,
+        unregister_decode_kernel,
+    )
+
+    img = np.full((10, 20, 3), 100, np.uint8)
+    png = encode_png(img)
+    df = spark.createDataFrame(
+        [(1, bytearray(png))], "media_id long, content binary"
+    )
+
+    calls = {"n": 0}
+
+    def fast_png(b: bytes):
+        # stand-in for a C-accelerated kernel: same contract
+        # (bytes -> ndarray | None), different implementation
+        calls["n"] += 1
+        return decode_png(b)
+
+    base = decode_media(df)
+    swapped = decode_media(df, kernels={"png": fast_png})
+    # identical schema and plan shape (same single mapInPandas stage)
+    assert base.schema == swapped.schema
+    assert ("MapInPandas" in swapped._jdf.queryExecution().executedPlan().toString())
+    assert base.collect() == swapped.collect()
+
+    # a kernel that REPLACES semantics flows through to the rows —
+    # proof the swapped callable actually runs on executors
+    tiny = decode_media(df, kernels={"png": lambda b: np.zeros((2, 2), np.uint8)})
+    r = tiny.collect()[0]
+    assert (r.width, r.height, r.n_channels) == (2, 2, 1)
+
+    # process-global registration: affects plans built after the call,
+    # and unregister restores the built-in
+    register_decode_kernel("png", lambda b: np.zeros((3, 4), np.uint8))
+    try:
+        r = decode_media(df).collect()[0]
+        assert (r.width, r.height) == (4, 3)
+    finally:
+        unregister_decode_kernel("png")
+    r = decode_media(df).collect()[0]
+    assert (r.width, r.height) == (20, 10)
+
+    # resize goes through the same seam (decode + encode kernels)
+    rz = resize_media(
+        df,
+        width=4,
+        height=4,
+        kernels={"png": decode_png},
+        encode_kernels={"png": encode_png},
+    ).collect()[0]
+    assert decode_png(bytes(rz.resized)).shape == (4, 4, 3)
+
+
 def test_resize_media_png_thumbnail_is_decodable(spark):
     from kinesis_producer_spark.operators.multimodal import resize_media
 

@@ -103,6 +103,73 @@ def test_repartition_by_bytes(spark):
     out = repartition_by_bytes(df, target_bytes=20_000)  # 100 KB total → 5 parts
     assert out.rdd.getNumPartitions() == 5
     assert out.count() == 100
+    # every row survives with content intact
+    got = {r.media_id: len(r.content) for r in out.collect()}
+    assert got == {i: 1000 for i in range(100)}
+
+
+def _partition_byte_loads(out, content_col="content"):
+    from pyspark.sql import functions as F
+
+    sizes = out.select(
+        F.spark_partition_id().alias("p"), F.length(content_col).alias("n")
+    )
+    return {
+        r.p: r.total
+        for r in sizes.groupBy("p").agg(F.sum("n").alias("total")).collect()
+    }
+
+
+def test_repartition_by_bytes_is_byte_true_under_fat_row_skew(spark):
+    """The VERDICT r3 defect: round-robin by row count lets one fat blob
+    share a partition with thousands of others. Byte-true bin packing
+    must bound every partition at target + one straddling row — i.e.
+    ≤ 2× target when no blob exceeds the target."""
+    from kinesis_producer_spark.operators.multimodal import repartition_by_bytes
+
+    target = 1 << 20  # 1 MiB
+    fat = b"F" * target  # exactly one target-sized blob
+    rows = [(0, fat)] + [(i, b"x" * 1024) for i in range(1, 8001)]  # + 8000×1KiB
+    # load everything into FEW source partitions so round-robin would
+    # definitely mix the fat row with a full share of small rows
+    df = spark.createDataFrame(rows, "media_id long, content binary").coalesce(2)
+
+    out = repartition_by_bytes(df, target_bytes=target)
+    loads = _partition_byte_loads(out)
+    assert sum(loads.values()) == target + 8000 * 1024
+    assert max(loads.values()) <= 2 * target, f"partition over 2x target: {loads}"
+    # and the packing is tight: no more than one extra partition vs ideal
+    ideal = -(-(target + 8000 * 1024) // target)
+    assert len(loads) <= ideal + 1
+
+
+def test_repartition_by_bytes_isolates_blob_larger_than_target(spark):
+    """A blob BIGGER than the target cannot be split; it must sit alone
+    (bounded by its own size + at most one boundary-straddling row),
+    and the small rows must still pack to ≈target elsewhere."""
+    from kinesis_producer_spark.operators.multimodal import repartition_by_bytes
+
+    target = 256 << 10  # 256 KiB
+    fat_n = 3 * target  # 3× the target
+    rows = [(0, b"F" * fat_n)] + [(i, b"x" * 1024) for i in range(1, 2049)]
+    df = spark.createDataFrame(rows, "media_id long, content binary").coalesce(1)
+
+    out = repartition_by_bytes(df, target_bytes=target)
+    loads = _partition_byte_loads(out)
+    assert sum(loads.values()) == fat_n + 2048 * 1024
+    # find the fat row's partition: it may carry at most target extra
+    from pyspark.sql import functions as F
+
+    fat_part = (
+        out.select(F.spark_partition_id().alias("p"), "media_id")
+        .where(F.col("media_id") == 0)
+        .collect()[0]
+        .p
+    )
+    assert loads[fat_part] <= fat_n + target
+    for p, n in loads.items():
+        if p != fat_part:
+            assert n <= 2 * target
 
 
 def test_media_decode_fail_mode_raises(spark):
