@@ -18,7 +18,12 @@ bucket count must match on both sides (or divide evenly, Spark
 3.1+ with bucketing.ratio), the join key must equal the bucket key,
 and bucketed writes require ``saveAsTable`` (a metastore entry), not
 bare ``parquet(path)``. One file per bucket per task — coalesce
-before writing to keep file counts sane.
+before writing to keep file counts sane. For filter-only point
+lookups note ``spark.sql.sources.bucketing.autoBucketedScan.enabled``
+(default true) DISABLES the bucketed scan when no operator needs the
+hash distribution — which also forfeits bucket pruning; set it false
+around point lookups to get ``SelectedBucketsCount: 1 out of N``
+(asserted in tests/test_bucketed.py).
 """
 
 from __future__ import annotations
@@ -51,10 +56,31 @@ def bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
-def n_shuffle_exchanges(df: DataFrame) -> int:
+def n_shuffle_exchanges(df: DataFrame, final: bool = False) -> int:
     """Count ShuffleExchange nodes in the executed plan (the metric a
-    bucketed join drives to zero)."""
+    bucketed join drives to zero).
+
+    With AQE enabled the pre-execution plan is only the INITIAL plan;
+    AQE may re-plan at runtime (e.g. re-introduce an exchange for a
+    skew-join split). ``final=True`` runs the query (``count()``) and
+    counts exchanges in the final adaptive plan — the one that actually
+    executed."""
+    if final:
+        df.count()  # materialize so AdaptiveSparkPlan holds its final plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     return plan.count("Exchange hashpartitioning") + plan.count(
         "Exchange rangepartitioning"
     )
+
+
+def selected_buckets(df: DataFrame) -> tuple[int, int] | None:
+    """Parse bucket pruning out of the scan: returns (selected, total)
+    from the FileSourceScan's ``SelectedBucketsCount`` annotation, or
+    None if no pruning is reported. A point filter on the bucket key
+    must scan ONE bucket's files, not all of them — at 100 TB that is
+    the difference between a lookup and a full scan."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount:\s*(\d+)\s*out of\s*(\d+)", plan)
+    return (int(m.group(1)), int(m.group(2))) if m else None

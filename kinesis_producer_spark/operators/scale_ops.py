@@ -307,7 +307,12 @@ SELECT v AS part, MIN(u) AS label FROM reach GROUP BY v
 """
 
 
-def min_label_components(und: DataFrame, verts: DataFrame, max_rounds: int = _LP_MAX_ROUNDS) -> DataFrame:
+def min_label_components(
+    und: DataFrame,
+    verts: DataFrame,
+    max_rounds: int = _LP_MAX_ROUNDS,
+    check_every: int = 2,
+) -> DataFrame:
     """Connected-component labels by synchronous min-label propagation,
     looped to FIXPOINT (not a fixed round count, which under-labels any
     component whose diameter exceeds the count).
@@ -316,28 +321,42 @@ def min_label_components(und: DataFrame, verts: DataFrame, max_rounds: int = _LP
     self-loop per vertex, persisted and pre-partitioned on ``u``;
     ``verts`` the distinct vertex frame (column u). Convergence check:
     labels only ever decrease, so ``sum(label)`` is strictly monotone
-    until the fixpoint — one 1-row aggregate per round (no
-    old-vs-new join), and the eager localCheckpoint each round means
-    the check costs no recomputation. This is the Pregel halting rule
-    (no messages change state) expressed as a scalar invariant.
+    until the fixpoint — one 1-row aggregate (no old-vs-new join), and
+    the eager localCheckpoint each round means the check costs no
+    recomputation. This is the Pregel halting rule (no messages change
+    state) expressed as a scalar invariant.
+
+    ``check_every`` sets the cadence of that 1-row action: every round
+    is correct but serializes a driver round-trip into each iteration;
+    checking every k-th round amortizes the latency at high diameters.
+    The halting rule is cadence-safe BECAUSE the sum is monotone: if
+    any of the k rounds between two checks changed a label, the sum
+    strictly decreased — so equal consecutive CHECK values prove the
+    fixpoint was reached at or before the earlier check. Cost of k>1:
+    up to k−1 no-op rounds after convergence; with k=2 that is one
+    cheap extra join against ~log-diameter rounds saved in driver
+    latency.
 
     Scale: per round one co-partitioned join (labels to edges on u)
     + one min-agg shuffle on v; the checkpoint truncates lineage so
     round N's plan stays two leaf relations regardless of N.
     """
+    if check_every < 1:
+        raise ValueError("check_every must be >= 1")
     labels = verts.select(F.col("u").alias("part"), F.col("u").alias("label"))
     prev_sum = None
-    for _ in range(max_rounds):
+    for i in range(max_rounds):
         labels = (
             und.join(labels, und["u"] == labels["part"])
             .groupBy(F.col("v").alias("part"))
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        s = labels.agg(F.sum("label")).collect()[0][0]
-        if s == prev_sum:
-            return labels
-        prev_sum = s
+        if (i + 1) % check_every == 0 or i == max_rounds - 1:
+            s = labels.agg(F.sum("label")).collect()[0][0]
+            if s == prev_sum:
+                return labels
+            prev_sum = s
     raise RuntimeError(
         f"min_label_components did not converge within {max_rounds} rounds"
     )
@@ -1904,6 +1923,107 @@ def q201_heavy_hitters_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .filter(F.col("cnt") >= _HH_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# q211 — grouped heavy hitters (per-group pigeonhole pruning)
+# ---------------------------------------------------------------------------
+
+
+def grouped_hh_candidates(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    threshold: int,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Candidate (group, item) pairs for exact per-group heavy hitters.
+
+    Pigeonhole over P partitions, per composite key: any (group, item)
+    with global count ≥ T must reach local count ≥ ceil(T/P) in at
+    least one partition — otherwise the total is ≤ P·(ceil(T/P)−1)
+    < T. The candidate set is therefore a SUPERSET of the truth for
+    any partitioning, so the verify pass is exact.
+
+    Memory bound (the adversarial case): the local counter holds at
+    most one entry per distinct (group, item) in the partition, which
+    ``maxPartitionBytes`` bounds; the EMITTED candidates are at most
+    rows_in_partition / ceil(T/P) — an all-distinct partition (the
+    non-Zipfian worst case) emits nothing once T > P, because every
+    local count is 1 < ceil(T/P).
+    """
+    import math
+
+    cols = list(group_cols) + [item_col]
+    src = df.select(*cols).repartition(n_parts)
+    bar = math.ceil(threshold / n_parts)
+
+    def local_candidates(batches):
+        import pandas as pd
+
+        counts: dict[tuple, int] = {}
+        for pdf in batches:
+            sizes = pdf.groupby(cols, dropna=False, sort=False).size()
+            for key, cnt in sizes.items():
+                k = key if isinstance(key, tuple) else (key,)
+                counts[k] = counts.get(k, 0) + int(cnt)
+        cand = [k for k, c in counts.items() if c >= bar]
+        yield pd.DataFrame(cand, columns=cols)
+
+    return src.mapInPandas(local_candidates, src.schema).distinct()
+
+
+def grouped_heavy_hitters(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    threshold: int,
+    n_parts: int = 32,
+) -> DataFrame:
+    """EXACT per-group heavy hitters: (group…, item, cnt) for every
+    item whose count WITHIN its group reaches ``threshold`` — the
+    100 TB telemetry shape (hitters per reading_type/day) — without
+    shuffling the full per-group vocabulary.
+
+    Same two-pass shape as the global q201: candidate pruning (one
+    narrow pass), then exact counting of the broadcast candidate
+    union only. The exchange carries only locally-frequent composite
+    keys; everything else dies before the shuffle."""
+    cols = list(group_cols) + [item_col]
+    src = df.select(*cols)
+    candidates = grouped_hh_candidates(df, group_cols, item_col, threshold, n_parts)
+    return (
+        src.join(F.broadcast(candidates), cols, "left_semi")
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+    )
+
+
+_GHH_THRESHOLD = 50
+
+_GHH_ORACLE = f"""
+WITH toks AS (
+  SELECT source, UNNEST(regexp_split_to_array(LOWER(text), '\\s+')) AS tok
+  FROM documents
+)
+SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks WHERE tok <> ''
+GROUP BY source, tok HAVING COUNT(*) >= {_GHH_THRESHOLD}
+"""
+
+
+@query("q211_grouped_heavy_hitters", oracle=_GHH_ORACLE)
+def q211_grouped_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE token heavy hitters (count ≥ T within the source),
+    exact, via the grouped pigeonhole pattern — the per-domain
+    vocabulary never shuffles, only locally-frequent (source, token)
+    pairs plus one broadcast of the candidate list."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return grouped_heavy_hitters(toks, ["source"], "tok", _GHH_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------

@@ -408,6 +408,16 @@ class KinesisSink:
         transport, whose dedup key is the record md5 in the acks).
         Requires ``ack_path``. Local-FS ledger here; an object-store
         deployment swaps in a conditional-put on the same layout.
+
+        Failure semantics differ by mode, necessarily: the default
+        mode mirrors the reference's batch-level containment
+        (main.py:45-49 — log and continue), which makes a failed
+        epoch AT-MOST-ONCE: Structured Streaming sees foreachBatch
+        return normally, commits the offsets, and never replays.
+        ``exactly_once=True`` therefore RE-RAISES the failure so the
+        query stops without committing and the restart replays the
+        same epoch — containment and exactly-once are mutually
+        exclusive, and silently keeping both would be data loss.
         """
         if exactly_once and not ack_path:
             raise ValueError("exactly_once requires ack_path (the ledger lives there)")
@@ -437,5 +447,11 @@ class KinesisSink:
                         fh.write("committed")
             except Exception as exc:  # noqa: BLE001
                 print(f"kinesis sink: batch {epoch_id} failed: {exc}")
+                if exactly_once:
+                    # swallowing would let Spark commit the epoch's
+                    # offsets → the batch is lost forever (at-most-once).
+                    # Fail the query; the checkpoint restart replays
+                    # this epoch_id and the ledger dedups the commit.
+                    raise
 
         return write

@@ -172,6 +172,73 @@ def test_repartition_by_bytes_isolates_blob_larger_than_target(spark):
             assert n <= 2 * target
 
 
+def test_grouped_heavy_hitters_exact_vs_plain_groupby(spark):
+    from kinesis_producer_spark.operators.scale_ops import grouped_heavy_hitters
+    from pyspark.sql import functions as F
+
+    # Zipf-ish: user u repeated (20 - u) times per group g
+    rows = [
+        (g, f"u{u}")
+        for g in ("a", "b")
+        for u in range(20)
+        for _ in range(20 - u)
+    ]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    got = sorted(
+        (r.grp, r.item, r.cnt)
+        for r in grouped_heavy_hitters(df, ["grp"], "item", 12, n_parts=4).collect()
+    )
+    exact = sorted(
+        (r.grp, r.item, r.cnt)
+        for r in df.groupBy("grp", "item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .where(F.col("cnt") >= 12)
+        .collect()
+    )
+    assert got == exact and len(got) == 2 * 9  # u0..u8 (20-u >= 12) per group
+
+
+def test_grouped_heavy_hitters_adversarial_all_distinct(spark):
+    """The non-Zipfian worst case: every (group, item) distinct. The
+    candidate set must stay BOUNDED (empty here, since every local
+    count is 1 < ceil(T/P)) and the output correct (also empty) —
+    i.e. adversarial data cannot blow up the exchange or executor
+    memory beyond the per-partition counter."""
+    from kinesis_producer_spark.operators.scale_ops import (
+        grouped_heavy_hitters,
+        grouped_hh_candidates,
+    )
+
+    df = spark.range(0, 50_000).selectExpr(
+        "concat('g', id % 7) AS grp", "concat('item-', id) AS item"
+    )
+    T, P = 64, 16  # T > P => bar = ceil(64/16) = 4 > any all-distinct count
+    cands = grouped_hh_candidates(df, ["grp"], "item", T, n_parts=P)
+    assert cands.count() == 0
+    assert grouped_heavy_hitters(df, ["grp"], "item", T, n_parts=P).count() == 0
+
+
+def test_grouped_heavy_hitters_boundary_threshold(spark):
+    """Items at EXACTLY the threshold survive; threshold-1 does not —
+    and the pigeonhole holds even when the repartition scatters a
+    key's occurrences as thinly as possible (more partitions than
+    occurrences of some keys)."""
+    from kinesis_producer_spark.operators.scale_ops import grouped_heavy_hitters
+
+    rows = (
+        [("g", "at")] * 10  # exactly T
+        + [("g", "under")] * 9  # T - 1
+        + [("h", "at")] * 10  # same item, different group
+        + [("h", "solo")] * 1
+    )
+    df = spark.createDataFrame(rows, "grp string, item string")
+    got = sorted(
+        (r.grp, r.item, r.cnt)
+        for r in grouped_heavy_hitters(df, ["grp"], "item", 10, n_parts=8).collect()
+    )
+    assert got == [("g", "at", 10), ("h", "at", 10)]
+
+
 def test_media_decode_fail_mode_raises(spark):
     """'fail' is the honest stub: executing the plan surfaces the
     missing codec dependency instead of fabricating data."""
@@ -413,8 +480,20 @@ def test_min_label_components_converges_past_any_fixed_round_count(spark):
         .repartition("u")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    want = {**{i: 0 for i in range(12)}, **{v: 100 for v in (100, 101, 102)}}
     got = {r["part"]: r["label"] for r in min_label_components(und, verts).collect()}
-    assert got == {**{i: 0 for i in range(12)}, **{v: 100 for v in (100, 101, 102)}}
+    assert got == want
+    # convergence-check cadence: fewer driver actions, same fixpoint —
+    # sound because the label sum is monotone (any change between two
+    # checks strictly decreases it, so equal checks prove convergence)
+    for k in (1, 3):
+        got_k = {
+            r["part"]: r["label"]
+            for r in min_label_components(und, verts, check_every=k).collect()
+        }
+        assert got_k == want, f"check_every={k} broke the fixpoint"
     with pytest.raises(RuntimeError, match="did not converge"):
         min_label_components(und, verts, max_rounds=5)
+    with pytest.raises(ValueError):
+        min_label_components(und, verts, check_every=0)
     und.unpersist()

@@ -562,6 +562,116 @@ def test_exactly_once_epoch_ledger_skips_replay(spark, tmp_path):
         sink.foreach_batch_writer(exactly_once=True)
 
 
+def test_exactly_once_crash_replay_end_to_end(spark, tmp_path):
+    """The exactly-once north star, end to end: a transport crash
+    MID-PARTITION (after a chunk already reached the mock AWS) kills
+    the streaming query without committing the epoch; a restart from
+    the checkpoint replays the SAME epoch_id; the ledger + ack parquet
+    end up with exactly one ack per record, and once the epoch is
+    committed further replays add ZERO transport traffic."""
+    import hashlib
+    import os
+
+    src_dir = tmp_path / "eo_src"
+    log_path = str(tmp_path / "transport.log")
+    crash_flag = str(tmp_path / "crash_once")
+    ack_path = str(tmp_path / "acks")
+    ckpt = str(tmp_path / "ckpt")
+    with open(crash_flag, "w") as fh:
+        fh.write("armed")
+
+    n_records = 600  # > 500 ⇒ two put_records chunks in one partition
+
+    class CrashOnceFileTransport(RecordingTransport):
+        """Logs every accepted record to a shared file (observable
+        across executor worker processes), then dies once — AFTER
+        logging — to model 'AWS accepted the chunk, worker crashed
+        before processing the response'."""
+
+        def __init__(self):
+            super().__init__(fail_first_attempt_prefix="zz")  # no soft errors
+
+        def put_records(self, stream_name, records):
+            resp = super().put_records(stream_name, records)
+            with open(log_path, "a") as fh:
+                for r in records:
+                    fh.write(hashlib.md5(r["Data"]).hexdigest() + "\n")
+            try:
+                os.rename(crash_flag, crash_flag + ".used")  # atomic consume
+                raise RuntimeError("injected mid-partition transport crash")
+            except OSError:
+                pass  # flag already consumed: healthy from here on
+            return resp
+
+    spark.createDataFrame(
+        [(f"payload-{i}", f"key-{i % 7}") for i in range(n_records)],
+        "data string, partition_key string",
+    ).coalesce(1).write.parquet(str(src_dir))
+
+    sink = KinesisSink("s", CrashOnceFileTransport, backoff_s=0.0)
+    writer = sink.foreach_batch_writer(ack_path=ack_path, exactly_once=True)
+
+    def start():
+        stream = spark.readStream.schema("data string, partition_key string").parquet(
+            str(src_dir)
+        )
+        return (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # run 1: must FAIL (the exactly-once writer re-raises instead of
+    # swallowing — swallowing would commit the epoch and lose it)
+    q = start()
+    failed = False
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        failed = True
+    assert failed, "crashed epoch must fail the query, not commit"
+    assert os.path.exists(crash_flag + ".used")  # some records DID reach AWS
+    assert not os.path.exists(ack_path) or not [
+        f for f in os.listdir(ack_path) if f.endswith(".parquet")
+    ], "no acks may commit for a crashed epoch"
+
+    # run 2: restart from the checkpoint → SAME epoch replays, succeeds
+    q2 = start()
+    q2.awaitTermination(120)
+    assert not q2.isActive
+    acks = spark.read.parquet(ack_path)
+    assert acks.count() == n_records
+    assert acks.filter(F.col("status") == "ok").count() == n_records
+    # exactly one ack row per record — the replay did not double-append
+    assert (
+        acks.groupBy("data_md5").count().filter(F.col("count") > 1).count() == 0
+    )
+    epochs = [r.epoch for r in acks.select("epoch").distinct().collect()]
+    assert len(epochs) == 1  # one committed epoch id
+    marker = tmp_path / "acks" / "_epoch_ledger" / f"epoch-{epochs[0]}"
+    assert marker.exists()
+
+    # transport-level accounting: every record delivered; only the
+    # chunk in flight at the crash was re-sent (bounded duplication,
+    # at-least-once to the wire as documented)
+    with open(log_path) as fh:
+        sent = [line.strip() for line in fh if line.strip()]
+    expected = {
+        hashlib.md5(f"payload-{i}".encode()).hexdigest() for i in range(n_records)
+    }
+    assert set(sent) == expected
+    assert len(sent) <= n_records + MAX_RECORDS_PER_CALL
+
+    # run 3: replay of the COMMITTED epoch adds zero transport traffic
+    n_sent_before = len(sent)
+    writer(spark.read.parquet(str(src_dir)), epochs[0])
+    with open(log_path) as fh:
+        sent_after = [line.strip() for line in fh if line.strip()]
+    assert len(sent_after) == n_sent_before, "committed epoch re-sent records"
+    assert spark.read.parquet(ack_path).count() == n_records
+
+
 def test_progress_recorder_ledger(spark, tmp_path):
     """The listener ledger accounts for every input row across
     micro-batches and is queryable as a DataFrame."""
