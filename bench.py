@@ -62,6 +62,10 @@ HEADLINE = [
     "q198_flac_decode_samples",
     "q201_heavy_hitters_pruned",
     "q200_bloom_prune_join",
+    # Round-4: grouped (per-domain) heavy hitters and the distributed
+    # prefix-sum sequence packing — both shuffle-discipline families.
+    "q211_grouped_heavy_hitters",
+    "q212_packed_sequences",
 ]
 
 

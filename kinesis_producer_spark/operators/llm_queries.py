@@ -4518,3 +4518,158 @@ def q210_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(
         (F.col("start") <= F.col("n_chars")) & (F.col("span_len") >= 1)
     ).select("doc_id", "span_idx", "start", "span_len", "span_md5")
+
+
+# ---------------------------------------------------------------------------
+# q212 — sequence packing (concatenate-and-chunk, distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+@query(
+    "q212_packed_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             MD5('pack:' || CAST(doc_id AS VARCHAR)) AS hkey,
+             CAST(LEN(LIST_FILTER(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, hkey, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY hkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(off AS BIGINT) AS token_offset,
+           CAST(off // {_PACK_BUDGET} AS BIGINT) AS first_seq,
+           CAST((off + n_tokens - 1) // {_PACK_BUDGET} AS BIGINT) AS last_seq
+    FROM c WHERE n_tokens >= 1
+    """,
+)
+def q212_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, concatenate-and-chunk style (the GPT-line
+    pretraining layout): documents are laid end-to-end in a
+    content-stable hash order and cut into fixed ``_PACK_BUDGET``-token
+    training sequences; each document reports its global token offset
+    and the first/last sequence it lands in. Every step is integer-
+    exact and reproducible across engines, runs, and cluster sizes.
+
+    Scale: the global token prefix-sum NEVER uses a single-partition
+    window — the q107 TeraSort composition: hash-prefix range buckets,
+    per-bucket local cumsum windows, and a broadcast |buckets|-row
+    prefix of per-bucket token totals lifts local offsets to global
+    ones. The oracle is the single-window closed form of the same
+    number.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))).alias("hkey"),
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    parts = d.withColumn("bucket", F.substring("hkey", 1, 1))
+    totals = parts.groupBy("bucket").agg(F.sum("n_tokens").alias("tok"))
+    prefix = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "bucket_off", F.coalesce(F.sum("tok").over(prefix), F.lit(0))
+    ).select("bucket", "bucket_off")
+    local = (
+        W.partitionBy("bucket")
+        .orderBy("hkey")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        parts.withColumn(
+            "local_off", F.coalesce(F.sum("n_tokens").over(local), F.lit(0))
+        )
+        .join(F.broadcast(offsets), "bucket")
+        .where(F.col("n_tokens") >= 1)
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("bucket_off") + F.col("local_off"))
+            .cast("bigint")
+            .alias("token_offset"),
+            F.expr(f"(bucket_off + local_off) div {_PACK_BUDGET}L")
+            .cast("bigint")
+            .alias("first_seq"),
+            F.expr(
+                f"(bucket_off + local_off + n_tokens - 1) div {_PACK_BUDGET}L"
+            )
+            .cast("bigint")
+            .alias("last_seq"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q213 — stratified train/val/test split with exact integer quotas
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q213_stratified_split",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY source, lang
+               ORDER BY MD5('split:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rnk,
+             COUNT(*) OVER (PARTITION BY source, lang) AS n
+      FROM documents
+    )
+    SELECT source, lang,
+           CASE WHEN rnk <= (n * 8) // 10 THEN 'train'
+                WHEN rnk <= (n * 9) // 10 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+    FROM r GROUP BY 1, 2, 3
+    """,
+)
+def q213_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 80/10/10 train/val/test split with EXACT integer
+    quotas per (source, lang) stratum: rows rank by a content-stable
+    hash within their stratum, train takes the first floor(8n/10),
+    val the next floor(9n/10)−floor(8n/10), test the remainder — so
+    membership is reproducible across engines and cluster sizes, and
+    a later re-run with the same corpus yields the same split (the
+    property eval pipelines depend on). ``doc_id_sum`` is the
+    membership checksum: any document changing split flips two cells.
+
+    Scale: one shuffle on the stratum key for the window pair
+    (rank + count share the same sort), then a map-side aggregate —
+    no global window, no driver involvement; quotas use integer
+    ``div`` on both engines (no float rounding at the 80/90
+    boundaries)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source", "lang").orderBy(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    r = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy("source", "lang")).alias("n"),
+    )
+    labeled = r.select(
+        "source",
+        "lang",
+        "doc_id",
+        F.when(F.col("rnk") <= F.expr("(n * 8) div 10"), "train")
+        .when(F.col("rnk") <= F.expr("(n * 9) div 10"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return labeled.groupBy("source", "lang", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("doc_id_sum"),
+    )

@@ -486,25 +486,45 @@ def decode_headers(
     Arrow-batched mapInPandas: blobs stream through executors in
     columnar batches; at 100 TB pair with ``repartition_by_bytes`` so
     fat rows don't skew task memory.
+
+    Dispatch is O(1) on the magic bytes (dict lookup on the 4-byte
+    prefix, then RIFF subtype), not a trial-parse chain — each format
+    added to a chain taxes EVERY blob of the formats after it, which
+    showed up as a round-over-round bench regression (q188 +0.15 s at
+    sf0.1) when BMP/FLAC/WebP joined the family.
     """
     src = df.select(F.col(id_col).alias("media_id"), F.col(content_col).alias("_blob"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = HEADER_SCHEMA.fieldNames()
+        # prefix → parser; built once per task, not per row
+        by_magic = {
+            b"\x89PNG": _parse_png_ihdr,
+            b"GIF8": _parse_gif_screen,
+            b"fLaC": _parse_flac_streaminfo,
+        }
+
+        def parse(b: bytes):
+            p = by_magic.get(b[:4])
+            if p is not None:
+                return p(b)
+            if b[:3] == b"\xff\xd8\xff":
+                return _parse_jpeg_sof(b)
+            if b[:4] == b"RIFF":  # WAV and WebP share the RIFF container
+                return (
+                    _parse_webp_header(b)
+                    if b[8:12] == b"WEBP"
+                    else _parse_wav_fmt(b)
+                )
+            if b[:2] == b"BM":
+                return _parse_bmp_header(b)
+            return None
+
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["_blob"]):
                 b = bytes(blob) if blob is not None else b""
-                parsed = (
-                    _parse_png_ihdr(b)
-                    or _parse_wav_fmt(b)
-                    or _parse_jpeg_sof(b)
-                    or _parse_gif_screen(b)
-                    or _parse_bmp_header(b)
-                    or _parse_flac_streaminfo(b)
-                    or _parse_webp_header(b)
-                    or {"media_type": "application/octet-stream"}
-                )
+                parsed = parse(b) or {"media_type": "application/octet-stream"}
                 row = {c: None for c in cols}
                 row["media_id"] = mid
                 row.update(parsed)

@@ -497,3 +497,82 @@ def test_min_label_components_converges_past_any_fixed_round_count(spark):
     with pytest.raises(ValueError):
         min_label_components(und, verts, check_every=0)
     und.unpersist()
+
+
+def test_packed_sequences_is_gapless_and_scale_invariant(spark):
+    """q212's distributed prefix sum must produce the same packing a
+    single-window cumsum would: offsets gapless (every doc starts where
+    the previous ends), budget respected (a doc's sequence span covers
+    exactly its tokens), and the result independent of input
+    partitioning."""
+    from kinesis_producer_spark.suite import load_all
+    from pyspark.sql import functions as F
+
+    queries, _ = load_all()
+    sf = "/root/testdata/sf0.001"
+    out = queries["q212_packed_sequences"](spark, sf).cache()
+    rows = sorted(
+        (r.token_offset, r.n_tokens, r.doc_id, r.first_seq, r.last_seq)
+        for r in out.collect()
+    )
+    # gapless: each offset == previous offset + previous n_tokens
+    acc = 0
+    for off, n, _, first_seq, last_seq in rows:
+        assert off == acc, f"gap at offset {off} (expected {acc})"
+        assert first_seq == off // 512
+        assert last_seq == (off + n - 1) // 512
+        acc = off + n
+    total = out.agg(F.sum("n_tokens")).collect()[0][0]
+    assert acc == total
+    out.unpersist()
+
+
+def test_stratified_split_quotas_are_exact(spark):
+    """q213's 80/10/10 quotas are integer-exact per stratum: train is
+    floor(8n/10), val floor(9n/10)-floor(8n/10), test the rest."""
+    from kinesis_producer_spark.suite import load_all
+
+    queries, _ = load_all()
+    sf = "/root/testdata/sf0.001"
+    got = {}
+    for r in queries["q213_stratified_split"](spark, sf).collect():
+        got.setdefault((r.source, r.lang), {})[r.split] = r.n_docs
+    assert got, "no strata"
+    for (src, lang), by_split in got.items():
+        n = sum(by_split.values())
+        assert by_split.get("train", 0) == (n * 8) // 10, (src, lang, by_split)
+        assert by_split.get("val", 0) == (n * 9) // 10 - (n * 8) // 10
+        assert by_split.get("test", 0) == n - (n * 9) // 10
+
+
+def test_zorder_tiles_bound_both_dimensions(spark):
+    """The q214 payoff, asserted: every 64-z-value tile spans ≤ 8 in x
+    AND ≤ 8 in y (an 8x8 block), so min/max file stats prune box
+    predicates in either dimension. A 1-D sort on x gives y-ranges as
+    wide as the whole domain — checked as the contrast."""
+    from kinesis_producer_spark.operators.scale_ops import morton_z
+    from kinesis_producer_spark.suite import load_all
+    from pyspark.sql import functions as F
+
+    queries, _ = load_all()
+    tiles = queries["q214_zorder_locality"](spark, "/root/testdata/sf0.001").collect()
+    assert tiles
+    for t in tiles:
+        assert t.max_x - t.min_x <= 7, t
+        assert t.max_y - t.min_y <= 7, t
+
+    # contrast: tile by x-ranges alone (the 1-D layout) → y unbounded
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    oned = (
+        e.select(F.pmod("user_id", F.lit(256)).alias("x"), F.dayofmonth("ts").alias("y"))
+        .groupBy(F.expr("x div 8").alias("tile"))
+        .agg((F.max("y") - F.min("y")).alias("y_span"))
+    )
+    assert oned.agg(F.max("y_span")).collect()[0][0] > 7
+
+    # morton_z is a true bijection on the 16-bit grid
+    probe = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x int, y int"
+    ).select(morton_z(F.col("x"), F.col("y"), bits=4).alias("z"))
+    zs = sorted(r.z for r in probe.collect())
+    assert zs == list(range(256))

@@ -60,6 +60,11 @@ NLJ_OK = {
     "q108_funnel",
     "q130_bm25_retrieval",
     "q134_percent_of_parent",
+    # tiny-frame broadcast cross joins by construction: q208 fans the
+    # corpus over the literal epoch list (a few rows), q209 joins the
+    # 1-row summed-weight denominator — NLJ is the intended plan
+    "q208_epoch_shuffle",
+    "q209_temperature_mixing",
 }
 
 # Full outer joins cannot broadcast (both sides need null extension) —
