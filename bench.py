@@ -66,6 +66,8 @@ HEADLINE = [
     # prefix-sum sequence packing — both shuffle-discipline families.
     "q211_grouped_heavy_hitters",
     "q212_packed_sequences",
+    # Round-4: progressive (SOF2) JPEG encode+decode matrix.
+    "q215_progressive_jpeg_stats",
 ]
 
 

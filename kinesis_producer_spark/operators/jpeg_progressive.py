@@ -1,0 +1,761 @@
+"""Progressive (SOF2) JPEG codec — pure Python/numpy, no libjpeg.
+
+Closes the last named gap in the JPEG family: ``decode_baseline_jpeg``
+honestly returns None for progressive streams, which until now routed
+them to the dependency-gated stub. Progressive JPEG is the same DCT +
+quantization + Huffman machinery as baseline (all reused from
+``operators.jpeg``) plus a scan protocol from the public spec
+(ITU-T T.81 Annex G): coefficients arrive over MULTIPLE scans —
+
+- **DC scans** (Ss=Se=0): first pass is baseline DC differencing with
+  the values point-transformed down by ``Al`` bits; refinement passes
+  deliver one raw bit per block (bit ``Al`` of the two's-complement
+  DC value).
+- **AC scans** (Ss≥1, one component per scan): *spectral selection*
+  splits the zigzag band [Ss, Se]; *successive approximation* sends
+  magnitudes at reduced precision first (values << Al) and then
+  correction bits. First passes extend the baseline run/size alphabet
+  with EOBn symbols (ssss=0, rrrr<15) coding runs of 2^rrrr + extra
+  all-EOB blocks; refinement passes interleave newly-nonzero ±1<<Al
+  coefficients with correction bits for already-nonzero history — the
+  T.81 G.1.2.3 control flow (same structure libjpeg implements).
+
+The encoder sibling emits a fixed 6-stage scan script (DC first +
+DC refine, two spectral bands × first + refine per component) with
+per-scan canonical Huffman tables built from the symbols actually
+used — so EOBn batching, ZRL-in-refinement, and both band kinds are
+all exercisable by round-trip tests without any external codec to
+generate fixtures. The strongest oracle is coefficient equality:
+``encode_baseline_jpeg`` and ``encode_progressive_jpeg`` with the same
+quantization tables produce the SAME quantized coefficients, so the
+two decoders must emit byte-identical pixels (asserted in tests).
+
+Scale posture: identical to the baseline codec — per-blob kernels
+invoked inside Arrow ``mapInPandas`` stages via the decode-kernel seam
+(``multimodal.register_decode_kernel``); swap libjpeg-turbo in
+production through the same seam.
+
+Reference parity note: the reference repo has no media path; format
+knowledge is the public JPEG spec only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kinesis_producer_spark.operators.jpeg import (
+    ZIGZAG,
+    STD_CHROMA_QUANT,
+    STD_LUMA_QUANT,
+    _BitReader,
+    _BitWriter,
+    _build_decode_table,
+    _csize,
+    _dct2,
+    _decode_huffman,
+    _encode_coef_bits,
+    _extend,
+    _idct2,
+    _quant_segment,
+)
+
+__all__ = ["decode_progressive_jpeg", "encode_progressive_jpeg", "decode_jpeg"]
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_progressive_jpeg(b: bytes, max_bytes: int = 4 << 20) -> np.ndarray | None:
+    """Decode a progressive (SOF2) Huffman JPEG to uint8 pixels — (H, W)
+    grayscale or (H, W, 3) RGB. None for non-JPEG, corrupt, oversized
+    or non-progressive input (PERMISSIVE, like the baseline decoder —
+    use :func:`decode_jpeg` for frame-type dispatch)."""
+    if b is None or len(b) > max_bytes or len(b) < 4 or b[:3] != b"\xff\xd8\xff":
+        return None
+    try:
+        return _decode_prog_inner(b)
+    except (ValueError, EOFError, IndexError, KeyError):
+        return None
+
+
+def _next_marker(b: bytes, pos: int) -> int:
+    """Position of the next real marker (FF xx, xx not 00/stuffing,
+    not RSTn) at or after ``pos``."""
+    n = len(b)
+    while pos + 1 < n:
+        if b[pos] == 0xFF:
+            nxt = b[pos + 1]
+            if nxt == 0x00:
+                pos += 2
+                continue
+            if nxt == 0xFF:
+                pos += 1
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    raise ValueError("no terminating marker")
+
+
+def _decode_prog_inner(b: bytes) -> np.ndarray | None:
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    coefs: dict[int, np.ndarray] = {}  # cid -> (bh, bw, 64) zigzag-order ints
+    geom: dict[int, tuple] = {}
+    saw_eoi = False
+    pos = 2
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("marker desync")
+        while pos + 2 <= len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI — only 2 bytes, may be the last in b
+            saw_eoi = True
+            break
+        if pos + 4 > len(b):
+            break  # truncated segment header
+        seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        body = b[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    return None
+                vals = body[i + 1 : i + 65]
+                t = np.zeros((8, 8))
+                for k, (r_, c_) in enumerate(ZIGZAG):
+                    t[r_, c_] = vals[k]
+                qt[tq] = t
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _build_decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xC2:  # SOF2 progressive, Huffman
+            if body[0] != 8:
+                return None
+            H = int.from_bytes(body[1:3], "big")
+            W = int.from_bytes(body[3:5], "big")
+            if H == 0 or W == 0:
+                return None
+            nc = body[5]
+            comps = []
+            for ci in range(nc):
+                cid = body[6 + ci * 3]
+                hv = body[7 + ci * 3]
+                comps.append((cid, hv >> 4, hv & 0xF, body[8 + ci * 3]))
+            frame = (H, W, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if not (1 <= hmax <= 4 and 1 <= vmax <= 4):
+                return None
+            mcux = (W + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+            for cid, h, v, tq in comps:
+                # interleaved grid (covers padding blocks written by
+                # interleaved DC scans); non-interleaved scans address
+                # the ceil(comp_samples/8) prefix of it
+                bw_i, bh_i = mcux * h, mcuy * v
+                nw = (-(-W * h // hmax) + 7) // 8  # non-interleaved cols
+                nh = (-(-H * v // vmax) + 7) // 8
+                coefs[cid] = np.zeros((bh_i, bw_i, 64), dtype=np.int64)
+                geom[cid] = (h, v, tq, nw, nh)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # not progressive-Huffman
+        elif marker == 0xDA:
+            if frame is None:
+                return None
+            ns = body[0]
+            scan_comps = []
+            for si in range(ns):
+                cs = body[1 + si * 2]
+                tdta = body[2 + si * 2]
+                scan_comps.append((cs, tdta >> 4, tdta & 0xF))
+            ss, se = body[1 + ns * 2], body[2 + ns * 2]
+            ahal = body[3 + ns * 2]
+            ah, al = ahal >> 4, ahal & 0xF
+            entropy_start = pos + 2 + seg_len
+            end = _decode_one_scan(
+                b, entropy_start, frame, coefs, geom, huff,
+                scan_comps, ss, se, ah, al, restart_interval,
+            )
+            pos = end
+            continue
+        pos += 2 + seg_len
+
+    if frame is None or not coefs or not saw_eoi:
+        # a stream chopped BETWEEN scans would otherwise reconstruct a
+        # silently-coarse image (progressive's graceful degradation);
+        # the pipeline's poisoned-blob contract wants truncation → None
+        # (same rule as sources.compressed gunzip_text's d.eof gate)
+        return None
+    return _reconstruct(frame, coefs, geom, qt)
+
+
+def _decode_one_scan(
+    b, start, frame, coefs, geom, huff, scan_comps, ss, se, ah, al, restart_interval
+) -> int:
+    """Decode one scan's entropy data; returns the position of the next
+    marker after it."""
+    H, W, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (W + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+    r = _BitReader(b, start)
+
+    if ss == 0:  # DC scan (first or refinement)
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        if len(scan_comps) > 1:
+            # interleaved MCU order
+            pred = {cs: 0 for cs, *_ in scan_comps}
+            mcu_count = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                        r.sync_restart()
+                        pred = {cs: 0 for cs, *_ in scan_comps}
+                    for cs, td, _ta in scan_comps:
+                        h, v, _tq, _nw, _nh = geom[cs]
+                        zz = coefs[cs]
+                        for by in range(v):
+                            for bx in range(h):
+                                _dc_block(
+                                    r, zz, my * v + by, mx * h + bx,
+                                    cs, pred, huff, td, ah, al,
+                                )
+                    mcu_count += 1
+        else:
+            cs, td, _ta = scan_comps[0]
+            _h, _v, _tq, nw, nh = geom[cs]
+            zz = coefs[cs]
+            pred = {cs: 0}
+            cnt = 0
+            for by in range(nh):
+                for bx in range(nw):
+                    if restart_interval and cnt and cnt % restart_interval == 0:
+                        r.sync_restart()
+                        pred = {cs: 0}
+                    _dc_block(r, zz, by, bx, cs, pred, huff, td, ah, al)
+                    cnt += 1
+    else:  # AC scan: exactly one component per spec
+        if len(scan_comps) != 1 or se < ss or se > 63:
+            raise ValueError("bad AC scan header")
+        cs, _td, ta = scan_comps[0]
+        _h, _v, _tq, nw, nh = geom[cs]
+        zz = coefs[cs]
+        ac_tab = huff[(1, ta)]
+        eobrun = 0
+        cnt = 0
+        for by in range(nh):
+            for bx in range(nw):
+                if restart_interval and cnt and cnt % restart_interval == 0:
+                    r.sync_restart()
+                    eobrun = 0
+                block = zz[by, bx]
+                if ah == 0:
+                    eobrun = _ac_first(r, block, ss, se, al, eobrun, ac_tab)
+                else:
+                    eobrun = _ac_refine(r, block, ss, se, al, eobrun, ac_tab)
+                cnt += 1
+    return _next_marker(b, r.pos)
+
+
+def _dc_block(r, zz, by, bx, cs, pred, huff, td, ah, al):
+    if ah == 0:  # first pass: baseline differencing, point-transformed
+        t = _decode_huffman(r, huff[(0, td)])
+        diff = _extend(r.read_bits(t), t)
+        pred[cs] += diff
+        zz[by, bx, 0] = pred[cs] << al
+    else:  # refinement: one raw bit (bit `al` of the two's-comp value)
+        if r.read_bit():
+            zz[by, bx, 0] |= 1 << al
+
+
+def _ac_first(r, block, ss, se, al, eobrun, ac_tab) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huffman(r, ac_tab)
+        r4, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r4 == 15:
+                k += 16  # ZRL
+                continue
+            # EOBn: run of 2^r4 + extra blocks ending at this one
+            extra = r.read_bits(r4) if r4 else 0
+            return (1 << r4) + extra - 1
+        k += r4
+        if k > se:
+            raise ValueError("AC band overrun")
+        block[k] = _extend(r.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(r, block, ss, se, al, eobrun, ac_tab) -> int:
+    """T.81 G.1.2.3 AC successive-approximation refinement for one
+    block: newly-nonzero ±1<<Al coefficients interleaved with
+    correction bits for nonzero-history positions."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huffman(r, ac_tab)
+            r4, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r4 != 15:
+                    eobrun = (1 << r4) + (r.read_bits(r4) if r4 else 0)
+                    break
+                # ZRL: advance over 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("refinement size must be 1")
+                newval = p1 if r.read_bit() else m1
+            while k <= se:
+                if block[k] != 0:
+                    if r.read_bit() and (block[k] & p1) == 0:
+                        block[k] += p1 if block[k] >= 0 else m1
+                else:
+                    if r4 == 0:
+                        break
+                    r4 -= 1
+                k += 1
+            if newval and k <= se:
+                block[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if block[k] != 0 and r.read_bit() and (block[k] & p1) == 0:
+                block[k] += p1 if block[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(frame, coefs, geom, qt) -> np.ndarray:
+    H, W, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    full = []
+    for cid, h, v, tq in comps:
+        zz = coefs[cid]
+        bh, bw = zz.shape[:2]
+        q = qt[tq]
+        plane = np.empty((bh * 8, bw * 8))
+        coef = np.zeros((8, 8))
+        for by in range(bh):
+            for bx in range(bw):
+                blk = zz[by, bx]
+                coef[:] = 0.0
+                for k in range(64):
+                    if blk[k]:
+                        zr, zc = ZIGZAG[k]
+                        coef[zr, zc] = blk[k]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _idct2(coef * q) + 128.0
+                )
+        if h != hmax or v != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1)
+        full.append(plane[:H, :W])
+    if len(full) == 1:
+        return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+    if len(full) == 3:
+        y, cb, cr = full
+        r_ = y + 1.402 * (cr - 128.0)
+        g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b_ = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r_, g_, b_], axis=-1)
+        return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    raise ValueError(f"unsupported component count {len(full)}")
+
+
+def decode_jpeg(b: bytes, max_bytes: int = 4 << 20) -> np.ndarray | None:
+    """Frame-type dispatch: baseline (SOF0) or progressive (SOF2)
+    Huffman JPEG; None otherwise. This is the 'jpeg' decode kernel the
+    multimodal seam installs by default."""
+    from kinesis_producer_spark.operators.jpeg import decode_baseline_jpeg
+
+    if b is None or len(b) > max_bytes or len(b) < 4 or b[:3] != b"\xff\xd8\xff":
+        return None
+    pos = 2
+    try:
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                return None
+            while pos + 4 <= len(b) and b[pos + 1] == 0xFF:
+                pos += 1
+            marker = b[pos + 1]
+            if marker == 0xC0:
+                return decode_baseline_jpeg(b, max_bytes)
+            if marker == 0xC2:
+                return decode_progressive_jpeg(b, max_bytes)
+            if marker in (0xD9, 0xDA):  # hit a scan/EOI without a SOF
+                return None
+            seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
+            if seg_len < 2:
+                return None
+            pos += 2 + seg_len
+    except (ValueError, IndexError):
+        return None
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Encoder (grayscale / RGB 4:4:4, fixed 6-stage scan script)
+# ---------------------------------------------------------------------------
+
+
+def _flat_huff_table(symbols) -> tuple[list[int], list[int]]:
+    """Canonical single-length Huffman table over the used symbol set:
+    all codes get length L with 2^L ≥ n+1, so the all-ones code is
+    never assigned (T.81 constraint) and the table is trivially
+    canonical."""
+    syms = sorted(set(symbols))
+    if not syms:
+        syms = [0]
+    L = 1
+    while (1 << L) < len(syms) + 1:
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = len(syms)
+    return bits, syms
+
+
+class _SymbolRecorder:
+    """Pass-1 sink: records Huffman symbols, ignores raw bits."""
+
+    def __init__(self) -> None:
+        self.symbols: list[int] = []
+
+    def symbol(self, sym: int) -> None:
+        self.symbols.append(sym)
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _SymbolWriter:
+    """Pass-2 sink: emits through a table into a _BitWriter."""
+
+    def __init__(self, w: _BitWriter, table: dict[int, tuple[int, int]]) -> None:
+        self.w = w
+        self.table = table
+
+    def symbol(self, sym: int) -> None:
+        ln, code = self.table[sym]
+        self.w.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.w.write(v, n)
+
+
+def _scan_dc_first(sink, blocks_per_comp, al):
+    """Interleaved DC first pass over all components."""
+    preds = [0] * len(blocks_per_comp)
+    nb = len(blocks_per_comp[0])
+    for i in range(nb):
+        for ci, blocks in enumerate(blocks_per_comp):
+            v = int(blocks[i][0]) >> al  # DC point transform: arithmetic shift
+            diff = v - preds[ci]
+            preds[ci] = v
+            t = _csize(diff)
+            sink.symbol(t)
+            sink.bits(_encode_coef_bits(diff, t), t)
+
+
+def _scan_dc_refine(w: _BitWriter, blocks_per_comp, al):
+    nb = len(blocks_per_comp[0])
+    for i in range(nb):
+        for blocks in blocks_per_comp:
+            w.write((int(blocks[i][0]) >> al) & 1, 1)
+
+
+class _RefineState:
+    """EOB-run + buffered-correction-bit state shared across blocks of
+    one AC scan (first or refinement)."""
+
+    def __init__(self, sink, batching: bool) -> None:
+        self.sink = sink
+        self.batching = batching
+        self.eobrun = 0
+        self.pending_bits: list[int] = []  # correction bits owed at next symbol
+
+    def flush_eob(self) -> None:
+        if self.eobrun == 0:
+            return
+        n = self.eobrun
+        r4 = n.bit_length() - 1
+        self.sink.symbol(r4 << 4)
+        if r4:
+            self.sink.bits(n - (1 << r4), r4)
+        for bit in self.pending_bits:
+            self.sink.bits(bit, 1)
+        self.pending_bits = []
+        self.eobrun = 0
+
+    def add_eob(self) -> None:
+        self.eobrun += 1
+        if not self.batching or self.eobrun >= 0x7FFF:
+            self.flush_eob()
+
+
+def _scan_ac_first(state: _RefineState, blocks, ss, se, al):
+    sink = state.sink
+    for blk in blocks:
+        vals = [int(blk[k]) // (1 << al) if blk[k] >= 0 else -((-int(blk[k])) >> al) for k in range(64)]
+        nz = [k for k in range(ss, se + 1) if vals[k] != 0]
+        if not nz:
+            state.add_eob()
+            continue
+        state.flush_eob()
+        run = 0
+        k = ss
+        for pos in nz:
+            run = 0
+            while k < pos:
+                run += 1
+                k += 1
+            while run > 15:
+                sink.symbol(0xF0)  # ZRL
+                run -= 16
+            s = _csize(vals[pos])
+            sink.symbol((run << 4) | s)
+            sink.bits(_encode_coef_bits(vals[pos], s), s)
+            k = pos + 1
+        if nz[-1] < se:
+            state.add_eob()
+
+
+def _scan_ac_refine(state: _RefineState, blocks, ss, se, al):
+    """Encoder dual of _ac_refine: newly-nonzero ±1 symbols carry the
+    correction bits of history coefficients crossed since the previous
+    symbol; blocks that end in EOB contribute their remaining
+    correction bits to the (batched) EOB run's payload."""
+    sink = state.sink
+    p_hist = 1 << (al + 1)
+    for blk in blocks:
+        cur = [
+            int(blk[k]) // (1 << al) if blk[k] >= 0 else -((-int(blk[k])) >> al)
+            for k in range(64)
+        ]
+        prev = [
+            int(blk[k]) // p_hist if blk[k] >= 0 else -((-int(blk[k])) >> (al + 1))
+            for k in range(64)
+        ]
+        # index of last newly-nonzero coefficient in the band
+        eob = ss - 1
+        for k in range(ss, se + 1):
+            if prev[k] == 0 and cur[k] != 0:
+                eob = k
+        run = 0
+        corr: list[int] = []
+
+        def emit_zrls_down_to_15():
+            # ZRLs are emitted EAGERLY the moment a nonzero (history
+            # or new) position is reached with run > 15, each flushing
+            # the correction bits buffered SO FAR — the decoder's ZRL
+            # walk consumes bits for history positions inside that
+            # 16-zero span only, so bits for later positions must ride
+            # a later symbol (the T.81/libjpeg ordering).
+            nonlocal run, corr
+            while run > 15:
+                state.flush_eob()
+                sink.symbol(0xF0)
+                for bit in corr:
+                    sink.bits(bit, 1)
+                corr = []
+                run -= 16
+
+        for k in range(ss, se + 1):
+            if k > eob:
+                # everything here is history refinement or zeros →
+                # handled by the EOB run payload
+                if prev[k] != 0:
+                    state.pending_bits.append(abs(cur[k]) & 1)
+                continue
+            if prev[k] != 0:
+                emit_zrls_down_to_15()
+                corr.append(abs(cur[k]) & 1)
+                continue
+            if cur[k] == 0:
+                run += 1
+                continue
+            # newly nonzero: |cur| must be 1 at this precision
+            state.flush_eob()
+            emit_zrls_down_to_15()
+            sink.symbol((run << 4) | 1)
+            sink.bits(1 if cur[k] > 0 else 0, 1)
+            for bit in corr:
+                sink.bits(bit, 1)
+            corr = []
+            run = 0
+        if run > 0 or corr or eob < se:
+            state.pending_bits.extend(corr)
+            state.add_eob()
+
+
+def encode_progressive_jpeg(
+    arr: np.ndarray,
+    luma_quant: list[int] | None = None,
+    chroma_quant: list[int] | None = None,
+    eob_batching: bool = True,
+    spectral_split: int = 5,
+    al: int = 1,
+) -> bytes:
+    """Encode a uint8 array — (H, W) gray or (H, W, 3) RGB 4:4:4 — as a
+    progressive (SOF2) JPEG with a 6-stage scan script: interleaved DC
+    first (point transform ``al``) + DC refinement, then per component
+    AC first and AC refinement over two spectral bands
+    [1, spectral_split] and [spectral_split+1, 63]. ``eob_batching``
+    exercises the EOBn alphabet (runs of all-EOB blocks); per-scan
+    canonical Huffman tables are built from the symbols actually used.
+
+    Same quantization pipeline as ``encode_baseline_jpeg`` — identical
+    tables yield identical quantized coefficients, so baseline and
+    progressive encodings of the same image decode to identical
+    pixels."""
+    if not (1 <= spectral_split <= 62):
+        raise ValueError("spectral_split must be in [1, 62]")
+    if not (0 <= al <= 3):
+        raise ValueError("al must be in [0, 3]")
+    lq = STD_LUMA_QUANT if luma_quant is None else luma_quant
+    cq = STD_CHROMA_QUANT if chroma_quant is None else chroma_quant
+    gray = arr.ndim == 2
+    H, W = arr.shape[:2]
+    if H == 0 or W == 0:
+        raise ValueError("empty image")
+
+    lq_m = np.zeros((8, 8))
+    cq_m = np.zeros((8, 8))
+    for k, (r_, c_) in enumerate(ZIGZAG):
+        lq_m[r_, c_] = lq[k]
+        cq_m[r_, c_] = cq[k]
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+        quants = [lq_m]
+    else:
+        a = arr.astype(np.float64)
+        r_, g_, b_ = a[..., 0], a[..., 1], a[..., 2]
+        y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+        cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
+        cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+        planes = [y, cb, cr]
+        quants = [lq_m, cq_m, cq_m]
+    nc = len(planes)
+
+    # pad to 8 and quantize every block up front (zigzag order)
+    ph, pw = (H + 7) // 8 * 8, (W + 7) // 8 * 8
+    blocks_per_comp: list[list[np.ndarray]] = []
+    for ci, p in enumerate(planes):
+        pp = np.empty((ph, pw))
+        pp[:H, :W] = p
+        if pw > W:
+            pp[:H, W:] = p[:, W - 1 : W]
+        if ph > H:
+            pp[H:, :] = pp[H - 1 : H, :]
+        blocks = []
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                coef = _dct2(pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0)
+                cq_ = np.rint(coef / quants[ci]).astype(np.int64)
+                blocks.append(np.array([cq_[r2, c2] for r2, c2 in ZIGZAG]))
+        blocks_per_comp.append(blocks)
+
+    out = bytearray(b"\xff\xd8")
+    out += _quant_segment(0, lq)
+    if not gray:
+        out += _quant_segment(1, cq)
+    sof = bytes([8]) + H.to_bytes(2, "big") + W.to_bytes(2, "big") + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof
+
+    def huff_segment(tc, th, bits, vals):
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+
+    def sos_segment(comp_tabs, ss, se, ah, al_):
+        body = bytes([len(comp_tabs)])
+        for cs, td, ta in comp_tabs:
+            body += bytes([cs, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al_])
+        return b"\xff\xda" + (len(body) + 2).to_bytes(2, "big") + body
+
+    def two_pass(run_scan, tc):
+        """Record symbols, build a table, emit DHT + entropy bytes."""
+        rec = _SymbolRecorder()
+        run_scan(rec)
+        bits, vals = _flat_huff_table(rec.symbols)
+        table = {v: (ln, c) for (ln, c), v in _build_decode_table(bits, vals).items()}
+        w = _BitWriter()
+        run_scan(_SymbolWriter(w, table))
+        w.flush()
+        return huff_segment(tc, 0, bits, vals), bytes(w.out)
+
+    # 1) DC first (interleaved, all comps, table id 0)
+    dht, data = two_pass(lambda s: _scan_dc_first(s, blocks_per_comp, al), 0)
+    out += dht
+    out += sos_segment([(ci + 1, 0, 0) for ci in range(nc)], 0, 0, 0, al)
+    out += data
+
+    # 2) DC refinement: one scan per remaining precision level (raw
+    # bits only, no Huffman table needed) — successive approximation
+    # steps Al down ONE bit per scan until 0
+    for a_ in range(al - 1, -1, -1):
+        w = _BitWriter()
+        _scan_dc_refine(w, blocks_per_comp, a_)
+        w.flush()
+        out += sos_segment([(ci + 1, 0, 0) for ci in range(nc)], 0, 0, a_ + 1, a_)
+        out += bytes(w.out)
+
+    bands = [(1, spectral_split), (spectral_split + 1, 63)]
+    # 3/4) AC first per band per component
+    for ss, se in bands:
+        for ci in range(nc):
+            def run(sink, ci=ci, ss=ss, se=se):
+                st = _RefineState(sink, eob_batching)
+                _scan_ac_first(st, blocks_per_comp[ci], ss, se, al)
+                st.flush_eob()
+
+            dht, data = two_pass(run, 1)
+            out += dht
+            out += sos_segment([(ci + 1, 0, 0)], ss, se, 0, al)
+            out += data
+    # 5/6) AC refinement per precision level per band per component
+    for a_ in range(al - 1, -1, -1):
+        for ss, se in bands:
+            for ci in range(nc):
+                def run(sink, ci=ci, ss=ss, se=se, a_=a_):
+                    st = _RefineState(sink, eob_batching)
+                    _scan_ac_refine(st, blocks_per_comp[ci], ss, se, a_)
+                    st.flush_eob()
+
+                dht, data = two_pass(run, 1)
+                out += dht
+                out += sos_segment([(ci + 1, 0, 0)], ss, se, a_ + 1, a_)
+                out += data
+
+    out += b"\xff\xd9"
+    return bytes(out)

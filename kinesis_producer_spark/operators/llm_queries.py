@@ -4673,3 +4673,121 @@ def q213_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("doc_id").cast("bigint").alias("doc_id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q215 — REAL progressive-JPEG decode: scan-script matrix, oracle-exact
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q215_progressive_jpeg_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'rgb' ELSE 'gray' END AS media_kind,
+           CAST(doc_id % 3 AS INT) AS al,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 33 END AS INT) AS split,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0
+                THEN 1000 * (2 + 4 * ((doc_id * 5) % 63))
+                ELSE 250 * ((2 + 4 * ((doc_id * 1) % 63))
+                          + (2 + 4 * ((doc_id * 2) % 63))
+                          + (2 + 4 * ((doc_id * 3) % 63))
+                          + (2 + 4 * ((doc_id * 4) % 63)))
+                END AS BIGINT) AS mean_luma_milli
+    FROM documents
+    """,
+)
+def q215_progressive_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive (SOF2) JPEG decode, oracle-exact, over a per-
+    document scan-script matrix: each document's deterministic image
+    (q195's exactness construction — flat 8x8 blocks, flat-16 quant,
+    so coefficients quantize with zero error) is encoded progressively
+    with doc_id-derived successive-approximation depth (al = id%3),
+    spectral split (5 or 33 by parity), and EOB batching (id%2), then
+    decoded by the pure-Python progressive decoder
+    (operators/jpeg_progressive.py). The oracle recomputes mean luma
+    in closed form, so any defect in DC/AC first scans, EOBn runs,
+    refinement correction bits, or the per-scan Huffman tables
+    hash-mismatches — across the whole parameter matrix at once.
+
+    Scale: encode+decode fused in one Arrow mapInPandas stage;
+    embarrassingly parallel, zero shuffle before the tiny projection.
+    """
+    from kinesis_producer_spark.operators.jpeg import FLAT16_QUANT
+    from kinesis_producer_spark.operators.jpeg_progressive import (
+        decode_progressive_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+    cols = [
+        "media_id",
+        "media_kind",
+        "al",
+        "split",
+        "width",
+        "height",
+        "mean_luma_milli",
+    ]
+    schema = (
+        "media_id long, media_kind string, al int, split int, width int, "
+        "height int, mean_luma_milli long"
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                al = did % 3
+                split = 5 if did % 2 == 0 else 33
+                if did % 3 == 0:
+                    v = 2 + 4 * ((did * 5) % 63)
+                    img = np.full((16, 24, 3), v, np.uint8)
+                    kind = "rgb"
+                    pb = encode_progressive_jpeg(
+                        img,
+                        luma_quant=FLAT16_QUANT,
+                        chroma_quant=FLAT16_QUANT,
+                        eob_batching=did % 2 == 0,
+                        spectral_split=split,
+                        al=al,
+                    )
+                else:
+                    vals = np.array(
+                        [
+                            [2 + 4 * ((did * 1) % 63), 2 + 4 * ((did * 2) % 63)],
+                            [2 + 4 * ((did * 3) % 63), 2 + 4 * ((did * 4) % 63)],
+                        ],
+                        np.uint8,
+                    )
+                    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                    kind = "gray"
+                    pb = encode_progressive_jpeg(
+                        img,
+                        luma_quant=FLAT16_QUANT,
+                        eob_batching=did % 2 == 0,
+                        spectral_split=split,
+                        al=al,
+                    )
+                arr = decode_progressive_jpeg(pb)
+                total = int(arr.astype(np.int64).sum())
+                rows.append(
+                    {
+                        "media_id": did,
+                        "media_kind": kind,
+                        "al": al,
+                        "split": split,
+                        "width": int(arr.shape[1]),
+                        "height": int(arr.shape[0]),
+                        "mean_luma_milli": (1000 * total) // arr.size,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(run, schema)

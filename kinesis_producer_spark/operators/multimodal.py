@@ -20,15 +20,16 @@ Decode layers, from real to stubbed:
   with BMP re-encode.
 - ``sample_frames_avi`` — REAL, codec-free: MJPEG-in-AVI container
   demux with strided frame sampling; frame dims via the JPEG parser.
-- ``decode_media`` / ``resize_media`` — REAL for baseline JPEG (the
-  pure-numpy Huffman+IDCT codec in ``operators.jpeg``), PNG (stdlib
+- ``decode_media`` / ``resize_media`` — REAL for baseline (SOF0) AND
+  progressive (SOF2) JPEG (pure-numpy Huffman+IDCT in
+  ``operators.jpeg`` / ``operators.jpeg_progressive``), PNG (stdlib
   zlib inflate + unfilter in ``operators.png``), GIF (pure-Python
   LZW in ``operators.gif``) and, for decode, 24-bit BMP; remaining
-  compressed formats (progressive JPEG, WebP, compressed video)
-  need PIL/ffmpeg (NOT in this image): ``decode_stub='fail'``
-  raises NotImplementedError naming the dependency; ``'fake'``
-  produces a deterministic pseudo-decode so the Spark plumbing
-  (schema, batch shape, partitioning) stays testable.
+  compressed formats (WebP pixel data, compressed video) need
+  PIL/ffmpeg (NOT in this image): ``decode_stub='fail'`` raises
+  NotImplementedError naming the dependency; ``'fake'`` produces a
+  deterministic pseudo-decode so the Spark plumbing (schema, batch
+  shape, partitioning) stays testable.
 - ``decode_audio_pcm`` also decodes FLAC (fixed-predictor + Rice
   subset in ``operators.flac``) — same stats surface as PCM WAV.
 - ``sample_frames`` — compressed-video demux needs ffmpeg; the
@@ -147,7 +148,7 @@ def sniff_image_format(b: bytes) -> str | None:
 
 def default_decode_kernels() -> dict:
     from kinesis_producer_spark.operators.gif import decode_gif
-    from kinesis_producer_spark.operators.jpeg import decode_baseline_jpeg
+    from kinesis_producer_spark.operators.jpeg_progressive import decode_jpeg
     from kinesis_producer_spark.operators.png import decode_png
 
     def _bmp(b: bytes):
@@ -155,7 +156,8 @@ def default_decode_kernels() -> dict:
         return None if parsed is None else parsed[2]
 
     return {
-        "jpeg": decode_baseline_jpeg,
+        # decode_jpeg dispatches SOF0 (baseline) AND SOF2 (progressive)
+        "jpeg": decode_jpeg,
         "png": decode_png,
         "gif": decode_gif,
         "bmp": _bmp,
@@ -199,12 +201,11 @@ def decode_media(
     feature vector (per-channel means/std/extrema, normalized to
     [0, 1]).
 
-    For formats that still need external codecs (progressive JPEG,
-    WebP, compressed audio/video): ``decode_stub='fail'`` — the
-    honest mode: raises at execution time naming the missing
-    dependency; the Spark plan, schema and batch plumbing are real.
-    ``'fake'`` — deterministic md5-seeded pseudo-decode for plumbing
-    tests.
+    For formats that still need external codecs (WebP pixel data,
+    compressed audio/video): ``decode_stub='fail'`` — the honest
+    mode: raises at execution time naming the missing dependency; the
+    Spark plan, schema and batch plumbing are real. ``'fake'`` —
+    deterministic md5-seeded pseudo-decode for plumbing tests.
     """
     import numpy as np
 
@@ -245,9 +246,9 @@ def decode_media(
                 elif decode_stub == "fail":
                     raise NotImplementedError(
                         "decode for this format requires PIL/ffmpeg/soundfile — "
-                        "not in this image (real paths: baseline JPEG, PNG, "
-                        "GIF, 24-bit BMP); use decode_stub='fake' for "
-                        "plumbing tests"
+                        "not in this image (real paths: baseline+progressive "
+                        "JPEG, PNG, GIF, 24-bit BMP); use decode_stub='fake' "
+                        "for plumbing tests"
                     )
                 else:
                     h = hashlib.md5(b).digest()

@@ -646,3 +646,115 @@ def test_flac_roundtrip_property(n, n_chan, block, kind, seed):
     assert res is not None
     dec, _ = res
     assert np.array_equal(dec, x if x.ndim == 2 else x[:, None])
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2)
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_jpeg_matches_baseline_exactly():
+    """Identical quantization tables ⇒ identical quantized coefficients
+    ⇒ the progressive and baseline decoders must emit byte-identical
+    pixels. Matrix over gray/RGB, odd sizes, EOBn batching on/off,
+    spectral split points, and successive-approximation depth."""
+    from kinesis_producer_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+    from kinesis_producer_spark.operators.jpeg_progressive import (
+        decode_progressive_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    rng = np.random.RandomState(7)
+    for shape in [(8, 8), (17, 23), (24, 16, 3), (33, 47, 3), (1, 1)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        want = decode_baseline_jpeg(encode_baseline_jpeg(img))
+        for eob in (True, False):
+            for split, al in [(5, 1), (20, 2), (62, 0), (1, 3)]:
+                pb = encode_progressive_jpeg(
+                    img, eob_batching=eob, spectral_split=split, al=al
+                )
+                got = decode_progressive_jpeg(pb)
+                assert got is not None and np.array_equal(got, want), (
+                    shape, eob, split, al,
+                )
+
+
+def test_progressive_jpeg_flat_quant_lossless():
+    """Block-constant images with the flat-16 tables round-trip
+    LOSSLESSLY through the progressive pipeline (same construction the
+    baseline exactness test uses: only the DC coefficient is nonzero
+    and it is a multiple of the quantizer)."""
+    from kinesis_producer_spark.operators.jpeg import FLAT16_QUANT
+    from kinesis_producer_spark.operators.jpeg_progressive import (
+        decode_progressive_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    rng = np.random.RandomState(9)
+    vals = (rng.randint(0, 64, (3, 4)) * 4 + 2).astype(np.uint8)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    for al in (0, 1, 2):
+        out = decode_progressive_jpeg(
+            encode_progressive_jpeg(img, luma_quant=FLAT16_QUANT, al=al)
+        )
+        assert np.array_equal(out, img), f"al={al}"
+
+
+def test_progressive_jpeg_rejects_truncation_and_garbage():
+    """Progressive streams degrade gracefully in viewers, but the
+    pipeline's poisoned-blob contract is truncation → None (same rule
+    as the gunzip d.eof gate): a blob chopped BETWEEN scans must not
+    silently yield a coarse image."""
+    from kinesis_producer_spark.operators.jpeg_progressive import (
+        decode_progressive_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (32, 32)).astype(np.uint8)
+    good = encode_progressive_jpeg(img)
+    assert decode_progressive_jpeg(good) is not None
+    for cut in (len(good) // 4, len(good) // 2, len(good) - 3):
+        assert decode_progressive_jpeg(good[:cut]) is None, f"cut at {cut}"
+    assert decode_progressive_jpeg(b"\xff\xd8\xff" + b"\x00" * 64) is None
+    assert decode_progressive_jpeg(b"not a jpeg") is None
+    # oversized guard
+    assert decode_progressive_jpeg(good, max_bytes=10) is None
+
+
+def test_decode_jpeg_dispatches_both_frame_types():
+    from kinesis_producer_spark.operators.jpeg import encode_baseline_jpeg
+    from kinesis_producer_spark.operators.jpeg_progressive import (
+        decode_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (16, 24, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_baseline_jpeg(img))
+    prog = decode_jpeg(encode_progressive_jpeg(img))
+    assert base is not None and np.array_equal(base, prog)
+    assert decode_jpeg(b"\xff\xd8\xff\xd9") is None  # SOI+EOI, no frame
+
+
+def test_decode_media_progressive_jpeg_operator_path(spark):
+    """A progressive blob flows through the decode_media operator with
+    NO stub involved — the kernel seam's default 'jpeg' kernel
+    dispatches SOF2."""
+    from kinesis_producer_spark.operators.jpeg_progressive import (
+        encode_progressive_jpeg,
+    )
+    from kinesis_producer_spark.operators.multimodal import decode_media
+
+    img = np.full((10, 20, 3), 100, np.uint8)
+    blob = encode_progressive_jpeg(img)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, content binary"
+    )
+    r = decode_media(df, decode_stub="fail").collect()[0]
+    assert (r.width, r.height, r.n_channels) == (20, 10, 3)
+    # flat image → luma ≈ 100/255 after JPEG quantization of a constant
+    assert abs(r.feature[0] - 100 / 255) < 0.02 and r.feature[1] < 0.02
