@@ -66,8 +66,10 @@ HEADLINE = [
     # prefix-sum sequence packing — both shuffle-discipline families.
     "q211_grouped_heavy_hitters",
     "q212_packed_sequences",
-    # Round-4: progressive (SOF2) JPEG encode+decode matrix.
+    # Round-4: progressive (SOF2) JPEG and lossless-WebP (VP8L)
+    # encode+decode matrices.
     "q215_progressive_jpeg_stats",
+    "q216_webp_decode_stats",
 ]
 
 

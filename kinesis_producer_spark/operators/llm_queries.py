@@ -4791,3 +4791,108 @@ def q215_progressive_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return d.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# q216 — REAL lossless-WebP (VP8L) decode: transform matrix, oracle-exact
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q216_webp_decode_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 'plain' WHEN 1 THEN 'subgreen'
+                                WHEN 2 THEN 'predictor' ELSE 'cache' END AS VARCHAR)
+             AS variant,
+           CAST(16 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(4 AS INT) AS n_channels,
+           CAST(1 + doc_id % 251 AS BIGINT) AS mean_red,
+           CAST((doc_id * 7) % 256 AS BIGINT) AS mean_green,
+           CAST((doc_id * 13) % 256 AS BIGINT) AS mean_blue
+    FROM documents
+    """,
+)
+def q216_webp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-WebP decode end to end: per document a flat-color
+    16x8 image (channels derived from doc_id) is VP8L-encoded with a
+    doc_id-selected feature set — plain literals, subtract-green
+    transform, constant-mode predictor transform, or color cache +
+    LZ77 runs — then decoded by the pure-Python VP8L decoder
+    (operators/webp.py). Losslessness makes the oracle closed-form:
+    the decoded per-channel means must equal the constructed values
+    exactly, for every transform/entropy-path combination in the
+    matrix. Any defect in the LSB bit reader, canonical prefix codes,
+    LZ77 length/distance coding, cache hashing, or an inverse
+    transform hash-mismatches.
+
+    Scale: encode+decode fused in one Arrow mapInPandas stage;
+    embarrassingly parallel, zero shuffle before the tiny projection.
+    """
+    from kinesis_producer_spark.operators.webp import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+    )
+
+    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+    cols = [
+        "media_id",
+        "variant",
+        "width",
+        "height",
+        "n_channels",
+        "mean_red",
+        "mean_green",
+        "mean_blue",
+    ]
+    schema = (
+        "media_id long, variant string, width int, height int, "
+        "n_channels int, mean_red long, mean_green long, mean_blue long"
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                r_v = 1 + did % 251
+                g_v = (did * 7) % 256
+                b_v = (did * 13) % 256
+                img = np.empty((8, 16, 3), np.uint8)
+                img[..., 0] = r_v
+                img[..., 1] = g_v
+                img[..., 2] = b_v
+                variant = ("plain", "subgreen", "predictor", "cache")[did % 4]
+                if variant == "plain":
+                    blob = encode_webp_lossless(img, use_lz77=False)
+                elif variant == "subgreen":
+                    blob = encode_webp_lossless(img, subtract_green=True)
+                elif variant == "predictor":
+                    blob = encode_webp_lossless(
+                        img, predictor_mode=(did // 4) % 14, predictor_size_bits=2
+                    )
+                else:
+                    blob = encode_webp_lossless(img, use_cache=4)
+                arr = decode_webp_lossless(blob)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "variant": variant,
+                        "width": int(arr.shape[1]),
+                        "height": int(arr.shape[0]),
+                        "n_channels": int(arr.shape[2]),
+                        "mean_red": int(arr[..., 0].astype(np.int64).sum())
+                        // (arr.shape[0] * arr.shape[1]),
+                        "mean_green": int(arr[..., 1].astype(np.int64).sum())
+                        // (arr.shape[0] * arr.shape[1]),
+                        "mean_blue": int(arr[..., 2].astype(np.int64).sum())
+                        // (arr.shape[0] * arr.shape[1]),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(run, schema)

@@ -134,7 +134,8 @@ _KERNEL_OVERRIDES: dict = {}
 
 
 def sniff_image_format(b: bytes) -> str | None:
-    """Magic-byte sniff for the kernel key ('jpeg'|'png'|'gif'|'bmp')."""
+    """Magic-byte sniff for the kernel key
+    ('jpeg'|'png'|'gif'|'bmp'|'webp')."""
     if b[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if b[:8] == b"\x89PNG\r\n\x1a\n":
@@ -143,6 +144,8 @@ def sniff_image_format(b: bytes) -> str | None:
         return "gif"
     if b[:2] == b"BM":
         return "bmp"
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        return "webp"
     return None
 
 
@@ -150,6 +153,7 @@ def default_decode_kernels() -> dict:
     from kinesis_producer_spark.operators.gif import decode_gif
     from kinesis_producer_spark.operators.jpeg_progressive import decode_jpeg
     from kinesis_producer_spark.operators.png import decode_png
+    from kinesis_producer_spark.operators.webp import decode_webp_lossless
 
     def _bmp(b: bytes):
         parsed = _parse_bmp(b)
@@ -161,6 +165,9 @@ def default_decode_kernels() -> dict:
         "png": decode_png,
         "gif": decode_gif,
         "bmp": _bmp,
+        # lossless (VP8L) WebP decodes for real; lossy VP8 chunks
+        # return None from this kernel → fail/fake stub path
+        "webp": decode_webp_lossless,
     }
 
 
@@ -680,11 +687,16 @@ def resize_media(
 
     from kinesis_producer_spark.operators.jpeg import encode_baseline_jpeg
     from kinesis_producer_spark.operators.png import encode_png
+    from kinesis_producer_spark.operators.webp import encode_webp_lossless
 
     if decode_stub not in ("fail", "fake"):
         raise ValueError("decode_stub must be 'fail' or 'fake'")
     kmap = resolve_decode_kernels(kernels)
-    emap = {"jpeg": encode_baseline_jpeg, "png": encode_png}
+    emap = {
+        "jpeg": encode_baseline_jpeg,
+        "png": encode_png,
+        "webp": encode_webp_lossless,
+    }
     if encode_kernels:
         emap.update(encode_kernels)
     src = df.select(F.col(id_col).alias("media_id"), F.col(content_col).alias("_blob"))

@@ -758,3 +758,133 @@ def test_decode_media_progressive_jpeg_operator_path(spark):
     assert (r.width, r.height, r.n_channels) == (20, 10, 3)
     # flat image → luma ≈ 100/255 after JPEG quantization of a constant
     assert abs(r.feature[0] - 100 / 255) < 0.02 and r.feature[1] < 0.02
+
+
+# ---------------------------------------------------------------------------
+# WebP lossless (VP8L)
+# ---------------------------------------------------------------------------
+
+
+def _webp_expect(img):
+    """Decoder emits (H, W, 4) RGBA; expand gray/RGB inputs to that."""
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    if img.shape[2] == 3:
+        img = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+    return img
+
+
+def test_webp_lossless_roundtrip_basic():
+    from kinesis_producer_spark.operators.webp import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.RandomState(5)
+    for shape in [(1, 1, 3), (7, 9, 3), (5, 6), (6, 8, 4), (16, 3, 3)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        out = decode_webp_lossless(encode_webp_lossless(img))
+        assert out is not None and np.array_equal(out, _webp_expect(img)), shape
+
+
+def test_webp_lossless_lz77_and_cache():
+    from kinesis_producer_spark.operators.webp import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.RandomState(6)
+    # long runs → LZ77 length prefix codes with extra bits
+    img = np.repeat(rng.randint(0, 256, (4, 3, 3)).astype(np.uint8), 40, axis=1)
+    out = decode_webp_lossless(encode_webp_lossless(img))
+    assert np.array_equal(out, _webp_expect(img))
+    # color cache across several bit widths
+    few = (rng.randint(0, 5, (12, 13, 3)) * 50).astype(np.uint8)
+    for bits in (1, 4, 8, 11):
+        out = decode_webp_lossless(encode_webp_lossless(few, use_cache=bits))
+        assert np.array_equal(out, _webp_expect(few)), f"cache_bits={bits}"
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_webp_lossless_all_predictor_modes(mode):
+    from kinesis_producer_spark.operators.webp import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.RandomState(100 + mode)
+    img = rng.randint(0, 256, (11, 13, 3)).astype(np.uint8)
+    blob = encode_webp_lossless(img, predictor_mode=mode, predictor_size_bits=2)
+    out = decode_webp_lossless(blob)
+    assert out is not None and np.array_equal(out, _webp_expect(img)), mode
+
+
+def test_webp_lossless_transforms_and_combos():
+    from kinesis_producer_spark.operators.webp import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 256, (9, 10, 3)).astype(np.uint8)
+    for kw in (
+        {"subtract_green": True},
+        {"color_transform": (33, 200, 17)},
+        {"color_transform": (255, 1, 128)},
+        {"use_cache": 3, "subtract_green": True, "predictor_mode": 12},
+    ):
+        out = decode_webp_lossless(encode_webp_lossless(img, **kw))
+        assert np.array_equal(out, _webp_expect(img)), kw
+    # palette / color-indexing incl. sub-byte packing (2, 3, 10, 200 colors)
+    for n_colors, width in ((2, 13), (3, 9), (10, 17), (200, 16)):
+        vals = rng.randint(0, 256, (n_colors, 3)).astype(np.uint8)
+        idx = rng.randint(0, n_colors, (7, width))
+        pimg = vals[idx]
+        out = decode_webp_lossless(encode_webp_lossless(pimg, palette=True))
+        assert np.array_equal(out, _webp_expect(pimg)), n_colors
+
+
+def test_webp_lossless_rejects_corruption():
+    from kinesis_producer_spark.operators.webp import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    good = encode_webp_lossless(img)
+    assert decode_webp_lossless(good) is not None
+    assert decode_webp_lossless(good[: len(good) // 2]) is None
+    assert decode_webp_lossless(b"RIFF\x00\x00\x00\x00WEBPVP8 ") is None  # lossy
+    assert decode_webp_lossless(b"nonsense") is None
+    assert decode_webp_lossless(None) is None
+    assert decode_webp_lossless(good, max_bytes=10) is None
+    # distance-map table sanity: 120 unique in-window offsets
+    from kinesis_producer_spark.operators.webp import _DIST_MAP
+
+    assert len(_DIST_MAP) == 120 and len(set(_DIST_MAP)) == 120
+    assert all(y >= 0 and (y > 0 or x > 0) for x, y in _DIST_MAP)
+
+
+def test_webp_kernel_in_decode_media_and_resize(spark):
+    """VP8L blobs decode for real through the operator seam, and
+    resize re-encodes a decodable VP8L thumbnail."""
+    from kinesis_producer_spark.operators.multimodal import (
+        decode_media,
+        resize_media,
+    )
+    from kinesis_producer_spark.operators.webp import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+    )
+
+    img = np.full((10, 20, 3), 100, np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_webp_lossless(img)))], "media_id long, content binary"
+    )
+    r = decode_media(df, decode_stub="fail").collect()[0]
+    assert (r.width, r.height, r.n_channels) == (20, 10, 4)
+    rz = resize_media(df, width=5, height=5, decode_stub="fail").collect()[0]
+    thumb = decode_webp_lossless(bytes(rz.resized))
+    assert thumb.shape == (5, 5, 4)
+    assert (thumb[..., :3] == 100).all() and (thumb[..., 3] == 255).all()
