@@ -888,3 +888,60 @@ def test_webp_kernel_in_decode_media_and_resize(spark):
     thumb = decode_webp_lossless(bytes(rz.resized))
     assert thumb.shape == (5, 5, 4)
     assert (thumb[..., :3] == 100).all() and (thumb[..., 3] == 255).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=hst.integers(1, 18),
+    w=hst.integers(1, 18),
+    gray=hst.booleans(),
+    eob=hst.booleans(),
+    split=hst.integers(1, 62),
+    al=hst.integers(0, 3),
+    seed=hst.integers(0, 2**31 - 1),
+)
+def test_progressive_jpeg_equals_baseline_property(h, w, gray, eob, split, al, seed):
+    """For ANY image and scan script, progressive decode must equal the
+    baseline decode of the same coefficients — the coefficient-identity
+    oracle as a property."""
+    from kinesis_producer_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+    from kinesis_producer_spark.operators.jpeg_progressive import (
+        decode_progressive_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w) if gray else (h, w, 3)).astype(np.uint8)
+    want = decode_baseline_jpeg(encode_baseline_jpeg(img))
+    got = decode_progressive_jpeg(
+        encode_progressive_jpeg(img, eob_batching=eob, spectral_split=split, al=al)
+    )
+    assert got is not None and np.array_equal(got, want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=hst.integers(1, 16),
+    w=hst.integers(1, 16),
+    c=hst.sampled_from([1, 3, 4]),
+    cache=hst.sampled_from([0, 2, 6, 10]),
+    sg=hst.booleans(),
+    pred=hst.sampled_from([None] + list(range(14))),
+    seed=hst.integers(0, 2**31 - 1),
+)
+def test_webp_lossless_roundtrip_property(h, w, c, cache, sg, pred, seed):
+    from kinesis_producer_spark.operators.webp import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w) if c == 1 else (h, w, c)).astype(np.uint8)
+    blob = encode_webp_lossless(
+        img, use_cache=cache, subtract_green=sg, predictor_mode=pred
+    )
+    out = decode_webp_lossless(blob)
+    assert out is not None and np.array_equal(out, _webp_expect(img))
