@@ -250,7 +250,7 @@ def decode_baseline_jpeg(b: bytes, max_bytes: int = 4 << 20) -> np.ndarray | Non
         return None
     try:
         return _decode_inner(b)
-    except (ValueError, EOFError, IndexError, KeyError):
+    except (ValueError, EOFError, IndexError, KeyError, OverflowError):
         return None
 
 
@@ -334,6 +334,11 @@ def _decode_scan(b, start, frame, qt, huff, scan_tables, restart_interval):
     vmax = max(c[2] for c in comps)
     if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
         raise ValueError("bad sampling factors")
+    # EVERY factor must be ≥ 1: a corrupt SOF with one zero factor
+    # passes the max-only check and divides by zero at upsample
+    # (fuzz finding)
+    if any(h < 1 or v < 1 for _cid, h, v, _tq in comps):
+        raise ValueError("zero sampling factor")
     mcux = (W + 8 * hmax - 1) // (8 * hmax)
     mcuy = (H + 8 * vmax - 1) // (8 * vmax)
 
@@ -358,6 +363,8 @@ def _decode_scan(b, start, frame, qt, huff, scan_tables, restart_interval):
                         coef = np.zeros((8, 8))
                         # DC
                         t = _decode_huffman(r, dc_tab)
+                        if t > 15:  # corrupt DHT symbol: bound the size
+                            raise ValueError("DC size category out of range")
                         diff = _extend(r.read_bits(t), t)
                         pred[cid] += diff
                         coef[0, 0] = pred[cid]

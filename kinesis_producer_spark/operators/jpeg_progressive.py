@@ -76,7 +76,7 @@ def decode_progressive_jpeg(b: bytes, max_bytes: int = 4 << 20) -> np.ndarray | 
         return None
     try:
         return _decode_prog_inner(b)
-    except (ValueError, EOFError, IndexError, KeyError):
+    except (ValueError, EOFError, IndexError, KeyError, OverflowError):
         return None
 
 
@@ -164,6 +164,8 @@ def _decode_prog_inner(b: bytes) -> np.ndarray | None:
             vmax = max(c[2] for c in comps)
             if not (1 <= hmax <= 4 and 1 <= vmax <= 4):
                 return None
+            if any(h < 1 or v < 1 for _cid, h, v, _tq in comps):
+                return None  # zero sampling factor (fuzz finding)
             mcux = (W + 8 * hmax - 1) // (8 * hmax)
             mcuy = (H + 8 * vmax - 1) // (8 * vmax)
             for cid, h, v, tq in comps:
@@ -280,6 +282,8 @@ def _decode_one_scan(
 def _dc_block(r, zz, by, bx, cs, pred, huff, td, ah, al):
     if ah == 0:  # first pass: baseline differencing, point-transformed
         t = _decode_huffman(r, huff[(0, td)])
+        if t > 15:  # corrupt DHT: size category bound (fuzz finding —
+            raise ValueError("DC size category out of range")  # int64 overflow)
         diff = _extend(r.read_bits(t), t)
         pred[cs] += diff
         zz[by, bx, 0] = pred[cs] << al
@@ -453,6 +457,9 @@ class _SymbolRecorder:
     def bits(self, v: int, n: int) -> None:
         pass
 
+    def restart(self, idx: int) -> None:
+        pass
+
 
 class _SymbolWriter:
     """Pass-2 sink: emits through a table into a _BitWriter."""
@@ -469,12 +476,22 @@ class _SymbolWriter:
         if n:
             self.w.write(v, n)
 
+    def restart(self, idx: int) -> None:
+        # byte-align (1-padded) then the unstuffed RSTn marker
+        self.w.flush()
+        self.w.out += bytes([0xFF, 0xD0 + (idx % 8)])
 
-def _scan_dc_first(sink, blocks_per_comp, al):
+
+def _scan_dc_first(sink, blocks_per_comp, al, restart_interval=0):
     """Interleaved DC first pass over all components."""
     preds = [0] * len(blocks_per_comp)
     nb = len(blocks_per_comp[0])
+    rst = 0
     for i in range(nb):
+        if restart_interval and i and i % restart_interval == 0:
+            sink.restart(rst)
+            rst += 1
+            preds = [0] * len(blocks_per_comp)
         for ci, blocks in enumerate(blocks_per_comp):
             v = int(blocks[i][0]) >> al  # DC point transform: arithmetic shift
             diff = v - preds[ci]
@@ -484,9 +501,14 @@ def _scan_dc_first(sink, blocks_per_comp, al):
             sink.bits(_encode_coef_bits(diff, t), t)
 
 
-def _scan_dc_refine(w: _BitWriter, blocks_per_comp, al):
+def _scan_dc_refine(w: _BitWriter, blocks_per_comp, al, restart_interval=0):
     nb = len(blocks_per_comp[0])
+    rst = 0
     for i in range(nb):
+        if restart_interval and i and i % restart_interval == 0:
+            w.flush()
+            w.out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
         for blocks in blocks_per_comp:
             w.write((int(blocks[i][0]) >> al) & 1, 1)
 
@@ -520,9 +542,14 @@ class _RefineState:
             self.flush_eob()
 
 
-def _scan_ac_first(state: _RefineState, blocks, ss, se, al):
+def _scan_ac_first(state: _RefineState, blocks, ss, se, al, restart_interval=0):
     sink = state.sink
-    for blk in blocks:
+    rst = 0
+    for bi, blk in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            state.flush_eob()
+            sink.restart(rst)
+            rst += 1
         vals = [int(blk[k]) // (1 << al) if blk[k] >= 0 else -((-int(blk[k])) >> al) for k in range(64)]
         nz = [k for k in range(ss, se + 1) if vals[k] != 0]
         if not nz:
@@ -547,14 +574,19 @@ def _scan_ac_first(state: _RefineState, blocks, ss, se, al):
             state.add_eob()
 
 
-def _scan_ac_refine(state: _RefineState, blocks, ss, se, al):
+def _scan_ac_refine(state: _RefineState, blocks, ss, se, al, restart_interval=0):
     """Encoder dual of _ac_refine: newly-nonzero ±1 symbols carry the
     correction bits of history coefficients crossed since the previous
     symbol; blocks that end in EOB contribute their remaining
     correction bits to the (batched) EOB run's payload."""
     sink = state.sink
     p_hist = 1 << (al + 1)
-    for blk in blocks:
+    rst = 0
+    for bi, blk in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            state.flush_eob()
+            sink.restart(rst)
+            rst += 1
         cur = [
             int(blk[k]) // (1 << al) if blk[k] >= 0 else -((-int(blk[k])) >> al)
             for k in range(64)
@@ -622,6 +654,7 @@ def encode_progressive_jpeg(
     eob_batching: bool = True,
     spectral_split: int = 5,
     al: int = 1,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a uint8 array — (H, W) gray or (H, W, 3) RGB 4:4:4 — as a
     progressive (SOF2) JPEG with a 6-stage scan script: interleaved DC
@@ -687,6 +720,8 @@ def encode_progressive_jpeg(
     out += _quant_segment(0, lq)
     if not gray:
         out += _quant_segment(1, cq)
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
     sof = bytes([8]) + H.to_bytes(2, "big") + W.to_bytes(2, "big") + bytes([nc])
     for ci in range(nc):
         sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
@@ -715,7 +750,9 @@ def encode_progressive_jpeg(
         return huff_segment(tc, 0, bits, vals), bytes(w.out)
 
     # 1) DC first (interleaved, all comps, table id 0)
-    dht, data = two_pass(lambda s: _scan_dc_first(s, blocks_per_comp, al), 0)
+    dht, data = two_pass(
+        lambda s: _scan_dc_first(s, blocks_per_comp, al, restart_interval), 0
+    )
     out += dht
     out += sos_segment([(ci + 1, 0, 0) for ci in range(nc)], 0, 0, 0, al)
     out += data
@@ -725,7 +762,7 @@ def encode_progressive_jpeg(
     # steps Al down ONE bit per scan until 0
     for a_ in range(al - 1, -1, -1):
         w = _BitWriter()
-        _scan_dc_refine(w, blocks_per_comp, a_)
+        _scan_dc_refine(w, blocks_per_comp, a_, restart_interval)
         w.flush()
         out += sos_segment([(ci + 1, 0, 0) for ci in range(nc)], 0, 0, a_ + 1, a_)
         out += bytes(w.out)
@@ -736,7 +773,7 @@ def encode_progressive_jpeg(
         for ci in range(nc):
             def run(sink, ci=ci, ss=ss, se=se):
                 st = _RefineState(sink, eob_batching)
-                _scan_ac_first(st, blocks_per_comp[ci], ss, se, al)
+                _scan_ac_first(st, blocks_per_comp[ci], ss, se, al, restart_interval)
                 st.flush_eob()
 
             dht, data = two_pass(run, 1)
@@ -749,7 +786,9 @@ def encode_progressive_jpeg(
             for ci in range(nc):
                 def run(sink, ci=ci, ss=ss, se=se, a_=a_):
                     st = _RefineState(sink, eob_batching)
-                    _scan_ac_refine(st, blocks_per_comp[ci], ss, se, a_)
+                    _scan_ac_refine(
+                        st, blocks_per_comp[ci], ss, se, a_, restart_interval
+                    )
                     st.flush_eob()
 
                 dht, data = two_pass(run, 1)

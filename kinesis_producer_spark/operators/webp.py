@@ -368,7 +368,7 @@ def decode_webp_lossless(b: bytes, max_bytes: int = 4 << 20) -> np.ndarray | Non
                 a, red, g, blue = _split(p)
                 arr[y, x] = (red, g, blue, a)
         return arr
-    except (ValueError, EOFError, IndexError, KeyError):
+    except (ValueError, EOFError, IndexError, KeyError, OverflowError):
         return None
 
 
@@ -784,6 +784,8 @@ def encode_webp_lossless(
     predictor_size_bits: int = 4,
     color_transform: tuple[int, int, int] | None = None,
     palette: bool = False,
+    use_2d_distance: bool = False,
+    meta_huffman_bits: int | None = None,
 ) -> bytes:
     """Encode a uint8 (H, W, 3|4) or (H, W) array as a lossless VP8L
     WebP. Coverage knobs: ``use_cache`` (color-cache bits, 0=off),
@@ -923,9 +925,16 @@ def encode_webp_lossless(
 
     wtr.write_bits(0, 1)  # end of transforms
 
-    # main image, spec order: color-cache info, meta-Huffman bit (off),
-    # the five prefix-code definitions, then the token data
-    _encode_pixel_stream_with_meta(wtr, pixels, xsize, use_cache, use_lz77)
+    # main image, spec order: color-cache info, meta-Huffman info,
+    # prefix-code definitions (×5 per entropy group), token data
+    if meta_huffman_bits is None:
+        _encode_pixel_stream_with_meta(
+            wtr, pixels, xsize, use_cache, use_lz77, use_2d_distance
+        )
+    else:
+        _encode_with_meta_groups(
+            wtr, pixels, xsize, use_cache, meta_huffman_bits
+        )
 
     payload = b"\x2f" + wtr.finish()
     if len(payload) & 1:
@@ -937,7 +946,7 @@ def encode_webp_lossless(
 
 
 def _encode_pixel_stream_with_meta(
-    w: _LSBWriter, pixels, xsize, use_cache, use_lz77
+    w: _LSBWriter, pixels, xsize, use_cache, use_lz77, use_2d_distance=False
 ) -> None:
     # cache info
     if use_cache:
@@ -946,13 +955,15 @@ def _encode_pixel_stream_with_meta(
     else:
         w.write_bits(0, 1)
     w.write_bits(0, 1)  # no meta-Huffman
-    _encode_pixel_stream_body(w, pixels, xsize, use_cache, use_lz77)
+    _encode_pixel_stream_body(w, pixels, xsize, use_cache, use_lz77, use_2d_distance)
 
 
-def _encode_pixel_stream_body(w, pixels, xsize, use_cache, use_lz77) -> None:
+def _encode_pixel_stream_body(
+    w, pixels, xsize, use_cache, use_lz77, use_2d_distance=False
+) -> None:
     """Codes + token data (cache/meta flags already written)."""
     # re-tokenize exactly as _encode_pixel_stream does
-    saved = _TokenStream(pixels, use_cache, use_lz77)
+    saved = _TokenStream(pixels, use_cache, use_lz77, use_2d_distance)
     green_alpha = 256 + 24 + ((1 << use_cache) if use_cache else 0)
     gset = _CodeSet(saved.g_syms or [0], green_alpha)
     rset = _CodeSet(saved.r_syms or [0], 256)
@@ -972,7 +983,7 @@ def _encode_pixel_stream_body(w, pixels, xsize, use_cache, use_lz77) -> None:
             code, n_extra, extra = _prefix_encode_value(v)
             gset.emit_symbol(w, 256 + code)
             w.write_bits(extra, n_extra)
-            dcode, dn, dex = _prefix_encode_value(121)
+            dcode, dn, dex = _prefix_encode_value(saved.dist_code_one)
             dset.emit_symbol(w, dcode)
             w.write_bits(dex, dn)
         else:
@@ -980,8 +991,12 @@ def _encode_pixel_stream_body(w, pixels, xsize, use_cache, use_lz77) -> None:
 
 
 class _TokenStream:
-    def __init__(self, pixels, use_cache, use_lz77) -> None:
+    def __init__(self, pixels, use_cache, use_lz77, use_2d_distance=False) -> None:
         cache_size = (1 << use_cache) if use_cache else 0
+        # distance 1 as a 2D neighborhood code: offset (1, 0) is entry 2
+        # of the spec map, vs the plain form distance + 120 = 121 — both
+        # legal; the 2D form exercises the decoder's neighbor-map path
+        self.dist_code_one = 2 if use_2d_distance else 121
         self.tokens = []
         self.g_syms, self.r_syms, self.b_syms = [], [], []
         self.a_syms, self.d_syms = [], []
@@ -998,7 +1013,7 @@ class _TokenStream:
                     self.tokens.append(("copy", run))
                     code, _, _ = _prefix_encode_value(run)
                     self.g_syms.append(256 + code)
-                    dcode, _, _ = _prefix_encode_value(121)
+                    dcode, _, _ = _prefix_encode_value(self.dist_code_one)
                     self.d_syms.append(dcode)
                     if cache_size:
                         k = _cache_key(pix, use_cache)
@@ -1022,3 +1037,91 @@ class _TokenStream:
             self.b_syms.append(blue)
             self.a_syms.append(a)
             i += 1
+
+
+def _encode_with_meta_groups(
+    w: _LSBWriter, pixels, xsize, use_cache, huff_bits
+) -> None:
+    """Two-entropy-group meta-Huffman emission (checkerboard over
+    2^huff_bits tiles): exercises the decoder's per-tile group lookup
+    and multi-group code tables. Literals + optional cache only — an
+    LZ77 token would need group attribution at its start pixel, which
+    this coverage path doesn't bother with."""
+    if not (2 <= huff_bits <= 9):
+        raise ValueError("meta_huffman_bits must be in [2, 9]")
+    ysz = len(pixels) // xsize
+    mx = -(-xsize // (1 << huff_bits))
+    my = -(-ysz // (1 << huff_bits))
+
+    def group_of(i: int) -> int:
+        x, y = i % xsize, i // xsize
+        return ((x >> huff_bits) + (y >> huff_bits)) % 2
+
+    # cache info, then the meta-Huffman header + tile image
+    if use_cache:
+        w.write_bits(1, 1)
+        w.write_bits(use_cache, 4)
+    else:
+        w.write_bits(0, 1)
+    w.write_bits(1, 1)
+    w.write_bits(huff_bits - 2, 3)
+    meta_px = [
+        _argb(0xFF, 0, (tx + ty) % 2, 0) for ty in range(my) for tx in range(mx)
+    ]
+    _encode_subimage(w, meta_px, mx)
+    # the decoder reads max(group)+1 code sets — a single-tile image
+    # has only group 0, so only one set may be emitted
+    n_groups = max((px >> 8) & 0xFF for px in meta_px) + 1
+
+    cache_size = (1 << use_cache) if use_cache else 0
+    cache = [0] * cache_size
+    valid = [False] * cache_size
+    toks = []  # (group, kind, value)
+    for i, pix in enumerate(pixels):
+        g = group_of(i)
+        if cache_size:
+            k = _cache_key(pix, use_cache)
+            if valid[k] and cache[k] == pix:
+                toks.append((g, "cache", k))
+                continue
+            cache[k] = pix
+            valid[k] = True
+        toks.append((g, "lit", pix))
+
+    green_alpha = 256 + 24 + cache_size
+    sets = []
+    for g in range(n_groups):
+        g_syms, r_syms, b_syms, a_syms = [], [], [], []
+        for gg, kind, v in toks:
+            if gg != g:
+                continue
+            if kind == "cache":
+                g_syms.append(256 + 24 + v)
+            else:
+                a, red, gr, blue = _split(v)
+                g_syms.append(gr)
+                r_syms.append(red)
+                b_syms.append(blue)
+                a_syms.append(a)
+        sets.append(
+            (
+                _CodeSet(g_syms or [0], green_alpha),
+                _CodeSet(r_syms or [0], 256),
+                _CodeSet(b_syms or [0], 256),
+                _CodeSet(a_syms or [0], 256),
+                _CodeSet([0], 40),
+            )
+        )
+    for g in range(n_groups):
+        for cs in sets[g]:
+            cs.emit_definition(w)
+    for gg, kind, v in toks:
+        gset, rset, bset, aset, _dset = sets[gg]
+        if kind == "cache":
+            gset.emit_symbol(w, 256 + 24 + v)
+        else:
+            a, red, gr, blue = _split(v)
+            gset.emit_symbol(w, gr)
+            rset.emit_symbol(w, red)
+            bset.emit_symbol(w, blue)
+            aset.emit_symbol(w, a)

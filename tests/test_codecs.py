@@ -945,3 +945,93 @@ def test_webp_lossless_roundtrip_property(h, w, c, cache, sg, pred, seed):
     )
     out = decode_webp_lossless(blob)
     assert out is not None and np.array_equal(out, _webp_expect(img))
+
+
+def test_progressive_jpeg_restart_intervals():
+    """DRI + RSTn markers inside progressive scans: DC predictors and
+    EOB runs reset at every restart, in every scan kind."""
+    from kinesis_producer_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+    from kinesis_producer_spark.operators.jpeg_progressive import (
+        decode_progressive_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    rng = np.random.RandomState(13)
+    for shape in [(32, 32), (24, 40, 3), (17, 23)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        want = decode_baseline_jpeg(encode_baseline_jpeg(img))
+        for ri in (1, 3, 7):
+            for al in (0, 2):
+                got = decode_progressive_jpeg(
+                    encode_progressive_jpeg(img, restart_interval=ri, al=al)
+                )
+                assert got is not None and np.array_equal(got, want), (shape, ri, al)
+
+
+def test_webp_2d_distance_and_meta_huffman():
+    """The two decoder paths a plain-literal encoder never reaches:
+    LZ77 distances through the 120-entry 2D neighborhood map, and
+    per-tile meta-Huffman entropy-group selection."""
+    from kinesis_producer_spark.operators.webp import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.RandomState(14)
+    runs = np.repeat(rng.randint(0, 256, (6, 2, 3)).astype(np.uint8), 30, axis=1)
+    out = decode_webp_lossless(encode_webp_lossless(runs, use_2d_distance=True))
+    assert np.array_equal(out, _webp_expect(runs))
+    for shape, hb, cache in [((20, 30, 3), 2, 0), ((40, 40, 4), 2, 5), ((4, 4), 4, 0)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        out = decode_webp_lossless(
+            encode_webp_lossless(img, use_cache=cache, meta_huffman_bits=hb)
+        )
+        assert out is not None and np.array_equal(out, _webp_expect(img)), (shape, hb)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    fmt=hst.sampled_from(["png", "gif", "jpeg", "prog", "webp", "flac"]),
+    n_flips=hst.integers(1, 6),
+    seed=hst.integers(0, 2**31 - 1),
+)
+def test_codec_fuzz_bitflips_never_crash(fmt, n_flips, seed):
+    """Poisoned-blob contract under random corruption: flipping bytes
+    anywhere in a valid stream must yield either None or a decoded
+    array — NEVER an exception (a crash would kill the Spark task)."""
+    from kinesis_producer_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+    from kinesis_producer_spark.operators.jpeg_progressive import (
+        decode_progressive_jpeg,
+        encode_progressive_jpeg,
+    )
+    from kinesis_producer_spark.operators.webp import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (9, 11, 3)).astype(np.uint8)
+    if fmt == "png":
+        blob, dec = encode_png(img), decode_png
+    elif fmt == "gif":
+        pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+        blob, dec = encode_gif(rng.randint(0, 16, (9, 11)).astype(np.uint8), pal), decode_gif
+    elif fmt == "jpeg":
+        blob, dec = encode_baseline_jpeg(img), decode_baseline_jpeg
+    elif fmt == "prog":
+        blob, dec = encode_progressive_jpeg(img), decode_progressive_jpeg
+    elif fmt == "webp":
+        blob, dec = encode_webp_lossless(img), decode_webp_lossless
+    else:
+        sig = rng.randint(-32768, 32768, 400).astype(np.int16)
+        blob, dec = encode_flac(sig), decode_flac
+    mutated = bytearray(blob)
+    for pos in rng.randint(0, len(mutated), n_flips):
+        mutated[pos] ^= 1 << rng.randint(0, 8)
+    dec(bytes(mutated))  # must not raise — None or data both acceptable
