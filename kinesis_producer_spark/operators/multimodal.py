@@ -402,6 +402,67 @@ def _parse_bmp_header(b: bytes) -> dict | None:
     }
 
 
+def _parse_tiff_header(b: bytes) -> dict | None:
+    """Real TIFF header parse (pure byte layout, both byte orders):
+    'II*\\0' (little-endian) or 'MM\\0*' (big-endian), u32 offset to
+    IFD0, then the entry table — tag u16, type u16, count u32, 4-byte
+    inline value or offset. Reads ImageWidth(256), ImageLength(257),
+    BitsPerSample(258, first sample; follows the offset when the
+    array doesn't fit inline) and SamplesPerPixel(277). This is also
+    the EXIF container layout, so JPEG sidecar metadata parses with
+    the same walk."""
+    if len(b) < 8:
+        return None
+    if b[:4] == b"II*\x00":
+        bo = "little"
+    elif b[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        return None
+
+    def u(data: bytes) -> int:
+        return int.from_bytes(data, bo)
+
+    ifd = u(b[4:8])
+    if ifd + 2 > len(b):
+        return None
+    n = u(b[ifd : ifd + 2])
+    if n == 0 or n > 512:
+        return None
+    out = {"media_type": "image/tiff", "bit_depth": 1, "n_channels": 1}
+    type_size = {1: 1, 3: 2, 4: 4}
+    found_dims = 0
+    for i in range(n):
+        e = ifd + 2 + i * 12
+        if e + 12 > len(b):
+            return None
+        tag = u(b[e : e + 2])
+        ftype = u(b[e + 2 : e + 4])
+        count = u(b[e + 4 : e + 8])
+        size = type_size.get(ftype)
+        if size is None:
+            continue
+        if size * count <= 4:
+            raw = b[e + 8 : e + 8 + size]
+        else:
+            off = u(b[e + 8 : e + 12])
+            if off + size > len(b):
+                continue
+            raw = b[off : off + size]
+        val = u(raw)
+        if tag == 256:
+            out["width"] = val
+            found_dims |= 1
+        elif tag == 257:
+            out["height"] = val
+            found_dims |= 2
+        elif tag == 258:
+            out["bit_depth"] = val
+        elif tag == 277:
+            out["n_channels"] = val
+    return out if found_dims == 3 else None
+
+
 def _parse_flac_streaminfo(b: bytes) -> dict | None:
     """Real FLAC STREAMINFO parse: 'fLaC' magic, then metadata blocks
     (1-byte type/last flag + u24be length); STREAMINFO (type 0) packs
@@ -486,9 +547,11 @@ def decode_headers(
     whose headers are parseable without codec libraries: PNG IHDR
     (width/height/bit-depth/color-type), WAV fmt (channels/sample
     rate/bits), JPEG SOFn (dimensions/precision/components), GIF
-    logical screen descriptor, 24-bit BMP, and FLAC STREAMINFO
-    (sample rate/channels/bits from the packed bit fields). Unknown formats yield a row with null
-    fields — the PERMISSIVE analogue of reference file_flattener.py:78's
+    logical screen descriptor, 24-bit BMP, FLAC STREAMINFO (sample
+    rate/channels/bits from the packed bit fields), WebP (RIFF
+    subtype), and TIFF IFD0 (both byte orders — also the EXIF
+    container layout). Unknown formats yield a row with null fields —
+    the PERMISSIVE analogue of reference file_flattener.py:78's
     FAILFAST.
 
     Arrow-batched mapInPandas: blobs stream through executors in
@@ -526,6 +589,8 @@ def decode_headers(
                 )
             if b[:2] == b"BM":
                 return _parse_bmp_header(b)
+            if b[:4] in (b"II*\x00", b"MM\x00*"):
+                return _parse_tiff_header(b)
             return None
 
         for pdf in batches:

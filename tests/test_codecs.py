@@ -1035,3 +1035,61 @@ def test_codec_fuzz_bitflips_never_crash(fmt, n_flips, seed):
     for pos in rng.randint(0, len(mutated), n_flips):
         mutated[pos] ^= 1 << rng.randint(0, 8)
     dec(bytes(mutated))  # must not raise — None or data both acceptable
+
+
+def _tiff_blob(width, height, bits, spp, byte_order="little", inline=True):
+    """Minimal well-formed TIFF IFD0 for header-parse tests."""
+    bo = byte_order
+    def u16(v): return v.to_bytes(2, bo)
+    def u32(v): return v.to_bytes(4, bo)
+    magic = b"II*\x00" if bo == "little" else b"MM\x00*"
+    entries = []
+    def entry(tag, ftype, count, raw4):
+        entries.append(u16(tag) + u16(ftype) + u32(count) + raw4)
+    entry(256, 4, 1, u32(width))
+    entry(257, 4, 1, u32(height))
+    extra = b""
+    if inline or spp * 2 <= 4:
+        entry(258, 3, 1, u16(bits) + b"\x00\x00")
+    else:
+        # BitsPerSample as an offset-resident SHORT array (spp entries)
+        data_off = 8 + 2 + 12 * 4 + 4
+        entry(258, 3, spp, u32(data_off))
+        extra = b"".join(u16(bits) for _ in range(spp))
+    entry(277, 3, 1, u16(spp) + b"\x00\x00")
+    body = u16(len(entries)) + b"".join(entries) + u32(0)
+    return magic + u32(8) + body + extra
+
+
+def test_tiff_header_parse_both_byte_orders(spark):
+    from kinesis_producer_spark.operators.multimodal import (
+        _parse_tiff_header,
+        decode_headers,
+    )
+
+    for bo in ("little", "big"):
+        got = _parse_tiff_header(_tiff_blob(640, 480, 8, 3, byte_order=bo))
+        assert got == {
+            "media_type": "image/tiff",
+            "width": 640,
+            "height": 480,
+            "bit_depth": 8,
+            "n_channels": 3,
+        }, bo
+    # offset-resident BitsPerSample array → first sample's depth
+    got = _parse_tiff_header(_tiff_blob(12, 34, 16, 3, inline=False))
+    assert got["bit_depth"] == 16 and got["n_channels"] == 3
+    # corruption: truncated, bad magic, zero entries
+    assert _parse_tiff_header(_tiff_blob(1, 1, 8, 1)[:10]) is None
+    assert _parse_tiff_header(b"II+\x00" + b"\x00" * 20) is None
+    assert _parse_tiff_header(b"II*\x00" + (8).to_bytes(4, "little") + b"\x00\x00") is None
+
+    # and through the Spark operator
+    df = spark.createDataFrame(
+        [(1, bytearray(_tiff_blob(100, 50, 8, 1, byte_order="big")))],
+        "media_id long, content binary",
+    )
+    r = decode_headers(df).collect()[0]
+    assert (r.media_type, r.width, r.height, r.bit_depth, r.n_channels) == (
+        "image/tiff", 100, 50, 8, 1,
+    )

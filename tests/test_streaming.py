@@ -797,3 +797,85 @@ def test_streaming_pivot_is_declared_schema_only(spark):
     # declared mode builds a streaming plan fine (no action needed)
     wide = pivot_declared(eav, declared=["Speed"], uom_for=["Speed"])
     assert wide.isStreaming and "Speed" in wide.columns
+
+
+def test_transform_with_state_dependency_gate(spark):
+    """This image has no protobuf, which pyspark's transformWithState
+    state-server protocol needs — the operator must fail FAST with the
+    dependency named, not crash the streaming Python runner mid-query
+    (the failure mode observed without the gate)."""
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        pytest.skip("protobuf installed — gate not applicable")
+    except ImportError:
+        pass
+    from kinesis_producer_spark.streaming.stateful import (
+        events_multifile_stream,
+        tws_user_stats,
+    )
+
+    stream = events_multifile_stream(spark, "/root/testdata/sf0.001", n_files=2)
+    with pytest.raises(ImportError, match="protobuf"):
+        tws_user_stats(stream)
+
+
+def test_transform_with_state_user_stats(spark, tmp_path):
+    """The Spark 4.x arbitrary-state API (transformWithStateInPandas):
+    per-user running totals through typed ValueState + a bounded
+    ListState history, under the RocksDB provider it requires. The
+    last emission per user must equal the batch recompute (count and
+    integer-cents sum are batch-boundary independent), and the list
+    state must hold the last ≤3 event types in event order.
+
+    Runs only where protobuf is installed (pyspark's transformWithState
+    state-server protocol needs it; absent in this image)."""
+    pytest.importorskip("google.protobuf")
+    from kinesis_producer_spark.streaming.stateful import (
+        events_multifile_stream,
+        tws_user_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    default_provider = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, rocks)
+    try:
+        stream = events_multifile_stream(spark, sf, n_files=4)
+        out = tws_user_stats(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_stats_t")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql(
+            "SELECT user_id, n_events, total_cents, recent_types FROM tws_stats_t"
+        ).toPandas()
+    finally:
+        spark.conf.set(conf_key, default_provider)
+
+    # last emission per user (update mode: emissions grow monotonically)
+    last = got.sort_values("n_events").groupby("user_id").last()
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").toPandas()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    expect = ev.groupby("user_id").agg(
+        n=("event_id", "size"), cents=("cents", "sum")
+    )
+    assert len(last) == len(expect)
+    for uid, row in expect.iterrows():
+        assert last.loc[uid, "n_events"] == row["n"], uid
+        assert last.loc[uid, "total_cents"] == row["cents"], uid
+    # bounded history: ≤ 3 entries, and for users seen in one batch the
+    # tail matches the event-time order of their last events
+    for uid, row in last.iterrows():
+        types = row["recent_types"].split(",") if row["recent_types"] else []
+        assert len(types) <= 3
+        tail = ev[ev.user_id == uid].sort_values("ts")["event_type"].tolist()[-len(types):]
+        assert types == tail, uid
