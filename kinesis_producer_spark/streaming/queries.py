@@ -605,3 +605,67 @@ def q192_kpl_aggregation_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         F.min(F.md5("data")).alias("min_md5"),
         F.max(F.md5("data")).alias("max_md5"),
     )
+
+
+@query(
+    "q217_streaming_lsh_candidates",
+    oracle="""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') a FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) s
+           FROM w),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    mh AS (SELECT doc_id, seed, MIN(SUBSTR(MD5(g), 1 + 2*seed, 16)) m
+           FROM ex CROSS JOIN (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
+    sig AS (SELECT doc_id, list(m ORDER BY seed) sg FROM mh GROUP BY doc_id),
+    bands AS (SELECT doc_id, b, MD5(sg[2*b+1] || '|' || sg[2*b+2]) bucket
+              FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b))
+    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+    FROM bands x JOIN bands y
+      ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    """,
+)
+def q217_streaming_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup detection, gate-checked against the batch
+    closed form: the documents fixture streams through
+    ``streaming_lsh_candidates`` (per-row MinHash banding as column
+    expressions + per-bucket membership state in
+    ``applyInPandasWithState``) and the DISTINCT emitted pair set must
+    equal the relational LSH banding the oracle computes — proof that
+    continuous ingestion discovers exactly the candidates a batch
+    re-run would, independent of micro-batch boundaries.
+
+    Scale: state is per (band, bucket) and bounded
+    (``max_bucket_size`` caps both memory and a hot bucket's
+    quadratic pair fan-out); the signature stage is shuffle-free."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from kinesis_producer_spark.streaming.lsh import streaming_lsh_candidates
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"docs_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(stream_dir)
+        .select("doc_id", "text")
+    )
+    pairs = streaming_lsh_candidates(docs)
+    name = f"lsh_mem_{uuid.uuid4().hex[:10]}"
+    q = (
+        pairs.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("id_a", "id_b").distinct()
