@@ -2323,3 +2323,120 @@ def q214_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").cast("bigint").alias("min_y"),
         F.max("y").cast("bigint").alias("max_y"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q218 — Count-Min sketch (mergeable frequency estimates, exact cross-engine)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # counters per row
+# row-r cell of a token: byte r of md5(tok) → 0..255 (d=4 independent
+# byte slices of one digest — same one-digest discipline as MinHash)
+_CMS_CELL = (
+    "(INSTR('0123456789abcdef', SUBSTR(MD5(tok), {p1}, 1)) - 1) * 16 + "
+    "(INSTR('0123456789abcdef', SUBSTR(MD5(tok), {p2}, 1)) - 1)"
+)
+
+
+def _cms_cell_sql(r: int) -> str:
+    return _CMS_CELL.format(p1=2 * r + 1, p2=2 * r + 2)
+
+
+_CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT UNNEST(regexp_split_to_array(LOWER(text), '\\s+')) AS tok
+  FROM documents
+), toks2 AS (SELECT tok FROM toks WHERE tok <> ''),
+cells AS (
+  SELECT r, cell, CAST(COUNT(*) AS BIGINT) AS counter
+  FROM (
+    {" UNION ALL ".join(f"SELECT {r} AS r, {_cms_cell_sql(r)} AS cell, tok FROM toks2" for r in range(_CMS_D))}
+  ) GROUP BY r, cell
+),
+truth AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM toks2 GROUP BY tok HAVING COUNT(*) >= 100
+)
+SELECT t.tok, t.true_cnt,
+       CAST(MIN(c.counter) AS BIGINT) AS cms_estimate
+FROM truth t
+JOIN cells c
+  ON (c.r = 0 AND c.cell = {_cms_cell_sql(0).replace('tok', 't.tok')})
+  OR (c.r = 1 AND c.cell = {_cms_cell_sql(1).replace('tok', 't.tok')})
+  OR (c.r = 2 AND c.cell = {_cms_cell_sql(2).replace('tok', 't.tok')})
+  OR (c.r = 3 AND c.cell = {_cms_cell_sql(3).replace('tok', 't.tok')})
+GROUP BY t.tok, t.true_cnt
+"""
+
+
+def countmin_cells(tokens: DataFrame, tok_col: str = "tok") -> DataFrame:
+    """Count-Min sketch as a (row, cell, counter) frame: d=4 hash rows
+    of w=256 counters, cells derived from byte slices of one md5 per
+    token. The sketch is MERGEABLE (counters add), so partial sketches
+    combine across partitions/days/streams with a plain groupBy sum —
+    the property that makes CMS the frequency sketch of choice at
+    100 TB: fixed d×w memory regardless of vocabulary size, and
+    estimates that only ever overestimate (min over rows bounds the
+    collision error)."""
+    tok = F.col(tok_col)
+    rows = []
+    for r in range(_CMS_D):
+        cell = (
+            F.conv(F.substring(F.md5(tok), 2 * r + 1, 2), 16, 10).cast("int")
+        )
+        rows.append(
+            tokens.select(F.lit(r).alias("r"), cell.alias("cell"))
+        )
+    allrows = rows[0]
+    for fr in rows[1:]:
+        allrows = allrows.unionByName(fr)
+    return allrows.groupBy("r", "cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("counter")
+    )
+
+
+@query("q218_countmin_sketch", oracle=_CMS_ORACLE)
+def q218_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates, exact cross-engine: build
+    the d×w counter grid over the token stream, then read back the
+    point estimate (min over the d rows' cells) for every token whose
+    TRUE count ≥ 100 and report both numbers. The oracle recomputes
+    the same grid relationally, so the query pins the hash family,
+    the cell arithmetic, and the min-read — and the result exhibits
+    the CMS contract (estimate ≥ truth) which the test asserts.
+
+    Scale: the sketch build is a map-side-combinable groupBy on
+    (r, cell) — at most d×w = 1024 groups regardless of corpus size;
+    the probe side broadcasts the tiny counter grid back. Nothing
+    vocabulary-sized ever shuffles (contrast q201, which needs exact
+    answers and shuffles pruned candidates)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    cells = countmin_cells(toks)
+
+    truth = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        .filter(F.col("true_cnt") >= 100)
+    )
+    probe = truth
+    for r in range(_CMS_D):
+        cell = F.conv(F.substring(F.md5(F.col("tok")), 2 * r + 1, 2), 16, 10).cast(
+            "int"
+        )
+        keep = ["tok", "true_cnt"] + [f"c{i}" for i in range(r)]
+        probe = probe.join(
+            F.broadcast(cells.filter(F.col("r") == r).select("cell", "counter")),
+            cell == F.col("cell"),
+        ).select(*keep, F.col("counter").alias(f"c{r}"))
+    est = probe.select(
+        "tok",
+        "true_cnt",
+        F.least(*[F.col(f"c{r}") for r in range(_CMS_D)])
+        .cast("bigint")
+        .alias("cms_estimate"),
+    )
+    return est

@@ -576,3 +576,31 @@ def test_zorder_tiles_bound_both_dimensions(spark):
     ).select(morton_z(F.col("x"), F.col("y"), bits=4).alias("z"))
     zs = sorted(r.z for r in probe.collect())
     assert zs == list(range(256))
+
+
+def test_countmin_sketch_contract(spark):
+    """CMS invariants: estimates never UNDERestimate, exact when no
+    collision, and partial sketches MERGE by counter addition."""
+    from kinesis_producer_spark.operators.scale_ops import countmin_cells
+    from kinesis_producer_spark.suite import load_all
+    from pyspark.sql import functions as F
+
+    queries, _ = load_all()
+    rows = queries["q218_countmin_sketch"](spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no heavy tokens in fixture"
+    for r in rows:
+        assert r.cms_estimate >= r.true_cnt, (r.tok, r.cms_estimate, r.true_cnt)
+
+    # mergeability: sketch(A ∪ B) == merge(sketch(A), sketch(B))
+    a = spark.createDataFrame([(w,) for w in "x y z x x".split()], "tok string")
+    b = spark.createDataFrame([(w,) for w in "y y q".split()], "tok string")
+    whole = {
+        (r.r, r.cell): r.counter
+        for r in countmin_cells(a.unionByName(b)).collect()
+    }
+    pa = {(r.r, r.cell): r.counter for r in countmin_cells(a).collect()}
+    pb = {(r.r, r.cell): r.counter for r in countmin_cells(b).collect()}
+    merged = dict(pa)
+    for k, v in pb.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == whole
