@@ -4896,3 +4896,147 @@ def q216_webp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return d.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# q219 — feature hashing (the hashing trick), integer-exact
+# ---------------------------------------------------------------------------
+
+_FH_BUCKETS = 64
+
+
+@query(
+    "q219_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(LOWER(text), '\\s+')) AS tok
+      FROM documents
+    ), t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    h AS (
+      SELECT doc_id,
+             (INSTR('0123456789abcdef', SUBSTR(MD5(tok), 1, 1)) - 1) * 4
+             + (INSTR('0123456789abcdef', SUBSTR(MD5(tok), 2, 1)) - 1) // 4 AS bucket,
+             CASE WHEN (INSTR('0123456789abcdef', SUBSTR(MD5(tok), 32, 1)) - 1) % 2 = 0
+                  THEN 1 ELSE -1 END AS sign
+      FROM t2
+    )
+    SELECT doc_id, CAST(bucket AS INT) AS bucket,
+           CAST(SUM(sign) AS BIGINT) AS feature
+    FROM h GROUP BY doc_id, bucket
+    HAVING SUM(sign) <> 0
+    """,
+)
+def q219_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (Weinberger et al.'s hashing trick): tokens map
+    to a FIXED 64-bucket feature space via md5 bits, with a second
+    hash bit supplying the ±1 sign that makes collisions cancel in
+    expectation — the dimensionality-fixing step before any linear
+    model / sketch over unbounded vocabulary. Emitted as sparse
+    (doc_id, bucket, feature) rows with exact integer values (zero
+    entries dropped), so the gate hashes cell-exact numbers.
+
+    Scale: one md5 per token, one groupBy on (doc_id, bucket) with
+    map-side combine; the feature space is fixed at 64 buckets
+    regardless of vocabulary — the whole point of the trick. No
+    vocabulary-sized state anywhere (contrast q220, which builds the
+    explicit vocabulary)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    md5 = F.md5(F.col("tok"))
+    bucket = (
+        F.conv(F.substring(md5, 1, 1), 16, 10).cast("int") * 4
+        + F.expr("CAST(conv(substring(md5(tok), 2, 1), 16, 10) AS INT) div 4")
+    ).cast("int")
+    sign = F.when(
+        F.conv(F.substring(md5, 32, 1), 16, 10).cast("int") % 2 == 0, 1
+    ).otherwise(-1)
+    return (
+        toks.select("doc_id", bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("bigint").alias("feature"))
+        .filter(F.col("feature") != 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q220 — vocabulary indexing (token → dense id by frequency rank)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q220_vocab_index",
+    oracle="""
+    WITH toks AS (
+      SELECT UNNEST(regexp_split_to_array(LOWER(text), '\\s+')) AS tok
+      FROM documents
+    ), counts AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks WHERE tok <> '' GROUP BY tok
+    )
+    SELECT tok,
+           cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) - 1 + 4 AS BIGINT)
+             AS token_id
+    FROM counts
+    """,
+)
+def q220_vocab_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary indexing — the token → dense-id table every
+    tokenized training pipeline materializes: ids ordered by corpus
+    frequency (ties broken lexicographically, so the assignment is
+    reproducible across engines and runs), offset by 4 to reserve the
+    conventional special ids (pad/unk/bos/eos).
+
+    Scale: the count is a map-side-combinable groupBy; the dense-rank
+    assignment reuses the q107 TeraSort composition — range buckets
+    derived from the (negated count, token) sort key, local
+    row_numbers, broadcast prefix offsets — so no single-partition
+    window touches the vocabulary. At this fixture scale the bucket
+    count is 16; production widens the same construction."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    # Distributed global rank on (cnt DESC, tok ASC) without a
+    # single-partition window: buckets must FOLLOW the sort order, so
+    # derive them from the sort key's leading component — the count's
+    # magnitude band floor(log2(cnt)), computed integer-exactly as
+    # bit_length−1 (binary-string length, no float log). Counts in a
+    # higher band are strictly larger, ties share a band, so
+    # per-band local ranks + broadcast band offsets compose the exact
+    # global rank (the q107 TeraSort composition, key-derived flavor).
+    from pyspark.sql import Window as _W
+
+    band = (F.length(F.conv(F.col("cnt"), 10, 2)) - 1).cast("int")
+    banded = counts.withColumn("band", band)
+    totals = (
+        banded.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    offsets = {}
+    acc = 0
+    for r in sorted(totals, key=lambda r: -r["band"]):
+        offsets[r["band"]] = acc
+        acc += r["n"]
+    spark_local = counts.sparkSession
+    off_df = F.broadcast(
+        spark_local.createDataFrame(
+            [(int(b), int(o)) for b, o in offsets.items()], "band int, boff long"
+        )
+    )
+    local = _W.partitionBy("band").orderBy(F.col("cnt").desc(), F.col("tok"))
+    return (
+        banded.withColumn("lrank", F.row_number().over(local))
+        .join(off_df, "band")
+        .select(
+            "tok",
+            "cnt",
+            (F.col("boff") + F.col("lrank") - 1 + 4).cast("bigint").alias("token_id"),
+        )
+    )
