@@ -35,11 +35,27 @@ MEMBER_SCHEMA = T.StructType(
 
 
 def tar_members(
-    df: DataFrame, content_col: str = "content", archive_col: str | None = "path"
+    df: DataFrame,
+    content_col: str = "content",
+    archive_col: str | None = "path",
+    mode: str = "PERMISSIVE",
 ) -> DataFrame:
-    """Explode tar archives: one row per regular member file."""
+    """Explode tar archives: one row per regular member file.
+
+    Corrupt-archive contract (same FAILFAST/PERMISSIVE convention as
+    the XML source and the poisoned-blob rule the media codecs
+    follow): in ``PERMISSIVE`` mode (default) a corrupt or truncated
+    archive emits exactly ONE marker row — ``member_name`` null,
+    ``content`` null, ``size`` −1 — and no partial members (a
+    half-read archive would otherwise masquerade as a complete one,
+    the same silent-prefix hazard the gunzip d.eof gate closes). In
+    ``FAILFAST`` the task raises — at 100 TB that is one poisoned
+    object killing the job, so it is opt-in."""
+    if mode not in ("PERMISSIVE", "FAILFAST"):
+        raise ValueError("mode must be PERMISSIVE or FAILFAST")
     archive_expr = F.col(archive_col) if archive_col else F.lit(None).cast("string")
     src = df.select(archive_expr.alias("archive"), F.col(content_col).alias("_bytes"))
+    permissive = mode == "PERMISSIVE"
 
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -47,20 +63,34 @@ def tar_members(
             for archive, blob in zip(pdf["archive"], pdf["_bytes"]):
                 if blob is None:
                     continue
-                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
-                    for member in tf:
-                        if not member.isfile():
-                            continue
-                        f = tf.extractfile(member)
-                        content = f.read() if f is not None else b""
-                        rows.append(
-                            {
-                                "archive": archive,
-                                "member_name": member.name,
-                                "content": content,
-                                "size": len(content),
-                            }
-                        )
+                archive_rows = []
+                try:
+                    with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
+                        for member in tf:
+                            if not member.isfile():
+                                continue
+                            f = tf.extractfile(member)
+                            content = f.read() if f is not None else b""
+                            archive_rows.append(
+                                {
+                                    "archive": archive,
+                                    "member_name": member.name,
+                                    "content": content,
+                                    "size": len(content),
+                                }
+                            )
+                except (tarfile.TarError, EOFError, OSError, ValueError):
+                    if not permissive:
+                        raise
+                    archive_rows = [
+                        {
+                            "archive": archive,
+                            "member_name": None,
+                            "content": None,
+                            "size": -1,
+                        }
+                    ]
+                rows.extend(archive_rows)
             yield pd.DataFrame(rows, columns=["archive", "member_name", "content", "size"])
 
     return src.mapInPandas(unpack, MEMBER_SCHEMA)

@@ -5,6 +5,7 @@ from __future__ import annotations
 import gzip
 import zlib
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -176,3 +177,51 @@ def test_pack_tar_shards_deterministic_and_writable(spark, tmp_path):
     assert files == [f"shard-{i:05d}.tar" for i in range(4)]
     with _tar.open(fileobj=_io.BytesIO((out / files[0]).read_bytes())) as tf:
         assert all(m.mtime == 0 for m in tf)
+
+
+def test_tar_members_corrupt_archive_contract(spark):
+    """Poisoned-archive contract: PERMISSIVE (default) turns a corrupt
+    or truncated tar into a single null marker row with size -1 and NO
+    partial members; FAILFAST raises. Healthy archives in the same
+    batch are unaffected."""
+    import io as _io
+    import tarfile as _tar
+
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from kinesis_producer_spark.sources.tar import tar_members
+
+    buf = _io.BytesIO()
+    with _tar.open(fileobj=buf, mode="w") as tf:
+        for name, payload in [("a.txt", b"alpha"), ("b.txt", b"beta")]:
+            info = _tar.TarInfo(name)
+            info.size = len(payload)
+            tf.addfile(info, _io.BytesIO(payload))
+    good = buf.getvalue()
+    corrupt = b"definitely not a tar archive" * 20
+    # tarfile pads archives to 10240-byte records, so "halfway" is just
+    # padding — cut INSIDE the first member's data so extraction fails
+    truncated = good[: good.index(b"alpha") + 2]
+
+    df = spark.createDataFrame(
+        [
+            ("good", bytearray(good)),
+            ("corrupt", bytearray(corrupt)),
+            ("truncated", bytearray(truncated)),
+        ],
+        "path string, content binary",
+    )
+    rows = tar_members(df).collect()
+    by_archive: dict = {}
+    for r in rows:
+        by_archive.setdefault(r.archive, []).append(r)
+    assert {r.member_name for r in by_archive["good"]} == {"a.txt", "b.txt"}
+    for bad in ("corrupt", "truncated"):
+        markers = by_archive[bad]
+        assert len(markers) == 1, f"{bad}: partial members leaked"
+        assert markers[0].member_name is None and markers[0].size == -1
+
+    with pytest.raises(PythonException):
+        tar_members(df, mode="FAILFAST").collect()
+    with pytest.raises(ValueError):
+        tar_members(df, mode="bogus")
