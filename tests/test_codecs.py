@@ -1093,3 +1093,49 @@ def test_tiff_header_parse_both_byte_orders(spark):
     assert (r.media_type, r.width, r.height, r.bit_depth, r.n_channels) == (
         "image/tiff", 100, 50, 8, 1,
     )
+
+
+def test_webp_vp8l_handrolled_known_answer():
+    """Encoder-independent decode check: a VP8L stream packed bit by
+    bit BY HAND (not by our encoder) must decode to the known pixel —
+    guards against a symmetric encoder/decoder bug surviving
+    round-trip tests. 1x1 image, all five codes simple single-symbol
+    (zero bits per pixel), literal ARGB = (a=255, r=17, g=34, b=51)."""
+    from kinesis_producer_spark.operators.webp import decode_webp_lossless
+
+    bits = []
+
+    def put(v, n):
+        for i in range(n):
+            bits.append((v >> i) & 1)
+
+    put(0, 14)  # width - 1
+    put(0, 14)  # height - 1
+    put(0, 1)   # alpha hint
+    put(0, 3)   # version
+    put(0, 1)   # no transforms
+    put(0, 1)   # no color cache
+    put(0, 1)   # no meta-Huffman
+    for sym in (34, 17, 51, 255, 0):  # green, red, blue, alpha, distance
+        put(1, 1)  # simple code
+        put(0, 1)  # one symbol
+        put(1, 1)  # 8-bit first symbol
+        put(sym, 8)
+    # zero data bits: every code is single-symbol
+    payload = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            byte |= bit << j
+        payload.append(byte)
+    chunk = b"\x2f" + bytes(payload)
+    if len(chunk) & 1:
+        padded = chunk + b"\x00"
+    else:
+        padded = chunk
+    riff = b"WEBP" + b"VP8L" + len(chunk).to_bytes(4, "little") + padded
+    blob = b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+    out = decode_webp_lossless(blob)
+    assert out is not None and out.shape == (1, 1, 4)
+    assert out[0, 0].tolist() == [17, 34, 51, 255]  # RGBA order
