@@ -259,6 +259,8 @@ def _decode_inner(b: bytes) -> np.ndarray | None:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (H, W, comps) comps: list of (cid, h, v, tq)
     restart_interval = 0
+    planes = None  # multi-scan accumulation (sequential non-interleaved)
+    decoded_cids: set[int] = set()
     pos = 2
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
@@ -267,7 +269,7 @@ def _decode_inner(b: bytes) -> np.ndarray | None:
             pos += 1  # fill bytes
         marker = b[pos + 1]
         if marker == 0xD9:  # EOI
-            return None  # reached EOI without a scan
+            break
         seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
         body = b[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:  # DQT — possibly several tables per segment
@@ -311,25 +313,48 @@ def _decode_inner(b: bytes) -> np.ndarray | None:
             if frame is None:
                 return None
             ns = body[0]
-            scan_tables = {}
+            scan_list = []
             for si in range(ns):
                 cs = body[1 + si * 2]
                 tdta = body[2 + si * 2]
-                scan_tables[cs] = (tdta >> 4, tdta & 0xF)
-            return _decode_scan(
-                b, pos + 2 + seg_len, frame, qt, huff, scan_tables, restart_interval
+                scan_list.append((cs, tdta >> 4, tdta & 0xF))
+            if ns == len(frame[2]) and planes is None:
+                # single fully-interleaved scan: the dominant layout,
+                # decoded in one pass (historical fast path — finishes
+                # without requiring an EOI)
+                return _decode_scan(
+                    b,
+                    pos + 2 + seg_len,
+                    frame,
+                    qt,
+                    huff,
+                    {cs: (td, ta) for cs, td, ta in scan_list},
+                    restart_interval,
+                )
+            # sequential MULTI-scan (non-interleaved or subset scans):
+            # accumulate per-component planes across scans
+            if planes is None:
+                planes = _alloc_planes(frame)
+            pos = _decode_sequential_scan(
+                b, pos + 2 + seg_len, frame, qt, huff, scan_list,
+                restart_interval, planes,
             )
+            decoded_cids.update(cs for cs, _td, _ta in scan_list)
+            continue
         pos += 2 + seg_len
+    if planes is not None and decoded_cids == {c[0] for c in frame[2]}:
+        # every component delivered by some scan → reconstruct; a
+        # partially-covered (truncated) multi-scan stream stays None
+        return _finish(frame, planes)
     return None
 
 
-def _decode_scan(b, start, frame, qt, huff, scan_tables, restart_interval):
+def _validate_frame(frame) -> tuple[int, int, int, int]:
+    """Sampling-factor validation shared by all scan paths; returns
+    (hmax, vmax, mcux, mcuy)."""
     H, W, comps = frame
     if H == 0 or W == 0 or not comps:
         raise ValueError("empty frame")
-    if len(scan_tables) != len(comps):
-        # multi-scan (non-interleaved) baseline: rare; out of scope
-        raise ValueError("only single interleaved scans supported")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
@@ -341,58 +366,52 @@ def _decode_scan(b, start, frame, qt, huff, scan_tables, restart_interval):
         raise ValueError("zero sampling factor")
     mcux = (W + 8 * hmax - 1) // (8 * hmax)
     mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
 
-    planes = {}
-    for cid, h, v, _tq in comps:
-        planes[cid] = np.zeros((mcuy * v * 8, mcux * h * 8))
 
-    r = _BitReader(b, start)
-    pred = {cid: 0 for cid, *_ in comps}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                r.sync_restart()
-                pred = {cid: 0 for cid, *_ in comps}
-            for cid, h, v, tq in comps:
-                td, ta = scan_tables[cid]
-                dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
-                q = qt[tq]
-                for by in range(v):
-                    for bx in range(h):
-                        coef = np.zeros((8, 8))
-                        # DC
-                        t = _decode_huffman(r, dc_tab)
-                        if t > 15:  # corrupt DHT symbol: bound the size
-                            raise ValueError("DC size category out of range")
-                        diff = _extend(r.read_bits(t), t)
-                        pred[cid] += diff
-                        coef[0, 0] = pred[cid]
-                        # AC
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huffman(r, ac_tab)
-                            rrrr, ssss = rs >> 4, rs & 0xF
-                            if ssss == 0:
-                                if rrrr == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += rrrr
-                            if k > 63:
-                                raise ValueError("AC index overrun")
-                            val = _extend(r.read_bits(ssss), ssss)
-                            zr, zc = ZIGZAG[k]
-                            coef[zr, zc] = val
-                            k += 1
-                        block = _idct2(coef * q) + 128.0
-                        y0 = (my * v + by) * 8
-                        x0 = (mx * h + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_count += 1
+def _alloc_planes(frame) -> dict[int, np.ndarray]:
+    _hmax, _vmax, mcux, mcuy = _validate_frame(frame)
+    return {
+        cid: np.zeros((mcuy * v * 8, mcux * h * 8))
+        for cid, h, v, _tq in frame[2]
+    }
 
-    # Upsample each component to full resolution by sample replication,
-    # then crop to the declared dimensions.
+
+def _decode_block(r, dc_tab, ac_tab, q, pred, cid) -> np.ndarray:
+    """One sequential-DCT block: DC diff + AC run-length → IDCT'd
+    pixel block (level-shifted). Mutates pred[cid]."""
+    coef = np.zeros((8, 8))
+    t = _decode_huffman(r, dc_tab)
+    if t > 15:  # corrupt DHT symbol: bound the size
+        raise ValueError("DC size category out of range")
+    diff = _extend(r.read_bits(t), t)
+    pred[cid] += diff
+    coef[0, 0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = _decode_huffman(r, ac_tab)
+        rrrr, ssss = rs >> 4, rs & 0xF
+        if ssss == 0:
+            if rrrr == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += rrrr
+        if k > 63:
+            raise ValueError("AC index overrun")
+        val = _extend(r.read_bits(ssss), ssss)
+        zr, zc = ZIGZAG[k]
+        coef[zr, zc] = val
+        k += 1
+    return _idct2(coef * q) + 128.0
+
+
+def _finish(frame, planes) -> np.ndarray:
+    """Upsample each component to full resolution by sample
+    replication, crop, and color-convert."""
+    H, W, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     full = []
     for cid, h, v, _tq in comps:
         p = planes[cid]
@@ -410,6 +429,109 @@ def _decode_scan(b, start, frame, qt, huff, scan_tables, restart_interval):
         rgb = np.stack([r_, g_, b_], axis=-1)
         return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
     raise ValueError(f"unsupported component count {len(full)}")
+
+
+def _decode_scan(b, start, frame, qt, huff, scan_tables, restart_interval):
+    """Single fully-interleaved scan (the dominant baseline layout)."""
+    H, W, comps = frame
+    if len(scan_tables) != len(comps):
+        raise ValueError("fast path requires a fully-interleaved scan")
+    _hmax, _vmax, mcux, mcuy = _validate_frame(frame)
+    planes = _alloc_planes(frame)
+
+    r = _BitReader(b, start)
+    pred = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                r.sync_restart()
+                pred = {cid: 0 for cid, *_ in comps}
+            for cid, h, v, tq in comps:
+                td, ta = scan_tables[cid]
+                dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+                q = qt[tq]
+                for by in range(v):
+                    for bx in range(h):
+                        block = _decode_block(r, dc_tab, ac_tab, q, pred, cid)
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+    return _finish(frame, planes)
+
+
+def _seq_next_marker(b: bytes, pos: int) -> int:
+    """Position of the next real marker after a scan's entropy data
+    (skips stuffed FF00, fill FFs, and RSTn)."""
+    n = len(b)
+    while pos + 1 < n:
+        if b[pos] == 0xFF:
+            nxt = b[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            if nxt == 0xFF:
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    raise ValueError("no terminating marker after scan")
+
+
+def _decode_sequential_scan(
+    b, start, frame, qt, huff, scan_list, restart_interval, planes
+) -> int:
+    """One scan of a sequential MULTI-scan baseline file (T.81 allows
+    any partition of the components across scans): a single-component
+    scan walks its own non-interleaved ceil(samples/8) block grid, a
+    multi-component scan walks the frame MCU grid over just those
+    components. Writes into the shared ``planes``; returns the
+    position of the next marker."""
+    H, W, comps = frame
+    hmax, vmax, mcux, mcuy = _validate_frame(frame)
+    by_cid = {cid: (h, v, tq) for cid, h, v, tq in comps}
+    for cs, _td, _ta in scan_list:
+        if cs not in by_cid:
+            raise ValueError("scan references unknown component")
+    r = _BitReader(b, start)
+    pred = {cs: 0 for cs, _td, _ta in scan_list}
+
+    if len(scan_list) == 1:
+        cs, td, ta = scan_list[0]
+        h, v, tq = by_cid[cs]
+        dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+        q = qt[tq]
+        nw = (-(-W * h // hmax) + 7) // 8  # non-interleaved block cols
+        nh = (-(-H * v // vmax) + 7) // 8
+        cnt = 0
+        for by in range(nh):
+            for bx in range(nw):
+                if restart_interval and cnt and cnt % restart_interval == 0:
+                    r.sync_restart()
+                    pred = {cs: 0}
+                block = _decode_block(r, dc_tab, ac_tab, q, pred, cs)
+                planes[cs][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                cnt += 1
+    else:
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    r.sync_restart()
+                    pred = {cs: 0 for cs, _td, _ta in scan_list}
+                for cs, td, ta in scan_list:
+                    h, v, tq = by_cid[cs]
+                    dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+                    q = qt[tq]
+                    for by in range(v):
+                        for bx in range(h):
+                            block = _decode_block(r, dc_tab, ac_tab, q, pred, cs)
+                            y0 = (my * v + by) * 8
+                            x0 = (mx * h + bx) * 8
+                            planes[cs][y0 : y0 + 8, x0 : x0 + 8] = block
+                mcu_count += 1
+    return _seq_next_marker(b, r.pos)
 
 
 # ---------------------------------------------------------------------------
@@ -494,6 +616,7 @@ def encode_baseline_jpeg(
     luma_quant: list[int] | None = None,
     chroma_quant: list[int] | None = None,
     subsample: str = "444",
+    interleave: bool = True,
 ) -> bytes:
     """Encode a uint8 array — (H, W) grayscale or (H, W, 3) RGB — as a
     baseline JFIF JPEG (standard Annex K Huffman tables). Custom
@@ -501,9 +624,14 @@ def encode_baseline_jpeg(
     inputs (see FLAT16_QUANT). ``subsample='420'`` emits 2x2-sampled
     luma with 2x2-averaged chroma (the dominant real-world layout),
     exercising the decoder's MCU interleave + replication upsample;
-    '444' keeps full chroma (lossless-capable with flat blocks)."""
+    '444' keeps full chroma (lossless-capable with flat blocks).
+    ``interleave=False`` (4:4:4/gray only) emits one SOS per component
+    — the sequential multi-scan layout T.81 allows, exercising the
+    decoder's non-interleaved scan path."""
     if subsample not in ("444", "420"):
         raise ValueError("subsample must be '444' or '420'")
+    if not interleave and subsample != "444":
+        raise ValueError("non-interleaved encode supports 4:4:4/gray only")
     lq = STD_LUMA_QUANT if luma_quant is None else luma_quant
     cq = STD_CHROMA_QUANT if chroma_quant is None else chroma_quant
     gray = arr.ndim == 2
@@ -546,11 +674,12 @@ def encode_baseline_jpeg(
     if not gray:
         out += _huff_segment(0, 1, STD_DC_CHROMA_BITS, STD_DC_CHROMA_VALS)
         out += _huff_segment(1, 1, STD_AC_CHROMA_BITS, STD_AC_CHROMA_VALS)
-    sos = bytes([nc])
-    for ci in range(nc):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    if interleave:
+        sos = bytes([nc])
+        for ci in range(nc):
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += bytes([0, 63, 0])
+        out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
 
     dc_l = _build_encode_table(STD_DC_LUMA_BITS, STD_DC_LUMA_VALS)
     ac_l = _build_encode_table(STD_AC_LUMA_BITS, STD_AC_LUMA_VALS)
@@ -588,6 +717,22 @@ def encode_baseline_jpeg(
             dc_l if ci == 0 else dc_c,
             ac_l if ci == 0 else ac_c,
         )
+
+    if not interleave:
+        # sequential multi-scan: one SOS + entropy segment per component,
+        # each walking its own raster block grid with a fresh DC pred
+        for ci in range(nc):
+            sos = bytes([1, ci + 1, 0x00 if ci == 0 else 0x11, 0, 63, 0])
+            out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+            w = _BitWriter()
+            preds = [0] * nc
+            for by in range(ph // 8):
+                for bx in range(pw // 8):
+                    put(ci, padded[ci], by, bx)
+            w.flush()
+            out += w.out
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
 
     if sub420:
         # interleaved 4:2:0: per MCU, 4 luma blocks then Cb, Cr

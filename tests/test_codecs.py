@@ -1139,3 +1139,35 @@ def test_webp_vp8l_handrolled_known_answer():
     out = decode_webp_lossless(blob)
     assert out is not None and out.shape == (1, 1, 4)
     assert out[0, 0].tolist() == [17, 34, 51, 255]  # RGBA order
+
+
+def test_baseline_jpeg_sequential_multiscan():
+    """T.81 sequential multi-scan (non-interleaved) baseline: one SOS
+    per component must decode identically to the interleaved layout of
+    the same coefficients; a stream truncated before its last scan has
+    uncovered components and must yield None, not a half-gray image."""
+    from kinesis_producer_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+    from kinesis_producer_spark.operators.jpeg_progressive import decode_jpeg
+
+    rng = np.random.RandomState(21)
+    for shape in [(16, 24), (17, 23), (24, 16, 3), (33, 47, 3), (1, 1)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        want = decode_baseline_jpeg(encode_baseline_jpeg(img))
+        ni = encode_baseline_jpeg(img, interleave=False)
+        got = decode_baseline_jpeg(ni)
+        assert got is not None and np.array_equal(got, want), shape
+        # and through the frame-type dispatcher
+        assert np.array_equal(decode_jpeg(ni), want)
+
+    img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    blob = encode_baseline_jpeg(img, interleave=False)
+    import re as _re
+
+    sos_positions = [m.start() for m in _re.finditer(b"\xff\xda", blob)]
+    assert len(sos_positions) >= 3
+    assert decode_baseline_jpeg(blob[: sos_positions[2] - 1]) is None
+    with pytest.raises(ValueError):
+        encode_baseline_jpeg(img, interleave=False, subsample="420")
