@@ -761,6 +761,9 @@ def resize_media(
         "jpeg": encode_baseline_jpeg,
         "png": encode_png,
         "webp": encode_webp_lossless,
+        # 24-bit BMP re-encode (GIF stays a stub path: re-encoding it
+        # would need palette quantization)
+        "bmp": _encode_bmp,
     }
     if encode_kernels:
         emap.update(encode_kernels)

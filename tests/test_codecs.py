@@ -1171,3 +1171,27 @@ def test_baseline_jpeg_sequential_multiscan():
     assert decode_baseline_jpeg(blob[: sos_positions[2] - 1]) is None
     with pytest.raises(ValueError):
         encode_baseline_jpeg(img, interleave=False, subsample="420")
+
+
+def test_resize_media_bmp_through_generic_seam(spark):
+    """BMP now resizes through the generic decode/encode kernel seam
+    (previously only via the dedicated resize_bmp operator): the thumb
+    is itself a decodable 24-bit BMP with exact nearest-neighbor
+    pixels."""
+    from kinesis_producer_spark.operators.multimodal import (
+        _encode_bmp,
+        _parse_bmp,
+        resize_media,
+    )
+
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, (32, 48, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(3, bytearray(_encode_bmp(img)))], "media_id long, content binary"
+    )
+    row = resize_media(df, width=8, height=8, decode_stub="fail").collect()[0]
+    parsed = _parse_bmp(bytes(row.resized))
+    assert parsed is not None
+    ys = (np.arange(8) * 32) // 8
+    xs = (np.arange(8) * 48) // 8
+    assert np.array_equal(parsed[2], img[ys][:, xs])
