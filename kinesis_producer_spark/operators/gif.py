@@ -268,3 +268,63 @@ def encode_gif(
         out += b"\x00"
     out += b"\x3b"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# RGB → palette quantization (for re-encoding decoded pixels as GIF)
+# ---------------------------------------------------------------------------
+
+
+def quantize_rgb(rgb: np.ndarray, max_colors: int = 256):
+    """Deterministic palette quantization: returns (index array,
+    (N,3) palette with N a power of two) for any (H,W,3) uint8 image.
+
+    If the image has ≤ ``max_colors`` distinct colors the palette IS
+    the sorted distinct-color set (lossless — the property the resize
+    round-trip test pins). Otherwise median-cut: repeatedly split the
+    box with the largest channel range at its median along that
+    channel, then map every pixel to its box's channel-wise mean.
+    Everything is integer/sort-based — no randomness, no float
+    accumulation order — so the same image always yields the same
+    palette on any executor.
+    """
+    h, w, _ = rgb.shape
+    flat = rgb.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) <= max_colors:
+        palette = colors
+    else:
+        # median-cut over the distinct-color set (weighted by count
+        # would bias large areas; plain distinct-set cut keeps the
+        # math order-free and deterministic)
+        boxes = [np.arange(len(colors))]
+        while len(boxes) < max_colors:
+            # split the box with the largest single-channel range
+            ranges = []
+            for bi, idx in enumerate(boxes):
+                sub = colors[idx]
+                rng = (sub.max(axis=0).astype(int) - sub.min(axis=0)).max()
+                ranges.append((rng, bi))
+            rng, bi = max(ranges)
+            if rng == 0:
+                break  # all boxes single-color
+            idx = boxes[bi]
+            sub = colors[idx]
+            ch = int((sub.max(axis=0).astype(int) - sub.min(axis=0)).argmax())
+            order = idx[np.lexsort((idx, sub[:, ch]))]
+            mid = len(order) // 2
+            boxes[bi] = order[:mid]
+            boxes.append(order[mid:])
+        palette = np.array(
+            [np.rint(colors[idx].astype(np.float64).mean(axis=0)) for idx in boxes],
+            np.uint8,
+        )
+        palette = palette[np.lexsort(palette.T[::-1])]
+    # pad to the next power of two (GIF table sizes)
+    n = max(2, 1 << (len(palette) - 1).bit_length())
+    if n > len(palette):
+        palette = np.vstack([palette, np.zeros((n - len(palette), 3), np.uint8)])
+    # nearest palette entry per distinct color (exact when lossless)
+    diffs = colors[:, None, :].astype(np.int64) - palette[None, :, :].astype(np.int64)
+    nearest = (diffs * diffs).sum(axis=2).argmin(axis=1).astype(np.uint8)
+    return nearest[inverse].reshape(h, w), palette

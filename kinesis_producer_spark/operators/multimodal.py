@@ -756,14 +756,26 @@ def resize_media(
 
     if decode_stub not in ("fail", "fake"):
         raise ValueError("decode_stub must be 'fail' or 'fake'")
+    from kinesis_producer_spark.operators.gif import encode_gif, quantize_rgb
+
+    def _encode_gif_rgb(arr):
+        # a decoded GIF has ≤256 distinct colors, and a nearest-neighbor
+        # thumbnail is a subset of the source pixels — so quantize_rgb's
+        # palette is exact and the re-encode is LOSSLESS here
+        if arr.ndim == 2:
+            import numpy as _np
+
+            arr = _np.stack([arr] * 3, axis=-1)
+        idx, pal = quantize_rgb(arr)
+        return encode_gif(idx, pal)
+
     kmap = resolve_decode_kernels(kernels)
     emap = {
         "jpeg": encode_baseline_jpeg,
         "png": encode_png,
         "webp": encode_webp_lossless,
-        # 24-bit BMP re-encode (GIF stays a stub path: re-encoding it
-        # would need palette quantization)
-        "bmp": _encode_bmp,
+        "bmp": _encode_bmp,  # 24-bit BMP re-encode
+        "gif": _encode_gif_rgb,  # deterministic median-cut quantization
     }
     if encode_kernels:
         emap.update(encode_kernels)

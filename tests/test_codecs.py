@@ -1195,3 +1195,44 @@ def test_resize_media_bmp_through_generic_seam(spark):
     ys = (np.arange(8) * 32) // 8
     xs = (np.arange(8) * 48) // 8
     assert np.array_equal(parsed[2], img[ys][:, xs])
+
+
+def test_quantize_rgb_contracts():
+    """Deterministic palette quantization: lossless at ≤256 distinct
+    colors, power-of-two palette sizes, bounded error and determinism
+    beyond."""
+    from kinesis_producer_spark.operators.gif import quantize_rgb
+
+    rng = np.random.RandomState(19)
+    vals = rng.randint(0, 256, (40, 3)).astype(np.uint8)
+    img = vals[rng.randint(0, 40, (30, 50))]
+    idx, pal = quantize_rgb(img)
+    assert len(pal) & (len(pal) - 1) == 0
+    assert np.array_equal(pal[idx], img)  # lossless
+
+    big = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+    i1, p1 = quantize_rgb(big)
+    i2, p2 = quantize_rgb(big)
+    assert np.array_equal(p1, p2) and np.array_equal(i1, i2)
+    assert len(p1) == 256
+    assert np.abs(p1[i1].astype(int) - big.astype(int)).max() <= 64
+
+
+def test_resize_media_gif_lossless_through_seam(spark):
+    """GIF resize through the generic seam: the decoded source has
+    ≤256 colors and a nearest-neighbor thumb samples source pixels, so
+    the quantized re-encode is EXACTLY lossless."""
+    from kinesis_producer_spark.operators.multimodal import resize_media
+
+    rng = np.random.RandomState(23)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (32, 48)).astype(np.uint8)
+    blob = encode_gif(idx, pal)
+    df = spark.createDataFrame(
+        [(5, bytearray(blob))], "media_id long, content binary"
+    )
+    row = resize_media(df, width=8, height=8, decode_stub="fail").collect()[0]
+    thumb = decode_gif(bytes(row.resized))
+    ys = (np.arange(8) * 32) // 8
+    xs = (np.arange(8) * 48) // 8
+    assert np.array_equal(thumb, pal[idx][ys][:, xs])
