@@ -62,12 +62,21 @@ def n_shuffle_exchanges(df: DataFrame, final: bool = False) -> int:
 
     With AQE enabled the pre-execution plan is only the INITIAL plan;
     AQE may re-plan at runtime (e.g. re-introduce an exchange for a
-    skew-join split). ``final=True`` runs the query (``count()``) and
-    counts exchanges in the final adaptive plan — the one that actually
-    executed."""
+    skew-join split). ``final=True`` executes THIS DataFrame's own
+    QueryExecution via ``collect()`` — ``count()`` would run a
+    different QueryExecution (``groupBy().count()``) and leave the
+    inspected AdaptiveSparkPlan un-finalized, silently reporting
+    initial-plan numbers (found in review; the un-finalized plan is
+    now detected and rejected). Diagnostic helper: collect() is fine
+    at test scale, not on production-sized frames."""
     if final:
-        df.count()  # materialize so AdaptiveSparkPlan holds its final plan
+        df.collect()  # same QueryExecution → finalizes its adaptive plan
     plan = df._jdf.queryExecution().executedPlan().toString()
+    if final and "AdaptiveSparkPlan" in plan and "isFinalPlan=true" not in plan:
+        raise RuntimeError(
+            "adaptive plan did not finalize — the exchange count would "
+            "be the initial plan's, not the executed one"
+        )
     return plan.count("Exchange hashpartitioning") + plan.count(
         "Exchange rangepartitioning"
     )

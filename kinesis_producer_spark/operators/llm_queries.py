@@ -4996,11 +4996,17 @@ def q220_vocab_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     window touches the vocabulary. At this fixture scale the bucket
     count is 16; production widens the same construction."""
     d = load_table(spark, sf_dir, "documents")
+    # materialize the vocab-sized count frame once: both the band-total
+    # collect below and the returned plan consume it, and without this
+    # the corpus tokenize+explode+groupBy (the dominant cost) would run
+    # twice (found in review); localCheckpoint → ContextCleaner frees
+    # the blocks when the result goes out of scope
     counts = (
         d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     # Distributed global rank on (cnt DESC, tok ASC) without a
     # single-partition window: buckets must FOLLOW the sort order, so

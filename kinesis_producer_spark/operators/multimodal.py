@@ -628,19 +628,30 @@ def repartition_by_bytes(
        #partitions-sized exclusive prefix sum, never row data;
     3. ``bucket = (offset + local_prefix) div target_bytes`` assigns
        every row a contiguous bucket holding ≈``target_bytes``; the
-       rows move once, via ``repartitionByRange`` on the bucket id.
+       rows move once, hash-partitioned so bucket → partition is
+       EXACTLY one-to-one (see below).
 
     Guarantee: a partition holds at most ``target_bytes`` plus the one
     row that straddles its upper boundary — i.e. ≤ 2×target when no
     single blob exceeds the target, and a blob larger than the target
-    sits (almost) alone. The stage is persisted between (2) and (3) so
-    the blobs are scanned once, not re-computed per job; callers at
-    100 TB scale should unpersist the RESULT's lineage after the
-    downstream write (or swap persist for a checkpoint) — the
-    alternative of two source scans is usually worse than one
-    DISK_ONLY materialization.
+    sits (almost) alone. The bucket→partition mapping must be exact
+    for this: ``repartitionByRange`` samples ROW counts, so fat-row
+    (few-row) buckets get swallowed into neighbors and merge —
+    re-breaking the byte bound the operator exists to provide (found
+    in review). Instead each bucket id maps through a probe integer
+    chosen so ``pmod(hash(probe), n) == bucket`` (one tiny Spark job
+    inverts the hash; |buckets| rows to the driver), and
+    ``repartition(n, probe)`` then lands every bucket in its own
+    partition deterministically.
+
+    The stamped stage is materialized via eager ``localCheckpoint``
+    (not ``persist``) so blobs are scanned once between the totals
+    pass and the move, and the blocks are released by the
+    ContextCleaner when the result goes out of scope — a raw persist
+    here leaked pinned copies of every processed dataset (found in
+    review: the handle is function-local, callers could never
+    unpersist it).
     """
-    from pyspark import StorageLevel
     from pyspark.sql import types as _T
 
     out_schema = _T.StructType(
@@ -670,9 +681,7 @@ def repartition_by_bytes(
             cum += int(sizes.sum())
             yield pdf
 
-    stamped = df.mapInPandas(stamp, out_schema).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    stamped = df.mapInPandas(stamp, out_schema).localCheckpoint(eager=True)
     totals = {
         r["_kps_pid"]: r["t"]
         for r in stamped.groupBy("_kps_pid")
@@ -701,9 +710,47 @@ def repartition_by_bytes(
             F.lit(n - 1),
         ),
     )
-    return bucketed.repartitionByRange(n, "_kps_bucket").drop(
-        "_kps_pid", "_kps_cum_before", "_kps_size", "_kps_offset", "_kps_bucket"
+    probe_df = F.broadcast(_bucket_probes(spark, n))
+    return (
+        bucketed.join(probe_df, "_kps_bucket", "left")
+        .repartition(n, "_kps_probe")
+        .drop(
+            "_kps_pid",
+            "_kps_cum_before",
+            "_kps_size",
+            "_kps_offset",
+            "_kps_bucket",
+            "_kps_probe",
+        )
     )
+
+
+def _bucket_probes(spark, n: int):
+    """(bucket, probe) pairs with ``pmod(hash(probe), n) == bucket`` for
+    every bucket in [0, n): the hash inversion that lets
+    ``repartition(n, probe)`` place each bucket in ITS OWN partition
+    (hash partitioning of the probe is identity on the bucket by
+    construction — no range-sampling merges, no hash collisions).
+    One tiny distributed job over candidate ints; coupon-collector
+    coverage, widening the candidate pool until every bucket has a
+    probe."""
+    width = 32
+    while True:
+        cand = spark.range(0, width * n).select(
+            F.col("id").alias("_kps_probe"),
+            F.pmod(F.hash(F.col("id")), F.lit(n)).alias("_kps_bucket"),
+        )
+        pairs = (
+            cand.groupBy("_kps_bucket")
+            .agg(F.min("_kps_probe").alias("_kps_probe"))
+            .collect()
+        )
+        if len(pairs) == n:
+            return spark.createDataFrame(
+                [(int(r["_kps_bucket"]), int(r["_kps_probe"])) for r in pairs],
+                "_kps_bucket long, _kps_probe long",
+            )
+        width *= 4  # astronomically rare with width=32; widen and retry
 
 
 RESIZED_SCHEMA = T.StructType(

@@ -677,102 +677,13 @@ class _CodeSet:
         w.write_code(code, ln)
 
 
-def _encode_pixel_stream(
-    w: _LSBWriter,
-    pixels: list[int],
-    xsize: int,
-    use_cache: int = 0,
-    use_lz77: bool = True,
-) -> None:
-    """Entropy-code one ARGB pixel stream (no transforms at this
-    level): tokenize (literal / distance-1 run / cache hit), then emit
-    the five code definitions and the token stream."""
-    cache_size = (1 << use_cache) if use_cache else 0
-    tokens = []  # ('lit', pix) | ('copy', length) | ('cache', idx)
-    cache = [0] * cache_size
-    cache_valid = [False] * cache_size
-    i = 0
-    n = len(pixels)
-    while i < n:
-        pix = pixels[i]
-        # run of identical pixels → distance-1 copy
-        if use_lz77 and i > 0 and pixels[i - 1] == pix:
-            run = 0
-            while i + run < n and pixels[i + run] == pix:
-                run += 1
-            if run >= 3:
-                tokens.append(("copy", run))
-                if cache_size:
-                    k = _cache_key(pix, use_cache)
-                    cache[k] = pix
-                    cache_valid[k] = True
-                i += run
-                continue
-        if cache_size:
-            k = _cache_key(pix, use_cache)
-            if cache_valid[k] and cache[k] == pix:
-                tokens.append(("cache", k))
-                i += 1
-                continue
-            cache[k] = pix
-            cache_valid[k] = True
-        tokens.append(("lit", pix))
-        i += 1
-
-    g_syms, r_syms, b_syms, a_syms, d_syms = [], [], [], [], []
-    for kind, v in tokens:
-        if kind == "lit":
-            a, red, g, blue = _split(v)
-            g_syms.append(g)
-            r_syms.append(red)
-            b_syms.append(blue)
-            a_syms.append(a)
-        elif kind == "copy":
-            code, _, _ = _prefix_encode_value(v)
-            g_syms.append(256 + code)
-            dcode, _, _ = _prefix_encode_value(1 + 120)  # plain distance 1
-            d_syms.append(dcode)
-        else:
-            g_syms.append(256 + 24 + v)
-
-    # color cache flag
-    if use_cache:
-        w.write_bits(1, 1)
-        w.write_bits(use_cache, 4)
-    else:
-        w.write_bits(0, 1)
-
-    green_alpha = 256 + 24 + cache_size
-    gset = _CodeSet(g_syms or [0], green_alpha)
-    rset = _CodeSet(r_syms or [0], 256)
-    bset = _CodeSet(b_syms or [0], 256)
-    aset = _CodeSet(a_syms or [0], 256)
-    dset = _CodeSet(d_syms or [0], 40)
-    for cs in (gset, rset, bset, aset, dset):
-        cs.emit_definition(w)
-
-    for kind, v in tokens:
-        if kind == "lit":
-            a, red, g, blue = _split(v)
-            gset.emit_symbol(w, g)
-            rset.emit_symbol(w, red)
-            bset.emit_symbol(w, blue)
-            aset.emit_symbol(w, a)
-        elif kind == "copy":
-            code, n_extra, extra = _prefix_encode_value(v)
-            gset.emit_symbol(w, 256 + code)
-            w.write_bits(extra, n_extra)
-            dcode, dn, dex = _prefix_encode_value(121)
-            dset.emit_symbol(w, dcode)
-            w.write_bits(dex, dn)
-        else:
-            gset.emit_symbol(w, 256 + 24 + v)
-
-
 def _encode_subimage(w: _LSBWriter, pixels: list[int], xsize: int) -> None:
-    """Entropy-coded sub-image (tile/palette data): cache flag off,
-    no meta-Huffman bit at this level."""
-    _encode_pixel_stream(w, pixels, xsize, use_cache=0, use_lz77=False)
+    """Entropy-coded sub-image (tile/palette data): cache-flag bit off,
+    no meta-Huffman bit at this level, then the shared tokenize+emit
+    body (one implementation — the former standalone copy of the
+    pipeline drifted from the main path and was deleted in review)."""
+    w.write_bits(0, 1)  # no color cache
+    _encode_pixel_stream_body(w, pixels, xsize, use_cache=0, use_lz77=False)
 
 
 def encode_webp_lossless(

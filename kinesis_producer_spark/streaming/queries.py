@@ -667,5 +667,10 @@ def q217_streaming_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination(timeout) returns False WITHOUT stopping the
+    # query on timeout; reading the memory table then would return a
+    # silently-partial pair set (found in review) — fail loudly instead
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("q217 streaming LSH did not drain within 300s")
     return spark.table(name).select("id_a", "id_b").distinct()

@@ -303,14 +303,16 @@ def _tws_processor():
             self.recent = handle.getListState("recent", "event_type string")
 
         def handleInputRows(self, key, rows, timerValues):
-            n, cents = 0, 0
-            types: list[str] = []
-            for pdf in rows:
-                n += len(pdf)
-                cents += int(pdf["cents"].sum())
-                types.extend(pdf.sort_values("ts")["event_type"].tolist())
-            if n == 0:
+            # concat ALL Arrow chunks before sorting: a per-chunk sort
+            # interleaves wrongly when a key's batch spans chunks
+            # (found in review; same discipline as _sessions_fn)
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if not chunks:
                 return
+            batch = pd.concat(chunks, ignore_index=True).sort_values("ts")
+            n = len(batch)
+            cents = int(batch["cents"].sum())
+            types = batch["event_type"].tolist()
             if self.totals.exists():
                 prev_n, prev_cents = self.totals.get()
             else:

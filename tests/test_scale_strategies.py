@@ -137,6 +137,10 @@ def test_repartition_by_bytes_is_byte_true_under_fat_row_skew(spark):
     out = repartition_by_bytes(df, target_bytes=target)
     loads = _partition_byte_loads(out)
     assert sum(loads.values()) == target + 8000 * 1024
+    # exact bucket->partition mapping (hash-probe) makes the TRUE bound
+    # assertable: target + one straddling row, not just 2x target (the
+    # looser bound range-sampling merges used to hide behind)
+    assert max(loads.values()) <= target + max(target, 1024), loads
     assert max(loads.values()) <= 2 * target, f"partition over 2x target: {loads}"
     # and the packing is tight: no more than one extra partition vs ideal
     ideal = -(-(target + 8000 * 1024) // target)
