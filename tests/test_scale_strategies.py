@@ -608,3 +608,40 @@ def test_countmin_sketch_contract(spark):
     for k, v in pb.items():
         merged[k] = merged.get(k, 0) + v
     assert merged == whole
+
+
+def test_repartition_by_bytes_bound_property(spark):
+    """Property over adversarial size mixes: for ANY blob-size
+    distribution, every partition holds ≤ target + max(straddling row)
+    bytes and all rows survive intact — the guarantee the exact
+    hash-probe bucket→partition mapping provides (range sampling
+    violated it for fat-row buckets)."""
+    import random
+
+    from kinesis_producer_spark.operators.multimodal import repartition_by_bytes
+
+    rng = random.Random(7)
+    target = 64 << 10  # 64 KiB
+    for trial in range(3):
+        sizes = []
+        for _ in range(rng.randint(50, 200)):
+            kind = rng.random()
+            if kind < 0.1:
+                sizes.append(rng.randint(target, 3 * target))  # over-target
+            elif kind < 0.4:
+                sizes.append(rng.randint(target // 2, target))  # fat
+            else:
+                sizes.append(rng.randint(1, 2048))  # small
+        rows = [(i, b"x" * s) for i, s in enumerate(sizes)]
+        df = spark.createDataFrame(
+            rows, "media_id long, content binary"
+        ).coalesce(rng.randint(1, 3))
+        out = repartition_by_bytes(df, target_bytes=target)
+        loads = _partition_byte_loads(out)
+        assert sum(loads.values()) == sum(sizes), trial
+        biggest_row = max(sizes)
+        assert max(loads.values()) <= target + biggest_row, (
+            trial, max(loads.values()), target, biggest_row,
+        )
+        got = {r.media_id: len(r.content) for r in out.collect()}
+        assert got == {i: s for i, s in enumerate(sizes)}, trial
