@@ -953,3 +953,44 @@ def test_streaming_lsh_matches_batch_candidates(spark, tmp_path):
         for r in spark.read.parquet(sink).select("id_a", "id_b").distinct().collect()
     }
     assert after == batch_pairs, "replayed file produced new pairs"
+
+
+def test_streaming_countmin_matches_batch(spark, tmp_path):
+    """Sketches maintain incrementally: the CMS counter grid built by a
+    streaming aggregation over micro-batches equals the batch grid over
+    the same corpus — counters are associative, so the sketch is
+    stream/batch agnostic (the property that lets per-day streaming
+    sketches merge into corpus estimates)."""
+    from kinesis_producer_spark.operators.scale_ops import countmin_cells
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    batch_grid = {(r.r, r.cell): r.counter for r in countmin_cells(toks).collect()}
+
+    src = tmp_path / "cms_docs"
+    docs.select("doc_id", "text").repartition(4).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    stoks = stream.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    q = (
+        countmin_cells(stoks)
+        .writeStream.format("memory")
+        .queryName("cms_stream_t")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    stream_grid = {
+        (r.r, r.cell): r.counter
+        for r in spark.sql("SELECT * FROM cms_stream_t").collect()
+    }
+    assert stream_grid == batch_grid
