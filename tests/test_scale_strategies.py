@@ -645,3 +645,32 @@ def test_repartition_by_bytes_bound_property(spark):
         )
         got = {r.media_id: len(r.content) for r in out.collect()}
         assert got == {i: s for i, s in enumerate(sizes)}, trial
+
+
+def test_dynamic_partition_pruning_on_hive_layout(spark, tmp_path):
+    """Dynamic partition pruning: a join against a FILTERED dim must
+    push a runtime dynamicpruning expression into the partitioned fact
+    scan's PartitionFilters — at 100 TB the difference between scanning
+    5 partitions and 25. Static pruning (SURVEY §2a row 19) covers
+    literal predicates; DPP covers predicates only known at runtime
+    through the join."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 200_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 25).alias("part_key"),
+        (F.col("id") * 3).alias("v"),
+    )
+    fact.write.partitionBy("part_key").parquet(str(tmp_path / "fact"))
+    spark.range(0, 25).select(
+        F.col("id").alias("d_key"), (F.col("id") % 5).alias("d_cat")
+    ).write.parquet(str(tmp_path / "dim"))
+
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    d = spark.read.parquet(str(tmp_path / "dim")).where(F.col("d_cat") == 1)
+    j = f.join(d, f["part_key"] == d["d_key"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, "DPP missing from the fact scan"
+    assert "PartitionFilters" in plan
+    # 5 of 25 dim keys survive the filter → exactly 1/5 of fact rows
+    assert j.count() == 200_000 // 5
