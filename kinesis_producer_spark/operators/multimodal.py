@@ -250,6 +250,13 @@ def decode_media(
                 arr = kernel(b) if kernel is not None else None
                 if arr is not None:
                     row.update(_featurize(arr))
+                elif not b or kernel is not None:
+                    # null/empty blob, or a SUPPORTED format whose kernel
+                    # returned None (corrupt stream): poisoned-blob
+                    # contract → null row. The fail raise below is only
+                    # for formats with NO kernel — a corrupt PNG is not
+                    # a missing dependency.
+                    pass
                 elif decode_stub == "fail":
                     raise NotImplementedError(
                         "decode for this format requires PIL/ffmpeg/soundfile — "
@@ -834,14 +841,18 @@ def resize_media(
             for mid, blob in zip(pdf["media_id"], pdf["_blob"]):
                 b = bytes(blob) if blob is not None else b""
                 fmt = sniff_image_format(b)
-                arr = None
-                if fmt is not None and fmt in kmap and fmt in emap:
-                    arr = kmap[fmt](b)
+                supported = fmt is not None and fmt in kmap and fmt in emap
+                arr = kmap[fmt](b) if supported else None
                 if arr is not None:
                     ys = (np.arange(height) * arr.shape[0]) // height
                     xs = (np.arange(width) * arr.shape[1]) // width
                     small = arr[ys][:, xs]
                     payload = emap[fmt](small)
+                elif not b or supported:
+                    # null/empty or corrupt-but-supported blob: poisoned
+                    # contract → null payload row (the raise is for
+                    # missing-codec formats only)
+                    payload = None
                 elif decode_stub == "fail":
                     raise NotImplementedError(
                         "resize for this format requires PIL — not in this "

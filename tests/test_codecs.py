@@ -1236,3 +1236,37 @@ def test_resize_media_gif_lossless_through_seam(spark):
     ys = (np.arange(8) * 32) // 8
     xs = (np.arange(8) * 48) // 8
     assert np.array_equal(thumb, pal[idx][ys][:, xs])
+
+
+def test_media_null_and_corrupt_blobs_yield_null_rows_even_in_fail_mode(spark):
+    """Contract split (found by edge probing): the fail-mode raise is
+    ONLY for genuinely unsupported formats (missing codec). A null
+    cell, an empty blob, or a CORRUPT blob of a supported format is
+    poisoned input → null row, never a task kill."""
+    from kinesis_producer_spark.operators.multimodal import (
+        decode_media,
+        resize_media,
+    )
+    from pyspark.errors.exceptions.captured import PythonException
+
+    corrupt_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 30
+    rows = [
+        (1, None),
+        (2, bytearray(b"")),
+        (3, bytearray(corrupt_png)),
+        (4, bytearray(encode_png(np.full((4, 4), 9, np.uint8)))),  # healthy
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in decode_media(df, decode_stub="fail").collect()}
+    assert got[1].width is None and got[2].width is None and got[3].width is None
+    assert (got[4].width, got[4].height) == (4, 4)
+    rz = {r.media_id: r for r in resize_media(df, width=2, height=2, decode_stub="fail").collect()}
+    assert rz[1].resized is None and rz[3].resized is None
+    assert rz[4].resized is not None
+    # a format with NO kernel still raises in fail mode
+    wav = spark.createDataFrame(
+        [(9, bytearray(b"RIFF\x24\x00\x00\x00WAVEfmt "))],
+        "media_id long, content binary",
+    )
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        decode_media(wav, decode_stub="fail").collect()
