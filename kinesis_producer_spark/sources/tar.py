@@ -62,7 +62,20 @@ def tar_members(
             rows = []
             for archive, blob in zip(pdf["archive"], pdf["_bytes"]):
                 if blob is None:
-                    continue
+                    # a NULL content cell is poisoned input like any
+                    # corrupt archive — marker row, not a silent skip
+                    # (skipping made null archives invisible downstream)
+                    if permissive:
+                        rows.append(
+                            {
+                                "archive": archive,
+                                "member_name": None,
+                                "content": None,
+                                "size": -1,
+                            }
+                        )
+                        continue
+                    raise ValueError(f"null archive content: {archive}")
                 archive_rows = []
                 try:
                     with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:

@@ -208,6 +208,7 @@ def test_tar_members_corrupt_archive_contract(spark):
             ("good", bytearray(good)),
             ("corrupt", bytearray(corrupt)),
             ("truncated", bytearray(truncated)),
+            ("nullblob", None),
         ],
         "path string, content binary",
     )
@@ -216,7 +217,7 @@ def test_tar_members_corrupt_archive_contract(spark):
     for r in rows:
         by_archive.setdefault(r.archive, []).append(r)
     assert {r.member_name for r in by_archive["good"]} == {"a.txt", "b.txt"}
-    for bad in ("corrupt", "truncated"):
+    for bad in ("corrupt", "truncated", "nullblob"):
         markers = by_archive[bad]
         assert len(markers) == 1, f"{bad}: partial members leaked"
         assert markers[0].member_name is None and markers[0].size == -1
