@@ -373,13 +373,38 @@ class KinesisSink:
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                records = [
-                    {"Data": bytes(d), "PartitionKey": k}
-                    for d, k in zip(pdf["_data"], pdf["_key"])
-                ]
-                if not records:
+                entries = list(zip(pdf["_data"], pdf["_key"]))
+                if not entries:
                     continue
-                yield pd.DataFrame(sink.send_partition(records), columns=ACK_SCHEMA.fieldNames())
+                # Null data or partition key cannot be sent (and used to
+                # crash the task — under exactly_once that wedges the
+                # stream in a replay loop on the same epoch): route such
+                # records straight to dead-letter acks instead.
+                valid = [
+                    (i, {"Data": bytes(d), "PartitionKey": k})
+                    for i, (d, k) in enumerate(entries)
+                    if d is not None and k is not None
+                ]
+                acks_by_i: dict[int, dict] = {}
+                if valid:
+                    sent = sink.send_partition([r for _, r in valid])
+                    for (i, _), a in zip(valid, sent):
+                        acks_by_i[i] = a
+                for i, (d, k) in enumerate(entries):
+                    if i not in acks_by_i:
+                        acks_by_i[i] = {
+                            "partition_key": k,
+                            "data_md5": None,
+                            "status": "dead_letter",
+                            "attempts": 0,
+                            "error_code": "NullRecord",
+                            "sequence_number": None,
+                            "shard_id": None,
+                        }
+                yield pd.DataFrame(
+                    [acks_by_i[i] for i in range(len(entries))],
+                    columns=ACK_SCHEMA.fieldNames(),
+                )
 
         return src.mapInPandas(run, ACK_SCHEMA)
 

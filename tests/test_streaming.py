@@ -994,3 +994,24 @@ def test_streaming_countmin_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM cms_stream_t").collect()
     }
     assert stream_grid == batch_grid
+
+
+def test_null_records_dead_letter_instead_of_crashing(spark):
+    """A null data or partition-key cell must become a dead-letter ack
+    (error_code=NullRecord), never a task kill — under exactly_once a
+    crash would wedge the stream replaying the same epoch forever."""
+    df = spark.createDataFrame(
+        [("ok-payload", "k"), (None, "k"), ("x", None), ("ok2", "k2")],
+        "data string, partition_key string",
+    )
+    sink = KinesisSink(
+        "s", lambda: RecordingTransport(fail_first_attempt_prefix="zz"), backoff_s=0.0
+    )
+    acks = sink.write_batch(df).collect()
+    by_status: dict = {}
+    for a in acks:
+        by_status.setdefault(a.status, []).append(a)
+    assert len(by_status["ok"]) == 2
+    assert len(by_status["dead_letter"]) == 2
+    for a in by_status["dead_letter"]:
+        assert a.error_code == "NullRecord" and a.sequence_number is None
