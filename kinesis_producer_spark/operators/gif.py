@@ -324,7 +324,19 @@ def quantize_rgb(rgb: np.ndarray, max_colors: int = 256):
     n = max(2, 1 << (len(palette) - 1).bit_length())
     if n > len(palette):
         palette = np.vstack([palette, np.zeros((n - len(palette), 3), np.uint8)])
-    # nearest palette entry per distinct color (exact when lossless)
-    diffs = colors[:, None, :].astype(np.int64) - palette[None, :, :].astype(np.int64)
-    nearest = (diffs * diffs).sum(axis=2).argmin(axis=1).astype(np.uint8)
+    # nearest palette entry per distinct color (exact when lossless).
+    # Chunked over distinct colors: a photo-sized input can have ~1M
+    # distinct colors, and the naive (colors × palette × 3) int64
+    # broadcast tensor would peak at multiple GB per blob — instead
+    # expand ||c-p||² = ||c||² - 2c·p + ||p||² so each chunk holds a
+    # (chunk × palette) int64 matrix, exact integer math so argmin
+    # tie-breaks identically to the naive form.
+    pal64 = palette.astype(np.int64)
+    pal_sq = (pal64 * pal64).sum(axis=1)  # (palette,)
+    nearest = np.empty(len(colors), np.uint8)
+    chunk = 65536
+    for s in range(0, len(colors), chunk):
+        sub = colors[s : s + chunk].astype(np.int64)
+        d2 = (sub * sub).sum(axis=1)[:, None] - 2 * (sub @ pal64.T) + pal_sq[None, :]
+        nearest[s : s + chunk] = d2.argmin(axis=1).astype(np.uint8)
     return nearest[inverse].reshape(h, w), palette

@@ -135,7 +135,13 @@ _KERNEL_OVERRIDES: dict = {}
 
 def sniff_image_format(b: bytes) -> str | None:
     """Magic-byte sniff for the kernel key
-    ('jpeg'|'png'|'gif'|'bmp'|'webp')."""
+    ('jpeg'|'png'|'gif'|'bmp'|'webp'|'webp_vp8').
+
+    WebP containers are sniffed down to the RIFF subtype: only
+    VP8L-bearing containers map to the ``'webp'`` key (which the
+    built-in pure-Python VP8L kernel serves); lossy VP8 payloads get
+    the distinct ``'webp_vp8'`` key so a missing lossy codec is
+    reported as a missing dependency, never as a poisoned blob."""
     if b[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if b[:8] == b"\x89PNG\r\n\x1a\n":
@@ -145,8 +151,27 @@ def sniff_image_format(b: bytes) -> str | None:
     if b[:2] == b"BM":
         return "bmp"
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
-        return "webp"
+        return _sniff_webp_variant(b)
     return None
+
+
+def _sniff_webp_variant(b: bytes) -> str:
+    """Walk RIFF chunks to find the image payload flavor: 'VP8L' →
+    'webp' (lossless), 'VP8 ' → 'webp_vp8' (lossy). A VP8X extended
+    container is resolved by the payload chunk it wraps. A container
+    with NEITHER chunk is corrupt, not a missing codec — route it to
+    the 'webp' kernel, whose None return triggers the poisoned-blob
+    null-row contract."""
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        clen = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if cid == b"VP8L":
+            return "webp"
+        if cid == b"VP8 ":
+            return "webp_vp8"
+        pos += 8 + clen + (clen % 2)  # RIFF chunks are 2-byte aligned
+    return "webp"
 
 
 def default_decode_kernels() -> dict:
@@ -165,8 +190,9 @@ def default_decode_kernels() -> dict:
         "png": decode_png,
         "gif": decode_gif,
         "bmp": _bmp,
-        # lossless (VP8L) WebP decodes for real; lossy VP8 chunks
-        # return None from this kernel → fail/fake stub path
+        # only VP8L containers sniff to 'webp' (lossy VP8 sniffs to
+        # 'webp_vp8', which has no built-in kernel → fail/fake stub
+        # path — register one via register_decode_kernel to go real)
         "webp": decode_webp_lossless,
     }
 
@@ -259,10 +285,11 @@ def decode_media(
                     pass
                 elif decode_stub == "fail":
                     raise NotImplementedError(
-                        "decode for this format requires PIL/ffmpeg/soundfile — "
-                        "not in this image (real paths: baseline+progressive "
-                        "JPEG, PNG, GIF, 24-bit BMP); use decode_stub='fake' "
-                        "for plumbing tests"
+                        "decode for this format (incl. lossy VP8 WebP) requires "
+                        "PIL/ffmpeg/soundfile — not in this image (real paths: "
+                        "baseline+progressive JPEG, PNG, GIF, 24-bit BMP, "
+                        "lossless WebP); use decode_stub='fake' for plumbing "
+                        "tests"
                     )
                 else:
                     h = hashlib.md5(b).digest()

@@ -651,8 +651,14 @@ def q217_streaming_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    # os.path.exists() follows the link and returns False for a BROKEN
+    # symlink left by a prior run whose sf_dir was deleted — then
+    # os.symlink raises FileExistsError forever. Replace unconditionally.
+    try:
+        os.unlink(link)
+    except FileNotFoundError:
+        pass
+    os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
     docs = (
         spark.readStream.schema("doc_id long, text string")
         .parquet(stream_dir)

@@ -1270,3 +1270,108 @@ def test_media_null_and_corrupt_blobs_yield_null_rows_even_in_fail_mode(spark):
     )
     with pytest.raises(PythonException, match="NotImplementedError"):
         decode_media(wav, decode_stub="fail").collect()
+
+
+def _lossy_webp_blob(payload: bytes = b"\x9d\x01\x2a" + b"\x00" * 29) -> bytes:
+    """Minimal RIFF container carrying a lossy 'VP8 ' chunk."""
+    chunk = b"VP8 " + len(payload).to_bytes(4, "little") + payload
+    body = b"WEBP" + chunk
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_webp_sniff_resolves_riff_subtype():
+    """Only VP8L-bearing containers map to the 'webp' kernel key; lossy
+    VP8 payloads sniff to 'webp_vp8' (ADVICE r4: a missing lossy codec
+    must never be misreported as a poisoned blob)."""
+    from kinesis_producer_spark.operators.multimodal import sniff_image_format
+    from kinesis_producer_spark.operators.webp import encode_webp_lossless
+
+    lossless = encode_webp_lossless(np.full((2, 2, 3), 7, np.uint8))
+    assert sniff_image_format(lossless) == "webp"
+    assert sniff_image_format(_lossy_webp_blob()) == "webp_vp8"
+    # VP8X extended container resolves by the payload chunk it wraps
+    vp8l_chunk = lossless[12:]
+    vp8x = b"VP8X" + (10).to_bytes(4, "little") + b"\x00" * 10
+    for inner, want in [
+        (vp8l_chunk, "webp"),
+        (b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4, "webp_vp8"),
+    ]:
+        body = b"WEBP" + vp8x + inner
+        blob = b"RIFF" + len(body).to_bytes(4, "little") + body
+        assert sniff_image_format(blob) == want
+    # container with NO image chunk: corrupt → 'webp' (poisoned path)
+    body = b"WEBPJUNK" + (2).to_bytes(4, "little") + b"ab"
+    assert sniff_image_format(b"RIFF" + len(body).to_bytes(4, "little") + body) == "webp"
+
+
+def test_lossy_webp_is_missing_codec_not_poisoned(spark):
+    """A VALID lossy WebP must hit the missing-dependency path: raise in
+    decode_stub='fail', pseudo-decode in 'fake' — never a silent null
+    row (ADVICE r4 medium, multimodal.py decode_media + resize_media)."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from kinesis_producer_spark.operators.multimodal import (
+        decode_media,
+        resize_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_lossy_webp_blob()))], "media_id long, content binary"
+    )
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        decode_media(df, decode_stub="fail").collect()
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        resize_media(df, width=4, height=4, decode_stub="fail").collect()
+    r = decode_media(df, decode_stub="fake").collect()[0]
+    assert r.width is not None and r.feature is not None
+    rz = resize_media(df, width=4, height=4, decode_stub="fake").collect()[0]
+    assert rz.resized is not None
+    # a registered lossy kernel turns the same blob into a real path
+    from kinesis_producer_spark.operators.multimodal import (
+        register_decode_kernel,
+        unregister_decode_kernel,
+    )
+
+    try:
+        register_decode_kernel("webp_vp8", lambda b: np.full((3, 5, 3), 50, np.uint8))
+        r = decode_media(df, decode_stub="fail").collect()[0]
+        assert (r.width, r.height, r.n_channels) == (5, 3, 3)
+    finally:
+        unregister_decode_kernel("webp_vp8")
+
+
+def test_corrupt_webp_container_is_poisoned_not_missing_codec(spark):
+    """A WebP container with a garbage VP8L payload (or no image chunk)
+    is a poisoned blob: null row in fail mode, no raise."""
+    from kinesis_producer_spark.operators.multimodal import decode_media
+
+    bad_payload = b"VP8L" + (8).to_bytes(4, "little") + b"\xff" * 8
+    body = b"WEBP" + bad_payload
+    corrupt = b"RIFF" + len(body).to_bytes(4, "little") + body
+    df = spark.createDataFrame(
+        [(1, bytearray(corrupt))], "media_id long, content binary"
+    )
+    r = decode_media(df, decode_stub="fail").collect()[0]
+    assert r.width is None and r.feature is None
+
+
+def test_quantize_rgb_chunked_matches_exact_and_bounded():
+    """Chunked nearest-palette assignment (ADVICE r4 low: the naive
+    broadcast tensor is ~6 GB for photo-sized inputs) must agree with
+    the naive formula bit-for-bit, including argmin tie-breaks."""
+    from kinesis_producer_spark.operators.gif import quantize_rgb
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)  # ~4k distinct
+    idx, pal = quantize_rgb(img, max_colors=16)
+    assert pal.shape[0] == 16 and idx.shape == (64, 64)
+    # naive recomputation over the same palette
+    flat = img.reshape(-1, 3).astype(np.int64)
+    diffs = flat[:, None, :] - pal[None, :, :].astype(np.int64)
+    naive = (diffs * diffs).sum(axis=2).argmin(axis=1).astype(np.uint8)
+    assert np.array_equal(idx.reshape(-1), naive)
+    # lossless case still exact
+    few = np.zeros((8, 8, 3), np.uint8)
+    few[::2] = 200
+    idx2, pal2 = quantize_rgb(few)
+    assert np.array_equal(pal2[idx2], few)
