@@ -26,9 +26,18 @@ ingestion, same contract as q105).
 Scale: ``max_bucket_size`` bounds BOTH per-bucket state and the
 quadratic pair fan-out of a hot bucket (the skew pathology of LSH —
 the batch path leans on AQE for it; the stream must bound it up
-front). Production additionally ages buckets out with a TTL or a
-rolling corpus epoch; the cap is the load-shedding backstop, and
-capped buckets trade recall exactly like the batch prefilter.
+front). The cap is the load-shedding backstop, and capped buckets
+trade recall exactly like the batch prefilter.
+
+State AGING (round 5): without it the state store grows with bucket
+cardinality forever under continuous ingest. ``epoch_ms`` keys every
+bucket by a rolling corpus epoch (event-time window start) and
+registers an event-time timeout at the epoch's end: once the
+watermark passes it, the bucket's state is REMOVED. Near-dup
+candidates are then scoped within an epoch — the standard rolling-
+corpus dedup contract (a document only dedups against its own
+epoch's corpus), and the state store holds only the buckets of
+epochs the watermark still keeps alive, regardless of stream age.
 """
 
 from __future__ import annotations
@@ -53,12 +62,17 @@ def band_buckets(
     id_col: str = "doc_id",
     k: int = 8,
     band_size: int = 2,
+    time_col: str | None = None,
+    epoch_ms: int | None = None,
 ) -> DataFrame:
     """(band_idx, bucket, doc_id) rows — stream-safe column expressions
-    only (one md5 per shingle, banded like the batch path)."""
+    only (one md5 per shingle, banded like the batch path). With
+    ``epoch_ms``, adds the event-time epoch start (``epoch``, ms since
+    the Unix epoch — exact bigint math, no doubles) and keeps
+    ``time_col`` so the watermark survives the projection."""
     sig = minhash_signature(docs, shingles(F.col(text_col)), k=k)
     n_bands = k // band_size
-    return docs.select(
+    cols = [
         F.col(id_col).alias("doc_id"),
         F.posexplode(
             F.transform(
@@ -70,13 +84,28 @@ def band_buckets(
                 ),
             )
         ).alias("band_idx", "bucket"),
-    )
+    ]
+    if epoch_ms is not None:
+        if time_col is None:
+            raise ValueError("epoch_ms requires time_col")
+        cols.append(
+            F.expr(
+                f"(unix_millis(`{time_col}`) div {int(epoch_ms)}) * {int(epoch_ms)}"
+            ).alias("epoch")
+        )
+        cols.append(F.col(time_col))
+    return docs.select(*cols)
 
 
-def _bucket_fn_factory(max_bucket_size: int):
+def _bucket_fn_factory(max_bucket_size: int, epoch_ms: int | None = None):
     def fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if epoch_ms is not None and state.hasTimedOut:
+            # the watermark passed this bucket's epoch end: its epoch
+            # can receive no more admissible arrivals — drop the state
+            state.remove()
+            return
         arrivals: list[int] = []
         for pdf in pdfs:
             arrivals.extend(int(x) for x in pdf["doc_id"])
@@ -94,8 +123,20 @@ def _bucket_fn_factory(max_bucket_size: int):
                 seen.append(d)
                 resident.add(d)
         state.update((seen,))
+        if epoch_ms is not None:
+            # expire when the watermark passes the epoch end; the API
+            # requires a timestamp STRICTLY beyond the current watermark
+            # (late-but-admissible data can arrive after its epoch end)
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(int(key[0]) + int(epoch_ms), wm + 1))
         if pairs:
-            yield pd.DataFrame(pairs, columns=["id_a", "id_b"])
+            if epoch_ms is not None:
+                yield pd.DataFrame(
+                    [(int(key[0]), a, b) for a, b in pairs],
+                    columns=["epoch", "id_a", "id_b"],
+                )
+            else:
+                yield pd.DataFrame(pairs, columns=["id_a", "id_b"])
 
     return fn
 
@@ -107,16 +148,40 @@ def streaming_lsh_candidates(
     k: int = 8,
     band_size: int = 2,
     max_bucket_size: int = 1024,
+    time_col: str | None = None,
+    epoch_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Candidate near-dup pairs, emitted as documents arrive. Each
     pair may emit once per shared band — run ``dropDuplicates`` (or a
     distinct sink) downstream, exactly like the batch path's final
-    ``.distinct()``."""
-    buckets = band_buckets(docs, text_col, id_col, k, band_size)
-    return buckets.groupBy("band_idx", "bucket").applyInPandasWithState(
-        _bucket_fn_factory(max_bucket_size),
-        outputStructType=PAIRS_OUTPUT,
+    ``.distinct()``.
+
+    With ``epoch_ms`` (+ ``time_col``), buckets are keyed by rolling
+    event-time epoch and AGED OUT via event-time timeout once the
+    watermark (``time_col`` − ``watermark_delay``) passes the epoch
+    end — the state store stays bounded by the buckets of live epochs
+    under indefinite ingest, and candidates are scoped within an
+    epoch (output gains an ``epoch`` column, the epoch start in ms)."""
+    if epoch_ms is None:
+        buckets = band_buckets(docs, text_col, id_col, k, band_size)
+        return buckets.groupBy("band_idx", "bucket").applyInPandasWithState(
+            _bucket_fn_factory(max_bucket_size),
+            outputStructType=PAIRS_OUTPUT,
+            stateStructType=BUCKET_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    if time_col is None:
+        raise ValueError("epoch_ms requires time_col")
+    docs = docs.withWatermark(time_col, watermark_delay)
+    buckets = band_buckets(
+        docs, text_col, id_col, k, band_size, time_col=time_col, epoch_ms=epoch_ms
+    )
+    return buckets.groupBy("epoch", "band_idx", "bucket").applyInPandasWithState(
+        _bucket_fn_factory(max_bucket_size, epoch_ms=epoch_ms),
+        outputStructType="epoch bigint, " + PAIRS_OUTPUT,
         stateStructType=BUCKET_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

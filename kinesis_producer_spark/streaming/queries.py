@@ -680,3 +680,79 @@ def q217_streaming_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
         q.stop()
         raise RuntimeError("q217 streaming LSH did not drain within 300s")
     return spark.table(name).select("id_a", "id_b").distinct()
+
+
+@query(
+    "q221_streaming_lsh_epochs",
+    oracle="""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') a FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) s
+           FROM w),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    mh AS (SELECT doc_id, seed, MIN(SUBSTR(MD5(g), 1 + 2*seed, 16)) m
+           FROM ex CROSS JOIN (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
+    sig AS (SELECT doc_id, list(m ORDER BY seed) sg FROM mh GROUP BY doc_id),
+    bands AS (SELECT doc_id, b, MD5(sg[2*b+1] || '|' || sg[2*b+2]) bucket
+              FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b))
+    SELECT DISTINCT (x.doc_id % 3) * 60000 AS epoch,
+           x.doc_id AS id_a, y.doc_id AS id_b
+    FROM bands x JOIN bands y
+      ON x.doc_id % 3 = y.doc_id % 3
+     AND x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    """,
+)
+def q221_streaming_lsh_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-keyed streaming LSH (round-5 state aging): buckets are
+    scoped to a rolling event-time epoch and AGED OUT of the state
+    store once the watermark passes the epoch end, so continuous
+    ingest holds only live-epoch state. The oracle is the per-epoch
+    batch LSH closed form — candidate pairs must never cross an epoch
+    boundary, and within an epoch must equal the batch banding.
+
+    The fixture has no timestamp, so event time is the deterministic
+    ``(doc_id % 3)`` epoch (mid-epoch stamp: the stateful operator
+    drops rows with event time <= the current watermark). Expiry
+    itself is pinned by tests/test_streaming.py's 3-run soak; here the
+    single availableNow batch emits every pair before its epoch ages
+    out, making the stream reproducible for the oracle."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from kinesis_producer_spark.streaming.lsh import streaming_lsh_candidates
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"docs_stream_ep_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "documents.parquet")
+    try:
+        os.unlink(link)
+    except FileNotFoundError:
+        pass
+    os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(stream_dir)
+        .select("doc_id", "text")
+        .withColumn(
+            "event_ts",
+            F.timestamp_millis((F.col("doc_id") % 3) * F.lit(60000) + F.lit(30000)),
+        )
+    )
+    pairs = streaming_lsh_candidates(docs, time_col="event_ts", epoch_ms=60000)
+    name = f"lsh_ep_mem_{uuid.uuid4().hex[:10]}"
+    q = (
+        pairs.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("q221 epoch streaming LSH did not drain within 300s")
+    return spark.table(name).select("epoch", "id_a", "id_b").distinct()

@@ -1015,3 +1015,107 @@ def test_null_records_dead_letter_instead_of_crashing(spark):
     assert len(by_status["dead_letter"]) == 2
     for a in by_status["dead_letter"]:
         assert a.error_code == "NullRecord" and a.sequence_number is None
+
+
+def test_streaming_lsh_epoch_aging_bounds_state(spark, tmp_path):
+    """Epoch-keyed streaming LSH (round-5: state aging). Three epochs
+    arrive in event-time order; once the watermark passes an epoch's
+    end, its bucket state must be REMOVED from the state store — the
+    store stays bounded by live epochs under indefinite ingest — while
+    within each epoch the emitted pairs equal the batch
+    lsh_candidate_pairs over that epoch's corpus."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kinesis_producer_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+        shingles,
+    )
+    from kinesis_producer_spark.streaming.lsh import band_buckets, streaming_lsh_candidates
+
+    EPOCH_MS = 60_000
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+
+    # per-epoch batch truth: epoch e holds docs with doc_id % 3 == e
+    expected: set[tuple[int, int, int]] = set()
+    n_buckets = {}
+    for e in range(3):
+        sub = docs.where(F.col("doc_id") % 3 == e)
+        sig = sub.withColumn(
+            "signature", minhash_signature(sub, shingles(F.col("text")), k=8)
+        )
+        for r in lsh_candidate_pairs(sig, band_size=2).collect():
+            expected.add((e * EPOCH_MS, r.id_a, r.id_b))
+        n_buckets[e] = (
+            band_buckets(sub).select("band_idx", "bucket").distinct().count()
+        )
+    assert expected, "fixture produced no candidate pairs — test is vacuous"
+
+    # stream: one file per epoch, event time = the epoch's start. Each
+    # epoch is dropped into the source dir and drained with its own
+    # availableNow run against ONE checkpoint — files added between
+    # runs are discovered strictly in arrival order, so the watermark
+    # advances epoch by epoch (mtime ordering is not guaranteed).
+    src = tmp_path / "epoch_docs"
+    src.mkdir()
+    # mid-epoch timestamps: the stateful operator drops rows with
+    # event time <= the current watermark, and ts=0 == initial wm=0
+    stamped = docs.withColumn(
+        "event_ts",
+        F.timestamp_millis((F.col("doc_id") % 3) * F.lit(EPOCH_MS) + EPOCH_MS // 2),
+    )
+    sink = str(tmp_path / "epoch_pairs")
+    ckpt = str(tmp_path / "epoch_ckpt")
+    progresses = []
+    for e in range(3):
+        part = tmp_path / f"epoch_{e}"
+        stamped.where(F.col("doc_id") % 3 == e).coalesce(1).write.parquet(str(part))
+        (pq,) = [p for p in part.iterdir() if p.name.endswith(".parquet")]
+        pq.rename(src / f"e{e}.parquet")
+        stream = (
+            spark.readStream.schema("doc_id long, text string, event_ts timestamp")
+            .parquet(str(src))
+        )
+        q = (
+            streaming_lsh_candidates(stream, time_col="event_ts", epoch_ms=EPOCH_MS)
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), f"epoch {e} run did not drain"
+        progresses.extend(p for p in q.recentProgress if p["stateOperators"])
+
+    got = {
+        (r.epoch, r.id_a, r.id_b)
+        for r in spark.read.parquet(sink)
+        .select("epoch", "id_a", "id_b")
+        .distinct()
+        .collect()
+    }
+    assert got == expected, "epoch-scoped pairs differ from per-epoch batch LSH"
+
+    # state-store boundedness: each run's closing no-data batch fires
+    # timers once the watermark (max event time − 0s delay) passes an
+    # epoch's end — after epoch 2's file the watermark is 150000, past
+    # the ends of epochs 0 (60000) and 1 (120000), so ONLY epoch 2's
+    # buckets remain in the store
+    removed = sum(p["stateOperators"][0]["numRowsRemoved"] for p in progresses)
+    final_total = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    assert removed == n_buckets[0] + n_buckets[1], (removed, n_buckets)
+    assert final_total == n_buckets[2], (final_total, n_buckets)
+
+
+def test_streaming_lsh_epoch_requires_time_col():
+    import pytest as _pytest
+
+    from kinesis_producer_spark.streaming.lsh import streaming_lsh_candidates
+
+    with _pytest.raises(ValueError, match="time_col"):
+        streaming_lsh_candidates(None, epoch_ms=1000)
