@@ -63,6 +63,134 @@ class Transport:
         raise NotImplementedError
 
 
+# ---- shard hash-key ranges (the public Kinesis partition contract) ----
+#
+# A stream's open shards partition the 128-bit hash-key space
+# [0, 2^128): each shard owns an inclusive [StartingHashKey,
+# EndingHashKey] range, and a record routes to the shard whose range
+# contains int(MD5(partition_key)) read big-endian (AWS Streams docs:
+# "an MD5 hash function is used to map partition keys to 128-bit
+# integer values and to map associated data records to shards").
+# SplitShard closes a parent and opens two children over its halves;
+# MergeShards closes two ADJACENT shards and opens one child over
+# their union — new child ids continue the sequential numbering.
+
+HASH_SPACE = 1 << 128
+
+
+@dataclass
+class Shard:
+    shard_id: str
+    start: int  # StartingHashKey, inclusive
+    end: int  # EndingHashKey, inclusive
+    open: bool = True
+    parents: tuple[str, ...] = ()
+
+
+def partition_key_hash(partition_key: str) -> int:
+    """The Kinesis routing hash: MD5 of the UTF-8 key as a big-endian
+    unsigned 128-bit integer."""
+    return int.from_bytes(hashlib.md5(partition_key.encode()).digest(), "big")
+
+
+class ShardMap:
+    """Mutable shard topology with the AWS hash-range semantics.
+
+    The OPEN shards always exactly partition [0, 2^128) — asserted
+    after every reshard. Producers refresh their view of the map at
+    batch boundaries (the DescribeStream cadence), which is how the
+    tests exercise a mid-stream split: mutate between micro-batches.
+    """
+
+    def __init__(self, shards: list[Shard]):
+        self.shards: dict[str, Shard] = {s.shard_id: s for s in shards}
+        self._seq = len(shards)
+        self._check_partition()
+
+    @classmethod
+    def uniform(cls, n_shards: int) -> "ShardMap":
+        """n equal ranges — what CreateStream provisions."""
+        step = HASH_SPACE // n_shards
+        shards = [
+            Shard(
+                shard_id=f"shardId-{i:012d}",
+                start=i * step,
+                end=(i + 1) * step - 1 if i < n_shards - 1 else HASH_SPACE - 1,
+            )
+            for i in range(n_shards)
+        ]
+        return cls(shards)
+
+    def open_shards(self) -> list[Shard]:
+        return sorted((s for s in self.shards.values() if s.open), key=lambda s: s.start)
+
+    def _check_partition(self) -> None:
+        expect = 0
+        for s in self.open_shards():
+            if s.start != expect:
+                raise ValueError(f"open shards do not partition the hash space at {expect}")
+            expect = s.end + 1
+        if expect != HASH_SPACE:
+            raise ValueError("open shards do not cover the hash space")
+
+    def shard_for_key(self, partition_key: str) -> str:
+        h = partition_key_hash(partition_key)
+        # bisect over the sorted open ranges
+        opens = self.open_shards()
+        lo, hi = 0, len(opens) - 1
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if h > opens[mid].end:
+                lo = mid + 1
+            else:
+                hi = mid
+        return opens[lo].shard_id
+
+    def _next_id(self) -> str:
+        sid = f"shardId-{self._seq:012d}"
+        self._seq += 1
+        return sid
+
+    def split(self, shard_id: str, new_starting_hash_key: int | None = None) -> tuple[str, str]:
+        """SplitShard: close the parent, open two children at
+        [start, nshk-1] and [nshk, end] (default: midpoint)."""
+        parent = self.shards[shard_id]
+        if not parent.open:
+            raise ValueError(f"{shard_id} is closed")
+        nshk = (
+            new_starting_hash_key
+            if new_starting_hash_key is not None
+            else parent.start + (parent.end - parent.start + 1) // 2
+        )
+        if not parent.start < nshk <= parent.end:
+            raise ValueError("NewStartingHashKey outside the parent's range")
+        parent.open = False
+        a = Shard(self._next_id(), parent.start, nshk - 1, parents=(shard_id,))
+        b = Shard(self._next_id(), nshk, parent.end, parents=(shard_id,))
+        self.shards[a.shard_id] = a
+        self.shards[b.shard_id] = b
+        self._check_partition()
+        return a.shard_id, b.shard_id
+
+    def merge(self, shard_id: str, adjacent_shard_id: str) -> str:
+        """MergeShards: close two ADJACENT open shards, open one child
+        over their combined range."""
+        a, b = self.shards[shard_id], self.shards[adjacent_shard_id]
+        if not (a.open and b.open):
+            raise ValueError("both shards must be open")
+        lo, hi = (a, b) if a.start < b.start else (b, a)
+        if lo.end + 1 != hi.start:
+            raise ValueError(f"{shard_id} and {adjacent_shard_id} are not adjacent")
+        a.open = False
+        b.open = False
+        child = Shard(
+            self._next_id(), lo.start, hi.end, parents=(lo.shard_id, hi.shard_id)
+        )
+        self.shards[child.shard_id] = child
+        self._check_partition()
+        return child.shard_id
+
+
 class RecordingTransport(Transport):
     """Deterministic in-process mock.
 
@@ -70,14 +198,22 @@ class RecordingTransport(Transport):
     ``ProvisionedThroughputExceededException`` on attempts ≤
     ``fail_attempts_for(record)``; by default records whose data-md5
     starts with '0' fail exactly once (≈1/16 of traffic), so retry
-    logic is exercised deterministically. Shard assignment is
-    ``int(md5(partition_key)[0], 16) % n_shards`` — reproducible in
-    SQL for the oracle.
+    logic is exercised deterministically. Shard assignment follows the
+    public hash-range contract via ``ShardMap`` (default: ``uniform(
+    n_shards)`` — for n dividing 16, the shard index is the md5's
+    first hex digit scaled by n/16, reproducible in SQL for the
+    oracle). Pass a shared ``shard_map`` to model resharding.
     """
 
-    def __init__(self, n_shards: int = 4, fail_first_attempt_prefix: str = "0"):
+    def __init__(
+        self,
+        n_shards: int = 4,
+        fail_first_attempt_prefix: str = "0",
+        shard_map: ShardMap | None = None,
+    ):
         self.n_shards = n_shards
         self.fail_prefix = fail_first_attempt_prefix
+        self.shard_map = shard_map if shard_map is not None else ShardMap.uniform(n_shards)
         self.calls: list[list[dict]] = []
         self._attempts: dict[str, int] = {}
 
@@ -102,11 +238,10 @@ class RecordingTransport(Transport):
                     }
                 )
             else:
-                shard = int(md5_hex_first(r["PartitionKey"]), 16) % self.n_shards
                 out.append(
                     {
                         "SequenceNumber": f"seq-{md5[:12]}",
-                        "ShardId": f"shardId-{shard:012d}",
+                        "ShardId": self.shard_map.shard_for_key(r["PartitionKey"]),
                     }
                 )
         return {"FailedRecordCount": failed, "Records": out}
@@ -152,6 +287,13 @@ class ShardRateLimiter:
     key partitioning the enforcement is per-task (conservative overall
     only if tasks ≲ shards), which is still the right backpressure
     shape: throttle at the source of the burst.
+
+    With a ``shard_map``, shard prediction follows the hash-range
+    contract and buckets are keyed by shard id — created lazily with a
+    full one-second allowance, so a mid-stream split RE-DERIVES the
+    quota: each child shard gets its own fresh buckets (Kinesis grants
+    each child the full per-shard quota), and the closed parent's
+    bucket simply stops being touched.
     """
 
     def __init__(
@@ -161,22 +303,33 @@ class ShardRateLimiter:
         records_per_s: int = PER_SHARD_RECORDS_PER_S,
         clock: Callable[[], float] = time.monotonic,
         sleeper: Callable[[float], None] = time.sleep,
+        shard_map: ShardMap | None = None,
     ):
         self.n_shards = n_shards
         self.bytes_per_s = bytes_per_s
         self.records_per_s = records_per_s
+        self.shard_map = shard_map
         self._clock = clock
         self._sleep = sleeper
-        now = clock()
-        # start with one second's allowance per shard (AWS buckets burst)
-        self._bytes = {s: float(bytes_per_s) for s in range(n_shards)}
-        self._records = {s: float(records_per_s) for s in range(n_shards)}
-        self._last = {s: now for s in range(n_shards)}
+        # buckets are lazy: first touch grants one second's allowance
+        # (AWS buckets burst) — identical to eager creation for a fixed
+        # topology, and the only correct behavior for shards born later
+        self._bytes: dict = {}
+        self._records: dict = {}
+        self._last: dict = {}
 
-    def shard_for(self, partition_key: str) -> int:
+    def shard_for(self, partition_key: str):
+        if self.shard_map is not None:
+            return self.shard_map.shard_for_key(partition_key)
         return int(md5_hex_first(partition_key), 16) % self.n_shards
 
-    def _refill(self, shard: int) -> None:
+    def _ensure(self, shard) -> None:
+        if shard not in self._bytes:
+            self._bytes[shard] = float(self.bytes_per_s)
+            self._records[shard] = float(self.records_per_s)
+            self._last[shard] = self._clock()
+
+    def _refill(self, shard) -> None:
         now = self._clock()
         dt = max(0.0, now - self._last[shard])
         self._last[shard] = now
@@ -187,7 +340,7 @@ class ShardRateLimiter:
             float(self.records_per_s), self._records[shard] + dt * self.records_per_s
         )
 
-    def acquire(self, shard: int, n_records: int, n_bytes: int) -> float:
+    def acquire(self, shard, n_records: int, n_bytes: int) -> float:
         """Block until the shard's buckets can cover the batch, then
         charge it; returns the seconds slept (0.0 when under quota).
 
@@ -200,6 +353,7 @@ class ShardRateLimiter:
         slept = 0.0
         tgt_b = min(float(n_bytes), float(self.bytes_per_s))
         tgt_r = min(float(n_records), float(self.records_per_s))
+        self._ensure(shard)
         while True:
             self._refill(shard)
             need_b = tgt_b - self._bytes[shard]
@@ -464,6 +618,15 @@ class KinesisSink:
                     acks.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
                         ack_path
                     )
+                    # per-epoch delivery counters for the monitor ledger
+                    # (streaming.monitor.sink_metrics). Counted from the
+                    # WRITTEN acks — re-aggregating the lazy `acks` frame
+                    # would re-execute the mapInPandas stage and RE-SEND
+                    # the batch. Written before the exactly-once marker,
+                    # so a replayed uncommitted epoch overwrites its own
+                    # row (the replay's attempt counts win — consistent
+                    # with the acks that replay appends).
+                    self._write_epoch_metrics(batch_df.sparkSession, ack_path, epoch_id)
                 else:
                     acks.foreach(lambda _: None)  # force the send
                 if exactly_once and marker:
@@ -480,3 +643,46 @@ class KinesisSink:
                     raise
 
         return write
+
+    @staticmethod
+    def _write_epoch_metrics(spark, ack_path: str, epoch_id: int) -> None:
+        """One JSON row of delivery counters per epoch under
+        ``<ack_path>/_sink_metrics`` — the restart-surviving ledger the
+        monitor reads. Local scale reads the whole ack dir filtered by
+        epoch; a production deployment partitions acks by epoch so this
+        is one partition's scan."""
+        import json
+        import os
+
+        row = (
+            spark.read.parquet(ack_path)
+            .where(F.col("epoch") == epoch_id)
+            .agg(
+                F.count(F.when(F.col("status") == "ok", 1)).alias("sent"),
+                F.count(
+                    F.when((F.col("status") == "ok") & (F.col("attempts") > 1), 1)
+                ).alias("retried"),
+                F.count(F.when(F.col("status") == "dead_letter", 1)).alias(
+                    "dead_lettered"
+                ),
+                F.count(F.when(F.col("error_code") == "NullRecord", 1)).alias(
+                    "null_records"
+                ),
+                F.sum("attempts").alias("attempts_total"),
+            )
+            .collect()[0]
+        )
+        mdir = os.path.join(ack_path, "_sink_metrics")
+        os.makedirs(mdir, exist_ok=True)
+        payload = {
+            "epoch": epoch_id,
+            "sent": row["sent"],
+            "retried": row["retried"],
+            "dead_lettered": row["dead_lettered"],
+            "null_records": row["null_records"],
+            "attempts_total": int(row["attempts_total"] or 0),
+        }
+        tmp = os.path.join(mdir, f".epoch-{epoch_id}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, os.path.join(mdir, f"epoch-{epoch_id}.json"))

@@ -25,7 +25,9 @@ from kinesis_producer_spark.tables import load_table
            MD5('evt:' || CAST(event_id AS VARCHAR)) AS data_md5,
            'ok' AS status,
            CASE WHEN MD5('evt:' || CAST(event_id AS VARCHAR)) LIKE '0%' THEN 2 ELSE 1 END AS attempts,
-           'shardId-' || LPAD(CAST((INSTR('0123456789abcdef', SUBSTR(MD5(event_type), 1, 1)) - 1) % 4 AS VARCHAR), 12, '0') AS shard_id
+           -- hash-range contract, uniform 4-shard stream: the shard is
+           -- the top 2 bits of the 128-bit md5 = first hex digit // 4
+           'shardId-' || LPAD(CAST((INSTR('0123456789abcdef', SUBSTR(MD5(event_type), 1, 1)) - 1) // 4 AS VARCHAR), 12, '0') AS shard_id
     FROM events
     """,
 )

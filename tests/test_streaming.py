@@ -1119,3 +1119,183 @@ def test_streaming_lsh_epoch_requires_time_col():
 
     with _pytest.raises(ValueError, match="time_col"):
         streaming_lsh_candidates(None, epoch_ms=1000)
+
+
+def test_shard_map_hash_range_contract():
+    """Shard routing follows the public Kinesis contract: the record's
+    shard is the open shard whose [StartingHashKey, EndingHashKey]
+    range contains int(md5(partition_key)) big-endian."""
+    import hashlib as _hl
+
+    from kinesis_producer_spark.streaming.kinesis_sink import (
+        HASH_SPACE,
+        RecordingTransport,
+        ShardMap,
+        partition_key_hash,
+    )
+
+    m = ShardMap.uniform(4)
+    opens = m.open_shards()
+    assert [s.start for s in opens] == [i * (HASH_SPACE // 4) for i in range(4)]
+    assert opens[-1].end == HASH_SPACE - 1
+    for key in ("acoustic", "impact", "temperature", "visual", "a", "zz", ""):
+        h = partition_key_hash(key)
+        assert h == int.from_bytes(_hl.md5(key.encode()).digest(), "big")
+        sid = m.shard_for_key(key)
+        s = m.shards[sid]
+        assert s.open and s.start <= h <= s.end
+        # uniform(4): shard index = top 2 bits = first hex digit // 4
+        digit = int(_hl.md5(key.encode()).hexdigest()[0], 16)
+        assert sid == f"shardId-{digit // 4:012d}"
+    # the default transport uses the same contract (q40's oracle SQL)
+    t = RecordingTransport(n_shards=4, fail_first_attempt_prefix="zz")
+    resp = t.put_records("s", [{"Data": b"x", "PartitionKey": "acoustic"}])
+    assert resp["Records"][0]["ShardId"] == m.shard_for_key("acoustic")
+
+
+def test_shard_map_split_and_merge():
+    from kinesis_producer_spark.streaming.kinesis_sink import HASH_SPACE, ShardMap
+
+    m = ShardMap.uniform(2)
+    a, b = m.split("shardId-000000000000")
+    assert (a, b) == ("shardId-000000000002", "shardId-000000000003")
+    assert not m.shards["shardId-000000000000"].open
+    assert m.shards[a].end + 1 == m.shards[b].start
+    assert m.shards[a].start == 0 and m.shards[b].end == HASH_SPACE // 2 - 1
+    # open shards still partition the space; routing lands in children
+    assert {s.shard_id for s in m.open_shards()} == {a, b, "shardId-000000000001"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="closed"):
+        m.split("shardId-000000000000")
+    with _pytest.raises(ValueError, match="not adjacent"):
+        m.merge(a, "shardId-000000000001")
+    child = m.merge(a, b)  # undo the split
+    assert m.shards[child].start == 0 and m.shards[child].end == HASH_SPACE // 2 - 1
+    assert len(m.open_shards()) == 2
+    # custom split point honored, bad ones rejected
+    with _pytest.raises(ValueError, match="outside"):
+        m.split(child, HASH_SPACE)  # beyond the parent range
+
+
+def test_mid_stream_split_reroutes_and_rederives_quota():
+    """A shard split between micro-batches: subsequent records land per
+    the NEW hash ranges (fresh child shard ids in the acks), and the
+    rate limiter re-derives quotas — each child gets the full per-shard
+    allowance, so the same traffic throttles less after the split."""
+    from kinesis_producer_spark.streaming.kinesis_sink import (
+        KinesisSink,
+        RecordingTransport,
+        ShardMap,
+        ShardRateLimiter,
+    )
+
+    def run_rounds(shard_map):
+        clock = {"t": 0.0}
+
+        def fake_sleep(s):
+            clock["t"] += s
+
+        lim = ShardRateLimiter(
+            records_per_s=100,
+            bytes_per_s=10**9,
+            clock=lambda: clock["t"],
+            sleeper=fake_sleep,
+            shard_map=shard_map,
+        )
+        sink = KinesisSink(
+            stream_name="s",
+            transport_factory=lambda: RecordingTransport(
+                fail_first_attempt_prefix="zz", shard_map=shard_map
+            ),
+            rate_limiter_factory=lambda: lim,
+        )
+        recs = [
+            {"Data": b"payload-%d" % i, "PartitionKey": f"key-{i}"} for i in range(300)
+        ]
+        acks = []
+        for _ in range(2):  # two micro-batches of the same traffic
+            acks = sink.send_partition(recs)
+        return clock["t"], acks
+
+    single = ShardMap.uniform(1)
+    t_before, acks_before = run_rounds(single)
+    assert {a["shard_id"] for a in acks_before} == {"shardId-000000000000"}
+    assert t_before > 0, "300 rec/batch at 100 rec/s must throttle"
+
+    split_map = ShardMap.uniform(1)
+    c1, c2 = split_map.split("shardId-000000000000")
+    t_after, acks_after = run_rounds(split_map)
+    got_shards = {a["shard_id"] for a in acks_after}
+    assert got_shards == {c1, c2}, "acks must carry the child shard ids"
+    for a in acks_after:
+        assert a["shard_id"] == split_map.shard_for_key(a["partition_key"])
+    # two children, each with its own full quota → less throttling
+    assert t_after < t_before
+
+
+def test_sink_metrics_ledger_counts_across_restart(spark, tmp_path):
+    """Per-epoch delivery counters (sent/retried/dead-lettered/null)
+    are queryable via streaming.monitor.sink_metrics and ACCUMULATE
+    across a query restart — the ledger lives next to the acks, not in
+    process memory."""
+    from kinesis_producer_spark.streaming import monitor
+    from kinesis_producer_spark.streaming.kinesis_sink import (
+        KinesisSink,
+        RecordingTransport,
+    )
+
+    src = tmp_path / "metrics_src"
+    src.mkdir()
+    ack_path = str(tmp_path / "metrics_acks")
+    ckpt = str(tmp_path / "metrics_ckpt")
+    sink = KinesisSink("s", RecordingTransport, max_retries=3, backoff_s=0.0)
+
+    def add_file(name, rows):
+        part = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, "data binary, partition_key string").coalesce(
+            1
+        ).write.parquet(str(part))
+        (pq,) = [p for p in part.iterdir() if p.name.endswith(".parquet")]
+        pq.rename(src / f"{name}.parquet")
+
+    def run_phase():
+        stream = spark.readStream.schema("data binary, partition_key string").parquet(
+            str(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink.foreach_batch_writer(ack_path=ack_path))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    # phase 1: 128 healthy records (≈1/16 of md5s retry once by default)
+    add_file("p1", [(bytearray(b"evt-%d" % i), f"k{i}") for i in range(128)])
+    run_phase()
+    m1 = {r.epoch: r for r in monitor.sink_metrics(spark, ack_path).collect()}
+    assert sum(r.sent for r in m1.values()) == 128
+    assert sum(r.retried for r in m1.values()) > 0, "md5-injected throttles must count"
+    assert sum(r.dead_lettered for r in m1.values()) == 0
+
+    # phase 2 (restart): 64 more + 3 null-data records → NullRecord DLQ
+    add_file("p2", [(bytearray(b"more-%d" % i), f"m{i}") for i in range(64)]
+             + [(None, f"null{i}") for i in range(3)])
+    run_phase()
+    m2 = monitor.sink_metrics(spark, ack_path)
+    rows = {r.epoch: r for r in m2.collect()}
+    assert set(rows) > set(m1), "restart must append new epochs to the ledger"
+    assert sum(r.sent for r in rows.values()) == 128 + 64
+    assert sum(r.null_records for r in rows.values()) == 3
+    assert sum(r.dead_lettered for r in rows.values()) == 3  # the nulls
+    # ledger agrees with the ack rows it summarizes
+    acks = spark.read.parquet(ack_path)
+    assert sum(r.sent for r in rows.values()) == acks.where("status = 'ok'").count()
+    assert (
+        sum(r.attempts_total for r in rows.values())
+        == acks.agg(F.sum("attempts")).collect()[0][0]
+    )
+    # missing ledger dir → empty frame, same schema
+    empty = monitor.sink_metrics(spark, str(tmp_path / "nope"))
+    assert empty.count() == 0 and "retried" in empty.columns
