@@ -674,3 +674,52 @@ def test_dynamic_partition_pruning_on_hive_layout(spark, tmp_path):
     assert "PartitionFilters" in plan
     # 5 of 25 dim keys survive the filter → exactly 1/5 of fact rows
     assert j.count() == 200_000 // 5
+
+
+def test_repartition_by_bytes_composes_with_decode_under_partition_skew(spark):
+    """VERDICT r4 item 7 — the composed case the operator exists for:
+    ALL the fat blobs start in one source partition (the worst decode
+    skew: one task decodes everything while the rest idle). After
+    repartition_by_bytes the per-task input bytes feeding the
+    decode_media mapInPandas stage must sit near the target, and the
+    decode output must be unchanged by the move."""
+    import numpy as np
+
+    from kinesis_producer_spark.operators.multimodal import (
+        decode_media,
+        repartition_by_bytes,
+    )
+    from kinesis_producer_spark.operators.png import encode_png
+
+    rng = np.random.RandomState(11)
+    fat_blobs = [
+        encode_png(rng.randint(0, 256, (96, 96, 3)).astype(np.uint8)) for _ in range(6)
+    ]
+    tiny = encode_png(np.full((4, 4), 7, np.uint8))
+    # partition 0: every fat blob; partition 1: 300 thumbnails
+    rows = [(i, bytearray(b)) for i, b in enumerate(fat_blobs)] + [
+        (100 + i, bytearray(tiny)) for i in range(300)
+    ]
+    df = (
+        spark.createDataFrame(rows, "media_id long, content binary")
+        .repartition(2, (F.col("media_id") >= 100).cast("int"))
+    )
+    skewed = _partition_byte_loads(df)
+    fat_total = sum(len(b) for b in fat_blobs)
+    assert max(skewed.values()) >= fat_total, "fixture must start skewed"
+
+    target = max(len(b) for b in fat_blobs) + 1024  # ≈ one fat blob per task
+    out = repartition_by_bytes(df, target_bytes=target)
+    loads = _partition_byte_loads(out)
+    # per-task peak input bytes for the decode stage (mapInPandas does
+    # not move rows, so these ARE the decode tasks' inputs): bounded by
+    # target + one straddling blob, and far below the skewed peak
+    assert max(loads.values()) <= 2 * target, loads
+    assert max(loads.values()) < fat_total
+    assert len(loads) >= 4
+
+    decoded = {r.media_id: r for r in decode_media(out, decode_stub="fail").collect()}
+    assert len(decoded) == 306
+    for i in range(6):
+        assert (decoded[i].width, decoded[i].height) == (96, 96)
+    assert all(decoded[100 + i].width == 4 for i in range(300))
