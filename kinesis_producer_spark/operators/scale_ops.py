@@ -2440,3 +2440,114 @@ def q218_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cms_estimate"),
     )
     return est
+
+
+# ---- HyperLogLog registers (q222) --------------------------------------
+#
+# q145's KMV sketch is the order-statistics distinct estimator; HLL is
+# the industry-standard REGISTER sketch (Flajolet et al. 2007) and the
+# one production systems merge across days/sources. Engine-native HLLs
+# (approx_count_distinct, DuckDB's approx_*) use private register
+# layouts that can never cross-check — so this operator builds the
+# registers themselves from md5, deterministically and identically in
+# both engines: bucket = first 8 bits of the hash, rho = 1 + leading
+# zeros of the remaining 120 bits. The register table (bucket,
+# max_rho) IS the sketch: exact integers, hash-comparable, mergeable
+# by elementwise max. `hll_estimate` turns a register table into the
+# bias-corrected cardinality estimate (driver-side float math on 256
+# ints — deliberately OUTSIDE the oracle-checked query).
+
+_HLL_M = 256  # 2^8 buckets
+
+# 1 + leading zero BITS of the first nonzero hex digit
+_HLL_DIGIT_CASE = (
+    "CASE WHEN nv >= 8 THEN 0 WHEN nv >= 4 THEN 1 WHEN nv >= 2 THEN 2 ELSE 3 END"
+)
+
+_HLL_ORACLE = """
+WITH h AS (
+  SELECT MD5('p:' || CAST(l_partkey AS VARCHAR)) AS hx FROM lineitem
+), parts AS (
+  SELECT (INSTR('0123456789abcdef', SUBSTR(hx, 1, 1)) - 1) * 16
+         + (INSTR('0123456789abcdef', SUBSTR(hx, 2, 1)) - 1) AS bucket,
+         SUBSTR(hx, 3, 30) AS rest
+  FROM h
+), z AS (
+  SELECT bucket, rest,
+         LENGTH(regexp_extract(rest, '^(0*)', 1)) AS zeros
+  FROM parts
+), rho AS (
+  SELECT bucket,
+         CASE WHEN zeros >= 30 THEN 121
+              ELSE 4 * zeros
+                   + (CASE WHEN nv >= 8 THEN 0 WHEN nv >= 4 THEN 1
+                           WHEN nv >= 2 THEN 2 ELSE 3 END) + 1
+         END AS r
+  FROM (SELECT bucket, zeros,
+               INSTR('0123456789abcdef', SUBSTR(rest, zeros + 1, 1)) - 1 AS nv
+        FROM z)
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(MAX(r) AS INT) AS max_rho,
+       COUNT(*) AS n_rows
+FROM rho GROUP BY bucket
+"""
+
+
+@query("q222_hll_registers", oracle=_HLL_ORACLE)
+def q222_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register construction over lineitem part keys —
+    deterministic md5 registers, identical in Spark and DuckDB (see
+    module comment). One row per occupied bucket: (bucket, max_rho,
+    n_rows).
+
+    Scale: pure column expressions into a 256-group aggregate —
+    map-side combine reduces every partition to ≤256 rows before the
+    exchange, so shuffle bytes are O(m · partitions) regardless of row
+    count; the register table is mergeable by elementwise max, the
+    standard cross-day/cross-source union. 100 TB shape: identical.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.select(
+        F.md5(
+            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).cast("binary")
+        ).alias("hx")
+    )
+    parts = h.selectExpr(
+        "cast(conv(substring(hx, 1, 2), 16, 10) as int) as bucket",
+        "substring(hx, 3, 30) as rest",
+    )
+    z = parts.selectExpr(
+        "bucket", "rest", "length(regexp_extract(rest, '^(0*)', 1)) as zeros"
+    )
+    rho = z.selectExpr(
+        "bucket",
+        "zeros",
+        "cast(conv(substring(rest, zeros + 1, 1), 16, 10) as int) as nv",
+    ).selectExpr(
+        "bucket",
+        f"CASE WHEN zeros >= 30 THEN 121 ELSE 4 * zeros + ({_HLL_DIGIT_CASE}) + 1 END"
+        " as r",
+    )
+    return rho.groupBy("bucket").agg(
+        F.max("r").cast("int").alias("max_rho"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def hll_estimate(registers: dict[int, int], m: int = _HLL_M) -> float:
+    """Bias-corrected HLL cardinality estimate from a register table
+    (missing buckets count as register value 0), per Flajolet et al.:
+    E = alpha_m * m^2 / sum(2^-M_j), with the small-range linear-
+    counting correction when E <= 2.5m and empty buckets exist."""
+    import math
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = 0.0
+    for j in range(m):
+        s += 2.0 ** -registers.get(j, 0)
+    e = alpha * m * m / s
+    zeros = sum(1 for j in range(m) if registers.get(j, 0) == 0)
+    if e <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return e

@@ -723,3 +723,63 @@ def test_repartition_by_bytes_composes_with_decode_under_partition_skew(spark):
     for i in range(6):
         assert (decoded[i].width, decoded[i].height) == (96, 96)
     assert all(decoded[100 + i].width == 4 for i in range(300))
+
+
+def _hll_regs(keys):
+    import hashlib
+
+    regs: dict[int, int] = {}
+    for k in keys:
+        hx = hashlib.md5(k.encode()).hexdigest()
+        b = int(hx[:2], 16)
+        rest = hx[2:32]
+        zeros = len(rest) - len(rest.lstrip("0"))
+        if zeros >= 30:
+            r = 121
+        else:
+            nv = int(rest[zeros], 16)
+            r = 4 * zeros + (0 if nv >= 8 else 1 if nv >= 4 else 2 if nv >= 2 else 3) + 1
+        regs[b] = max(regs.get(b, 0), r)
+    return regs
+
+
+def test_hll_estimate_accuracy_and_merge():
+    """hll_estimate stays within 3 sigma (~20% for m=256) across
+    independent key domains, and the register sketch merges by
+    elementwise max — union(A,B) registers == max(regs(A), regs(B))."""
+    from kinesis_producer_spark.operators.scale_ops import hll_estimate
+
+    for seed in ("a", "b", "c", "d", "e"):
+        for n in (2000, 20000):
+            keys = [f"{seed}:{i}" for i in range(n)]
+            est = hll_estimate(_hll_regs(keys))
+            assert abs(est - n) / n < 0.20, (seed, n, est)
+    a = [f"m:{i}" for i in range(5000)]
+    b = [f"m:{i}" for i in range(3000, 9000)]  # overlapping
+    ra, rb = _hll_regs(a), _hll_regs(b)
+    merged = {j: max(ra.get(j, 0), rb.get(j, 0)) for j in set(ra) | set(rb)}
+    assert merged == _hll_regs(set(a) | set(b))
+    # small-range linear counting path: near-exact at tiny cardinality
+    tiny = hll_estimate(_hll_regs([f"t:{i}" for i in range(30)]))
+    assert abs(tiny - 30) < 5
+
+
+def test_hll_spark_registers_match_reference(spark):
+    """The Spark column-expression register build equals the
+    straightforward per-key Python reference on the same data — pins
+    the hex/conv/regexp expression chain."""
+    import duckdb
+
+    from kinesis_producer_spark.suite import load_all
+
+    q, _ = load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = q["q222_hll_registers"](spark, sf).collect()
+    got = {int(r.bucket): int(r.max_rho) for r in rows}
+    keys = [
+        f"p:{k}"
+        for (k,) in duckdb.sql(
+            f"SELECT l_partkey FROM read_parquet('{sf}/lineitem.parquet')"
+        ).fetchall()
+    ]
+    assert got == _hll_regs(keys)
