@@ -70,6 +70,9 @@ HEADLINE = [
     # encode+decode matrices.
     "q215_progressive_jpeg_stats",
     "q216_webp_decode_stats",
+    # Round-5: deterministic HLL register sketch (256-group map-side
+    # combine — the mergeable distinct-count shape).
+    "q222_hll_registers",
 ]
 
 
