@@ -3418,10 +3418,14 @@ def q189_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the document, and the top trigram's share of all trigrams.
     Catches loops/boilerplate that word-level repetition (q96) misses.
 
-    Grams are built with an O(n) array transform (no self-join), then
-    exploded into keyed aggregates: one (doc_id, gram) shuffle with
-    map-side partial counts, then a doc_id rollup. doc_id is unique →
-    no hot keys; same shape as q96 and scales identically.
+    Both statistics are PER-DOCUMENT, so nothing needs to leave the
+    row (round 5 — the previous explode + two (doc_id, gram) shuffles
+    made this the slowest batch text query at 18.4s sf0.1): sort the
+    gram array once, then a duplicate occurrence is one that equals a
+    sorted neighbor, and the top gram count is the longest run — one
+    index-aware ``filter`` and one ``aggregate`` higher-order fold,
+    all whole-stage-codegen, ZERO shuffle. Scales embarrassingly: per
+    row O(L log L) in document length, no exchange at any size.
     """
     d = load_table(spark, sf_dir, "documents")
     a = F.split(F.col("text"), r"\s+")
@@ -3449,32 +3453,49 @@ def q189_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(empty)
-    base = d.select("doc_id", gram2.alias("g2"), gram3.alias("g3"))
-    c2 = (
-        base.select("doc_id", F.explode("g2").alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    from kinesis_producer_spark.tables import fan_out
+
+    # compute-heavy per-row stage on a few-split source: spread rows
+    # to cluster parallelism first (a no-op at real scale — see
+    # tables.fan_out)
+    base = fan_out(d).select(
+        "doc_id", F.array_sort(gram2).alias("s2"), F.array_sort(gram3).alias("s3")
     )
-    m2 = c2.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n2"),
-        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup2"),
+    # an occurrence is a duplicate iff it equals a sorted neighbor
+    # (filter's lambda index is 0-based; element_at is 1-based, and
+    # try_element_at nulls out-of-range probes instead of ANSI-raising)
+    dup2 = F.expr(
+        "size(filter(s2, (x, i) -> (i > 0 AND x = try_element_at(s2, i))"
+        " OR x = try_element_at(s2, i + 2)))"
     )
-    c3 = (
-        base.select("doc_id", F.explode("g3").alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # top gram count = longest run in the sorted array: one fold
+    top3 = F.expr(
+        "aggregate(s3,"
+        " named_struct('run', 0L, 'best', 0L, 'prev', cast(null as string)),"
+        " (acc, x) -> named_struct("
+        "   'run', CASE WHEN acc.prev IS NOT NULL AND x = acc.prev"
+        "               THEN acc.run + 1L ELSE 1L END,"
+        "   'best', greatest(acc.best,"
+        "     CASE WHEN acc.prev IS NOT NULL AND x = acc.prev"
+        "          THEN acc.run + 1L ELSE 1L END),"
+        "   'prev', x),"
+        " acc -> acc.best)"
     )
-    m3 = c3.groupBy("doc_id").agg(F.sum("cnt").alias("n3"), F.max("cnt").alias("top3"))
     micro = lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("bigint")  # noqa: E731
-    return m2.join(m3, "doc_id").select(
-        "doc_id",
-        F.col("n2").cast("bigint").alias("n_bigrams"),
-        micro(F.col("dup2").cast("double") / F.col("n2").cast("double")).alias(
-            "dup_bigram_micro"
-        ),
-        micro(F.col("top3").cast("double") / F.col("n3").cast("double")).alias(
-            "top_trigram_micro"
-        ),
+    # inner-join semantics of the oracle: docs need >=1 bigram AND
+    # >=1 trigram to appear
+    return (
+        base.where((F.size("s2") >= 1) & (F.size("s3") >= 1))
+        .select(
+            "doc_id",
+            F.size("s2").cast("bigint").alias("n_bigrams"),
+            micro(dup2.cast("double") / F.size("s2").cast("double")).alias(
+                "dup_bigram_micro"
+            ),
+            micro(top3.cast("double") / F.size("s3").cast("double")).alias(
+                "top_trigram_micro"
+            ),
+        )
     )
 
 
