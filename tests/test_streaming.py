@@ -1299,3 +1299,49 @@ def test_sink_metrics_ledger_counts_across_restart(spark, tmp_path):
     # missing ledger dir → empty frame, same schema
     empty = monitor.sink_metrics(spark, str(tmp_path / "nope"))
     assert empty.count() == 0 and "retried" in empty.columns
+
+
+def test_shard_map_random_reshard_property():
+    """Any sequence of valid splits/merges keeps the open shards an
+    exact partition of the 128-bit space, and routing by range always
+    agrees with a linear scan over the open shards."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kinesis_producer_spark.streaming.kinesis_sink import (
+        HASH_SPACE,
+        ShardMap,
+        partition_key_hash,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        ops=st.lists(st.tuples(st.integers(0, 1), st.randoms()), max_size=8),
+        keys=st.lists(st.text(min_size=0, max_size=12), min_size=1, max_size=5),
+    )
+    def run(ops, keys):
+        m = ShardMap.uniform(2)
+        for kind, rnd in ops:
+            opens = m.open_shards()
+            if kind == 0:  # split a random open shard (skip width-1)
+                s = rnd.choice(opens)
+                if s.end > s.start:
+                    m.split(
+                        s.shard_id, rnd.randrange(s.start + 1, s.end + 1)
+                    )
+            else:  # merge a random adjacent open pair
+                if len(opens) >= 2:
+                    i = rnd.randrange(len(opens) - 1)
+                    m.merge(opens[i].shard_id, opens[i + 1].shard_id)
+        opens = m.open_shards()
+        # exact partition
+        assert opens[0].start == 0 and opens[-1].end == HASH_SPACE - 1
+        for x, y in zip(opens, opens[1:]):
+            assert x.end + 1 == y.start
+        # routing == linear scan
+        for k in keys:
+            h = partition_key_hash(k)
+            want = next(s.shard_id for s in opens if s.start <= h <= s.end)
+            assert m.shard_for_key(k) == want
+
+    run()
