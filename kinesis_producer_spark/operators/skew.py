@@ -138,6 +138,12 @@ def range_aggregate(
             F.lit(0).alias("_isp"),
         )
         bounds = b if bounds is None else bounds.unionByName(b)
+    # Non-finite points can never satisfy lo <= p < hi for finite
+    # intervals, but a NaN point would land in a NULL bucket that
+    # sorts FIRST in the offset window and silently inflate every
+    # prefix (found in review). Drop them up front; non-finite bounds
+    # are rejected like binned_range_join's bin explode would.
+    p = p.where(~F.isnan("_x") & (F.abs("_x") != float("inf")))
     u = p.unionByName(bounds).withColumn(
         "_bucket", F.floor(F.col("_x") / F.lit(bin_width)).cast("bigint")
     )

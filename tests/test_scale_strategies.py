@@ -828,3 +828,43 @@ def test_range_aggregate_matches_join_semantics(spark):
     for iid in (3, 4, 6):
         assert got[iid] == (0, 0), iid
     assert got[1][0] == 1 and got[2][0] == 2
+
+
+def test_range_aggregate_property_matches_naive_join(spark):
+    """For ANY point/interval configuration (including duplicates,
+    negatives, boundary-exact hits, and NaN points), range_aggregate
+    equals the naive join+aggregate. NaN points must be ignored (a NaN
+    never satisfies lo <= p < hi), not corrupt the prefix sums."""
+    import math
+    import random
+
+    from kinesis_producer_spark.operators.skew import range_aggregate
+
+    rnd = random.Random(1234)
+    for trial in range(4):
+        pts_vals = [
+            rnd.choice([rnd.uniform(-50, 50), float(rnd.randrange(-10, 10)), float("nan")])
+            for _ in range(rnd.randrange(1, 60))
+        ]
+        ivs_vals = []
+        for i in range(rnd.randrange(1, 12)):
+            lo = rnd.uniform(-60, 55)
+            ivs_vals.append((i, lo, lo + rnd.uniform(0, 40)))
+        pts = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(pts_vals)], "pid long, x double"
+        )
+        ivs = spark.createDataFrame(ivs_vals, "iid long, lo double, hi double")
+        got = {
+            r.iid: (r.n_points, int(r.sum_value))
+            for r in range_aggregate(
+                pts, ivs, "x", "lo", "hi", id_col="iid", bin_width=7.0,
+                value=F.floor(F.col("x") * 100),
+            ).collect()
+        }
+        naive = {}
+        for iid, lo, hi in ivs_vals:
+            hits = [v for v in pts_vals if not math.isnan(v) and lo <= v < hi]
+            naive[iid] = (len(hits), int(sum(math.floor(v * 100) for v in hits)))
+        for iid, want in naive.items():
+            assert got.get(iid, (0, 0))[0] == want[0], (trial, iid, got.get(iid), want)
+            assert got.get(iid, (0, 0))[1] == want[1], (trial, iid)
