@@ -2551,3 +2551,157 @@ def hll_estimate(registers: dict[int, int], m: int = _HLL_M) -> float:
     if e <= 2.5 * m and zeros:
         return m * math.log(m / zeros)
     return e
+
+
+# ---- KMV set operations (q224) -----------------------------------------
+#
+# q145 estimates per-segment distinct counts; the reason production
+# systems keep the SKETCHES is set algebra across segments: |A ∪ B|
+# from the merged sketch, |A ∩ B| from the sketch-overlap ratio
+# (Beyer et al., "On synopses for distinct-value estimation under
+# multiset operations", SIGMOD'07) — without re-scanning either
+# segment. KMV set ops stay exactly reproducible cross-engine: every
+# intermediate is a set of md5 hex strings + integer order
+# statistics, so even the ESTIMATES are oracle-checked (the 48-bit
+# fraction trick from q145).
+
+_KSO_H48 = " + ".join(
+    f"CAST(INSTR('0123456789abcdef', SUBSTR(kth, {k}, 1)) - 1 AS BIGINT)"
+    f" * {16 ** (12 - k)}"
+    for k in range(1, 13)
+)
+
+_KSO_ORACLE = f"""
+WITH d AS (SELECT DISTINCT event_type AS t, user_id AS u,
+                  MD5('u:' || CAST(user_id AS VARCHAR)) AS h
+           FROM events),
+sk AS (SELECT t, list_slice(list_sort(list(h)), 1, {_KMV_K}) AS ks FROM d GROUP BY t),
+ex AS (SELECT a.t AS type_a, b.t AS type_b,
+              CAST(COUNT(*) AS BIGINT) AS exact_intersect
+       FROM d a JOIN d b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2),
+card AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY t),
+pairs AS (
+  SELECT a.t AS type_a, b.t AS type_b,
+         list_slice(list_sort(list_distinct(list_concat(a.ks, b.ks))),
+                    1, {_KMV_K}) AS mk,
+         len(list_intersect(a.ks, b.ks)) AS raw_overlap,
+         a.ks AS ks_a, b.ks AS ks_b
+  FROM sk a JOIN sk b ON a.t < b.t
+),
+est AS (
+  SELECT type_a, type_b,
+         mk[{_KMV_K}] AS kth,
+         CAST(len(list_intersect(list_intersect(ks_a, ks_b), mk)) AS BIGINT)
+           AS n_overlap
+  FROM pairs
+),
+u AS (
+  SELECT type_a, type_b, n_overlap,
+         CAST(FLOOR(CAST({(_KMV_K - 1) * 281474976710656} AS DOUBLE)
+                    / CAST({_KSO_H48} AS DOUBLE) + 0.5) AS BIGINT) AS kmv_union_est
+  FROM est
+)
+SELECT u.type_a, u.type_b,
+       ca.n + cb.n - ex.exact_intersect AS exact_union,
+       ex.exact_intersect,
+       u.kmv_union_est,
+       CAST(FLOOR(CAST(u.n_overlap AS DOUBLE) * u.kmv_union_est / {_KMV_K} + 0.5)
+         AS BIGINT) AS kmv_intersect_est
+FROM u
+JOIN ex ON ex.type_a = u.type_a AND ex.type_b = u.type_b
+JOIN card ca ON ca.t = u.type_a
+JOIN card cb ON cb.t = u.type_b
+"""
+
+
+@query("q224_kmv_set_ops", oracle=_KSO_ORACLE)
+def q224_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user union/intersection across event-type segments from
+    per-segment KMV sketches — exact counts alongside so the estimate
+    error is visible in the result (q145's convention).
+
+    Scale: per-segment sketches build with the q145 two-level partial
+    aggregation (k rows per partition per segment cross the exchange,
+    never raw users); set algebra then runs on |segments|² sketch
+    rows — at 100 TB the segment-overlap matrix costs k·|segments|²
+    string comparisons, with NO second pass over the data. The exact
+    counts here exist only as the built-in error report; a production
+    run drops them and touches the corpus once.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.select(
+        F.col("event_type").alias("t"),
+        F.col("user_id").alias("u"),
+        F.md5(F.concat(F.lit("u:"), F.col("user_id").cast("string")).cast("binary")).alias("h"),
+    ).distinct()
+    partials = (
+        d.withColumn("pid", F.spark_partition_id())
+        .groupBy("t", "pid")
+        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, _KMV_K).alias("ks"))
+    )
+    sk = partials.groupBy("t").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("ks"))), 1, _KMV_K).alias("ks")
+    )
+    card = d.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    ex = (
+        d.alias("a")
+        .join(d.alias("b"), (F.col("a.u") == F.col("b.u")) & (F.col("a.t") < F.col("b.t")))
+        .groupBy(F.col("a.t").alias("type_a"), F.col("b.t").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+    )
+    a, b = sk.alias("sa"), sk.alias("sb")
+    pairs = (
+        a.join(b, F.col("sa.t") < F.col("sb.t"))
+        .select(
+            F.col("sa.t").alias("type_a"),
+            F.col("sb.t").alias("type_b"),
+            F.slice(
+                F.array_sort(F.array_distinct(F.concat(F.col("sa.ks"), F.col("sb.ks")))),
+                1,
+                _KMV_K,
+            ).alias("mk"),
+            F.col("sa.ks").alias("ks_a"),
+            F.col("sb.ks").alias("ks_b"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.element_at("mk", _KMV_K).alias("kth"),
+            F.size(
+                F.array_intersect(F.array_intersect("ks_a", "ks_b"), F.col("mk"))
+            )
+            .cast("bigint")
+            .alias("n_overlap"),
+        )
+    )
+    v48 = F.conv(F.substring("kth", 1, 12), 16, 10).cast("bigint")
+    u = pairs.select(
+        "type_a",
+        "type_b",
+        "n_overlap",
+        F.floor(
+            F.lit(float((_KMV_K - 1) * 281474976710656)) / v48.cast("double") + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("kmv_union_est"),
+    )
+    return (
+        u.join(ex, ["type_a", "type_b"])
+        .join(card.select(F.col("t").alias("type_a"), F.col("n").alias("na")), "type_a")
+        .join(card.select(F.col("t").alias("type_b"), F.col("n").alias("nb")), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            (F.col("na") + F.col("nb") - F.col("exact_intersect")).alias("exact_union"),
+            "exact_intersect",
+            "kmv_union_est",
+            F.floor(
+                F.col("n_overlap").cast("double")
+                * F.col("kmv_union_est")
+                / F.lit(float(_KMV_K))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("kmv_intersect_est"),
+        )
+    )

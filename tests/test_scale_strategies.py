@@ -868,3 +868,41 @@ def test_range_aggregate_property_matches_naive_join(spark):
         for iid, want in naive.items():
             assert got.get(iid, (0, 0))[0] == want[0], (trial, iid, got.get(iid), want)
             assert got.get(iid, (0, 0))[1] == want[1], (trial, iid)
+
+
+def test_kmv_set_ops_estimator_accuracy():
+    """The q224 estimator formulas (merged-sketch union, overlap-ratio
+    intersection) on synthetic sets with KNOWN partial overlap: both
+    estimates within ~3 sigma (k=256 -> ~20%) of truth across
+    overlap fractions."""
+    import hashlib
+
+    K = 256
+
+    def sketch(keys):
+        return sorted(hashlib.md5(f"u:{k}".encode()).hexdigest() for k in keys)[:K]
+
+    def union_est(mk):
+        v48 = int(mk[K - 1][:12], 16)
+        return (K - 1) * 281474976710656 / v48
+
+    for n_a, n_b, n_shared in ((5000, 5000, 2500), (20000, 5000, 1000), (8000, 8000, 8000)):
+        a_keys = [f"a{i}" for i in range(n_a - n_shared)] + [f"s{i}" for i in range(n_shared)]
+        b_keys = [f"b{i}" for i in range(n_b - n_shared)] + [f"s{i}" for i in range(n_shared)]
+        ka, kb = sketch(a_keys), sketch(b_keys)
+        mk = sorted(set(ka) | set(kb))[:K]
+        ue = union_est(mk)
+        true_u = n_a + n_b - n_shared
+        assert abs(ue - true_u) / true_u < 0.20, (n_a, n_b, n_shared, ue)
+        # the overlap count is Binomial(K, j): assert within 3 sigma of
+        # the model rather than a flat tolerance — at low Jaccard the
+        # relative error is dominated by sqrt(j(1-j)/K)/j (the known
+        # KMV weakness; q54/q51-style LSH is the low-similarity tool)
+        j = n_shared / true_u
+        n_overlap = len(set(ka) & set(kb) & set(mk))
+        assert abs(n_overlap - j * K) <= 3 * (K * j * (1 - j)) ** 0.5 + 1, (
+            n_a, n_b, n_shared, n_overlap, j * K,
+        )
+        ie = n_overlap * ue / K
+        tol = 0.20 + 3 * ((j * (1 - j) / K) ** 0.5) / max(j, 1e-9)
+        assert abs(ie - n_shared) / max(n_shared, 1) < tol, (n_a, n_b, n_shared, ie, tol)
