@@ -2494,6 +2494,32 @@ FROM rho GROUP BY bucket
 """
 
 
+def hll_bucket_rho(df: DataFrame, key: Column) -> DataFrame:
+    """(bucket, r) rows for the HLL register build — bucket = first 8
+    md5 bits of the key, r = 1 + leading zeros of the remaining 120.
+    Pure stream-safe column expressions: the caller aggregates with
+    ``groupBy("bucket").max("r")`` in batch OR streaming (max is an
+    incrementally-maintainable aggregate, so a streaming grid equals
+    the batch grid over the same corpus — pinned in tests)."""
+    h = df.select(F.md5(key.cast("binary")).alias("hx"))
+    parts = h.selectExpr(
+        "cast(conv(substring(hx, 1, 2), 16, 10) as int) as bucket",
+        "substring(hx, 3, 30) as rest",
+    )
+    z = parts.selectExpr(
+        "bucket", "rest", "length(regexp_extract(rest, '^(0*)', 1)) as zeros"
+    )
+    return z.selectExpr(
+        "bucket",
+        "zeros",
+        "cast(conv(substring(rest, zeros + 1, 1), 16, 10) as int) as nv",
+    ).selectExpr(
+        "bucket",
+        f"CASE WHEN zeros >= 30 THEN 121 ELSE 4 * zeros + ({_HLL_DIGIT_CASE}) + 1 END"
+        " as r",
+    )
+
+
 @query("q222_hll_registers", oracle=_HLL_ORACLE)
 def q222_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog register construction over lineitem part keys —
@@ -2508,26 +2534,8 @@ def q222_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard cross-day/cross-source union. 100 TB shape: identical.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    h = li.select(
-        F.md5(
-            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).cast("binary")
-        ).alias("hx")
-    )
-    parts = h.selectExpr(
-        "cast(conv(substring(hx, 1, 2), 16, 10) as int) as bucket",
-        "substring(hx, 3, 30) as rest",
-    )
-    z = parts.selectExpr(
-        "bucket", "rest", "length(regexp_extract(rest, '^(0*)', 1)) as zeros"
-    )
-    rho = z.selectExpr(
-        "bucket",
-        "zeros",
-        "cast(conv(substring(rest, zeros + 1, 1), 16, 10) as int) as nv",
-    ).selectExpr(
-        "bucket",
-        f"CASE WHEN zeros >= 30 THEN 121 ELSE 4 * zeros + ({_HLL_DIGIT_CASE}) + 1 END"
-        " as r",
+    rho = hll_bucket_rho(
+        li, F.concat(F.lit("p:"), F.col("l_partkey").cast("string"))
     )
     return rho.groupBy("bucket").agg(
         F.max("r").cast("int").alias("max_rho"),

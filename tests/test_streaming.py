@@ -1345,3 +1345,45 @@ def test_shard_map_random_reshard_property():
             assert m.shard_for_key(k) == want
 
     run()
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """The HLL register grid is max-mergeable, so a streaming
+    aggregation over micro-batches must equal the batch q222 grid over
+    the same corpus — per-day streaming registers union by elementwise
+    max into corpus distinct estimates."""
+    from kinesis_producer_spark.operators.scale_ops import hll_bucket_rho
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    key = F.concat(F.lit("d:"), F.col("doc_id").cast("string"))
+    batch = {
+        r.bucket: r.max_rho
+        for r in hll_bucket_rho(docs, key)
+        .groupBy("bucket")
+        .agg(F.max("r").alias("max_rho"))
+        .collect()
+    }
+
+    src = tmp_path / "hll_docs"
+    docs.select("doc_id").repartition(4).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        hll_bucket_rho(stream, key)
+        .groupBy("bucket")
+        .agg(F.max("r").alias("max_rho"))
+        .writeStream.format("memory")
+        .queryName("hll_stream_t")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        r.bucket: r.max_rho for r in spark.sql("SELECT * FROM hll_stream_t").collect()
+    }
+    assert got == batch
