@@ -1387,3 +1387,73 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
         r.bucket: r.max_rho for r in spark.sql("SELECT * FROM hll_stream_t").collect()
     }
     assert got == batch
+
+
+def test_streaming_lsh_epoch_late_data_within_delay(spark, tmp_path):
+    """Epochs arriving OUT OF ORDER but within the watermark delay are
+    late-but-admissible: every pair still lands in its own epoch and
+    the per-epoch batch equivalence holds (nothing expires while late
+    data can still arrive)."""
+    from kinesis_producer_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+        shingles,
+    )
+    from kinesis_producer_spark.streaming.lsh import streaming_lsh_candidates
+
+    EPOCH_MS = 60_000
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    expected: set[tuple[int, int, int]] = set()
+    for e in range(3):
+        sub = docs.where(F.col("doc_id") % 3 == e)
+        sig = sub.withColumn(
+            "signature", minhash_signature(sub, shingles(F.col("text")), k=8)
+        )
+        for r in lsh_candidate_pairs(sig, band_size=2).collect():
+            expected.add((e * EPOCH_MS, r.id_a, r.id_b))
+
+    src = tmp_path / "late_docs"
+    src.mkdir()
+    stamped = docs.withColumn(
+        "event_ts",
+        F.timestamp_millis((F.col("doc_id") % 3) * F.lit(EPOCH_MS) + EPOCH_MS // 2),
+    )
+    sink = str(tmp_path / "late_pairs")
+    ckpt = str(tmp_path / "late_ckpt")
+    for e in (1, 0, 2):  # epoch 0 arrives AFTER epoch 1 — late, admissible
+        part = tmp_path / f"late_{e}"
+        stamped.where(F.col("doc_id") % 3 == e).coalesce(1).write.parquet(str(part))
+        (pq,) = [p for p in part.iterdir() if p.name.endswith(".parquet")]
+        pq.rename(src / f"e{e}.parquet")
+        stream = (
+            spark.readStream.schema("doc_id long, text string, event_ts timestamp")
+            .parquet(str(src))
+        )
+        q = (
+            streaming_lsh_candidates(
+                stream,
+                time_col="event_ts",
+                epoch_ms=EPOCH_MS,
+                watermark_delay="10 minutes",  # all three epochs admissible
+            )
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), f"epoch {e} run did not drain"
+
+    got = {
+        (r.epoch, r.id_a, r.id_b)
+        for r in spark.read.parquet(sink)
+        .select("epoch", "id_a", "id_b")
+        .distinct()
+        .collect()
+    }
+    assert got == expected, "late-but-admissible epochs must still pair in-epoch"
