@@ -437,6 +437,22 @@ _H48 = " + ".join(
     for k in range(1, 13)
 )
 
+
+def kmv_partial_sketch(d: DataFrame, *key_cols: str, hash_col: str = "h") -> DataFrame:
+    """Per-key KMV sketch (the k lexicographically smallest hashes) via
+    the two-level mergeable build: bottom-k per partition (k rows per
+    partition per key cross the exchange, never raw values), then a
+    per-key merge of partials. Shared by q145 and q224 — the map-side
+    bottom-K pattern lives in exactly one place."""
+    partials = (
+        d.withColumn("pid", F.spark_partition_id())
+        .groupBy(*key_cols, "pid")
+        .agg(F.slice(F.array_sort(F.collect_list(hash_col)), 1, _KMV_K).alias("ks"))
+    )
+    return partials.groupBy(*key_cols).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("ks"))), 1, _KMV_K).alias("ks")
+    )
+
 _KMV_ORACLE = f"""
 WITH d AS (SELECT DISTINCT o_orderpriority AS key,
                   MD5('c:' || CAST(o_custkey AS VARCHAR)) AS h
@@ -483,16 +499,8 @@ def q145_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    partials = (
-        d.withColumn("pid", F.spark_partition_id())
-        .groupBy("key", "pid")
-        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, _KMV_K).alias("ks"))
-    )
     merged = (
-        partials.groupBy("key")
-        .agg(
-            F.slice(F.array_sort(F.flatten(F.collect_list("ks"))), 1, _KMV_K).alias("ks")
-        )
+        kmv_partial_sketch(d, "key")
         .select("key", F.get("ks", _KMV_K - 1).alias("kh"))
         .filter(F.col("kh").isNotNull())
         .select("key", F.expr(_H48).alias("v48"))
@@ -2598,23 +2606,28 @@ pairs AS (
 ),
 est AS (
   SELECT type_a, type_b,
+         len(mk) AS n_mk,
          mk[{_KMV_K}] AS kth,
          CAST(len(list_intersect(list_intersect(ks_a, ks_b), mk)) AS BIGINT)
            AS n_overlap
   FROM pairs
 ),
 u AS (
-  SELECT type_a, type_b, n_overlap,
-         CAST(FLOOR(CAST({(_KMV_K - 1) * 281474976710656} AS DOUBLE)
-                    / CAST({_KSO_H48} AS DOUBLE) + 0.5) AS BIGINT) AS kmv_union_est
+  SELECT type_a, type_b, n_overlap, n_mk,
+         CASE WHEN n_mk >= {_KMV_K}
+              THEN CAST(FLOOR(CAST({(_KMV_K - 1) * 281474976710656} AS DOUBLE)
+                         / CAST({_KSO_H48} AS DOUBLE) + 0.5) AS BIGINT)
+              ELSE CAST(n_mk AS BIGINT) END AS kmv_union_est
   FROM est
 )
 SELECT u.type_a, u.type_b,
        ca.n + cb.n - ex.exact_intersect AS exact_union,
        ex.exact_intersect,
        u.kmv_union_est,
-       CAST(FLOOR(CAST(u.n_overlap AS DOUBLE) * u.kmv_union_est / {_KMV_K} + 0.5)
-         AS BIGINT) AS kmv_intersect_est
+       CASE WHEN u.n_mk >= {_KMV_K}
+            THEN CAST(FLOOR(CAST(u.n_overlap AS DOUBLE) * u.kmv_union_est
+                            / {_KMV_K} + 0.5) AS BIGINT)
+            ELSE u.n_overlap END AS kmv_intersect_est
 FROM u
 JOIN ex ON ex.type_a = u.type_a AND ex.type_b = u.type_b
 JOIN card ca ON ca.t = u.type_a
@@ -2642,14 +2655,7 @@ def q224_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("u"),
         F.md5(F.concat(F.lit("u:"), F.col("user_id").cast("string")).cast("binary")).alias("h"),
     ).distinct()
-    partials = (
-        d.withColumn("pid", F.spark_partition_id())
-        .groupBy("t", "pid")
-        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, _KMV_K).alias("ks"))
-    )
-    sk = partials.groupBy("t").agg(
-        F.slice(F.array_sort(F.flatten(F.collect_list("ks"))), 1, _KMV_K).alias("ks")
-    )
+    sk = kmv_partial_sketch(d, "t")
     card = d.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
     ex = (
         d.alias("a")
@@ -2674,7 +2680,12 @@ def q224_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "type_a",
             "type_b",
-            F.element_at("mk", _KMV_K).alias("kth"),
+            F.size("mk").alias("n_mk"),
+            # try_element_at: an UNSATURATED merged sketch (< k combined
+            # distinct hashes — tiny fixtures, sparse segments) has no
+            # kth element; ANSI element_at would kill the task there
+            # (found in round-5 review, confirmed on sf0.001)
+            F.try_element_at(F.col("mk"), F.lit(_KMV_K)).alias("kth"),
             F.size(
                 F.array_intersect(F.array_intersect("ks_a", "ks_b"), F.col("mk"))
             )
@@ -2683,14 +2694,22 @@ def q224_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     v48 = F.conv(F.substring("kth", 1, 12), 16, 10).cast("bigint")
+    saturated = F.col("n_mk") >= _KMV_K
     u = pairs.select(
         "type_a",
         "type_b",
         "n_overlap",
-        F.floor(
-            F.lit(float((_KMV_K - 1) * 281474976710656)) / v48.cast("double") + F.lit(0.5)
+        "n_mk",
+        # unsaturated sketches are EXACT sets: the merged sketch IS the
+        # union and the overlap IS the intersection
+        F.when(
+            saturated,
+            F.floor(
+                F.lit(float((_KMV_K - 1) * 281474976710656)) / v48.cast("double")
+                + F.lit(0.5)
+            ).cast("bigint"),
         )
-        .cast("bigint")
+        .otherwise(F.col("n_mk").cast("bigint"))
         .alias("kmv_union_est"),
     )
     return (
@@ -2703,13 +2722,16 @@ def q224_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("na") + F.col("nb") - F.col("exact_intersect")).alias("exact_union"),
             "exact_intersect",
             "kmv_union_est",
-            F.floor(
-                F.col("n_overlap").cast("double")
-                * F.col("kmv_union_est")
-                / F.lit(float(_KMV_K))
-                + F.lit(0.5)
+            F.when(
+                F.col("n_mk") >= _KMV_K,
+                F.floor(
+                    F.col("n_overlap").cast("double")
+                    * F.col("kmv_union_est")
+                    / F.lit(float(_KMV_K))
+                    + F.lit(0.5)
+                ).cast("bigint"),
             )
-            .cast("bigint")
+            .otherwise(F.col("n_overlap"))
             .alias("kmv_intersect_est"),
         )
     )

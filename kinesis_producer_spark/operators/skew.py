@@ -127,6 +127,18 @@ def range_aggregate(
         val.alias("_v"),
         F.lit(1).alias("_isp"),
     )
+    # An interval with a NULL or NaN bound matches NOTHING under the
+    # join predicate (NULL/NaN comparisons are never true) — but a
+    # null-bucket bound row would be dropped by the offsets join and
+    # leave its partner's ±F(x) unbalanced (phantom or negative
+    # counts — found in round-5 review). Drop such intervals whole;
+    # their correct answer is "no row", like the inner join's.
+    finite = lambda c: (  # noqa: E731
+        F.col(c).cast("double").isNotNull()
+        & ~F.isnan(F.col(c).cast("double"))
+        & (F.abs(F.col(c).cast("double")) != float("inf"))
+    )
+    intervals = intervals.where(finite(lo_col) & finite(hi_col))
     bounds = None
     for col, sign in ((lo_col, -1), (hi_col, 1)):
         b = intervals.select(

@@ -104,7 +104,17 @@ class ShardMap:
 
     def __init__(self, shards: list[Shard]):
         self.shards: dict[str, Shard] = {s.shard_id: s for s in shards}
-        self._seq = len(shards)
+        # continue numbering past ANY existing id — len(shards) would
+        # collide with custom shard lists (e.g. a lone
+        # 'shardId-000000000001') and silently overwrite on split
+        self._seq = 1 + max(
+            (
+                int(s.shard_id.rsplit("-", 1)[1])
+                for s in shards
+                if s.shard_id.rsplit("-", 1)[-1].isdigit()
+            ),
+            default=-1,
+        )
         self._check_partition()
 
     @classmethod
@@ -247,10 +257,6 @@ class RecordingTransport(Transport):
         return {"FailedRecordCount": failed, "Records": out}
 
 
-def md5_hex_first(s: str) -> str:
-    return hashlib.md5(s.encode()).hexdigest()[0]
-
-
 class KinesisTransport(Transport):
     """Real AWS transport — optional, needs boto3 + credentials."""
 
@@ -288,9 +294,10 @@ class ShardRateLimiter:
     only if tasks ≲ shards), which is still the right backpressure
     shape: throttle at the source of the burst.
 
-    With a ``shard_map``, shard prediction follows the hash-range
-    contract and buckets are keyed by shard id — created lazily with a
-    full one-second allowance, so a mid-stream split RE-DERIVES the
+    Shard prediction always follows the hash-range contract (default:
+    ``ShardMap.uniform(n_shards)`` — the same topology the transport
+    routes by); buckets are keyed by shard id and created lazily with
+    a full one-second allowance, so a mid-stream split RE-DERIVES the
     quota: each child shard gets its own fresh buckets (Kinesis grants
     each child the full per-shard quota), and the closed parent's
     bucket simply stops being touched.
@@ -308,7 +315,11 @@ class ShardRateLimiter:
         self.n_shards = n_shards
         self.bytes_per_s = bytes_per_s
         self.records_per_s = records_per_s
-        self.shard_map = shard_map
+        # default to the SAME hash-range topology the transport routes
+        # by — a %-based prediction here would group traffic differently
+        # from actual shard assignment and misenforce quotas by up to
+        # n_shards× (found in round-5 review)
+        self.shard_map = shard_map if shard_map is not None else ShardMap.uniform(n_shards)
         self._clock = clock
         self._sleep = sleeper
         # buckets are lazy: first touch grants one second's allowance
@@ -319,9 +330,7 @@ class ShardRateLimiter:
         self._last: dict = {}
 
     def shard_for(self, partition_key: str):
-        if self.shard_map is not None:
-            return self.shard_map.shard_for_key(partition_key)
-        return int(md5_hex_first(partition_key), 16) % self.n_shards
+        return self.shard_map.shard_for_key(partition_key)
 
     def _ensure(self, shard) -> None:
         if shard not in self._bytes:
@@ -615,8 +624,23 @@ class KinesisSink:
             try:
                 acks = self.write_batch(batch_df, data_col, partition_key_col)
                 if ack_path:
-                    acks.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
-                        ack_path
+                    import uuid
+
+                    # every write attempt gets its own id: a crashed
+                    # uncommitted epoch leaves its ack rows behind (the
+                    # documented at-least-once tail), and the metrics
+                    # for the replay must count ONLY the replay's rows —
+                    # filtering on epoch alone double-counted (found in
+                    # round-5 review). Partitioning by epoch keeps the
+                    # per-epoch metric scan to one partition instead of
+                    # the whole ack history.
+                    attempt_id = uuid.uuid4().hex
+                    (
+                        acks.withColumn("epoch", F.lit(epoch_id))
+                        .withColumn("attempt", F.lit(attempt_id))
+                        .write.partitionBy("epoch")
+                        .mode("append")
+                        .parquet(ack_path)
                     )
                     # per-epoch delivery counters for the monitor ledger
                     # (streaming.monitor.sink_metrics). Counted from the
@@ -624,9 +648,10 @@ class KinesisSink:
                     # would re-execute the mapInPandas stage and RE-SEND
                     # the batch. Written before the exactly-once marker,
                     # so a replayed uncommitted epoch overwrites its own
-                    # row (the replay's attempt counts win — consistent
-                    # with the acks that replay appends).
-                    self._write_epoch_metrics(batch_df.sparkSession, ack_path, epoch_id)
+                    # row with the replay's counts.
+                    self._write_epoch_metrics(
+                        batch_df.sparkSession, ack_path, epoch_id, attempt_id
+                    )
                 else:
                     acks.foreach(lambda _: None)  # force the send
                 if exactly_once and marker:
@@ -645,18 +670,19 @@ class KinesisSink:
         return write
 
     @staticmethod
-    def _write_epoch_metrics(spark, ack_path: str, epoch_id: int) -> None:
+    def _write_epoch_metrics(spark, ack_path: str, epoch_id: int, attempt_id: str) -> None:
         """One JSON row of delivery counters per epoch under
         ``<ack_path>/_sink_metrics`` — the restart-surviving ledger the
-        monitor reads. Local scale reads the whole ack dir filtered by
-        epoch; a production deployment partitions acks by epoch so this
-        is one partition's scan."""
+        monitor reads. The acks are epoch-partitioned, so the epoch
+        filter prunes to one partition; the attempt filter keeps only
+        THIS write's rows (a crashed prior attempt's rows stay in the
+        ack log but must not double the ledger)."""
         import json
         import os
 
         row = (
             spark.read.parquet(ack_path)
-            .where(F.col("epoch") == epoch_id)
+            .where((F.col("epoch") == epoch_id) & (F.col("attempt") == attempt_id))
             .agg(
                 F.count(F.when(F.col("status") == "ok", 1)).alias("sent"),
                 F.count(

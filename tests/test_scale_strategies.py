@@ -906,3 +906,45 @@ def test_kmv_set_ops_estimator_accuracy():
         ie = n_overlap * ue / K
         tol = 0.20 + 3 * ((j * (1 - j) / K) ** 0.5) / max(j, 1e-9)
         assert abs(ie - n_shared) / max(n_shared, 1) < tol, (n_a, n_b, n_shared, ie, tol)
+
+
+def test_range_aggregate_null_and_nan_bounds_match_join(spark):
+    """Round-5 review: an interval with a NULL or NaN bound matches
+    nothing under the join predicate — it must be ABSENT from the
+    result, not report phantom (or negative) counts from an unbalanced
+    +-F(x) pair."""
+    from kinesis_producer_spark.operators.skew import range_aggregate
+
+    pts = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "pid long, x double"
+    )
+    ivs = spark.createDataFrame(
+        [
+            (1, None, 50.0),
+            (2, 5.0, None),
+            (3, float("nan"), 50.0),
+            (4, 10.0, 20.0),  # the one healthy interval
+        ],
+        "iid long, lo double, hi double",
+    )
+    got = {
+        r.iid: r.n_points
+        for r in range_aggregate(
+            pts, ivs, "x", "lo", "hi", id_col="iid", bin_width=16.0
+        ).collect()
+    }
+    assert got == {4: 10}, got
+
+
+def test_kmv_set_ops_unsaturated_sketch_is_exact(spark):
+    """Round-5 review (confirmed crash): merged sketches smaller than k
+    must not ANSI-crash on element_at — and since unsaturated sketches
+    are exact sets, the estimates must EQUAL the exact counts."""
+    from kinesis_producer_spark.suite import load_all
+
+    q, _ = load_all()
+    rows = q["q224_kmv_set_ops"](spark, "/root/testdata/sf0.001").collect()
+    assert rows, "sf0.001 must produce pair rows"
+    for r in rows:
+        assert r.kmv_union_est == r.exact_union, r
+        assert r.kmv_intersect_est == r.exact_intersect, r

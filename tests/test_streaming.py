@@ -1457,3 +1457,58 @@ def test_streaming_lsh_epoch_late_data_within_delay(spark, tmp_path):
         .collect()
     }
     assert got == expected, "late-but-admissible epochs must still pair in-epoch"
+
+
+def test_limiter_and_transport_agree_on_shard_routing():
+    """Round-5 review: the limiter's default prediction must use the
+    SAME hash-range topology the transport routes by — a %-based
+    prediction grouped traffic differently and misenforced quotas."""
+    from kinesis_producer_spark.streaming.kinesis_sink import (
+        RecordingTransport,
+        ShardRateLimiter,
+    )
+
+    t = RecordingTransport(n_shards=4, fail_first_attempt_prefix="zz")
+    lim = ShardRateLimiter(n_shards=4)
+    for key in ("acoustic", "impact", "temperature", "visual", "a", "zz", "k9"):
+        resp = t.put_records("s", [{"Data": b"x", "PartitionKey": key}])
+        assert lim.shard_for(key) == resp["Records"][0]["ShardId"], key
+
+
+def test_shard_map_custom_ids_never_collide_on_split():
+    """Round-5 review: _seq seeded from len(shards) could regenerate an
+    existing id for custom shard lists and silently overwrite."""
+    from kinesis_producer_spark.streaming.kinesis_sink import HASH_SPACE, Shard, ShardMap
+
+    m = ShardMap([Shard("shardId-000000000001", 0, HASH_SPACE - 1)])
+    a, b = m.split("shardId-000000000001")
+    assert a == "shardId-000000000002" and b == "shardId-000000000003"
+    assert len(m.shards) == 3  # parent retained (closed), no overwrite
+    assert not m.shards["shardId-000000000001"].open
+
+
+def test_sink_metrics_replayed_epoch_does_not_double_count(spark, tmp_path):
+    """Round-5 review: a crashed-then-replayed epoch leaves BOTH
+    attempts' ack rows behind (the documented at-least-once tail), but
+    the ledger must report only the replay's counts."""
+    from kinesis_producer_spark.streaming import monitor
+    from kinesis_producer_spark.streaming.kinesis_sink import (
+        KinesisSink,
+        RecordingTransport,
+    )
+
+    ack_path = str(tmp_path / "replay_acks")
+    sink = KinesisSink("s", lambda: RecordingTransport(fail_first_attempt_prefix="zz"),
+                       backoff_s=0.0)
+    write = sink.foreach_batch_writer(ack_path=ack_path)
+    batch = spark.createDataFrame(
+        [(bytearray(b"r-%d" % i), f"k{i}") for i in range(40)],
+        "data binary, partition_key string",
+    )
+    write(batch, 7)
+    write(batch, 7)  # replay of the SAME epoch (no exactly-once marker)
+    acks = spark.read.parquet(ack_path).where("epoch = 7")
+    assert acks.count() == 80, "both attempts' acks remain (at-least-once tail)"
+    m = {r.epoch: r for r in monitor.sink_metrics(spark, ack_path).collect()}
+    assert m[7].sent == 40, "ledger must count ONE attempt, not both"
+    assert m[7].attempts_total == 40
