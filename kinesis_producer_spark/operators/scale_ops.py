@@ -439,18 +439,28 @@ _H48 = " + ".join(
 
 
 def kmv_partial_sketch(d: DataFrame, *key_cols: str, hash_col: str = "h") -> DataFrame:
-    """Per-key KMV sketch (the k lexicographically smallest hashes) via
-    the two-level mergeable build: bottom-k per partition (k rows per
-    partition per key cross the exchange, never raw values), then a
-    per-key merge of partials. Shared by q145 and q224 — the map-side
-    bottom-K pattern lives in exactly one place."""
+    """Per-key KMV sketch (the k lexicographically smallest DISTINCT
+    hashes) via the two-level mergeable build: bottom-k per partition
+    (k rows per partition per key cross the exchange, never raw
+    values), then a per-key merge of partials. Shared by q145, q224,
+    and the streaming form (streaming/sketches.py) — the map-side
+    bottom-K pattern lives in exactly one place.
+
+    Distinctness is enforced INSIDE the sketch (collect_set per
+    partition, array_distinct at the merge): a duplicated hash must
+    never occupy two of the k slots and evict the true kth value, even
+    when the caller passes raw multiset input."""
     partials = (
         d.withColumn("pid", F.spark_partition_id())
         .groupBy(*key_cols, "pid")
-        .agg(F.slice(F.array_sort(F.collect_list(hash_col)), 1, _KMV_K).alias("ks"))
+        .agg(F.slice(F.array_sort(F.collect_set(hash_col)), 1, _KMV_K).alias("ks"))
     )
     return partials.groupBy(*key_cols).agg(
-        F.slice(F.array_sort(F.flatten(F.collect_list("ks"))), 1, _KMV_K).alias("ks")
+        F.slice(
+            F.array_distinct(F.array_sort(F.flatten(F.collect_list("ks")))),
+            1,
+            _KMV_K,
+        ).alias("ks")
     )
 
 _KMV_ORACLE = f"""

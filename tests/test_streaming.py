@@ -1512,3 +1512,69 @@ def test_sink_metrics_replayed_epoch_does_not_double_count(spark, tmp_path):
     m = {r.epoch: r for r in monitor.sink_metrics(spark, ack_path).collect()}
     assert m[7].sent == 40, "ledger must count ONE attempt, not both"
     assert m[7].attempts_total == 40
+
+
+def test_streaming_kmv_matches_batch_and_is_replay_idempotent(spark, tmp_path):
+    """The third streaming-sketch contract (after CMS add-merge and HLL
+    max-merge): per-segment KMV state holds exactly the k smallest
+    hashes — O(k) per segment forever — and the final emission equals
+    the batch kmv_partial_sketch; replaying a file changes nothing
+    (set-union idempotence)."""
+    import shutil
+
+    from kinesis_producer_spark.operators.scale_ops import kmv_partial_sketch
+    from kinesis_producer_spark.streaming.sketches import streaming_kmv
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = e.select(
+        F.col("event_type").alias("key"),
+        F.md5(
+            F.concat(F.lit("u:"), F.col("user_id").cast("string")).cast("binary")
+        ).alias("h"),
+    )
+    # the batch build takes pre-distincted input (q145/q224 convention);
+    # the streaming state dedupes by construction (set union)
+    batch = {r[0]: list(r.ks) for r in kmv_partial_sketch(d.distinct(), "key").collect()}
+
+    src = tmp_path / "kmv_src"
+    d.repartition(4).write.parquet(str(src))
+    sink = str(tmp_path / "kmv_sink")
+    ckpt = str(tmp_path / "kmv_ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema("key string, h string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            streaming_kmv(stream)
+            .writeStream.foreachBatch(
+                lambda df, eid: df.withColumn("batch", F.lit(eid))
+                .write.mode("append")
+                .parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    run()
+
+    def latest():
+        rows = spark.read.parquet(sink).collect()
+        out = {}
+        for r in sorted(rows, key=lambda r: r.batch):
+            out[r.key] = list(r.ks)
+        return out
+
+    assert latest() == batch, "final streaming sketch must equal the batch sketch"
+
+    # replay: copy an already-processed file back in — the set-union
+    # state absorbs the duplicates, sketches unchanged
+    first = sorted(p for p in src.iterdir() if p.name.endswith(".parquet"))[0]
+    shutil.copy(first, src / ("again-" + first.name))
+    run()
+    assert latest() == batch, "replayed file must not change any sketch"
