@@ -2745,3 +2745,152 @@ def q224_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kmv_intersect_est"),
         )
     )
+
+
+# ---- mergeable quantile summary (q225) ---------------------------------
+#
+# Completes the mergeable-summary family (CMS counts, HLL/KMV
+# distincts) with QUANTILES: a deterministic log-scale histogram
+# keyed by (digit count, two leading digits) of integer cents — pure
+# integer/string arithmetic, so unlike t-digest/GK (order-dependent)
+# or float log-binning (last-ulp engine drift), the summary and every
+# estimate read back hash-identically in Spark and DuckDB. Bin width
+# is ≤ 10% of the value (prefix 10..99), so any quantile estimate
+# (the containing bin's lower bound) is within one bin width below
+# the true value. Counters ADD, so summaries merge across
+# partitions/days/streams like the other sketches.
+
+_Q225_QS = (250_000, 500_000, 750_000, 900_000, 990_000)  # micro-quantiles
+
+_Q225_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents FROM lineitem
+), s AS (
+  SELECT cents, CAST(cents AS VARCHAR) AS st FROM c
+), hist AS (
+  SELECT LENGTH(st) AS d, CAST(SUBSTR(st, 1, 2) AS BIGINT) AS p,
+         COUNT(*) AS cnt
+  FROM s GROUP BY 1, 2
+), cum AS (
+  SELECT d, p, cnt,
+         SUM(cnt) OVER (ORDER BY d, p
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+         CASE WHEN d <= 2 THEN p
+              ELSE CAST(SUBSTR(CAST(p AS VARCHAR), 1, 2) || REPEAT('0', d - 2) AS BIGINT)
+         END AS lb
+  FROM hist
+), n AS (SELECT COUNT(*) AS total FROM c),
+qs AS (SELECT UNNEST(ARRAY{list(_Q225_QS)}) AS q_micro),
+ranks AS (
+  SELECT q_micro, CAST(CEIL(q_micro * total / 1000000.0) AS BIGINT) AS r
+  FROM qs, n
+), est AS (
+  SELECT r.q_micro, MIN(c.d * 100 + c.p) AS binkey
+  FROM ranks r JOIN cum c ON c.cs >= r.r
+  GROUP BY r.q_micro
+), vcum AS (
+  -- convention-free DISCRETE exact: min value whose cumulative count
+  -- reaches the rank (interpolated percentiles at 0.9/0.99 are not
+  -- binary-exact fractions and drift a ulp between engines)
+  SELECT cents,
+         SUM(cnt) OVER (ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+  FROM (SELECT cents, COUNT(*) AS cnt FROM c GROUP BY cents)
+), exact AS (
+  SELECT r.q_micro, MIN(v.cents) AS exact_cents
+  FROM ranks r JOIN vcum v ON v.cs >= r.r
+  GROUP BY r.q_micro
+)
+SELECT e.q_micro,
+       (SELECT lb FROM cum WHERE d * 100 + p = e.binkey) AS est_cents,
+       x.exact_cents
+FROM est e JOIN exact x ON x.q_micro = e.q_micro
+"""
+
+
+def logbin_histogram(vals: DataFrame, cents_col: str = "cents") -> DataFrame:
+    """(d, p, cnt) log-scale histogram rows over positive integer
+    values — d = digit count, p = two leading digits. Mergeable by
+    summing cnt; usable as a plain streaming aggregation."""
+    s = vals.select(F.col(cents_col).cast("string").alias("st"))
+    return (
+        s.select(
+            F.length("st").alias("d"),
+            F.substring("st", 1, 2).cast("bigint").alias("p"),
+        )
+        .groupBy("d", "p")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query("q225_logbin_quantiles", oracle=_Q225_ORACLE)
+def q225_logbin_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles of lineitem prices read from the mergeable log-bin
+    histogram, with the exact same-rank discrete percentile alongside
+    so the ≤10% bin-width error is visible in the result.
+
+    Scale: the histogram is a ≤|bins|-group map-side-combinable
+    aggregate (a few hundred groups for any money-like domain); the
+    read-back runs entirely on the tiny histogram — cumulative window
+    over |bins| rows, never the data. The EXACT column is the built-in
+    error report only: its distinct-value cumulative window is the
+    corpus-sized sort the sketch exists to avoid, and a 100 TB run
+    drops it — quantiles then cost one histogram scan + O(|bins|)
+    work, the continuous-monitoring shape (latency dashboards, SLA
+    burn) where re-sorting the corpus per refresh is impossible.
+    """
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents")
+    )
+    hist = logbin_histogram(cents)
+    cum = hist.withColumn(
+        "cs",
+        F.sum("cnt").over(
+            W.orderBy("d", "p").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    ).withColumn(
+        "lb",
+        F.when(F.col("d") <= 2, F.col("p")).otherwise(
+            F.concat(
+                F.col("p").cast("string"), F.expr("repeat('0', d - 2)")
+            ).cast("bigint")
+        ),
+    )
+    total = cents.count()  # one scalar — the only data-sized action
+    ranks = spark.createDataFrame(
+        [(q, -(-q * total // 1_000_000)) for q in _Q225_QS], "q_micro long, r long"
+    )
+    est = (
+        ranks.join(cum, F.col("cs") >= F.col("r"))
+        .groupBy("q_micro")
+        .agg(F.min(F.col("d") * 100 + F.col("p")).alias("binkey"))
+        .join(
+            cum.select((F.col("d") * 100 + F.col("p")).alias("binkey"), "lb"),
+            "binkey",
+        )
+        .select("q_micro", F.col("lb").alias("est_cents"))
+    )
+    # convention-free DISCRETE exact value at the same rank — the
+    # interpolated (quantile_cont) form is not a binary-exact fraction
+    # at 0.9/0.99 and drifts a ulp between engines
+    vcum = (
+        cents.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "cs",
+            F.sum("cnt").over(
+                W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+    )
+    exact = (
+        ranks.join(vcum, F.col("cs") >= F.col("r"))
+        .groupBy("q_micro")
+        .agg(F.min("cents").alias("exact_cents"))
+    )
+    return est.join(exact, "q_micro")

@@ -948,3 +948,47 @@ def test_kmv_set_ops_unsaturated_sketch_is_exact(spark):
     for r in rows:
         assert r.kmv_union_est == r.exact_union, r
         assert r.kmv_intersect_est == r.exact_intersect, r
+
+
+def test_logbin_histogram_merges_and_bounds_quantile_error(spark):
+    """The log-bin quantile summary (q225): histograms over disjoint
+    halves SUM to the full histogram (mergeable), and for any rank the
+    bin lower bound is <= the true value < lower bound * (1 + 1/p) —
+    the <=10% error the two-leading-digit binning guarantees."""
+    import random
+
+    from kinesis_producer_spark.operators.scale_ops import logbin_histogram
+
+    rnd = random.Random(99)
+    vals = [rnd.randrange(10, 10_000_000) for _ in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], "cents long")
+    full = {(r.d, r.p): r.cnt for r in logbin_histogram(df).collect()}
+    h1 = {
+        (r.d, r.p): r.cnt
+        for r in logbin_histogram(
+            spark.createDataFrame([(v,) for v in vals[:2000]], "cents long")
+        ).collect()
+    }
+    h2 = {
+        (r.d, r.p): r.cnt
+        for r in logbin_histogram(
+            spark.createDataFrame([(v,) for v in vals[2000:]], "cents long")
+        ).collect()
+    }
+    merged = {k: h1.get(k, 0) + h2.get(k, 0) for k in set(h1) | set(h2)}
+    assert merged == full
+
+    # quantile read-back error bound against the sorted truth
+    svals = sorted(vals)
+    bins = sorted(full)
+    for q in (0.25, 0.5, 0.9, 0.99):
+        r = -(-int(q * 1_000_000) * len(vals) // 1_000_000)
+        true = svals[r - 1]
+        cs = 0
+        for d, p in bins:
+            cs += full[(d, p)]
+            if cs >= r:
+                lb = int(str(p) + "0" * (d - 2)) if d > 2 else p
+                assert lb <= true < lb * (1 + 1 / p) + 10 ** (d - 2), (q, lb, true)
+                assert (true - lb) / true < 0.10, (q, lb, true)
+                break
