@@ -71,11 +71,14 @@ HEADLINE = [
     "q215_progressive_jpeg_stats",
     "q216_webp_decode_stats",
     # Round-5: deterministic HLL register sketch (256-group map-side
-    # combine — the mergeable distinct-count shape), and the
+    # combine — the mergeable distinct-count shape), the
     # prefix-aggregate range join (same answer as q28's 102M-pair
-    # workload at O(inputs) shuffle — 23x faster at sf0.1).
+    # workload at O(inputs) shuffle — 23x faster at sf0.1), KMV set
+    # operations, and the mergeable log-bin quantile summary.
     "q222_hll_registers",
     "q223_range_aggregate_prefix",
+    "q224_kmv_set_ops",
+    "q225_logbin_quantiles",
 ]
 
 
