@@ -14,9 +14,15 @@ shuffle bytes scale with the corpus when its design says "only
 candidates / only counters / only offsets move" is a scale bug the
 plan shape alone cannot reveal.
 
+Round 5 adds PEAK EXECUTION MEMORY per query (max over its stages):
+the executor-sizing number — a query whose peak grows with the corpus
+will OOM at scale even with zero spill, which spill-only auditing
+cannot see.
+
 Usage: python tools/shuffle_audit.py [query ...]
-Output: one line per query — shuffle write/read bytes, spill, peak
-stage count — then a descending-bytes summary.
+Output: one line per query — shuffle write/read bytes, spill, stage
+count, peak execution memory — then descending summaries of both
+shuffle writers and memory peaks.
 """
 
 from __future__ import annotations
@@ -78,7 +84,7 @@ def main() -> int:
             sc.setJobGroup("", "")
         if err:
             print(f"ERR  {name}: {err}")
-            results.append((name, -1, -1, -1, 0))
+            results.append((name, -1, -1, -1, 0, 0))
             continue
         # stages attributed to this group's jobs
         jobs = _rest(api, "/jobs?status=succeeded")
@@ -86,7 +92,7 @@ def main() -> int:
         for j in jobs:
             if j.get("jobGroup") == name:
                 stage_ids.update(j.get("stageIds", []))
-        w = r = spill = 0
+        w = r = spill = peak = 0
         n_stages = 0
         for s in _rest(api, "/stages?status=complete"):
             if s["stageId"] in stage_ids:
@@ -96,15 +102,22 @@ def main() -> int:
                 spill += s.get("diskBytesSpilled", 0) + s.get(
                     "memoryBytesSpilled", 0
                 )
-        results.append((name, w, r, spill, n_stages))
+                # max unroll/execution memory any single stage needed —
+                # the executor-sizing number: a query whose peak grows
+                # with the corpus will OOM at scale even with zero spill
+                peak = max(peak, s.get("peakExecutionMemory", 0))
+        results.append((name, w, r, spill, n_stages, peak))
         print(
             f"OK   {name}: shuffle_write={w:,}B shuffle_read={r:,}B "
-            f"spill={spill:,}B stages={n_stages}"
+            f"spill={spill:,}B stages={n_stages} peak_exec_mem={peak:,}B"
         )
 
     print("\n== top shuffle writers ==")
-    for name, w, r, spill, n in sorted(results, key=lambda t: -t[1])[:15]:
+    for name, w, r, spill, n, peak in sorted(results, key=lambda t: -t[1])[:15]:
         print(f"{w:>14,}B  {name}")
+    print("\n== top peak-execution-memory stages ==")
+    for name, w, r, spill, n, peak in sorted(results, key=lambda t: -t[5])[:15]:
+        print(f"{peak:>14,}B  {name}")
     spark.stop()
     return 0
 
