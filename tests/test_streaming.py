@@ -1578,3 +1578,38 @@ def test_streaming_kmv_matches_batch_and_is_replay_idempotent(spark, tmp_path):
     shutil.copy(first, src / ("again-" + first.name))
     run()
     assert latest() == batch, "replayed file must not change any sketch"
+
+
+def test_streaming_logbin_histogram_matches_batch(spark, tmp_path):
+    """The quantile summary's histogram is count-mergeable, so a
+    streaming aggregation over micro-batches equals the batch
+    histogram — the fourth summary with a pinned streaming form."""
+    from kinesis_producer_spark.operators.scale_ops import logbin_histogram
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    cents = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents")
+    )
+    batch = {(r.d, r.p): r.cnt for r in logbin_histogram(cents).collect()}
+
+    src = tmp_path / "hist_src"
+    cents.repartition(4).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema("cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        logbin_histogram(stream)
+        .writeStream.format("memory")
+        .queryName("hist_stream_t")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "hist_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r.d, r.p): r.cnt for r in spark.sql("SELECT * FROM hist_stream_t").collect()
+    }
+    assert got == batch
