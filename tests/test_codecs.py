@@ -1375,3 +1375,33 @@ def test_quantize_rgb_chunked_matches_exact_and_bounded():
     few[::2] = 200
     idx2, pal2 = quantize_rgb(few)
     assert np.array_equal(pal2[idx2], few)
+
+
+@settings(max_examples=200, deadline=None)
+@given(blob=hst.binary(max_size=64))
+def test_sniff_image_format_never_crashes(blob):
+    """The format sniff runs on every blob before any kernel — it must
+    total-function over arbitrary bytes (including adversarial RIFF
+    chunk lengths), returning a kernel key or None, never raising."""
+    from kinesis_producer_spark.operators.multimodal import sniff_image_format
+
+    out = sniff_image_format(blob)
+    assert out is None or isinstance(out, str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    clens=hst.lists(hst.integers(0, 2**32 - 1), max_size=4),
+    fourccs=hst.lists(hst.sampled_from([b"VP8L", b"VP8 ", b"VP8X", b"JUNK"]), max_size=4),
+)
+def test_webp_variant_sniff_terminates_on_adversarial_chunks(clens, fourccs):
+    """RIFF walks with lying chunk lengths (huge, zero, truncating) must
+    terminate and resolve deterministically."""
+    from kinesis_producer_spark.operators.multimodal import sniff_image_format
+
+    body = b"WEBP"
+    for cc, ln in zip(fourccs, clens):
+        body += cc + ln.to_bytes(4, "little") + b"\x00" * min(ln, 8)
+    blob = b"RIFF" + len(body).to_bytes(4, "little") + body
+    out = sniff_image_format(blob)
+    assert out in ("webp", "webp_vp8")

@@ -1613,3 +1613,22 @@ def test_streaming_logbin_histogram_matches_batch(spark, tmp_path):
         (r.d, r.p): r.cnt for r in spark.sql("SELECT * FROM hist_stream_t").collect()
     }
     assert got == batch
+
+
+def test_shard_routing_handles_unicode_and_empty_keys():
+    """Partition keys are arbitrary unicode in the public API — hashing
+    and range routing must handle them (md5 of the UTF-8 bytes)."""
+    import hashlib
+
+    from kinesis_producer_spark.streaming.kinesis_sink import (
+        ShardMap,
+        partition_key_hash,
+    )
+
+    m = ShardMap.uniform(3)
+    for key in ("", "日本語キー", "clé-émoji-🎵", "a" * 256):
+        h = partition_key_hash(key)
+        assert h == int.from_bytes(hashlib.md5(key.encode()).digest(), "big")
+        sid = m.shard_for_key(key)
+        s = m.shards[sid]
+        assert s.start <= h <= s.end
