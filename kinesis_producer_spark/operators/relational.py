@@ -905,10 +905,19 @@ def q27_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q28_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval-overlap theta join rewritten as bin-equi-join +
-    residual filter: each interval claims its overlapped bins, points
-    hash to one bin — the quadratic compare never leaves a bin."""
-    from kinesis_producer_spark.operators.skew import binned_range_join
+    """Range-join aggregate, answered by the prefix-sum plan.
+
+    Historically this query materialized the (point, interval) pairs
+    through ``binned_range_join`` and aggregated per customer — ~102M
+    real pairs at sf0.1 for a ~15k-row answer, an avoidable O(pairs)
+    shuffle that grows quadratically with bin density at scale. Since
+    the consumer only wants per-interval COUNT/SUM, it now routes
+    through ``range_aggregate`` (operators/skew.py): identical oracle
+    answer, O(|points| + |intervals|) shuffle (26.9s → ~1s at sf0.1).
+    ``binned_range_join`` remains the general pair-PRODUCING operator
+    (bounded-output contract pinned in
+    tests/test_scale_strategies.py)."""
+    from kinesis_producer_spark.operators.skew import range_aggregate
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     iv = load_table(spark, sf_dir, "customer").select(
@@ -916,12 +925,20 @@ def q28_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_acctbal") * 50.0).alias("lo"),
         (F.col("c_acctbal") * 50.0 + 25000.0).alias("hi"),
     )
-    pairs = binned_range_join(o, iv, "o_totalprice", "lo", "hi", bin_width=25000.0)
-    return pairs.groupBy("c_custkey").agg(
-        F.count("o_orderkey").alias("n_orders"),
-        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("decimal(38,0)"))
-        .cast("bigint")
-        .alias("sum_cents"),
+    agg = range_aggregate(
+        o,
+        iv,
+        "o_totalprice",
+        "lo",
+        "hi",
+        id_col="c_custkey",
+        bin_width=25000.0,
+        value=F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)),
+    )
+    return agg.where(F.col("n_points") > 0).select(
+        "c_custkey",
+        F.col("n_points").cast("bigint").alias("n_orders"),
+        F.col("sum_value").cast("bigint").alias("sum_cents"),
     )
 
 

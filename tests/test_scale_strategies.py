@@ -94,6 +94,48 @@ def test_binned_range_join_boundary_exactness(spark):
     assert got == [(1, 1), (2, 1)]
 
 
+def test_binned_range_join_bounded_candidate_output(spark):
+    """Contract pin for the pair-PRODUCING operator (q28's query path
+    now routes aggregates through range_aggregate; this is the reason
+    binned_range_join stays in the toolbox). The candidate set a bin
+    join can ever examine is sum_b(points_b * intervals_claiming_b) —
+    bounded by bin locality — NOT |points| * |intervals|. With 1000
+    points spread over 100 bins and 50 single-bin-width intervals, the
+    naive cross product is 50,000 compares; the bin-local candidate
+    bound must stay well under it, and the emitted pairs must equal
+    the exact predicate's answer."""
+    from collections import Counter
+
+    from kinesis_producer_spark.operators.skew import binned_range_join
+
+    w = 10.0
+    pts = [(i, float(i % 1000)) for i in range(1000)]  # bins 0..99
+    ivs = [(j, j * 17.0 % 900.0, j * 17.0 % 900.0 + 10.0) for j in range(50)]
+    points = spark.createDataFrame(pts, "pid int, x double")
+    iv = spark.createDataFrame(ivs, "iid int, lo double, hi double")
+
+    out = binned_range_join(points, iv, "x", "lo", "hi", bin_width=w).collect()
+    expect = sorted(
+        (p, j) for p, x in pts for j, lo, hi in ivs if lo <= x < hi
+    )
+    assert sorted((r["pid"], r["iid"]) for r in out) == expect
+
+    # candidate bound: replicate the bin claim (lo_bin..hi_bin inclusive)
+    pts_per_bin = Counter(int(x // w) for _, x in pts)
+    candidates = sum(
+        pts_per_bin.get(b, 0)
+        for _, lo, hi in ivs
+        for b in range(int(lo // w), int(hi // w) + 1)
+    )
+    naive = len(pts) * len(ivs)
+    assert candidates <= naive * 0.05, (
+        f"bin-local candidate set {candidates} should be a small fraction "
+        f"of the naive {naive} compares"
+    )
+    # and the operator can never emit more than the candidate set
+    assert len(out) <= candidates
+
+
 def test_repartition_by_bytes(spark):
     from kinesis_producer_spark.operators.multimodal import repartition_by_bytes
 
