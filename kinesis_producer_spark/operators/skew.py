@@ -115,6 +115,16 @@ def range_aggregate(
     dense range join's pair set can be 10^4× larger than its inputs,
     which is the difference between a job that runs and one that
     doesn't.
+
+    Domain limit: points and bounds are bucketed/ordered AS DOUBLE, so
+    the ``lo <= p < hi`` boundary semantics are exact only while the
+    values are exactly representable in float64 — integer domains must
+    stay within ±2^53. Beyond that, adjacent integers collapse to one
+    double and the prefix ordering can diverge from the exact raw-type
+    predicate that ``binned_range_join`` evaluates; for such domains
+    use ``binned_range_join`` + aggregate, or rescale the key. (The
+    ``value`` column is NOT affected — it accumulates as
+    decimal(38,0).)
     """
     id_type = intervals.schema[id_col].dataType.simpleString()
     zero_v = F.lit(0).cast("decimal(38,0)")

@@ -104,6 +104,12 @@ class ShardMap:
 
     def __init__(self, shards: list[Shard]):
         self.shards: dict[str, Shard] = {s.shard_id: s for s in shards}
+        # Sorted-open-shards cache: shard_for_key runs PER RECORD (both
+        # the transport and the rate limiter route through it), so
+        # rebuilding + re-sorting the open list each call made routing
+        # O(records · shards log shards) per batch. The topology only
+        # changes in split()/merge(), which invalidate the cache.
+        self._opens_cache: list[Shard] | None = None
         # continue numbering past ANY existing id — len(shards) would
         # collide with custom shard lists (e.g. a lone
         # 'shardId-000000000001') and silently overwrite on split
@@ -132,7 +138,11 @@ class ShardMap:
         return cls(shards)
 
     def open_shards(self) -> list[Shard]:
-        return sorted((s for s in self.shards.values() if s.open), key=lambda s: s.start)
+        if self._opens_cache is None:
+            self._opens_cache = sorted(
+                (s for s in self.shards.values() if s.open), key=lambda s: s.start
+            )
+        return self._opens_cache
 
     def _check_partition(self) -> None:
         expect = 0
@@ -179,6 +189,7 @@ class ShardMap:
         b = Shard(self._next_id(), nshk, parent.end, parents=(shard_id,))
         self.shards[a.shard_id] = a
         self.shards[b.shard_id] = b
+        self._opens_cache = None
         self._check_partition()
         return a.shard_id, b.shard_id
 
@@ -197,6 +208,7 @@ class ShardMap:
             self._next_id(), lo.start, hi.end, parents=(lo.shard_id, hi.shard_id)
         )
         self.shards[child.shard_id] = child
+        self._opens_cache = None
         self._check_partition()
         return child.shard_id
 
@@ -597,6 +609,24 @@ class KinesisSink:
         Requires ``ack_path``. Local-FS ledger here; an object-store
         deployment swaps in a conditional-put on the same layout.
 
+        ``ack_path`` must be a LOCAL path: the ack parquet write would
+        accept any Hadoop-FS URI, but the epoch-commit marker and the
+        ``_sink_metrics`` JSON ledger use local-FS primitives
+        (atomic 'x'-open / os.replace) — a remote URI would silently
+        write markers to a literal local directory named after the
+        scheme while acks went remote, splitting the ledger from the
+        data. Rejected up front instead.
+
+        Layout migration (round 5): ack rows are now written
+        PARTITIONED BY epoch (``epoch=N/`` subdirs). A pre-round-5
+        ack_path holding flat unpartitioned parquet files can still be
+        appended to — the metrics reader scans only this epoch's
+        partition directory (explicit ``basePath``), never the mixed
+        root — but a plain ``spark.read.parquet(ack_path)`` over such
+        a mixed directory fails with conflicting structures; read
+        legacy dirs with ``option("basePath", ...)`` on the partition
+        subdirs, or re-write them once.
+
         Failure semantics differ by mode, necessarily: the default
         mode mirrors the reference's batch-level containment
         (main.py:45-49 — log and continue), which makes a failed
@@ -609,6 +639,20 @@ class KinesisSink:
         """
         if exactly_once and not ack_path:
             raise ValueError("exactly_once requires ack_path (the ledger lives there)")
+        if ack_path:
+            import re
+
+            m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", ack_path)
+            if m and m.group(1).lower() != "file":
+                raise ValueError(
+                    f"ack_path scheme '{m.group(1)}' is not supported: the "
+                    "epoch-commit marker and _sink_metrics ledger use "
+                    "local-FS atomics; use a local path (object-store "
+                    "deployments swap in a conditional-put ledger on the "
+                    "same layout)"
+                )
+            if m:  # file:// → strip the scheme so os.* and Spark agree
+                ack_path = ack_path[len("file://") :]
 
         def write(batch_df: DataFrame, epoch_id: int) -> None:
             import os
@@ -673,16 +717,21 @@ class KinesisSink:
     def _write_epoch_metrics(spark, ack_path: str, epoch_id: int, attempt_id: str) -> None:
         """One JSON row of delivery counters per epoch under
         ``<ack_path>/_sink_metrics`` — the restart-surviving ledger the
-        monitor reads. The acks are epoch-partitioned, so the epoch
-        filter prunes to one partition; the attempt filter keeps only
+        monitor reads. The acks are epoch-partitioned; reading the
+        epoch's partition DIRECTORY (with basePath so the epoch column
+        survives) rather than filtering the root makes the prune
+        explicit AND keeps a mixed pre-round-5 ack_path readable — a
+        root scan over flat legacy files + epoch=N/ subdirs fails with
+        conflicting directory structures. The attempt filter keeps only
         THIS write's rows (a crashed prior attempt's rows stay in the
         ack log but must not double the ledger)."""
         import json
         import os
 
         row = (
-            spark.read.parquet(ack_path)
-            .where((F.col("epoch") == epoch_id) & (F.col("attempt") == attempt_id))
+            spark.read.option("basePath", ack_path)
+            .parquet(os.path.join(ack_path, f"epoch={epoch_id}"))
+            .where(F.col("attempt") == attempt_id)
             .agg(
                 F.count(F.when(F.col("status") == "ok", 1)).alias("sent"),
                 F.count(

@@ -14,10 +14,13 @@ The engine's three mergeable sketches each have a streaming form:
   lexicographically smallest hashes seen so far — O(k) state per
   segment FOREVER, merged incrementally per micro-batch.
 
-Because a KMV sketch is a set union, the operator is replay-idempotent
-for free (re-delivered hashes change nothing), and the final emission
-per segment equals the batch ``kmv_partial_sketch`` over the same
-corpus — both pinned in tests.
+Because a KMV sketch is a set union, the ``ks`` state is
+replay-idempotent for free (re-delivered hashes change nothing), and
+the final emission per segment equals the batch ``kmv_partial_sketch``
+over the same corpus — both pinned in tests. The emitted ``n_seen``
+arrival tally is explicitly OUTSIDE that guarantee: it re-counts
+re-delivered micro-batches (at-least-once observability counter, not
+an exact count — see ``streaming_kmv``).
 """
 
 from __future__ import annotations
@@ -48,7 +51,9 @@ def _kmv_fn_factory(k: int):
             ks, n_seen = list(state.get[0]), int(state.get[1])
         else:
             ks, n_seen = [], 0
-        # set-union merge, then bottom-k: idempotent under replay
+        # set-union merge, then bottom-k: the ks set is idempotent
+        # under replay; n_seen below is NOT (it re-counts re-delivered
+        # micro-batches) — see streaming_kmv's docstring for the scope
         merged = sorted(set(ks) | set(arrivals))[:k]
         n_seen += len(arrivals)
         state.update((merged, n_seen))
@@ -74,7 +79,16 @@ def streaming_kmv(
     independent of stream length or segment cardinality; each batch
     shuffles only the batch's (key, hash) rows. The batch-equivalence
     and replay-idempotence contracts are pinned in
-    tests/test_streaming.py."""
+    tests/test_streaming.py.
+
+    Replay-idempotence scope: ONLY the ``ks`` set (and hence any
+    distinct-count estimate derived from it) is idempotent — a
+    re-delivered micro-batch set-unions to the same bottom-k. The
+    ``n_seen`` counter is a raw arrival tally and DOES inflate on
+    re-delivery; treat it as an at-least-once observability counter,
+    not an exact count. An exact replay-safe count would need
+    per-record ids deduplicated in state (unbounded) — out of scope
+    for a bounded sketch."""
     from pyspark.sql import functions as F
 
     src = docs.select(

@@ -1632,3 +1632,107 @@ def test_shard_routing_handles_unicode_and_empty_keys():
         sid = m.shard_for_key(key)
         s = m.shards[sid]
         assert s.start <= h <= s.end
+
+
+def test_ack_path_remote_scheme_rejected_and_file_scheme_stripped(spark, tmp_path):
+    """The epoch marker and _sink_metrics ledger use local-FS atomics:
+    a remote ack_path URI must be rejected up front (the parquet write
+    would go remote while markers landed in a literal local 's3:' dir —
+    a split ledger). file:// is local and is accepted (scheme stripped
+    so os.* and Spark agree on the path)."""
+    import pytest as _pytest
+
+    from kinesis_producer_spark.streaming.kinesis_sink import (
+        KinesisSink,
+        RecordingTransport,
+    )
+
+    sink = KinesisSink("s", RecordingTransport, max_retries=3, backoff_s=0.0)
+    for bad in ("s3://bucket/acks", "hdfs://nn:8020/acks", "s3a://b/x"):
+        with _pytest.raises(ValueError, match="scheme"):
+            sink.foreach_batch_writer(ack_path=bad)
+
+    ack_dir = tmp_path / "file_scheme_acks"
+    write = sink.foreach_batch_writer(ack_path=f"file://{ack_dir}")
+    batch = spark.createDataFrame(
+        [(bytearray(b"evt-%d" % i), f"k{i}") for i in range(8)],
+        "data binary, partition_key string",
+    )
+    write(batch, 0)
+    acks = spark.read.option("basePath", str(ack_dir)).parquet(str(ack_dir / "epoch=0"))
+    assert acks.where("status = 'ok'").count() == 8
+    assert (ack_dir / "_sink_metrics" / "epoch-0.json").exists()
+
+
+def test_mixed_legacy_ack_layout_still_writes_metrics(spark, tmp_path):
+    """A pre-round-5 ack_path holds flat unpartitioned parquet at the
+    root; round-5+ appends epoch=N/ partition dirs next to them. The
+    per-epoch metrics read must scan ONLY the new epoch's partition
+    directory — a root scan over the mixed layout fails with
+    conflicting directory structures, which is exactly the regression
+    this pins."""
+    from kinesis_producer_spark.streaming import monitor
+    from kinesis_producer_spark.streaming.kinesis_sink import (
+        KinesisSink,
+        RecordingTransport,
+    )
+
+    ack_dir = tmp_path / "legacy_acks"
+    # legacy flat layout: ACK_SCHEMA columns only, files at the root
+    legacy = spark.createDataFrame(
+        [("k0", "md5-0", "ok", 1, None, "seq-0", "shardId-000000000000")],
+        "partition_key string, data_md5 string, status string, attempts int, "
+        "error_code string, sequence_number string, shard_id string",
+    )
+    legacy.coalesce(1).write.parquet(str(tmp_path / "legacy_stage"))
+    ack_dir.mkdir()
+    for p in (tmp_path / "legacy_stage").iterdir():
+        if p.name.endswith(".parquet"):
+            p.rename(ack_dir / p.name)
+
+    sink = KinesisSink("s", RecordingTransport, max_retries=3, backoff_s=0.0)
+    write = sink.foreach_batch_writer(ack_path=str(ack_dir))
+    batch = spark.createDataFrame(
+        [(bytearray(b"new-%d" % i), f"n{i}") for i in range(16)],
+        "data binary, partition_key string",
+    )
+    write(batch, 7)  # must not trip over the legacy root files
+
+    rows = {r.epoch: r for r in monitor.sink_metrics(spark, str(ack_dir)).collect()}
+    assert rows[7].sent == 16
+    # and the epoch partition itself reads clean with basePath
+    ep = spark.read.option("basePath", str(ack_dir)).parquet(str(ack_dir / "epoch=7"))
+    assert ep.where("status = 'ok'").count() == 16
+
+
+def test_shard_map_open_shards_cache_tracks_resharding():
+    """open_shards() is cached (routing runs per record); split/merge
+    must invalidate so routing NEVER sees a stale topology, and the
+    cached list must be identical to a fresh rebuild after any
+    sequence of reshards."""
+    from kinesis_producer_spark.streaming.kinesis_sink import ShardMap
+
+    m = ShardMap.uniform(4)
+    first = m.open_shards()
+    assert m.open_shards() is first, "repeat call must hit the cache"
+
+    a, b = m.split(first[0].shard_id)
+    after_split = m.open_shards()
+    assert after_split is not first
+    ids = [s.shard_id for s in after_split]
+    assert a in ids and b in ids and first[0].shard_id not in ids
+
+    child = m.merge(a, b)
+    after_merge = m.open_shards()
+    assert child in [s.shard_id for s in after_merge]
+    # cache equals a from-scratch rebuild
+    rebuilt = sorted((s for s in m.shards.values() if s.open), key=lambda s: s.start)
+    assert [s.shard_id for s in after_merge] == [s.shard_id for s in rebuilt]
+    # routing agrees with a linear scan over the rebuilt list
+    for key in ("k1", "k2", "🎵", ""):
+        sid = m.shard_for_key(key)
+        from kinesis_producer_spark.streaming.kinesis_sink import partition_key_hash
+
+        h = partition_key_hash(key)
+        (expect,) = [s.shard_id for s in rebuilt if s.start <= h <= s.end]
+        assert sid == expect
