@@ -32,10 +32,10 @@ def words(col: Column | str, pattern: str = r"\s+") -> Column:
     return F.split(c, pattern)
 
 
-def shingles(col: Column | str, n: int = 2) -> Column:
-    """Distinct word n-grams (default bigrams) of a text column.
-
-    Pure column expression — no explode, no shuffle. Grams are built by
+def positional_shingles(col: Column | str, n: int = 2) -> Column:
+    """Word n-grams of a text column IN POSITION ORDER: element i of
+    the result is the gram covering tokens [i, i+n) (0-based). Pure
+    column expression — no explode, no shuffle. Grams are built by
     zipping the word array with its own shifted slices; the word array
     only ever appears as a direct higher-order-function argument, never
     inside a lambda body (an ``element_at(w, i)`` inside the lambda
@@ -43,15 +43,21 @@ def shingles(col: Column | str, n: int = 2) -> Column:
     """
     w = words(col)
     if n == 1:
-        return F.array_distinct(w)
+        return w
     grams = w
     for j in range(1, n):
         shifted = F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0)))
         # zip_with pads the shorter side with null; concat_ws skips
         # nulls, so the tail produces partial grams — sliced off below.
         grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    grams = F.slice(grams, 1, F.greatest(F.size(w) - (n - 1), F.lit(0)))
-    return F.array_distinct(grams)
+    return F.slice(grams, 1, F.greatest(F.size(w) - (n - 1), F.lit(0)))
+
+
+def shingles(col: Column | str, n: int = 2) -> Column:
+    """Distinct word n-grams (default bigrams) of a text column —
+    ``positional_shingles`` with position identity dropped (the set
+    form the MinHash/Jaccard family wants)."""
+    return F.array_distinct(positional_shingles(col, n))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -60,6 +66,125 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         df.select(F.md5(F.col(text_col).cast("binary")).alias("digest"), F.col(id_col))
         .groupBy("digest")
         .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _marked_positions(
+    df: DataFrame, id_col: str, text_col: str, n: int, min_count: int
+) -> DataFrame:
+    """(id, pos) for every token position whose n-gram starting there
+    occurs >= min_count times in the corpus (all occurrences counted,
+    including repeats inside one document)."""
+    g = df.select(
+        F.col(id_col),
+        F.posexplode(F.transform(positional_shingles(text_col, n), F.md5)).alias(
+            "pos", "digest"
+        ),
+    )
+    dup = (
+        g.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("digest")
+    )
+    return g.join(dup, "digest").select(id_col, "pos")
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Span-level exact substring dedup: (id, start_token, end_token,
+    span_tokens) for every maximal passage whose EVERY n-token window
+    occurs >= min_count times in the corpus — the
+    deduplicate-text-datasets / ExactSubstr semantics ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2021) at
+    token granularity: q99 reports THAT passages repeat; this emits
+    WHERE TO CUT. ``end_token`` is exclusive; every span is >= n
+    tokens by construction.
+
+    Spans cover ALL duplicated occurrences. Keep-one is a policy
+    layer on top (e.g. exempt the min-id occurrence per digest);
+    the operator stays mechanism.
+
+    Scale shape (never all-pairs, no suffix array): grams md5-digest
+    to fixed-width keys before leaving the mapper; the >= min_count
+    survivor set comes from a map-side-combining count; marking is one
+    digest-keyed hash join, O(|grams|) shuffle; the run fold is a
+    per-document window over MARKED positions only (pos - row_number
+    constant within a consecutive run), bounded by document length —
+    the same per-doc discipline as q189's longest-run fold.
+    """
+    from pyspark.sql import Window as W
+
+    marked = _marked_positions(df, id_col, text_col, n, min_count)
+    w = W.partitionBy(id_col).orderBy("pos")
+    runs = marked.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+    return (
+        runs.groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("start_token"),
+            (F.max("pos") + n).cast("bigint").alias("end_token"),
+        )
+        .withColumn("span_tokens", (F.col("end_token") - F.col("start_token")))
+        .drop("_grp")
+    )
+
+
+def substring_dedup_apply(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Apply ``exact_substring_spans`` removals: drop every token
+    covered by a duplicated n-gram window and re-join the survivors.
+    Returns (id, n_tokens, kept_tokens, removed_tokens, cleaned_md5)
+    — the cleaned text is carried as its md5 so the output stays
+    narrow at any document size (swap the select to emit the string
+    itself when materializing a cleaned corpus).
+
+    Scale: covered positions explode n rows per marked gram (bounded
+    by n·|marked|), distinct + anti-join are digest/key-partitioned,
+    and the ordered re-join is an in-memory array_sort per document —
+    no window over the corpus, no driver collect.
+    """
+    marked = _marked_positions(df, id_col, text_col, n, min_count)
+    covered = marked.select(
+        id_col,
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("tpos"),
+    ).distinct()
+    toks = df.select(
+        F.col(id_col), F.posexplode(words(text_col)).alias("tpos", "tok")
+    )
+    kept = toks.join(covered, [id_col, "tpos"], "left_anti")
+    cleaned = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("_md5"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(words(text_col)).cast("bigint").alias("n_tokens")
+    )
+    return base.join(cleaned, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("_kept"), F.lit(0)).cast("bigint").alias("kept_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("removed_tokens"),
+        F.coalesce(F.col("_md5"), F.md5(F.lit(""))).alias("cleaned_md5"),
     )
 
 

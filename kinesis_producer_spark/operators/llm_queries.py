@@ -1344,6 +1344,93 @@ def q99_common_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q226_GRAMS_CTE = """
+    WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') a FROM documents),
+    gl AS (SELECT doc_id,
+                  list_transform(range(1, len(a) - 3), i ->
+                    struct_pack(pos := i - 1,
+                                digest := MD5(a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' || a[i+4]))) s
+           FROM w),
+    g AS (SELECT doc_id, u.pos AS pos, u.digest AS digest
+          FROM (SELECT doc_id, unnest(s) AS u FROM gl)),
+    c AS (SELECT digest, COUNT(*) AS cnt FROM g GROUP BY digest),
+    m AS (SELECT doc_id, pos FROM g JOIN c USING (digest) WHERE cnt >= 2)
+"""
+
+
+@query(
+    "q226_exact_substring_spans",
+    oracle=_Q226_GRAMS_CTE
+    + """
+    , r AS (SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM m)
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS start_token,
+           CAST(MAX(pos) + 5 AS BIGINT) AS end_token,
+           CAST(MAX(pos) + 5 - MIN(pos) AS BIGINT) AS span_tokens
+    FROM r GROUP BY doc_id, grp
+    """,
+)
+def q226_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact substring dedup (deduplicate-text-datasets /
+    ExactSubstr semantics, Lee et al. 2021): emit (doc_id, start_token,
+    end_token) for every maximal passage whose every 5-token window
+    occurs >= 2 times in the corpus — q99 reports THAT passages repeat;
+    this says WHERE TO CUT.
+
+    Scale: md5-digested grams, map-side-combined counts, one
+    digest-keyed join, then a per-document window over marked
+    positions only — O(|grams|) shuffle, no suffix array, no
+    all-pairs (operators/dedup.py:exact_substring_spans)."""
+    from kinesis_producer_spark.operators.dedup import exact_substring_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return exact_substring_spans(d, id_col="doc_id", text_col="text", n=5, min_count=2)
+
+
+@query(
+    "q227_substring_dedup_apply",
+    oracle=_Q226_GRAMS_CTE
+    + """
+    , cov AS (SELECT DISTINCT doc_id, m.pos + js.j AS tpos
+              FROM m CROSS JOIN (SELECT unnest(range(0, 5)) AS j) js),
+    t AS (SELECT doc_id, u.tpos AS tpos, u.tok AS tok
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, len(a) + 1), i ->
+                         struct_pack(tpos := i - 1, tok := a[i]))) AS u
+                FROM w)),
+    kept AS (SELECT t.doc_id, t.tpos, t.tok
+             FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.tpos = cov.tpos
+             WHERE cov.tpos IS NULL),
+    k AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+                 MD5(string_agg(tok, ' ' ORDER BY tpos)) AS cmd5
+          FROM kept GROUP BY doc_id)
+    SELECT w.doc_id,
+           CAST(len(w.a) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           CAST(len(w.a) - COALESCE(k.kept_tokens, 0) AS BIGINT) AS removed_tokens,
+           COALESCE(k.cmd5, MD5('')) AS cleaned_md5
+    FROM w LEFT JOIN k ON w.doc_id = k.doc_id
+    """,
+)
+def q227_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cut applied: every token covered by a duplicated 5-gram
+    window is dropped and the survivors re-join in order; the cleaned
+    text travels as its md5 (narrow rows at any document size). A
+    fully-duplicated document keeps 0 tokens and hashes the empty
+    string — the honest output for pure boilerplate.
+
+    Scale: covered positions are ≤ 5·|marked| rows, the anti-join is
+    key-partitioned, and the ordered re-join is an in-memory
+    array_sort per document — no corpus-wide window, no collect
+    (operators/dedup.py:substring_dedup_apply)."""
+    from kinesis_producer_spark.operators.dedup import substring_dedup_apply
+
+    d = load_table(spark, sf_dir, "documents")
+    return substring_dedup_apply(d, id_col="doc_id", text_col="text", n=5, min_count=2)
+
+
 @query(
     "q103_fixed_size_sample",
     oracle="""

@@ -442,3 +442,115 @@ def test_kpl_aggregation_roundtrip_property(items, max_bytes):
     for r in back:
         per_key_out.setdefault(r["PartitionKey"], []).append(r["Data"])
     assert per_key_in == per_key_out
+
+
+# ---------------------------------------------------------------------------
+# Span-level exact substring dedup (q226/q227 operator)
+# ---------------------------------------------------------------------------
+
+
+def test_exact_substring_spans_planted_passages(spark):
+    """Plant one shared passage in two otherwise globally-unique
+    documents: the operator must recover EXACTLY that span in each doc
+    (start/end to the token) and emit nothing else. A planted run one
+    token shorter than n must produce no span at all."""
+    from kinesis_producer_spark.operators.dedup import exact_substring_spans
+
+    n = 5
+    passage = [f"shared{i}" for i in range(8)]  # 8-token shared passage
+    short = [f"small{i}" for i in range(n - 1)]  # 4 tokens: below n
+    docs = {
+        0: [f"u0_{i}" for i in range(7)] + passage + [f"v0_{i}" for i in range(5)],
+        1: [f"u1_{i}" for i in range(3)] + passage + [f"v1_{i}" for i in range(9)],
+        2: [f"u2_{i}" for i in range(6)] + short + [f"v2_{i}" for i in range(6)],
+        3: [f"u3_{i}" for i in range(2)] + short + [f"v3_{i}" for i in range(4)],
+    }
+    df = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in docs.items()], "doc_id int, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.start_token, r.end_token, r.span_tokens)
+        for r in exact_substring_spans(df, n=n, min_count=2).collect()
+    )
+    assert got == [(0, 7, 15, 8), (1, 3, 11, 8)]
+
+
+def test_exact_substring_spans_within_one_document(spark):
+    """min_count counts OCCURRENCES, not documents: a passage repeated
+    inside a single doc is duplicated corpus-wide and both copies are
+    spanned."""
+    from kinesis_producer_spark.operators.dedup import exact_substring_spans
+
+    rep = [f"r{i}" for i in range(5)]
+    toks = rep + [f"mid{i}" for i in range(4)] + rep + ["tail0", "tail1"]
+    df = spark.createDataFrame([(0, " ".join(toks))], "doc_id int, text string")
+    got = sorted(
+        (r.start_token, r.end_token) for r in exact_substring_spans(df, n=5).collect()
+    )
+    assert got == [(0, 5), (9, 14)]
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_exact_substring_spans_and_apply_match_model(spark, texts):
+    """Against a brute-force python model over a 3-word alphabet (dense
+    duplicate grams, self-repeats, empty docs): spans equal the model's
+    maximal duplicated-window runs, and the apply step removes exactly
+    the covered tokens with an order-preserving md5."""
+    import hashlib as _hl
+
+    from kinesis_producer_spark.operators.dedup import (
+        exact_substring_spans,
+        substring_dedup_apply,
+    )
+
+    n = 2
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    # model: global occurrence counts of positional n-grams
+    from collections import Counter
+
+    def grams(ws):
+        return [" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)]
+
+    tok = {i: (re.split(r"\s+", t) if t else [""]) for i, t in docs}
+    counts = Counter(g for ws in tok.values() for g in grams(ws))
+    spans_model = []
+    covered_model = {}
+    for i, ws in tok.items():
+        marked = [p for p, g in enumerate(grams(ws)) if counts[g] >= 2]
+        cov = set()
+        run = []
+        for p in marked:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    spans_model.append((i, run[0], run[-1] + n, run[-1] + n - run[0]))
+                run = [p]
+            cov.update(range(p, p + n))
+        if run:
+            spans_model.append((i, run[0], run[-1] + n, run[-1] + n - run[0]))
+        covered_model[i] = cov
+
+    got = sorted(
+        (r.doc_id, r.start_token, r.end_token, r.span_tokens)
+        for r in exact_substring_spans(df, n=n, min_count=2).collect()
+    )
+    assert got == sorted(spans_model)
+
+    ap = {
+        r.doc_id: (r.n_tokens, r.kept_tokens, r.removed_tokens, r.cleaned_md5)
+        for r in substring_dedup_apply(df, n=n, min_count=2).collect()
+    }
+    for i, ws in tok.items():
+        keep = [w for p, w in enumerate(ws) if p not in covered_model[i]]
+        expect_md5 = _hl.md5(" ".join(keep).encode()).hexdigest()
+        assert ap[i] == (len(ws), len(keep), len(ws) - len(keep), expect_md5)
