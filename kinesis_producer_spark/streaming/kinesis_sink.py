@@ -232,12 +232,25 @@ class RecordingTransport(Transport):
         n_shards: int = 4,
         fail_first_attempt_prefix: str = "0",
         shard_map: ShardMap | None = None,
+        error_schedule: Callable[[str, int], str | None] | None = None,
     ):
         self.n_shards = n_shards
         self.fail_prefix = fail_first_attempt_prefix
         self.shard_map = shard_map if shard_map is not None else ShardMap.uniform(n_shards)
+        # error_schedule(data_md5, attempt_n) -> ErrorCode | None lets
+        # tests inject any per-class failure pattern (throughput /
+        # internal / validation); None keeps the legacy default
+        # (throughput-exceeded once for '0'-prefixed md5s).
+        self.error_schedule = error_schedule
         self.calls: list[list[dict]] = []
         self._attempts: dict[str, int] = {}
+
+    def _injected_error(self, md5: str, n: int) -> str | None:
+        if self.error_schedule is not None:
+            return self.error_schedule(md5, n)
+        if md5.startswith(self.fail_prefix) and n == 1:
+            return "ProvisionedThroughputExceededException"
+        return None
 
     def put_records(self, stream_name: str, records: list[dict]) -> dict:
         if len(records) > MAX_RECORDS_PER_CALL:
@@ -251,12 +264,13 @@ class RecordingTransport(Transport):
             md5 = hashlib.md5(r["Data"]).hexdigest()
             n = self._attempts.get(md5, 0) + 1
             self._attempts[md5] = n
-            if md5.startswith(self.fail_prefix) and n == 1:
+            code = self._injected_error(md5, n)
+            if code is not None:
                 failed += 1
                 out.append(
                     {
-                        "ErrorCode": "ProvisionedThroughputExceededException",
-                        "ErrorMessage": "Rate exceeded (injected)",
+                        "ErrorCode": code,
+                        "ErrorMessage": f"{code} (injected)",
                     }
                 )
             else:
@@ -463,9 +477,33 @@ def deaggregate_records(records: list[dict]) -> list[dict]:
     return out
 
 
+# PutRecords per-record failure classes (the public API contract):
+# - throughput-exceeded / KMS throttling: the shard is at quota —
+#   retrying immediately fights the token bucket the sink sits next
+#   to; back off first, then retry the same shard.
+# - internal failure / service unavailable: transient server-side
+#   fault — retry immediately (AWS guidance; no quota involved).
+# - anything else (validation, access denied, ...): deterministic —
+#   the same record fails the same way forever; retrying burns quota
+#   for nothing. Dead-letter on first sight, never retry.
+BACKOFF_RETRY_CODES = frozenset(
+    {"ProvisionedThroughputExceededException", "KMSThrottlingException"}
+)
+IMMEDIATE_RETRY_CODES = frozenset({"InternalFailure", "ServiceUnavailableException"})
+RETRYABLE_CODES = BACKOFF_RETRY_CODES | IMMEDIATE_RETRY_CODES
+
+
 @dataclass
 class KinesisSink:
-    """foreachBatch-compatible writer with ack/retry/dead-letter."""
+    """foreachBatch-compatible writer with ack/retry/dead-letter.
+
+    Retry policy is error-code aware (round 6): backoff-class failures
+    (throughput/KMS throttling) wait out the exponential backoff
+    before the next attempt; immediate-class failures (internal
+    error / service unavailable) retry without sleeping; terminal
+    failures (validation etc.) dead-letter on first sight and are
+    never re-sent. A mixed failed set sleeps only if at least one
+    pending record is backoff-class."""
 
     stream_name: str
     transport_factory: Callable[[], Transport]
@@ -484,6 +522,7 @@ class KinesisSink:
         while pending and attempt <= self.max_retries:
             attempt += 1
             failed: list[tuple[int, dict]] = []
+            saw_backoff_class = False
             consumed = 0
             for chunk in _chunk([r for _, r in pending]):
                 piece = pending[consumed : consumed + len(chunk)]
@@ -500,16 +539,20 @@ class KinesisSink:
                 for (i, rec), r in zip(piece, resp["Records"]):
                     md5 = hashlib.md5(rec["Data"]).hexdigest()
                     if "ErrorCode" in r:
+                        code = r["ErrorCode"]
                         acks[i] = {
                             "partition_key": rec["PartitionKey"],
                             "data_md5": md5,
                             "status": "dead_letter",
                             "attempts": attempt,
-                            "error_code": r["ErrorCode"],
+                            "error_code": code,
                             "sequence_number": None,
                             "shard_id": None,
                         }
-                        failed.append((i, rec))
+                        if code in RETRYABLE_CODES:
+                            failed.append((i, rec))
+                            saw_backoff_class |= code in BACKOFF_RETRY_CODES
+                        # terminal class: dead-letter stands, no re-send
                     else:
                         acks[i] = {
                             "partition_key": rec["PartitionKey"],
@@ -521,7 +564,10 @@ class KinesisSink:
                             "shard_id": r["ShardId"],
                         }
             pending = failed
-            if pending and attempt <= self.max_retries:
+            if pending and attempt <= self.max_retries and saw_backoff_class:
+                # immediate-class-only failures skip the sleep: the
+                # backoff exists to let shard quota refill, which an
+                # internal error never consumed
                 time.sleep(self.backoff_s * (2 ** (attempt - 1)))
         return [acks[i] for i in sorted(acks)]
 
@@ -744,6 +790,27 @@ class KinesisSink:
                     "null_records"
                 ),
                 F.sum("attempts").alias("attempts_total"),
+                # dead-letter split by error class (round 6): throttle/
+                # internal deaths exhausted their retries; terminal
+                # deaths were never retried by policy
+                F.count(
+                    F.when(F.col("error_code").isin(list(BACKOFF_RETRY_CODES)), 1)
+                ).alias("dead_throttle"),
+                F.count(
+                    F.when(F.col("error_code").isin(list(IMMEDIATE_RETRY_CODES)), 1)
+                ).alias("dead_internal"),
+                F.count(
+                    F.when(
+                        (F.col("status") == "dead_letter")
+                        & ~F.coalesce(
+                            F.col("error_code").isin(
+                                list(RETRYABLE_CODES) + ["NullRecord"]
+                            ),
+                            F.lit(False),
+                        ),
+                        1,
+                    )
+                ).alias("dead_terminal"),
             )
             .collect()[0]
         )
@@ -756,6 +823,9 @@ class KinesisSink:
             "dead_lettered": row["dead_lettered"],
             "null_records": row["null_records"],
             "attempts_total": int(row["attempts_total"] or 0),
+            "dead_throttle": row["dead_throttle"],
+            "dead_internal": row["dead_internal"],
+            "dead_terminal": row["dead_terminal"],
         }
         tmp = os.path.join(mdir, f".epoch-{epoch_id}.tmp")
         with open(tmp, "w") as fh:

@@ -78,7 +78,10 @@ class ProgressRecorder(StreamingQueryListener):
 
 SINK_METRICS_SCHEMA = (
     "epoch long, sent long, retried long, dead_lettered long, "
-    "null_records long, attempts_total long"
+    "null_records long, attempts_total long, "
+    # dead-letter split by error class (round 6); ledgers written
+    # before the split read these as NULL — schema-tolerant on purpose
+    "dead_throttle long, dead_internal long, dead_terminal long"
 )
 
 

@@ -1736,3 +1736,165 @@ def test_shard_map_open_shards_cache_tracks_resharding():
         h = partition_key_hash(key)
         (expect,) = [s.shard_id for s in rebuilt if s.start <= h <= s.end]
         assert sid == expect
+
+
+def test_retry_policy_terminal_validation_never_retried():
+    """ValidationException is deterministic: the same record fails the
+    same way forever. Policy: dead-letter on FIRST sight, zero
+    re-sends — retrying would burn quota for nothing."""
+    from kinesis_producer_spark.streaming.kinesis_sink import (
+        KinesisSink,
+        RecordingTransport,
+    )
+
+    t = RecordingTransport(error_schedule=lambda md5, n: "ValidationException")
+    sink = KinesisSink("s", lambda: t, max_retries=3, backoff_s=0.0)
+    acks = sink.send_partition(_records(5))
+    assert all(a["status"] == "dead_letter" for a in acks)
+    assert all(a["error_code"] == "ValidationException" for a in acks)
+    assert all(a["attempts"] == 1 for a in acks), "terminal class must not retry"
+    assert len(t.calls) == 1, "no second put_records call for terminal failures"
+
+
+def test_retry_policy_internal_error_retries_without_backoff():
+    """InternalFailure is transient and quota-free: retry immediately —
+    the exponential backoff must NOT be slept when only immediate-class
+    failures are pending."""
+    from kinesis_producer_spark.streaming.kinesis_sink import (
+        KinesisSink,
+        RecordingTransport,
+    )
+
+    sleeps: list[float] = []
+    t = RecordingTransport(
+        error_schedule=lambda md5, n: "InternalFailure" if n <= 2 else None
+    )
+    sink = KinesisSink("s", lambda: t, max_retries=3, backoff_s=10.0)
+
+    import kinesis_producer_spark.streaming.kinesis_sink as ks
+
+    real_sleep = ks.time.sleep
+    ks.time.sleep = lambda s: sleeps.append(s)
+    try:
+        # distinct payloads: the mock's attempt counter is md5-keyed
+        acks = sink.send_partition(
+            [{"Data": b"rec-%d" % i, "PartitionKey": "k"} for i in range(4)]
+        )
+    finally:
+        ks.time.sleep = real_sleep
+    assert all(a["status"] == "ok" for a in acks)
+    assert all(a["attempts"] == 3 for a in acks)  # fail, fail, ok
+    assert sleeps == [], "immediate-class retries must not back off"
+
+
+def test_retry_policy_throttle_backs_off_and_mixed_classes_split():
+    """A mixed failed set: throttled records wait out the backoff and
+    retry; validation records dead-letter immediately; internal errors
+    retry without adding sleeps beyond the throttle's own."""
+    import hashlib as _hl
+
+    from kinesis_producer_spark.streaming.kinesis_sink import (
+        KinesisSink,
+        RecordingTransport,
+    )
+
+    recs = [
+        {"Data": b"throttle-me", "PartitionKey": "a"},
+        {"Data": b"validate-me", "PartitionKey": "b"},
+        {"Data": b"internal-me", "PartitionKey": "c"},
+        {"Data": b"fine", "PartitionKey": "d"},
+    ]
+    md5s = {bytes(r["Data"]): _hl.md5(r["Data"]).hexdigest() for r in recs}
+
+    def schedule(md5, n):
+        if md5 == md5s[b"throttle-me"] and n == 1:
+            return "ProvisionedThroughputExceededException"
+        if md5 == md5s[b"validate-me"]:
+            return "ValidationException"
+        if md5 == md5s[b"internal-me"] and n == 1:
+            return "InternalFailure"
+        return None
+
+    sleeps: list[float] = []
+    t = RecordingTransport(error_schedule=schedule)
+    sink = KinesisSink("s", lambda: t, max_retries=3, backoff_s=0.5)
+
+    import kinesis_producer_spark.streaming.kinesis_sink as ks
+
+    real_sleep = ks.time.sleep
+    ks.time.sleep = lambda s: sleeps.append(s)
+    try:
+        acks = {a["data_md5"]: a for a in sink.send_partition(recs)}
+    finally:
+        ks.time.sleep = real_sleep
+
+    assert acks[md5s[b"throttle-me"]]["status"] == "ok"
+    assert acks[md5s[b"throttle-me"]]["attempts"] == 2
+    assert acks[md5s[b"internal-me"]]["status"] == "ok"
+    assert acks[md5s[b"internal-me"]]["attempts"] == 2
+    assert acks[md5s[b"validate-me"]]["status"] == "dead_letter"
+    assert acks[md5s[b"validate-me"]]["attempts"] == 1
+    assert acks[md5s[b"fine"]]["status"] == "ok" and acks[md5s[b"fine"]]["attempts"] == 1
+    # one backoff sleep, caused by the throttle class alone
+    assert sleeps == [0.5]
+    # the validation record appears in exactly one put_records call
+    n_validate_sends = sum(
+        1 for call in t.calls for r in call if bytes(r["Data"]) == b"validate-me"
+    )
+    assert n_validate_sends == 1
+
+
+def test_sink_metrics_ledger_splits_dead_letters_by_class(spark, tmp_path):
+    """The per-epoch ledger splits dead letters into throttle /
+    internal / terminal classes (plus the existing NullRecord count)."""
+    from kinesis_producer_spark.streaming import monitor
+    from kinesis_producer_spark.streaming.kinesis_sink import (
+        KinesisSink,
+        RecordingTransport,
+    )
+
+    def schedule(md5, n):
+        # route by first hex digit: 0-3 throttle forever, 4-7 internal
+        # forever, 8-9 validation; a-f succeed
+        d = md5[0]
+        if d in "0123":
+            return "ProvisionedThroughputExceededException"
+        if d in "4567":
+            return "InternalFailure"
+        if d in "89":
+            return "ValidationException"
+        return None
+
+    ack_path = str(tmp_path / "class_acks")
+    sink = KinesisSink(
+        "s", lambda: RecordingTransport(error_schedule=schedule), max_retries=1, backoff_s=0.0
+    )
+    write = sink.foreach_batch_writer(ack_path=ack_path)
+    batch = spark.createDataFrame(
+        [(bytearray(b"evt-%d" % i), f"k{i}") for i in range(64)]
+        + [(None, "nullkey")],
+        "data binary, partition_key string",
+    )
+    write(batch, 0)
+    (m,) = monitor.sink_metrics(spark, ack_path).collect()
+    acks = spark.read.option("basePath", ack_path).parquet(f"{ack_path}/epoch=0")
+    by_code = {
+        r["error_code"]: r["n"]
+        for r in acks.where("status = 'dead_letter'").groupBy("error_code").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert m.dead_throttle == by_code.get("ProvisionedThroughputExceededException", 0)
+    assert m.dead_internal == by_code.get("InternalFailure", 0)
+    assert m.dead_terminal == by_code.get("ValidationException", 0)
+    assert m.null_records == 1
+    assert (
+        m.dead_lettered
+        == m.dead_throttle + m.dead_internal + m.dead_terminal + m.null_records
+    )
+    assert m.dead_throttle > 0 and m.dead_internal > 0 and m.dead_terminal > 0
+    # terminal never retried; throttle exhausted initial + 1 retry
+    term = acks.where("error_code = 'ValidationException'")
+    assert term.agg(F.max("attempts")).collect()[0][0] == 1
+    thr = acks.where("error_code = 'ProvisionedThroughputExceededException'")
+    assert thr.agg(F.min("attempts")).collect()[0][0] == 2
