@@ -70,24 +70,53 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _marked_positions(
-    df: DataFrame, id_col: str, text_col: str, n: int, min_count: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    min_count: int,
+    keep_first: bool = False,
 ) -> DataFrame:
     """(id, pos) for every token position whose n-gram starting there
     occurs >= min_count times in the corpus (all occurrences counted,
-    including repeats inside one document)."""
-    g = df.select(
+    including repeats inside one document).
+
+    ``keep_first=True`` exempts each gram's CANONICAL occurrence — the
+    lexicographically smallest (id, pos) — so one copy of every
+    duplicated window survives the cut (the keep-one dedup policy).
+    The canonical pick is min(struct(id, pos)) inside the same
+    map-side-combinable aggregate as the count — deliberately NOT a
+    row_number window per digest, which would hand a hot gram's
+    million occurrences to one reducer.
+
+    ``fan_out`` before the explode: the gram stage amplifies each doc
+    ~|tokens|× and feeds a map-side hash agg, so its per-task memory
+    is set by DOCS PER SCAN TASK, not bytes — a byte-small corpus
+    file arrives as one split and would concentrate the whole gram
+    set in one task (measured: per-task peak grew ~7x across the
+    sf0.1→sf1.0 soak decade before this, flat after)."""
+    from kinesis_producer_spark.tables import fan_out
+
+    g = fan_out(df).select(
         F.col(id_col),
         F.posexplode(F.transform(positional_shingles(text_col, n), F.md5)).alias(
             "pos", "digest"
         ),
     )
-    dup = (
-        g.groupBy("digest")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") >= min_count)
-        .select("digest")
+    agg = g.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_canon"),
     )
-    return g.join(dup, "digest").select(id_col, "pos")
+    dup = agg.filter(F.col("_c") >= min_count)
+    marked = g.join(dup, "digest")
+    if keep_first:
+        marked = marked.filter(
+            ~(
+                (F.col(id_col) == F.col(f"_canon.{id_col}"))
+                & (F.col("pos") == F.col("_canon.pos"))
+            )
+        )
+    return marked.select(id_col, "pos")
 
 
 def exact_substring_spans(
@@ -96,6 +125,7 @@ def exact_substring_spans(
     text_col: str = "text",
     n: int = 5,
     min_count: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Span-level exact substring dedup: (id, start_token, end_token,
     span_tokens) for every maximal passage whose EVERY n-token window
@@ -106,9 +136,10 @@ def exact_substring_spans(
     WHERE TO CUT. ``end_token`` is exclusive; every span is >= n
     tokens by construction.
 
-    Spans cover ALL duplicated occurrences. Keep-one is a policy
-    layer on top (e.g. exempt the min-id occurrence per digest);
-    the operator stays mechanism.
+    Default policy: spans cover ALL duplicated occurrences.
+    ``keep_first=True`` applies the keep-one policy — each gram's
+    canonical (lexicographically first) occurrence is exempt from the
+    cut, so exactly one copy of every duplicated window survives.
 
     Scale shape (never all-pairs, no suffix array): grams md5-digest
     to fixed-width keys before leaving the mapper; the >= min_count
@@ -120,7 +151,7 @@ def exact_substring_spans(
     """
     from pyspark.sql import Window as W
 
-    marked = _marked_positions(df, id_col, text_col, n, min_count)
+    marked = _marked_positions(df, id_col, text_col, n, min_count, keep_first)
     w = W.partitionBy(id_col).orderBy("pos")
     runs = marked.withColumn("_grp", F.col("pos") - F.row_number().over(w))
     return (
@@ -140,9 +171,12 @@ def substring_dedup_apply(
     text_col: str = "text",
     n: int = 5,
     min_count: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Apply ``exact_substring_spans`` removals: drop every token
     covered by a duplicated n-gram window and re-join the survivors.
+    ``keep_first=True`` applies the keep-one policy (see
+    ``exact_substring_spans``) so canonical copies survive the cut.
     Returns (id, n_tokens, kept_tokens, removed_tokens, cleaned_md5)
     — the cleaned text is carried as its md5 so the output stays
     narrow at any document size (swap the select to emit the string
@@ -153,12 +187,14 @@ def substring_dedup_apply(
     and the ordered re-join is an in-memory array_sort per document —
     no window over the corpus, no driver collect.
     """
-    marked = _marked_positions(df, id_col, text_col, n, min_count)
+    marked = _marked_positions(df, id_col, text_col, n, min_count, keep_first)
     covered = marked.select(
         id_col,
         F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("tpos"),
     ).distinct()
-    toks = df.select(
+    from kinesis_producer_spark.tables import fan_out
+
+    toks = fan_out(df).select(
         F.col(id_col), F.posexplode(words(text_col)).alias("tpos", "tok")
     )
     kept = toks.join(covered, [id_col, "tpos"], "left_anti")

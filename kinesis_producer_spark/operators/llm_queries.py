@@ -1390,6 +1390,45 @@ def q226_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q228_substring_dedup_keep_first",
+    oracle=_Q226_GRAMS_CTE
+    + """
+    , mk AS (SELECT doc_id, pos,
+                    ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id, pos) AS rn
+             FROM (SELECT g.doc_id, g.pos, g.digest
+                   FROM g JOIN c USING (digest) WHERE cnt >= 2)),
+    m2 AS (SELECT doc_id, pos FROM mk WHERE rn > 1),
+    r AS (SELECT doc_id, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM m2)
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS start_token,
+           CAST(MAX(pos) + 5 AS BIGINT) AS end_token,
+           CAST(MAX(pos) + 5 - MIN(pos) AS BIGINT) AS span_tokens
+    FROM r GROUP BY doc_id, grp
+    """,
+)
+def q228_substring_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q226 under the KEEP-ONE policy: each duplicated 5-gram's
+    canonical (lexicographically first) occurrence is exempt from the
+    cut, so exactly one copy of every duplicated window survives —
+    the cut list a production dedup actually ships, rather than the
+    all-occurrences removal map.
+
+    Scale: the canonical pick is min(struct(id, pos)) folded into the
+    SAME map-side-combinable aggregate as the occurrence count — NOT a
+    per-digest row_number window, which would serialize a hot gram's
+    million occurrences through one reducer (the skew pathology the
+    oracle's window form is allowed to have and the engine is not)."""
+    from kinesis_producer_spark.operators.dedup import exact_substring_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return exact_substring_spans(
+        d, id_col="doc_id", text_col="text", n=5, min_count=2, keep_first=True
+    )
+
+
+@query(
     "q227_substring_dedup_apply",
     oracle=_Q226_GRAMS_CTE
     + """

@@ -666,6 +666,11 @@ def q217_streaming_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
         .parquet(stream_dir)
         .select("doc_id", "text")
     )
+    # NOT wrapped in bounded_stream_shuffle: the LSH state operator is
+    # COMPUTE-bound (pandas bucket joins per (band, bucket) group), so
+    # shrinking partitions serializes real work — measured 9.1s -> 11.2s
+    # under the 8-partition pin. The pin pays only for commit-bound
+    # stateful plans (q97/q100/q48: 31s -> 5s).
     pairs = streaming_lsh_candidates(docs)
     name = f"lsh_mem_{uuid.uuid4().hex[:10]}"
     q = (
@@ -745,6 +750,7 @@ def q221_streaming_lsh_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.timestamp_millis((F.col("doc_id") % 3) * F.lit(60000) + F.lit(30000)),
         )
     )
+    # unwrapped on purpose — compute-bound state op; see q217's note
     pairs = streaming_lsh_candidates(docs, time_col="event_ts", epoch_ms=60000)
     name = f"lsh_ep_mem_{uuid.uuid4().hex[:10]}"
     q = (

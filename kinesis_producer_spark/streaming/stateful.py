@@ -119,10 +119,13 @@ def run_stream_update(df: DataFrame, spark) -> DataFrame:
     emissions (memory sink appends each trigger's updated rows)."""
     import uuid
 
+    from kinesis_producer_spark.streaming.windows import bounded_stream_shuffle
+
     name = f"mem_{uuid.uuid4().hex[:10]}"
-    q = df.writeStream.outputMode("update").format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    with bounded_stream_shuffle(spark):
+        q = df.writeStream.outputMode("update").format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name)
 
 
@@ -261,10 +264,13 @@ def run_stream_append_mode(df: DataFrame, spark) -> DataFrame:
     """Execute a bounded append-mode stream; return all emissions."""
     import uuid
 
+    from kinesis_producer_spark.streaming.windows import bounded_stream_shuffle
+
     name = f"mem_{uuid.uuid4().hex[:10]}"
-    q = df.writeStream.outputMode("append").format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    with bounded_stream_shuffle(spark):
+        q = df.writeStream.outputMode("append").format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name)
 
 

@@ -9,12 +9,39 @@ memory sink, exercised in tests).
 
 from __future__ import annotations
 
+import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_producer_spark.functions import dsum
+
+
+@contextmanager
+def bounded_stream_shuffle(spark: SparkSession):
+    """Pin ``spark.sql.shuffle.partitions`` to a small count for the
+    duration of a BOUNDED fixture stream, restoring it afterwards.
+
+    Stateful streaming cost is (state-store commits) = partitions ×
+    micro-batches × stores-per-operator, and — unlike batch — AQE
+    never coalesces a stateful shuffle (the state partition count is
+    pinned at first run). The session default (2×cores, sized for
+    batch scans) therefore multiplies pure trigger overhead by ~8× on
+    a 4-file fixture stream that carries a few thousand rows. Results
+    are identical at any value — partitioning of state is internal —
+    so bounded oracle/bench streams run at SPARK_GRAFT_STREAM_SHUFFLE
+    (default 8). Production deployments with real volume should size
+    partitions to throughput as usual; this knob is scoped to each
+    bounded run and leaks nothing."""
+    target = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", target)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def tumbling_agg(events: DataFrame, duration: str = "1 hour") -> DataFrame:
@@ -64,9 +91,10 @@ def run_stream_append(agg: DataFrame, spark: SparkSession) -> DataFrame:
     """Execute a bounded watermarked stream in append mode; the memory
     table holds exactly the watermark-closed windows."""
     name = f"mem_{uuid.uuid4().hex[:10]}"
-    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    with bounded_stream_shuffle(spark):
+        q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name)
 
 
@@ -112,12 +140,13 @@ def run_stream_to_memory(agg: DataFrame, spark: SparkSession) -> DataFrame:
     watermark closure; fine for bounded fixture streams.
     """
     name = f"mem_{uuid.uuid4().hex[:10]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with bounded_stream_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name)

@@ -554,3 +554,35 @@ def test_exact_substring_spans_and_apply_match_model(spark, texts):
         keep = [w for p, w in enumerate(ws) if p not in covered_model[i]]
         expect_md5 = _hl.md5(" ".join(keep).encode()).hexdigest()
         assert ap[i] == (len(ws), len(keep), len(ws) - len(keep), expect_md5)
+
+
+def test_exact_substring_spans_keep_first_policy(spark):
+    """keep_first=True exempts each gram's canonical occurrence: the
+    first doc keeps its copy of a shared passage (no span), the second
+    doc's copy is cut; an intra-doc repeat cuts only the second
+    occurrence. Every duplicated gram keeps exactly one live copy."""
+    from kinesis_producer_spark.operators.dedup import exact_substring_spans
+
+    n = 5
+    passage = [f"shared{i}" for i in range(8)]
+    docs = {
+        0: [f"u0_{i}" for i in range(7)] + passage + [f"v0_{i}" for i in range(5)],
+        1: [f"u1_{i}" for i in range(3)] + passage + [f"v1_{i}" for i in range(9)],
+    }
+    df = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in docs.items()], "doc_id int, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.start_token, r.end_token)
+        for r in exact_substring_spans(df, n=n, min_count=2, keep_first=True).collect()
+    )
+    assert got == [(1, 3, 11)], "only the non-canonical copy is cut"
+
+    rep = [f"r{i}" for i in range(5)]
+    toks = rep + [f"mid{i}" for i in range(4)] + rep + ["tail0", "tail1"]
+    df2 = spark.createDataFrame([(0, " ".join(toks))], "doc_id int, text string")
+    got2 = sorted(
+        (r.start_token, r.end_token)
+        for r in exact_substring_spans(df2, n=5, min_count=2, keep_first=True).collect()
+    )
+    assert got2 == [(9, 14)], "intra-doc: only the second occurrence is cut"

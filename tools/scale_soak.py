@@ -42,6 +42,21 @@ SOAK = [
     "q51_minhash_lsh",
     "q99_common_passages",
     "q212_packed_sequences",
+    # round-6 additions (VERDICT r5 items 3 and 6):
+    # peak-execution-memory outliers from the shuffle audit's fifth
+    # dimension — the soak must show per-task memory NOT scaling with
+    # input (the axis that OOMs a 100x run without ever spilling)
+    "q63_tfidf",
+    "q80_split_contamination",
+    "q101_dedup_keep_list",
+    "q186_ab_session_metrics",
+    # round-5 scale-pattern operators that missed the first soak list
+    "q223_range_aggregate_prefix",
+    "q224_kmv_set_ops",
+    "q225_logbin_quantiles",
+    # round-6 span-level substring dedup (q226/q227 family)
+    "q226_exact_substring_spans",
+    "q227_substring_dedup_apply",
 ]
 
 SF_DIRS = {
@@ -87,38 +102,68 @@ def main() -> int:
             for attempt in range(2):
                 sc.setJobGroup(group if attempt == 1 else f"{group}#warm", group)
                 t0 = time.monotonic()
-                rows = fn(spark, sf_dir).count()
+                # noop sink, NOT .count(): count() lets Catalyst prune
+                # whole subtrees (q227's left-join dedup chain collapsed
+                # to count(documents) — found in round 6), silently
+                # soaking a different plan than the user runs. The noop
+                # write materializes every column through the full plan
+                # (same discipline as bench.py); rows come from the
+                # observed output metric of the last stage via a cheap
+                # separate count AFTER timing.
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
                 dt = time.monotonic() - t0
                 sc.setJobGroup("", "")
                 best = dt if best is None else min(best, dt)
+            rows = fn(spark, sf_dir).count()
             jobs = _rest(api, "/jobs?status=succeeded")
             stage_ids = set()
             for j in jobs:
                 if j.get("jobGroup") == group:  # metrics from the timed run
                     stage_ids.update(j.get("stageIds", []))
-            w = r = spill = 0
+            w = r = spill = peak = peak_task = 0
             for s in _rest(api, "/stages?status=complete"):
                 if s["stageId"] in stage_ids:
                     w += s.get("shuffleWriteBytes", 0)
                     r += s.get("shuffleReadBytes", 0)
                     spill += s.get("diskBytesSpilled", 0) + s.get("memoryBytesSpilled", 0)
-            out[name][sf_label] = (best, w, r, spill, rows)
+                    # executor-sizing axis (round 6): a peak that grows
+                    # with the corpus OOMs a 100x run without spilling.
+                    # The REST stage peak is SUMMED over the stage's
+                    # tasks — more data means more tasks means a bigger
+                    # sum even at flat per-task memory — so the
+                    # per-task mean (sum / numTasks) is the number the
+                    # 100x extrapolation actually needs.
+                    p = s.get("peakExecutionMemory", 0)
+                    n_tasks = max(1, s.get("numCompleteTasks", s.get("numTasks", 1)))
+                    peak = max(peak, p)
+                    peak_task = max(peak_task, p // n_tasks)
+            out[name][sf_label] = (best, w, r, spill, rows, peak, peak_task)
             print(
                 f"{name} {sf_label}: {best:.2f}s rows={rows:,} "
-                f"shuffle_w={w:,}B shuffle_r={r:,}B spill={spill:,}B",
+                f"shuffle_w={w:,}B shuffle_r={r:,}B spill={spill:,}B "
+                f"peak_exec_mem={peak:,}B peak_per_task={peak_task:,}B",
                 flush=True,
             )
 
-    print("\n== sf0.1 -> sf1.0 ratios (10x data; linear = ~10x) ==")
-    print(f"{'query':<32} {'t0.1':>7} {'t1.0':>8} {'t_ratio':>8} {'w_ratio':>8} {'rows_ratio':>10} {'spill1.0':>10}")
+    print(
+        "\n== sf0.1 -> sf1.0 ratios (10x data; linear = ~10x; "
+        "ptask_r ~1x = flat PER-TASK memory — the axis that OOMs a 100x run) =="
+    )
+    print(
+        f"{'query':<32} {'t0.1':>7} {'t1.0':>8} {'t_ratio':>8} {'w_ratio':>8} "
+        f"{'rows_ratio':>10} {'spill1.0':>10} {'ptask0.1':>9} {'ptask1.0':>9} {'ptask_r':>8}"
+    )
     for name, d in out.items():
         a, b = d["sf0.1"], d["sf1.0"]
         tr = b[0] / a[0] if a[0] else float("inf")
         wr = b[1] / a[1] if a[1] else float("inf") if b[1] else 1.0
         rr = b[4] / a[4] if a[4] else float("inf")
+        pr = b[6] / a[6] if a[6] else (float("inf") if b[6] else 1.0)
+        mb = 1024 * 1024
         print(
             f"{name:<32} {a[0]:>6.2f}s {b[0]:>7.2f}s {tr:>7.1f}x {wr:>7.1f}x "
-            f"{rr:>9.2f}x {b[3]:>9,}B"
+            f"{rr:>9.2f}x {b[3]:>9,}B {a[6] / mb:>8.0f}M {b[6] / mb:>8.0f}M {pr:>7.1f}x"
         )
     spark.stop()
     return 0
