@@ -149,9 +149,16 @@ def exact_substring_spans(
     constant within a consecutive run), bounded by document length —
     the same per-doc discipline as q189's longest-run fold.
     """
+    marked = _marked_positions(df, id_col, text_col, n, min_count, keep_first)
+    return _spans_from_marked(marked, id_col, n)
+
+
+def _spans_from_marked(marked: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Fold marked gram positions into maximal (start, end) token spans
+    — per-document window over marked positions only (pos − row_number
+    is constant within a consecutive run)."""
     from pyspark.sql import Window as W
 
-    marked = _marked_positions(df, id_col, text_col, n, min_count, keep_first)
     w = W.partitionBy(id_col).orderBy("pos")
     runs = marked.withColumn("_grp", F.col("pos") - F.row_number().over(w))
     return (
@@ -163,6 +170,44 @@ def exact_substring_spans(
         .withColumn("span_tokens", (F.col("end_token") - F.col("start_token")))
         .drop("_grp")
     )
+
+
+def contamination_spans(
+    train: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Span-level decontamination against a reference corpus: (id,
+    start_token, end_token, span_tokens) for every maximal passage in
+    ``train`` whose EVERY n-token window also occurs in ``ref`` — the
+    benchmark-decontamination cut list (q80 flags WHICH documents leak
+    an eval set; this says WHERE to cut them). Same run-fold contract
+    as ``exact_substring_spans``: end exclusive, spans >= n tokens.
+
+    Scale: the reference side reduces to DISTINCT gram digests (set
+    semantics — ref-internal repetition is irrelevant), usually orders
+    of magnitude smaller than the train gram stream; the mark is one
+    digest-keyed join that AQE broadcasts when the eval set fits, and
+    degrades to a shuffle join when it does not. Never all-pairs.
+    """
+    from kinesis_producer_spark.tables import fan_out
+
+    g = fan_out(train).select(
+        F.col(id_col),
+        F.posexplode(F.transform(positional_shingles(text_col, n), F.md5)).alias(
+            "pos", "digest"
+        ),
+    )
+    ref_digests = (
+        fan_out(ref)
+        .select(F.explode(F.transform(shingles(ref_text_col, n), F.md5)).alias("digest"))
+        .distinct()
+    )
+    marked = g.join(ref_digests, "digest").select(id_col, "pos")
+    return _spans_from_marked(marked, id_col, n)
 
 
 def substring_dedup_apply(

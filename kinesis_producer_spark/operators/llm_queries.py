@@ -1471,6 +1471,49 @@ def q227_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q229_contamination_spans",
+    oracle="""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') a FROM documents),
+    gl AS (SELECT doc_id,
+                  list_transform(range(1, len(a) - 2), i ->
+                    struct_pack(pos := i - 1,
+                                digest := MD5(a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]))) s
+           FROM w),
+    g AS (SELECT doc_id, u.pos AS pos, u.digest AS digest
+          FROM (SELECT doc_id, unnest(s) AS u FROM gl)),
+    ref AS (SELECT DISTINCT digest FROM g WHERE doc_id % 10 = 0),
+    m AS (SELECT doc_id, pos FROM g JOIN ref USING (digest) WHERE doc_id % 10 <> 0),
+    r AS (SELECT doc_id, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM m)
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS start_token,
+           CAST(MAX(pos) + 4 AS BIGINT) AS end_token,
+           CAST(MAX(pos) + 4 - MIN(pos) AS BIGINT) AS span_tokens
+    FROM r GROUP BY doc_id, grp
+    """,
+)
+def q229_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination: with every 10th document
+    standing in as the held-out eval set, emit (doc_id, start, end)
+    for each maximal training-doc passage whose every 4-gram window
+    also occurs in the eval set — q80 flags WHICH documents leak an
+    eval split; this emits WHERE TO CUT them.
+
+    Scale: the eval side reduces to distinct gram digests (set
+    semantics), typically orders of magnitude smaller than the train
+    gram stream; one digest-keyed join (AQE broadcasts when it fits),
+    then the per-document run fold
+    (operators/dedup.py:contamination_spans)."""
+    from kinesis_producer_spark.operators.dedup import contamination_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 10 != 0)
+    ev = d.where(F.col("doc_id") % 10 == 0)
+    return contamination_spans(train, ev, id_col="doc_id", text_col="text", n=4)
+
+
+@query(
     "q103_fixed_size_sample",
     oracle="""
     WITH h AS (SELECT doc_id, lang, MD5('sample:' || CAST(doc_id AS VARCHAR)) AS hkey

@@ -586,3 +586,33 @@ def test_exact_substring_spans_keep_first_policy(spark):
         for r in exact_substring_spans(df2, n=5, min_count=2, keep_first=True).collect()
     )
     assert got2 == [(9, 14)], "intra-doc: only the second occurrence is cut"
+
+
+def test_contamination_spans_planted(spark):
+    """Planted eval passage: train docs containing it get exactly that
+    span; a passage repeated across TRAIN docs only (absent from the
+    eval set) is never marked — contamination is against the reference,
+    not corpus-internal duplication."""
+    from kinesis_producer_spark.operators.dedup import contamination_spans
+
+    n = 4
+    leak = [f"leak{i}" for i in range(6)]
+    shared_train = [f"dup{i}" for i in range(6)]  # train-internal only
+    train = {
+        10: [f"a{i}" for i in range(5)] + leak + [f"b{i}" for i in range(3)],
+        11: leak + [f"c{i}" for i in range(8)],
+        12: [f"d{i}" for i in range(4)] + shared_train + [f"e{i}" for i in range(4)],
+        13: shared_train + [f"f{i}" for i in range(5)],
+    }
+    ev = {0: [f"x{i}" for i in range(3)] + leak + [f"y{i}" for i in range(2)]}
+    tdf = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in train.items()], "doc_id int, text string"
+    )
+    edf = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in ev.items()], "doc_id int, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.start_token, r.end_token, r.span_tokens)
+        for r in contamination_spans(tdf, edf, n=n).collect()
+    )
+    assert got == [(10, 5, 11, 6), (11, 0, 6, 6)]
