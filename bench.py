@@ -79,6 +79,11 @@ HEADLINE = [
     "q223_range_aggregate_prefix",
     "q224_kmv_set_ops",
     "q225_logbin_quantiles",
+    # Round-6: span-level exact substring dedup (ExactSubstr cut list)
+    # and span-level benchmark decontamination — the gram-digest →
+    # mark → run-fold family.
+    "q226_exact_substring_spans",
+    "q229_contamination_spans",
 ]
 
 
