@@ -42,18 +42,36 @@ _BIGRAMS_SQL = (
     "list_distinct(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1]))"
 )
 
-# Deterministic ±1 hyperplane matrix for signed-random-projection LSH:
-# 16 planes × 64 dims, derived from a fixed arithmetic formula so Spark
-# and the oracle embed the exact same literals.
-_SRP_SIGNS = [
-    [1 if ((b * 73856093 + (i + 1) * 19349663) % 97) % 2 == 0 else -1 for i in range(64)]
-    for b in range(16)
-]
+# Deterministic ±1 hyperplane matrix for signed-random-projection LSH,
+# embedded as identical literals on the Spark and oracle sides. Row b
+# is identical for every n_planes, so the 16-plane prefix q126 depends
+# on is stable when q54 asks for 32.
+#
+# Signs come from md5 parity, NOT a modular-arithmetic pattern: the
+# original `((b*73856093 + (i+1)*19349663) % 97) % 2` formula produced
+# rows correlating at 0.94 (some identical) — effectively ONE
+# hyperplane repeated, which collapsed every SRP signature into two
+# mega-buckets (65% of fixture vectors in 0x00/0xFF) and made the band
+# join quadratic. md5 mixing gives mean |row correlation| 0.09, the
+# independent-planes regime SRP's bucket-spread analysis assumes.
+def _srp_signs(n_planes: int = 16) -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"srp:{b}:{i}".encode()).digest()[0] & 1 == 0 else -1
+            for i in range(64)
+        ]
+        for b in range(n_planes)
+    ]
 
 
-def _srp_sig_sql() -> str:
+_SRP_SIGNS = _srp_signs(16)
+
+
+def _srp_sig_sql(n_planes: int = 16) -> str:
     terms = []
-    for b, row in enumerate(_SRP_SIGNS):
+    for b, row in enumerate(_srp_signs(n_planes)):
         lst = "[" + ", ".join(str(s) for s in row) + "]"
         terms.append(
             f"(CASE WHEN list_sum(list_transform(range(1,65), "
@@ -62,17 +80,29 @@ def _srp_sig_sql() -> str:
     return " + ".join(terms)
 
 
-def _srp_band_pairs(e: DataFrame) -> DataFrame:
+def _srp_band_pairs(
+    e: DataFrame, n_planes: int = 16, band_bits: int = 4, center: bool = False
+) -> DataFrame:
     """SRP-LSH candidate pairs over an embeddings frame.
 
-    16-bit cosine-LSH signature (sign of quantized dot against 16 fixed
-    ±1 hyperplanes), banded 4×4 bits; vectors sharing any (band, bits)
-    bucket become a candidate pair. Returns
-    (vec_a, vec_b, _siga, _sigb) with vec_a < vec_b, distinct.
+    ``n_planes``-bit cosine-LSH signature (sign of quantized dot
+    against fixed ±1 hyperplanes), banded into ``band_bits``-bit
+    bands; vectors sharing any (band, bits) bucket become a candidate
+    pair. Returns (vec_a, vec_b, _siga, _sigb) with vec_a < vec_b,
+    distinct.
 
-    Scale: signatures are one narrow scan (64×16 int ops/row); the
-    self-join keys on the bucket domain, never on a data column —
-    shared by q54 (cosine verify) and q126 (Hamming radius).
+    Bucket granularity IS the scale dial: a band with b bits has 2^b
+    buckets, and the self-join's candidate count is sum over buckets
+    of |bucket|^2/2 ~= n^2 / 2^b per band — q126 keeps the 16-plane
+    4x4 layout its Hamming-radius pigeonhole argument needs, while
+    q54 runs 32 planes x 8-bit bands (256 buckets/band: measured 16x
+    fewer candidates on the fixture, and the difference between
+    n^2/16 and n^2/256 at corpus scale before the cap of genuinely
+    clustered near-dups takes over).
+
+    Scale: signatures are one narrow scan (64 x n_planes int ops per
+    row); the self-join keys on the bucket domain, never on a data
+    column.
     """
     qe = e.select(
         "vec_id",
@@ -81,8 +111,33 @@ def _srp_band_pairs(e: DataFrame) -> DataFrame:
             lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("bigint"),
         ).alias("qe"),
     )
+    if center:
+        # SRP on UN-centered data collapses: with a dominant mean
+        # direction mu, sign(h.x) == sign(h.mu) for nearly every x, so
+        # every plane splits identically and two mega-buckets hold the
+        # corpus (measured on the fixture: 65% of vectors in buckets
+        # 0x00/0xFF, candidates ~n^2/2). Centering on the integer
+        # per-dimension mean restores the uniform-bucket regime. One
+        # 65-column map-side-combinable aggregate -> a 1-row collect
+        # driving broadcast literals (the sanctioned iterative-control
+        # pattern); floor division (Python //) matches DuckDB's //.
+        row = qe.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at("qe", i + 1)).alias(f"s{i}") for i in range(64)],
+        ).collect()[0]
+        mu = [int(row[f"s{i}"]) // int(row["n"]) for i in range(64)]
+        qe = qe.select(
+            "vec_id",
+            F.zip_with(
+                "qe",
+                F.array(*[F.lit(m).cast("bigint") for m in mu]),
+                lambda x, m: x - m,
+            ).alias("qe"),
+        )
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
     sig_col = None
-    for b, row in enumerate(_SRP_SIGNS):
+    for b, row in enumerate(_srp_signs(n_planes)):
         dot = F.aggregate(
             F.zip_with("qe", F.array(*[F.lit(s) for s in row]), lambda x, s: x * s),
             F.lit(0).cast("bigint"),
@@ -99,9 +154,11 @@ def _srp_band_pairs(e: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(band).alias("band"),
-                        F.shiftright("sig", 4 * band).bitwiseAND(F.lit(15)).alias("bits"),
+                        F.shiftright("sig", band_bits * band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bits"),
                     )
-                    for band in range(4)
+                    for band in range(n_bands)
                 ]
             )
         ).alias("r"),
@@ -235,13 +292,18 @@ def q53_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q54_embedding_neardup",
     oracle=f"""
-    WITH q AS (
+    WITH q0 AS (
       SELECT vec_id,
              list_transform(range(1, 65),
                i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE)*1e6 + 0.5) AS BIGINT)) AS qe
       FROM embeddings),
-    sigs AS (SELECT vec_id, {_srp_sig_sql()} AS sig FROM q),
-    bands AS (SELECT vec_id, b, (sig >> (4*b)) & 15 AS bits
+    dims AS (SELECT js.j AS j, SUM(qe[js.j]) AS s, COUNT(*) AS n
+             FROM q0 CROSS JOIN (SELECT unnest(range(1, 65)) AS j) js GROUP BY js.j),
+    mu AS (SELECT list(s // n ORDER BY j) AS m FROM dims),
+    q AS (SELECT vec_id, list_transform(range(1, 65), i -> qe[i] - m[i]) AS qe
+          FROM q0 CROSS JOIN mu),
+    sigs AS (SELECT vec_id, {_srp_sig_sql(32)} AS sig FROM q),
+    bands AS (SELECT vec_id, b, (sig >> (8*b)) & 255 AS bits
               FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b)),
     cand AS (SELECT DISTINCT x.vec_id ia, y.vec_id ib FROM bands x JOIN bands y
              ON x.b = y.b AND x.bits = y.bits AND x.vec_id < y.vec_id)
@@ -252,16 +314,24 @@ def q53_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, candidate-bounded by
-    SRP-LSH (16-bit cosine-LSH signature, 4 bands × 4 bits).
+    SRP-LSH (32-bit cosine-LSH signature, 4 bands × 8 bits).
 
     Round 1 blocked on `label` — all-pairs within a block, O(block²)
-    once a real corpus has a few huge labels. The join key is now the
-    (band, bits) bucket domain from q126's signature machinery; exact
-    quantized cosine is only the verification stage, and the oracle
+    once a real corpus has a few huge labels; round 2 banded 4×4 bits,
+    but 16 buckets/band left candidates at ~n²/16 (1.24M pairs from
+    2k fixture vectors — still the quadratic's shape). Three fixes
+    compose here: 8-bit bands (256 buckets/band), mean-centering
+    (un-centered SRP collapses into two mega-buckets — see
+    _srp_band_pairs), and the decorrelated hyperplane matrix (see
+    _srp_signs). Measured together: 1.24M → 36k candidates (28×) and
+    8.6 → 4.3s at sf0.1. The recall dial narrows to pairs agreeing on
+    a full byte of projections, which genuinely-near duplicates do.
+    Exact
+    quantized cosine remains the verification stage, and the oracle
     mirrors the banding so both engines see the same candidate set.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    cand = _srp_band_pairs(e).select(
+    cand = _srp_band_pairs(e, n_planes=32, band_bits=8, center=True).select(
         F.col("vec_a").alias("id_a"), F.col("vec_b").alias("id_b")
     )
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea"))
