@@ -3665,38 +3665,24 @@ def q189_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     index-aware ``filter`` and one ``aggregate`` higher-order fold,
     all whole-stage-codegen, ZERO shuffle. Scales embarrassingly: per
     row O(L log L) in document length, no exchange at any size.
+    (Round 6 removed a hidden O(L²): the gram-building lambdas indexed
+    the raw split() expression, re-running the regex split per element
+    — 10.3s → 1.2s at sf0.1 once grams moved to the zip_with form.)
     """
     d = load_table(spark, sf_dir, "documents")
-    a = F.split(F.col("text"), r"\s+")
-    empty = F.array().cast("array<string>")
-    # Guard short documents: F.sequence(0, n) counts DOWN when n < 0
-    # (sequence(0,-1) = [0,-1]), turning the index lambda into an
-    # ANSI element_at crash on 1-2 token docs. The empty-array branch
-    # matches the oracle, whose range() is simply empty there.
-    gram2 = F.when(
-        F.size(a) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(a) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(a, i + 1), F.element_at(a, i + 2)),
-        ),
-    ).otherwise(empty)
-    gram3 = F.when(
-        F.size(a) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(a) - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(a, i + 1),
-                F.element_at(a, i + 2),
-                F.element_at(a, i + 3),
-            ),
-        ),
-    ).otherwise(empty)
     from kinesis_producer_spark.tables import fan_out
 
-    # compute-heavy per-row stage on a few-split source: spread rows
-    # to cluster parallelism first (a no-op at real scale — see
-    # tables.fan_out)
+    from kinesis_producer_spark.operators.dedup import positional_shingles
+
+    # Grams via zip_with over shifted slices (positional_shingles):
+    # the split array appears only as a DIRECT higher-order-function
+    # argument, never indexed inside a lambda — an
+    # `element_at(split(...), i)` lambda re-evaluates the regex split
+    # per element (O(L²) regex work per doc), and CollapseProject
+    # re-inlines a projected alias straight back into the lambdas, so
+    # aliasing alone cannot prevent it (measured: no change).
+    gram2 = positional_shingles("text", 2)
+    gram3 = positional_shingles("text", 3)
     base = fan_out(d).select(
         "doc_id", F.array_sort(gram2).alias("s2"), F.array_sort(gram3).alias("s3")
     )
