@@ -764,3 +764,84 @@ def q221_streaming_lsh_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise RuntimeError("q221 epoch streaming LSH did not drain within 300s")
     return spark.table(name).select("epoch", "id_a", "id_b").distinct()
+
+
+@query(
+    "q230_streaming_substring_marks",
+    oracle="""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') a FROM documents),
+    gl AS (SELECT doc_id,
+                  list_transform(range(1, len(a) - 3), i ->
+                    struct_pack(pos := i - 1,
+                                digest := MD5(a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' || a[i+4]))) s
+           FROM w),
+    g AS (SELECT doc_id, u.pos AS pos, u.digest AS digest
+          FROM (SELECT doc_id, unnest(s) AS u FROM gl)),
+    c AS (SELECT digest, COUNT(*) AS cnt FROM g GROUP BY digest),
+    mk AS (SELECT doc_id, pos,
+                  ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id, pos) AS rn
+           FROM (SELECT g.doc_id, g.pos, g.digest
+                 FROM g JOIN c USING (digest) WHERE cnt >= 2)),
+    m2 AS (SELECT doc_id, pos FROM mk WHERE rn > 1),
+    r AS (SELECT doc_id, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM m2)
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS start_token,
+           CAST(MAX(pos) + 5 AS BIGINT) AS end_token,
+           CAST(MAX(pos) + 5 - MIN(pos) AS BIGINT) AS span_tokens
+    FROM r GROUP BY doc_id, grp
+    """,
+)
+def q230_streaming_substring_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-substring dedup (keep-first): per-gram custom
+    state remembers the canonical first-arrival occurrence; every
+    later arrival of the same 5-gram window emits a duplicate mark,
+    and the marks fold into removal spans. One availableNow batch over
+    the corpus must equal the BATCH keep-first spans (q228's oracle,
+    verbatim) — the arrivals sort by (doc_id, pos) inside each gram
+    group, reproducing the batch tie-break. Epoch-aged state (the
+    rolling-corpus form) is pinned separately in
+    tests/test_streaming.py.
+
+    Scale: state is one (doc_id, pos) per distinct live gram — the
+    exact-dedup floor — and ages out per epoch under the epoch_ms
+    variant; no pair fan-out, one mark per duplicate arrival
+    (streaming/substring.py)."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from kinesis_producer_spark.operators.dedup import _spans_from_marked
+    from kinesis_producer_spark.streaming.substring import streaming_duplicate_marks
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"docs_stream_ss_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "documents.parquet")
+    try:
+        os.unlink(link)
+    except FileNotFoundError:
+        pass
+    os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(stream_dir)
+        .select("doc_id", "text")
+    )
+    marks = streaming_duplicate_marks(docs, n=5)
+    name = f"ss_mem_{uuid.uuid4().hex[:10]}"
+    q = (
+        marks.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("q230 streaming substring marks did not drain within 300s")
+    return _spans_from_marked(spark.table(name).distinct(), "doc_id", 5)

@@ -1898,3 +1898,144 @@ def test_sink_metrics_ledger_splits_dead_letters_by_class(spark, tmp_path):
     assert term.agg(F.max("attempts")).collect()[0][0] == 1
     thr = acks.where("error_code = 'ProvisionedThroughputExceededException'")
     assert thr.agg(F.min("attempts")).collect()[0][0] == 2
+
+
+def test_streaming_substring_marks_canonical_survives_batches(spark, tmp_path):
+    """First-arrival-wins across micro-batches: a passage ingested in
+    batch 1 stays canonical when batch 2 repeats it — ALL of batch 2's
+    copies are marked even where a single-batch (lexicographic) run
+    would have picked a batch-2 doc as canonical."""
+    from kinesis_producer_spark.streaming.substring import (
+        streaming_duplicate_marks,
+    )
+
+    n = 5
+    passage = [f"p{i}" for i in range(6)]
+    # batch 1: doc 50 (HIGH id) carries the passage first
+    b1 = {50: [f"a{i}" for i in range(3)] + passage}
+    # batch 2: docs 1 and 2 (LOW ids) repeat it — lexicographic
+    # tie-break would crown doc 1; arrival order must crown doc 50
+    b2 = {
+        1: passage + [f"b{i}" for i in range(4)],
+        2: [f"c{i}" for i in range(2)] + passage,
+    }
+    src = tmp_path / "ss_docs"
+    src.mkdir()
+    sink = str(tmp_path / "ss_marks")
+    ckpt = str(tmp_path / "ss_ckpt")
+
+    def add_and_run(batch, tag):
+        part = tmp_path / f"stage_{tag}"
+        spark.createDataFrame(
+            [(k, " ".join(v)) for k, v in batch.items()], "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(part))
+        (pq,) = [p for p in part.iterdir() if p.name.endswith(".parquet")]
+        pq.rename(src / f"{tag}.parquet")
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+        q = (
+            streaming_duplicate_marks(stream, n=n)
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), f"batch {tag} did not drain"
+
+    add_and_run(b1, "b1")
+    assert not os.path.exists(sink) or not [
+        f for f in os.listdir(sink) if f.startswith("part-") and os.path.getsize(os.path.join(sink, f)) > 0
+    ] or spark.read.parquet(sink).count() == 0, "batch 1 alone has no duplicates"
+    add_and_run(b2, "b2")
+
+    got = {
+        (r.doc_id, r.pos) for r in spark.read.parquet(sink).distinct().collect()
+    }
+    # every gram of the passage in docs 1 and 2 is marked; doc 50 never
+    want = {(1, p) for p in range(0, 2)} | {(2, p) for p in range(2, 4)}
+    assert got == want, (sorted(got), sorted(want))
+    assert not any(d == 50 for d, _ in got), "batch-1 canonical must survive"
+
+
+def test_streaming_substring_epoch_aging_bounds_state(spark, tmp_path):
+    """Epoch-keyed gram state: a passage duplicated WITHIN an epoch
+    marks its later copies; the same passage re-arriving in a LATER
+    epoch is fresh (its first copy unmarked — epoch-scoped dedup), and
+    once the watermark passes an epoch's end its gram state is REMOVED
+    from the store."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from kinesis_producer_spark.streaming.substring import (
+        streaming_duplicate_marks,
+    )
+
+    EPOCH_MS = 60_000
+    n = 5
+    passage = [f"q{i}" for i in range(5)]  # exactly one gram
+    epochs = {
+        0: {10: passage + ["x0"], 11: ["y0"] + passage},  # dup within epoch 0
+        1: {20: passage + ["x1"]},  # re-arrival in epoch 1: fresh
+        2: {30: ["z0", "z1", "z2", "z3", "z4", "z5"]},  # advances watermark
+    }
+    src = tmp_path / "ep_docs"
+    src.mkdir()
+    sink = str(tmp_path / "ep_marks")
+    ckpt = str(tmp_path / "ep_ckpt")
+    progresses = []
+    for e, docs in epochs.items():
+        part = tmp_path / f"ep_stage_{e}"
+        rows = [
+            (k, " ".join(v), (e * EPOCH_MS + EPOCH_MS // 2) / 1000.0)
+            for k, v in docs.items()
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, secs double")
+        df.select(
+            "doc_id", "text", F.timestamp_seconds("secs").alias("event_ts")
+        ).coalesce(1).write.parquet(str(part))
+        (pq,) = [p for p in part.iterdir() if p.name.endswith(".parquet")]
+        pq.rename(src / f"e{e}.parquet")
+        stream = (
+            spark.readStream.schema("doc_id long, text string, event_ts timestamp")
+            .parquet(str(src))
+        )
+        q = (
+            streaming_duplicate_marks(
+                stream, n=n, time_col="event_ts", epoch_ms=EPOCH_MS
+            )
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), f"epoch {e} did not drain"
+        progresses.extend(p for p in q.recentProgress if p["stateOperators"])
+
+    got = {
+        (r.epoch, r.doc_id, r.pos)
+        for r in spark.read.parquet(sink).distinct().collect()
+    }
+    # epoch 0: doc 11's copy (pos 1) marked, doc 10 canonical;
+    # epoch 1: doc 20's copy is that epoch's first — unmarked
+    assert got == {(0, 11, 1)}, sorted(got)
+
+    # state-store boundedness: after epoch 2's file the watermark
+    # (150000) is past the ends of epochs 0 and 1, so only epoch 2's
+    # grams remain. grams per doc: len(tokens) - 4
+    def n_grams(docs):
+        return len(
+            {
+                tuple(toks[i : i + n])
+                for toks in docs.values()
+                for i in range(len(toks) - n + 1)
+            }
+        )
+
+    removed = sum(p["stateOperators"][0]["numRowsRemoved"] for p in progresses)
+    final_total = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    assert removed == n_grams(epochs[0]) + n_grams(epochs[1]), removed
+    assert final_total == n_grams(epochs[2]), final_total
