@@ -1584,6 +1584,47 @@ def q229_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q231_semantic_dedup_keep_list",
+    oracle=f"""
+    WITH cells AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS cell
+      FROM embeddings),
+    dups AS (
+      SELECT a.vec_id AS vid, MIN(b.vec_id) AS dup_of
+      FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE {_COS_MICRO_SQL} >= 300000
+      GROUP BY a.vec_id)
+    SELECT c.vec_id,
+           CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+           CAST(COALESCE(d.dup_of, -1) AS BIGINT) AS dup_of
+    FROM cells c LEFT JOIN dups d ON c.vec_id = d.vid
+    """,
+)
+def q231_semantic_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup keep-list (Abbas et al. 2023):
+    within each IVF cell, a vector with a lower-id cosine near-dup
+    (>= 0.3) is dropped in favor of that canonical copy; survivors are
+    flagged kept with NULL dup_of. The pair search never leaves a
+    cell — sum-of-|cell|-squared, not n-squared — and the integer-
+    exact quantized cosine keeps both engines bit-identical
+    (operators/similarity.py:semantic_dedup_keep_list)."""
+    from kinesis_producer_spark.operators.similarity import semantic_dedup_keep_list
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup_keep_list(e, bits=3, threshold_micro=300_000)
+    # COALESCE the NULL-bearing int to -1: a NULL int goes float64 in
+    # the driver's pandas funnel (repr drift hazard — the q29 rule)
+    return out.select(
+        "vec_id",
+        F.col("kept").cast("bigint").alias("kept"),
+        F.coalesce(F.col("dup_of"), F.lit(-1)).cast("bigint").alias("dup_of"),
+    )
+
+
+@query(
     "q103_fixed_size_sample",
     oracle="""
     WITH h AS (SELECT doc_id, lang, MD5('sample:' || CAST(doc_id AS VARCHAR)) AS hkey

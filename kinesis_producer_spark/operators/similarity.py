@@ -165,3 +165,54 @@ def ivf_topk_multiprobe(
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cos_micro").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup_keep_list(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    bits: int = 3,
+    threshold_micro: int = 300_000,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public): drop
+    every vector that has a LOWER-id semantic near-duplicate in its
+    coarse cluster; keep the rest. Returns (id, kept, dup_of) — kept
+    flags the survivors, dup_of is the smallest lower-id near-dup for
+    dropped rows (NULL for kept), so the output is both the keep-list
+    and the removal evidence.
+
+    The cluster is the engine's IVF cell (sign bits of the leading
+    dimensions — deterministic, no trained centroids to ship), which
+    is exactly SemDeDup's "within k-means cluster" scoping with a
+    closed-form quantizer: duplicates are only searched within a cell,
+    so the pair space is sum of |cell|² rather than n². Cosine is the
+    engine's integer-exact quantized form (oracle-reproducible).
+
+    Scale: one shuffle on the cell id; per-cell pair compare bounded
+    by cell population (AQE skew-splits fat cells); the keep decision
+    is a min aggregate per id — no iteration, no driver collect.
+    """
+    a = corpus.select(
+        F.col(id_col).alias("_ida"),
+        F.col(emb_col).alias("_ea"),
+        ivf_cell(F.col(emb_col), bits).alias("_cell"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("_idb"),
+        F.col(emb_col).alias("_eb"),
+        ivf_cell(F.col(emb_col), bits).alias("_cell"),
+    )
+    dup_pairs = (
+        a.join(b, "_cell")
+        .where(F.col("_idb") < F.col("_ida"))
+        .where(cosine_micro(F.col("_ea"), F.col("_eb")) >= threshold_micro)
+        .groupBy("_ida")
+        .agg(F.min("_idb").alias("dup_of"))
+    )
+    return corpus.select(F.col(id_col)).join(
+        dup_pairs.withColumnRenamed("_ida", id_col), id_col, "left"
+    ).select(
+        id_col,
+        F.col("dup_of").isNull().alias("kept"),
+        "dup_of",
+    )
