@@ -190,22 +190,39 @@ def semantic_dedup_keep_list(
 
     Scale: one shuffle on the cell id; per-cell pair compare bounded
     by cell population (AQE skew-splits fat cells); the keep decision
-    is a min aggregate per id — no iteration, no driver collect.
+    is a min aggregate per id — no iteration, no driver collect. The
+    self-norm ``qdot(v,v)`` is computed ONCE PER VECTOR in each side's
+    projection (bit-identical to the per-pair form — same
+    deterministic integer expression), so the per-pair work is one
+    64-dim quantized dot, not three. The probe side fans out to full
+    parallelism first (tables.fan_out) — a byte-small corpus arrives
+    as one split and would serialize the pair compute on one core;
+    at scale the repartition is a no-op.
     """
-    a = corpus.select(
+    from kinesis_producer_spark.tables import fan_out
+
+    a = fan_out(corpus).select(
         F.col(id_col).alias("_ida"),
         F.col(emb_col).alias("_ea"),
         ivf_cell(F.col(emb_col), bits).alias("_cell"),
+        qdot(F.col(emb_col), F.col(emb_col)).alias("_na"),
     )
     b = corpus.select(
         F.col(id_col).alias("_idb"),
         F.col(emb_col).alias("_eb"),
         ivf_cell(F.col(emb_col), bits).alias("_cell"),
+        qdot(F.col(emb_col), F.col(emb_col)).alias("_nb"),
     )
+    cos = F.floor(
+        F.lit(1e6)
+        * qdot(F.col("_ea"), F.col("_eb")).cast("double")
+        / F.sqrt(F.col("_na").cast("double") * F.col("_nb").cast("double"))
+        + F.lit(0.5)
+    ).cast("bigint")
     dup_pairs = (
         a.join(b, "_cell")
         .where(F.col("_idb") < F.col("_ida"))
-        .where(cosine_micro(F.col("_ea"), F.col("_eb")) >= threshold_micro)
+        .where(cos >= threshold_micro)
         .groupBy("_ida")
         .agg(F.min("_idb").alias("dup_of"))
     )
