@@ -11,6 +11,7 @@ from kinesis_producer_spark.operators.dedup import (
     exact_dedup,
     jaccard_micro,
     minhash_dedup,
+    positional_shingles,
     shingles,
     simhash16,
 )
@@ -5331,5 +5332,199 @@ def q220_vocab_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok",
             "cnt",
             (F.col("boff") + F.col("lrank") - 1 + 4).cast("bigint").alias("token_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q232/q233 — conditional bigram-LM fluency and DSIR-style importance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q232_bigram_lm_quality",
+    oracle="""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') a FROM documents),
+    bgl AS (SELECT doc_id,
+                   list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1]) bgs
+            FROM w),
+    bg AS (SELECT doc_id, unnest(bgs) AS g FROM bgl),
+    cb AS (SELECT g, COUNT(*) AS cnt FROM bg GROUP BY g),
+    c1 AS (SELECT split_part(g, ' ', 1) AS prev, CAST(SUM(cnt) AS BIGINT) AS pcnt
+           FROM cb GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT split_part(g, ' ', 2)) AS vs FROM cb),
+    score AS (SELECT g,
+                     CAST(FLOOR(1e9 * (cnt + 1) / CAST(pcnt + vs AS DOUBLE) + 0.5)
+                          AS BIGINT) AS share_nano
+              FROM cb JOIN c1 ON split_part(cb.g, ' ', 1) = c1.prev CROSS JOIN v)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(FLOOR(CAST(SUM(share_nano) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+             AS avg_cond_nano
+    FROM bg JOIN score USING (g) GROUP BY doc_id
+    """,
+)
+def q232_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram-LM fluency: score each document by the mean
+    Laplace-smoothed conditional probability P(w_i | w_{i-1}) of its
+    bigrams under the corpus's own bigram model. The CONDITIONAL
+    extension of q113's unigram share — a scrambled document keeps its
+    unigram profile but its bigrams fall off the conditional model, so
+    this is the signal that separates fluent text from bag-of-words
+    garbage (what a CCNet-style KenLM filter measures; same aggregation
+    shape, count-based score table instead of a trained model).
+
+    Exactness: P = (c(prev,cur)+1) / (c(prev·)+V) is quantized to an
+    integer nano-unit after one double expression in fixed evaluation
+    order (1e9 * num / den, left-assoc in both engines); per-doc sums
+    then accumulate in the integer domain (the q113 convention — no
+    float ln(), which is not bit-portable cross-engine).
+
+    Scale: bigram pairs are built as zip-of-shifted-slices column
+    expressions (positional_shingles' form — the split array appears
+    only as a direct higher-order-function argument, never indexed
+    inside a lambda, the q189 O(L²) lesson). Three shuffles total, all
+    keyed on the bigram/prefix: the count table, the prefix rollup
+    (derived from the count table, vocab-sized not corpus-sized), and
+    the score join back to occurrences — Zipf hot keys are AQE
+    skew-split territory; V broadcasts as one row."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), r"\s+")
+    prevs = F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0)))
+    curs = F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0)))
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(prevs, curs, lambda p, c: F.struct(p.alias("prev"), c.alias("cur")))
+        ).alias("b"),
+    ).select("doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    cb = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cnt"))
+    c1 = cb.groupBy("prev").agg(F.sum("cnt").cast("bigint").alias("pcnt"))
+    v = cb.agg(F.countDistinct("cur").alias("vs"))
+    score = (
+        cb.join(c1, "prev")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "prev",
+            "cur",
+            F.floor(
+                F.lit(1e9) * (F.col("cnt") + 1) / (F.col("pcnt") + F.col("vs")).cast("double")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("share_nano"),
+        )
+    )
+    return (
+        bg.join(score, ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.floor(F.sum("share_nano").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
+            .cast("bigint")
+            .alias("avg_cond_nano"),
+        )
+    )
+
+
+_DSIR_BUCKETS = 4096
+_DSIR_BUCKET_SQL = (
+    "(INSTR('0123456789abcdef', SUBSTR(MD5(g), 1, 1)) - 1) * 256 + "
+    "(INSTR('0123456789abcdef', SUBSTR(MD5(g), 2, 1)) - 1) * 16 + "
+    "(INSTR('0123456789abcdef', SUBSTR(MD5(g), 3, 1)) - 1)"
+)
+
+
+@query(
+    "q233_dsir_importance",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') a
+               FROM documents),
+    bg AS (SELECT doc_id, lang,
+                  unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS g
+           FROM w),
+    f AS (SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS bucket FROM bg),
+    raw AS (SELECT bucket, COUNT(*) AS cr FROM f GROUP BY bucket),
+    tgt AS (SELECT bucket, COUNT(*) AS ct FROM f WHERE lang = 'en' GROUP BY bucket),
+    tots AS (SELECT CAST(COUNT(*) AS BIGINT) AS tr,
+                    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt
+             FROM f),
+    score AS (SELECT raw.bucket,
+                     CAST(FLOOR(1e6 * ((COALESCE(ct, 0) + 1) / CAST(tt + {_DSIR_BUCKETS} AS DOUBLE))
+                                    / ((cr + 1) / CAST(tr + {_DSIR_BUCKETS} AS DOUBLE))
+                                + 0.5) AS BIGINT) AS ratio_micro
+              FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tots)
+    SELECT doc_id, COUNT(*) AS n_feats,
+           CAST(FLOOR(CAST(SUM(ratio_micro) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+             AS importance_micro
+    FROM f JOIN score USING (bucket) GROUP BY doc_id
+    """,
+)
+def q233_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, public): score
+    every raw document by how much its hashed-bigram feature profile
+    looks like the TARGET distribution (here lang='en') versus the raw
+    corpus — the data-selection signal used to resample a web-scale
+    corpus toward a target domain before training. Features are
+    hashed n-grams exactly as in the paper (md5 → {_DSIR_BUCKETS}
+    buckets); both distributions are Laplace-smoothed bucket shares.
+
+    This is the LOG-FREE variant: the per-document weight is the mean
+    of per-feature probability ratios p_target(f)/p_raw(f) in integer
+    micro-units, where DSIR sums log-ratios (a geometric mean). The
+    ranking signal is the same direction; the arithmetic form keeps
+    the cross-engine hash gate exact (no float ln(), the q113/q103
+    convention), and each ratio is one double expression in fixed
+    left-assoc order before quantization.
+
+    Scale: the feature table is ≤{_DSIR_BUCKETS} rows no matter the
+    corpus size — both count tables and the score table broadcast;
+    the only corpus-sized shuffle is the per-doc aggregate. A 100 TB
+    run therefore pays one pass to count buckets (map-side combinable
+    into {_DSIR_BUCKETS} partials) and one to score docs, which is the
+    published DSIR cost shape (two streaming passes)."""
+    d = load_table(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        "lang",
+        F.explode(positional_shingles("text", 2)).alias("g"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.conv(F.substring(F.md5("g"), 1, 3), 16, 10).cast("int").alias("bucket"),
+    )
+    raw = f.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        f.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tots = f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("tr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("bigint").alias("tt"),
+    )
+    b = F.lit(_DSIR_BUCKETS)
+    score = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            F.floor(
+                F.lit(1e6)
+                * ((F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("tt") + b).cast("double"))
+                / ((F.col("cr") + 1) / (F.col("tr") + b).cast("double"))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("ratio_micro"),
+        )
+    )
+    return (
+        f.join(F.broadcast(score), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.floor(F.sum("ratio_micro").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
+            .cast("bigint")
+            .alias("importance_micro"),
         )
     )

@@ -616,3 +616,59 @@ def test_contamination_spans_planted(spark):
         for r in contamination_spans(tdf, edf, n=n).collect()
     )
     assert got == [(10, 5, 11, 6), (11, 0, 6, 6)]
+
+
+# ---------------------------------------------------------------------------
+# q232 bigram-LM fluency / q233 DSIR importance — direction pins
+# ---------------------------------------------------------------------------
+
+
+def _write_documents(spark, tmp_path, rows):
+    """rows: (doc_id, text, lang). Writes a minimal documents.parquet
+    fixture so the (spark, sf_dir) query functions run against it."""
+    df = spark.createDataFrame(
+        [(i, t, lg, "src0", len(t)) for i, t, lg in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_bigram_lm_scrambled_scores_lower(spark, tmp_path):
+    """A scrambled document keeps its unigram profile but its bigrams
+    fall off the corpus's conditional model: with six fluent copies of
+    one sentence and one token-reversed copy, the reversed doc must
+    score strictly lower avg conditional probability — the signal that
+    separates the conditional LM from q113's unigram share (which ties
+    the two)."""
+    from kinesis_producer_spark.operators.llm_queries import q232_bigram_lm_quality
+
+    sent = "the quick brown fox jumps over the lazy dog"
+    scrambled = " ".join(reversed(sent.split()))
+    rows = [(i, sent, "en") for i in range(6)] + [(6, scrambled, "en")]
+    sf = _write_documents(spark, tmp_path, rows)
+    got = {r.doc_id: r.avg_cond_nano for r in q232_bigram_lm_quality(spark, sf).collect()}
+    assert got[6] < got[0]
+    assert all(got[i] == got[0] for i in range(1, 6))
+
+
+def test_dsir_importance_prefers_target_vocabulary(spark, tmp_path):
+    """Importance must rank a document built from target-domain (en)
+    bigrams above one built from off-target bigrams: en docs share one
+    vocabulary, de docs another, and the two probe docs reuse one
+    vocabulary each — the en-vocab probe's hashed features are dense in
+    the target counts, the de-vocab probe's are absent from them."""
+    from kinesis_producer_spark.operators.llm_queries import q233_dsir_importance
+
+    en_text = "alpha beta gamma delta alpha beta gamma delta"
+    de_text = "zorn blitz kraft wald zorn blitz kraft wald"
+    rows = (
+        [(i, en_text, "en") for i in range(4)]
+        + [(10 + i, de_text, "de") for i in range(4)]
+        + [(100, en_text, "de"), (101, de_text, "de")]
+    )
+    sf = _write_documents(spark, tmp_path, rows)
+    got = {r.doc_id: r.importance_micro for r in q233_dsir_importance(spark, sf).collect()}
+    assert got[100] > got[101]
