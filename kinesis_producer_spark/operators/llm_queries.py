@@ -5528,3 +5528,118 @@ def q233_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("importance_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q234/q235 — product-quantization ANN and prototypicality pruning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q234_pq_ann_adc",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, CAST(d // 8 AS INT) AS m, CAST(d % 8 AS INT) AS dd,
+             CAST(FLOOR(1e6 * CAST(embedding[d + 1] AS DOUBLE) + 0.5) AS BIGINT) AS vm
+      FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS d)
+    ),
+    cb AS (SELECT CAST(vec_id AS INT) AS cid, m, dd, vm AS cm
+           FROM dims WHERE vec_id < 16),
+    sd AS (
+      SELECT dims.vec_id, dims.m, cb.cid,
+             CAST(SUM((vm - cm) * (vm - cm)) AS BIGINT) AS sd2
+      FROM dims JOIN cb ON dims.m = cb.m AND dims.dd = cb.dd
+      GROUP BY dims.vec_id, dims.m, cb.cid
+    ),
+    codes AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY sd2, cid) AS rn FROM sd
+      ) WHERE rn = 1
+    ),
+    adc AS (SELECT vec_id AS query_id, m, cid, sd2 AS qd2
+            FROM sd WHERE vec_id IN (0, 1, 2)),
+    approx AS (
+      SELECT query_id, codes.vec_id, CAST(SUM(qd2) AS BIGINT) AS adist_q
+      FROM codes JOIN adc ON codes.m = adc.m AND codes.code = adc.cid
+      GROUP BY query_id, codes.vec_id
+    )
+    SELECT query_id, vec_id, adist_q, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adist_q, vec_id) AS rank
+      FROM approx
+    ) WHERE rank <= 10
+    """,
+)
+def q234_pq_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al. 2011): 8 subspaces × 16 centroids, codes assigned by
+    micro-int squared L2, per-query subspace distance tables summed
+    over codes for the approximate top-10. The compressed-index member
+    of the ANN family (q55 exact / q56 IVF / q190 multi-probe / q54
+    SRP-LSH): at 100 TB the corpus becomes n·M one-byte codes and
+    queries never touch raw vectors
+    (operators/similarity.py:pq_codes_and_adc_topk)."""
+    from kinesis_producer_spark.operators.similarity import pq_codes_and_adc_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_codes_and_adc_topk(
+        e, query_ids=[0, 1, 2], n_centroids=16, m_dims=8, k=10
+    )
+
+
+@query(
+    "q235_prototypicality_prune",
+    oracle="""
+    WITH cells AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS cell
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, cell, d,
+             CAST(FLOOR(1e6 * CAST(embedding[d + 1] AS DOUBLE) + 0.5) AS BIGINT) AS vm
+      FROM cells CROSS JOIN (SELECT unnest(range(64)) AS d)
+    ),
+    cen AS (
+      SELECT cell, d,
+             CAST(FLOOR(CAST(SUM(vm) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cm
+      FROM dims GROUP BY cell, d
+    ),
+    d2 AS (
+      SELECT vec_id, dims.cell AS cell,
+             CAST(SUM((vm - cm) * (vm - cm)) AS BIGINT) AS dist2_q
+      FROM dims JOIN cen ON dims.cell = cen.cell AND dims.d = cen.d
+      GROUP BY vec_id, dims.cell
+    )
+    SELECT vec_id, cell, dist2_q, rank, cell_n,
+           CAST(CASE WHEN rank * 4 > cell_n THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY dist2_q, vec_id) AS rank,
+             COUNT(*) OVER (PARTITION BY cell) AS cell_n
+      FROM d2
+    )
+    """,
+)
+def q235_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality-based data pruning (Sorscher et al. 2022): rank
+    vectors by squared micro-int distance to their IVF cell's centroid
+    and drop the most prototypical quarter per cell — keep the hard
+    tail, the abundant-data pruning rule. Complements q231's SemDeDup
+    (which removes REDUNDANT points; this removes EASY ones)
+    (operators/similarity.py:prototypicality_prune)."""
+    from kinesis_producer_spark.operators.similarity import prototypicality_prune
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = prototypicality_prune(e, bits=4, prune_den=4)
+    return out.select(
+        "vec_id",
+        "cell",
+        "dist2_q",
+        "rank",
+        "cell_n",
+        F.col("kept").cast("bigint").alias("kept"),
+    )

@@ -233,3 +233,173 @@ def semantic_dedup_keep_list(
         F.col("dup_of").isNull().alias("kept"),
         "dup_of",
     )
+
+
+def _dim_micro(df: DataFrame, id_col: str, emb_col: str, m_dims: int) -> DataFrame:
+    """Per-dimension micro-quantized view: (vec_id, m, d, vm) where m
+    is the subspace index (``dim div m_dims``), d the offset inside it,
+    and vm = ⌊10⁶·value + 0.5⌋ — the integer domain every PQ distance
+    below lives in (cross-engine exact)."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(emb_col)).alias("i", "v"),
+    ).select(
+        "vec_id",
+        F.expr(f"i div {m_dims}").cast("int").alias("m"),
+        (F.col("i") % m_dims).cast("int").alias("d"),
+        F.floor(F.lit(1e6) * F.col("v").cast("double") + F.lit(0.5))
+        .cast("bigint")
+        .alias("vm"),
+    )
+
+
+def pq_codes_and_adc_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_centroids: int = 16,
+    m_dims: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al. 2011, public): split every vector into subspaces of
+    ``m_dims`` dims, assign each subvector to its nearest of
+    ``n_centroids`` codebook entries (squared L2 in the micro-int
+    domain, ties to the lowest centroid id), then answer top-k per
+    query by summing the query's precomputed subspace-distance table
+    over each vector's codes — the query never touches raw corpus
+    vectors, only codes.
+
+    The codebook is data-derived but closed-form: centroid c of every
+    subspace is the subvector of the corpus row with vec_id == c
+    (deterministic — no trained k-means to ship; swapping in Lloyd
+    rounds changes only the ``cb`` frame). Returns
+    (query_id, vec_id, adist_q, rank).
+
+    Scale: the codebook is n_centroids × dim values — broadcast; code
+    assignment is one pass over the corpus (broadcast join + map-side
+    combinable partial aggregate: the shuffle carries O(n·M·K) tiny
+    integer rows, linear in corpus size); the ADC table is
+    |queries|·M·K rows — broadcast; the final per-(query, vec) sum
+    shuffles O(n·M·|queries|) rows and the top-k compiles to a
+    per-query heap. Raw vectors are read exactly once: 100 TB of
+    float vectors becomes n·M one-byte codes for every later query —
+    the entire point of PQ at scale."""
+    dims = _dim_micro(corpus, id_col, emb_col, m_dims)
+    cb = (
+        dims.filter(F.col("vec_id") < n_centroids)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            "m",
+            "d",
+            F.col("vm").alias("cm"),
+        )
+    )
+    diff = F.col("vm") - F.col("cm")
+    sd = (
+        dims.join(F.broadcast(cb), ["m", "d"])
+        .groupBy("vec_id", "m", "cid")
+        .agg(F.sum(diff * diff).alias("sd2"))
+    )
+    codes = (
+        sd.groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("sd2"), F.col("cid"))).alias("best"))
+        .select("vec_id", "m", F.col("best.cid").alias("code"))
+    )
+    adc = (
+        sd.filter(F.col("vec_id").isin(*query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("m").alias("qm"),
+            F.col("cid").alias("qcid"),
+            F.col("sd2").alias("qd2"),
+        )
+    )
+    approx = (
+        codes.join(
+            F.broadcast(adc),
+            (F.col("m") == F.col("qm")) & (F.col("code") == F.col("qcid")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd2").alias("adist_q"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adist_q").asc(), F.col("vec_id"))
+    return (
+        approx.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adist_q", "rank")
+    )
+
+
+def prototypicality_prune(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    bits: int = 4,
+    prune_den: int = 4,
+) -> DataFrame:
+    """Prototypicality-based data pruning (Sorscher et al. 2022,
+    public): rank every vector by squared distance to its coarse
+    cluster's centroid and DROP the most prototypical 1/``prune_den``
+    of each cluster — in the abundant-data regime, easy (central)
+    examples teach the least, so the keep-set is the hard tail. The
+    cluster is the engine's IVF sign-bit cell (the SemDeDup scoping,
+    q231); the centroid is the per-cell per-dim mean in micro-int
+    units (one fixed-order double division, then everything stays
+    integer). Returns (vec_id, cell, dist2_q, rank, cell_n, kept).
+
+    Scale: the centroid frame is |cells|·dim rows — broadcast back;
+    distance is a map-side-combinable per-vector sum; the only
+    corpus-sized shuffles are the dim aggregate and the per-cell
+    rank (skewed cells are AQE territory; at extreme scale swap the
+    exact rank for a two-pass quantile threshold on dist2_q, same
+    keep semantics)."""
+    cells = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("emb"),
+        ivf_cell(F.col(emb_col), bits).alias("cell"),
+    )
+    dims = cells.select(
+        "vec_id",
+        "cell",
+        F.posexplode(F.col("emb")).alias("d", "v"),
+    ).select(
+        "vec_id",
+        "cell",
+        "d",
+        F.floor(F.lit(1e6) * F.col("v").cast("double") + F.lit(0.5))
+        .cast("bigint")
+        .alias("vm"),
+    )
+    cen = (
+        dims.groupBy("cell", "d")
+        .agg(F.sum("vm").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cell",
+            "d",
+            F.floor(F.col("s").cast("double") / F.col("n") + F.lit(0.5))
+            .cast("bigint")
+            .alias("cm"),
+        )
+    )
+    diff = F.col("vm") - F.col("cm")
+    d2 = (
+        dims.join(F.broadcast(cen), ["cell", "d"])
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(diff * diff).alias("dist2_q"))
+    )
+    w = W.partitionBy("cell").orderBy(F.col("dist2_q").asc(), F.col("vec_id"))
+    wc = W.partitionBy("cell")
+    return (
+        d2.withColumn("rank", F.row_number().over(w))
+        .withColumn("cell_n", F.count(F.lit(1)).over(wc))
+        .select(
+            "vec_id",
+            "cell",
+            "dist2_q",
+            "rank",
+            "cell_n",
+            (F.col("rank") * prune_den > F.col("cell_n")).alias("kept"),
+        )
+    )

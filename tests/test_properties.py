@@ -672,3 +672,69 @@ def test_dsir_importance_prefers_target_vocabulary(spark, tmp_path):
     sf = _write_documents(spark, tmp_path, rows)
     got = {r.doc_id: r.importance_micro for r in q233_dsir_importance(spark, sf).collect()}
     assert got[100] > got[101]
+
+
+# ---------------------------------------------------------------------------
+# q234 PQ-ADC / q235 prototypicality — model pins
+# ---------------------------------------------------------------------------
+
+
+def test_pq_adc_matches_model(spark):
+    """PQ codes + ADC top-k vs an exact integer Python model on random
+    vectors: codebook = subvectors of vec_id < K, assignment by
+    (sd2, cid) minimum, approximate distance = sum of the query's
+    table entries over the vector's codes."""
+    import numpy as np
+
+    from kinesis_producer_spark.operators.similarity import pq_codes_and_adc_topk
+
+    rng = np.random.default_rng(7)
+    n, dim, m_dims, K, k = 40, 16, 8, 4, 5
+    M = dim // m_dims
+    embs = rng.normal(scale=0.3, size=(n, dim)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, embs[i].tolist()) for i in range(n)], "vec_id bigint, embedding array<float>"
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.vec_id, r.adist_q)
+        for r in pq_codes_and_adc_topk(
+            df, query_ids=[0, 1], n_centroids=K, m_dims=m_dims, k=k
+        ).collect()
+    )
+
+    vm = np.floor(1e6 * embs.astype(np.float64) + 0.5).astype(np.int64)
+    sub = vm.reshape(n, M, m_dims)
+    sd2 = np.zeros((n, M, K), dtype=np.int64)
+    for c in range(K):
+        sd2[:, :, c] = ((sub - sub[c][None, :, :]) ** 2).sum(-1)
+    codes = np.zeros((n, M), dtype=np.int64)
+    for v in range(n):
+        for m in range(M):
+            codes[v, m] = min(range(K), key=lambda c: (sd2[v, m, c], c))
+    expect = []
+    for qid in (0, 1):
+        adist = [
+            (sum(int(sd2[qid, m, codes[v, m]]) for m in range(M)), v) for v in range(n)
+        ]
+        for rank, (dist, v) in enumerate(sorted(adist), start=1):
+            if rank <= k:
+                expect.append((qid, rank, v, dist))
+    assert got == sorted(expect)
+
+
+def test_prototypicality_prune_planted_outlier(spark):
+    """Four identical vectors plus one far outlier in a single cell:
+    the outlier must rank last (max distance, kept) and exactly
+    floor(cell_n / 4) = 1 vector — the lowest-id of the identical
+    pack — is pruned."""
+    from kinesis_producer_spark.operators.similarity import prototypicality_prune
+
+    base = [0.5, 0.5, 0.5, 0.5, 0.1, -0.1]
+    outlier = [0.5, 0.5, 0.5, 0.5, 3.0, 3.0]
+    rows = [(i, base) for i in range(4)] + [(9, outlier)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {r.vec_id: (r.rank, r.cell_n, r.kept) for r in
+           prototypicality_prune(df, bits=4, prune_den=4).collect()}
+    assert got[9] == (5, 5, True)
+    assert got[0] == (1, 5, False)
+    assert [got[i][2] for i in (1, 2, 3)] == [True, True, True]
