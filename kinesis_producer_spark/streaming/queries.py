@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from kinesis_producer_spark.functions import dsum, dsum_sql
 from kinesis_producer_spark.registry import query
+from kinesis_producer_spark.operators.llm_queries import _COS_MICRO_SQL
 from kinesis_producer_spark.tables import load_table
 
 
@@ -845,3 +846,88 @@ def q230_streaming_substring_marks(spark: SparkSession, sf_dir: str) -> DataFram
         q.stop()
         raise RuntimeError("q230 streaming substring marks did not drain within 300s")
     return _spans_from_marked(spark.table(name).distinct(), "doc_id", 5)
+
+
+@query(
+    "q236_streaming_semantic_keep_list",
+    # q231's oracle verbatim: a single availableNow batch must equal
+    # the BATCH SemDeDup keep-list row for row
+    oracle=f"""
+    WITH cells AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS cell
+      FROM embeddings),
+    dups AS (
+      SELECT a.vec_id AS vid, MIN(b.vec_id) AS dup_of
+      FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE {_COS_MICRO_SQL} >= 300000
+      GROUP BY a.vec_id)
+    SELECT c.vec_id,
+           CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+           CAST(COALESCE(d.dup_of, -1) AS BIGINT) AS dup_of
+    FROM cells c LEFT JOIN dups d ON c.vec_id = d.vid
+    """,
+)
+def q236_streaming_semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SemDeDup keep-list: per-cell custom state holds the
+    residents (id, embedding, self-norm); each arriving vector scores
+    against them with the batch's integer-exact quantized cosine and
+    emits its keep-list row online. One availableNow batch over the
+    corpus must equal BATCH q231 row for row (its oracle, verbatim —
+    in-batch arrivals sort by vec_id, reproducing the lower-id
+    comparison set). First-arrival residency across micro-batches and
+    epoch aging are pinned in tests/test_streaming.py.
+
+    Scale: state is capped per cell (max_residents — the streaming-LSH
+    load-shedding backstop); per-arrival cost is one dot per resident,
+    the batch sum-of-|cell|-squared bound paid incrementally
+    (streaming/semantic.py)."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from kinesis_producer_spark.streaming.semantic import (
+        streaming_semantic_keep_list,
+    )
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"vecs_stream_sd_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "embeddings.parquet")
+    try:
+        os.unlink(link)
+    except FileNotFoundError:
+        pass
+    os.symlink(os.path.join(sf_dir, "embeddings.parquet"), link)
+    vecs = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .parquet(stream_dir)
+        .select("vec_id", "embedding")
+    )
+    from kinesis_producer_spark.streaming.windows import bounded_stream_shuffle
+
+    keep = streaming_semantic_keep_list(vecs, bits=3, threshold_micro=300_000)
+    name = f"sd_mem_{uuid.uuid4().hex[:10]}"
+    # WRAPPED in bounded_stream_shuffle: unlike the LSH op (many
+    # bucket groups, compute-bound — unwrapped on purpose), this
+    # operator has at most 2^bits = 8 state groups, so partitions
+    # beyond that are pure empty state-store commits.
+    with bounded_stream_shuffle(spark):
+        q = (
+            keep.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "q236 streaming semantic keep-list did not drain within 300s"
+            )
+    return spark.table(name).select("vec_id", "kept", "dup_of").distinct()

@@ -2039,3 +2039,124 @@ def test_streaming_substring_epoch_aging_bounds_state(spark, tmp_path):
     final_total = progresses[-1]["stateOperators"][0]["numRowsTotal"]
     assert removed == n_grams(epochs[0]) + n_grams(epochs[1]), removed
     assert final_total == n_grams(epochs[2]), final_total
+
+
+def test_streaming_semantic_first_arrival_residency(spark, tmp_path):
+    """Streaming SemDeDup residency is first-ARRIVAL: a high-id vector
+    ingested in batch 1 stays resident, so batch 2's low-id copies are
+    dropped against it — where the batch (lexicographic) run would
+    have kept vec 1. dup_of is the smallest matching resident at
+    arrival time: vec 2 sees residents {50, 1} and reports 1."""
+    from kinesis_producer_spark.streaming.semantic import (
+        streaming_semantic_keep_list,
+    )
+
+    base = [0.5] * 8  # first 3 dims positive → cell 7 at bits=3
+    b1 = {50: base}
+    b2 = {1: base, 2: base}
+    src = tmp_path / "sd_vecs"
+    src.mkdir()
+    sink = str(tmp_path / "sd_keep")
+    ckpt = str(tmp_path / "sd_ckpt")
+
+    def add_and_run(batch, tag):
+        part = tmp_path / f"sd_stage_{tag}"
+        spark.createDataFrame(
+            [(k, v) for k, v in batch.items()], "vec_id long, embedding array<float>"
+        ).coalesce(1).write.parquet(str(part))
+        (pq,) = [p for p in part.iterdir() if p.name.endswith(".parquet")]
+        pq.rename(src / f"{tag}.parquet")
+        stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(
+            str(src)
+        )
+        q = (
+            streaming_semantic_keep_list(stream, bits=3, threshold_micro=300_000)
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), f"batch {tag} did not drain"
+
+    add_and_run(b1, "b1")
+    add_and_run(b2, "b2")
+    got = {
+        r.vec_id: (r.kept, r.dup_of)
+        for r in spark.read.parquet(sink).distinct().collect()
+    }
+    assert got == {50: (1, -1), 1: (0, 50), 2: (0, 1)}, got
+
+
+def test_streaming_semantic_epoch_aging_bounds_state(spark, tmp_path):
+    """Epoch-keyed cell residency: a near-dup WITHIN an epoch is
+    dropped; the same vector re-arriving in a LATER epoch is fresh
+    (epoch-scoped dedup); once the watermark passes an epoch's end its
+    cell state is REMOVED from the store."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from kinesis_producer_spark.streaming.semantic import (
+        streaming_semantic_keep_list,
+    )
+
+    EPOCH_MS = 60_000
+    base = [0.5] * 8  # cell 7
+    other = [-0.5] * 8  # cell 0
+    epochs = {
+        0: {10: base, 11: base},  # near-dup within epoch 0
+        1: {20: base},  # re-arrival in epoch 1: fresh
+        2: {30: other},  # advances watermark past epochs 0 and 1
+    }
+    src = tmp_path / "sde_vecs"
+    src.mkdir()
+    sink = str(tmp_path / "sde_keep")
+    ckpt = str(tmp_path / "sde_ckpt")
+    progresses = []
+    for e, vecs in epochs.items():
+        part = tmp_path / f"sde_stage_{e}"
+        rows = [
+            (k, v, (e * EPOCH_MS + EPOCH_MS // 2) / 1000.0) for k, v in vecs.items()
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, secs double")
+        df.select(
+            "vec_id", "embedding", F.timestamp_seconds("secs").alias("event_ts")
+        ).coalesce(1).write.parquet(str(part))
+        (pq,) = [p for p in part.iterdir() if p.name.endswith(".parquet")]
+        pq.rename(src / f"e{e}.parquet")
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>, event_ts timestamp"
+        ).parquet(str(src))
+        q = (
+            streaming_semantic_keep_list(
+                stream, bits=3, time_col="event_ts", epoch_ms=EPOCH_MS
+            )
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), f"epoch {e} did not drain"
+        progresses.extend(p for p in q.recentProgress if p["stateOperators"])
+
+    got = {
+        (r.epoch, r.vec_id): (r.kept, r.dup_of)
+        for r in spark.read.parquet(sink).distinct().collect()
+    }
+    assert got == {
+        (0, 10): (1, -1),
+        (0, 11): (0, 10),
+        (EPOCH_MS, 20): (1, -1),
+        (2 * EPOCH_MS, 30): (1, -1),
+    }, got
+
+    # one state row per live (epoch, cell) group: epochs 0 and 1 each
+    # held one cell and are evicted; epoch 2's single cell remains
+    removed = sum(p["stateOperators"][0]["numRowsRemoved"] for p in progresses)
+    final_total = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    assert removed == 2, removed
+    assert final_total == 1, final_total
