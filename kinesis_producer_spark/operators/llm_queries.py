@@ -5643,3 +5643,151 @@ def q235_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell_n",
         F.col("kept").cast("bigint").alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q237/q238 — filter-funnel audit and token-budget corpus selection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q237_filter_funnel",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+    m AS (
+      SELECT doc_id, lang, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS n_stop
+      FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN n_tokens < 15 THEN 1 ELSE 0 END AS BIGINT) AS f_too_short,
+           CAST(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END AS BIGINT) AS f_non_target_lang,
+           CAST(CASE WHEN 2 * n_distinct < n_tokens THEN 1 ELSE 0 END AS BIGINT) AS f_repetitive,
+           CAST(CASE WHEN 20 * n_stop < n_tokens THEN 1 ELSE 0 END AS BIGINT) AS f_low_stopword,
+           CASE WHEN n_tokens < 15 THEN 'too_short'
+                WHEN lang <> 'en' THEN 'non_target_lang'
+                WHEN 2 * n_distinct < n_tokens THEN 'repetitive'
+                WHEN 20 * n_stop < n_tokens THEN 'low_stopword'
+                ELSE 'pass' END AS verdict
+    FROM m
+    """,
+)
+def q237_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel audit (the RefinedWeb/CCNet rule-chain
+    shape): every document is scored against the ordered rule chain
+    too_short → non_target_lang → repetitive → low_stopword, emitting
+    the per-rule flags AND the first failing rule as the verdict — the
+    table a curation pipeline publishes so each rule's marginal
+    rejection rate is auditable (flags say what WOULD fire; verdict
+    says what DID, in chain order).
+
+    Every rule is an integer comparison in cross-multiplied form
+    (2·distinct < n, 20·stops < n) — zero floats anywhere, so the
+    cross-engine gate is trivially exact.
+
+    Scale: pure scan-side column expressions over the token array —
+    no explode, no join, NO SHUFFLE AT ALL; the whole funnel is one
+    whole-stage-codegen pass over the corpus, which is why production
+    pipelines run the rule chain before any dedup shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    stop = F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "is"))
+    m = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(stop).alias("n_stop"),
+    )
+    f_short = F.col("n_tokens") < 15
+    f_lang = F.col("lang") != "en"
+    f_rep = F.lit(2) * F.col("n_distinct") < F.col("n_tokens")
+    f_stop = F.lit(20) * F.col("n_stop") < F.col("n_tokens")
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        f_short.cast("bigint").alias("f_too_short"),
+        f_lang.cast("bigint").alias("f_non_target_lang"),
+        f_rep.cast("bigint").alias("f_repetitive"),
+        f_stop.cast("bigint").alias("f_low_stopword"),
+        F.when(f_short, "too_short")
+        .when(f_lang, "non_target_lang")
+        .when(f_rep, "repetitive")
+        .when(f_stop, "low_stopword")
+        .otherwise("pass")
+        .alias("verdict"),
+    )
+
+
+_SEL_BUDGET = 10_000
+
+
+@query(
+    "q238_token_budget_selection",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM t)
+    SELECT doc_id, n_tokens, cum_before,
+           CAST(CASE WHEN cum_before < {_SEL_BUDGET} THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM c
+    """,
+)
+def q238_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: rank documents by a quality key
+    (here token count desc, id tie-break) and admit them in order
+    until the training budget of ``_SEL_BUDGET`` tokens is reached — a
+    document straddling the boundary is admitted (cum-before-it <
+    budget), the packing straddler policy. Emits every document with
+    its cumulative offset and keep flag, so the selection is a
+    reproducible manifest, not a sample.
+
+    Scale: the global prefix sum NEVER uses a single-partition window
+    — the q212/q107 composition: range buckets on the sort key
+    (n_tokens div 16, descending), per-bucket local cumsum windows,
+    and a broadcast |buckets|-row prefix of bucket totals lifts local
+    offsets to global ones. The oracle is the single-window closed
+    form of the same number."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    parts = d.withColumn("bucket", F.expr("n_tokens div 16").cast("bigint"))
+    totals = parts.groupBy("bucket").agg(F.sum("n_tokens").alias("tok"))
+    prefix = W.orderBy(F.col("bucket").desc()).rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "bucket_off", F.coalesce(F.sum("tok").over(prefix), F.lit(0))
+    ).select("bucket", "bucket_off")
+    local = (
+        W.partitionBy("bucket")
+        .orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        parts.withColumn(
+            "local_off", F.coalesce(F.sum("n_tokens").over(local), F.lit(0))
+        )
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("bucket_off") + F.col("local_off")).cast("bigint").alias("cum_before"),
+            (F.col("bucket_off") + F.col("local_off") < _SEL_BUDGET)
+            .cast("bigint")
+            .alias("kept"),
+        )
+    )

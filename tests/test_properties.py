@@ -738,3 +738,45 @@ def test_prototypicality_prune_planted_outlier(spark):
     assert got[9] == (5, 5, True)
     assert got[0] == (1, 5, False)
     assert [got[i][2] for i in (1, 2, 3)] == [True, True, True]
+
+
+def test_filter_funnel_verdict_is_first_failing_rule(spark, tmp_path):
+    """A document failing several rules reports the FIRST in chain
+    order (too_short → non_target_lang → repetitive → low_stopword),
+    while the flags still show every rule that would fire."""
+    from kinesis_producer_spark.operators.llm_queries import q237_filter_funnel
+
+    short_de = "kurz kurz kurz"  # too_short AND non_target_lang AND repetitive
+    long_rep_de = " ".join(["wort"] * 30)  # non_target AND repetitive (not short)
+    ok = "the quick brown fox is one of " + " ".join(f"w{i}" for i in range(20))
+    rows = [(0, short_de, "de"), (1, long_rep_de, "de"), (2, ok, "en")]
+    sf = _write_documents(spark, tmp_path, rows)
+    got = {r.doc_id: r for r in q237_filter_funnel(spark, sf).collect()}
+    assert got[0].verdict == "too_short"
+    assert (got[0].f_non_target_lang, got[0].f_repetitive) == (1, 1)
+    assert got[1].verdict == "non_target_lang"
+    assert got[2].verdict == "pass"
+
+
+def test_token_budget_straddler_is_admitted(spark, tmp_path):
+    """The document whose cumulative predecessor total is below the
+    budget is kept even when it crosses the boundary; the next one is
+    cut — and the bucketed prefix sum must equal the single-window
+    closed form at every row."""
+    from kinesis_producer_spark.operators.llm_queries import (
+        _SEL_BUDGET,
+        q238_token_budget_selection,
+    )
+
+    # three docs of ~40% budget each: docs ranked by n_tokens desc
+    n1 = _SEL_BUDGET * 2 // 5
+    sizes = {0: n1 + 2, 1: n1 + 1, 2: n1, 3: 50}
+    rows = [(i, " ".join(f"t{j}" for j in range(n)), "en") for i, n in sizes.items()]
+    sf = _write_documents(spark, tmp_path, rows)
+    got = {r.doc_id: (r.cum_before, r.kept) for r in
+           q238_token_budget_selection(spark, sf).collect()}
+    # order: 0, 1, 2, 3. cum_before: 0, n1+2, 2n1+3, 3n1+3
+    assert got[0] == (0, 1)
+    assert got[1] == (n1 + 2, 1)
+    assert got[2] == (2 * n1 + 3, 1)  # straddles the budget: admitted
+    assert got[3] == (3 * n1 + 3, 0)  # past it: cut
