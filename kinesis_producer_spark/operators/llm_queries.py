@@ -5791,3 +5791,174 @@ def q238_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q239/q240 — PQ shortlist + exact re-rank; incremental ingest dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q239_pq_rerank",
+    oracle=f"""
+    WITH dims AS (
+      SELECT vec_id, CAST(d // 8 AS INT) AS m, CAST(d % 8 AS INT) AS dd,
+             CAST(FLOOR(1e6 * CAST(embedding[d + 1] AS DOUBLE) + 0.5) AS BIGINT) AS vm
+      FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS d)
+    ),
+    cb AS (SELECT CAST(vec_id AS INT) AS cid, m, dd, vm AS cm
+           FROM dims WHERE vec_id < 16),
+    sd AS (
+      SELECT dims.vec_id, dims.m, cb.cid,
+             CAST(SUM((vm - cm) * (vm - cm)) AS BIGINT) AS sd2
+      FROM dims JOIN cb ON dims.m = cb.m AND dims.dd = cb.dd
+      GROUP BY dims.vec_id, dims.m, cb.cid
+    ),
+    codes AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY sd2, cid) AS rn FROM sd
+      ) WHERE rn = 1
+    ),
+    adc AS (SELECT vec_id AS query_id, m, cid, sd2 AS qd2
+            FROM sd WHERE vec_id IN (0, 1, 2)),
+    approx AS (
+      SELECT query_id, codes.vec_id, CAST(SUM(qd2) AS BIGINT) AS adist_q
+      FROM codes JOIN adc ON codes.m = adc.m AND codes.code = adc.cid
+      GROUP BY query_id, codes.vec_id
+    ),
+    short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist_q, vec_id) AS rn
+        FROM approx
+      ) WHERE rn <= 50
+    ),
+    scored AS (
+      SELECT s.query_id, s.vec_id, {_COS_MICRO_SQL} AS cos_micro
+      FROM short s
+      JOIN embeddings a ON a.vec_id = s.query_id
+      JOIN embeddings b ON b.vec_id = s.vec_id
+    )
+    SELECT query_id, vec_id, cos_micro, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_micro DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q239_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval, the production ANN serving shape: the PQ
+    index (q234's codes + ADC tables) produces a 50-candidate
+    shortlist per query WITHOUT touching raw vectors, then exactly
+    those candidates are re-scored with the exact quantized cosine
+    and re-ranked to the final top-10 — compressed-domain recall,
+    exact-domain precision.
+
+    Scale: stage 1 is q234's cost (codes only); stage 2 touches raw
+    vectors for |queries|·50 rows — the candidate join shuffles a
+    shortlist, never the corpus, and the query embeddings broadcast.
+    The re-rank is what makes PQ's approximation error survivable in
+    production: ADC orders the shortlist, exact cosine orders the
+    answer."""
+    from kinesis_producer_spark.operators.similarity import pq_codes_and_adc_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    short = pq_codes_and_adc_topk(
+        e, query_ids=[0, 1, 2], n_centroids=16, m_dims=8, k=50
+    ).select("query_id", "vec_id")
+    qe = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qe")
+    )
+    ce = e.select("vec_id", F.col("embedding").alias("_ce"))
+    scored = (
+        short.join(ce, "vec_id")
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_micro(F.col("_qe"), F.col("_ce")).alias("cos_micro"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_micro").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "cos_micro", "rank")
+    )
+
+
+_HEAD_KEY_SQL = (
+    "MD5(array_to_string(list_slice(list_filter("
+    "regexp_split_to_array(text, '\\s+'), x -> x <> ''), 1, 2), ' '))"
+)
+
+
+@query(
+    "q240_incremental_ingest_dedup",
+    oracle=f"""
+    WITH keyed AS (SELECT doc_id, {_HEAD_KEY_SQL} AS digest FROM documents),
+    idx AS (SELECT DISTINCT digest FROM keyed WHERE doc_id % 10 <> 0),
+    delta AS (SELECT doc_id, digest FROM keyed WHERE doc_id % 10 = 0),
+    fst AS (SELECT digest, MIN(doc_id) AS first_id FROM delta GROUP BY digest)
+    SELECT d.doc_id,
+           CAST(CASE WHEN i.digest IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_index,
+           CAST(CASE WHEN i.digest IS NULL AND d.doc_id = f.first_id
+                THEN 1 ELSE 0 END AS BIGINT) AS admitted,
+           CASE WHEN i.digest IS NOT NULL THEN 'dup_of_index'
+                WHEN d.doc_id <> f.first_id THEN 'dup_in_batch'
+                ELSE 'new' END AS status
+    FROM delta d
+    LEFT JOIN idx i ON d.digest = i.digest
+    JOIN fst f ON d.digest = f.digest
+    """,
+)
+def q240_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the CDC shape a production corpus
+    actually runs (nobody re-dedups 100 TB per day): the standing
+    corpus is reduced to a digest INDEX, and each arriving delta batch
+    is checked (a) against the index and (b) within itself
+    (keep-first), emitting per-document status — dup_of_index /
+    dup_in_batch / new — and the admitted flag that gates the append.
+    The content key here is a 2-token head fingerprint (the
+    boilerplate-header key, chosen so the fixture exercises all three
+    branches; production swaps in the full-text md5 — one expression).
+
+    Scale: the index is DISTINCT digests — a fraction of corpus bytes,
+    and the only standing state; the delta joins are digest-keyed
+    (broadcast when the delta is small, the common case), and
+    keep-first is one map-side-combinable min aggregate over the
+    delta, never the corpus. Complements q50 (full-corpus batch
+    dedup) and q48/q230 (record-stream dedup): this is the
+    batch-append middle ground."""
+    d = load_table(spark, sf_dir, "documents")
+    head = F.md5(
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""), 1, 2
+            ),
+        )
+    )
+    keyed = d.select("doc_id", head.alias("digest"))
+    idx = keyed.filter(F.col("doc_id") % 10 != 0).select("digest").distinct()
+    delta = keyed.filter(F.col("doc_id") % 10 == 0)
+    fst = delta.groupBy("digest").agg(F.min("doc_id").alias("first_id"))
+    in_idx = F.col("_hit").isNotNull()
+    return (
+        delta.join(
+            idx.withColumn("_hit", F.lit(1)), "digest", "left"
+        )
+        .join(fst, "digest")
+        .select(
+            "doc_id",
+            in_idx.cast("bigint").alias("in_index"),
+            (~in_idx & (F.col("doc_id") == F.col("first_id")))
+            .cast("bigint")
+            .alias("admitted"),
+            F.when(in_idx, "dup_of_index")
+            .when(F.col("doc_id") != F.col("first_id"), "dup_in_batch")
+            .otherwise("new")
+            .alias("status"),
+        )
+    )

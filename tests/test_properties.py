@@ -780,3 +780,29 @@ def test_token_budget_straddler_is_admitted(spark, tmp_path):
     assert got[1] == (n1 + 2, 1)
     assert got[2] == (2 * n1 + 3, 1)  # straddles the budget: admitted
     assert got[3] == (3 * n1 + 3, 0)  # past it: cut
+
+
+def test_incremental_ingest_dedup_branches(spark, tmp_path):
+    """All three CDC branches: a delta doc whose key is in the index
+    is dup_of_index (even if it is ALSO first in the batch); of two
+    index-missing delta docs sharing a key, the lowest id is new and
+    admitted, the other dup_in_batch."""
+    from kinesis_producer_spark.operators.llm_queries import (
+        q240_incremental_ingest_dedup,
+    )
+
+    rows = [
+        (1, "a b filler one", "en"),     # index
+        (2, "x y filler two", "en"),     # index
+        (10, "a b something", "en"),     # delta: key in index
+        (20, "c d first", "en"),         # delta: new, admitted
+        (30, "c d second", "en"),        # delta: dup_in_batch
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    got = {r.doc_id: (r.in_index, r.admitted, r.status) for r in
+           q240_incremental_ingest_dedup(spark, sf).collect()}
+    assert got == {
+        10: (1, 0, "dup_of_index"),
+        20: (0, 1, "new"),
+        30: (0, 0, "dup_in_batch"),
+    }, got

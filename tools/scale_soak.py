@@ -57,6 +57,16 @@ SOAK = [
     # round-6 span-level substring dedup (q226/q227 family)
     "q226_exact_substring_spans",
     "q227_substring_dedup_apply",
+    # round-6 late additions: semantic dedup (fixed-quantizer pair
+    # growth is expected to be ~100x at 10x density — see SCALE.md
+    # adjudication: production scales bits with log2 n), the LM/DSIR
+    # scoring pair (corpus-keyed/broadcast shapes), PQ codes
+    # (O(n*M*K) rows), and the bucketed-prefix budget selection
+    "q231_semantic_dedup_keep_list",
+    "q232_bigram_lm_quality",
+    "q233_dsir_importance",
+    "q234_pq_ann_adc",
+    "q238_token_budget_selection",
 ]
 
 SF_DIRS = {
