@@ -123,4 +123,31 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package as a zip to executor Python workers.
+
+    Driver-side imports resolve via cwd / caller ``sys.path``, but the
+    executor Python workers spawn with their own path and cannot
+    unpickle our pandas UDFs without the package. ``addPyFile`` is the
+    deployment-agnostic fix (works in local mode and on a real
+    cluster); idempotent per SparkContext.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_kps_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(
+        tempfile.gettempdir(), f"kinesis_producer_spark_pkg_{os.getpid()}"
+    )
+    zip_path = shutil.make_archive(
+        zip_base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="kinesis_producer_spark"
+    )
+    sc.addPyFile(zip_path)
+    sc._kps_shipped = True
