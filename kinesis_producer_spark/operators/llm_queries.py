@@ -5962,3 +5962,429 @@ def q240_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("status"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q241/q242 — curriculum phases and ANN recall evaluation
+# ---------------------------------------------------------------------------
+
+
+_CURR_PHASES = 4
+
+
+@query(
+    "q241_curriculum_phases",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY n_tokens, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before,
+             CAST(SUM(n_tokens) OVER () AS BIGINT) AS total
+      FROM t)
+    SELECT doc_id, n_tokens, cum_before,
+           CAST((cum_before * {_CURR_PHASES}) // total AS BIGINT) AS phase
+    FROM c
+    """,
+)
+def q241_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum phase assignment: order the corpus easy-first (short
+    documents first — token count asc, id tie-break) and cut it into
+    ``_CURR_PHASES`` token-equal phases, each phase holding the same
+    training-token mass rather than the same document count — the
+    manifest a curriculum-learning loader consumes (phase 0 streamed
+    first). phase = (cum_before · P) div total, all integer math, so a
+    straddling document lands in the phase its first token falls in.
+
+    Scale: the global prefix sum is the q238/q212 composition — range
+    buckets on the sort key, per-bucket local cumsum windows, and a
+    broadcast |buckets|-row prefix lifting local offsets to global; the
+    corpus-total token count rides the same broadcast (sum of bucket
+    totals), so nothing ever funnels through a one-partition window.
+    The oracle is the single-window closed form of the same numbers."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    parts = d.withColumn("bucket", F.expr("n_tokens div 16").cast("bigint"))
+    totals = parts.groupBy("bucket").agg(F.sum("n_tokens").alias("tok"))
+    prefix = W.orderBy(F.col("bucket")).rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "bucket_off", F.coalesce(F.sum("tok").over(prefix), F.lit(0))
+    ).select("bucket", "bucket_off")
+    total = totals.agg(F.sum("tok").cast("bigint").alias("total"))
+    local = (
+        W.partitionBy("bucket")
+        .orderBy(F.col("n_tokens"), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        parts.withColumn(
+            "local_off", F.coalesce(F.sum("n_tokens").over(local), F.lit(0))
+        )
+        .join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("bucket_off") + F.col("local_off")).cast("bigint").alias("cum_before"),
+            F.expr(f"(bucket_off + local_off) * {_CURR_PHASES} div total")
+            .cast("bigint")
+            .alias("phase"),
+        )
+    )
+
+
+_RECALL_K = 10
+_RECALL_QUERIES = 30
+_RECALL_BITS = 3
+
+
+@query(
+    "q242_ann_recall_eval",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+               WHERE vec_id < {_RECALL_QUERIES}),
+    truth AS (
+      SELECT query_id, vec_id, rnk FROM (
+        SELECT a.query_id, b.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY a.query_id
+                 ORDER BY {_COS_MICRO_SQL.replace("a.embedding", "a.embedding").replace("b.embedding", "b.embedding")} DESC, b.vec_id) AS rnk
+        FROM q a JOIN embeddings b ON b.vec_id <> a.query_id)
+      WHERE rnk <= {_RECALL_K}),
+    cells AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS cell
+      FROM embeddings),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT a.query_id, b.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY a.query_id
+                 ORDER BY {_COS_MICRO_SQL} DESC, b.vec_id) AS rnk
+        FROM (SELECT c.vec_id AS query_id, c.embedding, c.cell
+              FROM cells c WHERE c.vec_id < {_RECALL_QUERIES}) a
+        JOIN cells b ON b.cell = a.cell AND b.vec_id <> a.query_id)
+      WHERE rnk <= {_RECALL_K})
+    SELECT t.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 100
+                // COUNT(*) AS BIGINT) AS recall_pct
+    FROM truth t LEFT JOIN approx ap
+      ON ap.query_id = t.query_id AND ap.vec_id = t.vec_id
+    GROUP BY t.query_id
+    """,
+)
+def q242_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall evaluation — the harness every index deployment runs
+    before trusting an approximate path: exact cosine top-k over a
+    query sample is the ground truth, the IVF single-probe index is
+    the candidate, and per-query recall@k = |approx ∩ truth| / k is
+    the number that decides whether the index's probe count / cell
+    width is acceptable. Emits (query_id, n_truth, n_hits,
+    recall_pct) — an auditable per-query table, not one averaged
+    scalar, so the tail (queries whose neighbors straddle cell
+    boundaries) is visible.
+
+    Scale: ground truth is exact and therefore O(|sample| · corpus) —
+    the sample is the knob (here {_RECALL_QUERIES} queries,
+    broadcast); the approx side probes one cell exactly as the
+    production path (q56/q190) does. The intersection joins two
+    ≤ k·|sample|-row frames — negligible. This is the standard
+    recall-eval shape: never all queries, always all corpus, both
+    sides sharing one integer-exact cosine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < _RECALL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.select("vec_id", "embedding")
+    truth = brute_force_topk(
+        corpus, qs, k=_RECALL_K + 1, query_id_col="query_id"
+    ).filter(F.col("vec_id") != F.col("query_id")).withColumn(
+        "rnk", F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.col("cos_micro").desc(), F.col("vec_id"))
+        )
+    ).filter(F.col("rnk") <= _RECALL_K)
+    approx = ivf_topk(
+        corpus.filter(F.col("vec_id") >= 0), qs, k=_RECALL_K + 1,
+        bits=_RECALL_BITS, query_id_col="query_id"
+    ).filter(F.col("vec_id") != F.col("query_id")).withColumn(
+        "rnk", F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.col("cos_micro").desc(), F.col("vec_id"))
+        )
+    ).filter(F.col("rnk") <= _RECALL_K)
+    hit = approx.select(
+        F.col("query_id").alias("_aq"),
+        F.col("vec_id").alias("_av"),
+        F.lit(1).alias("_hit"),
+    )
+    return (
+        truth.join(
+            hit,
+            (F.col("query_id") == F.col("_aq")) & (F.col("vec_id") == F.col("_av")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_truth"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_truth",
+            "n_hits",
+            F.expr("n_hits * 100 div n_truth").cast("bigint").alias("recall_pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q244/q245/q246 — mixture epoch plan, hard-negative mining, semantic
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+_EPOCH_BUDGET = 30_000  # training tokens the mixture must supply
+
+_HEX6_SQL = (
+    "((INSTR('0123456789abcdef', SUBSTR(MD5('rep:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 1048576"
+    " + (INSTR('0123456789abcdef', SUBSTR(MD5('rep:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 65536"
+    " + (INSTR('0123456789abcdef', SUBSTR(MD5('rep:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 4096"
+    " + (INSTR('0123456789abcdef', SUBSTR(MD5('rep:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 256"
+    " + (INSTR('0123456789abcdef', SUBSTR(MD5('rep:' || CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 16"
+    " + (INSTR('0123456789abcdef', SUBSTR(MD5('rep:' || CAST(doc_id AS VARCHAR)), 6, 1)) - 1))"
+)
+
+
+@query(
+    "q244_mixture_epoch_plan",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    s AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens,
+             CAST(FLOOR(1e6 * SQRT(CAST(SUM(n_tokens) AS DOUBLE))) AS BIGINT) AS w_micro
+      FROM t GROUP BY source),
+    tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS denom FROM s),
+    plan AS (
+      SELECT source, src_tokens,
+             CAST(({_EPOCH_BUDGET} * w_micro) // denom AS BIGINT) AS tgt_tokens
+      FROM s, tot),
+    rates AS (
+      SELECT source, src_tokens, tgt_tokens,
+             CAST(tgt_tokens // src_tokens AS BIGINT) AS n_base,
+             CAST((1000000 * (tgt_tokens % src_tokens)) // src_tokens AS BIGINT)
+               AS frac_micro
+      FROM plan)
+    SELECT t.doc_id, t.source, t.n_tokens, r.n_base,
+           CAST(CASE WHEN {_HEX6_SQL} * 1000000 < r.frac_micro * 16777216
+                THEN 1 ELSE 0 END AS BIGINT) AS extra,
+           CAST(r.n_base + CASE WHEN {_HEX6_SQL} * 1000000 < r.frac_micro * 16777216
+                THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+    FROM t JOIN rates r ON t.source = r.source
+    """,
+)
+def q244_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture epoch-plan materialization — the step AFTER q209's
+    weight computation that a data loader actually consumes: given
+    temperature-scaled per-source token targets (w ∝ √tokens, the
+    T=2 flattening), emit each document's integer repeat count.
+    A source whose target exceeds its size repeats n_base full epochs,
+    and the fractional epoch is filled by a content-stable hash draw
+    (hash(doc) < frac), so EXACTLY the target token mass is approached
+    in expectation with a reproducible, engine-independent choice of
+    which documents carry the extra copy — the "1.7 epochs of source
+    X" recipe line made concrete.
+
+    Integer-exact throughout: weights floor(1e6·√n) (IEEE sqrt),
+    integer-division targets and rates, and the hash draw compares
+    hex6(md5) · 10⁶ < frac_micro · 16⁷ cross-multiplied in BIGINT —
+    no float anywhere after the sqrt.
+
+    Scale: one groupBy(source) for the per-source frame (|sources|
+    rows, broadcast back), then a map-side join stamps each document —
+    no corpus-sized shuffle at all. The materialized repeat (explode
+    over sequence(1, n_copies)) is downstream and lazy on purpose: the
+    plan table is |corpus| rows however large the budget is."""
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    s = t.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("src_tokens"),
+        F.floor(F.lit(1e6) * F.sqrt(F.sum("n_tokens").cast("double")))
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    denom = s.agg(F.sum("w_micro").cast("bigint").alias("denom"))
+    rates = (
+        s.crossJoin(F.broadcast(denom))
+        .withColumn(
+            "tgt_tokens",
+            F.expr(f"({_EPOCH_BUDGET} * w_micro) div denom").cast("bigint"),
+        )
+        .select(
+            "source",
+            "src_tokens",
+            F.expr("tgt_tokens div src_tokens").cast("bigint").alias("n_base"),
+            F.expr("(1000000 * (tgt_tokens % src_tokens)) div src_tokens")
+            .cast("bigint")
+            .alias("frac_micro"),
+        )
+    )
+    h6 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("rep:"), F.col("doc_id").cast("string"))), 1, 6),
+        16,
+        10,
+    ).cast("bigint")
+    extra = (h6 * F.lit(1_000_000) < F.col("frac_micro") * F.lit(16_777_216)).cast(
+        "bigint"
+    )
+    return (
+        t.join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "n_base",
+            extra.alias("extra"),
+            (F.col("n_base") + extra).cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+_NEG_ANCHORS = 20
+_NEG_K = 5
+
+
+@query(
+    "q245_hard_negative_mining",
+    oracle=f"""
+    WITH anch AS (SELECT vec_id AS anchor_id, embedding, label FROM embeddings
+                  WHERE vec_id < {_NEG_ANCHORS})
+    SELECT anchor_id, neg_id, rnk, cos_micro FROM (
+      SELECT a.anchor_id, b.vec_id AS neg_id,
+             {_COS_MICRO_SQL} AS cos_micro,
+             ROW_NUMBER() OVER (PARTITION BY a.anchor_id
+               ORDER BY {_COS_MICRO_SQL} DESC, b.vec_id) AS rnk
+      FROM anch a JOIN embeddings b ON b.label <> a.label)
+    WHERE rnk <= {_NEG_K}
+    """,
+)
+def q245_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-k most similar vectors with a DIFFERENT label — the
+    negatives that sit closest to the decision boundary and therefore
+    carry the gradient signal (in-batch random negatives are mostly
+    easy; every production embedding-model pipeline mines hard ones).
+    Emits (anchor_id, neg_id, rank, cos_micro), deterministic via the
+    integer-exact cosine and (score desc, id) total order.
+
+    Scale: anchors broadcast (the mining sample is the knob, like
+    q242's query sample); the label-mismatch join is a broadcast
+    nested loop ONLY over |anchors|·corpus, never corpus², and at
+    production scale the candidate side is first bounded by the ANN
+    shortlist (q239's PQ path) instead of the full corpus — the
+    two-stage mine-then-rescore shape, same contract."""
+    e = load_table(spark, sf_dir, "embeddings")
+    anch = e.filter(F.col("vec_id") < _NEG_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("_a_emb"),
+        F.col("label").alias("_a_label"),
+    )
+    scored = (
+        e.join(F.broadcast(anch), F.col("label") != F.col("_a_label"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neg_id"),
+            cosine_micro(F.col("_a_emb"), F.col("embedding")).alias("cos_micro"),
+        )
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.col("cos_micro").desc(), F.col("neg_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _NEG_K)
+        .select("anchor_id", "neg_id", F.col("rnk").cast("bigint").alias("rnk"), "cos_micro")
+    )
+
+
+_DECON_TAU = 400_000
+
+
+@query(
+    "q246_semantic_decontamination",
+    oracle=f"""
+    WITH ev AS (SELECT vec_id AS eval_id, embedding FROM embeddings
+                WHERE vec_id % 20 = 0),
+    best AS (
+      SELECT vec_id, eval_id, cos_micro FROM (
+        SELECT a.vec_id, b.eval_id,
+               {_COS_MICRO_SQL.replace('b.embedding', 'b.embedding')} AS cos_micro,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_COS_MICRO_SQL} DESC, b.eval_id) AS rnk
+        FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0) a
+        JOIN ev b ON TRUE)
+      WHERE rnk = 1)
+    SELECT vec_id, eval_id AS closest_eval_id, cos_micro AS max_cos_micro,
+           CAST(CASE WHEN cos_micro >= {_DECON_TAU} THEN 1 ELSE 0 END AS BIGINT)
+             AS contaminated
+    FROM best
+    """,
+)
+def q246_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination — the embedding-space
+    complement of q80's n-gram pass: flag every training vector whose
+    max cosine against the held-out eval set crosses τ (paraphrases
+    and translations that n-gram overlap misses). Emits the max
+    similarity, the closest eval item (provenance for the audit), and
+    the contamination flag.
+
+    Scale: the eval set is small by construction (benchmarks are
+    thousands of items, the corpus is billions) — broadcast it; the
+    scan is then ONE pass over the corpus with a per-row max over the
+    broadcast side, no corpus shuffle. The window in the oracle is the
+    closed form; the Spark plan computes the same argmax as a groupBy
+    after a broadcast join, both sides the integer-exact cosine. At
+    real scale the eval side is first reduced per q229's discipline
+    (distinct digests / dedup) so the broadcast stays minimal."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("_e_emb")
+    )
+    scored = (
+        e.filter(F.col("vec_id") % 20 != 0)
+        .crossJoin(F.broadcast(ev))
+        .select(
+            "vec_id",
+            "eval_id",
+            cosine_micro(F.col("embedding"), F.col("_e_emb")).alias("cos_micro"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos_micro").desc(), F.col("eval_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "vec_id",
+            F.col("eval_id").alias("closest_eval_id"),
+            F.col("cos_micro").alias("max_cos_micro"),
+            (F.col("cos_micro") >= _DECON_TAU).cast("bigint").alias("contaminated"),
+        )
+    )

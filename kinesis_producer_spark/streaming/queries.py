@@ -931,3 +931,104 @@ def q236_streaming_semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataF
                 "q236 streaming semantic keep-list did not drain within 300s"
             )
     return spark.table(name).select("vec_id", "kept", "dup_of").distinct()
+
+
+_BUDGET_TOKENS = 600
+
+
+@query(
+    "q243_streaming_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS full_before
+      FROM t),
+    a AS (
+      SELECT source, doc_id, n_tokens,
+             CASE WHEN full_before < {_BUDGET_TOKENS} THEN 1 ELSE 0 END AS admitted
+      FROM c)
+    SELECT source, doc_id, n_tokens,
+           CAST(COALESCE(SUM(CASE WHEN admitted = 1 THEN n_tokens ELSE 0 END) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS cum_before,
+           CAST(admitted AS BIGINT) AS admitted
+    FROM a
+    """,
+)
+def q243_streaming_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-source token-budget admission: the online form of
+    q238's selection — per-source state carries the admitted-token
+    counter, each arrival is admitted iff the counter is still under
+    budget when it arrives (the q238 straddler policy: the crossing
+    document is admitted, then the gate closes). cum_before is the
+    admitted-only ledger (rejected documents never consume quota);
+    the oracle's two-level window is the closed form — verdicts are
+    provably identical to the plain-cumsum gate because rejections
+    only begin once the counter crosses the budget and both freeze
+    at >= budget from then on.
+
+    One availableNow batch over the corpus equals the batch windows
+    row for row (in-batch arrivals sort by doc_id, the fixture's
+    arrival order); cross-micro-batch carry and replay idempotence
+    are pinned in tests/test_streaming.py.
+
+    Scale: state per source is one bigint + the replay-dedup id set
+    (droppable under exactly-once upstream, ``track_ids=False``); the
+    shuffle is one hash exchange on source, exactly what a per-tenant
+    ingest quota shards on (streaming/budget.py)."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from kinesis_producer_spark.streaming.budget import streaming_token_budget
+    from kinesis_producer_spark.streaming.windows import bounded_stream_shuffle
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"docs_stream_tb_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "documents.parquet")
+    try:
+        os.unlink(link)
+    except FileNotFoundError:
+        pass
+    os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    docs = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .parquet(stream_dir)
+        .select("doc_id", "text", "source")
+    )
+    adm = streaming_token_budget(docs, token_budget=_BUDGET_TOKENS)
+    name = f"tb_mem_{uuid.uuid4().hex[:10]}"
+    # WRAPPED in bounded_stream_shuffle: ~20 source groups, so state
+    # partitions beyond that are pure empty state-store commits (the
+    # q236 profile, commit-bound not compute-bound).
+    with bounded_stream_shuffle(spark):
+        q = (
+            adm.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "q243 streaming token budget did not drain within 300s"
+            )
+    return (
+        spark.table(name)
+        .select("source", "doc_id", "n_tokens", "cum_before", "admitted")
+        .distinct()
+    )

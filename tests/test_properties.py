@@ -806,3 +806,143 @@ def test_incremental_ingest_dedup_branches(spark, tmp_path):
         20: (0, 1, "new"),
         30: (0, 0, "dup_in_batch"),
     }, got
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    """rows: (vec_id, embedding list[float], label). Minimal
+    embeddings.parquet fixture for the (spark, sf_dir) queries."""
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "embeddings.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_ann_recall_is_perfect_within_one_cell(spark, tmp_path):
+    """With every vector in the same coarse cell, the single-probe
+    index sees the whole corpus: recall@k must be 100 for every
+    query — the upper-bound sanity the recall harness itself needs."""
+    from kinesis_producer_spark.operators.llm_queries import q242_ann_recall_eval
+
+    # all first-3 dims positive -> one cell; distinct directions
+    rows = [
+        (i, [1.0, 1.0, 1.0] + [float((i >> b) & 1) for b in range(5)], 0)
+        for i in range(8)
+    ]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    got = q242_ann_recall_eval(spark, sf).collect()
+    assert len(got) == 8
+    assert all(r.recall_pct == 100 and r.n_hits == r.n_truth for r in got), got
+
+
+def test_ann_recall_counts_cross_cell_misses(spark, tmp_path):
+    """A true neighbor sitting across a sign boundary is invisible to
+    the single-probe index and must be counted as a miss: the planted
+    query's n_hits is exactly its within-cell truth overlap."""
+    from kinesis_producer_spark.operators.llm_queries import q242_ann_recall_eval
+
+    base = [1.0] * 8
+    near_same_cell = [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.5]
+    # nearly identical direction but dim0 sign flipped -> different cell
+    near_other_cell = [-0.01, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]
+    far_same_cell = [1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0, -1.0]
+    rows = [
+        (0, base, 0),
+        (1, near_same_cell, 0),
+        (2, near_other_cell, 0),
+        (3, far_same_cell, 0),
+    ]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    got = {r.query_id: r for r in q242_ann_recall_eval(spark, sf).collect()}
+    q0 = got[0]
+    # truth for q0 is all 3 others; the approx probe sees only cell 7
+    assert q0.n_truth == 3
+    assert q0.n_hits == 2, q0  # doc 2 is the cross-cell miss
+    assert q0.recall_pct == 66, q0
+
+
+def test_mixture_epoch_plan_matches_integer_model(spark, tmp_path):
+    """Per-source repeat rates recomputed exactly (integer model) must
+    equal the operator's output for every document, including which
+    docs carry the fractional extra copy (md5 hex6 draw)."""
+    import hashlib
+    import math
+
+    from kinesis_producer_spark.operators.llm_queries import (
+        _EPOCH_BUDGET,
+        q244_mixture_epoch_plan,
+    )
+
+    sizes = {"a": [40, 60], "b": [500, 400, 100], "c": [30]}
+    rows, did = [], 0
+    for src, toks in sizes.items():
+        for n in toks:
+            rows.append((did, " ".join(f"t{j}" for j in range(n)), "en", src))
+            did += 1
+    df = spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    got = {r.doc_id: r for r in q244_mixture_epoch_plan(spark, str(tmp_path)).collect()}
+
+    src_tokens = {s: sum(t) for s, t in sizes.items()}
+    w = {s: math.floor(1e6 * math.sqrt(float(n))) for s, n in src_tokens.items()}
+    denom = sum(w.values())
+    for i, (_, _, _, src) in enumerate([(r[0], r[1], r[2], r[3]) for r in rows]):
+        tgt = (_EPOCH_BUDGET * w[src]) // denom
+        n_base = tgt // src_tokens[src]
+        frac_micro = (1_000_000 * (tgt % src_tokens[src])) // src_tokens[src]
+        h6 = int(hashlib.md5(f"rep:{i}".encode()).hexdigest()[:6], 16)
+        extra = 1 if h6 * 1_000_000 < frac_micro * 16_777_216 else 0
+        r = got[i]
+        assert (r.n_base, r.extra, r.n_copies) == (n_base, extra, n_base + extra), (
+            i, src, r, n_base, extra,
+        )
+
+
+def test_curriculum_phases_are_token_equal_and_ordered(spark, tmp_path):
+    """Phases partition the easy-first order contiguously and each
+    phase's token mass is within one document of total/P."""
+    from kinesis_producer_spark.operators.llm_queries import (
+        _CURR_PHASES,
+        q241_curriculum_phases,
+    )
+
+    sizes = [3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41]
+    rows = [(i, " ".join(f"t{j}" for j in range(n)), "en") for i, n in enumerate(sizes)]
+    sf = _write_documents(spark, tmp_path, rows)
+    got = sorted(
+        q241_curriculum_phases(spark, sf).collect(),
+        key=lambda r: (r.n_tokens, r.doc_id),
+    )
+    total = sum(sizes)
+    # contiguous, monotone phases along the easy-first order
+    assert [r.phase for r in got] == sorted(r.phase for r in got)
+    assert got[0].phase == 0 and got[-1].phase == _CURR_PHASES - 1
+    # each doc's phase is where its first token falls
+    for r in got:
+        assert r.phase == (r.cum_before * _CURR_PHASES) // total
+
+
+def test_hard_negatives_exclude_same_label(spark, tmp_path):
+    """An identical vector with the SAME label must never be mined; the
+    closest different-label vector is rank 1."""
+    from kinesis_producer_spark.operators.llm_queries import q245_hard_negative_mining
+
+    anchor = [1.0] * 8
+    rows = [
+        (0, anchor, 0),
+        (100, anchor, 0),                     # same label twin: excluded
+        (101, [1.0] * 7 + [0.5], 1),          # closest different-label
+        (102, [-1.0] * 8, 1),                 # far different-label
+    ]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    got = [r for r in q245_hard_negative_mining(spark, sf).collect() if r.anchor_id == 0]
+    ids = [r.neg_id for r in sorted(got, key=lambda r: r.rnk)]
+    assert 100 not in ids
+    assert ids[0] == 101, ids

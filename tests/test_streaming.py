@@ -2160,3 +2160,64 @@ def test_streaming_semantic_epoch_aging_bounds_state(spark, tmp_path):
     final_total = progresses[-1]["stateOperators"][0]["numRowsTotal"]
     assert removed == 2, removed
     assert final_total == 1, final_total
+
+
+def test_streaming_token_budget_carries_across_batches(spark, tmp_path):
+    """Per-source budget state survives micro-batches: the counter a
+    batch leaves behind gates the next batch's arrivals, the straddler
+    crossing the boundary is admitted, and the first fully-over
+    arrival is rejected. Replayed doc_ids are never re-counted."""
+    from kinesis_producer_spark.streaming.budget import streaming_token_budget
+
+    src = tmp_path / "tb_docs"
+    src.mkdir()
+    sink = str(tmp_path / "tb_out")
+    ckpt = str(tmp_path / "tb_ckpt")
+
+    def add_and_run(rows, tag):
+        part = tmp_path / f"tb_stage_{tag}"
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.parquet(str(part))
+        (pq,) = [p for p in part.iterdir() if p.name.endswith(".parquet")]
+        pq.rename(src / f"{tag}.parquet")
+        stream = (
+            spark.readStream.schema("doc_id long, text string, source string")
+            .parquet(str(src))
+        )
+        q = (
+            streaming_token_budget(stream, token_budget=10)
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), f"batch {tag} did not drain"
+
+    tok = lambda n: " ".join(f"w{i}" for i in range(n))  # noqa: E731
+    # batch 1: source s fills 9 of 10; source t independent
+    add_and_run([(1, tok(4), "s"), (2, tok(5), "s"), (10, tok(9), "t")], "b1")
+    # batch 2: doc 3 straddles (cum_before 9 < 10, admitted), doc 4 is
+    # over (cum_before 12, rejected); t's doc 11 straddles at 9
+    add_and_run([(3, tok(3), "s"), (4, tok(2), "s"), (11, tok(4), "t")], "b2")
+    # batch 3: pure replay of batch 2's ids — nothing new emitted
+    add_and_run([(3, tok(3), "s"), (4, tok(2), "s")], "b3")
+
+    got = {
+        r.doc_id: (r.cum_before, r.admitted)
+        for r in spark.read.parquet(sink).distinct().collect()
+    }
+    assert got == {
+        1: (0, 1),
+        2: (4, 1),
+        3: (9, 1),   # straddler admitted across the batch boundary
+        4: (12, 0),  # gate closed, admitted-only ledger frozen over budget
+        10: (0, 1),
+        11: (9, 1),  # per-source isolation: t has its own counter
+    }, got
+    # replay emitted no extra rows (update-mode idempotence)
+    n_rows = spark.read.parquet(sink).count()
+    assert n_rows == 6, n_rows
