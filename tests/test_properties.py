@@ -946,3 +946,36 @@ def test_hard_negatives_exclude_same_label(spark, tmp_path):
     ids = [r.neg_id for r in sorted(got, key=lambda r: r.rnk)]
     assert 100 not in ids
     assert ids[0] == 101, ids
+
+
+def test_source_calibration_diverges_from_global_threshold(spark, tmp_path):
+    """A uniformly low-scoring source still contributes its top half
+    under calibration while the raw global cut rejects all of it —
+    and vice versa for a uniformly high source."""
+    from kinesis_producer_spark.operators.llm_queries import (
+        q247_source_quality_calibration,
+    )
+
+    rows = []
+    # source lo: 4 docs of 10..13 tokens (all under the global 40)
+    for i, n in enumerate([10, 11, 12, 13]):
+        rows.append((i, " ".join(f"a{j}" for j in range(n)), "en", "lo"))
+    # source hi: 4 docs of 50..53 tokens (all over the global 40)
+    for i, n in enumerate([50, 51, 52, 53]):
+        rows.append((10 + i, " ".join(f"b{j}" for j in range(n)), "en", "hi"))
+    df = spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    got = {r.doc_id: r for r in
+           q247_source_quality_calibration(spark, str(tmp_path)).collect()}
+    lo_fair = [got[i].kept_fair for i in range(4)]
+    hi_fair = [got[10 + i].kept_fair for i in range(4)]
+    # each source contributes exactly its top half under calibration
+    assert lo_fair == [0, 0, 1, 1] and hi_fair == [0, 0, 1, 1]
+    # the raw global cut keeps NONE of lo and ALL of hi
+    assert all(got[i].kept_global == 0 for i in range(4))
+    assert all(got[10 + i].kept_global == 1 for i in range(4))
