@@ -84,6 +84,21 @@ HEADLINE = [
     # mark → run-fold family.
     "q226_exact_substring_spans",
     "q229_contamination_spans",
+    # Round-6 late: SemDeDup keep-list (cell-bounded pair compare with
+    # hoisted self-norms), conditional bigram-LM fluency, DSIR
+    # importance (broadcast feature table), and PQ-ADC ANN (the
+    # compressed-index member of the ANN family).
+    "q231_semantic_dedup_keep_list",
+    "q232_bigram_lm_quality",
+    "q233_dsir_importance",
+    "q234_pq_ann_adc",
+    # Round-6 extension: ANN recall harness (exact-vs-IVF over a
+    # broadcast query sample), mixture epoch-plan (groupBy(source) +
+    # broadcast stamp, zero corpus shuffle), per-source calibration
+    # (one window exchange).
+    "q242_ann_recall_eval",
+    "q244_mixture_epoch_plan",
+    "q247_source_quality_calibration",
 ]
 
 

@@ -67,6 +67,11 @@ SOAK = [
     "q233_dsir_importance",
     "q234_pq_ann_adc",
     "q238_token_budget_selection",
+    # round-6 extension: curriculum phases (the q238 prefix-sum
+    # composition on a second query) and the cross-source dup matrix
+    # (LSH-bounded pairs + rollup)
+    "q241_curriculum_phases",
+    "q248_cross_source_dup_matrix",
 ]
 
 SF_DIRS = {
