@@ -6391,8 +6391,7 @@ def q246_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
-# q247/q248 — per-source quality calibration and the cross-source
-# duplication matrix
+# q247 — per-source quality calibration
 # ---------------------------------------------------------------------------
 
 
@@ -6459,64 +6458,4 @@ def q247_source_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFra
             (pct >= 500_000).cast("bigint").alias("kept_fair"),
             (F.col("score") >= _CAL_GLOBAL_MIN).cast("bigint").alias("kept_global"),
         )
-    )
-
-
-@query(
-    "q248_cross_source_dup_matrix",
-    oracle="""
-    WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') a FROM documents),
-    sh AS (SELECT doc_id,
-                  list_distinct(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) s
-           FROM w),
-    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-    mh AS (SELECT doc_id, seed, MIN(SUBSTR(MD5(g), 1 + 2*seed, 16)) m
-           FROM ex CROSS JOIN (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
-    sig AS (SELECT doc_id, list(m ORDER BY seed) sg FROM mh GROUP BY doc_id),
-    bands AS (SELECT doc_id, b, MD5(sg[2*b+1] || '|' || sg[2*b+2]) bucket
-              FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)),
-    cand AS (SELECT DISTINCT x.doc_id ia, y.doc_id ib FROM bands x JOIN bands y
-             ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
-    pairs AS (
-      SELECT ia, ib
-      FROM cand JOIN sh x ON x.doc_id = ia JOIN sh y ON y.doc_id = ib
-      WHERE CAST(FLOOR(1e6 * len(list_intersect(x.s, y.s))
-                       / len(list_distinct(list_concat(x.s, y.s))) + 0.5) AS BIGINT) >= 500000),
-    lab AS (
-      SELECT LEAST(da.source, db.source) AS source_a,
-             GREATEST(da.source, db.source) AS source_b
-      FROM pairs
-      JOIN documents da ON da.doc_id = ia
-      JOIN documents db ON db.doc_id = ib)
-    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
-    FROM lab GROUP BY source_a, source_b
-    """,
-)
-def q248_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source duplication matrix — the dedup AUDIT artifact a
-    corpus owner publishes: verified near-dup pairs (the q51 MinHash-
-    LSH path, Jaccard >= 0.5) rolled up to (source_a, source_b) pair
-    counts with canonical ordering, so mirror sites, syndication
-    chains and self-duplicating domains are visible BEFORE choosing
-    which source survives dedup (the q101/q228 keep policy needs
-    exactly this table to be set fairly).
-
-    Scale: pair volume is already LSH-bounded (never all-pairs); the
-    source labels join is two broadcast-able probes of the doc→source
-    projection (at 100 TB: a columnar side-table, bucketed on doc_id),
-    and the final rollup is a |sources|²-bounded aggregate — tiny."""
-    d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_dedup(d, k=8, band_size=2, shingle_n=2, threshold_micro=500_000)
-    src = d.select("doc_id", "source")
-    a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
-    b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
-    return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            F.least("_sa", "_sb").alias("source_a"),
-            F.greatest("_sa", "_sb").alias("source_b"),
-        )
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )

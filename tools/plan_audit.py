@@ -65,6 +65,25 @@ NLJ_OK = {
     # 1-row summed-weight denominator — NLJ is the intended plan
     "q208_epoch_shuffle",
     "q209_temperature_mixing",
+    # sketch-summary set ops: every joined frame is O(k) rows (KMV
+    # bottom-k / log-bin summaries) — NLJ over broadcast sketches is
+    # the intended plan; corpus never reaches the join
+    "q224_kmv_set_ops",
+    "q225_logbin_quantiles",
+    # 1-row corpus-total / smoothing-denominator broadcast cross joins
+    "q232_bigram_lm_quality",
+    "q233_dsir_importance",
+    # 1-row token-total broadcast cross join (phase = share of total)
+    "q241_curriculum_phases",
+    # brute-force ground truth: the broadcast query sample is the
+    # intended NLJ side (the q55 shape, sample size is the knob)
+    "q242_ann_recall_eval",
+    # 1-row summed-weight denominator broadcast cross join (q209 shape)
+    "q244_mixture_epoch_plan",
+    # label-mismatch join is non-equi by design: broadcast anchors NLJ
+    "q245_hard_negative_mining",
+    # broadcast eval-set cross join: per-row max over the tiny side
+    "q246_semantic_decontamination",
 }
 
 # Full outer joins cannot broadcast (both sides need null extension) —
@@ -84,6 +103,13 @@ SMJ_OK = {
     # wedge/closure steps join the edge list to itself — big⋈big by
     # construction at real graph scale; SMJ on vertex ids is the plan
     "q163_triangle_count",
+    # sketch-frame equi-joins (O(k) rows both sides) where AQE keeps a
+    # sort-merge: harmless at any scale, the frames never grow with data
+    "q224_kmv_set_ops",
+    "q225_logbin_quantiles",
+    # truth ⋈ approx intersection: both sides are k·|query-sample|-row
+    # frames by construction — SMJ there is sample-bounded, not corpus
+    "q242_ann_recall_eval",
 }
 
 

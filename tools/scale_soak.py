@@ -68,10 +68,8 @@ SOAK = [
     "q234_pq_ann_adc",
     "q238_token_budget_selection",
     # round-6 extension: curriculum phases (the q238 prefix-sum
-    # composition on a second query) and the cross-source dup matrix
-    # (LSH-bounded pairs + rollup)
+    # composition on a second query)
     "q241_curriculum_phases",
-    "q248_cross_source_dup_matrix",
 ]
 
 SF_DIRS = {
