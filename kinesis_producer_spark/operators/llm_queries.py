@@ -6303,18 +6303,27 @@ def q245_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     production scale the candidate side is first bounded by the ANN
     shortlist (q239's PQ path) instead of the full corpus — the
     two-stage mine-then-rescore shape, same contract."""
+    from kinesis_producer_spark.operators.similarity import _cos_from_parts, qdot
+
     e = load_table(spark, sf_dir, "embeddings")
     anch = e.filter(F.col("vec_id") < _NEG_ANCHORS).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("embedding").alias("_a_emb"),
         F.col("label").alias("_a_label"),
+        qdot(F.col("embedding"), F.col("embedding")).alias("_na"),
+    )
+    cand = e.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("_c_emb"),
+        qdot(F.col("embedding"), F.col("embedding")).alias("_nc"),
     )
     scored = (
-        e.join(F.broadcast(anch), F.col("label") != F.col("_a_label"))
+        cand.join(F.broadcast(anch), F.col("label") != F.col("_a_label"))
         .select(
             "anchor_id",
             F.col("vec_id").alias("neg_id"),
-            cosine_micro(F.col("_a_emb"), F.col("embedding")).alias("cos_micro"),
+            _cos_from_parts("_a_emb", "_c_emb", "_na", "_nc").alias("cos_micro"),
         )
     )
     w = W.partitionBy("anchor_id").orderBy(F.col("cos_micro").desc(), F.col("neg_id"))
@@ -6364,29 +6373,47 @@ def q246_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     after a broadcast join, both sides the integer-exact cosine. At
     real scale the eval side is first reduced per q229's discipline
     (distinct digests / dedup) so the broadcast stays minimal."""
+    from kinesis_producer_spark.operators.similarity import qdot
+
     e = load_table(spark, sf_dir, "embeddings")
+    # self-norms hoisted into each side's projection (the q231
+    # discipline — bit-identical to the per-pair form): per pair the
+    # remaining work is ONE quantized dot, not three.
     ev = e.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("_e_emb")
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("_e_emb"),
+        qdot(F.col("embedding"), F.col("embedding")).alias("_ne"),
     )
-    scored = (
-        e.filter(F.col("vec_id") % 20 != 0)
-        .crossJoin(F.broadcast(ev))
-        .select(
-            "vec_id",
-            "eval_id",
-            cosine_micro(F.col("embedding"), F.col("_e_emb")).alias("cos_micro"),
-        )
+    corpus = e.filter(F.col("vec_id") % 20 != 0).select(
+        "vec_id",
+        "embedding",
+        qdot(F.col("embedding"), F.col("embedding")).alias("_nc"),
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("cos_micro").desc(), F.col("eval_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select(
-            "vec_id",
-            F.col("eval_id").alias("closest_eval_id"),
-            F.col("cos_micro").alias("max_cos_micro"),
-            (F.col("cos_micro") >= _DECON_TAU).cast("bigint").alias("contaminated"),
+    scored = corpus.crossJoin(F.broadcast(ev)).select(
+        "vec_id",
+        "eval_id",
+        F.floor(
+            F.lit(1e6)
+            * qdot(F.col("embedding"), F.col("_e_emb")).cast("double")
+            / F.sqrt(F.col("_nc").cast("double") * F.col("_ne").cast("double"))
+            + F.lit(0.5)
         )
+        .cast("bigint")
+        .alias("cos_micro"),
+    )
+    # argmax as a map-side-combinable struct max — (cos, -eval_id) so
+    # ties break to the SMALLEST eval id, matching the oracle's
+    # (cos DESC, eval_id ASC) window order. A row_number window here
+    # would shuffle every (corpus x eval) scored row; the struct max
+    # reduces per partition first and shuffles |corpus| partials.
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos_micro"), (-F.col("eval_id")).alias("_neg"))).alias("_b")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("_b._neg")).cast("bigint").alias("closest_eval_id"),
+        F.col("_b.cos_micro").alias("max_cos_micro"),
+        (F.col("_b.cos_micro") >= _DECON_TAU).cast("bigint").alias("contaminated"),
     )
 
 

@@ -45,6 +45,18 @@ def cosine_micro(a: Column, b: Column) -> Column:
     return F.floor(F.lit(1e6) * num / den + F.lit(0.5)).cast("bigint")
 
 
+def _cos_from_parts(a_col: str, b_col: str, na_col: str, nb_col: str) -> Column:
+    """cosine_micro with PRE-COMPUTED self-norm columns — the same
+    deterministic integer/double expression, with qdot(x,x) hoisted to
+    each side's projection (bit-identical; see semantic_dedup_keep_list)."""
+    return F.floor(
+        F.lit(1e6)
+        * qdot(F.col(a_col), F.col(b_col)).cast("double")
+        / F.sqrt(F.col(na_col).cast("double") * F.col(nb_col).cast("double"))
+        + F.lit(0.5)
+    ).cast("bigint")
+
+
 def ivf_cell(emb: Column, bits: int = 2) -> Column:
     """Coarse quantizer: sign bits of the first ``bits`` dimensions."""
     cell = F.lit(0)
@@ -61,14 +73,25 @@ def brute_force_topk(
     emb_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Exact cosine top-k per query. ``queries`` must be small (broadcast)."""
+    """Exact cosine top-k per query. ``queries`` must be small (broadcast).
+
+    Self-norms are hoisted into each side's projection (bit-identical
+    to the per-pair form — the q231 discipline), so per pair the work
+    is one quantized dot instead of three."""
     q = queries.select(
-        F.col(query_id_col), F.col(emb_col).alias("_q_emb")
+        F.col(query_id_col),
+        F.col(emb_col).alias("_q_emb"),
+        qdot(F.col(emb_col), F.col(emb_col)).alias("_nq"),
     )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
+    c = corpus.select(
+        F.col(id_col),
+        F.col(emb_col).alias("_c_emb"),
+        qdot(F.col(emb_col), F.col(emb_col)).alias("_nc"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_micro(F.col(emb_col), F.col("_q_emb")).alias("cos_micro"),
+        _cos_from_parts("_c_emb", "_q_emb", "_nc", "_nq").alias("cos_micro"),
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cos_micro").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -83,17 +106,25 @@ def ivf_topk(
     emb_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k probing only the query's coarse cell."""
-    cells = corpus.withColumn("_cell", ivf_cell(F.col(emb_col), bits))
+    """Approximate top-k probing only the query's coarse cell.
+
+    Self-norms hoisted as in ``brute_force_topk``."""
+    cells = corpus.select(
+        F.col(id_col),
+        F.col(emb_col).alias("_c_emb"),
+        ivf_cell(F.col(emb_col), bits).alias("_cell"),
+        qdot(F.col(emb_col), F.col(emb_col)).alias("_nc"),
+    )
     q = queries.select(
         F.col(query_id_col),
         F.col(emb_col).alias("_q_emb"),
         ivf_cell(F.col(emb_col), bits).alias("_cell"),
+        qdot(F.col(emb_col), F.col(emb_col)).alias("_nq"),
     )
     scored = cells.join(F.broadcast(q), "_cell").select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_micro(F.col(emb_col), F.col("_q_emb")).alias("cos_micro"),
+        _cos_from_parts("_c_emb", "_q_emb", "_nc", "_nq").alias("cos_micro"),
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cos_micro").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
