@@ -141,6 +141,61 @@ def _bucket_fn_factory(max_bucket_size: int, epoch_ms: int | None = None):
     return fn
 
 
+PACKED_STATE = "keys array<string>, ids array<array<bigint>>"
+
+
+def _packed_fn_factory(max_bucket_size: int, epoch_ms: int | None = None):
+    """Packed variant of ``_bucket_fn_factory``: one state row holds
+    every live (band, bucket) resident list of a crc32 super-bucket
+    (dict stored as parallel arrays). Identical per-bucket semantics
+    and pairs; the super-bucket is a Python-call packing unit — the
+    same discipline as streaming/substring.py's bucketed state."""
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if epoch_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        arrivals: list[tuple[str, int]] = []
+        for pdf in pdfs:
+            arrivals.extend(
+                (f"{bi}|{bk}", int(d))
+                for bi, bk, d in zip(pdf["band_idx"], pdf["bucket"], pdf["doc_id"])
+            )
+        if not arrivals:
+            return
+        store: dict[str, list[int]] = {}
+        if state.exists:
+            store = {
+                k_: list(v) for k_, v in zip(state.get[0], state.get[1])
+            }
+        pairs: list[tuple[int, int]] = []
+        for bkey, d in sorted(set(arrivals)):
+            seen = store.setdefault(bkey, [])
+            if d in seen:
+                continue  # replayed doc: idempotent ingestion
+            for e in seen:
+                pairs.append((min(d, e), max(d, e)))
+            if len(seen) < max_bucket_size:
+                seen.append(d)
+        ks = sorted(store)
+        state.update((ks, [store[k_] for k_ in ks]))
+        if epoch_ms is not None:
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(int(key[0]) + int(epoch_ms), wm + 1))
+        if pairs:
+            if epoch_ms is not None:
+                yield pd.DataFrame(
+                    [(int(key[0]), a, b) for a, b in pairs],
+                    columns=["epoch", "id_a", "id_b"],
+                )
+            else:
+                yield pd.DataFrame(pairs, columns=["id_a", "id_b"])
+
+    return fn
+
+
 def streaming_lsh_candidates(
     docs: DataFrame,
     text_col: str = "text",
@@ -151,6 +206,7 @@ def streaming_lsh_candidates(
     time_col: str | None = None,
     epoch_ms: int | None = None,
     watermark_delay: str = "0 seconds",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs, emitted as documents arrive. Each
     pair may emit once per shared band — run ``dropDuplicates`` (or a
@@ -162,15 +218,39 @@ def streaming_lsh_candidates(
     watermark (``time_col`` − ``watermark_delay``) passes the epoch
     end — the state store stays bounded by the buckets of live epochs
     under indefinite ingest, and candidates are scoped within an
-    epoch (output gains an ``epoch`` column, the epoch start in ms)."""
+    epoch (output gains an ``epoch`` column, the epoch start in ms).
+
+    ``n_buckets`` switches to PACKED state: keyed by
+    ``crc32(band|bucket) % n_buckets``, one row per super-bucket
+    holding its (band, bucket)→residents dict — identical pairs, the
+    per-group Python-call overhead divided by the fan-in (the
+    streaming/substring.py bucketed discipline). Size it so a
+    super-bucket's residents stay a modest row; it scales with corpus
+    cardinality like shuffle partitions."""
     if epoch_ms is None:
         buckets = band_buckets(docs, text_col, id_col, k, band_size)
-        return buckets.groupBy("band_idx", "bucket").applyInPandasWithState(
-            _bucket_fn_factory(max_bucket_size),
-            outputStructType=PAIRS_OUTPUT,
-            stateStructType=BUCKET_STATE,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+        if n_buckets is None:
+            return buckets.groupBy("band_idx", "bucket").applyInPandasWithState(
+                _bucket_fn_factory(max_bucket_size),
+                outputStructType=PAIRS_OUTPUT,
+                stateStructType=BUCKET_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        return (
+            buckets.withColumn(
+                "super",
+                F.crc32(F.concat_ws("|", F.col("band_idx"), F.col("bucket")))
+                % int(n_buckets),
+            )
+            .groupBy("super")
+            .applyInPandasWithState(
+                _packed_fn_factory(max_bucket_size),
+                outputStructType=PAIRS_OUTPUT,
+                stateStructType=PACKED_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
         )
     if time_col is None:
         raise ValueError("epoch_ms requires time_col")
@@ -178,10 +258,26 @@ def streaming_lsh_candidates(
     buckets = band_buckets(
         docs, text_col, id_col, k, band_size, time_col=time_col, epoch_ms=epoch_ms
     )
-    return buckets.groupBy("epoch", "band_idx", "bucket").applyInPandasWithState(
-        _bucket_fn_factory(max_bucket_size, epoch_ms=epoch_ms),
-        outputStructType="epoch bigint, " + PAIRS_OUTPUT,
-        stateStructType=BUCKET_STATE,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    if n_buckets is None:
+        return buckets.groupBy("epoch", "band_idx", "bucket").applyInPandasWithState(
+            _bucket_fn_factory(max_bucket_size, epoch_ms=epoch_ms),
+            outputStructType="epoch bigint, " + PAIRS_OUTPUT,
+            stateStructType=BUCKET_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    return (
+        buckets.withColumn(
+            "super",
+            F.crc32(F.concat_ws("|", F.col("band_idx"), F.col("bucket")))
+            % int(n_buckets),
+        )
+        .groupBy("epoch", "super")
+        .applyInPandasWithState(
+            _packed_fn_factory(max_bucket_size, epoch_ms=epoch_ms),
+            outputStructType="epoch bigint, " + PAIRS_OUTPUT,
+            stateStructType=PACKED_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

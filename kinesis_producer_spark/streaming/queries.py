@@ -672,7 +672,10 @@ def q217_streaming_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
     # shrinking partitions serializes real work — measured 9.1s -> 11.2s
     # under the 8-partition pin. The pin pays only for commit-bound
     # stateful plans (q97/q100/q48: 31s -> 5s).
-    pairs = streaming_lsh_candidates(docs)
+    # packed super-bucket state (4096): thousands of (band, bucket)
+    # groups per batch collapse to <=4096 Python group calls with
+    # identical pairs (streaming/lsh.py discipline)
+    pairs = streaming_lsh_candidates(docs, n_buckets=4096)
     name = f"lsh_mem_{uuid.uuid4().hex[:10]}"
     q = (
         pairs.writeStream.outputMode("update")
@@ -752,7 +755,9 @@ def q221_streaming_lsh_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # unwrapped on purpose — compute-bound state op; see q217's note
-    pairs = streaming_lsh_candidates(docs, time_col="event_ts", epoch_ms=60000)
+    pairs = streaming_lsh_candidates(
+        docs, time_col="event_ts", epoch_ms=60000, n_buckets=4096
+    )
     name = f"lsh_ep_mem_{uuid.uuid4().hex[:10]}"
     q = (
         pairs.writeStream.outputMode("update")

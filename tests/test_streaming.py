@@ -2272,3 +2272,42 @@ def test_streaming_substring_bucketed_matches_per_gram(spark, tmp_path):
     # identical to test_streaming_substring_marks_canonical_survives_batches
     want = {(1, p) for p in range(0, 2)} | {(2, p) for p in range(2, 4)}
     assert got == want, (sorted(got), sorted(want))
+
+
+def test_streaming_lsh_packed_matches_default(spark, tmp_path):
+    """Packed super-bucket state must emit exactly the default path's
+    candidate pairs — packing is a Python-call unit, not semantics."""
+    from kinesis_producer_spark.streaming.lsh import streaming_lsh_candidates
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),     # near-dup of 1
+        (3, "one two three four five six seven"),
+        (4, "one two three four five six seven eight"), # near-dup of 3
+        (5, "totally different text with no overlap at all"),
+    ]
+    outs = {}
+    for tag, nb in (("default", None), ("packed", 7)):
+        src = tmp_path / f"lshp_{tag}"
+        src.mkdir()
+        part = tmp_path / f"lshp_stage_{tag}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(str(part))
+        (pq,) = [p for p in part.iterdir() if p.name.endswith(".parquet")]
+        pq.rename(src / "b1.parquet")
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+        sink = str(tmp_path / f"lshp_out_{tag}")
+        q = (
+            streaming_lsh_candidates(stream, n_buckets=nb)
+            .writeStream.foreachBatch(
+                lambda df, _eid, s=sink: df.write.mode("append").parquet(s)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"lshp_ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), tag
+        outs[tag] = {
+            (r.id_a, r.id_b) for r in spark.read.parquet(sink).distinct().collect()
+        }
+    assert outs["packed"] == outs["default"] and outs["default"], outs
