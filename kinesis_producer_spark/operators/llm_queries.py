@@ -6486,3 +6486,96 @@ def q247_source_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFra
             (F.col("score") >= _CAL_GLOBAL_MIN).cast("bigint").alias("kept_global"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q249 — distribution-drift audit (log-free, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q249_distribution_drift",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 5000 AS bin,
+             CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS side
+      FROM events),
+    bins AS (
+      SELECT event_type, bin,
+             CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+             CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+      FROM e GROUP BY event_type, bin),
+    tot AS (
+      SELECT event_type,
+             CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+             CAST(SUM(c_cur) AS BIGINT) AS n_cur
+      FROM bins GROUP BY event_type),
+    dev AS (
+      SELECT b.event_type, b.bin, t.n_ref, t.n_cur,
+             ABS(b.c_cur * t.n_ref - b.c_ref * t.n_cur) AS d
+      FROM bins b JOIN tot t ON b.event_type = t.event_type)
+    SELECT event_type, MIN(n_ref) AS n_ref, MIN(n_cur) AS n_cur,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(FLOOR(1e6 * CAST(SUM(d) AS DOUBLE)
+                      / CAST(2 * MIN(n_ref) * MIN(n_cur) AS DOUBLE) + 0.5) AS BIGINT)
+             AS tvd_micro,
+           CAST(-MAX(struct_pack(d := d, nb := -bin)).nb AS BIGINT) AS top_bin,
+           CAST(MAX(struct_pack(d := d, nb := -bin)).d AS BIGINT) AS top_bin_dev
+    FROM dev GROUP BY event_type
+    """,
+)
+def q249_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit — the data-quality gate a production
+    pipeline runs between ingest windows before trusting new data:
+    per event_type, the total-variation distance between the reference
+    window's value distribution (days 1–15) and the current one
+    (days 16–30), over fixed cent-exact value bins, plus the single
+    most-drifted bin as the actionable pointer. TVD instead of PSI on
+    purpose: PSI's ln() is not correctly-rounded-identical across
+    engines, while TVD is one integer sum |c_cur·N_ref − c_ref·N_cur|
+    with a single final double division — cross-engine exact, and it
+    is a bounded metric ([0, 1]) with the same alarm semantics.
+
+    Scale: one groupBy (type, bin) with conditional counts — map-side
+    combinable, output |types|·|bins| rows; totals are a broadcast
+    |types|-row frame; the final per-type fold is over bins only. No
+    row-level second pass, no window over events."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT) div 5000").alias("bin"),
+        F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1).alias("side"),
+    )
+    bins = e.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("bigint").alias("c_ref"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("bigint").alias("c_cur"),
+    )
+    tot = bins.groupBy("event_type").agg(
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.sum("c_cur").cast("bigint").alias("n_cur"),
+    )
+    dev = bins.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.abs(
+            F.col("c_cur") * F.col("n_ref") - F.col("c_ref") * F.col("n_cur")
+        ).alias("d"),
+    )
+    top = F.max(F.struct(F.col("d"), (-F.col("bin")).alias("nb")))
+    return dev.groupBy("event_type").agg(
+        F.min("n_ref").alias("n_ref"),
+        F.min("n_cur").alias("n_cur"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.floor(
+            F.lit(1e6)
+            * F.sum("d").cast("double")
+            / (F.lit(2) * F.min("n_ref") * F.min("n_cur")).cast("double")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("tvd_micro"),
+        (-top.getField("nb")).cast("bigint").alias("top_bin"),
+        top.getField("d").cast("bigint").alias("top_bin_dev"),
+    )

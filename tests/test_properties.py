@@ -979,3 +979,39 @@ def test_source_calibration_diverges_from_global_threshold(spark, tmp_path):
     # the raw global cut keeps NONE of lo and ALL of hi
     assert all(got[i].kept_global == 0 for i in range(4))
     assert all(got[10 + i].kept_global == 1 for i in range(4))
+
+
+def test_distribution_drift_flags_shifted_type_only(spark, tmp_path):
+    """A type whose current-window values shift bins gets TVD 10^6
+    (total); a type with the identical distribution gets 0; the
+    most-drifted bin points at the shift target."""
+    import datetime as dt
+
+    from kinesis_producer_spark.operators.llm_queries import (
+        q249_distribution_drift,
+    )
+
+    rows = []
+    eid = 0
+    for day, side in ((5, "ref"), (20, "cur")):
+        ts = dt.datetime(2024, 1, day, 12, 0, 0)
+        for i in range(10):
+            # 'stable': value 10.0 both windows (bin 0)
+            rows.append((eid, ts, 1, "stable", 10.0, "{}")); eid += 1
+            # 'shifted': bin 0 in ref, bin 2 (value 120) in cur
+            rows.append(
+                (eid, ts, 1, "shifted", 10.0 if side == "ref" else 120.0, "{}")
+            ); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet")
+    )
+    got = {r.event_type: r for r in q249_distribution_drift(spark, str(tmp_path)).collect()}
+    assert got["stable"].tvd_micro == 0
+    assert got["shifted"].tvd_micro == 1_000_000  # disjoint supports: max TVD
+    assert got["shifted"].top_bin in (0, 2)  # both bins carry the full deviation
+    assert got["stable"].n_ref == 10 and got["stable"].n_cur == 10
