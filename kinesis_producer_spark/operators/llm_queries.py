@@ -6579,3 +6579,96 @@ def q249_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-top.getField("nb")).cast("bigint").alias("top_bin"),
         top.getField("d").cast("bigint").alias("top_bin_dev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q250 — HTML main-content extraction (web-corpus ingestion, step 1)
+# ---------------------------------------------------------------------------
+
+
+# enumerated alternation, no backreference: DuckDB's RE2 has no \1
+_HTML_DROP = (
+    r"<head>.*?</head>|<nav>.*?</nav>|<aside>.*?</aside>|<footer>.*?</footer>"
+)
+_HTML_TAG = r"<[^>]*>"
+
+
+@query(
+    "q250_html_text_extraction",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+             || '</title><style>.x{{}}</style></head><body>'
+             || '<nav><a href="/">home</a> <a href="/a">about</a></nav>'
+             || '<div class="content"><h1>' || source || '</h1><p>' || text
+             || '</p></div>'
+             || '<aside><a href="/ad">sponsored</a> click here</aside>'
+             || '<footer>(c) ' || source || ' all rights reserved</footer>'
+             || '</body></html>' AS html
+      FROM documents),
+    x AS (
+      SELECT doc_id, html,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+               html, '{_HTML_DROP}', ' ', 'g'), '{_HTML_TAG}', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS clean
+      FROM h)
+    SELECT doc_id,
+           CAST(length(html) AS BIGINT) AS n_raw,
+           CAST(length(clean) AS BIGINT) AS n_clean,
+           MD5(clean) AS clean_md5,
+           CAST((1000000 * CAST(length(clean) AS BIGINT))
+                // CAST(length(html) AS BIGINT) AS BIGINT) AS content_ratio_micro
+    FROM x
+    """,
+)
+def q250_html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction — step 1 of every web-corpus
+    pipeline (the trafilatura/jusText job): drop the chrome blocks
+    (head/nav/aside/footer), strip remaining tags, normalize
+    whitespace, and report the content ratio (clean/raw — the
+    boilerplate-density signal jusText thresholds on). The page is
+    synthesized deterministically around each fixture document (the
+    media-codec discipline: real markup, reproducible bytes), and the
+    extraction rules are GENERIC — block-drop by tag name, not by
+    knowledge of the synthesis.
+
+    Everything is JVM regexp_replace column expressions inside one
+    codegen scan pass — no UDF, NO SHUFFLE; the same non-greedy
+    patterns run verbatim in the DuckDB oracle (Java regex and RE2
+    agree on this subset). Fixture texts contain no literal '<', so
+    entity escaping is out of scope here (a real crawl feeds already-
+    parsed DOM text through the same rule chain)."""
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><style>.x{}</style></head><body>'
+              '<nav><a href="/">home</a> <a href="/a">about</a></nav>'
+              '<div class="content"><h1>'),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p></div><aside><a href="/ad">sponsored</a> click here</aside>'
+              "<footer>(c) "),
+        F.col("source"),
+        F.lit(" all rights reserved</footer></body></html>"),
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(html, _HTML_DROP, " "), _HTML_TAG, " "
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(html).cast("bigint").alias("n_raw"),
+        F.length(clean).cast("bigint").alias("n_clean"),
+        F.md5(clean).alias("clean_md5"),
+    ).withColumn(
+        "content_ratio_micro",
+        F.expr("(1000000 * n_clean) div n_raw").cast("bigint"),
+    )

@@ -1015,3 +1015,22 @@ def test_distribution_drift_flags_shifted_type_only(spark, tmp_path):
     assert got["shifted"].tvd_micro == 1_000_000  # disjoint supports: max TVD
     assert got["shifted"].top_bin in (0, 2)  # both bins carry the full deviation
     assert got["stable"].n_ref == 10 and got["stable"].n_cur == 10
+
+
+def test_html_extraction_drops_all_chrome_blocks(spark, tmp_path):
+    """The cleaned text contains the document body and the heading but
+    none of the chrome (nav/aside/footer/title/style) content, and the
+    content ratio is consistent with the lengths."""
+    from kinesis_producer_spark.operators.llm_queries import (
+        q250_html_text_extraction,
+    )
+    import hashlib
+
+    rows = [(7, "alpha beta gamma", "en")]
+    sf = _write_documents(spark, tmp_path, rows)
+    (r,) = q250_html_text_extraction(spark, sf).collect()
+    # reconstruct the expected clean text: heading (source) + body
+    expect = "src0 alpha beta gamma"
+    assert r.clean_md5 == hashlib.md5(expect.encode()).hexdigest(), r
+    assert r.n_clean == len(expect)
+    assert r.content_ratio_micro == (1_000_000 * r.n_clean) // r.n_raw
