@@ -1041,3 +1041,148 @@ def q243_streaming_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_tokens", "cum_before", "admitted")
         .distinct()
     )
+
+
+@query(
+    "q251_streaming_drift_monitor",
+    # q249's oracle verbatim: one availableNow pass over the live
+    # window must equal the batch drift audit row for row
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 5000 AS bin,
+             CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS side
+      FROM events),
+    bins AS (
+      SELECT event_type, bin,
+             CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+             CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+      FROM e GROUP BY event_type, bin),
+    tot AS (
+      SELECT event_type,
+             CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+             CAST(SUM(c_cur) AS BIGINT) AS n_cur
+      FROM bins GROUP BY event_type),
+    dev AS (
+      SELECT b.event_type, b.bin, t.n_ref, t.n_cur,
+             ABS(b.c_cur * t.n_ref - b.c_ref * t.n_cur) AS d
+      FROM bins b JOIN tot t ON b.event_type = t.event_type)
+    SELECT event_type, MIN(n_ref) AS n_ref, MIN(n_cur) AS n_cur,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(FLOOR(1e6 * CAST(SUM(d) AS DOUBLE)
+                      / CAST(2 * MIN(n_ref) * MIN(n_cur) AS DOUBLE) + 0.5) AS BIGINT)
+             AS tvd_micro,
+           CAST(-MAX(struct_pack(d := d, nb := -bin)).nb AS BIGINT) AS top_bin,
+           CAST(MAX(struct_pack(d := d, nb := -bin)).d AS BIGINT) AS top_bin_dev
+    FROM dev GROUP BY event_type
+    """,
+)
+def q251_streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor — q249's audit run the way production
+    runs it: the REFERENCE histogram is computed once from the
+    historical batch (days 1–15, a static frame), the LIVE window's
+    (type, bin) counts accumulate as a plain streaming aggregation
+    (complete mode — counts are the streaming-native mergeable state,
+    the q218-sketch discipline), and the TVD fold joins the two
+    count frames after the stream drains. One availableNow pass over
+    the corpus equals the batch audit row for row (its oracle,
+    verbatim).
+
+    Scale: streaming state is |types|·|bins| counters — constant in
+    stream length; the fold is over that tiny frame. No per-record
+    Python, no custom state."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"events_stream_dm_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    try:
+        os.unlink(link)
+    except FileNotFoundError:
+        pass
+    os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+
+    bin_col = F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT) div 5000").alias("bin")
+    # the stream's explicit "ts long" schema coerces either physical
+    # type (the fixture has drifted TIMESTAMP(NANOS)→MICROS between
+    # rounds, tables.py:30); normalize by magnitude, exactly once —
+    # 2024 epochs are ~1.7e15 µs vs ~1.7e18 ns, 1e17 splits them
+    ts_micros = F.expr(
+        "CASE WHEN ts > 100000000000000000 THEN ts div 1000 ELSE ts END"
+    )
+    live = (
+        spark.readStream.schema("ts long, event_type string, value double")
+        .parquet(stream_dir)
+        .select(
+            F.col("event_type"),
+            bin_col,
+            F.dayofmonth(F.timestamp_micros(ts_micros)).alias("day"),
+        )
+        .filter(F.col("day") > 15)
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_cur"))
+    )
+    name = f"dm_mem_{uuid.uuid4().hex[:10]}"
+    from kinesis_producer_spark.streaming.windows import bounded_stream_shuffle
+
+    with bounded_stream_shuffle(spark):
+        qq = (
+            live.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not qq.awaitTermination(300):
+            qq.stop()
+            raise RuntimeError("q251 drift monitor did not drain within 300s")
+    cur = spark.table(name)
+
+    ref = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.dayofmonth("ts") <= 15)
+        .select("event_type", bin_col)
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ref"))
+    )
+    bins = ref.join(cur, ["event_type", "bin"], "full_outer").select(
+        "event_type",
+        "bin",
+        F.coalesce("c_ref", F.lit(0)).cast("bigint").alias("c_ref"),
+        F.coalesce("c_cur", F.lit(0)).cast("bigint").alias("c_cur"),
+    )
+    tot = bins.groupBy("event_type").agg(
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.sum("c_cur").cast("bigint").alias("n_cur"),
+    )
+    dev = bins.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.abs(
+            F.col("c_cur") * F.col("n_ref") - F.col("c_ref") * F.col("n_cur")
+        ).alias("d"),
+    )
+    top = F.max(F.struct(F.col("d"), (-F.col("bin")).alias("nb")))
+    return dev.groupBy("event_type").agg(
+        F.min("n_ref").alias("n_ref"),
+        F.min("n_cur").alias("n_cur"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.floor(
+            F.lit(1e6)
+            * F.sum("d").cast("double")
+            / (F.lit(2) * F.min("n_ref") * F.min("n_cur")).cast("double")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("tvd_micro"),
+        (-top.getField("nb")).cast("bigint").alias("top_bin"),
+        top.getField("d").cast("bigint").alias("top_bin_dev"),
+    )
