@@ -99,6 +99,10 @@ HEADLINE = [
     "q242_ann_recall_eval",
     "q244_mixture_epoch_plan",
     "q247_source_quality_calibration",
+    # Round-6 extension 2: log-free drift audit (one map-side groupBy)
+    # and HTML main-content extraction (pure regexp codegen scan).
+    "q249_distribution_drift",
+    "q250_html_text_extraction",
 ]
 
 
