@@ -110,6 +110,10 @@ SMJ_OK = {
     # truth ⋈ approx intersection: both sides are k·|query-sample|-row
     # frames by construction — SMJ there is sample-bounded, not corpus
     "q242_ann_recall_eval",
+    # reference ⋈ live count frames, FULL OUTER on (type, bin): null
+    # extension on both sides cannot broadcast; both frames are
+    # |types|·|bins| counters, constant in stream length
+    "q251_streaming_drift_monitor",
 }
 
 
