@@ -2311,3 +2311,139 @@ def test_streaming_lsh_packed_matches_default(spark, tmp_path):
             (r.id_a, r.id_b) for r in spark.read.parquet(sink).distinct().collect()
         }
     assert outs["packed"] == outs["default"] and outs["default"], outs
+
+
+def test_streaming_token_budget_random_splits_match_closed_form(spark, tmp_path):
+    """Over randomized corpora split into randomized micro-batch
+    sequences (doc_id-ordered arrival within each batch), the
+    streaming admission ledger must equal the batch closed form —
+    cumulative ADMITTED tokens per source in doc_id order with the
+    straddler policy — for every document. Three fixed seeds."""
+    import random
+
+    from kinesis_producer_spark.streaming.budget import streaming_token_budget
+
+    BUDGET = 25
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        docs = []
+        for did in range(rng.randint(6, 14)):
+            src = rng.choice(["a", "b", "c"])
+            n = rng.randint(1, 12)
+            docs.append((did, " ".join(f"w{j}" for j in range(n)), src, n))
+        # batch model: admitted-only cum per source in doc_id order
+        model = {}
+        cum: dict = {}
+        for did, _t, src, n in docs:  # already doc_id-ordered
+            c = cum.get(src, 0)
+            adm = 1 if c < BUDGET else 0
+            model[did] = (c, adm)
+            if adm:
+                cum[src] = c + n
+        # random contiguous batch split — ordered arrival across
+        # batches preserves doc_id order globally
+        cuts = sorted(rng.sample(range(1, len(docs)), rng.randint(1, 3)))
+        batches, prev = [], 0
+        for c in cuts + [len(docs)]:
+            batches.append(docs[prev:c]); prev = c
+
+        src_dir = tmp_path / f"rb_docs_{seed}"
+        src_dir.mkdir()
+        sink = str(tmp_path / f"rb_out_{seed}")
+        ckpt = str(tmp_path / f"rb_ckpt_{seed}")
+        for bi, batch in enumerate(batches):
+            part = tmp_path / f"rb_stage_{seed}_{bi}"
+            spark.createDataFrame(
+                [(d, t, s) for d, t, s, _ in batch],
+                "doc_id long, text string, source string",
+            ).coalesce(1).write.parquet(str(part))
+            (pq,) = [p for p in part.iterdir() if p.name.endswith(".parquet")]
+            pq.rename(src_dir / f"b{bi}.parquet")
+            stream = (
+                spark.readStream.schema("doc_id long, text string, source string")
+                .parquet(str(src_dir))
+            )
+            q = (
+                streaming_token_budget(stream, token_budget=BUDGET)
+                .writeStream.foreachBatch(
+                    lambda df, _eid, s=sink: df.write.mode("append").parquet(s)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(180), (seed, bi)
+        got = {
+            r.doc_id: (r.cum_before, r.admitted)
+            for r in spark.read.parquet(sink).distinct().collect()
+        }
+        assert got == model, (seed, got, model)
+
+
+def test_streaming_substring_bucketed_random_splits_match_model(spark, tmp_path):
+    """Bucketed gram state over randomized dense-duplicate corpora and
+    randomized batch splits: the distinct mark set equals the python
+    first-arrival keep-first model (canonical = first batch to carry
+    the gram, lexicographic (doc_id, pos) within that batch)."""
+    import random
+
+    from kinesis_producer_spark.streaming.substring import (
+        streaming_duplicate_marks,
+    )
+
+    N = 3
+    for seed in (5, 19):
+        rng = random.Random(seed)
+        docs = []
+        for did in range(rng.randint(4, 7)):
+            toks = [rng.choice("xyz") for _ in range(rng.randint(N, 9))]
+            docs.append((did, toks))
+        cuts = sorted(rng.sample(range(1, len(docs)), rng.randint(1, 2)))
+        batches, prev = [], 0
+        for c in cuts + [len(docs)]:
+            batches.append(docs[prev:c]); prev = c
+        # model: first-arrival canonical per gram
+        canon, marks = {}, set()
+        for batch in batches:
+            occ = sorted(
+                (did, i, tuple(t[i : i + N]))
+                for did, t in batch
+                for i in range(len(t) - N + 1)
+            )
+            for did, i, g in occ:
+                if g not in canon:
+                    canon[g] = (did, i)
+                elif (did, i) != canon[g]:
+                    marks.add((did, i))
+
+        src_dir = tmp_path / f"rs_docs_{seed}"
+        src_dir.mkdir()
+        sink = str(tmp_path / f"rs_out_{seed}")
+        ckpt = str(tmp_path / f"rs_ckpt_{seed}")
+        for bi, batch in enumerate(batches):
+            part = tmp_path / f"rs_stage_{seed}_{bi}"
+            spark.createDataFrame(
+                [(d, " ".join(t)) for d, t in batch], "doc_id long, text string"
+            ).coalesce(1).write.parquet(str(part))
+            (pq,) = [p for p in part.iterdir() if p.name.endswith(".parquet")]
+            pq.rename(src_dir / f"b{bi}.parquet")
+            stream = spark.readStream.schema("doc_id long, text string").parquet(
+                str(src_dir)
+            )
+            q = (
+                streaming_duplicate_marks(stream, n=N, n_buckets=5)
+                .writeStream.foreachBatch(
+                    lambda df, _eid, s=sink: df.write.mode("append").parquet(s)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(180), (seed, bi)
+        got = {
+            (r.doc_id, r.pos)
+            for r in spark.read.parquet(sink).distinct().collect()
+        }
+        assert got == marks, (seed, sorted(got), sorted(marks))
