@@ -6498,7 +6498,7 @@ def q247_source_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     WITH e AS (
       SELECT event_type,
-             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 5000 AS bin,
+             CAST(FLOOR(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) / 5000.0) AS BIGINT) AS bin,
              CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS side
       FROM events),
     bins AS (
@@ -6543,7 +6543,7 @@ def q249_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-level second pass, no window over events."""
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
-        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT) div 5000").alias("bin"),
+        F.expr("CAST(FLOOR(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) / 5000.0) AS BIGINT)").alias("bin"),
         F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1).alias("side"),
     )
     bins = e.groupBy("event_type", "bin").agg(

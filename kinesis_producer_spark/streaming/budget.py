@@ -16,16 +16,31 @@ fixture's arrival order), so a single availableNow batch over the
 corpus equals the batch window cumsum ordered by doc_id per source —
 the q243 oracle. Across micro-batches the cumulative count carries in
 state (pinned in tests/test_streaming.py). Replayed doc_ids are
-re-emitted with the same verdict but not re-counted (idempotent
-ingestion — the streaming-LSH/semantic contract), state carrying the
-set of counted ids per source, capped by the budget's own admission
-bound plus the rejected tail seen so far.
+IGNORED — neither re-counted nor re-emitted (the original verdict is
+already downstream; idempotent ingestion, the streaming-LSH/semantic
+contract), state carrying the set of seen ids per source.
 
-Scale: state per source is one bigint counter plus the counted-id set;
-the id set is the replay-idempotence cost and is BOUNDED per source by
-the stream's own arrival volume — production deployments with
-exactly-once upstream delivery (the Kinesis sink's ledger, q40) drop
-it and keep the counter alone (``track_ids=False``).
+Scale — pick ONE of three state disciplines:
+
+- ``track_ids=False`` (the RECOMMENDED production default when the
+  upstream transport is exactly-once, e.g. the Kinesis sink's
+  epoch-commit ledger, q40): state is ONE bigint counter per source,
+  nothing grows.
+- ``seen_ttl_ms=<replay horizon>``: bounded at-least-once mode.
+  ADMITTED ids are tracked forever — that set is intrinsically
+  bounded by the budget itself (≤ budget/min_doc_tokens entries), and
+  it is the set that protects the counter (re-counting an admitted
+  replay would corrupt ``cum``). REJECTED ids age out ``seen_ttl_ms``
+  past their event time (pruned against the query watermark): a
+  replay older than the TTL re-emits its row, but that row is
+  byte-identical — after the first rejection ``cum`` is frozen
+  forever (admission only ever decrements headroom), so a rejected
+  doc's (cum_before, admitted=0) can never change. Size the TTL at
+  the transport's replay horizon (Kinesis: 24 h–7 d) and state is
+  bounded by the horizon's arrival volume, not the stream's lifetime.
+- default (``track_ids=True``, no TTL): every seen id is kept —
+  exact no-re-emission forever, state grows with arrivals; use only
+  for bounded backfills.
 """
 
 from __future__ import annotations
@@ -43,20 +58,36 @@ BUDGET_OUTPUT = (
     "admitted bigint"
 )
 BUDGET_STATE = "cum bigint, seen array<bigint>"
+# TTL mode: admitted ids are budget-bounded and kept forever (they
+# guard the counter); rejected ids carry their last event time and age
+# out once the watermark passes event_ms + ttl
+BUDGET_STATE_TTL = (
+    "cum bigint, admitted_ids array<bigint>, "
+    "rejected_ids array<bigint>, rejected_ms array<bigint>"
+)
 
 
 def tokenized_stream(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str | None = None,
 ) -> DataFrame:
-    """(source, doc_id, n_tokens) — the stream-safe stateless prefix;
-    token counting is the same whitespace-split column expression as
-    the batch queries (no Python in the hot path)."""
+    """(source, doc_id, n_tokens[, event_ms]) — the stream-safe
+    stateless prefix; token counting is the same whitespace-split
+    column expression as the batch queries (no Python in the hot
+    path). With ``time_col``, keeps the event time (exact bigint
+    millis) for the TTL-aged seen set."""
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
-    return docs.select(
+    cols = [
         F.col("source"),
         F.col(id_col).cast("bigint").alias("doc_id"),
         F.size(toks).cast("bigint").alias("n_tokens"),
-    )
+    ]
+    if time_col is not None:
+        cols.append(F.unix_millis(F.col(time_col)).alias("event_ms"))
+        cols.append(F.col(time_col))
+    return docs.select(*cols)
 
 
 def _budget_fn_factory(token_budget: int, track_ids: bool):
@@ -99,17 +130,95 @@ def _budget_fn_factory(token_budget: int, track_ids: bool):
     return fn
 
 
+def _budget_ttl_fn_factory(token_budget: int, seen_ttl_ms: int):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows: list[tuple[int, int, int]] = []
+        for pdf in pdfs:
+            for did, nt, ms in zip(pdf["doc_id"], pdf["n_tokens"], pdf["event_ms"]):
+                rows.append((int(did), int(nt), int(ms)))
+        if not rows:
+            return
+        rows.sort(key=lambda t: t[0])
+        if state.exists:
+            cum = int(state.get[0])
+            admitted_ids = set(state.get[1] or [])
+            rejected: dict[int, int] = {
+                int(d): int(m) for d, m in zip(state.get[2] or [], state.get[3] or [])
+            }
+        else:
+            cum, admitted_ids, rejected = 0, set(), {}
+        wm = state.getCurrentWatermarkMs()
+        # age rejected ids out once the watermark passes event + ttl:
+        # a later replay re-emits a byte-identical row (cum is frozen
+        # after the first rejection), so only duplicate emission is at
+        # stake, never the counter
+        rejected = {d: m for d, m in rejected.items() if m + seen_ttl_ms > wm}
+        out: list[tuple[str, int, int, int, int]] = []
+        src = str(key[0])
+        for did, nt, ms in rows:
+            if did in admitted_ids:
+                continue  # admitted replay: must never re-count
+            if did in rejected:
+                rejected[did] = max(rejected[did], ms)
+                continue
+            admitted = 1 if cum < token_budget else 0
+            out.append((src, did, nt, cum, admitted))
+            if admitted:
+                cum += nt
+                admitted_ids.add(did)
+            else:
+                rejected[did] = ms
+        rids = sorted(rejected)
+        state.update(
+            (cum, sorted(admitted_ids), rids, [rejected[d] for d in rids])
+        )
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["source", "doc_id", "n_tokens", "cum_before", "admitted"],
+            )
+
+    return fn
+
+
 def streaming_token_budget(
     docs: DataFrame,
     token_budget: int,
     text_col: str = "text",
     id_col: str = "doc_id",
     track_ids: bool = True,
+    time_col: str | None = None,
+    seen_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Admission rows (source, doc_id, n_tokens, cum_before, admitted)
     emitted as documents arrive; cum_before counts only ADMITTED
     tokens so far, and admission is the q238 straddler policy
-    (cum_before < budget admits, even across the boundary)."""
+    (cum_before < budget admits, even across the boundary).
+
+    State discipline (module docstring has the full contract):
+    ``track_ids=False`` for exactly-once transports (counter only,
+    the production default); ``seen_ttl_ms`` + ``time_col`` for
+    bounded at-least-once replay suppression (admitted ids kept —
+    budget-bounded — rejected ids aged out past the replay horizon);
+    plain ``track_ids=True`` keeps every id forever (bounded
+    backfills only)."""
+    if seen_ttl_ms is not None:
+        if time_col is None:
+            raise ValueError("seen_ttl_ms requires time_col")
+        docs = docs.withWatermark(time_col, watermark_delay)
+        stream = tokenized_stream(
+            docs, text_col=text_col, id_col=id_col, time_col=time_col
+        )
+        return stream.groupBy("source").applyInPandasWithState(
+            _budget_ttl_fn_factory(int(token_budget), int(seen_ttl_ms)),
+            outputStructType=BUDGET_OUTPUT,
+            stateStructType=BUDGET_STATE_TTL,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     stream = tokenized_stream(docs, text_col=text_col, id_col=id_col)
     return stream.groupBy("source").applyInPandasWithState(
         _budget_fn_factory(int(token_budget), track_ids),

@@ -109,7 +109,7 @@ class ShardMap:
         # rebuilding + re-sorting the open list each call made routing
         # O(records · shards log shards) per batch. The topology only
         # changes in split()/merge(), which invalidate the cache.
-        self._opens_cache: list[Shard] | None = None
+        self._opens_cache: tuple[Shard, ...] | None = None
         # continue numbering past ANY existing id — len(shards) would
         # collide with custom shard lists (e.g. a lone
         # 'shardId-000000000001') and silently overwrite on split
@@ -137,10 +137,16 @@ class ShardMap:
         ]
         return cls(shards)
 
-    def open_shards(self) -> list[Shard]:
+    def open_shards(self) -> tuple[Shard, ...]:
         if self._opens_cache is None:
-            self._opens_cache = sorted(
-                (s for s in self.shards.values() if s.open), key=lambda s: s.start
+            # immutable tuple: callers cannot mutate the shared cache
+            # (routing bisects over it per record), and repeat calls
+            # return the identical zero-copy object
+            self._opens_cache = tuple(
+                sorted(
+                    (s for s in self.shards.values() if s.open),
+                    key=lambda s: s.start,
+                )
             )
         return self._opens_cache
 

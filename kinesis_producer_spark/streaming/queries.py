@@ -1050,7 +1050,7 @@ def q243_streaming_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT event_type,
-             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 5000 AS bin,
+             CAST(FLOOR(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) / 5000.0) AS BIGINT) AS bin,
              CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS side
       FROM events),
     bins AS (
@@ -1108,7 +1108,7 @@ def q251_streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     os.symlink(os.path.join(sf_dir, "events.parquet"), link)
 
-    bin_col = F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT) div 5000").alias("bin")
+    bin_col = F.expr("CAST(FLOOR(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) / 5000.0) AS BIGINT)").alias("bin")
     # the stream's explicit "ts long" schema coerces either physical
     # type (the fixture has drifted TIMESTAMP(NANOS)→MICROS between
     # rounds, tables.py:30); normalize by magnitude, exactly once —

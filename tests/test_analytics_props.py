@@ -264,3 +264,31 @@ def test_srp_banding_finds_all_close_pairs(spark, vecs):
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_drift_bin_is_floor_division_for_negative_values(spark):
+    """q249/q251's value bin must FLOOR-divide on both engines:
+    Spark's `div` truncates toward zero, DuckDB's `//` floors — the
+    explicit FLOOR(cents / 5000.0) form is what both sides now run.
+    Pin the negative domain (the fixture is non-negative, so only a
+    unit pin catches a regression here)."""
+    import duckdb
+
+    expr = "CAST(FLOOR(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) / 5000.0) AS BIGINT)"
+    values = [-123.45, -50.0, -0.01, 0.0, 0.01, 49.99, 50.0, 123.45]
+    got_spark = [
+        r.bin
+        for r in spark.createDataFrame([(v,) for v in values], "value double")
+        .selectExpr(f"{expr} AS bin")
+        .collect()
+    ]
+    got_duck = [
+        duckdb.sql(f"SELECT {expr} AS bin FROM (SELECT {v!r}::DOUBLE AS value)")
+        .fetchone()[0]
+        for v in values
+    ]
+    import math
+
+    want = [math.floor(math.floor(v * 100 + 0.5) / 5000.0) for v in values]
+    assert got_spark == want, (got_spark, want)
+    assert got_duck == want, (got_duck, want)

@@ -2223,6 +2223,79 @@ def test_streaming_token_budget_carries_across_batches(spark, tmp_path):
     assert n_rows == 6, n_rows
 
 
+def test_streaming_token_budget_ttl_bounds_rejected_ids(spark, tmp_path):
+    """seen_ttl_ms mode: admitted replays are NEVER re-emitted (their
+    id set is budget-bounded and kept), a rejected replay within the
+    TTL is suppressed, and a rejected replay AFTER its id aged out is
+    re-emitted byte-identical — cum is frozen after the first
+    rejection, so the duplicate row carries the same verdict."""
+    from datetime import datetime, timezone
+
+    from kinesis_producer_spark.streaming.budget import streaming_token_budget
+
+    src = tmp_path / "ttl_docs"
+    src.mkdir()
+    sink = str(tmp_path / "ttl_out")
+    ckpt = str(tmp_path / "ttl_ckpt")
+    ts = lambda s: datetime.fromtimestamp(s, tz=timezone.utc)  # noqa: E731
+    tok = lambda n: " ".join(f"w{i}" for i in range(n))  # noqa: E731
+
+    def add_and_run(rows, tag):
+        part = tmp_path / f"ttl_stage_{tag}"
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string, ts timestamp"
+        ).coalesce(1).write.parquet(str(part))
+        (pq,) = [p for p in part.iterdir() if p.name.endswith(".parquet")]
+        pq.rename(src / f"{tag}.parquet")
+        stream = spark.readStream.schema(
+            "doc_id long, text string, source string, ts timestamp"
+        ).parquet(str(src))
+        q = (
+            streaming_token_budget(
+                stream,
+                token_budget=10,
+                time_col="ts",
+                seen_ttl_ms=1_000_000,  # 1000 s replay horizon
+            )
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), f"batch {tag} did not drain"
+
+    # b1: fill 9 of 10; b2: straddler 3 admitted, 4 rejected at t=2000s
+    add_and_run([(1, tok(4), "s", ts(1000)), (2, tok(5), "s", ts(1000))], "b1")
+    add_and_run([(3, tok(3), "s", ts(2000)), (4, tok(2), "s", ts(2000))], "b2")
+    # b3 pushes the watermark to 4000s (doc 5 is new: emitted, rejected)
+    add_and_run([(5, tok(1), "s", ts(4000))], "b3")
+    # b4: doc 4's rejection aged out (2000s + 1000s <= wm 4000s) →
+    # re-emitted identical; doc 3 (admitted) and doc 5 (within TTL)
+    # stay suppressed
+    add_and_run(
+        [(3, tok(3), "s", ts(5000)), (4, tok(2), "s", ts(5000)),
+         (5, tok(1), "s", ts(5000))],
+        "b4",
+    )
+
+    raw = spark.read.parquet(sink).collect()
+    got = {r.doc_id: (r.cum_before, r.admitted) for r in raw}
+    assert got == {
+        1: (0, 1),
+        2: (4, 1),
+        3: (9, 1),   # straddler admitted, replay suppressed forever
+        4: (12, 0),  # frozen verdict — re-emission is byte-identical
+        5: (12, 0),
+    }, got
+    from collections import Counter
+
+    counts = Counter(r.doc_id for r in raw)
+    assert counts == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}, counts
+
+
 def test_streaming_substring_bucketed_matches_per_gram(spark, tmp_path):
     """The bucketed state packing (n_buckets) must reproduce the
     per-gram path exactly: same canonical-survives-batches carry, same
