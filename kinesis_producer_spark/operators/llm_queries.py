@@ -6672,3 +6672,279 @@ def q250_html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_ratio_micro",
         F.expr("(1000000 * n_clean) div n_raw").cast("bigint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q252/q253 — composed IVF×PQ ANN serving and its recall gate
+# ---------------------------------------------------------------------------
+
+# shared oracle CTE text: PQ codes (q234's, verbatim), bits=3 sign cells,
+# Hamming-1 probe lists, per-query ADC tables
+_IVFPQ_CTES = """
+    dims AS (
+      SELECT vec_id, CAST(d // 8 AS INT) AS m, CAST(d % 8 AS INT) AS dd,
+             CAST(FLOOR(1e6 * CAST(embedding[d + 1] AS DOUBLE) + 0.5) AS BIGINT) AS vm
+      FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS d)
+    ),
+    cb AS (SELECT CAST(vec_id AS INT) AS cid, m, dd, vm AS cm
+           FROM dims WHERE vec_id < 16),
+    sd AS (
+      SELECT dims.vec_id, dims.m, cb.cid,
+             CAST(SUM((vm - cm) * (vm - cm)) AS BIGINT) AS sd2
+      FROM dims JOIN cb ON dims.m = cb.m AND dims.dd = cb.dd
+      GROUP BY dims.vec_id, dims.m, cb.cid
+    ),
+    codes AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY sd2, cid) AS rn FROM sd
+      ) WHERE rn = 1
+    ),
+    cells AS (
+      SELECT vec_id,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS cell
+      FROM embeddings),
+    probes AS (
+      SELECT c.vec_id AS query_id, p.pcell
+      FROM cells c CROSS JOIN unnest([c.cell, xor(c.cell, 1),
+                                      xor(c.cell, 2), xor(c.cell, 4)]) AS p(pcell)
+      WHERE c.vec_id IN ({qids})),
+    adc AS (SELECT vec_id AS query_id, m, cid, sd2 AS qd2
+            FROM sd WHERE vec_id IN ({qids}))
+"""
+
+
+@query(
+    "q252_ivf_pq_topk",
+    oracle=f"""
+    WITH {_IVFPQ_CTES.format(qids="0, 1, 2")},
+    approx AS (
+      SELECT p.query_id, codes.vec_id, CAST(SUM(qd2) AS BIGINT) AS adist_q
+      FROM codes
+      JOIN cells cl ON cl.vec_id = codes.vec_id
+      JOIN probes p ON p.pcell = cl.cell
+      JOIN adc a ON a.query_id = p.query_id
+                AND a.m = codes.m AND a.cid = codes.code
+      GROUP BY p.query_id, codes.vec_id),
+    short AS (
+      SELECT query_id, vec_id, adist_q FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist_q, vec_id) AS rn
+        FROM approx) WHERE rn <= 50),
+    scored AS (
+      SELECT s.query_id, s.vec_id, s.adist_q, {_COS_MICRO_SQL} AS cos_micro
+      FROM short s
+      JOIN embeddings a ON a.vec_id = s.query_id
+      JOIN embeddings b ON b.vec_id = s.vec_id)
+    SELECT query_id, vec_id, adist_q, cos_micro, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_micro DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= 10
+    """,
+)
+def q252_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF×PQ ANN serving (Jégou et al. 2011 §IV, IVFADC):
+    IVF multi-probe (q190) prunes the PQ code scan to the query's
+    cell + Hamming-1 neighbors BEFORE asymmetric-distance scoring
+    (q234), then the shortlist is re-ranked with the exact quantized
+    cosine (q239). The production composition the round-6 verdict
+    named #1: q234's flat ADC scans all n·M codes per query batch —
+    here the scan is (bits+1)/2^bits of the corpus by construction,
+    code bytes ∝ probed cells, and at 100 TB the cell id is a
+    partition column so the probe list prunes parquet files
+    (operators/similarity.py:ivf_pq_topk)."""
+    from kinesis_producer_spark.operators.similarity import ivf_pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        e, query_ids=[0, 1, 2], k=10, shortlist=50, bits=3,
+        n_centroids=16, m_dims=8,
+    )
+
+
+_IVFPQ_RECALL_QIDS = ", ".join(str(i) for i in range(_RECALL_QUERIES))
+
+
+@query(
+    "q253_ivf_pq_recall",
+    oracle=f"""
+    WITH {_IVFPQ_CTES.format(qids=_IVFPQ_RECALL_QIDS)},
+    truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT a.query_id, b.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY a.query_id
+                 ORDER BY {_COS_MICRO_SQL} DESC, b.vec_id) AS rnk
+        FROM (SELECT vec_id AS query_id, embedding FROM embeddings
+              WHERE vec_id < {_RECALL_QUERIES}) a
+        JOIN embeddings b ON b.vec_id <> a.query_id)
+      WHERE rnk <= {_RECALL_K}),
+    approx_ivf AS (
+      SELECT p.query_id, codes.vec_id, CAST(SUM(qd2) AS BIGINT) AS adist_q
+      FROM codes
+      JOIN cells cl ON cl.vec_id = codes.vec_id
+      JOIN probes p ON p.pcell = cl.cell
+      JOIN adc a ON a.query_id = p.query_id
+                AND a.m = codes.m AND a.cid = codes.code
+      WHERE codes.vec_id <> p.query_id
+      GROUP BY p.query_id, codes.vec_id),
+    short_ivf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist_q, vec_id) AS rn
+        FROM approx_ivf) WHERE rn <= 50),
+    ivfpq AS (
+      SELECT query_id, vec_id FROM (
+        SELECT s.query_id, s.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                 ORDER BY {_COS_MICRO_SQL} DESC, s.vec_id) AS rnk
+        FROM short_ivf s
+        JOIN embeddings a ON a.vec_id = s.query_id
+        JOIN embeddings b ON b.vec_id = s.vec_id)
+      WHERE rnk <= {_RECALL_K}),
+    approx_flat AS (
+      SELECT a.query_id, codes.vec_id, CAST(SUM(qd2) AS BIGINT) AS adist_q
+      FROM codes
+      JOIN adc a ON a.m = codes.m AND a.cid = codes.code
+      WHERE codes.vec_id <> a.query_id
+      GROUP BY a.query_id, codes.vec_id),
+    short_flat AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist_q, vec_id) AS rn
+        FROM approx_flat) WHERE rn <= 50),
+    flat AS (
+      SELECT query_id, vec_id FROM (
+        SELECT s.query_id, s.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                 ORDER BY {_COS_MICRO_SQL} DESC, s.vec_id) AS rnk
+        FROM short_flat s
+        JOIN embeddings a ON a.vec_id = s.query_id
+        JOIN embeddings b ON b.vec_id = s.vec_id)
+      WHERE rnk <= {_RECALL_K})
+    SELECT t.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_ivf_pq,
+           CAST(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_flat,
+           CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 100
+                // COUNT(*) AS BIGINT) AS recall_ivf_pq_pct,
+           CAST(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 100
+                // COUNT(*) AS BIGINT) AS recall_flat_pct
+    FROM truth t
+    LEFT JOIN ivfpq i ON i.query_id = t.query_id AND i.vec_id = t.vec_id
+    LEFT JOIN flat f ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+    GROUP BY t.query_id
+    """,
+)
+def q253_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the IVF×PQ index (the q242 harness pointed at
+    q252): exact cosine top-k over a 30-query sample is
+    ground truth; the cell-pruned IVF×PQ path and the flat-ADC
+    shortlist path (q239's, same codes, no pruning) are both
+    re-ranked exactly and scored side by side — (query_id, n_truth,
+    hits_ivf_pq, hits_flat, recall_ivf_pq_pct, recall_flat_pct). The
+    delta between the two columns IS the price of cell pruning; this
+    row is what decides nprobe/bits before deploying q252 over q234.
+
+    Scale: ground truth is O(|sample|·corpus) — the sample is the
+    knob; both approximate sides touch codes only until the ≤50-row
+    re-rank joins."""
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_codes_and_adc_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(_RECALL_QUERIES))
+    corpus = e.select("vec_id", "embedding")
+    qs = e.filter(F.col("vec_id") < _RECALL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = (
+        brute_force_topk(corpus, qs, k=_RECALL_K + 1, query_id_col="query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("cos_micro").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= _RECALL_K)
+        .select("query_id", "vec_id")
+    )
+    ivfpq = ivf_pq_topk(
+        e, query_ids=qids, k=_RECALL_K, shortlist=50, bits=3,
+        exclude_self=True,
+    ).select(
+        F.col("query_id").alias("_iq"),
+        F.col("vec_id").alias("_iv"),
+    )
+    flat_short = pq_codes_and_adc_topk(
+        e, query_ids=qids, k=50, exclude_self=True
+    ).select("query_id", "vec_id")
+    qe = e.filter(F.col("vec_id") < _RECALL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qe"),
+    )
+    ce = e.select("vec_id", F.col("embedding").alias("_ce"))
+    flat = (
+        flat_short.join(ce, "vec_id")
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_micro(F.col("_qe"), F.col("_ce")).alias("cos_micro"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("cos_micro").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= _RECALL_K)
+        .select(
+            F.col("query_id").alias("_fq"),
+            F.col("vec_id").alias("_fv"),
+        )
+    )
+    return (
+        truth.join(
+            ivfpq,
+            (F.col("query_id") == F.col("_iq")) & (F.col("vec_id") == F.col("_iv")),
+            "left",
+        )
+        .join(
+            flat,
+            (F.col("query_id") == F.col("_fq")) & (F.col("vec_id") == F.col("_fv")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_truth"),
+            F.sum(F.when(F.col("_iv").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("hits_ivf_pq"),
+            F.sum(F.when(F.col("_fv").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("hits_flat"),
+        )
+        .select(
+            "query_id",
+            "n_truth",
+            "hits_ivf_pq",
+            "hits_flat",
+            F.expr("(hits_ivf_pq * 100) div n_truth")
+            .cast("bigint")
+            .alias("recall_ivf_pq_pct"),
+            F.expr("(hits_flat * 100) div n_truth")
+            .cast("bigint")
+            .alias("recall_flat_pct"),
+        )
+    )

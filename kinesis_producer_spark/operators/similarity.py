@@ -266,21 +266,216 @@ def semantic_dedup_keep_list(
     )
 
 
-def _dim_micro(df: DataFrame, id_col: str, emb_col: str, m_dims: int) -> DataFrame:
-    """Per-dimension micro-quantized view: (vec_id, m, d, vm) where m
-    is the subspace index (``dim div m_dims``), d the offset inside it,
-    and vm = ⌊10⁶·value + 0.5⌋ — the integer domain every PQ distance
-    below lives in (cross-engine exact)."""
-    return df.select(
+def _micro_arr(emb: Column) -> Column:
+    """Per-element micro-quantized copy of a float-array column:
+    vm[i] = ⌊10⁶·emb[i] + 0.5⌋ as BIGINT — the integer domain all PQ
+    distances live in (cross-engine exact)."""
+    return F.transform(
+        emb,
+        lambda x: F.floor(F.lit(1e6) * x.cast("double") + F.lit(0.5)).cast("bigint"),
+    )
+
+
+def _collect_codebook(
+    corpus: DataFrame, id_col: str, emb_col: str, n_centroids: int
+) -> list[list[int]]:
+    """The closed-form PQ codebook (centroid c = the corpus row with
+    vec_id == c, micro-quantized) as driver-side literals. This is a
+    BOUNDED control-data collect — n_centroids rows (16), the same
+    discipline as the bloom/bucket-count collects — and it is what
+    makes code assignment a zero-shuffle projection: the codebook
+    rides into every task as K·dim integer literals instead of a
+    join."""
+    import math
+
+    rows = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).cast("int").alias("cid"), F.col(emb_col).alias("e"))
+        .collect()
+    )
+    byid = {
+        int(r["cid"]): [int(math.floor(1e6 * float(v) + 0.5)) for v in r["e"]]
+        for r in rows
+    }
+    return [byid[c] for c in range(n_centroids)]
+
+
+def _pq_expr_parts(cb: list[list[int]], m_dims: int):
+    """Shared expression builders over a literal codebook: returns
+    (codes_fn, qd2_fn, adist_fn) where ``codes_fn(emb)`` yields the
+    M-element array<int> of nearest centroid ids per subspace
+    (squared L2 in micro-ints, ties to the lowest cid —
+    array_position returns the FIRST minimum), ``qd2_fn(emb)`` the
+    flattened M·K query distance table (index m·K + cid + 1), and
+    ``adist_fn(codes, qd2)`` the table-lookup distance sum.
+
+    The subspace-distance table (K·M squared-L2 sums, ~1k multiply-
+    adds per row) is computed by an ARROW-VECTORIZED pandas UDF over
+    int64 numpy — bit-exact with the SQL oracle (the micro
+    quantization ⌊10⁶·v+0.5⌋ is one IEEE double op, then everything
+    is int64; np.argmin's first-minimum tie-break IS the lowest-cid
+    rule). Two pure-expression forms were measured first and
+    rejected: nested transform/aggregate lambdas cost ~20 ms PER ROW
+    (HOF lambda binding dominates) and a straight-line
+    literal-codebook tree of ~2k terms still ~12 ms/row (the
+    projection falls out of whole-stage codegen at that size into
+    interpreted eval) — the numpy batch path is ~µs/row, the honest
+    10-100× Arrow-UDF case. ``adist_fn`` stays a JVM expression
+    (M table lookups per candidate). No explode, no shuffle: codes
+    are one compact array<int> row per vector by construction."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.array(cb, dtype=np.int64)  # (K, dim)
+    n_k, dim = cmat.shape
+    n_m = dim // m_dims
+    csub = cmat.reshape(n_k, n_m, m_dims)
+
+    def _sd2_table(embs: pd.Series) -> "np.ndarray":
+        """(n, K, M) int64 squared L2 per subspace; per-m loop keeps
+        the scratch at n·K·m_dims instead of n·K·dim."""
+        v = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        vm = np.floor(1e6 * v + 0.5).astype(np.int64)
+        vsub = vm.reshape(len(embs), n_m, m_dims)
+        out = np.empty((len(embs), n_k, n_m), dtype=np.int64)
+        for m in range(n_m):
+            diff = vsub[:, None, m, :] - csub[None, :, m, :]
+            out[:, :, m] = (diff * diff).sum(axis=2)
+        return out
+
+    def _codes(embs):
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        codes = _sd2_table(embs).argmin(axis=1).astype(np.int32)  # (n, M)
+        return pd.Series(list(codes))
+
+    def _qd2(embs):
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        sd2 = _sd2_table(embs)  # (n, K, M)
+        flat = sd2.transpose(0, 2, 1).reshape(len(embs), n_m * n_k)
+        return pd.Series(list(flat))  # index m·K + cid
+
+    # plain-function form (no annotations): `from __future__ import
+    # annotations` stringifies hints, which pandas_udf's type-hint
+    # inference rejects — same convention as sources/xml.py
+    codes_udf = F.pandas_udf(_codes, "array<int>")
+    qd2_udf = F.pandas_udf(_qd2, "array<bigint>")
+
+    def codes_fn(emb: Column) -> Column:
+        return codes_udf(emb)
+
+    def qd2_fn(emb: Column) -> Column:
+        return qd2_udf(emb)
+
+    def adist_fn(codes_col: Column, qd2_col: Column) -> Column:
+        total = None
+        for m in range(n_m):
+            term = F.element_at(
+                qd2_col, m * n_k + F.element_at(codes_col, m + 1) + 1
+            )
+            total = term if total is None else total + term
+        return total.cast("bigint")
+
+    return codes_fn, qd2_fn, adist_fn
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    shortlist: int = 50,
+    bits: int = 3,
+    n_centroids: int = 16,
+    m_dims: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Composed IVF×PQ ANN — the production serving shape (Jégou et
+    al. 2011 §IV, the IVFADC system): every corpus vector is assigned
+    an IVF cell (sign-bit coarse quantizer, q56/q190's) AND an M-byte
+    PQ code; a query probes its own cell plus every Hamming-distance-1
+    cell (the q190 multi-probe recall fix), runs asymmetric-distance
+    scoring ONLY over the probed cells' codes, keeps a ``shortlist``,
+    and re-ranks exactly those candidates with the exact quantized
+    cosine (q239's stage 2). Returns (query_id, vec_id, adist_q,
+    cos_micro, rank).
+
+    Scale — why this composes three existing operators instead of
+    adding one: q234's flat ADC scans ALL n·M code rows per query
+    batch, which at 100× corpus is the serving bottleneck; here the
+    code scan is pruned to (bits+1)/2^bits of the corpus BEFORE ADC
+    (at 100 TB the cell id is a partition column, so the probe list
+    prunes parquet files), the ADC table and probe list are broadcast
+    (|queries|·(bits+1) rows), code assignment is a ZERO-SHUFFLE
+    projection (codes as one array<int> per vector against the
+    broadcast literal codebook — no dim explosion), and raw vectors
+    are touched only for |queries|·shortlist re-rank rows. The only
+    corpus-order shuffle left is the per-query top-shortlist over
+    probed candidates."""
+    cb = _collect_codebook(corpus, id_col, emb_col, n_centroids)
+    codes_fn, qd2_fn, adist_fn = _pq_expr_parts(cb, m_dims)
+    coded = corpus.select(
         F.col(id_col).alias("vec_id"),
-        F.posexplode(F.col(emb_col)).alias("i", "v"),
-    ).select(
-        "vec_id",
-        F.expr(f"i div {m_dims}").cast("int").alias("m"),
-        (F.col("i") % m_dims).cast("int").alias("d"),
-        F.floor(F.lit(1e6) * F.col("v").cast("double") + F.lit(0.5))
-        .cast("bigint")
-        .alias("vm"),
+        ivf_cell(F.col(emb_col), bits).alias("_cell"),
+        codes_fn(F.col(emb_col)).alias("_codes"),
+    )
+    qc = ivf_cell(F.col(emb_col), bits)
+    probes = F.array(qc, *[qc.bitwiseXOR(F.lit(1 << i)) for i in range(bits)])
+    q = corpus.filter(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probes).alias("_cell"),
+        qd2_fn(F.col(emb_col)).alias("_qd2"),
+    )
+    cand = coded.join(F.broadcast(q), "_cell")
+    if exclude_self:
+        # recall-eval convention (q242/q253): the query must not
+        # count itself as its own neighbor
+        cand = cand.filter(F.col("vec_id") != F.col("query_id"))
+    short = (
+        cand
+        .select(
+            "query_id",
+            "vec_id",
+            adist_fn(F.col("_codes"), F.col("_qd2")).alias("adist_q"),
+        )
+        .withColumn(
+            "srn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("adist_q").asc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("srn") <= shortlist)
+        .drop("srn")
+    )
+    qe = corpus.filter(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("_qe"),
+        qdot(F.col(emb_col), F.col(emb_col)).alias("_nq"),
+    )
+    ce = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("_ce"),
+        qdot(F.col(emb_col), F.col(emb_col)).alias("_nc"),
+    )
+    scored = (
+        short.join(ce, "vec_id")
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "adist_q",
+            _cos_from_parts("_ce", "_qe", "_nc", "_nq").alias("cos_micro"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_micro").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adist_q", "cos_micro", "rank")
     )
 
 
@@ -292,6 +487,7 @@ def pq_codes_and_adc_topk(
     n_centroids: int = 16,
     m_dims: int = 8,
     k: int = 10,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (Jégou et al. 2011, public): split every vector into subspaces of
@@ -316,45 +512,34 @@ def pq_codes_and_adc_topk(
     shuffles O(n·M·|queries|) rows and the top-k compiles to a
     per-query heap. Raw vectors are read exactly once: 100 TB of
     float vectors becomes n·M one-byte codes for every later query —
-    the entire point of PQ at scale."""
-    dims = _dim_micro(corpus, id_col, emb_col, m_dims)
-    cb = (
-        dims.filter(F.col("vec_id") < n_centroids)
-        .select(
-            F.col("vec_id").cast("int").alias("cid"),
-            "m",
-            "d",
-            F.col("vm").alias("cm"),
-        )
+    the entire point of PQ at scale.
+
+    Plan shape (round 7): code assignment is a ZERO-SHUFFLE projection
+    — the codebook is collected once (n_centroids rows, bounded
+    control data) and rides into every task as literals, and each
+    vector emits its M codes as ONE array<int> row instead of M·K
+    exploded dim rows (the round-6 soak showed the dim explosion
+    costing 16.3× shuffle for 10× data when a vector's rows straddle
+    partitions; the array emission is O(n·M) bytes by construction).
+    ADC is then a per-row table lookup against the broadcast query
+    distance tables; the only shuffle left is the per-query top-k."""
+    cb = _collect_codebook(corpus, id_col, emb_col, n_centroids)
+    codes_fn, qd2_fn, adist_fn = _pq_expr_parts(cb, m_dims)
+    coded = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        codes_fn(F.col(emb_col)).alias("_codes"),
     )
-    diff = F.col("vm") - F.col("cm")
-    sd = (
-        dims.join(F.broadcast(cb), ["m", "d"])
-        .groupBy("vec_id", "m", "cid")
-        .agg(F.sum(diff * diff).alias("sd2"))
+    q = corpus.filter(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        qd2_fn(F.col(emb_col)).alias("_qd2"),
     )
-    codes = (
-        sd.groupBy("vec_id", "m")
-        .agg(F.min(F.struct(F.col("sd2"), F.col("cid"))).alias("best"))
-        .select("vec_id", "m", F.col("best.cid").alias("code"))
+    approx = coded.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        adist_fn(F.col("_codes"), F.col("_qd2")).alias("adist_q"),
     )
-    adc = (
-        sd.filter(F.col("vec_id").isin(*query_ids))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("m").alias("qm"),
-            F.col("cid").alias("qcid"),
-            F.col("sd2").alias("qd2"),
-        )
-    )
-    approx = (
-        codes.join(
-            F.broadcast(adc),
-            (F.col("m") == F.col("qm")) & (F.col("code") == F.col("qcid")),
-        )
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("qd2").alias("adist_q"))
-    )
+    if exclude_self:
+        approx = approx.filter(F.col("vec_id") != F.col("query_id"))
     w = W.partitionBy("query_id").orderBy(F.col("adist_q").asc(), F.col("vec_id"))
     return (
         approx.withColumn("rank", F.row_number().over(w))

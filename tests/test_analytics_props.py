@@ -292,3 +292,67 @@ def test_drift_bin_is_floor_division_for_negative_values(spark):
     want = [math.floor(math.floor(v * 100 + 0.5) / 5000.0) for v in values]
     assert got_spark == want, (got_spark, want)
     assert got_duck == want, (got_duck, want)
+
+
+@SETTINGS
+@given(vecs=EMB)
+def test_ivf_pq_topk_matches_model(spark, vecs):
+    """q252's composed IVF×PQ path vs an exact integer model: sign-bit
+    cells, Hamming-1 probes, PQ codes (micro-int L2, ties to lowest
+    cid), ADC over probed cells only, shortlist by (adist, vec_id),
+    exact quantized-cosine re-rank. Every stage reproduced in plain
+    Python — pins cell pruning, the code assignment, the lookup sum,
+    and both tie-breaks."""
+    from kinesis_producer_spark.operators.llm_queries import q252_ivf_pq_topk
+
+    K, MD, NM, BITS, SHORT, TOPK = 16, 8, 8, 3, 50, 10
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    d = _fixture_dir(
+        spark,
+        "embeddings",
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+    )
+    try:
+        got = {
+            (r.query_id, r.rank): (r.vec_id, r.adist_q, r.cos_micro)
+            for r in q252_ivf_pq_topk(spark, d).collect()
+        }
+        vm = [[_micro(x) for x in v] for v in vecs]
+        cells = [
+            sum((1 << b) for b in range(BITS) if v[b] > 0) for v in vecs
+        ]
+        def sd2(vid, m, cid):
+            return sum(
+                (vm[vid][m * MD + i] - vm[cid][m * MD + i]) ** 2
+                for i in range(MD)
+            )
+        codes = [
+            [min(range(K), key=lambda c: (sd2(vid, m, c), c)) for m in range(NM)]
+            for vid in range(len(vecs))
+        ]
+        def qdot(a, b):
+            return sum(
+                int(math.floor(float(x) * float(y) * 1e12 + 0.5))
+                for x, y in zip(a, b)
+            )
+        want = {}
+        for qid in (0, 1, 2):
+            probes = {cells[qid]} | {cells[qid] ^ (1 << b) for b in range(BITS)}
+            cand = [vid for vid in range(len(vecs)) if cells[vid] in probes]
+            adist = {
+                vid: sum(sd2(qid, m, codes[vid][m]) for m in range(NM))
+                for vid in cand
+            }
+            short = sorted(cand, key=lambda v: (adist[v], v))[:SHORT]
+            nq = qdot(vecs[qid], vecs[qid])
+            def cosm(vid):
+                num = float(qdot(vecs[qid], vecs[vid]))
+                den = math.sqrt(float(qdot(vecs[vid], vecs[vid])) * float(nq))
+                return int(math.floor(1e6 * num / den + 0.5))
+            cos = {vid: cosm(vid) for vid in short}
+            final = sorted(short, key=lambda v: (-cos[v], v))[:TOPK]
+            for rk, vid in enumerate(final, start=1):
+                want[(qid, rk)] = (vid, adist[vid], cos[vid])
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
