@@ -198,11 +198,32 @@ def ivf_topk_multiprobe(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def semdedup_auto_bits(
+    n: int, target_cell: int = 64, max_bits: int = 16
+) -> int:
+    """Corpus-size-scaled coarse-quantizer width for the SemDeDup
+    family: bits = clamp(⌈log₂(n / target_cell)⌉, 1, max_bits), so the
+    EXPECTED cell population stays ≤ target_cell as the corpus grows.
+    SemDeDup's within-cell compare is sum-of-|cell|² — with fixed bits
+    a 100× denser corpus silently goes quadratic (the round-6
+    SCALE.md adjudication this function encodes); paper-faithfully,
+    the cluster count is a corpus-size parameter (Abbas et al. 2023
+    use k ∝ corpus). max_bits=16 caps the quantizer at 65 536 sign-bit
+    cells (the leading-dim signs run out of decorrelated information
+    well before 64 bits; past that, switch the cell id to a trained
+    coarse quantizer)."""
+    import math
+
+    if n <= 0:
+        return 1
+    return max(1, min(int(max_bits), math.ceil(math.log2(max(1.0, n / target_cell)))))
+
+
 def semantic_dedup_keep_list(
     corpus: DataFrame,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    bits: int = 3,
+    bits: int | None = None,
     threshold_micro: int = 300_000,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, public): drop
@@ -229,8 +250,17 @@ def semantic_dedup_keep_list(
     parallelism first (tables.fan_out) — a byte-small corpus arrives
     as one split and would serialize the pair compute on one core;
     at scale the repartition is a no-op.
+
+    ``bits=None`` (the default) derives the quantizer width from the
+    corpus count (``semdedup_auto_bits`` — one cheap count job, a
+    metadata-only scan on parquet), so cell density stays bounded as
+    the corpus grows; pass an explicit ``bits`` to pin a width (the
+    q231 fixture contract does).
     """
     from kinesis_producer_spark.tables import fan_out
+
+    if bits is None:
+        bits = semdedup_auto_bits(corpus.count())
 
     a = fan_out(corpus).select(
         F.col(id_col).alias("_ida"),

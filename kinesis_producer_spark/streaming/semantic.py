@@ -169,12 +169,13 @@ def streaming_semantic_keep_list(
     vecs: DataFrame,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
-    bits: int = 3,
+    bits: int | None = None,
     threshold_micro: int = 300_000,
     max_residents: int = 65_536,
     time_col: str | None = None,
     epoch_ms: int | None = None,
     watermark_delay: str = "0 seconds",
+    expected_corpus: int | None = None,
 ) -> DataFrame:
     """Keep-list rows (vec_id, kept, dup_of) emitted as vectors
     arrive; dup_of is -1 for kept rows (the q231 output contract).
@@ -184,7 +185,25 @@ def streaming_semantic_keep_list(
     With ``epoch_ms`` (+ ``time_col``), cell residency is keyed by
     rolling event-time epoch and AGED OUT via event-time timeout once
     the watermark passes the epoch end (output gains an ``epoch``
-    column)."""
+    column).
+
+    The quantizer width: a stream cannot be counted, so ``bits=None``
+    derives it from ``expected_corpus`` (the live corpus size the
+    deployment is provisioned for — the same
+    ``similarity.semdedup_auto_bits`` rule as the batch operator, so
+    cell density cannot silently go quadratic at 100× volume); the
+    cell id keys the state store, so bits is FIXED for a checkpoint's
+    lifetime — changing it means a new checkpoint, like any state
+    schema change."""
+    if bits is None:
+        if expected_corpus is None:
+            raise ValueError(
+                "provide bits or expected_corpus: a stream cannot be "
+                "counted, and the cell id keys the state store"
+            )
+        from kinesis_producer_spark.operators.similarity import semdedup_auto_bits
+
+        bits = semdedup_auto_bits(expected_corpus)
     if epoch_ms is None:
         cells = cell_vectors(vecs, emb_col, id_col, bits)
         return cells.groupBy("cell").applyInPandasWithState(

@@ -1034,3 +1034,54 @@ def test_logbin_histogram_merges_and_bounds_quantile_error(spark):
                 assert lb <= true < lb * (1 + 1 / p) + 10 ** (d - 2), (q, lb, true)
                 assert (true - lb) / true < 0.10, (q, lb, true)
                 break
+
+
+def test_semdedup_auto_bits_scales_with_corpus(spark):
+    """The quantizer width must grow with the corpus so expected cell
+    density stays ≤ target_cell (SemDeDup's within-cell compare is
+    sum-of-|cell|²) — pins the derivation rule, the default path on
+    the batch operator (equal to the explicit-bits run), and the
+    streaming guard (a stream cannot be counted)."""
+    from kinesis_producer_spark.operators.similarity import (
+        semantic_dedup_keep_list,
+        semdedup_auto_bits,
+    )
+    from kinesis_producer_spark.streaming.semantic import (
+        streaming_semantic_keep_list,
+    )
+
+    # rule pins: expected cell population n / 2^bits ≤ 64
+    assert [semdedup_auto_bits(n) for n in (0, 1, 64, 128, 500, 2000, 20000)] == [
+        1, 1, 1, 1, 3, 5, 9,
+    ]
+    assert semdedup_auto_bits(10**12) == 16  # capped
+    for n in (500, 2000, 20000, 10**6):
+        b = semdedup_auto_bits(n)
+        assert n / (1 << b) <= 64 or b == 16, (n, b)
+
+    # operator default == the explicit auto width, row for row
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = e.count()
+    auto = {
+        (r.vec_id, r.kept, r.dup_of)
+        for r in semantic_dedup_keep_list(e).collect()
+    }
+    explicit = {
+        (r.vec_id, r.kept, r.dup_of)
+        for r in semantic_dedup_keep_list(e, bits=semdedup_auto_bits(n)).collect()
+    }
+    assert auto == explicit and auto
+
+    # streaming: state is keyed by cell, so auto needs the provisioned
+    # corpus size — neither bits nor expected_corpus is an error
+    import tempfile
+
+    stream_dir = tempfile.mkdtemp(prefix="semdedup_stream_")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .parquet(stream_dir)
+    )
+    with pytest.raises(ValueError, match="expected_corpus"):
+        streaming_semantic_keep_list(stream)
+    # with the hint, construction succeeds (lazy — no query started)
+    streaming_semantic_keep_list(stream, expected_corpus=2000)
