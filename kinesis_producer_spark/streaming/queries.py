@@ -667,29 +667,30 @@ def q217_streaming_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
         .parquet(stream_dir)
         .select("doc_id", "text")
     )
-    # NOT wrapped in bounded_stream_shuffle: the LSH state operator is
-    # COMPUTE-bound (pandas bucket joins per (band, bucket) group), so
-    # shrinking partitions serializes real work — measured 9.1s -> 11.2s
-    # under the 8-partition pin. The pin pays only for commit-bound
-    # stateful plans (q97/q100/q48: 31s -> 5s).
-    # packed super-bucket state (4096): thousands of (band, bucket)
-    # groups per batch collapse to <=4096 Python group calls with
-    # identical pairs (streaming/lsh.py discipline)
-    pairs = streaming_lsh_candidates(docs, n_buckets=4096)
+    # Round-7 re-tune (pairs identical at every setting): at 4096
+    # super-buckets the op was compute-bound and the 8-partition pin
+    # hurt (9.1 -> 11.2s, the round-6 reading); at 256 super-buckets
+    # the per-group Python-call count drops 16x, the op becomes
+    # machinery-bound again, and the pin pays — sweep at sf0.1:
+    # 4096/32part 6.9s, 256/32part 7.2s, 256/8part 4.9s.
+    pairs = streaming_lsh_candidates(docs, n_buckets=256)
     name = f"lsh_mem_{uuid.uuid4().hex[:10]}"
-    q = (
-        pairs.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    # awaitTermination(timeout) returns False WITHOUT stopping the
-    # query on timeout; reading the memory table then would return a
-    # silently-partial pair set (found in review) — fail loudly instead
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("q217 streaming LSH did not drain within 300s")
+    from kinesis_producer_spark.streaming.windows import bounded_stream_shuffle
+
+    with bounded_stream_shuffle(spark):
+        q = (
+            pairs.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # awaitTermination(timeout) returns False WITHOUT stopping the
+        # query on timeout; reading the memory table then would return a
+        # silently-partial pair set (found in review) — fail loudly instead
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("q217 streaming LSH did not drain within 300s")
     return spark.table(name).select("id_a", "id_b").distinct()
 
 
@@ -754,21 +755,30 @@ def q221_streaming_lsh_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.timestamp_millis((F.col("doc_id") % 3) * F.lit(60000) + F.lit(30000)),
         )
     )
-    # unwrapped on purpose — compute-bound state op; see q217's note
+    # Round-7 tuning pass (VERDICT r6 item 5; identical 14 422
+    # distinct rows at every setting): with 3 epochs x 4096 packed
+    # buckets the plan carried ~12k state groups of per-group Python
+    # calls — 11.1s warm. 256 buckets cuts groups 16x and the
+    # 8-partition pin then pays (the op is machinery-bound at this
+    # packing): sweep at sf0.1 — 4096/32part 11.1s, 1024 8.3s,
+    # 256 8.1s, 256/8part 5.3s.
     pairs = streaming_lsh_candidates(
-        docs, time_col="event_ts", epoch_ms=60000, n_buckets=4096
+        docs, time_col="event_ts", epoch_ms=60000, n_buckets=256
     )
     name = f"lsh_ep_mem_{uuid.uuid4().hex[:10]}"
-    q = (
-        pairs.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("q221 epoch streaming LSH did not drain within 300s")
+    from kinesis_producer_spark.streaming.windows import bounded_stream_shuffle
+
+    with bounded_stream_shuffle(spark):
+        q = (
+            pairs.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("q221 epoch streaming LSH did not drain within 300s")
     return spark.table(name).select("epoch", "id_a", "id_b").distinct()
 
 
