@@ -6588,31 +6588,113 @@ def q249_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # enumerated alternation, no backreference: DuckDB's RE2 has no \1
 _HTML_DROP = (
-    r"<head>.*?</head>|<nav>.*?</nav>|<aside>.*?</aside>|<footer>.*?</footer>"
+    r"<!--.*?-->|<head>.*?</head>|<nav>.*?</nav>|<aside>.*?</aside>"
+    r"|<footer>.*?</footer>|<script>.*?</script>|<style>.*?</style>"
 )
-_HTML_TAG = r"<[^>]*>"
+# attribute-aware tag strip: '>' inside a quoted attribute value does
+# NOT end the tag (the quoted-chunk alternation absorbs it), and a
+# stray '<' not followed by a tag name/'/'/'!' never matches — it
+# survives as text, which is what a real extractor does with
+# "1 < 2". Unambiguous (each group iteration must start at a quote),
+# so Java's backtracking engine and DuckDB's RE2 agree and neither
+# can blow up.
+_HTML_TAG = "<[/!]?[a-zA-Z][^\"'<>]*((\"[^\"]*\"|'[^']*')[^\"'<>]*)*>"
+# entity decode AFTER tag strip (escaped text must NOT re-enter the
+# tag rules), enumerated alternations only (RE2-safe), &amp; strictly
+# LAST so double-escapes decode one level per pass ('&amp;lt;' ->
+# '&lt;', the HTML semantics)
+_HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '\"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&#34;", '\"'),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def _html_clean(col):
+    """The full extraction chain as one column expression: block drop,
+    attribute-aware tag strip, entity decode, whitespace normalize.
+    Pure JVM regexp_replace — no UDF, no shuffle."""
+    out = F.regexp_replace(F.regexp_replace(col, _HTML_DROP, " "), _HTML_TAG, " ")
+    for pat, rep in _HTML_ENTITIES:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def _html_clean_sql(inner: str) -> str:
+    """The same chain as DuckDB SQL text (patterns verbatim; single
+    quotes doubled for the SQL literal)."""
+    q = lambda t: t.replace("'", "''")  # noqa: E731
+    out = f"regexp_replace(regexp_replace({inner}, '{q(_HTML_DROP)}', ' ', 'g'), '{q(_HTML_TAG)}', ' ', 'g')"
+    for pat, rep in _HTML_ENTITIES:
+        out = f"regexp_replace({out}, '{q(pat)}', '{q(rep)}', 'g')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+# The synthesized page: ONE parts table drives both the Spark concat
+# and the oracle's || chain, so the two engines cannot drift. The
+# page plants the real-crawl hazards the round-6 verdict named:
+# quoted attribute containing '>', named/numeric/double-escaped
+# entities, an unclosed tag, a stray '<' in text, script/style/comment
+# blocks with '>' inside.
+_HTML_PAGE_PARTS = (
+    ("lit", "<html><head><title>Doc "),
+    ("doc_id", None),
+    ("lit", "</title><style>.x{} body > p { }</style></head><body>"),
+    ("lit", "<!-- chrome: deterministic adversarial page -->"),
+    ("lit", '<nav><a href="/">home</a> <a href="/a?x=1">about</a></nav>'),
+    ("lit", '<div class="content" data-note="a>b"><h1>'),
+    ("source", None),
+    ("lit", " &amp; co</h1><p>"),
+    ("text", None),
+    (
+        "lit",
+        " &lt;raw&gt; &amp;amp; &#39;q&#34;&nbsp;end</p><b>unclosed bold"
+        "<p>math: 1 < 2 and 3 > 2</p></div>",
+    ),
+    ("lit", "<script>var x = 1 > 0 && y;</script>"),
+    ("lit", '<aside><a href="/ad">sponsored</a> click here</aside>'),
+    ("lit", "<footer>(c) "),
+    ("source", None),
+    ("lit", " all rights reserved</footer></body></html>"),
+)
+
+
+def _html_page_col():
+    cols = []
+    for kind, val in _HTML_PAGE_PARTS:
+        if kind == "lit":
+            cols.append(F.lit(val))
+        elif kind == "doc_id":
+            cols.append(F.col("doc_id").cast("string"))
+        else:
+            cols.append(F.col(kind))
+    return F.concat(*cols)
+
+
+def _html_page_sql() -> str:
+    segs = []
+    for kind, val in _HTML_PAGE_PARTS:
+        if kind == "lit":
+            segs.append("'" + val.replace("'", "''") + "'")
+        elif kind == "doc_id":
+            segs.append("CAST(doc_id AS VARCHAR)")
+        else:
+            segs.append(kind)
+    return " || ".join(segs)
 
 
 @query(
     "q250_html_text_extraction",
     oracle=f"""
     WITH h AS (
-      SELECT doc_id,
-             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
-             || '</title><style>.x{{}}</style></head><body>'
-             || '<nav><a href="/">home</a> <a href="/a">about</a></nav>'
-             || '<div class="content"><h1>' || source || '</h1><p>' || text
-             || '</p></div>'
-             || '<aside><a href="/ad">sponsored</a> click here</aside>'
-             || '<footer>(c) ' || source || ' all rights reserved</footer>'
-             || '</body></html>' AS html
-      FROM documents),
+      SELECT doc_id, {_html_page_sql()} AS html FROM documents),
     x AS (
-      SELECT doc_id, html,
-             trim(regexp_replace(regexp_replace(regexp_replace(
-               html, '{_HTML_DROP}', ' ', 'g'), '{_HTML_TAG}', ' ', 'g'),
-               '\\s+', ' ', 'g')) AS clean
-      FROM h)
+      SELECT doc_id, html, {_html_clean_sql("html")} AS clean FROM h)
     SELECT doc_id,
            CAST(length(html) AS BIGINT) AS n_raw,
            CAST(length(clean) AS BIGINT) AS n_clean,
@@ -6625,44 +6707,30 @@ _HTML_TAG = r"<[^>]*>"
 def q250_html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML main-content extraction — step 1 of every web-corpus
     pipeline (the trafilatura/jusText job): drop the chrome blocks
-    (head/nav/aside/footer), strip remaining tags, normalize
-    whitespace, and report the content ratio (clean/raw — the
-    boilerplate-density signal jusText thresholds on). The page is
-    synthesized deterministically around each fixture document (the
-    media-codec discipline: real markup, reproducible bytes), and the
-    extraction rules are GENERIC — block-drop by tag name, not by
-    knowledge of the synthesis.
+    (comment/head/nav/aside/footer/script/style), strip remaining tags
+    ATTRIBUTE-AWARE (a '>' inside a quoted attribute value does not
+    end the tag; a stray '<' in prose survives), decode the enumerated
+    entity set (named + numeric, &amp; last so double-escapes decode
+    one level — RE2 has no backreferences, so every rule is an
+    enumerated alternation), normalize whitespace, and report the
+    content ratio (clean/raw — the boilerplate-density signal jusText
+    thresholds on). The page is synthesized deterministically around
+    each fixture document (the media-codec discipline: real markup,
+    reproducible bytes) and plants the real-crawl hazards: quoted
+    '>' attributes, &lt;/&#39;/&nbsp;/&amp;amp; entities, an unclosed
+    <b>, "1 < 2" prose, script content with '>' and '&&'. The rules
+    are GENERIC — block-drop by tag name, not by knowledge of the
+    synthesis; hand-pinned extraction cases + a no-throw/bounded-ratio
+    property test live in tests/test_etl_operators.py.
 
     Everything is JVM regexp_replace column expressions inside one
-    codegen scan pass — no UDF, NO SHUFFLE; the same non-greedy
-    patterns run verbatim in the DuckDB oracle (Java regex and RE2
-    agree on this subset). Fixture texts contain no literal '<', so
-    entity escaping is out of scope here (a real crawl feeds already-
-    parsed DOM text through the same rule chain)."""
+    codegen scan pass — no UDF, NO SHUFFLE; the same patterns run
+    verbatim in the DuckDB oracle (Java regex and RE2 agree on this
+    alternation-only subset, including global-replace resume-after-
+    replacement semantics — pinned for the &amp;amp; case)."""
     d = load_table(spark, sf_dir, "documents")
-    html = F.concat(
-        F.lit("<html><head><title>Doc "),
-        F.col("doc_id").cast("string"),
-        F.lit('</title><style>.x{}</style></head><body>'
-              '<nav><a href="/">home</a> <a href="/a">about</a></nav>'
-              '<div class="content"><h1>'),
-        F.col("source"),
-        F.lit("</h1><p>"),
-        F.col("text"),
-        F.lit('</p></div><aside><a href="/ad">sponsored</a> click here</aside>'
-              "<footer>(c) "),
-        F.col("source"),
-        F.lit(" all rights reserved</footer></body></html>"),
-    )
-    clean = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(html, _HTML_DROP, " "), _HTML_TAG, " "
-            ),
-            r"\s+",
-            " ",
-        )
-    )
+    html = _html_page_col()
+    clean = _html_clean(html)
     return d.select(
         "doc_id",
         F.length(html).cast("bigint").alias("n_raw"),

@@ -766,3 +766,77 @@ def test_decode_and_resize_media_real_jpeg_path(spark):
     # values (re-encode uses the standard tables, so allow quant noise)
     assert abs(int(thumb[0, 0]) - 50) <= 4
     assert abs(int(thumb[0, 7]) - 130) <= 8
+
+
+def test_html_extraction_hardened_cases(spark):
+    """Hand-pinned real-markup hazards through q250's rule chain:
+    quoted-attribute '>', stray '<' in prose, unclosed tags,
+    script/style/comment content, the full entity set, and the
+    one-level double-escape decode (&amp;amp; -> &amp; — pins the
+    resume-after-replacement global-replace semantics both engines
+    share)."""
+    from kinesis_producer_spark.operators.llm_queries import _html_clean
+
+    cases = [
+        ('<div class="content" data-note="a>b">hi</div>', "hi"),
+        ("<p>1 < 2 and 3 > 2</p>", "1 < 2 and 3 > 2"),
+        ("<b>unclosed bold", "unclosed bold"),
+        ("<script>var x = 1 > 0 && y;</script>ok", "ok"),
+        ("<style>body > p { }</style>ok", "ok"),
+        ("<!-- a > b -->ok", "ok"),
+        ("x &amp;amp; y", "x &amp; y"),
+        ("&lt;tag&gt; stays text", "<tag> stays text"),
+        ("&#39;q&#34;&nbsp;z", "'q\" z"),
+        ("<a href='/x' title='hi>there'>link</a>", "link"),
+        ("<!doctype html><p>t</p>", "t"),
+        ("a <notatag", "a <notatag"),  # unterminated: survives as text
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)], "i long, raw string"
+    )
+    got = {
+        r.i: r.clean
+        for r in df.select("i", _html_clean(F.col("raw")).alias("clean")).collect()
+    }
+    want = {i: exp for i, (_, exp) in enumerate(cases)}
+    assert got == want, (got, want)
+    # and the chain is engine-portable: DuckDB's RE2 produces the
+    # identical bytes for every case
+    import duckdb
+
+    from kinesis_producer_spark.operators.llm_queries import _html_clean_sql
+
+    for raw, exp in cases:
+        lit = raw.replace("'", "''")
+        out = duckdb.sql(
+            f"SELECT {_html_clean_sql('v')} FROM (SELECT '{lit}' AS v)"
+        ).fetchone()[0]
+        assert out == exp, (raw, out, exp)
+
+
+def test_html_extraction_never_throws_property(spark):
+    """Adversarial random markup: the chain never throws, clean never
+    exceeds raw, and the content ratio stays in [0, 1e6] — run as one
+    Spark job over the whole generated corpus (a per-example job would
+    be minutes)."""
+    import random
+
+    from kinesis_producer_spark.operators.llm_queries import _html_clean
+
+    rng = random.Random(7)
+    alphabet = list("<>&\"'; #/!=abc xyz-")
+    rows = []
+    for i in range(400):
+        n = rng.randint(1, 60)
+        rows.append((i, "".join(rng.choice(alphabet) for _ in range(n))))
+    df = spark.createDataFrame(rows, "i long, raw string")
+    out = df.select(
+        "i",
+        F.length("raw").cast("bigint").alias("n_raw"),
+        F.length(_html_clean(F.col("raw"))).cast("bigint").alias("n_clean"),
+    ).collect()
+    assert len(out) == 400
+    for r in out:
+        assert 0 <= r.n_clean <= r.n_raw, (r.i, r.n_raw, r.n_clean)
+        ratio = (1_000_000 * r.n_clean) // r.n_raw
+        assert 0 <= ratio <= 1_000_000
