@@ -103,6 +103,11 @@ HEADLINE = [
     # and HTML main-content extraction (pure regexp codegen scan).
     "q249_distribution_drift",
     "q250_html_text_extraction",
+    # Round-7: composed IVF×PQ serving (multi-probe cell pruning ->
+    # ADC over probed codes -> exact re-rank) and its recall gate vs
+    # the flat-ADC path.
+    "q252_ivf_pq_topk",
+    "q253_ivf_pq_recall",
 ]
 
 

@@ -70,6 +70,16 @@ SOAK = [
     # round-6 extension: curriculum phases (the q238 prefix-sum
     # composition on a second query)
     "q241_curriculum_phases",
+    # round-7 (VERDICT r6 items 6 and 7): the eval/serving members
+    # that joined after the r6 list froze, the rewired compact-code
+    # PQ path (q234 stays above for the before/after), and the
+    # composed IVF×PQ index + its recall gate
+    "q242_ann_recall_eval",
+    "q243_streaming_token_budget",
+    "q245_hard_negative_mining",
+    "q246_semantic_decontamination",
+    "q252_ivf_pq_topk",
+    "q253_ivf_pq_recall",
 ]
 
 SF_DIRS = {
