@@ -6784,9 +6784,9 @@ _IVFPQ_CTES = """
 """
 
 
-@query(
-    "q252_ivf_pq_topk",
-    oracle=f"""
+# shared by q252 (inline index) and q254 (persisted index) — the two
+# must be row-identical by construction
+_IVFPQ_TOPK_ORACLE = f"""
     WITH {_IVFPQ_CTES.format(qids="0, 1, 2")},
     approx AS (
       SELECT p.query_id, codes.vec_id, CAST(SUM(qd2) AS BIGINT) AS adist_q
@@ -6810,8 +6810,10 @@ _IVFPQ_CTES = """
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cos_micro DESC, vec_id) AS rank
       FROM scored) WHERE rank <= 10
-    """,
-)
+    """
+
+
+@query("q252_ivf_pq_topk", oracle=_IVFPQ_TOPK_ORACLE)
 def q252_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVF×PQ ANN serving (Jégou et al. 2011 §IV, IVFADC):
     IVF multi-probe (q190) prunes the PQ code scan to the query's
@@ -6829,6 +6831,38 @@ def q252_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(
         e, query_ids=[0, 1, 2], k=10, shortlist=50, bits=3,
         n_centroids=16, m_dims=8,
+    )
+
+
+@query("q254_ivf_pq_index_serving", oracle=_IVFPQ_TOPK_ORACLE)
+def q254_ivf_pq_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-BACKED IVF×PQ serving — the q252 pipeline split into the
+    production build/serve halves: ``ivf_pq_write_index`` materializes
+    (vec_id, codes) as a parquet table PARTITIONED BY the IVF cell
+    (one pass over raw vectors — the only time the 100 TB corpus is
+    read), then ``ivf_pq_topk_from_index`` serves the same three
+    queries by scanning ONLY the probed cells' partitions (the probe
+    list is an IN partition filter, so file pruning happens before
+    any I/O — asserted on inputFiles in tests/test_scale_strategies).
+    Row-identical to q252 (its oracle, verbatim): persistence and
+    partition pruning must not change a single rank."""
+    import hashlib
+    import os
+    import tempfile
+
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_pq_topk_from_index,
+        ivf_pq_write_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"ivfpq_idx_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    cb = ivf_pq_write_index(e, idx, bits=3, n_centroids=16, m_dims=8)
+    return ivf_pq_topk_from_index(
+        e, idx, cb, query_ids=[0, 1, 2], k=10, shortlist=50, bits=3, m_dims=8
     )
 
 

@@ -509,6 +509,127 @@ def ivf_pq_topk(
     )
 
 
+def ivf_pq_write_index(
+    corpus: DataFrame,
+    path: str,
+    bits: int = 3,
+    n_centroids: int = 16,
+    m_dims: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> list[list[int]]:
+    """Materialize the IVF×PQ index as a CELL-PARTITIONED parquet
+    table (vec_id, codes array<int>) under ``path`` and return the
+    codebook (the only other state a server needs — K·dim ints,
+    embed it in the serving job). This is the production split
+    between index BUILD (one pass over the raw corpus — the only
+    time 100 TB of vectors is ever read) and SERVING
+    (``ivf_pq_topk_from_index``): because ``cell`` is a physical
+    partition column, a query's probe list becomes a partition
+    filter and the scan reads ONLY the probed cells' code files —
+    the file-prune claim in ``ivf_pq_topk``'s docstring made real
+    and plan-pinned (tests assert the pruned scan's inputFiles).
+    """
+    cb = _collect_codebook(corpus, id_col, emb_col, n_centroids)
+    codes_fn, _, _ = _pq_expr_parts(cb, m_dims)
+    (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            ivf_cell(F.col(emb_col), bits).alias("cell"),
+            codes_fn(F.col(emb_col)).alias("codes"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return cb
+
+
+def ivf_pq_topk_from_index(
+    corpus: DataFrame,
+    index_path: str,
+    codebook: list[list[int]],
+    query_ids: list[int],
+    k: int = 10,
+    shortlist: int = 50,
+    bits: int = 3,
+    m_dims: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Serve top-k from a PERSISTED IVF×PQ index
+    (``ivf_pq_write_index``): compute the query-side probe cells and
+    ADC tables from the embedded codebook, scan only the probed cell
+    partitions of the code table (``cell`` is a partition column, so
+    the IN-list filter prunes files before any I/O), lookup-sum the
+    codes, shortlist, and re-rank exactly against the raw corpus.
+    Row-identical to the in-line ``ivf_pq_topk`` (same tie-breaks).
+
+    The probe list is driver-side control data (|queries|·(bits+1)
+    ints, from the broadcast-sized query set) — that is what turns it
+    into a pushable partition filter; everything corpus-sized stays
+    distributed."""
+    spark = corpus.sparkSession
+    _, qd2_fn, adist_fn = _pq_expr_parts(codebook, m_dims)
+    qc = ivf_cell(F.col(emb_col), bits)
+    probes = F.array(qc, *[qc.bitwiseXOR(F.lit(1 << i)) for i in range(bits)])
+    q = corpus.filter(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probes).alias("cell"),
+        qd2_fn(F.col(emb_col)).alias("_qd2"),
+    )
+    probe_rows = q.select("query_id", "cell").collect()  # bounded: |queries|·(bits+1)
+    probe_cells = sorted({int(r["cell"]) for r in probe_rows})
+    coded = spark.read.parquet(index_path).filter(F.col("cell").isin(probe_cells))
+    cand = coded.join(F.broadcast(q), "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("query_id"))
+    short = (
+        cand.select(
+            "query_id",
+            "vec_id",
+            adist_fn(F.col("codes"), F.col("_qd2")).alias("adist_q"),
+        )
+        .withColumn(
+            "srn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("adist_q").asc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("srn") <= shortlist)
+        .drop("srn")
+    )
+    qe = corpus.filter(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("_qe"),
+        qdot(F.col(emb_col), F.col(emb_col)).alias("_nq"),
+    )
+    ce = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("_ce"),
+        qdot(F.col(emb_col), F.col(emb_col)).alias("_nc"),
+    )
+    scored = (
+        short.join(ce, "vec_id")
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "adist_q",
+            _cos_from_parts("_ce", "_qe", "_nc", "_nq").alias("cos_micro"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_micro").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adist_q", "cos_micro", "rank")
+    )
+
+
 def pq_codes_and_adc_topk(
     corpus: DataFrame,
     query_ids: list[int],

@@ -1085,3 +1085,58 @@ def test_semdedup_auto_bits_scales_with_corpus(spark):
         streaming_semantic_keep_list(stream)
     # with the hint, construction succeeds (lazy — no query started)
     streaming_semantic_keep_list(stream, expected_corpus=2000)
+
+
+def test_ivf_pq_index_partition_pruning(spark, tmp_path):
+    """The persisted IVF×PQ index is partitioned by cell, and serving
+    scans ONLY the probed cells' files: the pruned read's inputFiles
+    must all live under probe-cell partition dirs and must be a strict
+    subset of the index (some cell is never probed by this query set).
+    Results must equal the inline q252 path row for row."""
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_cell,
+        ivf_pq_topk,
+        ivf_pq_topk_from_index,
+        ivf_pq_write_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    idx = str(tmp_path / "ivfpq_idx")
+    cb = ivf_pq_write_index(e, idx, bits=3)
+
+    qids = [0, 1, 2]
+    served = ivf_pq_topk_from_index(e, idx, cb, query_ids=qids, bits=3)
+    inline = ivf_pq_topk(e, query_ids=qids, bits=3)
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(served) == as_set(inline) and as_set(served)
+
+    # the physical scan: files restricted to probed cell partitions.
+    # One query probes 4 of the 8 cells (own + Hamming-1), so the
+    # pruned read must touch at most half the index files
+    probe_cells = {
+        int(r.c) ^ x
+        for r in e.filter(F.col("vec_id") == 0)
+        .select(ivf_cell(F.col("embedding"), 3).alias("c"))
+        .collect()
+        for x in (0, 1, 2, 4)
+    }
+    pruned = spark.read.parquet(idx).filter(
+        F.col("cell").isin(sorted(probe_cells))
+    )
+    # plan-level: the IN list reaches the scan as a PARTITION filter
+    # (file pruning before I/O), not a post-scan data filter
+    plan = _plan(pruned)
+    assert "PartitionFilters: [cell" in plan and " IN (" in plan, plan
+    # execution-level: the files actually read are exactly the probed
+    # cells' partition dirs, a strict subset of the index
+    got_files = {
+        r.f for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    all_files = set(spark.read.parquet(idx).inputFiles())
+    assert got_files, "pruned scan read no files"
+    assert got_files < all_files, "probe filter did not prune any partition"
+    import re
+
+    for f in got_files:
+        m = re.search(r"cell=(\d+)", f)
+        assert m and int(m.group(1)) in probe_cells, f
