@@ -6866,6 +6866,114 @@ def q254_ivf_pq_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q255_ivf_pq_incremental_serving",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+    cbids AS (
+      SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+      FROM (SELECT vec_id FROM base ORDER BY vec_id LIMIT 16)),
+    dims AS (
+      SELECT vec_id, CAST(d // 8 AS INT) AS m, CAST(d % 8 AS INT) AS dd,
+             CAST(FLOOR(1e6 * CAST(embedding[d + 1] AS DOUBLE) + 0.5) AS BIGINT) AS vm
+      FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS d)
+    ),
+    cb AS (SELECT c.cid, d.m, d.dd, d.vm AS cm
+           FROM dims d JOIN cbids c USING (vec_id)),
+    sd AS (
+      SELECT dims.vec_id, dims.m, cb.cid,
+             CAST(SUM((vm - cm) * (vm - cm)) AS BIGINT) AS sd2
+      FROM dims JOIN cb ON dims.m = cb.m AND dims.dd = cb.dd
+      GROUP BY dims.vec_id, dims.m, cb.cid
+    ),
+    codes AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY sd2, cid) AS rn FROM sd
+      ) WHERE rn = 1
+    ),
+    cells AS (
+      SELECT vec_id,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS cell
+      FROM embeddings),
+    probes AS (
+      SELECT c.vec_id AS query_id, p.pcell
+      FROM cells c CROSS JOIN unnest([c.cell, xor(c.cell, 1),
+                                      xor(c.cell, 2), xor(c.cell, 4)]) AS p(pcell)
+      WHERE c.vec_id IN (0, 1, 2)),
+    adc AS (SELECT vec_id AS query_id, m, cid, sd2 AS qd2
+            FROM sd WHERE vec_id IN (0, 1, 2)),
+    approx AS (
+      SELECT p.query_id, codes.vec_id, CAST(SUM(qd2) AS BIGINT) AS adist_q
+      FROM codes
+      JOIN cells cl ON cl.vec_id = codes.vec_id
+      JOIN probes p ON p.pcell = cl.cell
+      JOIN adc a ON a.query_id = p.query_id
+                AND a.m = codes.m AND a.cid = codes.code
+      GROUP BY p.query_id, codes.vec_id),
+    short AS (
+      SELECT query_id, vec_id, adist_q FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist_q, vec_id) AS rn
+        FROM approx) WHERE rn <= 50),
+    scored AS (
+      SELECT s.query_id, s.vec_id, s.adist_q, {_COS_MICRO_SQL} AS cos_micro
+      FROM short s
+      JOIN embeddings a ON a.vec_id = s.query_id
+      JOIN embeddings b ON b.vec_id = s.vec_id)
+    SELECT query_id, vec_id, adist_q, cos_micro, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_micro DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= 10
+    """,
+)
+def q255_ivf_pq_incremental_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF×PQ index maintenance — q254's persisted index
+    under the CDC contract (q240's split: vec_id % 10 == 0 is the
+    arriving delta): the index is BUILT from the standing corpus, the
+    delta batch is encoded against the FROZEN build-time codebook and
+    APPENDED into the existing cell partitions (no rewrite of
+    standing files), and serving over the combined index answers the
+    same three queries — including query 0, which itself lives in the
+    delta. The oracle encodes the frozen-codebook semantics exactly:
+    centroids are the 16 lowest-id BASE rows (rank-ordered cids), and
+    every vector — base or delta — is coded against them.
+
+    Scale: the append path touches delta-sized data only; the
+    partition layout (and so the probe-list file pruning, q254's
+    pinned property) is preserved because appended files land inside
+    the same cell= dirs. Codebook refresh is a REBUILD decision gated
+    by the q253 recall harness, never an append-path mutation."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from kinesis_producer_spark.operators.similarity import (
+        _collect_codebook,
+        ivf_pq_append_index,
+        ivf_pq_topk_from_index,
+        ivf_pq_write_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    delta = e.filter(F.col("vec_id") % 10 == 0)
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"ivfpq_cdc_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(idx, ignore_errors=True)  # appends must not survive reruns
+    cb = ivf_pq_write_index(base, idx, bits=3, n_centroids=16, m_dims=8)
+    assert cb == _collect_codebook(base, "vec_id", "embedding", 16)
+    ivf_pq_append_index(delta, idx, cb, bits=3, m_dims=8)
+    return ivf_pq_topk_from_index(
+        e, idx, cb, query_ids=[0, 1, 2], k=10, shortlist=50, bits=3, m_dims=8
+    )
+
+
 _IVFPQ_RECALL_QIDS = ", ".join(str(i) for i in range(_RECALL_QUERIES))
 
 

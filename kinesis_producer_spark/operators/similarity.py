@@ -309,25 +309,31 @@ def _micro_arr(emb: Column) -> Column:
 def _collect_codebook(
     corpus: DataFrame, id_col: str, emb_col: str, n_centroids: int
 ) -> list[list[int]]:
-    """The closed-form PQ codebook (centroid c = the corpus row with
-    vec_id == c, micro-quantized) as driver-side literals. This is a
-    BOUNDED control-data collect — n_centroids rows (16), the same
-    discipline as the bloom/bucket-count collects — and it is what
-    makes code assignment a zero-shuffle projection: the codebook
-    rides into every task as K·dim integer literals instead of a
-    join."""
+    """The closed-form PQ codebook (centroid c = the c-th LOWEST-id
+    corpus row, micro-quantized; on a dense-id corpus that is exactly
+    the row with vec_id == c, which is what the SQL oracles encode)
+    as driver-side literals. This is a BOUNDED control-data collect —
+    n_centroids rows (16), the same discipline as the bloom/
+    bucket-count collects — and it is what makes code assignment a
+    zero-shuffle projection: the codebook rides into every task as
+    K·dim integer literals instead of a join. Lowest-id (not
+    ``id < K``) so an INCREMENTAL base corpus with id holes (q255)
+    still yields a full codebook."""
     import math
 
     rows = (
-        corpus.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).cast("int").alias("cid"), F.col(emb_col).alias("e"))
+        corpus.select(F.col(id_col).alias("i"), F.col(emb_col).alias("e"))
+        .orderBy("i")
+        .limit(n_centroids)
         .collect()
     )
-    byid = {
-        int(r["cid"]): [int(math.floor(1e6 * float(v) + 0.5)) for v in r["e"]]
-        for r in rows
-    }
-    return [byid[c] for c in range(n_centroids)]
+    if len(rows) < n_centroids:
+        raise ValueError(
+            f"codebook needs {n_centroids} rows, corpus has {len(rows)}"
+        )
+    return [
+        [int(math.floor(1e6 * float(v) + 0.5)) for v in r["e"]] for r in rows
+    ]
 
 
 def _pq_expr_parts(cb: list[list[int]], m_dims: int):
@@ -543,6 +549,37 @@ def ivf_pq_write_index(
         .parquet(path)
     )
     return cb
+
+
+def ivf_pq_append_index(
+    new_vectors: DataFrame,
+    path: str,
+    codebook: list[list[int]],
+    bits: int = 3,
+    m_dims: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance — the CDC half of the ANN story
+    (nobody rebuilds a 100 TB index per ingest batch, exactly as
+    nobody re-dedups one, q240): encode ONLY the delta batch against
+    the FROZEN build-time codebook and append its (vec_id, codes)
+    rows into the existing cell partitions. Appended files land in
+    the same ``cell=`` dirs, so serving keeps its partition-prune
+    shape with zero rewrite of standing data; codebook drift is a
+    rebuild decision (monitor with the q253 recall gate), not an
+    append-path concern."""
+    codes_fn, _, _ = _pq_expr_parts(codebook, m_dims)
+    (
+        new_vectors.select(
+            F.col(id_col).alias("vec_id"),
+            ivf_cell(F.col(emb_col), bits).alias("cell"),
+            codes_fn(F.col(emb_col)).alias("codes"),
+        )
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
 
 
 def ivf_pq_topk_from_index(

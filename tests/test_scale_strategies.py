@@ -1140,3 +1140,59 @@ def test_ivf_pq_index_partition_pruning(spark, tmp_path):
     for f in got_files:
         m = re.search(r"cell=(\d+)", f)
         assert m and int(m.group(1)) in probe_cells, f
+
+
+def test_ivf_pq_append_equals_rebuild_under_frozen_codebook(spark, tmp_path):
+    """CDC contract for the persisted ANN index: building from the
+    base then APPENDING the delta (frozen build-time codebook) serves
+    exactly what a from-scratch rebuild over the union with the SAME
+    codebook serves — and the delta rows landed inside the existing
+    cell= partition dirs (layout preserved, so q254's file pruning
+    still applies)."""
+    import os
+
+    from kinesis_producer_spark.operators.similarity import (
+        _collect_codebook,
+        _pq_expr_parts,
+        ivf_cell,
+        ivf_pq_append_index,
+        ivf_pq_topk_from_index,
+        ivf_pq_write_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    delta = e.filter(F.col("vec_id") % 10 == 0)
+
+    inc = str(tmp_path / "idx_inc")
+    cb = ivf_pq_write_index(base, inc, bits=3)
+    ivf_pq_append_index(delta, inc, cb, bits=3)
+
+    # rebuild over the union, forcing the SAME base codebook by hand
+    full = str(tmp_path / "idx_full")
+    codes_fn, _, _ = _pq_expr_parts(cb, 8)
+    (
+        e.select(
+            F.col("vec_id"),
+            ivf_cell(F.col("embedding"), 3).alias("cell"),
+            codes_fn(F.col("embedding")).alias("codes"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(full)
+    )
+    qids = [0, 1, 2]  # query 0 lives in the delta
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    got = as_set(ivf_pq_topk_from_index(e, inc, cb, query_ids=qids, bits=3))
+    want = as_set(ivf_pq_topk_from_index(e, full, cb, query_ids=qids, bits=3))
+    assert got == want and got
+
+    # the index tables themselves are row-identical
+    idx_set = lambda p: {  # noqa: E731
+        (r.vec_id, tuple(r.codes), r.cell) for r in spark.read.parquet(p).collect()
+    }
+    assert idx_set(inc) == idx_set(full)
+    # and appends reused the existing cell partition dirs
+    inc_cells = {d for d in os.listdir(inc) if d.startswith("cell=")}
+    full_cells = {d for d in os.listdir(full) if d.startswith("cell=")}
+    assert inc_cells == full_cells and inc_cells
