@@ -6974,6 +6974,99 @@ def q255_ivf_pq_incremental_serving(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query(
+    "q256_ivf_pq_residual_topk",
+    oracle=f"""
+    WITH dims AS (
+      SELECT vec_id, d, CAST(d // 8 AS INT) AS m, CAST(d % 8 AS INT) AS dd,
+             CAST(FLOOR(1e6 * CAST(embedding[d + 1] AS DOUBLE) + 0.5) AS BIGINT) AS vm
+      FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS d)
+    ),
+    cells AS (
+      SELECT vec_id,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS cell
+      FROM embeddings),
+    cen AS (
+      SELECT c.cell, dims.d,
+             CAST(FLOOR(CAST(SUM(vm) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cm
+      FROM dims JOIN cells c USING (vec_id) GROUP BY c.cell, dims.d),
+    rdims AS (
+      SELECT dims.vec_id, dims.m, dims.dd, dims.vm - cen.cm AS rm
+      FROM dims JOIN cells c USING (vec_id)
+      JOIN cen ON cen.cell = c.cell AND cen.d = dims.d),
+    cbr AS (SELECT CAST(r.vec_id AS INT) AS cid, r.m, r.dd, r.rm AS crm
+            FROM rdims r WHERE r.vec_id < 16),
+    sd AS (
+      SELECT r.vec_id, r.m, cbr.cid,
+             CAST(SUM((r.rm - cbr.crm) * (r.rm - cbr.crm)) AS BIGINT) AS sd2
+      FROM rdims r JOIN cbr ON r.m = cbr.m AND r.dd = cbr.dd
+      GROUP BY r.vec_id, r.m, cbr.cid),
+    codes AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY sd2, cid) AS rn FROM sd
+      ) WHERE rn = 1),
+    probes AS (
+      SELECT c.vec_id AS query_id, p.pcell
+      FROM cells c CROSS JOIN unnest([c.cell, xor(c.cell, 1),
+                                      xor(c.cell, 2), xor(c.cell, 4)]) AS p(pcell)
+      WHERE c.vec_id IN (0, 1, 2)),
+    qrd AS (
+      SELECT p.query_id, p.pcell, dims.m, dims.dd, dims.vm - cen.cm AS rm
+      FROM probes p
+      JOIN dims ON dims.vec_id = p.query_id
+      JOIN cen ON cen.cell = p.pcell AND cen.d = dims.d),
+    qsd AS (
+      SELECT q.query_id, q.pcell, q.m, cbr.cid,
+             CAST(SUM((q.rm - cbr.crm) * (q.rm - cbr.crm)) AS BIGINT) AS qd2
+      FROM qrd q JOIN cbr ON q.m = cbr.m AND q.dd = cbr.dd
+      GROUP BY q.query_id, q.pcell, q.m, cbr.cid),
+    approx AS (
+      SELECT p.query_id, codes.vec_id, CAST(SUM(qsd.qd2) AS BIGINT) AS adist_q
+      FROM codes
+      JOIN cells cl ON cl.vec_id = codes.vec_id
+      JOIN probes p ON p.pcell = cl.cell
+      JOIN qsd ON qsd.query_id = p.query_id AND qsd.pcell = p.pcell
+              AND qsd.m = codes.m AND qsd.cid = codes.code
+      GROUP BY p.query_id, codes.vec_id),
+    short AS (
+      SELECT query_id, vec_id, adist_q FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist_q, vec_id) AS rn
+        FROM approx) WHERE rn <= 50),
+    scored AS (
+      SELECT s.query_id, s.vec_id, s.adist_q, {_COS_MICRO_SQL} AS cos_micro
+      FROM short s
+      JOIN embeddings a ON a.vec_id = s.query_id
+      JOIN embeddings b ON b.vec_id = s.vec_id)
+    SELECT query_id, vec_id, adist_q, cos_micro, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_micro DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= 10
+    """,
+)
+def q256_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with residual encoding — the full Jégou et al. 2011
+    composition and the last paper-faithful piece of the ANN family:
+    PQ codes quantize x − centroid(cell(x)) (residuals cluster
+    tighter than raw vectors, so the same 8×16 code budget buys finer
+    quantization), and a query probing cell c scores against a
+    distance table built from q − centroid(c) — one table per probed
+    cell, the asymmetric step the flat composition (q252) skips.
+    Centroids are the per-cell micro-int means (q235's integer-exact
+    expression); everything after the one micro quantization is int64
+    on both engines (operators/similarity.py:ivf_pq_residual_topk)."""
+    from kinesis_producer_spark.operators.similarity import ivf_pq_residual_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_residual_topk(
+        e, query_ids=[0, 1, 2], k=10, shortlist=50, bits=3,
+        n_centroids=16, m_dims=8,
+    )
+
+
 _IVFPQ_RECALL_QIDS = ", ".join(str(i) for i in range(_RECALL_QUERIES))
 
 

@@ -515,6 +515,226 @@ def ivf_pq_topk(
     )
 
 
+def _collect_cell_centroids(
+    corpus: DataFrame,
+    bits: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> dict[int, list[int]]:
+    """Per-cell per-dimension micro-int centroid (the q235 expression:
+    one fixed-order double division then floor — integer-exact and
+    oracle-reproducible), collected as driver literals: 2^bits · dim
+    ints, bounded control data. One map-side-combinable aggregation
+    pass over the corpus."""
+    dims = corpus.select(
+        ivf_cell(F.col(emb_col), bits).alias("cell"),
+        F.posexplode(F.col(emb_col)).alias("d", "v"),
+    ).select(
+        "cell",
+        "d",
+        F.floor(F.lit(1e6) * F.col("v").cast("double") + F.lit(0.5))
+        .cast("bigint")
+        .alias("vm"),
+    )
+    cen = dims.groupBy("cell", "d").agg(
+        F.floor(F.sum("vm").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cm")
+    )
+    out: dict[int, list[int]] = {}
+    for r in cen.collect():
+        out.setdefault(int(r["cell"]), [0] * 0)
+    rows = cen.collect()
+    dim = max(int(r["d"]) for r in rows) + 1
+    out = {}
+    for r in rows:
+        out.setdefault(int(r["cell"]), [0] * dim)[int(r["d"])] = int(r["cm"])
+    return out
+
+
+def _pq_residual_parts(
+    cb_resid: list[list[int]], centroids: dict[int, list[int]], m_dims: int
+):
+    """Residual-space siblings of ``_pq_expr_parts`` (true IVFADC,
+    Jégou et al. 2011 §IV.B: quantize x − centroid(cell(x)), and the
+    query builds a SEPARATE distance table per probed cell from
+    q − centroid(probed cell)). Code assignment and query tables take
+    (embedding, cell) pairs; everything stays int64 after the one
+    micro quantization, so the SQL oracle reproduces every value."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.array(cb_resid, dtype=np.int64)  # (K, dim) residual codebook
+    n_k, dim = cmat.shape
+    n_m = dim // m_dims
+    csub = cmat.reshape(n_k, n_m, m_dims)
+    cen = {c: np.array(v, dtype=np.int64) for c, v in centroids.items()}
+    zero = np.zeros(dim, dtype=np.int64)
+
+    def _resid(embs: pd.Series, cells: pd.Series) -> "np.ndarray":
+        v = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        vm = np.floor(1e6 * v + 0.5).astype(np.int64)
+        # a probed cell with no residents has no centroid; its table
+        # is never joined to a candidate, so any value works — zeros
+        # keep the batch vectorized
+        cm = np.stack([cen.get(int(c), zero) for c in cells])
+        return vm - cm
+
+    def _sd2(rm: "np.ndarray") -> "np.ndarray":
+        rsub = rm.reshape(len(rm), n_m, m_dims)
+        out = np.empty((len(rm), n_k, n_m), dtype=np.int64)
+        for m in range(n_m):
+            diff = rsub[:, None, m, :] - csub[None, :, m, :]
+            out[:, :, m] = (diff * diff).sum(axis=2)
+        return out
+
+    def _codes(embs, cells):
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        codes = _sd2(_resid(embs, cells)).argmin(axis=1).astype(np.int32)
+        return pd.Series(list(codes))
+
+    def _qd2(embs, cells):
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        sd2 = _sd2(_resid(embs, cells))
+        return pd.Series(list(sd2.transpose(0, 2, 1).reshape(len(embs), n_m * n_k)))
+
+    codes_udf = F.pandas_udf(_codes, "array<int>")
+    qd2_udf = F.pandas_udf(_qd2, "array<bigint>")
+
+    def codes_fn(emb: Column, cell: Column) -> Column:
+        return codes_udf(emb, cell)
+
+    def qd2_fn(emb: Column, cell: Column) -> Column:
+        return qd2_udf(emb, cell)
+
+    def adist_fn(codes_col: Column, qd2_col: Column) -> Column:
+        total = None
+        for m in range(n_m):
+            term = F.element_at(
+                qd2_col, m * n_k + F.element_at(codes_col, m + 1) + 1
+            )
+            total = term if total is None else total + term
+        return total.cast("bigint")
+
+    return codes_fn, qd2_fn, adist_fn
+
+
+def ivf_pq_residual_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    shortlist: int = 50,
+    bits: int = 3,
+    n_centroids: int = 16,
+    m_dims: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVFADC with RESIDUAL encoding — the full Jégou et al. 2011
+    composition: each vector's PQ code quantizes x − centroid(cell(x))
+    (residuals cluster tighter than raw vectors, so the same code
+    budget buys finer quantization), and a query probing cell c
+    scores against a distance table built from q − centroid(c) — one
+    table PER PROBED CELL, the asymmetric part the flat composition
+    (q252) skips. Shortlist + exact re-rank as in q252; returns the
+    same (query_id, vec_id, adist_q, cos_micro, rank) shape.
+
+    Scale: identical to q252 (codes ∝ probed cells, broadcast query
+    tables — now (bits+1) of them per query, still tiny) plus one
+    map-side-combinable centroid pass at build; centroids and the
+    residual codebook are bounded driver literals."""
+    import math
+
+    centroids = _collect_cell_centroids(corpus, bits, id_col, emb_col)
+    cb_rows = (
+        corpus.select(
+            F.col(id_col).alias("i"),
+            F.col(emb_col).alias("e"),
+            ivf_cell(F.col(emb_col), bits).alias("c"),
+        )
+        .orderBy("i")
+        .limit(n_centroids)
+        .collect()
+    )
+    cb_resid = [
+        [
+            int(math.floor(1e6 * float(v) + 0.5)) - centroids[int(r["c"])][d]
+            for d, v in enumerate(r["e"])
+        ]
+        for r in cb_rows
+    ]
+    codes_fn, qd2_fn, adist_fn = _pq_residual_parts(cb_resid, centroids, m_dims)
+    coded = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        ivf_cell(F.col(emb_col), bits).alias("_cell"),
+        codes_fn(F.col(emb_col), ivf_cell(F.col(emb_col), bits)).alias("_codes"),
+    )
+    qc = ivf_cell(F.col(emb_col), bits)
+    probes = F.array(qc, *[qc.bitwiseXOR(F.lit(1 << i)) for i in range(bits)])
+    q = (
+        corpus.filter(F.col(id_col).isin(*query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(emb_col).alias("_qe"),
+            F.explode(probes).alias("_cell"),
+        )
+        .select(
+            "query_id",
+            "_cell",
+            qd2_fn(F.col("_qe"), F.col("_cell")).alias("_qd2"),
+        )
+    )
+    cand = coded.join(F.broadcast(q), "_cell")
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("query_id"))
+    short = (
+        cand.select(
+            "query_id",
+            "vec_id",
+            adist_fn(F.col("_codes"), F.col("_qd2")).alias("adist_q"),
+        )
+        .withColumn(
+            "srn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("adist_q").asc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("srn") <= shortlist)
+        .drop("srn")
+    )
+    qe = corpus.filter(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("_qe"),
+        qdot(F.col(emb_col), F.col(emb_col)).alias("_nq"),
+    )
+    ce = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("_ce"),
+        qdot(F.col(emb_col), F.col(emb_col)).alias("_nc"),
+    )
+    scored = (
+        short.join(ce, "vec_id")
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "adist_q",
+            _cos_from_parts("_ce", "_qe", "_nc", "_nq").alias("cos_micro"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_micro").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adist_q", "cos_micro", "rank")
+    )
+
+
 def ivf_pq_write_index(
     corpus: DataFrame,
     path: str,

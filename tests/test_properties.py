@@ -1029,8 +1029,15 @@ def test_html_extraction_drops_all_chrome_blocks(spark, tmp_path):
     rows = [(7, "alpha beta gamma", "en")]
     sf = _write_documents(spark, tmp_path, rows)
     (r,) = q250_html_text_extraction(spark, sf).collect()
-    # reconstruct the expected clean text: heading (source) + body
-    expect = "src0 alpha beta gamma"
+    # reconstruct the expected clean text for the round-7 hardened
+    # page: heading + entity, body, then the planted adversarial
+    # content (decoded entities, unclosed-tag text, stray-'<' prose) —
+    # everything chrome (title/style/comment/nav/script/aside/footer)
+    # must be gone
+    expect = (
+        "src0 & co alpha beta gamma <raw> &amp; 'q\" end "
+        "unclosed bold math: 1 < 2 and 3 > 2"
+    )
     assert r.clean_md5 == hashlib.md5(expect.encode()).hexdigest(), r
     assert r.n_clean == len(expect)
     assert r.content_ratio_micro == (1_000_000 * r.n_clean) // r.n_raw
