@@ -296,16 +296,6 @@ def semantic_dedup_keep_list(
     )
 
 
-def _micro_arr(emb: Column) -> Column:
-    """Per-element micro-quantized copy of a float-array column:
-    vm[i] = ⌊10⁶·emb[i] + 0.5⌋ as BIGINT — the integer domain all PQ
-    distances live in (cross-engine exact)."""
-    return F.transform(
-        emb,
-        lambda x: F.floor(F.lit(1e6) * x.cast("double") + F.lit(0.5)).cast("bigint"),
-    )
-
-
 def _collect_codebook(
     corpus: DataFrame, id_col: str, emb_col: str, n_centroids: int
 ) -> list[list[int]]:
@@ -416,6 +406,73 @@ def _pq_expr_parts(cb: list[list[int]], m_dims: int):
     return codes_fn, qd2_fn, adist_fn
 
 
+def _adc_shortlist_rerank(
+    corpus: DataFrame,
+    cand: DataFrame,
+    adist_fn,
+    query_ids: list[int],
+    k: int,
+    shortlist: int,
+    id_col: str,
+    emb_col: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Shared tail of every IVF×PQ serving path (inline q252,
+    index-backed q254/q255, residual q256): candidates → ADC lookup
+    sum → per-query shortlist → exact-cosine re-rank (hoisted
+    self-norms) → top-k. ``cand`` carries (query_id, vec_id, _codes,
+    _qd2); the re-rank touches raw vectors for |queries|·shortlist
+    rows only, and the exact same window tie-breaks keep the four
+    paths row-comparable."""
+    if exclude_self:
+        # recall-eval convention (q242/q253): the query must not
+        # count itself as its own neighbor
+        cand = cand.filter(F.col("vec_id") != F.col("query_id"))
+    short = (
+        cand.select(
+            "query_id",
+            "vec_id",
+            adist_fn(F.col("_codes"), F.col("_qd2")).alias("adist_q"),
+        )
+        .withColumn(
+            "srn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("adist_q").asc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("srn") <= shortlist)
+        .drop("srn")
+    )
+    qe = corpus.filter(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("_qe"),
+        qdot(F.col(emb_col), F.col(emb_col)).alias("_nq"),
+    )
+    ce = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("_ce"),
+        qdot(F.col(emb_col), F.col(emb_col)).alias("_nc"),
+    )
+    scored = (
+        short.join(ce, "vec_id")
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "adist_q",
+            _cos_from_parts("_ce", "_qe", "_nc", "_nq").alias("cos_micro"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_micro").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adist_q", "cos_micro", "rank")
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     query_ids: list[int],
@@ -465,53 +522,9 @@ def ivf_pq_topk(
         qd2_fn(F.col(emb_col)).alias("_qd2"),
     )
     cand = coded.join(F.broadcast(q), "_cell")
-    if exclude_self:
-        # recall-eval convention (q242/q253): the query must not
-        # count itself as its own neighbor
-        cand = cand.filter(F.col("vec_id") != F.col("query_id"))
-    short = (
-        cand
-        .select(
-            "query_id",
-            "vec_id",
-            adist_fn(F.col("_codes"), F.col("_qd2")).alias("adist_q"),
-        )
-        .withColumn(
-            "srn",
-            F.row_number().over(
-                W.partitionBy("query_id").orderBy(
-                    F.col("adist_q").asc(), F.col("vec_id")
-                )
-            ),
-        )
-        .filter(F.col("srn") <= shortlist)
-        .drop("srn")
-    )
-    qe = corpus.filter(F.col(id_col).isin(*query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(emb_col).alias("_qe"),
-        qdot(F.col(emb_col), F.col(emb_col)).alias("_nq"),
-    )
-    ce = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(emb_col).alias("_ce"),
-        qdot(F.col(emb_col), F.col(emb_col)).alias("_nc"),
-    )
-    scored = (
-        short.join(ce, "vec_id")
-        .join(F.broadcast(qe), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            "adist_q",
-            _cos_from_parts("_ce", "_qe", "_nc", "_nq").alias("cos_micro"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_micro").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "adist_q", "cos_micro", "rank")
+    return _adc_shortlist_rerank(
+        corpus, cand, adist_fn, query_ids, k, shortlist, id_col, emb_col,
+        exclude_self,
     )
 
 
@@ -541,12 +554,9 @@ def _collect_cell_centroids(
         .cast("bigint")
         .alias("cm")
     )
-    out: dict[int, list[int]] = {}
-    for r in cen.collect():
-        out.setdefault(int(r["cell"]), [0] * 0)
-    rows = cen.collect()
+    rows = cen.collect()  # bounded: 2^bits cells x dim dims
     dim = max(int(r["d"]) for r in rows) + 1
-    out = {}
+    out: dict[int, list[int]] = {}
     for r in rows:
         out.setdefault(int(r["cell"]), [0] * dim)[int(r["d"])] = int(r["cm"])
     return out
@@ -688,50 +698,9 @@ def ivf_pq_residual_topk(
         )
     )
     cand = coded.join(F.broadcast(q), "_cell")
-    if exclude_self:
-        cand = cand.filter(F.col("vec_id") != F.col("query_id"))
-    short = (
-        cand.select(
-            "query_id",
-            "vec_id",
-            adist_fn(F.col("_codes"), F.col("_qd2")).alias("adist_q"),
-        )
-        .withColumn(
-            "srn",
-            F.row_number().over(
-                W.partitionBy("query_id").orderBy(
-                    F.col("adist_q").asc(), F.col("vec_id")
-                )
-            ),
-        )
-        .filter(F.col("srn") <= shortlist)
-        .drop("srn")
-    )
-    qe = corpus.filter(F.col(id_col).isin(*query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(emb_col).alias("_qe"),
-        qdot(F.col(emb_col), F.col(emb_col)).alias("_nq"),
-    )
-    ce = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(emb_col).alias("_ce"),
-        qdot(F.col(emb_col), F.col(emb_col)).alias("_nc"),
-    )
-    scored = (
-        short.join(ce, "vec_id")
-        .join(F.broadcast(qe), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            "adist_q",
-            _cos_from_parts("_ce", "_qe", "_nc", "_nq").alias("cos_micro"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_micro").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "adist_q", "cos_micro", "rank")
+    return _adc_shortlist_rerank(
+        corpus, cand, adist_fn, query_ids, k, shortlist, id_col, emb_col,
+        exclude_self,
     )
 
 
@@ -839,51 +808,10 @@ def ivf_pq_topk_from_index(
     probe_rows = q.select("query_id", "cell").collect()  # bounded: |queries|·(bits+1)
     probe_cells = sorted({int(r["cell"]) for r in probe_rows})
     coded = spark.read.parquet(index_path).filter(F.col("cell").isin(probe_cells))
-    cand = coded.join(F.broadcast(q), "cell")
-    if exclude_self:
-        cand = cand.filter(F.col("vec_id") != F.col("query_id"))
-    short = (
-        cand.select(
-            "query_id",
-            "vec_id",
-            adist_fn(F.col("codes"), F.col("_qd2")).alias("adist_q"),
-        )
-        .withColumn(
-            "srn",
-            F.row_number().over(
-                W.partitionBy("query_id").orderBy(
-                    F.col("adist_q").asc(), F.col("vec_id")
-                )
-            ),
-        )
-        .filter(F.col("srn") <= shortlist)
-        .drop("srn")
-    )
-    qe = corpus.filter(F.col(id_col).isin(*query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(emb_col).alias("_qe"),
-        qdot(F.col(emb_col), F.col(emb_col)).alias("_nq"),
-    )
-    ce = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(emb_col).alias("_ce"),
-        qdot(F.col(emb_col), F.col(emb_col)).alias("_nc"),
-    )
-    scored = (
-        short.join(ce, "vec_id")
-        .join(F.broadcast(qe), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            "adist_q",
-            _cos_from_parts("_ce", "_qe", "_nc", "_nq").alias("cos_micro"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_micro").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "adist_q", "cos_micro", "rank")
+    cand = coded.join(F.broadcast(q), "cell").withColumnRenamed("codes", "_codes")
+    return _adc_shortlist_rerank(
+        corpus, cand, adist_fn, query_ids, k, shortlist, id_col, emb_col,
+        exclude_self,
     )
 
 

@@ -80,6 +80,7 @@ SOAK = [
     "q246_semantic_decontamination",
     "q252_ivf_pq_topk",
     "q253_ivf_pq_recall",
+    "q256_ivf_pq_residual_topk",
 ]
 
 SF_DIRS = {
