@@ -25,6 +25,13 @@ SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.1")
 # (q63: a broadcast 1-row corpus count).
 NLJ_OK = {
     "q55_ann_bruteforce",
+    # round-7 PQ rewire: flat ADC scores codes against the broadcast
+    # |queries|-row distance-table frame via crossJoin(broadcast) —
+    # the q55 pattern (inner side is 3-30 rows by construction);
+    # q253's truth side is q55's brute force itself
+    "q234_pq_ann_adc",
+    "q239_pq_rerank",
+    "q253_ivf_pq_recall",
     "q07_band_join",
     "q08_asof_join",
     "q63_tfidf",
