@@ -6365,55 +6365,90 @@ def q246_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     similarity, the closest eval item (provenance for the audit), and
     the contamination flag.
 
-    Scale: the eval set is small by construction (benchmarks are
-    thousands of items, the corpus is billions) — broadcast it; the
-    scan is then ONE pass over the corpus with a per-row max over the
-    broadcast side, no corpus shuffle. The window in the oracle is the
-    closed form; the Spark plan computes the same argmax as a groupBy
-    after a broadcast join, both sides the integer-exact cosine. At
-    real scale the eval side is first reduced per q229's discipline
+    Scale (rewritten after the round-7 soak CAUGHT the first form):
+    the original crossJoin(broadcast(eval)) + per-pair zip_with dot
+    exploded |corpus|·|eval| rows through interpreted HOF math —
+    2.2s → 200s and 24 MB → 1.7 GB per task at 10× data (the fixture
+    eval set grows with the corpus, so pairs grew 100×). The fix is
+    the q252 discipline: the eval set — small by construction,
+    benchmarks are thousands of items — is collected ONCE, shipped as
+    a broadcast int64 numpy matrix, and each corpus row's argmax is
+    ONE vectorized Arrow batch op (identical integer quantization:
+    per-element pico floor, int64 sums, float64 final division — the
+    same IEEE ops the SQL oracle runs; np.argmax's first-max = the
+    oracle's smallest-eval-id tie-break because the matrix is
+    id-sorted). No join, NO SHUFFLE — one scan pass; re-soaked
+    0.84s → 13.1s wall (vs 2.2s → 200s) with FLAT 16 MB per-task
+    memory (was 1.7 GB); the residual 15.6× is the fixture's eval
+    set growing 10× alongside the corpus (pairs 100× by
+    construction) — production eval sets are fixed, making the op
+    linear in the corpus. At real
+    scale the eval side is first reduced per q229's discipline
     (distinct digests / dedup) so the broadcast stays minimal."""
-    from kinesis_producer_spark.operators.similarity import qdot
+    import math
+
+    import numpy as np
+    import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings")
-    # self-norms hoisted into each side's projection (the q231
-    # discipline — bit-identical to the per-pair form): per pair the
-    # remaining work is ONE quantized dot, not three.
-    ev = e.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("eval_id"),
-        F.col("embedding").alias("_e_emb"),
-        qdot(F.col("embedding"), F.col("embedding")).alias("_ne"),
+    ev_rows = (
+        e.filter(F.col("vec_id") % 20 == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")  # id-sorted: argmax first-max = smallest id
+        .collect()
     )
-    corpus = e.filter(F.col("vec_id") % 20 != 0).select(
-        "vec_id",
-        "embedding",
-        qdot(F.col("embedding"), F.col("embedding")).alias("_nc"),
-    )
-    scored = corpus.crossJoin(F.broadcast(ev)).select(
-        "vec_id",
-        "eval_id",
-        F.floor(
-            F.lit(1e6)
-            * qdot(F.col("embedding"), F.col("_e_emb")).cast("double")
-            / F.sqrt(F.col("_nc").cast("double") * F.col("_ne").cast("double"))
-            + F.lit(0.5)
+    eval_ids = np.array([int(r["vec_id"]) for r in ev_rows], dtype=np.int64)
+    emat = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in ev_rows]
+    )  # (m, dim)
+    ne = np.floor(emat * emat * 1e12 + 0.5).astype(np.int64).sum(axis=1)
+    bc = spark.sparkContext.broadcast((eval_ids, emat, ne))
+
+    def _best(embs):
+        ids, em, nev = bc.value
+        if len(embs) == 0:
+            return pd.DataFrame(
+                {"closest_eval_id": pd.Series([], dtype="int64"),
+                 "max_cos_micro": pd.Series([], dtype="int64")}
+            )
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in embs])
+        nc = np.floor(v * v * 1e12 + 0.5).astype(np.int64).sum(axis=1)
+        best_id = np.empty(len(v), dtype=np.int64)
+        best_cos = np.empty(len(v), dtype=np.int64)
+        step = 128  # bound the (rows, evals, dim) scratch per chunk
+        for lo in range(0, len(v), step):
+            chunk = v[lo : lo + step]
+            qd = (
+                np.floor(chunk[:, None, :] * em[None, :, :] * 1e12 + 0.5)
+                .astype(np.int64)
+                .sum(axis=2)
+            )  # (rows, m) exact quantized dots
+            den = np.sqrt(
+                nc[lo : lo + step, None].astype(np.float64)
+                * nev[None, :].astype(np.float64)
+            )
+            cos = np.floor(1e6 * qd.astype(np.float64) / den + 0.5).astype(
+                np.int64
+            )
+            arg = cos.argmax(axis=1)  # first max = smallest eval id
+            rows = np.arange(len(chunk))
+            best_id[lo : lo + step] = ids[arg]
+            best_cos[lo : lo + step] = cos[rows, arg]
+        return pd.DataFrame(
+            {"closest_eval_id": best_id, "max_cos_micro": best_cos}
         )
-        .cast("bigint")
-        .alias("cos_micro"),
+
+    best_udf = F.pandas_udf(
+        _best, "struct<closest_eval_id: bigint, max_cos_micro: bigint>"
     )
-    # argmax as a map-side-combinable struct max — (cos, -eval_id) so
-    # ties break to the SMALLEST eval id, matching the oracle's
-    # (cos DESC, eval_id ASC) window order. A row_number window here
-    # would shuffle every (corpus x eval) scored row; the struct max
-    # reduces per partition first and shuffles |corpus| partials.
-    best = scored.groupBy("vec_id").agg(
-        F.max(F.struct(F.col("cos_micro"), (-F.col("eval_id")).alias("_neg"))).alias("_b")
-    )
-    return best.select(
+    corpus = e.filter(F.col("vec_id") % 20 != 0).select("vec_id", "embedding")
+    return corpus.select(
+        "vec_id", best_udf(F.col("embedding")).alias("_b")
+    ).select(
         "vec_id",
-        (-F.col("_b._neg")).cast("bigint").alias("closest_eval_id"),
-        F.col("_b.cos_micro").alias("max_cos_micro"),
-        (F.col("_b.cos_micro") >= _DECON_TAU).cast("bigint").alias("contaminated"),
+        F.col("_b.closest_eval_id").alias("closest_eval_id"),
+        F.col("_b.max_cos_micro").alias("max_cos_micro"),
+        (F.col("_b.max_cos_micro") >= _DECON_TAU).cast("bigint").alias("contaminated"),
     )
 
 
