@@ -356,3 +356,83 @@ def test_ivf_pq_topk_matches_model(spark, vecs):
         assert got == want, (got, want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@SETTINGS
+@given(vecs=EMB)
+def test_ivf_pq_residual_topk_matches_model(spark, vecs):
+    """q256's residual IVFADC vs an exact integer model: per-cell
+    micro-int centroids (one double division + floor), residual
+    codebook from the 16 lowest-id rows, codes by residual L2 (ties
+    to lowest cid), per-PROBED-CELL query tables, shortlist by
+    (adist, vec_id), exact-cosine re-rank. Pins the asymmetric
+    residual step end to end."""
+    from kinesis_producer_spark.operators.llm_queries import (
+        q256_ivf_pq_residual_topk,
+    )
+
+    K, MD, NM, BITS, SHORT, TOPK = 16, 8, 8, 3, 50, 10
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    d = _fixture_dir(
+        spark,
+        "embeddings",
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+    )
+    try:
+        got = {
+            (r.query_id, r.rank): (r.vec_id, r.adist_q, r.cos_micro)
+            for r in q256_ivf_pq_residual_topk(spark, d).collect()
+        }
+        n = len(vecs)
+        vm = [[_micro(x) for x in v] for v in vecs]
+        cells = [sum((1 << b) for b in range(BITS) if v[b] > 0) for v in vecs]
+        # per-cell centroid: floor(sum/count + 0.5) per dim
+        cen = {}
+        for c in set(cells):
+            members = [vm[i] for i in range(n) if cells[i] == c]
+            cen[c] = [
+                int(math.floor(sum(m[d_] for m in members) / len(members) + 0.5))
+                for d_ in range(64)
+            ]
+        rm = [[vm[i][d_] - cen[cells[i]][d_] for d_ in range(64)] for i in range(n)]
+        def sd2(ra, rb, m):
+            return sum(
+                (ra[m * MD + i] - rb[m * MD + i]) ** 2 for i in range(MD)
+            )
+        codes = [
+            [min(range(K), key=lambda c: (sd2(rm[vid], rm[c], m), c)) for m in range(NM)]
+            for vid in range(n)
+        ]
+        def qdot(a, b):
+            return sum(
+                int(math.floor(float(x) * float(y) * 1e12 + 0.5))
+                for x, y in zip(a, b)
+            )
+        want = {}
+        for qid in (0, 1, 2):
+            probes = {cells[qid]} | {cells[qid] ^ (1 << b) for b in range(BITS)}
+            adist = {}
+            for vid in range(n):
+                pc = cells[vid]
+                if pc not in probes:
+                    continue
+                # query residual vs the PROBED cell's centroid; the
+                # codebook residual for cid is rm[cid] (ids are dense,
+                # so the 16 lowest-id rows are vec_id 0..15)
+                rq = [vm[qid][d_] - cen[pc][d_] for d_ in range(64)]
+                adist[vid] = sum(
+                    sd2(rq, rm[codes[vid][m]], m) for m in range(NM)
+                )
+            short = sorted(adist, key=lambda v: (adist[v], v))[:SHORT]
+            nq = qdot(vecs[qid], vecs[qid])
+            def cosm(vid):
+                num = float(qdot(vecs[qid], vecs[vid]))
+                den = math.sqrt(float(qdot(vecs[vid], vecs[vid])) * float(nq))
+                return int(math.floor(1e6 * num / den + 0.5))
+            cos = {vid: cosm(vid) for vid in short}
+            final = sorted(short, key=lambda v: (-cos[v], v))[:TOPK]
+            for rk, vid in enumerate(final, start=1):
+                want[(qid, rk)] = (vid, adist[vid], cos[vid])
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
