@@ -2520,3 +2520,99 @@ def test_streaming_substring_bucketed_random_splits_match_model(spark, tmp_path)
             for r in spark.read.parquet(sink).distinct().collect()
         }
         assert got == marks, (seed, sorted(got), sorted(marks))
+
+
+def test_streaming_token_budget_ttl_random_matches_model(spark, tmp_path):
+    """Randomized companion to the 4-batch TTL pin: random corpora,
+    random replay patterns, strictly-increasing per-batch event times
+    (no watermark-boundary drops — that axis is pinned elsewhere).
+    The emitted row MULTISET must equal the Python model: admitted
+    ids suppress forever, live rejected ids suppress, aged-out
+    rejected ids re-emit their frozen verdict. Two fixed seeds."""
+    import random
+    from collections import Counter
+    from datetime import datetime, timezone
+
+    from kinesis_producer_spark.streaming.budget import streaming_token_budget
+
+    BUDGET, TTL_S = 12, 3000
+    ts = lambda s: datetime.fromtimestamp(s, tz=timezone.utc)  # noqa: E731
+    tok = lambda n: " ".join(f"w{i}" for i in range(n))  # noqa: E731
+
+    for seed in (13, 29):
+        rng = random.Random(seed)
+        n_docs = rng.randint(5, 9)
+        sizes = {d: rng.randint(1, 6) for d in range(n_docs)}
+        n_batches = rng.randint(3, 5)
+        batches = []
+        introduced: list[int] = []
+        for b in range(n_batches):
+            batch = []
+            fresh = [d for d in range(n_docs) if d not in introduced]
+            for d in fresh[: rng.randint(0, 3)]:
+                introduced.append(d)
+                batch.append(d)
+            # random replays of already-introduced docs
+            for d in rng.sample(introduced, min(len(introduced), rng.randint(0, 2))):
+                if d not in batch:
+                    batch.append(d)
+            if not batch and fresh:
+                introduced.append(fresh[0])
+                batch.append(fresh[0])
+            batches.append(sorted(batch))
+
+        # model: watermark during run i = max event time of runs < i
+        t_of = lambda b: (b + 1) * 1000  # noqa: E731  strictly increasing
+        cum, admitted, rejected = 0, set(), {}
+        expect: Counter = Counter()
+        for b, batch in enumerate(batches):
+            wm_ms = t_of(b - 1) * 1000 if b > 0 else 0
+            rejected = {d: m for d, m in rejected.items() if m + TTL_S * 1000 > wm_ms}
+            for d in batch:  # doc_id order within the batch
+                if d in admitted:
+                    continue
+                if d in rejected:
+                    rejected[d] = t_of(b) * 1000
+                    continue
+                adm = 1 if cum < BUDGET else 0
+                expect[(d, sizes[d], cum, adm)] += 1
+                if adm:
+                    cum += sizes[d]
+                    admitted.add(d)
+                else:
+                    rejected[d] = t_of(b) * 1000
+
+        src = tmp_path / f"ttlr_docs_{seed}"
+        src.mkdir()
+        sink = str(tmp_path / f"ttlr_out_{seed}")
+        ckpt = str(tmp_path / f"ttlr_ckpt_{seed}")
+        for b, batch in enumerate(batches):
+            part = tmp_path / f"ttlr_stage_{seed}_{b}"
+            spark.createDataFrame(
+                [(d, tok(sizes[d]), "s", ts(t_of(b))) for d in batch],
+                "doc_id long, text string, source string, ts timestamp",
+            ).coalesce(1).write.parquet(str(part))
+            (pq,) = [p for p in part.iterdir() if p.name.endswith(".parquet")]
+            pq.rename(src / f"b{b}.parquet")
+            stream = spark.readStream.schema(
+                "doc_id long, text string, source string, ts timestamp"
+            ).parquet(str(src))
+            q = (
+                streaming_token_budget(
+                    stream, token_budget=BUDGET, time_col="ts",
+                    seen_ttl_ms=TTL_S * 1000,
+                )
+                .writeStream.foreachBatch(
+                    lambda df, _eid, s=sink: df.write.mode("append").parquet(s)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(180), (seed, b)
+        got = Counter(
+            (r.doc_id, r.n_tokens, r.cum_before, r.admitted)
+            for r in spark.read.parquet(sink).collect()
+        )
+        assert got == expect, (seed, batches, got, expect)
