@@ -6391,12 +6391,25 @@ def q246_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings")
+    # bounded-control-data discipline (the _collect_codebook rule): the
+    # eval side is assumed benchmark-sized; ENFORCE it — limit(N+1) so
+    # the driver never materializes more than the cap even on the
+    # failing path, and fail loudly instead of silently broadcasting a
+    # corpus-sized matrix
+    _MAX_EVAL_ROWS = 100_000
     ev_rows = (
         e.filter(F.col("vec_id") % 20 == 0)
         .select("vec_id", "embedding")
         .orderBy("vec_id")  # id-sorted: argmax first-max = smallest id
+        .limit(_MAX_EVAL_ROWS + 1)
         .collect()
     )
+    if len(ev_rows) > _MAX_EVAL_ROWS:
+        raise ValueError(
+            f"eval split exceeds {_MAX_EVAL_ROWS} rows: reduce/dedup the "
+            "eval side before broadcasting (q229 discipline) — a "
+            "corpus-proportional eval set must not ride the driver"
+        )
     eval_ids = np.array([int(r["vec_id"]) for r in ev_rows], dtype=np.int64)
     emat = np.stack(
         [np.asarray(r["embedding"], dtype=np.float64) for r in ev_rows]
@@ -6621,10 +6634,18 @@ def q249_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# enumerated alternation, no backreference: DuckDB's RE2 has no \1
-_HTML_DROP = (
-    r"<!--.*?-->|<head>.*?</head>|<nav>.*?</nav>|<aside>.*?</aside>"
-    r"|<footer>.*?</footer>|<script>.*?</script>|<style>.*?</style>"
+# enumerated alternation, no backreference: DuckDB's RE2 has no \1.
+# Real-crawl block tags carry attributes (<script src=...>) and mixed
+# case (<SCRIPT>), and quoted attribute values may contain '>' — each
+# open tag uses the same quoted-chunk absorber as _HTML_TAG below, the
+# close tag tolerates trailing space, and (?is) makes the whole drop
+# case-insensitive and newline-spanning (both flags are shared Java/
+# RE2 syntax; the absorber is unambiguous, so neither engine can
+# backtrack-blow-up).
+_HTML_ATTRS = "[^\"'<>]*((\"[^\"]*\"|'[^']*')[^\"'<>]*)*"
+_HTML_DROP = "(?is)<!--.*?-->" + "".join(
+    f"|<{t}\\b{_HTML_ATTRS}>.*?</{t}\\s*>"
+    for t in ("head", "nav", "aside", "footer", "script", "style")
 )
 # attribute-aware tag strip: '>' inside a quoted attribute value does
 # NOT end the tag (the quoted-chunk alternation absorbs it), and a
@@ -6880,10 +6901,17 @@ def q254_ivf_pq_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     list is an IN partition filter, so file pruning happens before
     any I/O — asserted on inputFiles in tests/test_scale_strategies).
     Row-identical to q252 (its oracle, verbatim): persistence and
-    partition pruning must not change a single rank."""
-    import hashlib
+    partition pruning must not change a single rank.
+
+    The index lives in a PER-RUN unique directory (the q217/q221
+    uuid-name convention): a shared md5(sf_dir) path let two
+    concurrent runs over the same fixture (bench alongside pytest)
+    race overwrite-vs-read; the tiny (≤30-row) result is eagerly
+    checkpointed so the directory can be removed before return."""
     import os
+    import shutil
     import tempfile
+    import uuid
 
     from kinesis_producer_spark.operators.similarity import (
         ivf_pq_topk_from_index,
@@ -6892,13 +6920,16 @@ def q254_ivf_pq_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     idx = os.path.join(
-        tempfile.gettempdir(),
-        f"ivfpq_idx_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+        tempfile.gettempdir(), f"ivfpq_idx_{uuid.uuid4().hex[:10]}"
     )
-    cb = ivf_pq_write_index(e, idx, bits=3, n_centroids=16, m_dims=8)
-    return ivf_pq_topk_from_index(
-        e, idx, cb, query_ids=[0, 1, 2], k=10, shortlist=50, bits=3, m_dims=8
-    )
+    try:
+        cb = ivf_pq_write_index(e, idx, bits=3, n_centroids=16, m_dims=8)
+        return ivf_pq_topk_from_index(
+            e, idx, cb, query_ids=[0, 1, 2], k=10, shortlist=50, bits=3,
+            m_dims=8,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
 
 
 @query(
@@ -6980,11 +7011,14 @@ def q255_ivf_pq_incremental_serving(spark: SparkSession, sf_dir: str) -> DataFra
     partition layout (and so the probe-list file pruning, q254's
     pinned property) is preserved because appended files land inside
     the same cell= dirs. Codebook refresh is a REBUILD decision gated
-    by the q253 recall harness, never an append-path mutation."""
-    import hashlib
+    by the q253 recall harness, never an append-path mutation.
+
+    Per-run unique index dir + eager checkpoint (the q254 race fix):
+    uniqueness also guarantees appends never survive reruns."""
     import os
     import shutil
     import tempfile
+    import uuid
 
     from kinesis_producer_spark.operators.similarity import (
         _collect_codebook,
@@ -6997,16 +7031,18 @@ def q255_ivf_pq_incremental_serving(spark: SparkSession, sf_dir: str) -> DataFra
     base = e.filter(F.col("vec_id") % 10 != 0)
     delta = e.filter(F.col("vec_id") % 10 == 0)
     idx = os.path.join(
-        tempfile.gettempdir(),
-        f"ivfpq_cdc_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+        tempfile.gettempdir(), f"ivfpq_cdc_{uuid.uuid4().hex[:10]}"
     )
-    shutil.rmtree(idx, ignore_errors=True)  # appends must not survive reruns
-    cb = ivf_pq_write_index(base, idx, bits=3, n_centroids=16, m_dims=8)
-    assert cb == _collect_codebook(base, "vec_id", "embedding", 16)
-    ivf_pq_append_index(delta, idx, cb, bits=3, m_dims=8)
-    return ivf_pq_topk_from_index(
-        e, idx, cb, query_ids=[0, 1, 2], k=10, shortlist=50, bits=3, m_dims=8
-    )
+    try:
+        cb = ivf_pq_write_index(base, idx, bits=3, n_centroids=16, m_dims=8)
+        assert cb == _collect_codebook(base, "vec_id", "embedding", 16)
+        ivf_pq_append_index(delta, idx, cb, bits=3, m_dims=8)
+        return ivf_pq_topk_from_index(
+            e, idx, cb, query_ids=[0, 1, 2], k=10, shortlist=50, bits=3,
+            m_dims=8,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
 
 
 @query(

@@ -296,6 +296,30 @@ def semantic_dedup_keep_list(
     )
 
 
+def _codebook_rows(
+    corpus: DataFrame,
+    id_col: str,
+    emb_col: str,
+    n_centroids: int,
+    cell_col: Column | None = None,
+):
+    """The ``n_centroids`` LOWEST-id corpus rows, through the ONE
+    guarded gateway every codebook build path shares — a short corpus
+    fails with the same explicit message everywhere instead of a bare
+    IndexError from whichever path collected inline. Bounded control
+    data (n_centroids rows); ``cell_col`` optionally rides along for
+    the residual path's cell lookup."""
+    cols = [F.col(id_col).alias("i"), F.col(emb_col).alias("e")]
+    if cell_col is not None:
+        cols.append(cell_col.alias("c"))
+    rows = corpus.select(*cols).orderBy("i").limit(n_centroids).collect()
+    if len(rows) < n_centroids:
+        raise ValueError(
+            f"codebook needs {n_centroids} rows, corpus has {len(rows)}"
+        )
+    return rows
+
+
 def _collect_codebook(
     corpus: DataFrame, id_col: str, emb_col: str, n_centroids: int
 ) -> list[list[int]]:
@@ -311,16 +335,7 @@ def _collect_codebook(
     still yields a full codebook."""
     import math
 
-    rows = (
-        corpus.select(F.col(id_col).alias("i"), F.col(emb_col).alias("e"))
-        .orderBy("i")
-        .limit(n_centroids)
-        .collect()
-    )
-    if len(rows) < n_centroids:
-        raise ValueError(
-            f"codebook needs {n_centroids} rows, corpus has {len(rows)}"
-        )
+    rows = _codebook_rows(corpus, id_col, emb_col, n_centroids)
     return [
         [int(math.floor(1e6 * float(v) + 0.5)) for v in r["e"]] for r in rows
     ]
@@ -659,15 +674,11 @@ def ivf_pq_residual_topk(
     import math
 
     centroids = _collect_cell_centroids(corpus, bits, id_col, emb_col)
-    cb_rows = (
-        corpus.select(
-            F.col(id_col).alias("i"),
-            F.col(emb_col).alias("e"),
-            ivf_cell(F.col(emb_col), bits).alias("c"),
-        )
-        .orderBy("i")
-        .limit(n_centroids)
-        .collect()
+    # the shared guarded gateway: a <n_centroids corpus fails with
+    # _codebook_rows' explicit message, identical to _collect_codebook
+    cb_rows = _codebook_rows(
+        corpus, id_col, emb_col, n_centroids,
+        cell_col=ivf_cell(F.col(emb_col), bits),
     )
     cb_resid = [
         [

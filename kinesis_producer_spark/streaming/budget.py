@@ -38,6 +38,18 @@ Scale — pick ONE of three state disciplines:
   doc's (cum_before, admitted=0) can never change. Size the TTL at
   the transport's replay horizon (Kinesis: 24 h–7 d) and state is
   bounded by the horizon's arrival volume, not the stream's lifetime.
+
+  Admitted-set sizing (be honest about the worst case): the bound is
+  ``budget / min_doc_tokens`` ENTRIES — with no minimum document
+  length enforced upstream, a flood of 1-token documents makes that
+  bound the budget itself (a 1B-token budget → up to 1e9 int64s ≈
+  8 GB in ONE state row, which no state store survives). Size it as
+  ``8 bytes × budget / min_doc_tokens`` and pass ``max_admitted_ids``
+  to fail loudly (with that formula in the message) before the state
+  row grows past what was provisioned; past the guard the honest
+  fixes are a shorter-budget source split or the ``track_ids=False``
+  exactly-once transport, never silent truncation (dropping an
+  admitted id would let a replay re-count it and corrupt ``cum``).
 - default (``track_ids=True``, no TTL): every seen id is kept —
   exact no-re-emission forever, state grows with arrivals; use only
   for bounded backfills.
@@ -130,7 +142,9 @@ def _budget_fn_factory(token_budget: int, track_ids: bool):
     return fn
 
 
-def _budget_ttl_fn_factory(token_budget: int, seen_ttl_ms: int):
+def _budget_ttl_fn_factory(
+    token_budget: int, seen_ttl_ms: int, max_admitted_ids: int | None = None
+):
     def fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -170,6 +184,20 @@ def _budget_ttl_fn_factory(token_budget: int, seen_ttl_ms: int):
                 admitted_ids.add(did)
             else:
                 rejected[did] = ms
+        if max_admitted_ids is not None and len(admitted_ids) > max_admitted_ids:
+            # fail LOUDLY before the state row outgrows what was
+            # provisioned — silently dropping an admitted id would let
+            # a replay re-count it and corrupt cum (module docstring
+            # has the 8·budget/min_doc_tokens sizing formula)
+            raise ValueError(
+                f"admitted-id state for source {src!r} reached "
+                f"{len(admitted_ids)} entries (> max_admitted_ids="
+                f"{max_admitted_ids}): the corpus's min doc length is "
+                f"smaller than provisioned (state bound is "
+                f"budget/min_doc_tokens = {token_budget}/min_doc_tokens "
+                f"entries x 8 bytes); split the source budget or switch "
+                f"to track_ids=False over an exactly-once transport"
+            )
         rids = sorted(rejected)
         state.update(
             (cum, sorted(admitted_ids), rids, [rejected[d] for d in rids])
@@ -192,6 +220,7 @@ def streaming_token_budget(
     time_col: str | None = None,
     seen_ttl_ms: int | None = None,
     watermark_delay: str = "0 seconds",
+    max_admitted_ids: int | None = None,
 ) -> DataFrame:
     """Admission rows (source, doc_id, n_tokens, cum_before, admitted)
     emitted as documents arrive; cum_before counts only ADMITTED
@@ -202,18 +231,33 @@ def streaming_token_budget(
     ``track_ids=False`` for exactly-once transports (counter only,
     the production default); ``seen_ttl_ms`` + ``time_col`` for
     bounded at-least-once replay suppression (admitted ids kept —
-    budget-bounded — rejected ids aged out past the replay horizon);
-    plain ``track_ids=True`` keeps every id forever (bounded
-    backfills only)."""
+    budget-bounded; ``max_admitted_ids`` fails loudly if a degenerate
+    short-doc corpus blows that bound — rejected ids aged out past the
+    replay horizon); plain ``track_ids=True`` keeps every id forever
+    (bounded backfills only). The disciplines are mutually exclusive:
+    ``seen_ttl_ms`` with ``track_ids=False`` is a contract error (TTL
+    mode IS id tracking), rejected here rather than silently tracking
+    ids the caller asked not to keep."""
     if seen_ttl_ms is not None:
         if time_col is None:
             raise ValueError("seen_ttl_ms requires time_col")
+        if not track_ids:
+            raise ValueError(
+                "seen_ttl_ms and track_ids=False are contradictory: the "
+                "TTL discipline tracks admitted ids (budget-bounded) and "
+                "TTL-ages rejected ids; pick ONE of the module "
+                "docstring's three state disciplines"
+            )
         docs = docs.withWatermark(time_col, watermark_delay)
         stream = tokenized_stream(
             docs, text_col=text_col, id_col=id_col, time_col=time_col
         )
         return stream.groupBy("source").applyInPandasWithState(
-            _budget_ttl_fn_factory(int(token_budget), int(seen_ttl_ms)),
+            _budget_ttl_fn_factory(
+                int(token_budget),
+                int(seen_ttl_ms),
+                int(max_admitted_ids) if max_admitted_ids is not None else None,
+            ),
             outputStructType=BUDGET_OUTPUT,
             stateStructType=BUDGET_STATE_TTL,
             outputMode="update",

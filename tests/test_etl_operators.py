@@ -790,6 +790,14 @@ def test_html_extraction_hardened_cases(spark):
         ("<a href='/x' title='hi>there'>link</a>", "link"),
         ("<!doctype html><p>t</p>", "t"),
         ("a <notatag", "a <notatag"),  # unterminated: survives as text
+        # round-8 hardening: attribute-carrying / mixed-case block
+        # tags must drop their CONTENT, not leak JS/CSS as prose
+        ('<script src="/x.js" async>var a = 1;</script>ok', "ok"),
+        ("<SCRIPT TYPE='text/javascript'>1 > 0 && q</SCRIPT>ok", "ok"),
+        ('<style media="screen">p > b { }</style>ok', "ok"),
+        ('<NAV class=menu><a href="/">home</a></NAV>ok', "ok"),
+        ('<script data-note="a>b">leaky</script>ok', "ok"),
+        ("<footer >(c) corp</footer >ok", "ok"),
     ]
     df = spark.createDataFrame(
         [(i, raw) for i, (raw, _) in enumerate(cases)], "i long, raw string"

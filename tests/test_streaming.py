@@ -2296,6 +2296,81 @@ def test_streaming_token_budget_ttl_bounds_rejected_ids(spark, tmp_path):
     assert counts == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}, counts
 
 
+def test_streaming_token_budget_contradictory_flags_rejected(spark):
+    """seen_ttl_ms with track_ids=False is a contract error (the TTL
+    discipline IS id tracking) — rejected loudly instead of silently
+    tracking ids the caller asked not to keep."""
+    import pytest
+
+    from kinesis_producer_spark.streaming.budget import streaming_token_budget
+
+    stream = (
+        spark.readStream.format("rate").load()
+        .selectExpr(
+            "value AS doc_id", "'w' AS text", "'s' AS source",
+            "timestamp AS ts",
+        )
+    )
+    with pytest.raises(ValueError, match="contradictory"):
+        streaming_token_budget(
+            stream, token_budget=10, track_ids=False,
+            time_col="ts", seen_ttl_ms=1000,
+        )
+
+
+def test_streaming_token_budget_max_admitted_ids_guard(spark, tmp_path):
+    """Degenerate 1-token corpus: the admitted-id bound
+    (budget/min_doc_tokens) degrades to the budget itself, so
+    max_admitted_ids must fail LOUDLY (sizing formula in the message)
+    before the single state row outgrows provisioning — and a corpus
+    within the bound passes untouched."""
+    from datetime import datetime, timezone
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from kinesis_producer_spark.streaming.budget import streaming_token_budget
+
+    t0 = datetime.fromtimestamp(5000, tz=timezone.utc)
+    # 12 one-token docs against a 10-token budget: 10 admitted — more
+    # than the provisioned max_admitted_ids=4
+    rows = [(i, "w", "s", t0) for i in range(12)]
+
+    def run(max_ids, tag):
+        src = tmp_path / f"guard_src_{tag}"
+        src.mkdir()
+        part = tmp_path / f"guard_stage_{tag}"
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string, ts timestamp"
+        ).coalesce(1).write.parquet(str(part))
+        (pq,) = [p for p in part.iterdir() if p.name.endswith(".parquet")]
+        pq.rename(src / "b1.parquet")
+        stream = spark.readStream.schema(
+            "doc_id long, text string, source string, ts timestamp"
+        ).parquet(str(src))
+        sink = str(tmp_path / f"guard_out_{tag}")
+        q = (
+            streaming_token_budget(
+                stream, token_budget=10, time_col="ts",
+                seen_ttl_ms=1_000_000, max_admitted_ids=max_ids,
+            )
+            .writeStream.foreachBatch(
+                lambda df, _eid, s=sink: df.write.mode("append").parquet(s)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"guard_ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return sink
+
+    with pytest.raises(StreamingQueryException, match="max_admitted_ids"):
+        run(4, "trip")
+    ok = spark.read.parquet(run(100, "pass"))
+    assert ok.filter("admitted = 1").count() == 10
+
+
 def test_streaming_substring_bucketed_matches_per_gram(spark, tmp_path):
     """The bucketed state packing (n_buckets) must reproduce the
     per-gram path exactly: same canonical-survives-batches carry, same
