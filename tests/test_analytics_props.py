@@ -436,3 +436,106 @@ def test_ivf_pq_residual_topk_matches_model(spark, vecs):
         assert got == want, (got, want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@SETTINGS
+@given(vecs=EMB)
+def test_ivf_pq_trained_topk_matches_model(spark, vecs):
+    """q257's trained-quantizer path vs an exact integer model: init
+    centroids = 16 lowest-id micro vectors, two Lloyd rounds (E-step
+    argmin int64 L2 with ties to the lowest kcid; M-step
+    floor(sum/count + 0.5) per dim, empty cells keep their previous
+    centroid), final assignment, nprobe=2 nearest-centroid probes, PQ
+    codes, ADC over probed cells, shortlist by (adist, vec_id), exact
+    quantized-cosine re-rank. Pins the whole training protocol plus
+    both tie-breaks."""
+    from kinesis_producer_spark.operators.llm_queries import (
+        q257_ivf_pq_trained_topk,
+    )
+
+    K, MD, NM, NC, NPROBE, SHORT, TOPK = 16, 8, 8, 16, 2, 50, 10
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    d = _fixture_dir(
+        spark,
+        "embeddings",
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+    )
+    try:
+        got = {
+            (r.query_id, r.rank): (r.vec_id, r.adist_q, r.cos_micro)
+            for r in q257_ivf_pq_trained_topk(spark, d).collect()
+        }
+        n = len(vecs)
+        vm = [[_micro(x) for x in v] for v in vecs]
+
+        def kd2(v, cm):
+            return sum((a - b) ** 2 for a, b in zip(v, cm))
+
+        def assign(cent):
+            return [
+                min(range(NC), key=lambda c: (kd2(vm[i], cent[c]), c))
+                for i in range(n)
+            ]
+
+        cent = [list(vm[i]) for i in range(NC)]  # 16 lowest ids
+        for _ in range(2):
+            cells_r = assign(cent)
+            new = []
+            for c in range(NC):
+                members = [vm[i] for i in range(n) if cells_r[i] == c]
+                if not members:
+                    new.append(cent[c])
+                else:
+                    new.append(
+                        [
+                            int(math.floor(
+                                sum(m[d_] for m in members) / len(members) + 0.5
+                            ))
+                            for d_ in range(64)
+                        ]
+                    )
+            cent = new
+        cells = assign(cent)
+
+        def sd2(vid, m, cid):
+            return sum(
+                (vm[vid][m * MD + i] - vm[cid][m * MD + i]) ** 2
+                for i in range(MD)
+            )
+
+        codes = [
+            [min(range(K), key=lambda c: (sd2(vid, m, c), c)) for m in range(NM)]
+            for vid in range(n)
+        ]
+
+        def qdot(a, b):
+            return sum(
+                int(math.floor(float(x) * float(y) * 1e12 + 0.5))
+                for x, y in zip(a, b)
+            )
+
+        want = {}
+        for qid in (0, 1, 2):
+            probes = set(
+                sorted(range(NC), key=lambda c: (kd2(vm[qid], cent[c]), c))[:NPROBE]
+            )
+            cand = [vid for vid in range(n) if cells[vid] in probes]
+            adist = {
+                vid: sum(sd2(qid, m, codes[vid][m]) for m in range(NM))
+                for vid in cand
+            }
+            short = sorted(cand, key=lambda v: (adist[v], v))[:SHORT]
+            nq = qdot(vecs[qid], vecs[qid])
+
+            def cosm(vid):
+                num = float(qdot(vecs[qid], vecs[vid]))
+                den = math.sqrt(float(qdot(vecs[vid], vecs[vid])) * float(nq))
+                return int(math.floor(1e6 * num / den + 0.5))
+
+            cos = {vid: cosm(vid) for vid in short}
+            final = sorted(short, key=lambda v: (-cos[v], v))[:TOPK]
+            for rk, vid in enumerate(final, start=1):
+                want[(qid, rk)] = (vid, adist[vid], cos[vid])
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

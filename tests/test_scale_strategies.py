@@ -1196,3 +1196,140 @@ def test_ivf_pq_append_equals_rebuild_under_frozen_codebook(spark, tmp_path):
     inc_cells = {d for d in os.listdir(inc) if d.startswith("cell=")}
     full_cells = {d for d in os.listdir(full) if d.startswith("cell=")}
     assert inc_cells == full_cells and inc_cells
+
+
+def test_trained_ivf_recall_geq_signbit_at_smaller_probe(spark):
+    """The round-8 quantizer contract, pinned in BOTH directions at
+    sf0.01 AND sf0.1 (direction, not magnitude — the q232 discipline):
+    the trained composition's aggregate recall is >= the sign-bit
+    composition's, AND its probed candidate total is strictly smaller.
+    This is the property that makes training worth the build passes."""
+    from kinesis_producer_spark.operators.llm_queries import (
+        q258_ivf_pq_trained_recall,
+    )
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        rows = q258_ivf_pq_trained_recall(spark, sf).collect()
+        assert len(rows) == 30, sf
+        hits_tr = sum(r.hits_trained for r in rows)
+        hits_sb = sum(r.hits_signbit for r in rows)
+        probed_tr = sum(r.probed_trained for r in rows)
+        probed_sb = sum(r.probed_signbit for r in rows)
+        assert hits_tr >= hits_sb, (sf, hits_tr, hits_sb)
+        assert probed_tr < probed_sb, (sf, probed_tr, probed_sb)
+
+
+def test_residual_recall_geq_raw_space(spark):
+    """Round-7 verdict #4 pinned: residual IVFADC encoding (q256) must
+    recall at least as much truth as raw-space encoding (q252) on the
+    fixture — direction, not magnitude — at sf0.01 AND sf0.1. Same
+    cells, same probe set, same shortlist width: the only difference
+    is what the code budget quantizes, so residuals' tighter
+    clustering has to show up as recall."""
+    from pyspark.sql import Window as W
+
+    from kinesis_producer_spark.operators.llm_queries import (
+        _RECALL_K,
+        _RECALL_QUERIES,
+    )
+    from kinesis_producer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_residual_topk,
+        ivf_pq_topk,
+    )
+
+    qids = list(range(_RECALL_QUERIES))
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        e = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qs = e.filter(F.col("vec_id") < _RECALL_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        truth = {
+            (r.query_id, r.vec_id)
+            for r in brute_force_topk(e, qs, k=_RECALL_K + 1)
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    W.partitionBy("query_id").orderBy(
+                        F.col("cos_micro").desc(), F.col("vec_id")
+                    )
+                ),
+            )
+            .filter(F.col("rnk") <= _RECALL_K)
+            .select("query_id", "vec_id")
+            .collect()
+        }
+        raw = {
+            (r.query_id, r.vec_id)
+            for r in ivf_pq_topk(
+                e, query_ids=qids, k=_RECALL_K, shortlist=50, bits=3,
+                exclude_self=True,
+            ).collect()
+        }
+        resid = {
+            (r.query_id, r.vec_id)
+            for r in ivf_pq_residual_topk(
+                e, query_ids=qids, k=_RECALL_K, shortlist=50, bits=3,
+                exclude_self=True,
+            ).collect()
+        }
+        assert len(resid & truth) >= len(raw & truth), (
+            sf, len(resid & truth), len(raw & truth), len(truth),
+        )
+
+
+def test_trained_ivf_index_partition_pruning(spark, tmp_path):
+    """q259's physical contract: an index written with TRAINED cells
+    serves row-identically to the inline trained path, the probe
+    IN-list reaches the scan as a PartitionFilter, and the files read
+    are exactly the probed centroids' partition dirs — training
+    changes WHICH partitions exist, never the pruning shape."""
+    import re
+
+    from kinesis_producer_spark.operators.similarity import (
+        _trained_parts,
+        ivf_pq_topk_from_index,
+        ivf_pq_topk_trained,
+        ivf_pq_write_index,
+        train_ivf_centroids,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cent = train_ivf_centroids(e, n_cells=16, rounds=2)
+    idx = str(tmp_path / "ivfpq_tr_idx")
+    cb = ivf_pq_write_index(e, idx, centroids=cent)
+
+    qids = [0, 1, 2]
+    served = ivf_pq_topk_from_index(
+        e, idx, cb, query_ids=qids, centroids=cent, nprobe=2
+    )
+    inline = ivf_pq_topk_trained(
+        e, query_ids=qids, n_cells=16, nprobe=2, centroids=cent
+    )
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(served) == as_set(inline) and as_set(served)
+
+    # probe cells for the query set: 2 nearest trained centroids each
+    _, probes_fn = _trained_parts(cent, 2)
+    probe_cells = {
+        int(r.c)
+        for r in e.filter(F.col("vec_id").isin(qids))
+        .select(F.explode(probes_fn(F.col("embedding"))).alias("c"))
+        .collect()
+    }
+    pruned = spark.read.parquet(idx).filter(
+        F.col("cell").isin(sorted(probe_cells))
+    )
+    plan = _plan(pruned)
+    assert "PartitionFilters: [cell" in plan and " IN (" in plan, plan
+    got_files = {
+        r.f
+        for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    all_files = set(spark.read.parquet(idx).inputFiles())
+    assert got_files, "pruned scan read no files"
+    assert got_files < all_files, "probe filter did not prune any partition"
+    for f in got_files:
+        m = re.search(r"cell=(\d+)", f)
+        assert m and int(m.group(1)) in probe_cells, f
