@@ -6932,9 +6932,12 @@ def q254_ivf_pq_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(idx, ignore_errors=True)
 
 
-@query(
-    "q255_ivf_pq_incremental_serving",
-    oracle=f"""
+# The frozen-codebook CDC contract (base = vec_id % 10 <> 0, delta =
+# the rest; codebook = 16 lowest-id BASE rows, every vector coded
+# against it). Shared verbatim by q255 (batch append) and q260 (the
+# STREAMING append in streaming/queries.py) — the trilogy convention:
+# continuous ingestion must serve exactly what the batch path serves.
+_IVFPQ_CDC_ORACLE = f"""
     WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
     cbids AS (
       SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
@@ -6993,8 +6996,10 @@ def q254_ivf_pq_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cos_micro DESC, vec_id) AS rank
       FROM scored) WHERE rank <= 10
-    """,
-)
+    """
+
+
+@query("q255_ivf_pq_incremental_serving", oracle=_IVFPQ_CDC_ORACLE)
 def q255_ivf_pq_incremental_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF×PQ index maintenance — q254's persisted index
     under the CDC contract (q240's split: vec_id % 10 == 0 is the
@@ -7716,5 +7721,213 @@ def q258_ivf_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(hits_signbit * 100) div n_truth")
             .cast("bigint")
             .alias("recall_signbit_pct"),
+        )
+    )
+
+
+@query(
+    "q261_ivf_pq_codebook_staleness",
+    oracle=f"""
+    WITH dims AS (
+      SELECT vec_id, CAST(d // 8 AS INT) AS m, CAST(d % 8 AS INT) AS dd,
+             CAST(FLOOR(1e6 * CAST(embedding[d + 1] AS DOUBLE) + 0.5) AS BIGINT) AS vm
+      FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS d)
+    ),
+    cells AS (
+      SELECT vec_id,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS cell
+      FROM embeddings),
+    probes AS (
+      SELECT c.vec_id AS query_id, p.pcell
+      FROM cells c CROSS JOIN unnest([c.cell, xor(c.cell, 1),
+                                      xor(c.cell, 2), xor(c.cell, 4)]) AS p(pcell)
+      WHERE c.vec_id IN ({_IVFPQ_RECALL_QIDS})),
+    fbids AS (
+      SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 0
+            ORDER BY vec_id LIMIT 16)),
+    cbf AS (SELECT f.cid, d.m, d.dd, d.vm AS cm
+            FROM dims d JOIN fbids f USING (vec_id)),
+    sdf AS (
+      SELECT dims.vec_id, dims.m, cbf.cid,
+             CAST(SUM((vm - cm) * (vm - cm)) AS BIGINT) AS sd2
+      FROM dims JOIN cbf ON dims.m = cbf.m AND dims.dd = cbf.dd
+      GROUP BY dims.vec_id, dims.m, cbf.cid),
+    codesf AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY sd2, cid) AS rn FROM sdf
+      ) WHERE rn = 1),
+    adcf AS (SELECT vec_id AS query_id, m, cid, sd2 AS qd2
+             FROM sdf WHERE vec_id IN ({_IVFPQ_RECALL_QIDS})),
+    cbr AS (SELECT CAST(vec_id AS INT) AS cid, m, dd, vm AS cm
+            FROM dims WHERE vec_id < 16),
+    sdr AS (
+      SELECT dims.vec_id, dims.m, cbr.cid,
+             CAST(SUM((vm - cm) * (vm - cm)) AS BIGINT) AS sd2
+      FROM dims JOIN cbr ON dims.m = cbr.m AND dims.dd = cbr.dd
+      GROUP BY dims.vec_id, dims.m, cbr.cid),
+    codesr AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY sd2, cid) AS rn FROM sdr
+      ) WHERE rn = 1),
+    adcr AS (SELECT vec_id AS query_id, m, cid, sd2 AS qd2
+             FROM sdr WHERE vec_id IN ({_IVFPQ_RECALL_QIDS})),
+    truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT a.query_id, b.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY a.query_id
+                 ORDER BY {_COS_MICRO_SQL} DESC, b.vec_id) AS rnk
+        FROM (SELECT vec_id AS query_id, embedding FROM embeddings
+              WHERE vec_id < {_RECALL_QUERIES}) a
+        JOIN embeddings b ON b.vec_id <> a.query_id)
+      WHERE rnk <= {_RECALL_K}),
+    approx_f AS (
+      SELECT p.query_id, codesf.vec_id, CAST(SUM(qd2) AS BIGINT) AS adist_q
+      FROM codesf
+      JOIN cells cl ON cl.vec_id = codesf.vec_id
+      JOIN probes p ON p.pcell = cl.cell
+      JOIN adcf a ON a.query_id = p.query_id
+                 AND a.m = codesf.m AND a.cid = codesf.code
+      WHERE codesf.vec_id <> p.query_id
+      GROUP BY p.query_id, codesf.vec_id),
+    short_f AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist_q, vec_id) AS rn
+        FROM approx_f) WHERE rn <= 50),
+    fk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT s.query_id, s.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                 ORDER BY {_COS_MICRO_SQL} DESC, s.vec_id) AS rnk
+        FROM short_f s
+        JOIN embeddings a ON a.vec_id = s.query_id
+        JOIN embeddings b ON b.vec_id = s.vec_id)
+      WHERE rnk <= {_RECALL_K}),
+    approx_r AS (
+      SELECT p.query_id, codesr.vec_id, CAST(SUM(qd2) AS BIGINT) AS adist_q
+      FROM codesr
+      JOIN cells cl ON cl.vec_id = codesr.vec_id
+      JOIN probes p ON p.pcell = cl.cell
+      JOIN adcr a ON a.query_id = p.query_id
+                 AND a.m = codesr.m AND a.cid = codesr.code
+      WHERE codesr.vec_id <> p.query_id
+      GROUP BY p.query_id, codesr.vec_id),
+    short_r AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist_q, vec_id) AS rn
+        FROM approx_r) WHERE rn <= 50),
+    rk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT s.query_id, s.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                 ORDER BY {_COS_MICRO_SQL} DESC, s.vec_id) AS rnk
+        FROM short_r s
+        JOIN embeddings a ON a.vec_id = s.query_id
+        JOIN embeddings b ON b.vec_id = s.vec_id)
+      WHERE rnk <= {_RECALL_K})
+    SELECT t.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_frozen,
+           CAST(SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_rebuilt,
+           CAST(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 100
+                // COUNT(*) AS BIGINT) AS recall_frozen_pct,
+           CAST(SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 100
+                // COUNT(*) AS BIGINT) AS recall_rebuilt_pct
+    FROM truth t
+    LEFT JOIN fk f ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+    LEFT JOIN rk r ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+    GROUP BY t.query_id
+    """,
+)
+def q261_ivf_pq_codebook_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-staleness monitor — the rebuild trigger for the
+    streaming-maintained index (q260): the q255/q260 CDC contract
+    freezes the BASE corpus's codebook forever, so as arrivals drift
+    the codes slowly stop fitting; this row quantifies the cost by
+    scoring the FROZEN base codebook (q255's: 16 lowest-id base rows)
+    against a REBUILT one (q252's: 16 lowest-id rows of the full
+    corpus) over the same drifted corpus, same cells, same probes,
+    same truth — (query_id, n_truth, hits_frozen, hits_rebuilt,
+    recall_frozen_pct, recall_rebuilt_pct). When the frozen column
+    falls materially below the rebuilt one, rebuild and re-bootstrap;
+    no direction is pinned (the fixture's delta is mild drift by
+    construction — the monitor REPORTS, the operator decides).
+
+    Scale: two code tables instead of one, everything else shared;
+    truth is the O(|sample|·corpus) knob (q253's contract)."""
+    from kinesis_producer_spark.operators.similarity import (
+        _collect_codebook,
+        ivf_pq_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(_RECALL_QUERIES))
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    cb_frozen = _collect_codebook(base, "vec_id", "embedding", 16)
+    qs = e.filter(F.col("vec_id") < _RECALL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = (
+        brute_force_topk(e, qs, k=_RECALL_K + 1, query_id_col="query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("cos_micro").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= _RECALL_K)
+        .select("query_id", "vec_id")
+    )
+    frozen = ivf_pq_topk(
+        e, query_ids=qids, k=_RECALL_K, shortlist=50, bits=3,
+        exclude_self=True, codebook=cb_frozen,
+    ).select(F.col("query_id").alias("_fq"), F.col("vec_id").alias("_fv"))
+    rebuilt = ivf_pq_topk(
+        e, query_ids=qids, k=_RECALL_K, shortlist=50, bits=3,
+        exclude_self=True,
+    ).select(F.col("query_id").alias("_rq"), F.col("vec_id").alias("_rv"))
+    return (
+        truth.join(
+            frozen,
+            (F.col("query_id") == F.col("_fq")) & (F.col("vec_id") == F.col("_fv")),
+            "left",
+        )
+        .join(
+            rebuilt,
+            (F.col("query_id") == F.col("_rq")) & (F.col("vec_id") == F.col("_rv")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_truth"),
+            F.sum(F.when(F.col("_fv").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("hits_frozen"),
+            F.sum(F.when(F.col("_rv").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("hits_rebuilt"),
+        )
+        .select(
+            "query_id",
+            "n_truth",
+            "hits_frozen",
+            "hits_rebuilt",
+            F.expr("(hits_frozen * 100) div n_truth")
+            .cast("bigint")
+            .alias("recall_frozen_pct"),
+            F.expr("(hits_rebuilt * 100) div n_truth")
+            .cast("bigint")
+            .alias("recall_rebuilt_pct"),
         )
     )

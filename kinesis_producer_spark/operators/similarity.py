@@ -645,6 +645,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     exclude_self: bool = False,
+    codebook: list[list[int]] | None = None,
 ) -> DataFrame:
     """Composed IVF×PQ ANN — the production serving shape (Jégou et
     al. 2011 §IV, the IVFADC system): every corpus vector is assigned
@@ -667,8 +668,16 @@ def ivf_pq_topk(
     broadcast literal codebook — no dim explosion), and raw vectors
     are touched only for |queries|·shortlist re-rank rows. The only
     corpus-order shuffle left is the per-query top-shortlist over
-    probed candidates."""
-    cb = _collect_codebook(corpus, id_col, emb_col, n_centroids)
+    probed candidates.
+
+    ``codebook`` overrides the corpus-derived codebook with an
+    externally FROZEN one (the staleness monitor q261 scores a stale
+    base codebook against a rebuilt one over the drifted corpus)."""
+    cb = (
+        codebook
+        if codebook is not None
+        else _collect_codebook(corpus, id_col, emb_col, n_centroids)
+    )
     codes_fn, qd2_fn, adist_fn = _pq_expr_parts(cb, m_dims)
     coded = corpus.select(
         F.col(id_col).alias("vec_id"),
@@ -996,6 +1005,7 @@ def ivf_pq_topk_from_index(
     exclude_self: bool = False,
     centroids: list[list[int]] | None = None,
     nprobe: int = 2,
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """Serve top-k from a PERSISTED IVF×PQ index
     (``ivf_pq_write_index``): compute the query-side probe cells and
@@ -1011,7 +1021,11 @@ def ivf_pq_topk_from_index(
     pushable partition filter; everything corpus-sized stays
     distributed. ``centroids`` must be the index's frozen quantizer
     when it was written with one (then ``bits`` is ignored and
-    ``nprobe`` sets the probe width)."""
+    ``nprobe`` sets the probe width). ``index_df`` substitutes a
+    pre-constructed code-table frame for the plain parquet read —
+    the streaming-maintained index passes its committed-epochs view
+    (streaming/ann_index.read_committed_index) so ledger visibility
+    composes with the same probe-pruned scan."""
     spark = corpus.sparkSession
     _, qd2_fn, adist_fn = _pq_expr_parts(codebook, m_dims)
     if centroids is not None:
@@ -1028,7 +1042,8 @@ def ivf_pq_topk_from_index(
     )
     probe_rows = q.select("query_id", "cell").collect()  # bounded: |queries|·(bits+1)
     probe_cells = sorted({int(r["cell"]) for r in probe_rows})
-    coded = spark.read.parquet(index_path).filter(F.col("cell").isin(probe_cells))
+    base = index_df if index_df is not None else spark.read.parquet(index_path)
+    coded = base.filter(F.col("cell").isin(probe_cells))
     cand = coded.join(F.broadcast(q), "cell").withColumnRenamed("codes", "_codes")
     return _adc_shortlist_rerank(
         corpus, cand, adist_fn, query_ids, k, shortlist, id_col, emb_col,

@@ -1,0 +1,177 @@
+"""Streaming IVF×PQ index maintenance — the keep-fresh third of the
+production ANN story (build → serve → keep fresh; q254/q255 are the
+first two).
+
+A ``foreachBatch`` writer encodes each micro-batch of arriving vectors
+against the FROZEN build-time codebook (and frozen trained quantizer,
+when the index was built with one — the q255 contract: codebook drift
+is a REBUILD decision gated by the q253/q258 recall harness, never an
+append-path mutation) and lands the codes inside the index's physical
+partition layout, under the same epoch-commit ledger discipline as the
+Kinesis sink (streaming/kinesis_sink.py foreach_batch_writer):
+
+- layout: ``cell=X/epoch=N/`` — cell first, so serving keeps its
+  probe-list partition pruning (q254's pinned property); epoch second,
+  so each micro-batch owns its own leaf partitions.
+- idempotence: the write uses DYNAMIC partition overwrite, so a
+  REPLAYED epoch (crash before the ledger marker) rewrites exactly its
+  own ``(cell, epoch=N)`` partitions instead of double-appending —
+  parquet append has no atomicity, overwrite-own-partitions does.
+- visibility: readers go through ``read_committed_index`` — the ledger
+  (bounded driver control data: one marker file per epoch) becomes an
+  ``epoch IN (committed)`` PARTITION filter, so a crashed attempt's
+  partial files and an in-flight epoch are never served. That is the
+  exactly-once read contract: appends become visible atomically WITH
+  the marker, which is written only after the data write succeeded.
+- replay of a COMMITTED epoch (Structured Streaming re-delivers the
+  same epoch_id after a post-write/pre-checkpoint failure) is skipped
+  via the marker, the sink's ledger shape exactly.
+
+Local-FS marker atomics here, as in the Kinesis sink; an object-store
+deployment swaps in a conditional-put ledger on the same layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LEDGER = "_epoch_ledger"
+BOOTSTRAP_EPOCH = -1
+
+
+def _cell_and_codes(
+    codebook: list[list[int]],
+    centroids: list[list[int]] | None,
+    bits: int,
+    m_dims: int,
+    emb_col: str,
+):
+    from kinesis_producer_spark.operators.similarity import (
+        _pq_expr_parts,
+        _trained_parts,
+        ivf_cell,
+    )
+
+    codes_fn, _, _ = _pq_expr_parts(codebook, m_dims)
+    if centroids is not None:
+        cell_col = _trained_parts(centroids)[0](F.col(emb_col))
+    else:
+        cell_col = ivf_cell(F.col(emb_col), bits)
+    return cell_col, codes_fn(F.col(emb_col))
+
+
+def bootstrap_index(
+    corpus: DataFrame,
+    index_path: str,
+    n_centroids: int = 16,
+    m_dims: int = 8,
+    bits: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    centroids: list[list[int]] | None = None,
+) -> list[list[int]]:
+    """Build the standing index INTO the streaming layout
+    (``cell=X/epoch=-1/`` + committed marker) and return the frozen
+    codebook — the one full-corpus pass; everything after arrives
+    through ``index_append_writer``. Same semantics as
+    ``ivf_pq_write_index`` (codes against the lowest-id codebook),
+    different physical layout."""
+    from kinesis_producer_spark.operators.similarity import _collect_codebook
+
+    cb = _collect_codebook(corpus, id_col, emb_col, n_centroids)
+    cell_col, codes_col = _cell_and_codes(cb, centroids, bits, m_dims, emb_col)
+    (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            cell_col.alias("cell"),
+            codes_col.alias("codes"),
+            F.lit(BOOTSTRAP_EPOCH).alias("epoch"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell", "epoch")
+        .parquet(index_path)
+    )
+    _commit_marker(index_path, BOOTSTRAP_EPOCH)
+    return cb
+
+
+def _marker(index_path: str, epoch_id: int) -> str:
+    return os.path.join(index_path, _LEDGER, f"epoch-{epoch_id}")
+
+
+def _commit_marker(index_path: str, epoch_id: int) -> None:
+    os.makedirs(os.path.join(index_path, _LEDGER), exist_ok=True)
+    with open(_marker(index_path, epoch_id), "x") as fh:
+        fh.write("committed")
+
+
+def index_append_writer(
+    index_path: str,
+    codebook: list[list[int]],
+    bits: int = 3,
+    m_dims: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    centroids: list[list[int]] | None = None,
+):
+    """The ``foreachBatch`` function: encode arrivals against the
+    frozen codebook/quantizer, land them in ``cell=X/epoch=N/`` via
+    dynamic partition overwrite, then commit the epoch marker.
+    Replays of committed epochs are skipped; replays of uncommitted
+    epochs overwrite their own partitions — exactly-once appends as
+    observed through ``read_committed_index``."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        if os.path.exists(_marker(index_path, epoch_id)):
+            print(
+                f"ann index: epoch {epoch_id} already committed, skipping replay"
+            )
+            return
+        cell_col, codes_col = _cell_and_codes(
+            codebook, centroids, bits, m_dims, emb_col
+        )
+        (
+            batch_df.select(
+                F.col(id_col).alias("vec_id"),
+                cell_col.alias("cell"),
+                codes_col.alias("codes"),
+                F.lit(int(epoch_id)).alias("epoch"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell", "epoch")
+            .parquet(index_path)
+        )
+        _commit_marker(index_path, int(epoch_id))
+
+    return write
+
+
+def committed_epochs(index_path: str) -> list[int]:
+    """The ledger, as driver control data: one int per committed
+    epoch (bounded by stream lifetime in epochs, not data size)."""
+    d = os.path.join(index_path, _LEDGER)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.startswith("epoch-"):
+            out.append(int(name[len("epoch-"):]))
+    return sorted(out)
+
+
+def read_committed_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """The serving read: ONLY committed epochs are visible — the
+    ledger list becomes an ``epoch IN (...)`` partition filter, pruned
+    before any I/O, so partial files from a crashed attempt and rows
+    of an in-flight epoch never reach a query. Compose with
+    ``ivf_pq_topk_from_index(..., index_df=...)`` for the full probe-
+    pruned serving path."""
+    eps = committed_epochs(index_path)
+    df = spark.read.parquet(index_path)
+    if not eps:
+        return df.filter(F.lit(False))
+    return df.filter(F.col("epoch").isin(eps))

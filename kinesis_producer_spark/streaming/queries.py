@@ -1196,3 +1196,99 @@ def q251_streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-top.getField("nb")).cast("bigint").alias("top_bin"),
         top.getField("d").cast("bigint").alias("top_bin_dev"),
     )
+
+
+from kinesis_producer_spark.operators.llm_queries import _IVFPQ_CDC_ORACLE  # noqa: E402
+
+
+@query("q260_streaming_index_append", oracle=_IVFPQ_CDC_ORACLE)
+def q260_streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING IVF×PQ index maintenance — the keep-fresh third of
+    the ANN story (round-7 verdict #3): the standing corpus
+    (vec_id % 10 != 0) is bootstrapped into the cell=/epoch=
+    partition layout with a frozen codebook, the delta
+    (vec_id % 10 == 0) ARRIVES through a Structured Streaming file
+    source in two sequential availableNow micro-batches, and a
+    ``foreachBatch`` writer (streaming/ann_index.index_append_writer)
+    encodes each batch against the frozen codebook and lands it under
+    the epoch-commit ledger — dynamic partition overwrite makes
+    replays idempotent, the marker makes appends atomically visible.
+    Serving reads ONLY committed epochs (ledger → epoch partition
+    filter) composed with the probe-cell partition prune, and the
+    result must be ROW-IDENTICAL to the batch CDC path — q255's
+    oracle, verbatim: micro-batch boundaries, the ledger, and the
+    streaming layout must not change a single rank.
+
+    Scale: each epoch touches delta-sized data only; the ledger is
+    one marker file per epoch (bounded driver control data); serving
+    keeps both partition-prune dimensions (probed cells × committed
+    epochs) ahead of any I/O. Crash-replay exactly-once is pinned in
+    tests/test_streaming.py.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_pq_topk_from_index,
+    )
+    from kinesis_producer_spark.streaming.ann_index import (
+        bootstrap_index,
+        index_append_writer,
+        read_committed_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    run = uuid.uuid4().hex[:10]
+    idx = os.path.join(tempfile.gettempdir(), f"ann_stream_idx_{run}")
+    stream_dir = os.path.join(tempfile.gettempdir(), f"ann_stream_src_{run}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"ann_stream_ckpt_{run}")
+    os.makedirs(stream_dir, exist_ok=True)
+    try:
+        cb = bootstrap_index(base, idx, n_centroids=16, m_dims=8, bits=3)
+        writer = index_append_writer(idx, cb, bits=3, m_dims=8)
+        # two ordered delta micro-batches, driven as sequential
+        # availableNow runs against ONE checkpoint (file-source
+        # arrival order is not mtime-guaranteed otherwise)
+        for tag, pred in (
+            ("b1", F.col("vec_id") % 20 == 0),
+            ("b2", F.col("vec_id") % 20 == 10),
+        ):
+            stage = os.path.join(tempfile.gettempdir(), f"ann_stage_{run}_{tag}")
+            (
+                e.filter(pred)
+                .select("vec_id", "embedding")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            (part,) = [
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            ]
+            os.replace(
+                os.path.join(stage, part),
+                os.path.join(stream_dir, f"{tag}.parquet"),
+            )
+            shutil.rmtree(stage, ignore_errors=True)
+            arrivals = (
+                spark.readStream.schema("vec_id long, embedding array<float>")
+                .parquet(stream_dir)
+            )
+            q = (
+                arrivals.writeStream.foreachBatch(writer)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(f"q260 epoch {tag} did not drain within 300s")
+        return ivf_pq_topk_from_index(
+            e, idx, cb, query_ids=[0, 1, 2], k=10, shortlist=50, bits=3,
+            m_dims=8, index_df=read_committed_index(spark, idx),
+        ).localCheckpoint(eager=True)
+    finally:
+        for d in (idx, stream_dir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)

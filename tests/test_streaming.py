@@ -2691,3 +2691,111 @@ def test_streaming_token_budget_ttl_random_matches_model(spark, tmp_path):
             for r in spark.read.parquet(sink).collect()
         )
         assert got == expect, (seed, batches, got, expect)
+
+
+def test_streaming_index_append_crash_replay_exactly_once(spark, tmp_path):
+    """The ANN index's exactly-once append contract end to end: a
+    crash AFTER the epoch's data write but BEFORE the ledger marker
+    (the worst window) leaves the epoch INVISIBLE to serving reads;
+    the checkpoint restart replays the same epoch_id and dynamic
+    partition overwrite rewrites its own partitions instead of
+    double-appending; and a manual replay of a COMMITTED epoch is
+    skipped via the marker. Final committed view == one-shot batch
+    encoding, no duplicate vec_ids anywhere."""
+    import os
+
+    from kinesis_producer_spark.streaming.ann_index import (
+        bootstrap_index,
+        committed_epochs,
+        index_append_writer,
+        read_committed_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    delta = e.filter(F.col("vec_id") % 10 == 0)
+    idx = str(tmp_path / "ann_idx")
+    ckpt = str(tmp_path / "ann_ckpt")
+    src = tmp_path / "ann_src"
+    src.mkdir()
+
+    cb = bootstrap_index(base, idx, n_centroids=16, m_dims=8, bits=3)
+    n_base = base.count()
+    assert read_committed_index(spark, idx).count() == n_base
+
+    stage = tmp_path / "ann_stage"
+    delta.select("vec_id", "embedding").coalesce(1).write.parquet(str(stage))
+    (pq,) = [p for p in stage.iterdir() if p.name.endswith(".parquet")]
+    pq.rename(src / "b1.parquet")
+
+    real = index_append_writer(idx, cb, bits=3, m_dims=8)
+    crash_flag = tmp_path / "crash_once"
+    crash_flag.write_text("armed")
+
+    def crashing(batch_df, epoch_id):
+        real(batch_df, epoch_id)
+        if crash_flag.exists():
+            # data written AND marker committed — yank the marker and
+            # fail the query before the checkpoint commits, modeling a
+            # crash inside the write-then-mark window; the replay must
+            # overwrite, not append
+            os.replace(crash_flag, str(crash_flag) + ".used")
+            os.unlink(os.path.join(idx, "_epoch_ledger", f"epoch-{epoch_id}"))
+            raise RuntimeError("injected crash before ledger commit")
+
+    def run(writer):
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(str(src))
+        return (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run(crashing).awaitTermination(180)
+
+    # the crashed epoch's files exist on disk but serving must not see
+    # them: ledger-gated visibility
+    assert committed_epochs(idx) == [-1]
+    on_disk = spark.read.parquet(idx).count()
+    assert on_disk > n_base, "crashed epoch left no data (test is vacuous)"
+    assert read_committed_index(spark, idx).count() == n_base
+
+    # restart: same checkpoint replays the epoch; overwrite-own-
+    # partitions means no duplicates, marker commits
+    assert run(real).awaitTermination(180)
+    committed = read_committed_index(spark, idx)
+    total = e.count()
+    assert committed.count() == total
+    assert committed.select("vec_id").distinct().count() == total
+
+    # manual replay of the now-committed epoch is a no-op
+    real(delta.select("vec_id", "embedding"), 0)
+    assert read_committed_index(spark, idx).count() == total
+
+    # committed view == one-shot batch encoding over the union
+    from kinesis_producer_spark.operators.similarity import (
+        _pq_expr_parts,
+        ivf_cell,
+    )
+
+    codes_fn, _, _ = _pq_expr_parts(cb, 8)
+    want = {
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in e.select(
+            "vec_id",
+            ivf_cell(F.col("embedding"), 3).alias("cell"),
+            codes_fn(F.col("embedding")).alias("codes"),
+        ).collect()
+    }
+    got = {
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in committed.select("vec_id", "cell", "codes").collect()
+    }
+    assert got == want
