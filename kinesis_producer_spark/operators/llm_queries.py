@@ -3192,11 +3192,19 @@ def q170_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     k x shingles hashes per doc); each config is a band explode +
     bucket self-join over the same cached frame, so the sweep costs
     three bucket joins, not three signature passes.
+
+    Round-8 re-tune (counts identical — same division, same
+    operands): the 8x1 config's 2.28M candidate pairs made per-pair
+    verification the dominant cost (7.0s of the solo 6.8s total was
+    the verify stage in isolation); ``shingles`` returns DISTINCT
+    grams by construction, so |A∪B| = |A|+|B|−|A∩B| exactly and the
+    per-pair ``array_distinct(concat(...))`` set build (half the
+    per-pair work) is replaced by two pre-computed sizes riding the
+    persisted frame — solo sweep total 6.8 → 4.1s (min of 5).
     """
     from pyspark import StorageLevel
 
     from kinesis_producer_spark.operators.dedup import (
-        jaccard_micro,
         lsh_candidate_pairs,
         minhash_signature,
         shingles,
@@ -3207,15 +3215,28 @@ def q170_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = fan_out(d).select(F.col("doc_id"), shingles("text", 2).alias("sh"))
     sh = sh.withColumn("signature", minhash_signature(sh, F.col("sh"), k=8))
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    a = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.size("sh").alias("_na"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.size("sh").alias("_nb"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = (F.col("_na") + F.col("_nb") - inter).cast("double")
+    jac = F.floor(
+        F.try_divide(F.lit(1e6) * inter.cast("double"), union) + F.lit(0.5)
+    ).cast("bigint")
     outs = []
     for bands, rows in ((4, 2), (2, 4), (8, 1)):
         pairs = lsh_candidate_pairs(sh, sig_col="signature", band_size=rows)
         verified = (
             pairs.join(a, "id_a")
             .join(b, "id_b")
-            .select(jaccard_micro(F.col("sh_a"), F.col("sh_b")).alias("j"))
+            .select(jac.alias("j"))
         )
         outs.append(
             verified.agg(

@@ -471,11 +471,20 @@ def q133_stream_version_track(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitions equal sequential replay, so correctness never depends
     on trigger boundaries. The finalize is a per-key max over
     cumulative emissions (versions grow monotonically).
+
+    Round-8 re-tune (rows pinned identical,
+    test_stateful_version_track_packed_matches_per_key): per-user
+    groups made the op Python-call-bound (~1.5k calls/batch at sf0.1);
+    crc32-packed buckets divide the call count by the fan-in — sweep
+    at sf0.1 (min of 3): per-key/8part 6.2s, packed 16/8part 3.1s,
+    64/8part 3.3s, 256/8part 3.7s; at 32 partitions packing is
+    machinery-bound and flat (5.2-6.0s) — 16 buckets x the 8-partition
+    pin wins.
     """
     from kinesis_producer_spark.streaming.stateful import (
         events_multifile_stream,
         run_stream_update,
-        stateful_version_track,
+        stateful_version_track_packed,
     )
 
     e = events_multifile_stream(spark, sf_dir, n_files=4).select(
@@ -484,7 +493,7 @@ def q133_stream_version_track(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
     )
-    emissions = run_stream_update(stateful_version_track(e), spark)
+    emissions = run_stream_update(stateful_version_track_packed(e, n_buckets=16), spark)
     return (
         emissions.groupBy("user_id")
         .agg(
@@ -533,15 +542,23 @@ def q153_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     passing session_end + gap (state evicted — bounded state store).
     The oracle is batch sessionization filtered by the same closure
     rule; see stateful.stateful_sessions for why micro-batch
-    boundaries cannot change the emitted set."""
+    boundaries cannot change the emitted set.
+
+    Round-8 re-tune (set pinned identical,
+    test_stateful_sessions_packed_matches_per_key): crc32-packed
+    per-user session state with a min-deadline bucket timeout — sweep
+    at sf0.1 (min of 3): per-key/8part 8.3s, packed 16/8part 4.9s,
+    64/8part 5.0s, 256/8part 5.7s; at 32 partitions everything is
+    machinery-bound (7.1-8.0s) — 16 buckets x the 8-partition pin
+    wins."""
     from kinesis_producer_spark.streaming.stateful import (
         events_multifile_stream,
         run_stream_append_mode,
-        stateful_sessions,
+        stateful_sessions_packed,
     )
 
     stream = events_multifile_stream(spark, sf_dir, n_files=4)
-    return run_stream_append_mode(stateful_sessions(stream), spark)
+    return run_stream_append_mode(stateful_sessions_packed(stream, n_buckets=16), spark)
 
 
 @query(

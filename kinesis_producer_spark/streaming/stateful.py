@@ -384,3 +384,185 @@ def tws_user_stats(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Packed-bucket variants (round-8 tuning of the q133/q153 tail):
+# applyInPandasWithState cost at many-keys scale is per-group PYTHON
+# CALLS, not state-store commits (the q230/q221 measurement) — one
+# state row packs a crc32 key-bucket's per-user state as parallel
+# arrays, dividing the call count by the bucket fan-in. Buckets are a
+# packing unit only: per-user semantics, emission rows, and tie-breaks
+# are pinned identical to the per-key path in tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+
+VERSION_TRACK_BUCKET_STATE = (
+    "uids array<bigint>, firsts array<bigint>, lasts array<bigint>, "
+    "nvers array<bigint>"
+)
+
+
+def _version_track_bucket_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    batch = [pdf for pdf in pdfs if len(pdf)]
+    if not batch:
+        return
+    rows = pd.concat(batch).sort_values(["ts", "event_id"])
+    st: dict[int, list[int]] = {}
+    if state.exists:
+        u, f, l, n = state.get
+        st = {
+            int(ui): [int(fi), int(li), int(ni)]
+            for ui, fi, li, ni in zip(u or [], f or [], l or [], n or [])
+        }
+    touched: list[int] = []
+    for uid, v in zip(rows["user_id"], rows["cents"]):
+        uid, v = int(uid), int(v)
+        cur = st.get(uid)
+        if cur is None:
+            st[uid] = [v, v, 1]
+            touched.append(uid)
+        else:
+            if v != cur[1]:
+                cur[1] = v
+                cur[2] += 1
+            else:
+                cur[1] = v
+            touched.append(uid)
+    uids = sorted(st)
+    state.update(
+        (
+            uids,
+            [st[u][0] for u in uids],
+            [st[u][1] for u in uids],
+            [st[u][2] for u in uids],
+        )
+    )
+    seen = sorted(set(touched))
+    yield pd.DataFrame(
+        {
+            "user_id": seen,
+            "n_versions": [st[u][2] for u in seen],
+            "first_cents": [st[u][0] for u in seen],
+            "last_cents": [st[u][1] for u in seen],
+        }
+    )
+
+
+def stateful_version_track_packed(
+    events: DataFrame, n_buckets: int = 64
+) -> DataFrame:
+    """``stateful_version_track`` with crc32-packed per-user state —
+    emission rows identical by construction (per-user fold in the
+    same (ts, event_id) order; one cumulative row per user per batch)."""
+    bucketed = events.withColumn(
+        "_bucket", F.crc32(F.col("user_id").cast("string")) % int(n_buckets)
+    )
+    return bucketed.groupBy("_bucket").applyInPandasWithState(
+        _version_track_bucket_fn,
+        outputStructType=VERSION_TRACK_OUTPUT,
+        stateStructType=VERSION_TRACK_BUCKET_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SESSIONS_BUCKET_STATE = (
+    "uids array<bigint>, starts array<bigint>, lasts array<bigint>, "
+    "ns array<bigint>"
+)
+
+
+def _sessions_bucket_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    st: dict[int, list[int]] = {}
+    if state.exists:
+        u, s, l, n = state.get
+        st = {
+            int(ui): [int(si), int(li), int(ni)]
+            for ui, si, li, ni in zip(u or [], s or [], l or [], n or [])
+        }
+    rows_out: list[tuple] = []
+    if not state.hasTimedOut:
+        batch = [p for p in pdfs if len(p)]
+        if batch:
+            rows = pd.concat(batch).sort_values(["ts", "event_id"])
+            for uid, t in zip(rows["user_id"], rows["ts"]):
+                uid = int(uid)
+                us = int(pd.Timestamp(t).value // 1000)
+                cur = st.get(uid)
+                if cur is None:
+                    st[uid] = [us, us, 1]
+                elif us - cur[1] > SESSION_GAP_MS * 1000:
+                    rows_out.append((uid, cur[0], cur[1], cur[2]))
+                    st[uid] = [us, us, 1]
+                else:
+                    cur[1] = us
+                    cur[2] += 1
+    # watermark sweep: close every member whose deadline the watermark
+    # passed — exactly the set whose per-key timeouts would have fired
+    # by this batch (strict <, Spark's event-time-timeout rule); runs
+    # on BOTH data calls and the bucket's timeout call, because a
+    # bucket-level timeout must not delay a member whose own deadline
+    # expired earlier than the bucket minimum re-registration
+    wm_ms = state.getCurrentWatermarkMs()
+    for uid in sorted(st):
+        s_, l_, n_ = st[uid]
+        if l_ // 1000 + SESSION_GAP_MS < wm_ms:
+            rows_out.append((uid, s_, l_, n_))
+            del st[uid]
+    if st:
+        uids = sorted(st)
+        state.update(
+            (
+                uids,
+                [st[u][0] for u in uids],
+                [st[u][1] for u in uids],
+                [st[u][2] for u in uids],
+            )
+        )
+        # bucket timeout = the EARLIEST member deadline (strictly past
+        # the watermark, as the API requires)
+        next_ms = min(st[u][1] // 1000 + SESSION_GAP_MS for u in uids)
+        state.setTimeoutTimestamp(max(next_ms, wm_ms + 1))
+    elif state.exists:
+        state.remove()
+    if rows_out:
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows_out],
+                "session_start": pd.to_datetime([r[1] for r in rows_out], unit="us"),
+                "session_end": pd.to_datetime([r[2] for r in rows_out], unit="us"),
+                "n_events": [r[3] for r in rows_out],
+            }
+        )
+
+
+def stateful_sessions_packed(
+    events: DataFrame, delay: str = "10 minutes", n_buckets: int = 64
+) -> DataFrame:
+    """``stateful_sessions`` with crc32-packed per-user state. The
+    bucket carries one EventTimeTimeout = the minimum member deadline,
+    and every invocation (data or timeout) closes all members whose
+    deadline the current watermark strictly passed — the emitted
+    session SET equals the per-key path's (same gap splits from the
+    same (ts, event_id) fold; same closure rule as the per-key
+    timeouts, which also fire only when the watermark passes the
+    deadline), it just batches the firings. Pinned row-identical in
+    tests/test_streaming.py."""
+    return (
+        events.withWatermark("ts", delay)
+        .withColumn(
+            "_bucket", F.crc32(F.col("user_id").cast("string")) % int(n_buckets)
+        )
+        .groupBy("_bucket")
+        .applyInPandasWithState(
+            _sessions_bucket_fn,
+            outputStructType=SESSIONS_OUTPUT,
+            stateStructType=SESSIONS_BUCKET_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -2799,3 +2799,75 @@ def test_streaming_index_append_crash_replay_exactly_once(spark, tmp_path):
         for r in committed.select("vec_id", "cell", "codes").collect()
     }
     assert got == want
+
+
+def test_stateful_version_track_packed_matches_per_key(spark):
+    """Packed per-user version tracking must emit exactly the per-key
+    path's rows — buckets are a Python-call packing unit, not a
+    semantics change (the q230/q221 discipline applied to q133)."""
+    from kinesis_producer_spark.streaming.stateful import (
+        events_multifile_stream,
+        run_stream_update,
+        stateful_version_track,
+        stateful_version_track_packed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def final(df):
+        return {
+            (r.user_id): (r.n_versions, r.first_cents, r.last_cents)
+            for r in df.groupBy("user_id")
+            .agg(F.max(F.struct("n_versions", "first_cents", "last_cents")).alias("m"))
+            .select("user_id", "m.*")
+            .collect()
+        }
+
+    def prep():
+        return events_multifile_stream(spark, sf, n_files=4).select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+
+    per_key = final(run_stream_update(stateful_version_track(prep()), spark))
+    packed = final(
+        run_stream_update(stateful_version_track_packed(prep(), n_buckets=17), spark)
+    )
+    assert packed == per_key and per_key
+
+
+def test_stateful_sessions_packed_matches_per_key(spark):
+    """Packed sessionization must emit exactly the per-key path's
+    closed-session set: same gap splits, same watermark-closure rule,
+    only the timeout firings are batched per bucket."""
+    from kinesis_producer_spark.streaming.stateful import (
+        events_multifile_stream,
+        run_stream_append_mode,
+        stateful_sessions,
+        stateful_sessions_packed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def rows(df):
+        return {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in df.collect()
+        }
+
+    per_key = rows(
+        run_stream_append_mode(
+            stateful_sessions(events_multifile_stream(spark, sf, n_files=4)), spark
+        )
+    )
+    packed = rows(
+        run_stream_append_mode(
+            stateful_sessions_packed(
+                events_multifile_stream(spark, sf, n_files=4), n_buckets=17
+            ),
+            spark,
+        )
+    )
+    assert packed == per_key and per_key
