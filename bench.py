@@ -108,6 +108,11 @@ HEADLINE = [
     # the flat-ADC path.
     "q252_ivf_pq_topk",
     "q253_ivf_pq_recall",
+    # Round-8: the production ANN read path (persisted cell-partitioned
+    # index: build + partition-pruned serve) and the trained-quantizer
+    # serving composition that replaces the sign-bit cells.
+    "q254_ivf_pq_index_serving",
+    "q257_ivf_pq_trained_topk",
 ]
 
 
