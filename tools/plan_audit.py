@@ -32,6 +32,11 @@ NLJ_OK = {
     "q234_pq_ann_adc",
     "q239_pq_rerank",
     "q253_ivf_pq_recall",
+    # round-8 recall/staleness gates: same q253 shape — the truth side
+    # is q55's brute force over the broadcast 30-query sample (the
+    # O(|sample|·corpus) knob), everything else key-joined
+    "q258_ivf_pq_trained_recall",
+    "q261_ivf_pq_codebook_staleness",
     "q07_band_join",
     "q08_asof_join",
     "q63_tfidf",

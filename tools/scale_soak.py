@@ -81,6 +81,18 @@ SOAK = [
     "q252_ivf_pq_topk",
     "q253_ivf_pq_recall",
     "q256_ivf_pq_residual_topk",
+    # round-8: the trained coarse quantizer family (build passes +
+    # nprobe-nearest serving), its recall/probe gate, trained-index
+    # and streaming-maintained index serving, and the two re-tuned
+    # packed-state streaming queries (15k users at sf1.0 stresses
+    # the bucket fan-in)
+    "q257_ivf_pq_trained_topk",
+    "q258_ivf_pq_trained_recall",
+    "q259_ivf_pq_trained_index_serving",
+    "q260_streaming_index_append",
+    "q261_ivf_pq_codebook_staleness",
+    "q133_stream_version_track",
+    "q153_stateful_sessions",
 ]
 
 SF_DIRS = {
