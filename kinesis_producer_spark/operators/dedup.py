@@ -408,11 +408,24 @@ def minhash_dedup(
     bound = F.floor(
         F.try_divide(F.lit(1e6) * F.least(sza, szb), F.greatest(sza, szb)) + F.lit(0.5)
     ).cast("bigint")
+    # ``shingles`` returns DISTINCT grams by construction, so
+    # |A∪B| = |A|+|B|−|A∩B| exactly — the per-pair
+    # array_distinct(concat(...)) set build (half the per-pair work at
+    # band_size=1's ~100:1 candidate ratio) is replaced by the two
+    # sizes already computed for the prefilter; same division, same
+    # operands, oracle-identical (the q170 round-8 measurement:
+    # 6.8→4.1s solo). Empty/empty pairs still yield NULL via
+    # try_divide (union size 0), matching the oracle's x/0.
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = sza + szb - inter
+    jac = F.floor(
+        F.try_divide(F.lit(1e6) * inter, union) + F.lit(0.5)
+    ).cast("bigint")
     verified = (
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .filter(bound >= threshold_micro)
-        .select("id_a", "id_b", jaccard_micro(F.col("sh_a"), F.col("sh_b")).alias("jaccard_micro"))
+        .select("id_a", "id_b", jac.alias("jaccard_micro"))
     )
     return verified.filter(F.col("jaccard_micro") >= threshold_micro)
 

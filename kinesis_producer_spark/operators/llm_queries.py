@@ -285,6 +285,12 @@ def q53_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate machinery); exact Jaccard is only the verification stage,
     and the oracle mirrors the banding so both engines see the same
     candidate set.
+
+    Round-8: minhash_dedup's verification now derives |A∪B| from the
+    prefilter's sizes (shingles are distinct by construction) instead
+    of building the per-pair concat set — solo 6.1 → 4.0s here
+    (band_size=1 is the ~100:1 candidate config that pays most) and
+    q51 2.8 → 1.9s, values oracle-identical.
     """
     d = load_table(spark, sf_dir, "documents")
     return minhash_dedup(d, k=8, band_size=1, shingle_n=2, threshold_micro=300_000)
@@ -330,17 +336,41 @@ def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact
     quantized cosine remains the verification stage, and the oracle
     mirrors the banding so both engines see the same candidate set.
+
+    Round-8 re-tune (values identical — the hoisted form is the same
+    deterministic integer expression, the q231/q246 discipline): the
+    per-pair ``cosine_micro`` evaluated THREE quantized dots per pair
+    (a·b, a·a, b·b), and the threshold filter re-evaluates the
+    projection — self-norms now ride each side's projection (one
+    qdot per VECTOR), so a pair costs one 64-dim dot instead of up to
+    six; solo 4.9 → 4.3s at sf0.1 (min of 5) — the remaining cost is
+    the SRP signature stage (32 hyperplane projections per vector),
+    which candidates-vs-recall already sized in round 2.
     """
+    from kinesis_producer_spark.operators.similarity import _cos_from_parts, qdot
+
     e = load_table(spark, sf_dir, "embeddings")
     cand = _srp_band_pairs(e, n_planes=32, band_bits=8, center=True).select(
         F.col("vec_a").alias("id_a"), F.col("vec_b").alias("id_b")
     )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb"))
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_ea"),
+        qdot(F.col("embedding"), F.col("embedding")).alias("_na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_eb"),
+        qdot(F.col("embedding"), F.col("embedding")).alias("_nb"),
+    )
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", cosine_micro(F.col("_ea"), F.col("_eb")).alias("cos_micro"))
+        .select(
+            "id_a",
+            "id_b",
+            _cos_from_parts("_ea", "_eb", "_na", "_nb").alias("cos_micro"),
+        )
         .filter(F.col("cos_micro") >= 300_000)
     )
 
@@ -7951,4 +7981,85 @@ def q261_ivf_pq_codebook_staleness(spark: SparkSession, sf_dir: str) -> DataFram
             .cast("bigint")
             .alias("recall_rebuilt_pct"),
         )
+    )
+
+
+@query(
+    "q262_ivf_pq_trained_residual_topk",
+    oracle=f"""
+    WITH {_IVFPQ_TRAINED_BASE.format(qids="0, 1, 2", nprobe=2)},
+    rdims AS (
+      SELECT dims.vec_id, dims.m, dims.dd, dims.vm - kc2.cm AS rm
+      FROM dims JOIN tcells tc USING (vec_id)
+      JOIN kc2 ON kc2.kcid = tc.cell AND kc2.d = dims.d),
+    cbr AS (SELECT CAST(r.vec_id AS INT) AS rcid, r.m, r.dd, r.rm AS crm
+            FROM rdims r WHERE r.vec_id < 16),
+    sdr AS (
+      SELECT r.vec_id, r.m, cbr.rcid,
+             CAST(SUM((r.rm - cbr.crm) * (r.rm - cbr.crm)) AS BIGINT) AS sd2
+      FROM rdims r JOIN cbr ON r.m = cbr.m AND r.dd = cbr.dd
+      GROUP BY r.vec_id, r.m, cbr.rcid),
+    rcodes AS (
+      SELECT vec_id, m, rcid AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY sd2, rcid) AS rn FROM sdr
+      ) WHERE rn = 1),
+    qrd AS (
+      SELECT p.query_id, p.pcell, dims.m, dims.dd, dims.vm - kc2.cm AS rm
+      FROM tprobes p
+      JOIN dims ON dims.vec_id = p.query_id
+      JOIN kc2 ON kc2.kcid = p.pcell AND kc2.d = dims.d),
+    qsd AS (
+      SELECT q.query_id, q.pcell, q.m, cbr.rcid,
+             CAST(SUM((q.rm - cbr.crm) * (q.rm - cbr.crm)) AS BIGINT) AS qd2
+      FROM qrd q JOIN cbr ON q.m = cbr.m AND q.dd = cbr.dd
+      GROUP BY q.query_id, q.pcell, q.m, cbr.rcid),
+    approx AS (
+      SELECT p.query_id, rcodes.vec_id, CAST(SUM(qsd.qd2) AS BIGINT) AS adist_q
+      FROM rcodes
+      JOIN tcells cl ON cl.vec_id = rcodes.vec_id
+      JOIN tprobes p ON p.pcell = cl.cell
+      JOIN qsd ON qsd.query_id = p.query_id AND qsd.pcell = p.pcell
+              AND qsd.m = rcodes.m AND qsd.rcid = rcodes.code
+      GROUP BY p.query_id, rcodes.vec_id),
+    short AS (
+      SELECT query_id, vec_id, adist_q FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist_q, vec_id) AS rn
+        FROM approx) WHERE rn <= 50),
+    scored AS (
+      SELECT s.query_id, s.vec_id, s.adist_q, {_COS_MICRO_SQL} AS cos_micro
+      FROM short s
+      JOIN embeddings a ON a.vec_id = s.query_id
+      JOIN embeddings b ON b.vec_id = s.vec_id)
+    SELECT query_id, vec_id, adist_q, cos_micro, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_micro DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= 10
+    """,
+)
+def q262_ivf_pq_trained_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE Jégou et al. 2011 IVFADC — trained coarse
+    quantizer (q257) × residual encoding (q256) composed: codes
+    quantize x − centroid(cell(x)) where the centroid IS the trained
+    k-means centroid (the paper's coarse reproduction value — q256's
+    separate per-cell-mean pass existed only because sign-bit cells
+    have no centroid), and a query probing cell c scores against a
+    distance table built from q − centroid(c), one per probed cell.
+    This is the production index shape end to end: trained cells
+    prune the scan to nprobe/n_cells, residuals spend the code budget
+    on the part the coarse quantizer didn't explain
+    (operators/similarity.py:ivf_pq_residual_topk_trained).
+
+    Scale: q257's build/serve costs plus nothing — the residual
+    subtraction rides the same Arrow batch as code assignment, and
+    the coarse centroids were already bounded driver literals."""
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_pq_residual_topk_trained,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_residual_topk_trained(
+        e, query_ids=[0, 1, 2], k=10, shortlist=50, n_cells=16, nprobe=2,
+        rounds=2, n_centroids=16, m_dims=8,
     )

@@ -908,6 +908,80 @@ def ivf_pq_residual_topk(
     )
 
 
+def ivf_pq_residual_topk_trained(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    shortlist: int = 50,
+    n_cells: int | None = 16,
+    nprobe: int = 2,
+    rounds: int = 2,
+    n_centroids: int = 16,
+    m_dims: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = False,
+    centroids: list[list[int]] | None = None,
+) -> DataFrame:
+    """The COMPLETE Jégou et al. 2011 IVFADC: trained k-means coarse
+    quantizer (q257's) AND residual PQ encoding (q256's) composed —
+    each vector's code quantizes x − centroid(cell(x)) where the
+    centroid IS the trained coarse centroid (no separate per-cell
+    mean pass: with a trained quantizer the coarse reproduction value
+    is the centroid itself, which is the paper's construction), and a
+    query probing cell c scores against a table built from
+    q − centroid(c), one table per probed cell. q256 and q257 each
+    did half of this; this is the production index shape.
+
+    Scale: q257's build/serve costs plus nothing — the residual
+    subtraction rides the same Arrow batch as code assignment, and
+    the coarse centroids are already bounded driver literals."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_cells=n_cells, rounds=rounds,
+            id_col=id_col, emb_col=emb_col,
+        )
+    import math
+
+    cell_fn, probes_fn = _trained_parts(centroids, nprobe)
+    cen_dict = {i: list(v) for i, v in enumerate(centroids)}
+    cb_rows = _codebook_rows(
+        corpus, id_col, emb_col, n_centroids,
+        cell_col=cell_fn(F.col(emb_col)),
+    )
+    cb_resid = [
+        [
+            int(math.floor(1e6 * float(v) + 0.5)) - cen_dict[int(r["c"])][d]
+            for d, v in enumerate(r["e"])
+        ]
+        for r in cb_rows
+    ]
+    codes_fn, qd2_fn, adist_fn = _pq_residual_parts(cb_resid, cen_dict, m_dims)
+    coded = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        cell_fn(F.col(emb_col)).alias("_cell"),
+        codes_fn(F.col(emb_col), cell_fn(F.col(emb_col))).alias("_codes"),
+    )
+    q = (
+        corpus.filter(F.col(id_col).isin(*query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(emb_col).alias("_qe"),
+            F.explode(probes_fn(F.col(emb_col))).alias("_cell"),
+        )
+        .select(
+            "query_id",
+            "_cell",
+            qd2_fn(F.col("_qe"), F.col("_cell")).alias("_qd2"),
+        )
+    )
+    cand = coded.join(F.broadcast(q), "_cell")
+    return _adc_shortlist_rerank(
+        corpus, cand, adist_fn, query_ids, k, shortlist, id_col, emb_col,
+        exclude_self,
+    )
+
+
 def ivf_pq_write_index(
     corpus: DataFrame,
     path: str,

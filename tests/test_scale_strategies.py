@@ -1235,7 +1235,10 @@ def test_residual_recall_geq_raw_space(spark):
     from kinesis_producer_spark.operators.similarity import (
         brute_force_topk,
         ivf_pq_residual_topk,
+        ivf_pq_residual_topk_trained,
         ivf_pq_topk,
+        ivf_pq_topk_trained,
+        train_ivf_centroids,
     )
 
     qids = list(range(_RECALL_QUERIES))
@@ -1276,6 +1279,27 @@ def test_residual_recall_geq_raw_space(spark):
         }
         assert len(resid & truth) >= len(raw & truth), (
             sf, len(resid & truth), len(raw & truth), len(truth),
+        )
+        # and the same direction on TRAINED cells (q262 vs q257 —
+        # residuals vs the trained centroids themselves; measured
+        # sf0.01 168->169, sf0.1 146->156 hits)
+        cent = train_ivf_centroids(e, n_cells=16, rounds=2)
+        raw_tr = {
+            (r.query_id, r.vec_id)
+            for r in ivf_pq_topk_trained(
+                e, query_ids=qids, k=_RECALL_K, shortlist=50, n_cells=16,
+                nprobe=2, exclude_self=True, centroids=cent,
+            ).collect()
+        }
+        resid_tr = {
+            (r.query_id, r.vec_id)
+            for r in ivf_pq_residual_topk_trained(
+                e, query_ids=qids, k=_RECALL_K, shortlist=50, n_cells=16,
+                nprobe=2, exclude_self=True, centroids=cent,
+            ).collect()
+        }
+        assert len(resid_tr & truth) >= len(raw_tr & truth), (
+            sf, len(resid_tr & truth), len(raw_tr & truth), len(truth),
         )
 
 
