@@ -8063,3 +8063,61 @@ def q262_ivf_pq_trained_residual_topk(spark: SparkSession, sf_dir: str) -> DataF
         e, query_ids=[0, 1, 2], k=10, shortlist=50, n_cells=16, nprobe=2,
         rounds=2, n_centroids=16, m_dims=8,
     )
+
+
+@query(
+    "q263_sq8_scalar_quantization_topk",
+    oracle=f"""
+    WITH dims AS (
+      SELECT vec_id, d,
+             CAST(FLOOR(1e6 * CAST(embedding[d + 1] AS DOUBLE) + 0.5) AS BIGINT) AS vm
+      FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS d)
+    ),
+    rng AS (SELECT d, MIN(vm) AS mn, GREATEST(MAX(vm) - MIN(vm), 1) AS span
+            FROM dims GROUP BY d),
+    recon AS (
+      SELECT vec_id, dims.d,
+             rng.mn + ((((vm - rng.mn) * 255) // rng.span) * rng.span) // 255 AS rv
+      FROM dims JOIN rng USING (d)),
+    adist AS (
+      SELECT q.vec_id AS query_id, r.vec_id,
+             CAST(SUM((q.vm - r.rv) * (q.vm - r.rv)) AS BIGINT) AS adist_q
+      FROM (SELECT * FROM dims WHERE vec_id IN (0, 1, 2)) q
+      JOIN recon r ON r.d = q.d
+      GROUP BY q.vec_id, r.vec_id),
+    short AS (
+      SELECT query_id, vec_id, adist_q FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist_q, vec_id) AS rn
+        FROM adist) WHERE rn <= 50),
+    scored AS (
+      SELECT s.query_id, s.vec_id, s.adist_q, {_COS_MICRO_SQL} AS cos_micro
+      FROM short s
+      JOIN embeddings a ON a.vec_id = s.query_id
+      JOIN embeddings b ON b.vec_id = s.vec_id)
+    SELECT query_id, vec_id, adist_q, cos_micro, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_micro DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= 10
+    """,
+)
+def q263_sq8_scalar_quantization_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (SQ8) quantization ANN — the training-free compression
+    member of the family (FAISS ScalarQuantizer QT_8bit, public):
+    every dimension quantizes independently to 8 bits against the
+    corpus's per-dimension [min, max] range, a 64-dim vector becomes
+    64 bytes with NO codebook, and asymmetric distance keeps the
+    query exact against per-dimension reconstructions. Shortlist +
+    exact cosine re-rank, same tail and tie-breaks as the PQ paths —
+    the standard baseline PQ's trained codebooks must beat
+    (operators/similarity.py:sq8_topk).
+
+    Scale: the range frame is dim·2 ints (one map-side-combinable
+    aggregate, bounded collect); code/reconstruction emission is one
+    zero-shuffle Arrow pass per vector; the flat scan composes with
+    the IVF cell (q252) when the corpus outgrows it, exactly as PQ
+    does."""
+    from kinesis_producer_spark.operators.similarity import sq8_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return sq8_topk(e, query_ids=[0, 1, 2], k=10, shortlist=50)

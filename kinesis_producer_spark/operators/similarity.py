@@ -1194,6 +1194,131 @@ def pq_codes_and_adc_topk(
     )
 
 
+def _sq8_parts(corpus: DataFrame, emb_col: str):
+    """Shared SQ8 machinery: per-dimension [min, max] micro-int range
+    (ONE map-side-combinable aggregate, dim·2 ints of driver control
+    data) and the Arrow-vectorized code/reconstruction UDFs over it.
+    All div operands are non-negative, so numpy floor division, Spark
+    ``div`` and DuckDB ``//`` agree."""
+    import numpy as np
+    import pandas as pd
+
+    rng_rows = (
+        corpus.select(F.posexplode(F.col(emb_col)).alias("d", "v"))
+        .select(
+            "d",
+            F.floor(F.lit(1e6) * F.col("v").cast("double") + F.lit(0.5))
+            .cast("bigint")
+            .alias("vm"),
+        )
+        .groupBy("d")
+        .agg(F.min("vm").alias("mn"), F.max("vm").alias("mx"))
+        .collect()
+    )  # bounded control data: dim rows
+    dim = max(int(r["d"]) for r in rng_rows) + 1
+    mn = np.zeros(dim, dtype=np.int64)
+    span = np.ones(dim, dtype=np.int64)
+    for r in rng_rows:
+        mn[int(r["d"])] = int(r["mn"])
+        span[int(r["d"])] = max(int(r["mx"]) - int(r["mn"]), 1)
+
+    def _vm(embs: pd.Series) -> "np.ndarray":
+        v = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        return np.floor(1e6 * v + 0.5).astype(np.int64)
+
+    def _codes(embs):
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        c = ((_vm(embs) - mn) * 255) // span
+        return pd.Series(list(c.astype(np.int32)))
+
+    def _recon(embs):
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        c = ((_vm(embs) - mn) * 255) // span
+        return pd.Series(list(mn + (c * span) // 255))
+
+    return F.pandas_udf(_codes, "array<int>"), F.pandas_udf(_recon, "array<bigint>")
+
+
+def sq8_codes(
+    corpus: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, sq8_codes array<int>) — the persisted 64-bytes-per-
+    vector payload (every element in [0, 255]; pinned in tests). One
+    zero-shuffle Arrow pass, the q234 emission discipline."""
+    codes_udf, _ = _sq8_parts(corpus, emb_col)
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        codes_udf(F.col(emb_col)).alias("sq8_codes"),
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Scalar (SQ8) quantization ANN — the OTHER production
+    compression member of the family (FAISS's ScalarQuantizer QT_8bit,
+    public): every dimension is independently quantized to 8 bits
+    against the corpus's per-dimension [min, max] range —
+    ``code_d = (vm_d − mn_d)·255 div span_d`` — so a 64-dim float
+    vector becomes 64 bytes with NO codebook training, and asymmetric
+    distance keeps the query exact: adist = Σ(qm_d − recon_d)² where
+    ``recon_d = mn_d + code_d·span_d div 255``. Shortlist + exact
+    cosine re-rank as in the PQ paths (same tail, same tie-breaks).
+    PQ (q234/q252) spends its budget on trained subspace structure;
+    SQ8 spends it uniformly per dimension — simpler, training-free,
+    and the standard baseline PQ must beat to justify its codebooks.
+
+    Everything is integer after the one micro quantization (all
+    div operands non-negative, so Spark's truncating ``div`` and
+    DuckDB's flooring ``//`` agree), oracle-reproducible.
+
+    Scale: the range frame is dim·2 ints — a bounded one-aggregate
+    collect (map-side combinable min/max); code emission is one
+    zero-shuffle Arrow pass (the q234 discipline: one array per
+    vector, no dim explosion); the flat code scan is n·|queries|
+    zip_with sums — compose with the IVF cell (q252's pruning) when
+    the corpus outgrows a flat scan, exactly as PQ does."""
+    _, recon_udf = _sq8_parts(corpus, emb_col)
+    qm_col = F.transform(
+        F.col(emb_col),
+        lambda x: F.floor(F.lit(1e6) * x.cast("double") + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    # the shared shortlist/re-rank tail wants (_codes, _qd2, adist_fn);
+    # for SQ8 the "codes" the distance consumes are the reconstructed
+    # int64 vector and the "query table" is the exact micro query —
+    # adist is the straight zip_with squared-L2 between them
+    coded = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        recon_udf(F.col(emb_col)).alias("_codes"),
+    )
+    q = corpus.filter(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        qm_col.alias("_qd2"),
+    )
+    cand = coded.crossJoin(F.broadcast(q))
+
+    def adist_fn(recon_col: Column, qm: Column) -> Column:
+        diffs = F.zip_with(qm, recon_col, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(
+            diffs, F.lit(0).cast("bigint"), lambda acc, p: acc + p
+        )
+
+    return _adc_shortlist_rerank(
+        corpus, cand, adist_fn, query_ids, k, shortlist, id_col, emb_col,
+        exclude_self,
+    )
+
+
 def prototypicality_prune(
     corpus: DataFrame,
     id_col: str = "vec_id",
