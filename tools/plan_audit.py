@@ -37,6 +37,10 @@ NLJ_OK = {
     # O(|sample|·corpus) knob), everything else key-joined
     "q258_ivf_pq_trained_recall",
     "q261_ivf_pq_codebook_staleness",
+    # SQ8's flat code scan: crossJoin(broadcast(3-row query set)) —
+    # the q55/q234 intended pattern; composes with IVF cells when the
+    # corpus outgrows a flat scan (docstring)
+    "q263_sq8_scalar_quantization_topk",
     "q07_band_join",
     "q08_asof_join",
     "q63_tfidf",

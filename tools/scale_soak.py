@@ -91,6 +91,8 @@ SOAK = [
     "q259_ivf_pq_trained_index_serving",
     "q260_streaming_index_append",
     "q261_ivf_pq_codebook_staleness",
+    "q262_ivf_pq_trained_residual_topk",
+    "q263_sq8_scalar_quantization_topk",
     "q133_stream_version_track",
     "q153_stateful_sessions",
 ]
