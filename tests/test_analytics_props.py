@@ -539,3 +539,183 @@ def test_ivf_pq_trained_topk_matches_model(spark, vecs):
         assert got == want, (got, want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@SETTINGS
+@given(vecs=EMB)
+def test_ivf_pq_trained_residual_topk_matches_model(spark, vecs):
+    """q262's complete trained-residual IVFADC vs an exact integer
+    model: the q257 training protocol (2 Lloyd rounds, empty cells
+    keep centroids) PLUS residual codes against the trained centroids
+    themselves (codebook = residuals of the 16 lowest-id rows vs
+    their own cells' centroids) and per-PROBED-CELL query tables.
+    Pins the full composition end to end with both tie-breaks."""
+    from kinesis_producer_spark.operators.llm_queries import (
+        q262_ivf_pq_trained_residual_topk,
+    )
+
+    K, MD, NM, NC, NPROBE, SHORT, TOPK = 16, 8, 8, 16, 2, 50, 10
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    d = _fixture_dir(
+        spark,
+        "embeddings",
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+    )
+    try:
+        got = {
+            (r.query_id, r.rank): (r.vec_id, r.adist_q, r.cos_micro)
+            for r in q262_ivf_pq_trained_residual_topk(spark, d).collect()
+        }
+        n = len(vecs)
+        vm = [[_micro(x) for x in v] for v in vecs]
+
+        def kd2(v, cm):
+            return sum((a - b) ** 2 for a, b in zip(v, cm))
+
+        def assign(cent):
+            return [
+                min(range(NC), key=lambda c: (kd2(vm[i], cent[c]), c))
+                for i in range(n)
+            ]
+
+        cent = [list(vm[i]) for i in range(NC)]
+        for _ in range(2):
+            cells_r = assign(cent)
+            new = []
+            for c in range(NC):
+                members = [vm[i] for i in range(n) if cells_r[i] == c]
+                if not members:
+                    new.append(cent[c])
+                else:
+                    new.append(
+                        [
+                            int(math.floor(
+                                sum(m[d_] for m in members) / len(members) + 0.5
+                            ))
+                            for d_ in range(64)
+                        ]
+                    )
+            cent = new
+        cells = assign(cent)
+        # residuals vs the trained centroid of each vector's OWN cell
+        rm = [
+            [vm[i][d_] - cent[cells[i]][d_] for d_ in range(64)]
+            for i in range(n)
+        ]
+
+        def sd2(ra, rb, m):
+            return sum(
+                (ra[m * MD + i] - rb[m * MD + i]) ** 2 for i in range(MD)
+            )
+
+        codes = [
+            [
+                min(range(K), key=lambda c: (sd2(rm[vid], rm[c], m), c))
+                for m in range(NM)
+            ]
+            for vid in range(n)
+        ]
+
+        def qdot(a, b):
+            return sum(
+                int(math.floor(float(x) * float(y) * 1e12 + 0.5))
+                for x, y in zip(a, b)
+            )
+
+        want = {}
+        for qid in (0, 1, 2):
+            probes = set(
+                sorted(range(NC), key=lambda c: (kd2(vm[qid], cent[c]), c))[:NPROBE]
+            )
+            adist = {}
+            for vid in range(n):
+                pc = cells[vid]
+                if pc not in probes:
+                    continue
+                rq = [vm[qid][d_] - cent[pc][d_] for d_ in range(64)]
+                adist[vid] = sum(
+                    sd2(rq, rm[codes[vid][m]], m) for m in range(NM)
+                )
+            short = sorted(adist, key=lambda v: (adist[v], v))[:SHORT]
+            nq = qdot(vecs[qid], vecs[qid])
+
+            def cosm(vid):
+                num = float(qdot(vecs[qid], vecs[vid]))
+                den = math.sqrt(float(qdot(vecs[vid], vecs[vid])) * float(nq))
+                return int(math.floor(1e6 * num / den + 0.5))
+
+            cos = {vid: cosm(vid) for vid in short}
+            final = sorted(short, key=lambda v: (-cos[v], v))[:TOPK]
+            for rk, vid in enumerate(final, start=1):
+                want[(qid, rk)] = (vid, adist[vid], cos[vid])
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@SETTINGS
+@given(vecs=EMB)
+def test_sq8_topk_matches_model(spark, vecs):
+    """q263's SQ8 path vs an exact integer model: per-dimension
+    [min, max] micro range, 8-bit floor-division codes, per-dim
+    reconstruction, asymmetric squared-L2 against the exact micro
+    query, shortlist by (adist, vec_id), exact-cosine re-rank."""
+    from kinesis_producer_spark.operators.llm_queries import (
+        q263_sq8_scalar_quantization_topk,
+    )
+
+    SHORT, TOPK = 50, 10
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    d = _fixture_dir(
+        spark,
+        "embeddings",
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+    )
+    try:
+        got = {
+            (r.query_id, r.rank): (r.vec_id, r.adist_q, r.cos_micro)
+            for r in q263_sq8_scalar_quantization_topk(spark, d).collect()
+        }
+        n = len(vecs)
+        vm = [[_micro(x) for x in v] for v in vecs]
+        mn = [min(vm[i][d_] for i in range(n)) for d_ in range(64)]
+        mx = [max(vm[i][d_] for i in range(n)) for d_ in range(64)]
+        span = [max(mx[d_] - mn[d_], 1) for d_ in range(64)]
+        recon = [
+            [
+                mn[d_]
+                + (((vm[i][d_] - mn[d_]) * 255) // span[d_]) * span[d_] // 255
+                for d_ in range(64)
+            ]
+            for i in range(n)
+        ]
+
+        def qdot(a, b):
+            return sum(
+                int(math.floor(float(x) * float(y) * 1e12 + 0.5))
+                for x, y in zip(a, b)
+            )
+
+        want = {}
+        for qid in (0, 1, 2):
+            adist = {
+                vid: sum(
+                    (vm[qid][d_] - recon[vid][d_]) ** 2 for d_ in range(64)
+                )
+                for vid in range(n)
+            }
+            short = sorted(adist, key=lambda v: (adist[v], v))[:SHORT]
+            nq = qdot(vecs[qid], vecs[qid])
+
+            def cosm(vid):
+                num = float(qdot(vecs[qid], vecs[vid]))
+                den = math.sqrt(float(qdot(vecs[vid], vecs[vid])) * float(nq))
+                return int(math.floor(1e6 * num / den + 0.5))
+
+            cos = {vid: cosm(vid) for vid in short}
+            final = sorted(short, key=lambda v: (-cos[v], v))[:TOPK]
+            for rk, vid in enumerate(final, start=1):
+                want[(qid, rk)] = (vid, adist[vid], cos[vid])
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
