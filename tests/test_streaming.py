@@ -2871,3 +2871,79 @@ def test_stateful_sessions_packed_matches_per_key(spark):
         )
     )
     assert packed == per_key and per_key
+
+
+def test_stateful_sessions_packed_matches_per_key_randomized(spark, tmp_path):
+    """Randomized adversarial check on the packed-session semantics:
+    random user/timestamp streams (gap splits landing near the 30-min
+    boundary, users quiescing so watermark closure fires, colliding
+    bucket assignments) driven as 3 ts-range micro-batches — the
+    packed path must emit exactly the per-key path's closed-session
+    set at several bucket counts, including n_buckets=1 (every user
+    in ONE bucket, the maximal-collision case)."""
+    import random
+    from datetime import datetime, timezone
+
+    from kinesis_producer_spark.streaming.stateful import (
+        run_stream_append_mode,
+        stateful_sessions,
+        stateful_sessions_packed,
+    )
+
+    rng = random.Random(83)
+    rows = []
+    eid = 0
+    for uid in range(14):
+        t = rng.randint(0, 3600)
+        for _ in range(rng.randint(1, 12)):
+            rows.append((eid, uid, t))
+            eid += 1
+            # mix of within-gap and beyond-gap steps, some exactly at
+            # the 1800s boundary (> is the split rule, = is not)
+            t += rng.choice([5, 60, 900, 1799, 1800, 1801, 4000, 9000])
+    rows.sort(key=lambda r: r[2])
+    cut1, cut2 = rows[len(rows) // 3][2], rows[2 * len(rows) // 3][2]
+    batches = [
+        [r for r in rows if r[2] <= cut1],
+        [r for r in rows if cut1 < r[2] <= cut2],
+        [r for r in rows if r[2] > cut2],
+    ]
+    ts = lambda s: datetime.fromtimestamp(s, tz=timezone.utc)  # noqa: E731
+
+    def run(builder, tag):
+        src = tmp_path / f"rsp_src_{tag}"
+        src.mkdir()
+        sink = None
+        for i, batch in enumerate(b for b in batches if b):
+            part = tmp_path / f"rsp_stage_{tag}_{i}"
+            spark.createDataFrame(
+                [(e, ts(t), u, "x", 0.0) for e, u, t in batch],
+                "event_id long, ts timestamp, user_id long, event_type string, value double",
+            ).coalesce(1).write.parquet(str(part))
+            (pq,) = [p for p in part.iterdir() if p.name.endswith(".parquet")]
+            pq.rename(src / f"b{i}.parquet")
+        # pin ascending mtimes in batch order: file-source arrival
+        # order is NOT mtime-guaranteed otherwise (the
+        # events_multifile_stream discipline) — an out-of-order batch
+        # would late-drop rows differently between the two runs
+        import os as _os
+
+        for i, name in enumerate(sorted(p.name for p in src.iterdir())):
+            _os.utime(src / name, (1_000_000 + i, 1_000_000 + i))
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).option("maxFilesPerTrigger", 1).parquet(str(src))
+        sink = run_stream_append_mode(builder(stream), spark)
+        return {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in sink.collect()
+        }
+
+    per_key = run(lambda s: stateful_sessions(s), "pk")
+    for nb in (1, 3, 16):
+        packed = run(
+            lambda s, nb=nb: stateful_sessions_packed(s, n_buckets=nb),
+            f"p{nb}",
+        )
+        assert packed == per_key, (nb, sorted(packed ^ per_key))
+    assert per_key, "fixture produced no closed sessions (vacuous)"
