@@ -25,6 +25,11 @@ from pyspark.sql import functions as F
 
 PICO = 1e12
 
+# Centroid-scan block width for the trained-quantizer UDFs: bounds the
+# per-task scratch at batch·_CELL_BLOCK int64s (~20 MB at a 10k-row
+# Arrow batch) however many cells ivf_auto_cells chooses (≤ 65 536).
+_CELL_BLOCK = 256
+
 
 def qdot(a: Column, b: Column) -> Column:
     """Exact quantized dot product of two float-array columns → BIGINT."""
@@ -219,16 +224,22 @@ def ivf_auto_cells(n: int, target_cell: int = 256, max_cells: int = 65_536) -> i
 def _trained_parts(centroids: list[list[int]], nprobe: int = 1):
     """Assignment/probe expression builders over TRAINED micro-int
     centroids (list index = cid): ``cell_fn(emb)`` → nearest-centroid
-    id (squared L2 in micro-ints, ties to the lowest cid — np.argmin's
-    first minimum IS the oracle's ROW_NUMBER ORDER BY d2, cid), and
-    ``probes_fn(emb)`` → the ``nprobe`` nearest centroid ids as
-    array<int> (stable argsort keeps the same tie rule). Both are
-    Arrow-vectorized pandas UDFs over int64 numpy — the per-row work
-    is |cells|·dim multiply-adds, exactly the shape the round-7
-    measurements banned from column expressions — and both are
-    integer-exact, so the SQL oracle reproduces every assignment.
-    The per-cell loop keeps the scratch at n·dim instead of
-    n·|cells|·dim."""
+    id (squared L2 in micro-ints, ties to the lowest cid — a strict
+    running-min update scanned in ascending cid order IS the oracle's
+    ROW_NUMBER ORDER BY d2, cid), and ``probes_fn(emb)`` → the
+    ``nprobe`` nearest centroid ids as array<int> (lexsort by
+    (d2, cid) keeps the same tie rule). Both are Arrow-vectorized
+    pandas UDFs over int64 numpy — the per-row work is |cells|·dim
+    multiply-adds, exactly the shape the round-7 measurements banned
+    from column expressions — and both are integer-exact, so the SQL
+    oracle reproduces every assignment.
+
+    Scratch is bounded at batch·(dim + _CELL_BLOCK) int64s: centroids
+    are scanned in ``_CELL_BLOCK``-cell blocks with a running
+    min/top-nprobe carried between blocks, so ``ivf_auto_cells``'
+    65 536-cell ceiling never materializes a (batch × n_cells)
+    distance matrix per task (a default ~10k-row Arrow batch at 64k
+    cells would be ~5 GB — the round-8 ADVICE finding)."""
     import numpy as np
     import pandas as pd
 
@@ -236,25 +247,65 @@ def _trained_parts(centroids: list[list[int]], nprobe: int = 1):
     n_c = len(cmat)
     k_probe = min(nprobe, n_c)
 
-    def _d2(embs: pd.Series) -> "np.ndarray":
-        v = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
-        vm = np.floor(1e6 * v + 0.5).astype(np.int64)
-        out = np.empty((len(vm), n_c), dtype=np.int64)
-        for c in range(n_c):
+    def _d2_block(vm: "np.ndarray", lo: int, hi: int) -> "np.ndarray":
+        out = np.empty((len(vm), hi - lo), dtype=np.int64)
+        for c in range(lo, hi):
             diff = vm - cmat[c]
-            out[:, c] = (diff * diff).sum(axis=1)
+            out[:, c - lo] = (diff * diff).sum(axis=1)
         return out
+
+    def _vm(embs: pd.Series) -> "np.ndarray":
+        v = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        return np.floor(1e6 * v + 0.5).astype(np.int64)
 
     def _cells(embs):
         if len(embs) == 0:
             return pd.Series([], dtype="int32")
-        return pd.Series(_d2(embs).argmin(axis=1).astype(np.int32))
+        vm = _vm(embs)
+        best_d = None
+        best_c = None
+        for lo in range(0, n_c, _CELL_BLOCK):
+            hi = min(lo + _CELL_BLOCK, n_c)
+            d = _d2_block(vm, lo, hi)
+            b_c = d.argmin(axis=1)
+            b_d = d[np.arange(len(vm)), b_c]
+            if best_d is None:
+                best_d, best_c = b_d, b_c.astype(np.int64) + lo
+            else:
+                # strict < keeps the lowest cid on ties (blocks ascend)
+                upd = b_d < best_d
+                best_d = np.where(upd, b_d, best_d)
+                best_c = np.where(upd, b_c.astype(np.int64) + lo, best_c)
+        return pd.Series(best_c.astype(np.int32))
 
     def _probes(embs):
         if len(embs) == 0:
             return pd.Series([], dtype=object)
-        order = np.argsort(_d2(embs), axis=1, kind="stable")[:, :k_probe]
-        return pd.Series(list(order.astype(np.int32)))
+        vm = _vm(embs)
+        run_d = None  # (n, ≤k_probe) running top distances
+        run_c = None
+        for lo in range(0, n_c, _CELL_BLOCK):
+            hi = min(lo + _CELL_BLOCK, n_c)
+            d = _d2_block(vm, lo, hi)
+            c = np.broadcast_to(
+                np.arange(lo, hi, dtype=np.int64), d.shape
+            )
+            if run_d is not None:
+                d = np.concatenate([run_d, d], axis=1)
+                c = np.concatenate([run_c, c], axis=1)
+            if d.shape[1] > k_probe:
+                # exact (d2, cid) order on the bounded candidate set:
+                # np.argsort is stable and equal-d candidates within a
+                # row appear in ascending-cid order by construction
+                # (the running top preserved it, block cids all exceed
+                # run cids), so ties keep the lowest cid
+                sel = np.argsort(d, axis=1, kind="stable")[:, :k_probe]
+                rows = np.arange(len(vm))[:, None]
+                d, c = d[rows, sel], c[rows, sel]
+            run_d, run_c = d, c
+        sel = np.argsort(run_d, axis=1, kind="stable")
+        run_c = run_c[np.arange(len(vm))[:, None], sel]
+        return pd.Series(list(run_c.astype(np.int32)))
 
     cell_udf = F.pandas_udf(_cells, "int")
     probes_udf = F.pandas_udf(_probes, "array<int>")
@@ -342,6 +393,152 @@ def train_ivf_centroids(
         upd = _collect_centroids_by(corpus, cell_fn(F.col(emb_col)), emb_col)
         cent = [upd.get(c, cent[c]) for c in range(n_cells)]
     return cent
+
+
+def _pq_mstep(dims: DataFrame, prev: list[list[int]]) -> list[list[int]]:
+    """Shared Lloyd M-step for the per-subspace PQ protocol: per
+    (cid, d) micro-int mean — int64 sums, ONE fixed-order double
+    division, floor (the q235 expression) — over a frame of
+    (cid, d, vm) rows where ``cid`` is the row's code in dimension
+    d's subspace. ONE map-side-combinable aggregate updates ALL M
+    sub-codebooks at once (m = d div m_dims is a function of d, so
+    grouping by (cid, d) IS grouping by (cid, m, dd)); the collect is
+    bounded control data (≤ K·dim rows). An empty (cid, m) cell has
+    no rows for ANY of its dims, so per-(cid, d) defaulting to the
+    previous value is exactly the oracle's per-(cid, m)
+    keep-previous UNION ALL guard."""
+    rows = (
+        dims.groupBy("cid", "d")
+        .agg(
+            F.floor(
+                F.sum("vm").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cm")
+        )
+        .collect()
+    )
+    new = [list(c) for c in prev]
+    for r in rows:
+        new[int(r["cid"])][int(r["d"])] = int(r["cm"])
+    return new
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    m_dims: int = 8,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    centroids: list[list[int]] | None = None,
+) -> list[list[int]]:
+    """TRAINED product-quantizer sub-codebooks — the round-8 verdict's
+    #1: per-subspace k-means via ``rounds`` Lloyd iterations, the SAME
+    fixed integer-exact protocol as ``train_ivf_centroids`` applied
+    independently in each of the M = dim/m_dims subspaces, so the SQL
+    oracle unrolls the identical per-subspace CTE chain. The lowest-id
+    codebook (``_collect_codebook``) slices 16 SHARED rows into
+    subspaces — M perfectly correlated sub-codebooks, collapsing PQ's
+    16^M independent combinations (Jégou et al. 2011 §II) to ~16 and
+    measurably recalling LESS than training-free SQ8; Lloyd rounds
+    decorrelate them (each subspace converges toward its own
+    marginal's centroids).
+
+    Protocol per subspace m: init = the K lowest-id rows' m-th
+    sub-vectors (rank-ordered cid — flat PQ's init exactly, so
+    trained-vs-flat comparisons share a starting point); E-step =
+    nearest sub-codebook entry by int64 squared L2 over the subspace's
+    dims, ties to the lowest cid (np.argmin's first minimum — the
+    oracle's ROW_NUMBER ORDER BY sd2, cid, and exactly
+    ``_pq_expr_parts``' code assignment, which is REUSED as-is); M-step
+    = per (cid, dim) ⌊Σvm/count + 0.5⌋; an empty (cid, m) cell keeps
+    its previous sub-centroid. Returns the codebook in
+    ``_collect_codebook``'s flat (K × dim) format — centroid k's
+    subspace-m slice is the trained (k, m) sub-centroid — so it drops
+    into every existing ``codebook=`` seam (q252's ivf_pq_topk,
+    ivf_pq_write_index, the streaming appender) unchanged.
+
+    ``centroids`` switches training to RESIDUAL space (the q262
+    composition): cells come from the trained coarse quantizer, init
+    subtracts each init row's own cell centroid (q262's codebook
+    construction exactly), and Lloyd runs over x − centroid(cell(x))
+    sub-vectors — the paper's construction, where the product
+    quantizer codes residuals and therefore must be TRAINED on them.
+
+    Scale: each round is ONE corpus pass — zero-shuffle Arrow code
+    assignment against broadcast codebook literals feeding ONE
+    map-side-combinable (cid, d) aggregate that updates all M
+    sub-codebooks together (per-subspace jobs would be M corpus
+    passes); codebook state is bounded driver control data
+    (K·dim ints). ``rounds`` is FIXED, not converge-tested — the
+    train_ivf_centroids determinism/oracle trade, verbatim."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    sub_idx = (F.floor(F.col("d") / F.lit(m_dims)).cast("int") + F.lit(1))
+    if centroids is None:
+        cb = _collect_codebook(corpus, id_col, emb_col, n_centroids)
+        for _ in range(rounds):
+            codes_fn, _, _ = _pq_expr_parts(cb, m_dims)
+            with_codes = corpus.select(
+                codes_fn(F.col(emb_col)).alias("_codes"),
+                F.col(emb_col).alias("_e"),
+            )
+            dims = with_codes.select(
+                "_codes", F.posexplode("_e").alias("d", "v")
+            ).select(
+                F.element_at(F.col("_codes"), sub_idx).alias("cid"),
+                "d",
+                F.floor(F.lit(1e6) * F.col("v").cast("double") + F.lit(0.5))
+                .cast("bigint")
+                .alias("vm"),
+            )
+            cb = _pq_mstep(dims, cb)
+        return cb
+
+    cell_fn, _ = _trained_parts(centroids)
+    cen_dict = {i: list(v) for i, v in enumerate(centroids)}
+    cb_rows = _codebook_rows(
+        corpus, id_col, emb_col, n_centroids,
+        cell_col=cell_fn(F.col(emb_col)),
+    )
+    cb = [
+        [
+            int(math.floor(1e6 * float(v) + 0.5)) - cen_dict[int(r["c"])][d]
+            for d, v in enumerate(r["e"])
+        ]
+        for r in cb_rows
+    ]
+    cmat = np.array(centroids, dtype=np.int64)
+
+    def _resid(embs, cells):
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        v = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        vm = np.floor(1e6 * v + 0.5).astype(np.int64)
+        rm = vm - cmat[np.asarray(cells, dtype=np.int64)]
+        return pd.Series(list(rm))
+
+    resid_udf = F.pandas_udf(_resid, "array<bigint>")
+    for _ in range(rounds):
+        codes_fn, _, _ = _pq_residual_parts(cb, cen_dict, m_dims)
+        with_codes = corpus.select(
+            F.col(emb_col).alias("_e"),
+            cell_fn(F.col(emb_col)).alias("_cell"),
+        ).select(
+            codes_fn(F.col("_e"), F.col("_cell")).alias("_codes"),
+            resid_udf(F.col("_e"), F.col("_cell")).alias("_rm"),
+        )
+        dims = with_codes.select(
+            "_codes", F.posexplode("_rm").alias("d", "vm")
+        ).select(
+            F.element_at(F.col("_codes"), sub_idx).alias("cid"), "d", "vm"
+        )
+        cb = _pq_mstep(dims, cb)
+    return cb
 
 
 def semdedup_auto_bits(
@@ -712,6 +909,7 @@ def ivf_pq_topk_trained(
     emb_col: str = "embedding",
     exclude_self: bool = False,
     centroids: list[list[int]] | None = None,
+    codebook: list[list[int]] | None = None,
 ) -> DataFrame:
     """q252's IVF×PQ serving composition with the TRAINED coarse
     quantizer (Jégou et al. 2011 use k-means for the coarse stage;
@@ -737,7 +935,11 @@ def ivf_pq_topk_trained(
             id_col=id_col, emb_col=emb_col,
         )
     cell_fn, probes_fn = _trained_parts(centroids, nprobe)
-    cb = _collect_codebook(corpus, id_col, emb_col, n_centroids)
+    cb = (
+        codebook
+        if codebook is not None
+        else _collect_codebook(corpus, id_col, emb_col, n_centroids)
+    )
     codes_fn, qd2_fn, adist_fn = _pq_expr_parts(cb, m_dims)
     coded = corpus.select(
         F.col(id_col).alias("vec_id"),
@@ -922,6 +1124,7 @@ def ivf_pq_residual_topk_trained(
     emb_col: str = "embedding",
     exclude_self: bool = False,
     centroids: list[list[int]] | None = None,
+    pq_codebook: list[list[int]] | None = None,
 ) -> DataFrame:
     """The COMPLETE Jégou et al. 2011 IVFADC: trained k-means coarse
     quantizer (q257's) AND residual PQ encoding (q256's) composed —
@@ -945,22 +1148,35 @@ def ivf_pq_residual_topk_trained(
 
     cell_fn, probes_fn = _trained_parts(centroids, nprobe)
     cen_dict = {i: list(v) for i, v in enumerate(centroids)}
-    cb_rows = _codebook_rows(
-        corpus, id_col, emb_col, n_centroids,
-        cell_col=cell_fn(F.col(emb_col)),
-    )
-    cb_resid = [
-        [
-            int(math.floor(1e6 * float(v) + 0.5)) - cen_dict[int(r["c"])][d]
-            for d, v in enumerate(r["e"])
+    if pq_codebook is not None:
+        # a RESIDUAL-space codebook (train_pq_codebooks(centroids=...))
+        # — the full trained composition: trained cells + sub-codebooks
+        # trained on the residuals those cells induce
+        cb_resid = pq_codebook
+    else:
+        cb_rows = _codebook_rows(
+            corpus, id_col, emb_col, n_centroids,
+            cell_col=cell_fn(F.col(emb_col)),
+        )
+        cb_resid = [
+            [
+                int(math.floor(1e6 * float(v) + 0.5)) - cen_dict[int(r["c"])][d]
+                for d, v in enumerate(r["e"])
+            ]
+            for r in cb_rows
         ]
-        for r in cb_rows
-    ]
     codes_fn, qd2_fn, adist_fn = _pq_residual_parts(cb_resid, cen_dict, m_dims)
+    # project _cell ONCE and feed the materialized column into the code
+    # UDF — nesting cell_fn inside codes_fn's argument would evaluate
+    # the |corpus|·n_cells centroid-distance work twice (round-8 ADVICE)
     coded = corpus.select(
         F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("_e"),
         cell_fn(F.col(emb_col)).alias("_cell"),
-        codes_fn(F.col(emb_col), cell_fn(F.col(emb_col))).alias("_codes"),
+    ).select(
+        "vec_id",
+        "_cell",
+        codes_fn(F.col("_e"), F.col("_cell")).alias("_codes"),
     )
     q = (
         corpus.filter(F.col(id_col).isin(*query_ids))
@@ -1134,6 +1350,7 @@ def pq_codes_and_adc_topk(
     m_dims: int = 8,
     k: int = 10,
     exclude_self: bool = False,
+    codebook: list[list[int]] | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (Jégou et al. 2011, public): split every vector into subspaces of
@@ -1168,8 +1385,15 @@ def pq_codes_and_adc_topk(
     costing 16.3× shuffle for 10× data when a vector's rows straddle
     partitions; the array emission is O(n·M) bytes by construction).
     ADC is then a per-row table lookup against the broadcast query
-    distance tables; the only shuffle left is the per-query top-k."""
-    cb = _collect_codebook(corpus, id_col, emb_col, n_centroids)
+    distance tables; the only shuffle left is the per-query top-k.
+
+    ``codebook`` overrides the closed-form codebook — pass
+    ``train_pq_codebooks(...)`` for the trained variant (q264)."""
+    cb = (
+        codebook
+        if codebook is not None
+        else _collect_codebook(corpus, id_col, emb_col, n_centroids)
+    )
     codes_fn, qd2_fn, adist_fn = _pq_expr_parts(cb, m_dims)
     coded = corpus.select(
         F.col(id_col).alias("vec_id"),

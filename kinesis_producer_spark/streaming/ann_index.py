@@ -102,10 +102,82 @@ def _marker(index_path: str, epoch_id: int) -> str:
     return os.path.join(index_path, _LEDGER, f"epoch-{epoch_id}")
 
 
+def _hwm_path(index_path: str, epoch_id: int) -> str:
+    return os.path.join(index_path, _LEDGER, f"hwm-{epoch_id}")
+
+
 def _commit_marker(index_path: str, epoch_id: int) -> None:
     os.makedirs(os.path.join(index_path, _LEDGER), exist_ok=True)
     with open(_marker(index_path, epoch_id), "x") as fh:
         fh.write("committed")
+
+
+def _ledger_state(index_path: str) -> tuple[int | None, list[int]]:
+    """(hwm, extras): ``hwm=N`` asserts every epoch in
+    [BOOTSTRAP_EPOCH, N] is committed (written only by
+    ``compact_ledger``, which verifies contiguity first); ``extras``
+    are the per-epoch markers above it. Bounded driver control data
+    either way — compaction keeps it bounded by the number of
+    IN-FLIGHT epochs instead of the stream's lifetime."""
+    d = os.path.join(index_path, _LEDGER)
+    if not os.path.isdir(d):
+        return None, []
+    hwm = None
+    extras = []
+    for name in os.listdir(d):
+        if name.startswith("hwm-"):
+            v = int(name[len("hwm-"):])
+            hwm = v if hwm is None else max(hwm, v)
+        elif name.startswith("epoch-"):
+            extras.append(int(name[len("epoch-"):]))
+    if hwm is not None:
+        extras = [e for e in extras if e > hwm]
+    return hwm, sorted(extras)
+
+
+def is_committed(index_path: str, epoch_id: int) -> bool:
+    hwm, _ = _ledger_state(index_path)
+    if hwm is not None and epoch_id <= hwm:
+        return True
+    return os.path.exists(_marker(index_path, epoch_id))
+
+
+def compact_ledger(index_path: str) -> int | None:
+    """Fold the contiguous committed prefix into ONE high-watermark
+    marker (``hwm-N`` = "all epochs ≤ N committed") and delete the
+    per-epoch markers it covers, so a long-lived stream's serving
+    filter stays ``epoch <= N OR epoch IN (few)`` instead of an
+    IN-list and a ledger listing that grow one entry per micro-batch
+    for the stream's lifetime (round-8 ADVICE). Only a VERIFIED
+    contiguous run starting at the existing floor is folded — a gap
+    (a crashed, not-yet-replayed epoch) stops the watermark below it,
+    so the hwm never claims an uncommitted epoch. Returns the new
+    watermark (None when nothing is compactable). Safe to call any
+    time — markers are only removed AFTER the hwm marker exists, so a
+    crash mid-compaction leaves a superset of the committed facts."""
+    hwm, extras = _ledger_state(index_path)
+    floor = hwm if hwm is not None else BOOTSTRAP_EPOCH - 1
+    new = floor
+    extra_set = set(extras)
+    while new + 1 in extra_set:
+        new += 1
+    if new == floor:
+        return hwm
+    os.makedirs(os.path.join(index_path, _LEDGER), exist_ok=True)
+    with open(_hwm_path(index_path, new), "w") as fh:
+        fh.write("committed-through")
+    if hwm is not None and hwm != new:
+        try:
+            os.remove(_hwm_path(index_path, hwm))
+        except FileNotFoundError:
+            pass
+    for e in extras:
+        if e <= new:
+            try:
+                os.remove(_marker(index_path, e))
+            except FileNotFoundError:
+                pass
+    return new
 
 
 def index_append_writer(
@@ -125,7 +197,7 @@ def index_append_writer(
     observed through ``read_committed_index``."""
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
-        if os.path.exists(_marker(index_path, epoch_id)):
+        if is_committed(index_path, int(epoch_id)):
             print(
                 f"ann index: epoch {epoch_id} already committed, skipping replay"
             )
@@ -152,26 +224,33 @@ def index_append_writer(
 
 def committed_epochs(index_path: str) -> list[int]:
     """The ledger, as driver control data: one int per committed
-    epoch (bounded by stream lifetime in epochs, not data size)."""
-    d = os.path.join(index_path, _LEDGER)
-    if not os.path.isdir(d):
-        return []
-    out = []
-    for name in os.listdir(d):
-        if name.startswith("epoch-"):
-            out.append(int(name[len("epoch-"):]))
-    return sorted(out)
+    epoch. A compacted ledger's watermark expands to its covered range
+    (epochs start at BOOTSTRAP_EPOCH and ascend), so callers see the
+    same list before and after ``compact_ledger``."""
+    hwm, extras = _ledger_state(index_path)
+    base = list(range(BOOTSTRAP_EPOCH, hwm + 1)) if hwm is not None else []
+    return base + extras
 
 
 def read_committed_index(spark: SparkSession, index_path: str) -> DataFrame:
     """The serving read: ONLY committed epochs are visible — the
-    ledger list becomes an ``epoch IN (...)`` partition filter, pruned
-    before any I/O, so partial files from a crashed attempt and rows
-    of an in-flight epoch never reach a query. Compose with
+    ledger becomes a PARTITION filter (``epoch <= hwm`` range
+    predicate once compacted, plus an IN-list for the few markers
+    above the watermark), pruned before any I/O, so partial files
+    from a crashed attempt and rows of an in-flight epoch never reach
+    a query. An index whose ledger is still empty returns an empty
+    frame with the index schema WITHOUT touching the (possibly
+    data-less) path — spark.read.parquet on a no-files dir raises an
+    opaque schema-inference error (round-8 ADVICE). Compose with
     ``ivf_pq_topk_from_index(..., index_df=...)`` for the full probe-
     pruned serving path."""
-    eps = committed_epochs(index_path)
+    hwm, extras = _ledger_state(index_path)
+    if hwm is None and not extras:
+        return spark.createDataFrame(
+            [], "vec_id bigint, codes array<int>, cell int, epoch int"
+        )
     df = spark.read.parquet(index_path)
-    if not eps:
-        return df.filter(F.lit(False))
-    return df.filter(F.col("epoch").isin(eps))
+    cond = F.col("epoch").isin(extras) if extras else F.lit(False)
+    if hwm is not None:
+        cond = (F.col("epoch") <= F.lit(hwm)) | cond
+    return df.filter(cond)

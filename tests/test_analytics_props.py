@@ -719,3 +719,155 @@ def test_sq8_topk_matches_model(spark, vecs):
         assert got == want, (got, want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _pq_lloyd_model(vm, K=16, MD=8, NM=8, rounds=2):
+    """Plain-Python per-subspace Lloyd (round-9 q264 protocol): init =
+    the K lowest-id micro rows (callers pass vm in id order), E-step =
+    per-(vec, m) argmin int64 subspace L2 with ties to the lowest cid,
+    M-step = floor(sum/count + 0.5) per (cid, dim), empty (cid, m)
+    cells keep their previous sub-centroid."""
+    cb = [list(vm[i]) for i in range(K)]
+
+    def sd2(vec, cen, m):
+        return sum((vec[m * MD + i] - cen[m * MD + i]) ** 2 for i in range(MD))
+
+    for _ in range(rounds):
+        codes = [
+            [min(range(K), key=lambda c: (sd2(v, cb[c], m), c)) for m in range(NM)]
+            for v in vm
+        ]
+        new = [list(c) for c in cb]
+        for m in range(NM):
+            for k in range(K):
+                members = [vm[i] for i in range(len(vm)) if codes[i][m] == k]
+                if members:
+                    for i in range(MD):
+                        d_ = m * MD + i
+                        new[k][d_] = int(
+                            math.floor(
+                                sum(mm[d_] for mm in members) / len(members) + 0.5
+                            )
+                        )
+        cb = new
+    return cb
+
+
+@SETTINGS
+@given(vecs=EMB)
+def test_pq_trained_adc_topk_matches_model(spark, vecs):
+    """q264's trained-PQ flat ADC vs an exact integer model: the
+    per-subspace Lloyd protocol (_pq_lloyd_model) end to end — init =
+    lowest-id rows (flat PQ's codebook), 2 rounds of per-subspace
+    E/M steps, final codes, per-query ADC sums, top-10 by
+    (adist, vec_id). Pins the whole training protocol plus the
+    tie-breaks in every stage."""
+    from kinesis_producer_spark.operators.llm_queries import (
+        q264_pq_trained_adc_topk,
+    )
+
+    K, MD, NM, TOPK = 16, 8, 8, 10
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    d = _fixture_dir(
+        spark,
+        "embeddings",
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+    )
+    try:
+        got = {
+            (r.query_id, r.rank): (r.vec_id, r.adist_q)
+            for r in q264_pq_trained_adc_topk(spark, d).collect()
+        }
+        n = len(vecs)
+        vm = [[_micro(x) for x in v] for v in vecs]
+        cb = _pq_lloyd_model(vm, K=K, MD=MD, NM=NM, rounds=2)
+
+        def sd2(vec, cen, m):
+            return sum(
+                (vec[m * MD + i] - cen[m * MD + i]) ** 2 for i in range(MD)
+            )
+
+        codes = [
+            [min(range(K), key=lambda c: (sd2(v, cb[c], m), c)) for m in range(NM)]
+            for v in vm
+        ]
+        want = {}
+        for qid in (0, 1, 2):
+            adist = {
+                vid: sum(sd2(vm[qid], cb[codes[vid][m]], m) for m in range(NM))
+                for vid in range(n)
+            }
+            final = sorted(range(n), key=lambda v: (adist[v], v))[:TOPK]
+            for rk, vid in enumerate(final, start=1):
+                want[(qid, rk)] = (vid, adist[vid])
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@SETTINGS
+@given(vecs=EMB)
+def test_train_pq_codebooks_residual_matches_model(spark, vecs):
+    """The RESIDUAL-space trainer (train_pq_codebooks(centroids=...),
+    the q262 composition seam) vs an exact integer model: coarse cells
+    from given centroids, init = residuals of the 16 lowest-id rows vs
+    their OWN cells' centroids (q262's codebook construction), then 2
+    per-subspace Lloyd rounds over residual sub-vectors. The coarse
+    centroids come from the plain-Python q257 k-means model so only
+    the new trainer is under test."""
+    from kinesis_producer_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+
+    K, MD, NM, NC = 16, 8, 8, 16
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    d = _fixture_dir(
+        spark,
+        "embeddings",
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+    )
+    try:
+        n = len(vecs)
+        vm = [[_micro(x) for x in v] for v in vecs]
+
+        def kd2(v, cm):
+            return sum((a - b) ** 2 for a, b in zip(v, cm))
+
+        def assign(cent):
+            return [
+                min(range(NC), key=lambda c: (kd2(vm[i], cent[c]), c))
+                for i in range(n)
+            ]
+
+        cent = [list(vm[i]) for i in range(NC)]
+        for _ in range(2):
+            cells_r = assign(cent)
+            new = []
+            for c in range(NC):
+                members = [vm[i] for i in range(n) if cells_r[i] == c]
+                if not members:
+                    new.append(cent[c])
+                else:
+                    new.append(
+                        [
+                            int(math.floor(
+                                sum(m[d_] for m in members) / len(members) + 0.5
+                            ))
+                            for d_ in range(64)
+                        ]
+                    )
+            cent = new
+        cells = assign(cent)
+        rm = [
+            [vm[i][d_] - cent[cells[i]][d_] for d_ in range(64)]
+            for i in range(n)
+        ]
+        want = _pq_lloyd_model(rm, K=K, MD=MD, NM=NM, rounds=2)
+
+        e = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        got = train_pq_codebooks(
+            e, n_centroids=K, m_dims=MD, rounds=2, centroids=cent
+        )
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1540,3 +1540,96 @@ def test_sq8_payload_and_recall_dominates_flat_pq(spark):
         assert len(sq & truth) >= len(pq & truth), (
             sf, len(sq & truth), len(pq & truth), len(truth),
         )
+
+
+def test_trained_pq_recall_geq_lowid_pq(spark):
+    """The round-9 quantizer contract (the q258/q232 discipline —
+    direction, not magnitude — at sf0.01 AND sf0.1): per-subspace
+    Lloyd training must recall at least as much truth as the
+    lowest-id codebook it replaces, under the identical flat-ADC
+    shortlist + exact re-rank protocol. Measured: 92 vs 63 hits of
+    300 at sf0.01 and 63 vs 47 at sf0.1 on the RAW ADC top-10 (the
+    q265 gate's shortlist protocol lifts both, same direction) —
+    training decorrelates the M sub-codebooks that lowest-id slicing
+    leaves as copies of the same 16 rows."""
+    from kinesis_producer_spark.operators.llm_queries import (
+        q265_pq_trained_recall,
+    )
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        rows = q265_pq_trained_recall(spark, sf).collect()
+        assert len(rows) == 30, sf
+        hits_tr = sum(r.hits_trained_pq for r in rows)
+        hits_lo = sum(r.hits_lowid_pq for r in rows)
+        assert hits_tr >= hits_lo, (sf, hits_tr, hits_lo)
+
+
+def test_trained_pq_composes_with_trained_cells_and_residuals(spark):
+    """The trained codebook drops into every serving composition
+    (round-9 verdict #1's composition clause) and the direction
+    holds there too: (a) q257's trained-cell path with
+    codebook=train_pq_codebooks(...) recalls >= the same path with
+    the lowest-id codebook (measured 170 vs 168 at sf0.01, 162 vs
+    146 at sf0.1); (b) q262's trained-residual path with
+    pq_codebook=train_pq_codebooks(centroids=...) — sub-codebooks
+    trained ON RESIDUALS, the Jégou construction — recalls >= the
+    lowest-id residual codebook (170 vs 169, 164 vs 156)."""
+    from pyspark.sql import Window as W
+
+    from kinesis_producer_spark.operators.llm_queries import (
+        _RECALL_K,
+        _RECALL_QUERIES,
+    )
+    from kinesis_producer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_residual_topk_trained,
+        ivf_pq_topk_trained,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    qids = list(range(_RECALL_QUERIES))
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        e = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qs = e.filter(F.col("vec_id") < _RECALL_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        truth = {
+            (r.query_id, r.vec_id)
+            for r in brute_force_topk(e, qs, k=_RECALL_K + 1)
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    W.partitionBy("query_id").orderBy(
+                        F.col("cos_micro").desc(), F.col("vec_id")
+                    )
+                ),
+            )
+            .filter(F.col("rnk") <= _RECALL_K)
+            .select("query_id", "vec_id")
+            .collect()
+        }
+
+        def hits(df):
+            return len({(r.query_id, r.vec_id) for r in df.collect()} & truth)
+
+        cent = train_ivf_centroids(e, n_cells=16, rounds=2)
+        cbt = train_pq_codebooks(e, n_centroids=16, m_dims=8, rounds=2)
+        kw = dict(
+            query_ids=qids, k=_RECALL_K, shortlist=50, n_cells=16, nprobe=2,
+            exclude_self=True, centroids=cent,
+        )
+        assert hits(ivf_pq_topk_trained(e, codebook=cbt, **kw)) >= hits(
+            ivf_pq_topk_trained(e, **kw)
+        ), sf
+        cbres = train_pq_codebooks(
+            e, n_centroids=16, m_dims=8, rounds=2, centroids=cent
+        )
+        kwr = dict(
+            query_ids=qids, k=_RECALL_K, shortlist=50, nprobe=2,
+            exclude_self=True, centroids=cent,
+        )
+        assert hits(
+            ivf_pq_residual_topk_trained(e, pq_codebook=cbres, **kwr)
+        ) >= hits(ivf_pq_residual_topk_trained(e, **kwr)), sf
