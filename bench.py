@@ -113,6 +113,10 @@ HEADLINE = [
     # serving composition that replaces the sign-bit cells.
     "q254_ivf_pq_index_serving",
     "q257_ivf_pq_trained_topk",
+    # Round-9: trained per-subspace PQ codebooks (build = one (cid, d)
+    # aggregate per Lloyd round for all M sub-codebooks; serving is
+    # q234's flat ADC byte-for-byte against the trained literals).
+    "q264_pq_trained_adc_topk",
 ]
 
 

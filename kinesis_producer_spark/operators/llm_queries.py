@@ -7416,7 +7416,7 @@ _IVFPQ_TRAINED_BASE = """
     ),
     kinit AS (
       SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS kcid
-      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_cells})),
     kc0 AS (SELECT i.kcid, dm.d, dm.vm AS cm
             FROM dims dm JOIN kinit i USING (vec_id)),
     kd0 AS (
@@ -7465,9 +7465,13 @@ _IVFPQ_TRAINED_BASE = """
 
 
 # shared by q257 (inline) and q259 (persisted trained index) — the two
-# must be row-identical by construction, the q252/q254 contract
+# must be row-identical by construction, the q252/q254 contract.
+# n_cells=32/nprobe=4 is ivf_serving_config(500) — the sf0.01 value of
+# the measured recall frontier the round-9 verdict made the default
+# (the oracle runs at sf0.01 only; the Spark side derives the same
+# point from the corpus count at any sf).
 _IVFPQ_TRAINED_TOPK_ORACLE = f"""
-    WITH {_IVFPQ_TRAINED_BASE.format(qids="0, 1, 2", nprobe=2)},
+    WITH {_IVFPQ_TRAINED_BASE.format(qids="0, 1, 2", nprobe=4, n_cells=32)},
     approx AS (
       SELECT p.query_id, codes.vec_id, CAST(SUM(qd2) AS BIGINT) AS adist_q
       FROM codes
@@ -7512,13 +7516,22 @@ def q257_ivf_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zero-shuffle Arrow assignment + one map-side-combinable dim
     aggregate each); serving work is |queries|·n_cells broadcast
     centroid distances plus the nprobe-cell code scan — strictly less
-    I/O than q252 at equal-or-better recall."""
-    from kinesis_producer_spark.operators.similarity import ivf_pq_topk_trained
+    I/O than q252 at equal-or-better recall.
+
+    Round 9: (n_cells, nprobe) now comes from ``ivf_serving_config``
+    — the measured recall frontier (expected cell population 16,
+    nprobe=4: 79% recall at 12.9% probed at sf0.01 and 77% at 3.3%
+    at sf0.1, vs the old 16×2 point's 56%/48%)."""
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_pq_topk_trained,
+        ivf_serving_config,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
+    n_cells, nprobe = ivf_serving_config(e.count())
     return ivf_pq_topk_trained(
-        e, query_ids=[0, 1, 2], k=10, shortlist=50, n_cells=16, nprobe=2,
-        rounds=2, n_centroids=16, m_dims=8,
+        e, query_ids=[0, 1, 2], k=10, shortlist=50, n_cells=n_cells,
+        nprobe=nprobe, rounds=2, n_centroids=16, m_dims=8,
     )
 
 
@@ -7531,7 +7544,8 @@ def q259_ivf_pq_trained_index_serving(spark: SparkSession, sf_dir: str) -> DataF
     partition filter that prunes files before any I/O. Row-identical
     to q257 (its oracle, verbatim) — training must change WHICH
     partitions exist, never a rank. Per-run uuid dir + eager
-    checkpoint (the q254 race discipline)."""
+    checkpoint (the q254 race discipline). (n_cells, nprobe) from
+    ``ivf_serving_config`` — the q257 default, kept in lockstep."""
     import os
     import shutil
     import tempfile
@@ -7540,11 +7554,13 @@ def q259_ivf_pq_trained_index_serving(spark: SparkSession, sf_dir: str) -> DataF
     from kinesis_producer_spark.operators.similarity import (
         ivf_pq_topk_from_index,
         ivf_pq_write_index,
+        ivf_serving_config,
         train_ivf_centroids,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    cent = train_ivf_centroids(e, n_cells=16, rounds=2)
+    n_cells, nprobe = ivf_serving_config(e.count())
+    cent = train_ivf_centroids(e, n_cells=n_cells, rounds=2)
     idx = os.path.join(
         tempfile.gettempdir(), f"ivfpq_tr_{uuid.uuid4().hex[:10]}"
     )
@@ -7554,7 +7570,7 @@ def q259_ivf_pq_trained_index_serving(spark: SparkSession, sf_dir: str) -> DataF
         )
         return ivf_pq_topk_from_index(
             e, idx, cb, query_ids=[0, 1, 2], k=10, shortlist=50, m_dims=8,
-            centroids=cent, nprobe=2,
+            centroids=cent, nprobe=nprobe,
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(idx, ignore_errors=True)
@@ -7563,7 +7579,7 @@ def q259_ivf_pq_trained_index_serving(spark: SparkSession, sf_dir: str) -> DataF
 @query(
     "q258_ivf_pq_trained_recall",
     oracle=f"""
-    WITH {_IVFPQ_TRAINED_BASE.format(qids=_IVFPQ_RECALL_QIDS, nprobe=2)},
+    WITH {_IVFPQ_TRAINED_BASE.format(qids=_IVFPQ_RECALL_QIDS, nprobe=4, n_cells=32)},
     scells AS (
       SELECT vec_id,
              (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
@@ -7661,11 +7677,14 @@ def q259_ivf_pq_trained_index_serving(spark: SparkSession, sf_dir: str) -> DataF
 def q258_ivf_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained-quantizer gate the round-7 verdict ordered: exact
     top-k ground truth over the 30-query sample, with the TRAINED
-    composition (q257: 16 k-means cells, nprobe=2) and the sign-bit
-    composition (q252: bits=3, Hamming-1 = 4 of 8 cells) scored side
-    by side — hits AND the probed candidate count per query, so one
-    row shows recall ≥ at a strictly smaller scanned fraction
-    (tests/test_scale_strategies.py pins both directions on the
+    composition (q257 at the ``ivf_serving_config`` operating point —
+    round 9's measured frontier default: 32 k-means cells × nprobe=4
+    at sf0.01, 79%/77% recall at 12.9%/3.3% probed at sf0.01/sf0.1)
+    and the sign-bit composition (q252: bits=3, Hamming-1 = 4 of 8
+    cells) scored side by side — hits AND the probed candidate count
+    per query, so one row shows recall ≥ at a strictly smaller
+    scanned fraction (tests/test_scale_strategies.py pins both
+    directions AND the ≥70%-at-≤15%-probed frontier claim on the
     fixture at sf0.01 AND sf0.1).
     Output: (query_id, n_truth, hits_trained, hits_signbit,
     probed_trained, probed_signbit, recall_trained_pct,
@@ -7684,9 +7703,12 @@ def q258_ivf_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_ivf_centroids,
     )
 
+    from kinesis_producer_spark.operators.similarity import ivf_serving_config
+
     e = load_table(spark, sf_dir, "embeddings")
     qids = list(range(_RECALL_QUERIES))
-    cent = train_ivf_centroids(e, n_cells=16, rounds=2)
+    n_cells, nprobe = ivf_serving_config(e.count())
+    cent = train_ivf_centroids(e, n_cells=n_cells, rounds=2)
     qs = e.filter(F.col("vec_id") < _RECALL_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -7705,14 +7727,14 @@ def q258_ivf_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
     trained = ivf_pq_topk_trained(
-        e, query_ids=qids, k=_RECALL_K, shortlist=50, n_cells=16, nprobe=2,
-        exclude_self=True, centroids=cent,
+        e, query_ids=qids, k=_RECALL_K, shortlist=50, n_cells=n_cells,
+        nprobe=nprobe, exclude_self=True, centroids=cent,
     ).select(F.col("query_id").alias("_tq"), F.col("vec_id").alias("_tv"))
     signbit = ivf_pq_topk(
         e, query_ids=qids, k=_RECALL_K, shortlist=50, bits=3,
         exclude_self=True,
     ).select(F.col("query_id").alias("_sq"), F.col("vec_id").alias("_sv"))
-    cell_fn, probes_fn = _trained_parts(cent, 2)
+    cell_fn, probes_fn = _trained_parts(cent, nprobe)
     tcells = e.select(cell_fn(F.col("embedding")).alias("_cell"))
     tprobes = e.filter(F.col("vec_id") < _RECALL_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -7987,7 +8009,7 @@ def q261_ivf_pq_codebook_staleness(spark: SparkSession, sf_dir: str) -> DataFram
 @query(
     "q262_ivf_pq_trained_residual_topk",
     oracle=f"""
-    WITH {_IVFPQ_TRAINED_BASE.format(qids="0, 1, 2", nprobe=2)},
+    WITH {_IVFPQ_TRAINED_BASE.format(qids="0, 1, 2", nprobe=2, n_cells=16)},
     rdims AS (
       SELECT dims.vec_id, dims.m, dims.dd, dims.vm - kc2.cm AS rm
       FROM dims JOIN tcells tc USING (vec_id)

@@ -221,6 +221,50 @@ def ivf_auto_cells(n: int, target_cell: int = 256, max_cells: int = 65_536) -> i
     return 1 << max(1, min(16, math.ceil(math.log2(max(1.0, n / target_cell)))))
 
 
+def ivf_serving_config(n: int, target_recall: float = 0.7) -> tuple[int, int]:
+    """The MEASURED (n_cells, nprobe) operating point for the trained
+    serving family (round-9 verdict #2) — encodes the q258 exploration
+    sweep's frontier instead of leaving the recall lever undefaulted.
+    Sweep (30 queries, recall@10 vs probed fraction, shortlist 50,
+    lowest-id PQ codes — the registered q257/q258 protocol):
+
+    ========  =========  ========  ==========
+    fixture   cells×np   recall    probed
+    ========  =========  ========  ==========
+    sf0.01    16×2       56%       12.3%
+    sf0.01    32×4       **79%**   12.9%
+    sf0.01    64×8       76%       14.6%
+    sf0.01    128×4      52%       4.5%
+    sf0.1     16×2       48%       12.6%
+    sf0.1     64×2       **85%**   3.1%
+    sf0.1     128×4      77%       3.3%
+    sf0.1     16×8       44%       50.2%
+    ========  =========  ========  ==========
+
+    The lever is CELL COUNT at a bounded probe width, not probe width
+    at a fixed cell count: recall peaks where the expected cell
+    population n/cells sits near 16–32 (cells track real clusters;
+    beyond that they starve), and widening nprobe past ~4 at fixed
+    cells LOWERS recall here because the fixed-width shortlist fills
+    with PQ-noise from extra cells (16×2→16×8 drops 56→59→44%).
+    So: ``target_recall >= 0.65`` → expected cell population 16 with
+    nprobe=4 (the 79%/77% frontier rows at ≤15%/≤4% probed);
+    below that → the ivf_auto_cells default (population 256) with
+    nprobe=2, the round-8 low-scan point (48–56% at ~12%).
+
+    The probed FRACTION (nprobe/cells) shrinks as the corpus grows in
+    both tiers (ivf_auto_cells caps at 65 536 cells); the q258 gate is
+    the re-check before trusting the fixture-measured law at a new
+    scale or distribution."""
+    if target_recall >= 0.65:
+        cells = ivf_auto_cells(n, target_cell=16)
+        nprobe = 4
+    else:
+        cells = ivf_auto_cells(n)
+        nprobe = 2
+    return cells, min(nprobe, cells)
+
+
 def _trained_parts(centroids: list[list[int]], nprobe: int = 1):
     """Assignment/probe expression builders over TRAINED micro-int
     centroids (list index = cid): ``cell_fn(emb)`` → nearest-centroid
@@ -1207,6 +1251,7 @@ def ivf_pq_write_index(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     centroids: list[list[int]] | None = None,
+    codebook: list[list[int]] | None = None,
 ) -> list[list[int]]:
     """Materialize the IVF×PQ index as a CELL-PARTITIONED parquet
     table (vec_id, codes array<int>) under ``path`` and return the
@@ -1224,8 +1269,16 @@ def ivf_pq_write_index(
     quantizer to TRAINED centroids (train them first with
     ``train_ivf_centroids``; ship the same list to the serving job —
     the frozen-quantizer discipline, exactly like the codebook).
+    ``codebook`` overrides the lowest-id codebook — pass
+    ``train_pq_codebooks(...)`` to persist trained codes (q264);
+    the returned value is whatever codebook the index was written
+    with, which is what the serving job must embed.
     """
-    cb = _collect_codebook(corpus, id_col, emb_col, n_centroids)
+    cb = (
+        codebook
+        if codebook is not None
+        else _collect_codebook(corpus, id_col, emb_col, n_centroids)
+    )
     codes_fn, _, _ = _pq_expr_parts(cb, m_dims)
     if centroids is not None:
         cell_col = _trained_parts(centroids)[0](F.col(emb_col))

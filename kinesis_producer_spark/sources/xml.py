@@ -181,14 +181,25 @@ def _batch_parser(parse_one, empty: dict):
     return run
 
 
+# asNondeterministic: the parsers ARE pure functions of their input,
+# but marking them nondeterministic stops Catalyst from DUPLICATING
+# the whole parse chain when a filter and a projection both consume
+# parts of the `_parsed` struct — q45's executed plan carried TWO
+# ArrowEvalPython nodes (one for the result-filter branch, one for the
+# data_out projection), re-running b64+XML parse over the full input
+# twice (round-9 measurement: q45 5.6s → 1.6s min-of-5 at sf0.1, rows
+# identical). The only optimization this disables is pushing filters
+# THROUGH the parse projection — which is exactly the rewrite that
+# caused the double eval; source-column filters in every pipeline are
+# applied before the parse.
 _signal_udf = F.pandas_udf(
     _batch_parser(_parse_signal_one, {"envelope": None, "readings": None}),
     SIGNAL_PARSED_SCHEMA,
-)
+).asNondeterministic()
 _component_udf = F.pandas_udf(
     _batch_parser(_parse_component_one, {"doc_attrs": None, "components": None}),
     COMPONENT_PARSED_SCHEMA,
-)
+).asNondeterministic()
 
 
 from kinesis_producer_spark.tables import fan_out  # noqa: E402  (shared: re-export)

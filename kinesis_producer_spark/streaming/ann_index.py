@@ -18,11 +18,15 @@ Kinesis sink (streaming/kinesis_sink.py foreach_batch_writer):
   own ``(cell, epoch=N)`` partitions instead of double-appending —
   parquet append has no atomicity, overwrite-own-partitions does.
 - visibility: readers go through ``read_committed_index`` — the ledger
-  (bounded driver control data: one marker file per epoch) becomes an
-  ``epoch IN (committed)`` PARTITION filter, so a crashed attempt's
-  partial files and an in-flight epoch are never served. That is the
-  exactly-once read contract: appends become visible atomically WITH
-  the marker, which is written only after the data write succeeded.
+  (bounded driver control data: one marker file per epoch, foldable
+  into a single high-watermark marker by ``compact_ledger``) becomes a
+  PARTITION filter (``epoch <= hwm OR epoch IN (recent)``), so a
+  crashed attempt's partial files and an in-flight epoch are never
+  served. That is the exactly-once read contract: appends become
+  visible atomically WITH the marker, which is written only after the
+  data write succeeded. Compaction keeps both the serving predicate
+  and the ledger listing bounded by the number of IN-FLIGHT epochs
+  instead of growing one entry per micro-batch forever.
 - replay of a COMMITTED epoch (Structured Streaming re-delivers the
   same epoch_id after a post-write/pre-checkpoint failure) is skipped
   via the marker, the sink's ledger shape exactly.
@@ -72,16 +76,22 @@ def bootstrap_index(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     centroids: list[list[int]] | None = None,
+    codebook: list[list[int]] | None = None,
 ) -> list[list[int]]:
     """Build the standing index INTO the streaming layout
     (``cell=X/epoch=-1/`` + committed marker) and return the frozen
     codebook — the one full-corpus pass; everything after arrives
     through ``index_append_writer``. Same semantics as
-    ``ivf_pq_write_index`` (codes against the lowest-id codebook),
+    ``ivf_pq_write_index`` (codes against the lowest-id codebook, or
+    a TRAINED one passed via ``codebook`` — train_pq_codebooks),
     different physical layout."""
     from kinesis_producer_spark.operators.similarity import _collect_codebook
 
-    cb = _collect_codebook(corpus, id_col, emb_col, n_centroids)
+    cb = (
+        codebook
+        if codebook is not None
+        else _collect_codebook(corpus, id_col, emb_col, n_centroids)
+    )
     cell_col, codes_col = _cell_and_codes(cb, centroids, bits, m_dims, emb_col)
     (
         corpus.select(

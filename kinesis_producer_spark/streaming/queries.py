@@ -280,7 +280,16 @@ def q49_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q45_firehose_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """b64(XML)→b64(JSON) record transform chained end-to-end: encode the
-    signal XML, transform, decode the JSON output, aggregate."""
+    signal XML, transform, decode the JSON output, aggregate.
+
+    Round-9 tuning (measured, rows identical; 5.6s → 1.6s min-of-5 at
+    sf0.1): (a) the parse UDF is marked asNondeterministic (sources/
+    xml.py) so the result-filter and the data_out projection share ONE
+    ArrowEvalPython node instead of each re-running the whole
+    b64+XML-parse chain — the executed plan carried TWO before; (b)
+    the consumer side parses each JSON payload ONCE with from_json
+    instead of three get_json_object calls (2.3s → 1.3s for the
+    decode+agg stage in isolation)."""
     from kinesis_producer_spark.operators.etl_queries import _signal_xml_from_events
     from kinesis_producer_spark.streaming.transform import firehose_transform
 
@@ -292,10 +301,15 @@ def q45_firehose_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = out.filter(F.col("result") == "Ok").select(
         F.unbase64("data_out").cast("string").alias("j")
     )
-    return decoded.select(
-        F.get_json_object("j", "$.typeOfReading").alias("typeOfReading"),
-        F.get_json_object("j", "$.value").cast("double").alias("v"),
-        F.get_json_object("j", "$.value_UoM").alias("uom"),
+    parsed = decoded.select(
+        F.from_json(
+            "j", "typeOfReading string, value string, value_UoM string"
+        ).alias("s")
+    )
+    return parsed.select(
+        F.col("s.typeOfReading").alias("typeOfReading"),
+        F.col("s.value").cast("double").alias("v"),
+        F.col("s.value_UoM").alias("uom"),
     ).groupBy("typeOfReading").agg(
         F.count(F.lit(1)).alias("n_ok"),
         F.sum(F.floor(F.col("v") * 10000 + F.lit(0.5)).cast("decimal(38,0)")).cast("bigint").alias("_s"),
@@ -362,7 +376,11 @@ def q97_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = joined.select(
         F.col("a_user").alias("user_id"), "click_id", "purchase_id"
     )
-    return run_stream_append(out, spark)
+    # 4 partitions, not the 8-partition pin: a stream-stream join
+    # commits FOUR state stores per partition per trigger (two per
+    # side), so the commit count is 4x a stateful agg's — measured
+    # min-of-3 at sf0.1: 5.7s @ 8 -> 4.7s @ 4, 5.2s @ 2 (round 9)
+    return run_stream_append(out, spark, partitions=4)
 
 
 @query(
@@ -437,7 +455,9 @@ def q100_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         F.coalesce(F.col("purchase_id"), F.lit(-1).cast("long")).alias("purchase_id"),
     )
-    return run_stream_append(out, spark)
+    # the q97 stream-stream-join store-count measurement, same knob:
+    # 6.2s @ 8 -> 4.6s @ 4, 4.9s @ 2 (round-9 min-of-3 at sf0.1)
+    return run_stream_append(out, spark, partitions=4)
 
 
 @query(

@@ -20,7 +20,7 @@ from kinesis_producer_spark.functions import dsum
 
 
 @contextmanager
-def bounded_stream_shuffle(spark: SparkSession):
+def bounded_stream_shuffle(spark: SparkSession, partitions: int | None = None):
     """Pin ``spark.sql.shuffle.partitions`` to a small count for the
     duration of a BOUNDED fixture stream, restoring it afterwards.
 
@@ -34,8 +34,20 @@ def bounded_stream_shuffle(spark: SparkSession):
     so bounded oracle/bench streams run at SPARK_GRAFT_STREAM_SHUFFLE
     (default 8). Production deployments with real volume should size
     partitions to throughput as usual; this knob is scoped to each
-    bounded run and leaks nothing."""
-    target = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    bounded run and leaks nothing.
+
+    ``partitions`` overrides the env default for operators whose
+    store count per partition differs from the single-store norm: a
+    stream-stream join keeps FOUR stores per partition (two per
+    side), so its commit count at the 8-partition pin is 4× a
+    stateful agg's — q97/q100 measured fastest at 4 (round-9 sweep:
+    5.7/6.2s @ 8 → 4.7/4.6s @ 4, with 2 slower again as compute
+    concentrates)."""
+    target = (
+        str(partitions)
+        if partitions is not None
+        else os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", target)
     try:
@@ -87,11 +99,15 @@ def watermarked_tumbling(
     )
 
 
-def run_stream_append(agg: DataFrame, spark: SparkSession) -> DataFrame:
+def run_stream_append(
+    agg: DataFrame, spark: SparkSession, partitions: int | None = None
+) -> DataFrame:
     """Execute a bounded watermarked stream in append mode; the memory
-    table holds exactly the watermark-closed windows."""
+    table holds exactly the watermark-closed windows. ``partitions``
+    passes through to the bounded shuffle pin (stream-stream joins
+    carry 4 state stores per partition and want a smaller count)."""
     name = f"mem_{uuid.uuid4().hex[:10]}"
-    with bounded_stream_shuffle(spark):
+    with bounded_stream_shuffle(spark, partitions):
         q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
         q.processAllAvailable()
         q.stop()

@@ -445,15 +445,21 @@ def test_ivf_pq_trained_topk_matches_model(spark, vecs):
     centroids = 16 lowest-id micro vectors, two Lloyd rounds (E-step
     argmin int64 L2 with ties to the lowest kcid; M-step
     floor(sum/count + 0.5) per dim, empty cells keep their previous
-    centroid), final assignment, nprobe=2 nearest-centroid probes, PQ
+    centroid), final assignment, nprobe nearest-centroid probes, PQ
     codes, ADC over probed cells, shortlist by (adist, vec_id), exact
     quantized-cosine re-rank. Pins the whole training protocol plus
-    both tie-breaks."""
+    both tie-breaks. (n_cells, nprobe) mirrors the registered query's
+    ivf_serving_config derivation (round 9) so the model stays in
+    lockstep with the serving default at ANY corpus size."""
     from kinesis_producer_spark.operators.llm_queries import (
         q257_ivf_pq_trained_topk,
     )
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_serving_config,
+    )
 
-    K, MD, NM, NC, NPROBE, SHORT, TOPK = 16, 8, 8, 16, 2, 50, 10
+    K, MD, NM, SHORT, TOPK = 16, 8, 8, 50, 10
+    NC, NPROBE = ivf_serving_config(len(vecs))
     rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
     d = _fixture_dir(
         spark,

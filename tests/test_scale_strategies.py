@@ -1203,12 +1203,20 @@ def test_trained_ivf_recall_geq_signbit_at_smaller_probe(spark):
     sf0.01 AND sf0.1 (direction, not magnitude — the q232 discipline):
     the trained composition's aggregate recall is >= the sign-bit
     composition's, AND its probed candidate total is strictly smaller.
-    This is the property that makes training worth the build passes."""
+    This is the property that makes training worth the build passes.
+
+    Round 9 adds the FRONTIER pin (verdict #2): at the
+    ivf_serving_config default (expected cell population 16,
+    nprobe=4) the trained side must reach >= 70% aggregate recall at
+    <= 15% probed fraction on BOTH fixtures — the measured operating
+    point (79% at 12.9% probed at sf0.01, 77% at 3.3% at sf0.1) with
+    headroom for fixture regeneration."""
     from kinesis_producer_spark.operators.llm_queries import (
         q258_ivf_pq_trained_recall,
     )
 
     for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        n = spark.read.parquet(f"{sf}/embeddings.parquet").count()
         rows = q258_ivf_pq_trained_recall(spark, sf).collect()
         assert len(rows) == 30, sf
         hits_tr = sum(r.hits_trained for r in rows)
@@ -1217,6 +1225,9 @@ def test_trained_ivf_recall_geq_signbit_at_smaller_probe(spark):
         probed_sb = sum(r.probed_signbit for r in rows)
         assert hits_tr >= hits_sb, (sf, hits_tr, hits_sb)
         assert probed_tr < probed_sb, (sf, probed_tr, probed_sb)
+        n_truth = sum(r.n_truth for r in rows)
+        assert hits_tr * 100 >= 70 * n_truth, (sf, hits_tr, n_truth)
+        assert probed_tr * 100 <= 15 * n * len(rows), (sf, probed_tr, n)
 
 
 def test_residual_recall_geq_raw_space(spark):
@@ -1633,3 +1644,50 @@ def test_trained_pq_composes_with_trained_cells_and_residuals(spark):
         assert hits(
             ivf_pq_residual_topk_trained(e, pq_codebook=cbres, **kwr)
         ) >= hits(ivf_pq_residual_topk_trained(e, **kwr)), sf
+
+
+def test_staleness_monitor_detects_real_drift(spark, tmp_path):
+    """Round-9 verdict #3: the q261 staleness monitor demonstrated
+    doing its job. The shipped fixture's delta is mild (base-
+    distribution rows), so its q261 reading shows no decay — which 16
+    rows seed each codebook is fixture luck. Here the delta is a
+    GENUINELY drifted distribution (every vec_id % 10 == 0 row offset
+    by +1.0 per dim — far outside the base's [-0.53, 0.46] range, a
+    200-row cluster that exceeds the 50-row shortlist so garbage codes
+    can no longer be rescued by the exact re-rank, the mechanism the
+    500-row fixture masked), and the decay direction is pinned:
+    drifted queries (0/10/20 — the delta members of the query sample)
+    recall STRICTLY less under the frozen base codebook than under
+    the rebuilt one, and the aggregate never favors frozen. Measured:
+    drifted-query hits 10 (frozen) vs 21 (rebuilt) of 30; aggregate
+    109 vs 112; the no-drift control at the same scale reads 104 vs
+    104. q261's oracle is unchanged — this drives the same registered
+    query over a constructed fixture dir."""
+    import numpy as np
+
+    from kinesis_producer_spark.operators.llm_queries import (
+        q261_ivf_pq_codebook_staleness,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    rows = sorted((r.vec_id, np.array(r.embedding)) for r in e.collect())
+    data = [
+        (
+            int(i),
+            [float(x) for x in (v + 1.0 if i % 10 == 0 else v)],
+        )
+        for i, v in rows
+    ]
+    d = str(tmp_path / "drifted")
+    spark.createDataFrame(
+        data, "vec_id long, embedding array<double>"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    out = {r.query_id: r for r in q261_ivf_pq_codebook_staleness(spark, d).collect()}
+    assert len(out) == 30
+    drift_f = sum(out[q].hits_frozen for q in (0, 10, 20))
+    drift_r = sum(out[q].hits_rebuilt for q in (0, 10, 20))
+    assert drift_f < drift_r, (drift_f, drift_r)
+    total_f = sum(r.hits_frozen for r in out.values())
+    total_r = sum(r.hits_rebuilt for r in out.values())
+    assert total_f <= total_r, (total_f, total_r)

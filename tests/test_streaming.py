@@ -2947,3 +2947,86 @@ def test_stateful_sessions_packed_matches_per_key_randomized(spark, tmp_path):
         )
         assert packed == per_key, (nb, sorted(packed ^ per_key))
     assert per_key, "fixture produced no closed sessions (vacuous)"
+
+
+def test_ann_index_ledger_compaction_and_empty_read(spark, tmp_path):
+    """Round-9 ADVICE closures on the streaming index ledger:
+    (a) read_committed_index on an index whose ledger is still empty
+    returns an empty TYPED frame instead of failing parquet schema
+    inference on a data-less dir; (b) compact_ledger folds the
+    contiguous committed prefix into one high-watermark marker — the
+    serving filter becomes a range predicate plus a small IN-list, and
+    committed_epochs/read_committed_index/is_committed all read
+    identically before and after; (c) a GAP (crashed, not-yet-replayed
+    epoch) stops the watermark strictly below it, so the hwm never
+    claims an uncommitted epoch; (d) the append-path replay skip
+    honors hwm-covered epochs."""
+    import os
+
+    from kinesis_producer_spark.streaming.ann_index import (
+        BOOTSTRAP_EPOCH,
+        _commit_marker,
+        _ledger_state,
+        bootstrap_index,
+        committed_epochs,
+        compact_ledger,
+        index_append_writer,
+        is_committed,
+        read_committed_index,
+    )
+
+    # (a) empty ledger, no data files at all
+    empty_idx = str(tmp_path / "empty_idx")
+    os.makedirs(empty_idx)
+    df = read_committed_index(spark, empty_idx)
+    assert df.count() == 0
+    assert set(df.columns) == {"vec_id", "codes", "cell", "epoch"}
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    delta = e.filter(F.col("vec_id") % 10 == 0).collect()
+    idx = str(tmp_path / "idx")
+    cb = bootstrap_index(base, idx, n_centroids=16, m_dims=8, bits=3)
+    write = index_append_writer(idx, cb, bits=3, m_dims=8)
+    third = len(delta) // 3 or 1
+    batches = [delta[:third], delta[third: 2 * third], delta[2 * third:]]
+    schema = "vec_id long, embedding array<double>"
+    # commit epochs 0 and 2; leave 1 as the gap (crashed, unreplayed)
+    write(spark.createDataFrame(batches[0], schema), 0)
+    write(spark.createDataFrame(batches[2], schema), 2)
+    before_eps = committed_epochs(idx)
+    assert before_eps == [BOOTSTRAP_EPOCH, 0, 2]
+    def rowset(df):
+        return {(r.vec_id, tuple(r.codes), r.cell, r.epoch) for r in df.collect()}
+
+    before_rows = rowset(read_committed_index(spark, idx))
+
+    # (c) compaction folds only through the gap-free prefix: -1, 0
+    hwm = compact_ledger(idx)
+    assert hwm == 0
+    st = _ledger_state(idx)
+    assert st == (0, [2]), st
+    assert committed_epochs(idx) == [BOOTSTRAP_EPOCH, 0, 2]
+    after_rows = rowset(read_committed_index(spark, idx))
+    assert after_rows == before_rows and after_rows
+    assert is_committed(idx, BOOTSTRAP_EPOCH) and is_committed(idx, 0)
+    assert not is_committed(idx, 1)
+    assert is_committed(idx, 2)
+
+    # (d) replay of an hwm-covered epoch is skipped (no marker file
+    # needed): re-delivering epoch 0 must not change the index
+    write(spark.createDataFrame([delta[0]], schema), 0)
+    assert rowset(read_committed_index(spark, idx)) == after_rows
+
+    # the gap closes: epoch 1 replays, commits, second compaction
+    # folds everything into one marker and removes per-epoch files
+    write(spark.createDataFrame(batches[1], schema), 1)
+    assert compact_ledger(idx) == 2
+    assert _ledger_state(idx) == (2, [])
+    assert committed_epochs(idx) == [BOOTSTRAP_EPOCH, 0, 1, 2]
+    got = read_committed_index(spark, idx)
+    assert got.count() == e.count()
+    # idempotent: nothing left to fold
+    assert compact_ledger(idx) == 2

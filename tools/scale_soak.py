@@ -93,6 +93,13 @@ SOAK = [
     "q261_ivf_pq_codebook_staleness",
     "q262_ivf_pq_trained_residual_topk",
     "q263_sq8_scalar_quantization_topk",
+    # round-9: trained per-subspace PQ codebooks (build = M sub-
+    # codebooks in ONE (cid, d) aggregate per Lloyd round — the claim
+    # to watch is build-pass linearity, NOT M corpus shuffles) and the
+    # re-defaulted q257/q259 above (ivf_serving_config: population-16
+    # cells × nprobe=4 — probed-cell scan at the new operating point)
+    "q264_pq_trained_adc_topk",
+    "q265_pq_trained_recall",
     "q133_stream_version_track",
     "q153_stateful_sessions",
 ]
