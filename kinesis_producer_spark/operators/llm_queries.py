@@ -7395,7 +7395,7 @@ def q253_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probe lists (tprobes). Every step is integer-exact, so Spark's
 # Arrow-vectorized assignment reproduces each value bit-for-bit.
 _IVFPQ_TRAINED_BASE = """
-    dims AS (
+    dims AS MATERIALIZED (
       SELECT vec_id, d, CAST(d // 8 AS INT) AS m, CAST(d % 8 AS INT) AS dd,
              CAST(FLOOR(1e6 * CAST(embedding[d + 1] AS DOUBLE) + 0.5) AS BIGINT) AS vm
       FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS d)
@@ -8010,7 +8010,7 @@ def q261_ivf_pq_codebook_staleness(spark: SparkSession, sf_dir: str) -> DataFram
     "q262_ivf_pq_trained_residual_topk",
     oracle=f"""
     WITH {_IVFPQ_TRAINED_BASE.format(qids="0, 1, 2", nprobe=2, n_cells=16)},
-    rdims AS (
+    rdims AS MATERIALIZED (
       SELECT dims.vec_id, dims.m, dims.dd, dims.vm - kc2.cm AS rm
       FROM dims JOIN tcells tc USING (vec_id)
       JOIN kc2 ON kc2.kcid = tc.cell AND kc2.d = dims.d),
@@ -8163,7 +8163,7 @@ def q263_sq8_scalar_quantization_topk(spark: SparkSession, sf_dir: str) -> DataF
 # codes (pcodes) and per-query ADC tables (padc). Integer-exact end to
 # end — Spark's train_pq_codebooks reproduces every value.
 _PQ_TRAINED_BASE = """
-    dims AS (
+    dims AS MATERIALIZED (
       SELECT vec_id, d, CAST(d // 8 AS INT) AS m, CAST(d % 8 AS INT) AS dd,
              CAST(FLOOR(1e6 * CAST(embedding[d + 1] AS DOUBLE) + 0.5) AS BIGINT) AS vm
       FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS d)
@@ -8453,4 +8453,139 @@ def q265_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("recall_lowid_pq_pct"),
         )
+    )
+
+
+@query(
+    "q266_ivf_pq_fully_trained_topk",
+    oracle=f"""
+    WITH {_IVFPQ_TRAINED_BASE.format(qids="0, 1, 2", nprobe=2, n_cells=16)},
+    rdims AS MATERIALIZED (
+      SELECT dims.vec_id, dims.d, dims.m, dims.dd, dims.vm - kc2.cm AS rm
+      FROM dims JOIN tcells tc USING (vec_id)
+      JOIN kc2 ON kc2.kcid = tc.cell AND kc2.d = dims.d),
+    cbr0 AS (SELECT i.kcid AS cid, r.m, r.dd, r.rm AS crm
+             FROM rdims r JOIN kinit i USING (vec_id)),
+    rd0 AS (
+      SELECT r.vec_id, r.m, cbr0.cid,
+             CAST(SUM((r.rm - cbr0.crm) * (r.rm - cbr0.crm)) AS BIGINT) AS sd2
+      FROM rdims r JOIN cbr0 ON r.m = cbr0.m AND r.dd = cbr0.dd
+      GROUP BY r.vec_id, r.m, cbr0.cid),
+    ra0 AS (SELECT vec_id, m, cid FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                           ORDER BY sd2, cid) AS rn
+              FROM rd0) WHERE rn = 1),
+    rm1 AS (SELECT ra0.cid, r.m, r.dd,
+                   CAST(FLOOR(CAST(SUM(r.rm) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS crm
+            FROM rdims r JOIN ra0 ON r.vec_id = ra0.vec_id AND r.m = ra0.m
+            GROUP BY ra0.cid, r.m, r.dd),
+    rc1 AS (SELECT cid, m, dd, crm FROM rm1
+            UNION ALL
+            SELECT cbr0.cid, cbr0.m, cbr0.dd, cbr0.crm FROM cbr0
+            LEFT JOIN (SELECT DISTINCT cid, m FROM rm1) g
+              ON g.cid = cbr0.cid AND g.m = cbr0.m
+            WHERE g.cid IS NULL),
+    rd1 AS (
+      SELECT r.vec_id, r.m, rc1.cid,
+             CAST(SUM((r.rm - rc1.crm) * (r.rm - rc1.crm)) AS BIGINT) AS sd2
+      FROM rdims r JOIN rc1 ON r.m = rc1.m AND r.dd = rc1.dd
+      GROUP BY r.vec_id, r.m, rc1.cid),
+    ra1 AS (SELECT vec_id, m, cid FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                           ORDER BY sd2, cid) AS rn
+              FROM rd1) WHERE rn = 1),
+    rm2 AS (SELECT ra1.cid, r.m, r.dd,
+                   CAST(FLOOR(CAST(SUM(r.rm) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS crm
+            FROM rdims r JOIN ra1 ON r.vec_id = ra1.vec_id AND r.m = ra1.m
+            GROUP BY ra1.cid, r.m, r.dd),
+    rc2 AS (SELECT cid, m, dd, crm FROM rm2
+            UNION ALL
+            SELECT rc1.cid, rc1.m, rc1.dd, rc1.crm FROM rc1
+            LEFT JOIN (SELECT DISTINCT cid, m FROM rm2) g
+              ON g.cid = rc1.cid AND g.m = rc1.m
+            WHERE g.cid IS NULL),
+    rdf AS (
+      SELECT r.vec_id, r.m, rc2.cid,
+             CAST(SUM((r.rm - rc2.crm) * (r.rm - rc2.crm)) AS BIGINT) AS sd2
+      FROM rdims r JOIN rc2 ON r.m = rc2.m AND r.dd = rc2.dd
+      GROUP BY r.vec_id, r.m, rc2.cid),
+    rcodes AS (SELECT vec_id, m, cid AS code FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                              ORDER BY sd2, cid) AS rn
+                 FROM rdf) WHERE rn = 1),
+    qrd AS (
+      SELECT p.query_id, p.pcell, dims.m, dims.dd, dims.vm - kc2.cm AS rm
+      FROM tprobes p
+      JOIN dims ON dims.vec_id = p.query_id
+      JOIN kc2 ON kc2.kcid = p.pcell AND kc2.d = dims.d),
+    qsd AS (
+      SELECT q.query_id, q.pcell, q.m, rc2.cid,
+             CAST(SUM((q.rm - rc2.crm) * (q.rm - rc2.crm)) AS BIGINT) AS qd2
+      FROM qrd q JOIN rc2 ON q.m = rc2.m AND q.dd = rc2.dd
+      GROUP BY q.query_id, q.pcell, q.m, rc2.cid),
+    approx AS (
+      SELECT p.query_id, rcodes.vec_id, CAST(SUM(qsd.qd2) AS BIGINT) AS adist_q
+      FROM rcodes
+      JOIN tcells cl ON cl.vec_id = rcodes.vec_id
+      JOIN tprobes p ON p.pcell = cl.cell
+      JOIN qsd ON qsd.query_id = p.query_id AND qsd.pcell = p.pcell
+              AND qsd.m = rcodes.m AND qsd.cid = rcodes.code
+      GROUP BY p.query_id, rcodes.vec_id),
+    short AS (
+      SELECT query_id, vec_id, adist_q FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist_q, vec_id) AS rn
+        FROM approx) WHERE rn <= 50),
+    scored AS (
+      SELECT s.query_id, s.vec_id, s.adist_q, {_COS_MICRO_SQL} AS cos_micro
+      FROM short s
+      JOIN embeddings a ON a.vec_id = s.query_id
+      JOIN embeddings b ON b.vec_id = s.vec_id)
+    SELECT query_id, vec_id, adist_q, cos_micro, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_micro DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= 10
+    """,
+)
+def q266_ivf_pq_fully_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULLY trained IVFADC — every quantizer in the composition
+    is now Lloyd-trained: trained coarse cells (q257's protocol),
+    residual encoding against those cells (q262's construction), AND
+    per-subspace sub-codebooks trained ON THE RESIDUALS
+    (train_pq_codebooks(centroids=...), q264's protocol in residual
+    space — the Jégou et al. 2011 construction, where the product
+    quantizer is explicitly trained on the residual distribution).
+    q262 left the residual codebook as lowest-id residual slices; this
+    closes the last untrained piece. The oracle unrolls the full
+    composition: 2 coarse Lloyd rounds, the residual projection, 2
+    per-subspace residual Lloyd rounds, codes, per-probed-cell query
+    tables, shortlist, exact re-rank. Measured vs q262 (recall@10 over
+    the 30-query harness): 156→164 hits of 300 at sf0.1 — the trained
+    residual codebook recovers most of what residual encoding alone
+    left on the table; direction pinned at both fixtures
+    (tests/test_scale_strategies.py:
+    test_trained_pq_composes_with_trained_cells_and_residuals).
+
+    Scale: q262's build/serve shape plus 2 more corpus passes for the
+    residual sub-codebook training (zero-shuffle Arrow assignment +
+    ONE (cid, d) map-side-combinable aggregate per round, all M
+    subspaces together); serving is byte-identical to q262 — trained
+    codebooks change VALUES, never the plan. The cells×nprobe point
+    stays 16×2 so q262→q266 isolates codebook training; compose with
+    ivf_serving_config's operating point for deployment."""
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_pq_residual_topk_trained,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = train_ivf_centroids(e, n_cells=16, rounds=2)
+    cbres = train_pq_codebooks(
+        e, n_centroids=16, m_dims=8, rounds=2, centroids=cent
+    )
+    return ivf_pq_residual_topk_trained(
+        e, query_ids=[0, 1, 2], k=10, shortlist=50, n_cells=16, nprobe=2,
+        rounds=2, n_centroids=16, m_dims=8, centroids=cent,
+        pq_codebook=cbres,
     )

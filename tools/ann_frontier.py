@@ -116,6 +116,36 @@ def main() -> None:
              int(1000 * best))
         )
 
+    qe = e.filter(F.col("vec_id") < _RECALL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qe")
+    )
+    ce = e.select("vec_id", F.col("embedding").alias("_ce"))
+
+    def rerank(short):
+        # q265's flat-path protocol: ADC top-50 shortlist -> exact
+        # cosine re-rank -> top-10, the same tail every IVF path runs,
+        # so every row in the table measures the same thing
+        from kinesis_producer_spark.operators.similarity import cosine_micro
+
+        return (
+            short.join(ce, "vec_id")
+            .join(F.broadcast(qe), "query_id")
+            .select(
+                "query_id", "vec_id",
+                cosine_micro(F.col("_qe"), F.col("_ce")).alias("cos_micro"),
+            )
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    W.partitionBy("query_id").orderBy(
+                        F.col("cos_micro").desc(), F.col("vec_id")
+                    )
+                ),
+            )
+            .filter(F.col("rnk") <= _RECALL_K)
+            .select("query_id", "vec_id")
+        )
+
     kw = dict(query_ids=qids, k=_RECALL_K, shortlist=50, exclude_self=True)
     run("brute force (exact)", 512, 1.0, lambda: (
         brute_force_topk(e, qs, k=_RECALL_K + 1)
@@ -131,10 +161,16 @@ def main() -> None:
         .filter(F.col("rnk") <= _RECALL_K)
     ))
     run("flat PQ ADC (lowest-id cb)", 4, 1.0,
-        lambda: pq_codes_and_adc_topk(e, qids, k=50, exclude_self=True))
+        lambda: rerank(
+            pq_codes_and_adc_topk(e, qids, k=50, exclude_self=True)
+            .select("query_id", "vec_id")
+        ))
     run("flat PQ ADC (TRAINED cb, q264)", 4, 1.0,
-        lambda: pq_codes_and_adc_topk(e, qids, k=50, exclude_self=True,
-                                      codebook=cbt))
+        lambda: rerank(
+            pq_codes_and_adc_topk(e, qids, k=50, exclude_self=True,
+                                  codebook=cbt)
+            .select("query_id", "vec_id")
+        ))
     run("SQ8 (q263)", 64, 1.0, lambda: sq8_topk(e, **kw))
     p_sb = probed_signbit()
     run("sign-bit IVF×PQ bits=3 (q252)", 4, p_sb,

@@ -100,6 +100,7 @@ SOAK = [
     # cells × nprobe=4 — probed-cell scan at the new operating point)
     "q264_pq_trained_adc_topk",
     "q265_pq_trained_recall",
+    "q266_ivf_pq_fully_trained_topk",
     "q133_stream_version_track",
     "q153_stateful_sessions",
 ]
