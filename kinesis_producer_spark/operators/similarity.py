@@ -289,9 +289,30 @@ def _trained_parts(centroids: list[list[int]], nprobe: int = 1):
 
     cmat = np.array(centroids, dtype=np.int64)  # (C, dim)
     n_c = len(cmat)
+    dim = cmat.shape[1] if n_c else 0
     k_probe = min(nprobe, n_c)
+    # Exact-GEMM guard: d2 = |v|² − 2v·c + |c|² via float64 BLAS is
+    # EXACT when every intermediate integer fits in float64's 53-bit
+    # mantissa — |vm|,|cm| ≤ M ⇒ partial sums ≤ 2·dim·M², so M ≤
+    # √(2⁵³/(2·dim)) (≈ 8.4e6 at dim 64, i.e. raw values ≤ ±8.4 —
+    # every embedding in this engine is micro-quantized from O(1)
+    # cosine space). The GEMM path is ~100× the per-cell int64 loop
+    # (BLAS vs python-loop temporaries) and bit-identical under the
+    # guard; out-of-range inputs fall back to the exact loop.
+    _gemm_max = int((2**53 / max(2 * dim, 1)) ** 0.5) if dim else 0
+    _cf = cmat.astype(np.float64)
+    _cc = (_cf * _cf).sum(axis=1)  # (C,)
+    _cmat_ok = bool(n_c) and int(np.abs(cmat).max()) <= _gemm_max
 
     def _d2_block(vm: "np.ndarray", lo: int, hi: int) -> "np.ndarray":
+        if _cmat_ok and int(np.abs(vm).max(initial=0)) <= _gemm_max:
+            vf = vm.astype(np.float64)
+            d2 = (
+                (vf * vf).sum(axis=1)[:, None]
+                - 2.0 * (vf @ _cf[lo:hi].T)
+                + _cc[lo:hi][None, :]
+            )
+            return d2.astype(np.int64)
         out = np.empty((len(vm), hi - lo), dtype=np.int64)
         for c in range(lo, hi):
             diff = vm - cmat[c]
@@ -387,11 +408,18 @@ def _collect_centroids_by(
         .cast("bigint")
         .alias("cm")
     )
-    rows = cen.collect()  # bounded: |cells| x dim
-    dim = max(int(r["d"]) for r in rows) + 1
+    # collect ONE row per cell (dims packed as a d-sorted array), not
+    # one per (cell, d): the control data is |cells|·dim ints either
+    # way, but py4j Row conversion is per-ROW — at the auto-scaled
+    # 2048-cell point the flat collect was 131k Rows and dominated the
+    # whole Lloyd round (round-9 soak finding); packed it is |cells|
+    # rows (64× fewer)
+    rows = cen.groupBy("cell").agg(
+        F.array_sort(F.collect_list(F.struct("d", "cm"))).alias("dims")
+    ).collect()  # bounded: |cells| rows of dim structs
     out: dict[int, list[int]] = {}
     for r in rows:
-        out.setdefault(int(r["cell"]), [0] * dim)[int(r["d"])] = int(r["cm"])
+        out[int(r["cell"])] = [int(p["cm"]) for p in r["dims"]]
     return out
 
 
@@ -426,9 +454,15 @@ def train_ivf_centroids(
     the first iterations on clustered data)."""
     import math
 
+    from kinesis_producer_spark.tables import fan_out
+
     if n_cells is None:
         n_cells = ivf_auto_cells(corpus.count())
     rows = _codebook_rows(corpus, id_col, emb_col, n_cells)
+    # the E-step is |corpus|·n_cells·dim of Arrow work per round — a
+    # one-file fixture arrives as one split and serializes it; no-op
+    # at real scale (fan_out's contract)
+    corpus = fan_out(corpus)
     cent = [
         [int(math.floor(1e6 * float(v) + 0.5)) for v in r["e"]] for r in rows
     ]
@@ -522,6 +556,9 @@ def train_pq_codebooks(
     import numpy as np
     import pandas as pd
 
+    from kinesis_producer_spark.tables import fan_out
+
+    corpus = fan_out(corpus)  # per-round Arrow code passes on all cores
     sub_idx = (F.floor(F.col("d") / F.lit(m_dims)).cast("int") + F.lit(1))
     if centroids is None:
         cb = _collect_codebook(corpus, id_col, emb_col, n_centroids)
@@ -973,6 +1010,8 @@ def ivf_pq_topk_trained(
     the pruned code scan. At 100 TB the trained cell id is the
     partition column exactly as the sign-bit one was
     (ivf_pq_write_index with centroids=...)."""
+    from kinesis_producer_spark.tables import fan_out
+
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, n_cells=n_cells, rounds=rounds,
@@ -985,7 +1024,9 @@ def ivf_pq_topk_trained(
         else _collect_codebook(corpus, id_col, emb_col, n_centroids)
     )
     codes_fn, qd2_fn, adist_fn = _pq_expr_parts(cb, m_dims)
-    coded = corpus.select(
+    # cell assignment costs |corpus|·n_cells·dim Arrow work — spread a
+    # one-split fixture across cores (no-op at real scale)
+    coded = fan_out(corpus).select(
         F.col(id_col).alias("vec_id"),
         cell_fn(F.col(emb_col)).alias("_cell"),
         codes_fn(F.col(emb_col)).alias("_codes"),
@@ -1210,10 +1251,13 @@ def ivf_pq_residual_topk_trained(
             for r in cb_rows
         ]
     codes_fn, qd2_fn, adist_fn = _pq_residual_parts(cb_resid, cen_dict, m_dims)
+    from kinesis_producer_spark.tables import fan_out
+
     # project _cell ONCE and feed the materialized column into the code
     # UDF — nesting cell_fn inside codes_fn's argument would evaluate
-    # the |corpus|·n_cells centroid-distance work twice (round-8 ADVICE)
-    coded = corpus.select(
+    # the |corpus|·n_cells centroid-distance work twice (round-8 ADVICE);
+    # fan_out spreads the one-split fixture (no-op at scale)
+    coded = fan_out(corpus).select(
         F.col(id_col).alias("vec_id"),
         F.col(emb_col).alias("_e"),
         cell_fn(F.col(emb_col)).alias("_cell"),
@@ -1279,13 +1323,15 @@ def ivf_pq_write_index(
         if codebook is not None
         else _collect_codebook(corpus, id_col, emb_col, n_centroids)
     )
+    from kinesis_producer_spark.tables import fan_out
+
     codes_fn, _, _ = _pq_expr_parts(cb, m_dims)
     if centroids is not None:
         cell_col = _trained_parts(centroids)[0](F.col(emb_col))
     else:
         cell_col = ivf_cell(F.col(emb_col), bits)
     (
-        corpus.select(
+        fan_out(corpus).select(
             F.col(id_col).alias("vec_id"),
             cell_col.alias("cell"),
             codes_fn(F.col(emb_col)).alias("codes"),

@@ -187,6 +187,10 @@ def main() -> None:
     run("trained cells 16×2 + TRAINED PQ cb", 4, p16,
         lambda: ivf_pq_topk_trained(e, n_cells=16, nprobe=2,
                                     centroids=cent16, codebook=cbt, **kw))
+    run(f"trained {cells_def}×{nprobe_def} + TRAINED PQ cb (full stack)",
+        4, p_def,
+        lambda: ivf_pq_topk_trained(e, n_cells=cells_def, nprobe=nprobe_def,
+                                    centroids=cent_def, codebook=cbt, **kw))
     run("residual IVFADC 16×2 (q262)", 4, p16,
         lambda: ivf_pq_residual_topk_trained(e, n_cells=16, nprobe=2,
                                              centroids=cent16, **kw))

@@ -41,6 +41,12 @@ NLJ_OK = {
     # the q55/q234 intended pattern; composes with IVF cells when the
     # corpus outgrows a flat scan (docstring)
     "q263_sq8_scalar_quantization_topk",
+    # round-9 trained-PQ family: q264 is q234's flat ADC byte-for-byte
+    # (trained codebook changes VALUES, never the plan — same
+    # broadcast |queries|-row table); q265's gate runs that flat
+    # protocol twice plus q55's brute-force truth side
+    "q264_pq_trained_adc_topk",
+    "q265_pq_trained_recall",
     "q07_band_join",
     "q08_asof_join",
     "q63_tfidf",
