@@ -1336,6 +1336,13 @@ def ivf_pq_write_index(
             cell_col.alias("cell"),
             codes_fn(F.col(emb_col)).alias("codes"),
         )
+        # cluster rows by cell before the partitioned write: without
+        # this every write task touches every populated cell dir —
+        # tasks×cells small files (65k at the sf1.0 auto-scaled 2048
+        # cells, 90s of file creation; round-9 soak). The shuffle
+        # moves CODE rows (vec_id + cell + M ints), not raw vectors,
+        # and lands ~1 file per cell — also the right layout at 100 TB
+        .repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)

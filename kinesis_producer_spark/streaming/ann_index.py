@@ -100,6 +100,9 @@ def bootstrap_index(
             codes_col.alias("codes"),
             F.lit(BOOTSTRAP_EPOCH).alias("epoch"),
         )
+        # cluster by cell first — one file per cell dir instead of
+        # tasks×cells small files (the ivf_pq_write_index fix)
+        .repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell", "epoch")
         .parquet(index_path)
