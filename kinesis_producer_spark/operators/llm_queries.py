@@ -7394,6 +7394,14 @@ def q253_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ending in final assignments (tcells) and per-query nprobe-nearest
 # probe lists (tprobes). Every step is integer-exact, so Spark's
 # Arrow-vectorized assignment reproduces each value bit-for-bit.
+#
+# {samp_ctes}/{tdims}/{init_src} parameterize the TRAINING frame:
+# full-corpus training renders with ("", "dims", "embeddings") —
+# byte-equivalent to the round-8 text — and the q267 bounded-sample
+# protocol with the samp/sdims CTEs, tdims="sdims", init_src="samp"
+# so the Lloyd E/M steps and the init rows come from the md5-ordered
+# sample while the FINAL assignment (kdf/tcells/tprobes) still runs
+# over every corpus row (the IVF add pass).
 _IVFPQ_TRAINED_BASE = """
     dims AS MATERIALIZED (
       SELECT vec_id, d, CAST(d // 8 AS INT) AS m, CAST(d % 8 AS INT) AS dd,
@@ -7413,37 +7421,37 @@ _IVFPQ_TRAINED_BASE = """
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
                                      ORDER BY sd2, cid) AS rn FROM sd
       ) WHERE rn = 1
-    ),
+    ),{samp_ctes}
     kinit AS (
       SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS kcid
-      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_cells})),
+      FROM (SELECT vec_id FROM {init_src} ORDER BY vec_id LIMIT {n_cells})),
     kc0 AS (SELECT i.kcid, dm.d, dm.vm AS cm
             FROM dims dm JOIN kinit i USING (vec_id)),
     kd0 AS (
       SELECT dims.vec_id, kc0.kcid,
              CAST(SUM((dims.vm - kc0.cm) * (dims.vm - kc0.cm)) AS BIGINT) AS kd2
-      FROM dims JOIN kc0 USING (d) GROUP BY dims.vec_id, kc0.kcid),
+      FROM {tdims} dims JOIN kc0 USING (d) GROUP BY dims.vec_id, kc0.kcid),
     ka0 AS (SELECT vec_id, kcid FROM (
               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                            ORDER BY kd2, kcid) AS rn
               FROM kd0) WHERE rn = 1),
     km1 AS (SELECT ka0.kcid, dims.d,
                    CAST(FLOOR(CAST(SUM(vm) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cm
-            FROM dims JOIN ka0 USING (vec_id) GROUP BY ka0.kcid, dims.d),
+            FROM {tdims} dims JOIN ka0 USING (vec_id) GROUP BY ka0.kcid, dims.d),
     kc1 AS (SELECT kcid, d, cm FROM km1 UNION ALL
             SELECT kc0.kcid, kc0.d, kc0.cm FROM kc0
             WHERE kc0.kcid NOT IN (SELECT DISTINCT kcid FROM km1)),
     kd1 AS (
       SELECT dims.vec_id, kc1.kcid,
              CAST(SUM((dims.vm - kc1.cm) * (dims.vm - kc1.cm)) AS BIGINT) AS kd2
-      FROM dims JOIN kc1 USING (d) GROUP BY dims.vec_id, kc1.kcid),
+      FROM {tdims} dims JOIN kc1 USING (d) GROUP BY dims.vec_id, kc1.kcid),
     ka1 AS (SELECT vec_id, kcid FROM (
               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                            ORDER BY kd2, kcid) AS rn
               FROM kd1) WHERE rn = 1),
     km2 AS (SELECT ka1.kcid, dims.d,
                    CAST(FLOOR(CAST(SUM(vm) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cm
-            FROM dims JOIN ka1 USING (vec_id) GROUP BY ka1.kcid, dims.d),
+            FROM {tdims} dims JOIN ka1 USING (vec_id) GROUP BY ka1.kcid, dims.d),
     kc2 AS (SELECT kcid, d, cm FROM km2 UNION ALL
             SELECT kc1.kcid, kc1.d, kc1.cm FROM kc1
             WHERE kc1.kcid NOT IN (SELECT DISTINCT kcid FROM km2)),
@@ -7470,8 +7478,7 @@ _IVFPQ_TRAINED_BASE = """
 # the measured recall frontier the round-9 verdict made the default
 # (the oracle runs at sf0.01 only; the Spark side derives the same
 # point from the corpus count at any sf).
-_IVFPQ_TRAINED_TOPK_ORACLE = f"""
-    WITH {_IVFPQ_TRAINED_BASE.format(qids="0, 1, 2", nprobe=4, n_cells=32)},
+_IVFPQ_TRAINED_TOPK_TAIL = f"""
     approx AS (
       SELECT p.query_id, codes.vec_id, CAST(SUM(qd2) AS BIGINT) AS adist_q
       FROM codes
@@ -7495,6 +7502,28 @@ _IVFPQ_TRAINED_TOPK_ORACLE = f"""
                                    ORDER BY cos_micro DESC, vec_id) AS rank
       FROM scored) WHERE rank <= 10
     """
+
+_IVFPQ_TRAINED_TOPK_ORACLE = f"""
+    WITH {_IVFPQ_TRAINED_BASE.format(qids="0, 1, 2", nprobe=4, n_cells=32,
+                                     samp_ctes="", tdims="dims",
+                                     init_src="embeddings")},{_IVFPQ_TRAINED_TOPK_TAIL}"""
+
+# q267's training frame: the 256 first rows in (md5(id), id) order —
+# train_sample's contract verbatim. MATERIALIZED: DuckDB inlines CTEs
+# and the Lloyd chain re-executes shared frames combinatorially
+# otherwise (the q266 round-9 finding).
+_IVFPQ_SAMPLED_CTES = """
+    samp AS MATERIALIZED (
+      SELECT vec_id FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
+    sdims AS MATERIALIZED (
+      SELECT dims.* FROM dims JOIN samp USING (vec_id)),"""
+
+_IVFPQ_SAMPLED_TOPK_ORACLE = f"""
+    WITH {_IVFPQ_TRAINED_BASE.format(qids="0, 1, 2", nprobe=2, n_cells=16,
+                                     samp_ctes=_IVFPQ_SAMPLED_CTES,
+                                     tdims="sdims",
+                                     init_src="samp")},{_IVFPQ_TRAINED_TOPK_TAIL}"""
 
 
 @query("q257_ivf_pq_trained_topk", oracle=_IVFPQ_TRAINED_TOPK_ORACLE)
@@ -7579,7 +7608,9 @@ def q259_ivf_pq_trained_index_serving(spark: SparkSession, sf_dir: str) -> DataF
 @query(
     "q258_ivf_pq_trained_recall",
     oracle=f"""
-    WITH {_IVFPQ_TRAINED_BASE.format(qids=_IVFPQ_RECALL_QIDS, nprobe=4, n_cells=32)},
+    WITH {_IVFPQ_TRAINED_BASE.format(qids=_IVFPQ_RECALL_QIDS, nprobe=4, n_cells=32,
+                                     samp_ctes="", tdims="dims",
+                                     init_src="embeddings")},
     scells AS (
       SELECT vec_id,
              (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
@@ -8009,7 +8040,9 @@ def q261_ivf_pq_codebook_staleness(spark: SparkSession, sf_dir: str) -> DataFram
 @query(
     "q262_ivf_pq_trained_residual_topk",
     oracle=f"""
-    WITH {_IVFPQ_TRAINED_BASE.format(qids="0, 1, 2", nprobe=2, n_cells=16)},
+    WITH {_IVFPQ_TRAINED_BASE.format(qids="0, 1, 2", nprobe=2, n_cells=16,
+                                     samp_ctes="", tdims="dims",
+                                     init_src="embeddings")},
     rdims AS MATERIALIZED (
       SELECT dims.vec_id, dims.m, dims.dd, dims.vm - kc2.cm AS rm
       FROM dims JOIN tcells tc USING (vec_id)
@@ -8459,7 +8492,9 @@ def q265_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q266_ivf_pq_fully_trained_topk",
     oracle=f"""
-    WITH {_IVFPQ_TRAINED_BASE.format(qids="0, 1, 2", nprobe=2, n_cells=16)},
+    WITH {_IVFPQ_TRAINED_BASE.format(qids="0, 1, 2", nprobe=2, n_cells=16,
+                                     samp_ctes="", tdims="dims",
+                                     init_src="embeddings")},
     rdims AS MATERIALIZED (
       SELECT dims.vec_id, dims.d, dims.m, dims.dd, dims.vm - kc2.cm AS rm
       FROM dims JOIN tcells tc USING (vec_id)
@@ -8588,4 +8623,49 @@ def q266_ivf_pq_fully_trained_topk(spark: SparkSession, sf_dir: str) -> DataFram
         e, query_ids=[0, 1, 2], k=10, shortlist=50, n_cells=16, nprobe=2,
         rounds=2, n_centroids=16, m_dims=8, centroids=cent,
         pq_codebook=cbres,
+    )
+
+
+@query("q267_ivf_sampled_training_topk", oracle=_IVFPQ_SAMPLED_TOPK_ORACLE)
+def q267_ivf_sampled_training_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q257's trained-quantizer serving with the Lloyd rounds run on a
+    BOUNDED deterministic training sample (train_sample: the 256 first
+    rows in (md5(id), id) order) instead of the whole corpus — the
+    FAISS training discipline (k-means caps its training set at a few
+    hundred points per centroid; IndexIVF subsamples beyond that) made
+    oracle-expressible, and the adopt-when-needed mitigation the
+    round-9 SCALE.md adjudication named for the one superlinear build
+    pass. With ivf_auto_cells making n_cells ∝ n, full-corpus training
+    is O(n²·dim/target_cell) per build; sampling caps the Lloyd rounds
+    at O(s·n_cells·dim) and leaves exactly ONE full-corpus assignment
+    pass — the IVF add, inherent to serving (every vector must find
+    its nearest cell once), GEMM-backed and cells-capped at 65 536.
+
+    The oracle unrolls the identical protocol: the samp/sdims CTEs
+    feed the E/M steps and the init rows while the final assignment
+    (kdf) and serving tail run over every corpus row — q257's oracle
+    with the training frame swapped, nothing else. A sample that
+    covers the corpus is bit-identical to full training
+    (order-independent E/M, same init), pinned in
+    tests/test_scale_strategies.py.
+
+    Registered at the 16×2 point with sample_rows=256 so the sample
+    is a GENUINE sub-corpus at both fixtures (256 of 500 / of 2000).
+    The measured trade at fixture scale: recall@10 168→130 of 300 at
+    sf0.01 and 146→82 at sf0.1 — 16 training points per cell
+    (FAISS's warn threshold is 39, typical is 256) carry real
+    sampling variance at n=2000; at production scale the sample is
+    256·cells ≪ n and the variance term vanishes. The direction
+    (sampled ≤ full at a starved points-per-cell ratio) is pinned at
+    both fixtures; extra Lloyd rounds on the sample don't close it
+    (converged by round 2 — measured r4/r6 identical)."""
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_pq_topk_trained,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk_trained(
+        e, query_ids=[0, 1, 2], k=10, shortlist=50, n_cells=16,
+        nprobe=2, rounds=2, n_centroids=16, m_dims=8,
+        sample_rows=256,
     )

@@ -423,12 +423,31 @@ def _collect_centroids_by(
     return out
 
 
+def train_sample(
+    corpus: DataFrame, sample_rows: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic bounded TRAINING sample for the quantizer
+    builders — FAISS's discipline (k-means never needs the whole
+    corpus; IndexIVF caps training at ~256 points per centroid) made
+    oracle-expressible: the ``sample_rows`` first rows in
+    (md5(CAST(id AS STRING)), id) order. md5 gives a content-blind
+    pseudo-random order that Spark and the SQL oracle compute
+    identically (both emit lowercase hex; the id tie-break makes the
+    limit exact), so the sampled Lloyd protocol stays bit-reproducible
+    end to end. Physically a TakeOrderedAndProject — per-partition
+    top-s + driver merge, no shuffle of the corpus."""
+    return corpus.orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    ).limit(sample_rows)
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_cells: int | None = None,
     rounds: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    sample_rows: int | None = None,
 ) -> list[list[int]]:
     """TRAINED coarse quantizer for the IVF serving family — the
     round-7 verdict's #1: k-means centroids via ``rounds`` Lloyd
@@ -451,24 +470,44 @@ def train_ivf_centroids(
     same discipline as _collect_codebook. rounds is FIXED, not
     converge-tested — determinism and oracle-reproducibility over the
     last fraction of inertia (Lloyd gets most of its improvement in
-    the first iterations on clustered data)."""
+    the first iterations on clustered data).
+
+    ``sample_rows`` bounds the TRAINING set (``train_sample`` — the
+    deterministic md5-ordered prefix): with ``ivf_auto_cells`` making
+    n_cells ∝ n, full-corpus Lloyd rounds are O(n²·dim/target_cell)
+    per build — the one superlinear build pass the round-9 soak
+    adjudicated. Sampling caps the rounds at O(s·n_cells·dim) and
+    leaves ONE full-corpus assignment pass (the IVF add — inherent:
+    every served vector must find its nearest cell once, GEMM-backed
+    and cells-capped). Init = the n_cells lowest-id rows OF THE
+    SAMPLE; a sample that covers the corpus (sample_rows ≥ n) is
+    bit-identical to full training (order-independent E/M steps,
+    identical init)."""
     import math
 
     from kinesis_producer_spark.tables import fan_out
 
     if n_cells is None:
         n_cells = ivf_auto_cells(corpus.count())
-    rows = _codebook_rows(corpus, id_col, emb_col, n_cells)
-    # the E-step is |corpus|·n_cells·dim of Arrow work per round — a
+    train = corpus
+    if sample_rows is not None:
+        # bounded control-sized frame; eager localCheckpoint so the
+        # rounds re-read the materialized sample instead of re-running
+        # the corpus-wide ordered limit every Lloyd round
+        train = train_sample(corpus, sample_rows, id_col).localCheckpoint(
+            eager=True
+        )
+    rows = _codebook_rows(train, id_col, emb_col, n_cells)
+    # the E-step is |train|·n_cells·dim of Arrow work per round — a
     # one-file fixture arrives as one split and serializes it; no-op
     # at real scale (fan_out's contract)
-    corpus = fan_out(corpus)
+    train = fan_out(train)
     cent = [
         [int(math.floor(1e6 * float(v) + 0.5)) for v in r["e"]] for r in rows
     ]
     for _ in range(rounds):
         cell_fn, _ = _trained_parts(cent)
-        upd = _collect_centroids_by(corpus, cell_fn(F.col(emb_col)), emb_col)
+        upd = _collect_centroids_by(train, cell_fn(F.col(emb_col)), emb_col)
         cent = [upd.get(c, cent[c]) for c in range(n_cells)]
     return cent
 
@@ -510,6 +549,7 @@ def train_pq_codebooks(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     centroids: list[list[int]] | None = None,
+    sample_rows: int | None = None,
 ) -> list[list[int]]:
     """TRAINED product-quantizer sub-codebooks — the round-8 verdict's
     #1: per-subspace k-means via ``rounds`` Lloyd iterations, the SAME
@@ -550,7 +590,13 @@ def train_pq_codebooks(
     sub-codebooks together (per-subspace jobs would be M corpus
     passes); codebook state is bounded driver control data
     (K·dim ints). ``rounds`` is FIXED, not converge-tested — the
-    train_ivf_centroids determinism/oracle trade, verbatim."""
+    train_ivf_centroids determinism/oracle trade, verbatim.
+
+    ``sample_rows`` bounds the training set exactly as in
+    ``train_ivf_centroids`` (same ``train_sample`` prefix, init from
+    the sample's lowest ids, sample_rows ≥ n bit-identical to full
+    training); with K fixed the PQ rounds are already corpus-linear,
+    so the knob here is build LATENCY, not a complexity class."""
     import math
 
     import numpy as np
@@ -558,6 +604,10 @@ def train_pq_codebooks(
 
     from kinesis_producer_spark.tables import fan_out
 
+    if sample_rows is not None:
+        corpus = train_sample(corpus, sample_rows, id_col).localCheckpoint(
+            eager=True
+        )
     corpus = fan_out(corpus)  # per-round Arrow code passes on all cores
     sub_idx = (F.floor(F.col("d") / F.lit(m_dims)).cast("int") + F.lit(1))
     if centroids is None:
@@ -991,6 +1041,7 @@ def ivf_pq_topk_trained(
     exclude_self: bool = False,
     centroids: list[list[int]] | None = None,
     codebook: list[list[int]] | None = None,
+    sample_rows: int | None = None,
 ) -> DataFrame:
     """q252's IVF×PQ serving composition with the TRAINED coarse
     quantizer (Jégou et al. 2011 use k-means for the coarse stage;
@@ -1015,7 +1066,7 @@ def ivf_pq_topk_trained(
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, n_cells=n_cells, rounds=rounds,
-            id_col=id_col, emb_col=emb_col,
+            id_col=id_col, emb_col=emb_col, sample_rows=sample_rows,
         )
     cell_fn, probes_fn = _trained_parts(centroids, nprobe)
     cb = (

@@ -877,3 +877,60 @@ def test_train_pq_codebooks_residual_matches_model(spark, vecs):
         assert got == want, (got, want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@SETTINGS
+@given(vecs=EMB)
+def test_train_ivf_centroids_sampled_matches_model(spark, vecs):
+    """The q267 bounded-sample training protocol vs an exact integer
+    model: the training set is the sample_rows first ids in
+    (md5(str(id)), id) order (train_sample's contract — hashlib.md5
+    of the decimal string is exactly Spark's md5(CAST(id AS STRING))
+    and DuckDB's md5(CAST(id AS VARCHAR))), init = the sample's
+    n_cells LOWEST ids, and the Lloyd E/M rounds run over the sample
+    ONLY (empty cells keep their previous centroid). Pins the whole
+    sampled protocol including the md5 order and both tie-breaks."""
+    import hashlib
+
+    from kinesis_producer_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    NC, S = 4, 8
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = train_ivf_centroids(e, n_cells=NC, rounds=2, sample_rows=S)
+
+    n = len(vecs)
+    vm = [[_micro(x) for x in v] for v in vecs]
+    samp = sorted(
+        range(n),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )[:S]
+    init_ids = sorted(samp)[:NC]
+    cent = [list(vm[i]) for i in init_ids]
+
+    def kd2(v, cm):
+        return sum((a - b) ** 2 for a, b in zip(v, cm))
+
+    for _ in range(2):
+        assign = {
+            i: min(range(NC), key=lambda c: (kd2(vm[i], cent[c]), c))
+            for i in samp
+        }
+        new = []
+        for c in range(NC):
+            members = [vm[i] for i in samp if assign[i] == c]
+            if not members:
+                new.append(cent[c])
+            else:
+                new.append(
+                    [
+                        int(math.floor(
+                            sum(m[d] for m in members) / len(members) + 0.5
+                        ))
+                        for d in range(64)
+                    ]
+                )
+        cent = new
+    assert got == cent

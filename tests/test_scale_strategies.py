@@ -1691,3 +1691,93 @@ def test_staleness_monitor_detects_real_drift(spark, tmp_path):
     total_f = sum(r.hits_frozen for r in out.values())
     total_r = sum(r.hits_rebuilt for r in out.values())
     assert total_f <= total_r, (total_f, total_r)
+
+
+def test_sampled_training_covering_sample_bit_identical(spark):
+    """The q267 invariant that makes bounded-sample training safe to
+    adopt: a sample that covers the corpus (sample_rows >= n) is
+    BIT-IDENTICAL to full training for every trainer — the E/M steps
+    are order-independent aggregates and the init (lowest ids of the
+    sample = lowest ids of the corpus) coincides. Also pins
+    train_sample's contract: deterministic, exactly sample_rows rows,
+    stable across re-evaluation; and the short-sample guard
+    (sample_rows < n_cells) fails loudly through _codebook_rows."""
+    from kinesis_producer_spark.operators.similarity import (
+        train_ivf_centroids,
+        train_pq_codebooks,
+        train_sample,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = e.count()
+
+    full = train_ivf_centroids(e, n_cells=8, rounds=2)
+    cover = train_ivf_centroids(e, n_cells=8, rounds=2, sample_rows=n)
+    assert cover == full
+
+    pq_full = train_pq_codebooks(e, rounds=2)
+    pq_cover = train_pq_codebooks(e, rounds=2, sample_rows=n)
+    assert pq_cover == pq_full
+
+    # residual-space trainer too (the q266 composition)
+    cent = train_ivf_centroids(e, n_cells=8, rounds=1)
+    res_full = train_pq_codebooks(e, rounds=1, centroids=cent)
+    res_cover = train_pq_codebooks(
+        e, rounds=1, centroids=cent, sample_rows=n
+    )
+    assert res_cover == res_full
+
+    s1 = [r.vec_id for r in train_sample(e, 64).select("vec_id").collect()]
+    s2 = [r.vec_id for r in train_sample(e, 64).select("vec_id").collect()]
+    assert len(s1) == 64 and s1 == s2
+    assert len(set(s1)) == 64
+
+    with pytest.raises(ValueError, match="codebook needs"):
+        train_ivf_centroids(e, n_cells=16, rounds=1, sample_rows=8)
+
+
+def test_sampled_training_recall_trade_at_fixture_scale(spark):
+    """The q267 measured trade, pinned as a DIRECTION at both fixtures
+    (the q232 discipline): at the registered 16x2 point a 256-row
+    training sample is 16 points per cell — under FAISS's 39-point
+    warn threshold, so sampling variance costs recall at fixture
+    scale (measured 168->130 of 300 at sf0.01, 146->82 at sf0.1;
+    extra Lloyd rounds don't close it, the sample is converged by
+    round 2). The pin is sampled <= full AND sampled still a working
+    index (> a third of full's hits) — at production scale the
+    sample is 256*cells << n and the variance term vanishes, which
+    is the regime the complexity fix exists for (the soak measures
+    that axis)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_producer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk_trained,
+    )
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        e = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qids = list(range(30))
+        qdf = e.filter(F.col("vec_id") < 30).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        truth = brute_force_topk(e, qdf, k=11)
+        tset = {
+            (r.query_id, r.vec_id)
+            for r in truth.collect()
+            if r.query_id != r.vec_id
+        }
+
+        def hits(sample_rows):
+            res = ivf_pq_topk_trained(
+                e, query_ids=qids, k=10, shortlist=50, n_cells=16,
+                nprobe=2, rounds=2, n_centroids=16, m_dims=8,
+                exclude_self=True, sample_rows=sample_rows,
+            )
+            return sum(
+                1 for r in res.collect() if (r.query_id, r.vec_id) in tset
+            )
+
+        h_full, h_samp = hits(None), hits(256)
+        assert h_samp <= h_full, (sf, h_samp, h_full)
+        assert h_samp * 3 > h_full, (sf, h_samp, h_full)

@@ -74,6 +74,9 @@ def main() -> None:
     print("training...", file=sys.stderr)
     cells_def, nprobe_def = ivf_serving_config(n)
     cent16 = train_ivf_centroids(e, n_cells=16, rounds=2)
+    cent16_s = train_ivf_centroids(
+        e, n_cells=16, rounds=2, sample_rows=256
+    )
     cent_def = train_ivf_centroids(e, n_cells=cells_def, rounds=2)
     cbt = train_pq_codebooks(e, n_centroids=16, m_dims=8, rounds=2)
     cbres16 = train_pq_codebooks(
@@ -179,6 +182,10 @@ def main() -> None:
     run("trained IVF×PQ 16×2 (r8 point)", 4, p16,
         lambda: ivf_pq_topk_trained(e, n_cells=16, nprobe=2,
                                     centroids=cent16, **kw))
+    p16_s = probed_trained(cent16_s, 2)
+    run("trained 16×2, 256-row sampled training (q267)", 4, p16_s,
+        lambda: ivf_pq_topk_trained(e, n_cells=16, nprobe=2,
+                                    centroids=cent16_s, **kw))
     p_def = probed_trained(cent_def, nprobe_def)
     run(f"trained IVF×PQ {cells_def}×{nprobe_def} (serving_config, q257)",
         4, p_def,

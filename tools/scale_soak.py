@@ -101,6 +101,12 @@ SOAK = [
     "q264_pq_trained_adc_topk",
     "q265_pq_trained_recall",
     "q266_ivf_pq_fully_trained_topk",
+    # bounded-sample training: the Lloyd rounds run over a FIXED
+    # 256-row sample at every sf, so the build-pass cost that grows
+    # with the corpus is only the single final assignment (the IVF
+    # add) — the wall ratio should sit well under the full-training
+    # q257's
+    "q267_ivf_sampled_training_topk",
     "q133_stream_version_track",
     "q153_stateful_sessions",
 ]
