@@ -8669,3 +8669,220 @@ def q267_ivf_sampled_training_topk(spark: SparkSession, sf_dir: str) -> DataFram
         nprobe=2, rounds=2, n_centroids=16, m_dims=8,
         sample_rows=256,
     )
+
+
+# ---------------------------------------------------------------------------
+# q268/q269 — quantizer-health diagnostics for the trained serving family
+# ---------------------------------------------------------------------------
+
+_IVF_CELL_BALANCE_ORACLE = f"""
+    WITH {_IVFPQ_TRAINED_BASE.format(qids="0", nprobe=1, n_cells=32,
+                                     samp_ctes="", tdims="dims",
+                                     init_src="embeddings")},
+    counts AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM tcells GROUP BY cell),
+    allc AS (SELECT CAST(unnest(range(32)) AS INT) AS cell),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+    SELECT allc.cell,
+           COALESCE(c.n_vecs, CAST(0 AS BIGINT)) AS n_vecs,
+           CAST(COALESCE(c.n_vecs, 0) * 32 * 1000000 // tot.n AS BIGINT)
+             AS load_ppm
+    FROM allc LEFT JOIN counts c USING (cell) CROSS JOIN tot
+    """
+
+
+@query("q268_ivf_cell_balance", oracle=_IVF_CELL_BALANCE_ORACLE)
+def q268_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer-health diagnostics for the trained serving family:
+    one row per TRAINED cell (q257's quantizer at the
+    ``ivf_serving_config`` cell count — empty cells included) with
+    its population and load_ppm = ⌊10⁶·n_vecs·n_cells/N⌋, the FAISS
+    ``imbalance_factor`` statistic as a frame. This is the monitor a
+    production index runs after every (re)build: a query's serving
+    latency is the SIZE of its probed cells, so the load tail is the
+    p99 — a cell at load 20× means every query probing it scans 20×
+    the balanced share — and starved/empty cells mean the quantizer
+    wasted capacity (retrain, or lower n_cells). Pairs with q261
+    (codebook staleness): q261 watches recall decay, this watches the
+    partition histogram the recall rides on.
+
+    Scale: one zero-shuffle Arrow assignment pass + one
+    map-side-combinable per-cell count (n_cells rows of control
+    data); empty cells via a broadcast range left join. The oracle
+    unrolls the q257 training chain verbatim and groups its final
+    assignment."""
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_cell_balance,
+        ivf_serving_config,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n_cells, _ = ivf_serving_config(e.count())
+    return ivf_cell_balance(e, n_cells=n_cells, rounds=2)
+
+
+_IVF_NPROBE_SWEEP_ORACLE = f"""
+    WITH {_IVFPQ_TRAINED_BASE.format(qids=_IVFPQ_RECALL_QIDS, nprobe=8,
+                                     n_cells=32, samp_ctes="", tdims="dims",
+                                     init_src="embeddings")},
+    tpr AS (
+      SELECT vec_id AS query_id, kcid AS pcell, CAST(rn - 1 AS INT) AS prank
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY kd2, kcid) AS rn
+        FROM kdf WHERE vec_id IN ({_IVFPQ_RECALL_QIDS})) WHERE rn <= 8),
+    sweepv AS (SELECT CAST(unnest([1, 2, 4, 8]) AS INT) AS nprobe),
+    truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT a.query_id, b.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY a.query_id
+                 ORDER BY {_COS_MICRO_SQL} DESC, b.vec_id) AS rnk
+        FROM (SELECT vec_id AS query_id, embedding FROM embeddings
+              WHERE vec_id < {_RECALL_QUERIES}) a
+        JOIN embeddings b ON b.vec_id <> a.query_id)
+      WHERE rnk <= {_RECALL_K}),
+    cand AS (
+      SELECT s.nprobe, p.query_id, codes.vec_id,
+             CAST(SUM(qd2) AS BIGINT) AS adist_q
+      FROM codes
+      JOIN tcells cl ON cl.vec_id = codes.vec_id
+      JOIN tpr p ON p.pcell = cl.cell
+      JOIN sweepv s ON p.prank < s.nprobe
+      JOIN adc a ON a.query_id = p.query_id
+                AND a.m = codes.m AND a.cid = codes.code
+      WHERE codes.vec_id <> p.query_id
+      GROUP BY s.nprobe, p.query_id, codes.vec_id),
+    probedc AS (
+      SELECT s.nprobe, CAST(COUNT(*) AS BIGINT) AS probed
+      FROM tpr p
+      JOIN tcells c ON c.cell = p.pcell
+      JOIN sweepv s ON p.prank < s.nprobe
+      GROUP BY s.nprobe),
+    shorts AS (
+      SELECT nprobe, query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                                     ORDER BY adist_q, vec_id) AS rn
+        FROM cand) WHERE rn <= 50),
+    swk AS (
+      SELECT nprobe, query_id, vec_id FROM (
+        SELECT s.nprobe, s.query_id, s.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY s.nprobe, s.query_id
+                 ORDER BY {_COS_MICRO_SQL} DESC, s.vec_id) AS rnk
+        FROM shorts s
+        JOIN embeddings a ON a.vec_id = s.query_id
+        JOIN embeddings b ON b.vec_id = s.vec_id)
+      WHERE rnk <= {_RECALL_K})
+    SELECT s.nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(CASE WHEN k.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits,
+           MIN(pr.probed) AS probed,
+           CAST(SUM(CASE WHEN k.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 100
+                // COUNT(*) AS BIGINT) AS recall_pct
+    FROM sweepv s
+    CROSS JOIN truth t
+    LEFT JOIN swk k ON k.nprobe = s.nprobe AND k.query_id = t.query_id
+                   AND k.vec_id = t.vec_id
+    JOIN probedc pr ON pr.nprobe = s.nprobe
+    GROUP BY s.nprobe
+    """
+
+
+@query("q269_ivf_nprobe_sweep_recall", oracle=_IVF_NPROBE_SWEEP_ORACLE)
+def q269_ivf_nprobe_sweep_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-frontier SWEEP as one oracle-checked query — the
+    measurement ``ivf_serving_config``'s operating point came from
+    (q258 gates one (cells, nprobe) pair; this measures the whole
+    nprobe axis at the serving cell count in one shared scan): for
+    nprobe ∈ {1, 2, 4, 8} over the 30-query recall sample, exact
+    ground-truth hits, the probed candidate count, and recall_pct —
+    4 rows that SHOW the measured law (probed grows linearly with
+    nprobe; recall saturates, and past the knee the fixed shortlist
+    fills with PQ noise) instead of asserting it in prose.
+
+    Scale: ``ivf_pq_nprobe_sweep`` computes assignment, codes and the
+    ADC sum ONCE at the widest probe width — sweep membership is a
+    post-ADC array-filter explode, so the corpus is scanned once, not
+    |sweep| times; ground truth is O(|sample|·corpus) BY DESIGN with
+    the sample as the knob (q253/q258's contract); probed counts ride
+    the bounded per-cell histogram (q268's frame), not a second
+    corpus pass."""
+    from kinesis_producer_spark.operators.similarity import (
+        _trained_parts,
+        ivf_pq_nprobe_sweep,
+        ivf_serving_config,
+        train_ivf_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(_RECALL_QUERIES))
+    sweep = [1, 2, 4, 8]
+    n_cells, _ = ivf_serving_config(e.count())
+    cent = train_ivf_centroids(e, n_cells=n_cells, rounds=2)
+    qs = e.filter(F.col("vec_id") < _RECALL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = (
+        brute_force_topk(e, qs, k=_RECALL_K + 1, query_id_col="query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("cos_micro").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= _RECALL_K)
+        .select("query_id", "vec_id")
+    )
+    swk = ivf_pq_nprobe_sweep(
+        e, qids, sweep=tuple(sweep), k=_RECALL_K, shortlist=50,
+        centroids=cent, exclude_self=True,
+    ).select(
+        F.col("nprobe").alias("_kn"),
+        F.col("query_id").alias("_kq"),
+        F.col("vec_id").alias("_kv"),
+    )
+    cell_fn, probes_fn = _trained_parts(cent, max(sweep))
+    cellcounts = (
+        e.select(cell_fn(F.col("embedding")).alias("_cell"))
+        .groupBy("_cell")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    tpr = e.filter(F.col("vec_id") < _RECALL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(probes_fn(F.col("embedding"))).alias("_prank", "_cell"),
+    )
+    sweep_df = spark.createDataFrame([(s,) for s in sweep], "nprobe int")
+    probed = (
+        tpr.join(cellcounts, "_cell")
+        .join(F.broadcast(sweep_df), F.col("_prank") < F.col("nprobe"))
+        .groupBy("nprobe")
+        .agg(F.sum("_n").cast("bigint").alias("probed"))
+    )
+    agg = (
+        truth.crossJoin(F.broadcast(sweep_df))
+        .join(
+            swk,
+            (F.col("_kn") == F.col("nprobe"))
+            & (F.col("_kq") == F.col("query_id"))
+            & (F.col("_kv") == F.col("vec_id")),
+            "left",
+        )
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+            F.sum(F.when(F.col("_kv").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("hits"),
+        )
+    )
+    return agg.join(probed, "nprobe").select(
+        "nprobe",
+        "n_truth",
+        "hits",
+        "probed",
+        F.expr("CAST(hits * 100 DIV n_truth AS BIGINT)").alias("recall_pct"),
+    )

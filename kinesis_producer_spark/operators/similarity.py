@@ -1094,6 +1094,180 @@ def ivf_pq_topk_trained(
     )
 
 
+def ivf_pq_nprobe_sweep(
+    corpus: DataFrame,
+    query_ids: list[int],
+    sweep: tuple[int, ...] = (1, 2, 4, 8),
+    k: int = 10,
+    shortlist: int = 50,
+    n_cells: int | None = 16,
+    rounds: int = 2,
+    n_centroids: int = 16,
+    m_dims: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = False,
+    centroids: list[list[int]] | None = None,
+    codebook: list[list[int]] | None = None,
+) -> DataFrame:
+    """``ivf_pq_topk_trained`` evaluated at SEVERAL nprobe operating
+    points in ONE shared scan — the parameter-sweep harness the
+    recall frontier (``ivf_serving_config``) was measured with, as a
+    first-class operator (the q170 LSH-sweep discipline applied to
+    the IVF family). Returns (nprobe, query_id, vec_id, adist_q,
+    cos_micro, rank): for each value in ``sweep``, exactly the rows
+    ``ivf_pq_topk_trained(nprobe=value)`` would return (pinned in
+    tests — the probe list at width v is the max-width list's first v
+    entries, so truncation ≡ re-derivation).
+
+    Scale — why one scan instead of |sweep| runs: cell assignment,
+    PQ code emission, the candidate join and the ADC lookup sum are
+    all computed ONCE at the widest probe width; sweep membership is
+    a post-ADC array-filter explode (a vector's cell has one rank in
+    a query's probe list, so a candidate belongs to every sweep value
+    above that rank — pure expression, no extra scan, no re-join).
+    Only the per-(nprobe, query) top-``shortlist`` window and the
+    ≤|sweep|·|queries|·shortlist re-rank rows multiply. At 100 TB the
+    sweep reads the max-width probe partitions once; |sweep| separate
+    runs would re-read (and re-encode) them |sweep| times."""
+    from kinesis_producer_spark.tables import fan_out
+
+    sweep_vals = sorted({int(s) for s in sweep})
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_cells=n_cells, rounds=rounds,
+            id_col=id_col, emb_col=emb_col,
+        )
+    max_np = min(max(sweep_vals), len(centroids))
+    cell_fn, probes_fn = _trained_parts(centroids, max_np)
+    cb = (
+        codebook
+        if codebook is not None
+        else _collect_codebook(corpus, id_col, emb_col, n_centroids)
+    )
+    codes_fn, qd2_fn, adist_fn = _pq_expr_parts(cb, m_dims)
+    coded = fan_out(corpus).select(
+        F.col(id_col).alias("vec_id"),
+        cell_fn(F.col(emb_col)).alias("_cell"),
+        codes_fn(F.col(emb_col)).alias("_codes"),
+    )
+    q = corpus.filter(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(probes_fn(F.col(emb_col))).alias("_prank", "_cell"),
+        qd2_fn(F.col(emb_col)).alias("_qd2"),
+    )
+    cand = coded.join(F.broadcast(q), "_cell")
+    if exclude_self:
+        cand = cand.filter(F.col("vec_id") != F.col("query_id"))
+    # ADC once per (query, candidate) — BEFORE the sweep fan-out
+    scored1 = cand.select(
+        "query_id",
+        "vec_id",
+        "_prank",
+        adist_fn(F.col("_codes"), F.col("_qd2")).alias("adist_q"),
+    )
+    sweep_arr = F.array(*[F.lit(s) for s in sweep_vals])
+    fanned = scored1.withColumn(
+        "nprobe",
+        F.explode(F.filter(sweep_arr, lambda s: s > F.col("_prank"))),
+    )
+    short = (
+        fanned.withColumn(
+            "srn",
+            F.row_number().over(
+                W.partitionBy("nprobe", "query_id").orderBy(
+                    F.col("adist_q").asc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("srn") <= shortlist)
+        .select("nprobe", "query_id", "vec_id", "adist_q")
+    )
+    qe = corpus.filter(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("_qe"),
+        qdot(F.col(emb_col), F.col(emb_col)).alias("_nq"),
+    )
+    ce = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("_ce"),
+        qdot(F.col(emb_col), F.col(emb_col)).alias("_nc"),
+    )
+    scored = (
+        short.join(ce, "vec_id")
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "nprobe",
+            "query_id",
+            "vec_id",
+            "adist_q",
+            _cos_from_parts("_ce", "_qe", "_nc", "_nq").alias("cos_micro"),
+        )
+    )
+    w = W.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cos_micro").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("nprobe", "query_id", "vec_id", "adist_q", "cos_micro", "rank")
+    )
+
+
+def ivf_cell_balance(
+    corpus: DataFrame,
+    n_cells: int | None = None,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    centroids: list[list[int]] | None = None,
+    sample_rows: int | None = None,
+) -> DataFrame:
+    """Per-cell population diagnostics for a trained coarse quantizer
+    — the FAISS ``imbalance_factor`` discipline as a query: returns
+    one row PER CELL (empty cells included — a starved quantizer is
+    exactly what this exists to surface) with (cell, n_vecs,
+    load_ppm) where load_ppm = ⌊10⁶ · n_vecs · n_cells / N⌋, i.e.
+    1 000 000 ≡ a perfectly balanced cell. At serving time a query's
+    latency is the size of its probed cells, so the load tail IS the
+    p99: a cell at load 20× means every query probing it scans 20×
+    the balanced share (FAISS prints the same statistic after
+    training for the same reason). The imbalance factor
+    Σ nᵢ²·C/N² is one aggregate over this frame.
+
+    Scale: ONE zero-shuffle Arrow assignment pass + one
+    map-side-combinable count per cell (n_cells rows, bounded control
+    data); the cell list is a broadcast-range left join so empty
+    cells appear with n_vecs = 0. N comes from one count() action —
+    the caller usually already has it (ivf_serving_config takes it)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_cells=n_cells, rounds=rounds,
+            id_col=id_col, emb_col=emb_col, sample_rows=sample_rows,
+        )
+    n_c = len(centroids)
+    total = corpus.count()
+    cell_fn, _ = _trained_parts(centroids)
+    counts = (
+        corpus.select(cell_fn(F.col(emb_col)).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    )
+    spark = corpus.sparkSession
+    allc = spark.range(n_c).select(F.col("id").cast("int").alias("cell"))
+    return (
+        allc.join(counts, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce(F.col("n_vecs"), F.lit(0).cast("bigint")).alias("n_vecs"),
+            F.expr(
+                f"CAST(coalesce(n_vecs, 0L) * {n_c} * 1000000L"
+                f" DIV {max(total, 1)} AS BIGINT)"
+            ).alias("load_ppm"),
+        )
+    )
+
+
 def _collect_cell_centroids(
     corpus: DataFrame,
     bits: int,

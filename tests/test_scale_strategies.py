@@ -1781,3 +1781,108 @@ def test_sampled_training_recall_trade_at_fixture_scale(spark):
         h_full, h_samp = hits(None), hits(256)
         assert h_samp <= h_full, (sf, h_samp, h_full)
         assert h_samp * 3 > h_full, (sf, h_samp, h_full)
+
+
+def test_ivf_cell_balance_accounts_every_vector(spark):
+    """q268's frame contract: one row PER trained cell (empty cells
+    included), populations sum to the corpus exactly, and load_ppm is
+    the integer-exact ⌊10⁶·n·C/N⌋ — so Σ load_ppm sits within C of
+    C·10⁶ (each floor loses < 1) and an empty cell reads exactly 0.
+    The FAISS imbalance factor Σnᵢ²·C/N² computed over the frame must
+    be ≥ 1 (Cauchy–Schwarz equality iff perfectly balanced)."""
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_cell_balance,
+        ivf_serving_config,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = e.count()
+    n_cells, _ = ivf_serving_config(n)
+    rows = ivf_cell_balance(e, n_cells=n_cells, rounds=2).collect()
+    assert len(rows) == n_cells
+    assert sum(r.n_vecs for r in rows) == n
+    assert all(r.load_ppm >= 0 for r in rows)
+    total_ppm = sum(r.load_ppm for r in rows)
+    assert n_cells * 1_000_000 - n_cells <= total_ppm <= n_cells * 1_000_000
+    for r in rows:
+        if r.n_vecs == 0:
+            assert r.load_ppm == 0
+    imbalance = sum(r.n_vecs**2 for r in rows) * n_cells / n**2
+    assert imbalance >= 1.0
+
+
+def test_ivf_cell_balance_surfaces_empty_cells(spark):
+    """A duplicated centroid can never win an assignment (ties go to
+    the lowest cid), so its cell must appear as an EXPLICIT zero row —
+    the starved-quantizer signal the diagnostic exists for."""
+    from kinesis_producer_spark.operators.similarity import ivf_cell_balance
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), float((i * 7) % 5) / 10.0]) for i in range(20)],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = [[0, 0], [0, 0], [2_000_000, 300_000]]  # cid 1 unreachable
+    rows = {r.cell: r for r in ivf_cell_balance(df, centroids=cents).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[1].n_vecs == 0 and rows[1].load_ppm == 0
+    assert rows[0].n_vecs + rows[2].n_vecs == 20
+
+
+def test_nprobe_sweep_equals_single_width_runs(spark):
+    """The sweep contract (q269's operator): the rows at sweep value v
+    are EXACTLY ivf_pq_topk_trained(nprobe=v) — truncating the
+    max-width probe list to its first v entries is the same list the
+    v-width run derives, and the shortlist/re-rank tail partitions by
+    (nprobe, query) with identical tie rules. Pinned at two widths
+    spanning the array-filter fan-out (1 = only the nearest cell,
+    4 = the serving default)."""
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_pq_nprobe_sweep,
+        train_ivf_centroids,
+    )
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_pq_topk_trained,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cent = train_ivf_centroids(e, n_cells=16, rounds=2)
+    sweep = ivf_pq_nprobe_sweep(
+        e, [0, 1, 2], sweep=(1, 4), k=10, shortlist=50, centroids=cent
+    ).collect()
+    for v in (1, 4):
+        got = {
+            (r.query_id, r.vec_id, r.rank) for r in sweep if r.nprobe == v
+        }
+        want = {
+            (r.query_id, r.vec_id, r.rank)
+            for r in ivf_pq_topk_trained(
+                e, [0, 1, 2], k=10, shortlist=50, nprobe=v, centroids=cent
+            ).collect()
+        }
+        assert got == want and got, v
+
+
+def test_nprobe_sweep_query_probed_monotone_recall_bounded(spark):
+    """q269's output laws on the fixture: exactly one row per sweep
+    value; the probed candidate count is non-decreasing in nprobe
+    (wider probe ⊇ narrower probe by construction); recall_pct stays
+    in [0, 100] and n_truth is the full 30-query sample at k=10.
+    Recall itself is deliberately NOT pinned monotone — the measured
+    frontier law is that past the knee the fixed shortlist fills with
+    PQ noise (ivf_serving_config's table)."""
+    from kinesis_producer_spark.operators.llm_queries import (
+        q269_ivf_nprobe_sweep_recall,
+    )
+
+    rows = sorted(
+        q269_ivf_nprobe_sweep_recall(spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4, 8]
+    assert all(r.n_truth == 300 for r in rows)
+    probed = [r.probed for r in rows]
+    assert probed == sorted(probed)
+    assert probed[0] < probed[-1]
+    for r in rows:
+        assert 0 <= r.recall_pct <= 100
+        assert 0 <= r.hits <= r.n_truth

@@ -107,6 +107,13 @@ SOAK = [
     # add) — the wall ratio should sit well under the full-training
     # q257's
     "q267_ivf_sampled_training_topk",
+    # quantizer-health diagnostics: cell-balance histogram (one
+    # assignment pass + a bounded per-cell count — wall should track
+    # the corpus linearly, shuffle stays control-sized) and the
+    # nprobe sweep (ONE shared scan at the widest width; the claim is
+    # that the sweep costs ~one q257 run, not |sweep| of them)
+    "q268_ivf_cell_balance",
+    "q269_ivf_nprobe_sweep_recall",
     "q133_stream_version_track",
     "q153_stateful_sessions",
 ]
