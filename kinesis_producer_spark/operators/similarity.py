@@ -1042,6 +1042,7 @@ def ivf_pq_topk_trained(
     centroids: list[list[int]] | None = None,
     codebook: list[list[int]] | None = None,
     sample_rows: int | None = None,
+    where: Column | None = None,
 ) -> DataFrame:
     """q252's IVF×PQ serving composition with the TRAINED coarse
     quantizer (Jégou et al. 2011 use k-means for the coarse stage;
@@ -1060,7 +1061,18 @@ def ivf_pq_topk_trained(
     |queries|·n_cells centroid distances (broadcast literals) plus
     the pruned code scan. At 100 TB the trained cell id is the
     partition column exactly as the sign-bit one was
-    (ivf_pq_write_index with centroids=...)."""
+    (ivf_pq_write_index with centroids=...).
+
+    ``where`` restricts the CANDIDATE SCAN to rows satisfying a
+    metadata predicate — PRE-filtered ANN (the vector-database
+    serving staple): the predicate lands before code emission and
+    ADC, so every shortlist slot is spent on a QUALIFYING row,
+    whereas post-filtering an unfiltered top-k returns ~selectivity·k
+    matches (the q271 gate measures exactly this). Training and the
+    query side stay predicate-blind — the index is built once, the
+    filter varies per request; at 100 TB a selective predicate column
+    rides the same parquet scan (row-group stats / secondary
+    partition dim), composing with the probe-cell prune."""
     from kinesis_producer_spark.tables import fan_out
 
     if centroids is None:
@@ -1077,7 +1089,8 @@ def ivf_pq_topk_trained(
     codes_fn, qd2_fn, adist_fn = _pq_expr_parts(cb, m_dims)
     # cell assignment costs |corpus|·n_cells·dim Arrow work — spread a
     # one-split fixture across cores (no-op at real scale)
-    coded = fan_out(corpus).select(
+    scan = corpus if where is None else corpus.filter(where)
+    coded = fan_out(scan).select(
         F.col(id_col).alias("vec_id"),
         cell_fn(F.col(emb_col)).alias("_cell"),
         codes_fn(F.col(emb_col)).alias("_codes"),

@@ -245,25 +245,109 @@ def committed_epochs(index_path: str) -> list[int]:
     return base + extras
 
 
-def read_committed_index(spark: SparkSession, index_path: str) -> DataFrame:
-    """The serving read: ONLY committed epochs are visible — the
-    ledger becomes a PARTITION filter (``epoch <= hwm`` range
-    predicate once compacted, plus an IN-list for the few markers
-    above the watermark), pruned before any I/O, so partial files
-    from a crashed attempt and rows of an in-flight epoch never reach
-    a query. An index whose ledger is still empty returns an empty
-    frame with the index schema WITHOUT touching the (possibly
-    data-less) path — spark.read.parquet on a no-files dir raises an
-    opaque schema-inference error (round-8 ADVICE). Compose with
-    ``ivf_pq_topk_from_index(..., index_df=...)`` for the full probe-
-    pruned serving path."""
-    hwm, extras = _ledger_state(index_path)
+def _read_committed(
+    spark: SparkSession, path: str, empty_schema: str
+) -> DataFrame:
+    """Shared committed-epochs read: the ledger becomes a PARTITION
+    filter (``epoch <= hwm`` plus an IN-list for markers above the
+    watermark) pruned before any I/O; an empty ledger returns a typed
+    empty frame WITHOUT touching the (possibly data-less) path —
+    spark.read.parquet on a no-files dir raises an opaque
+    schema-inference error (round-8 ADVICE)."""
+    hwm, extras = _ledger_state(path)
     if hwm is None and not extras:
-        return spark.createDataFrame(
-            [], "vec_id bigint, codes array<int>, cell int, epoch int"
-        )
-    df = spark.read.parquet(index_path)
+        return spark.createDataFrame([], empty_schema)
+    df = spark.read.parquet(path)
     cond = F.col("epoch").isin(extras) if extras else F.lit(False)
     if hwm is not None:
         cond = (F.col("epoch") <= F.lit(hwm)) | cond
     return df.filter(cond)
+
+
+def read_committed_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """The serving read: ONLY committed epochs are visible — partial
+    files from a crashed attempt and rows of an in-flight epoch never
+    reach a query (see ``_read_committed``). Compose with
+    ``ivf_pq_topk_from_index(..., index_df=...)`` for the full probe-
+    pruned serving path."""
+    return _read_committed(
+        spark, index_path, "vec_id bigint, codes array<int>, cell int, epoch int"
+    )
+
+
+_RESULTS_SCHEMA = (
+    "query_id bigint, vec_id bigint, adist_q bigint,"
+    " cos_micro bigint, rank int, epoch int"
+)
+
+
+def ann_query_writer(
+    results_path: str,
+    index_path: str,
+    corpus: DataFrame,
+    codebook: list[list[int]],
+    k: int = 10,
+    shortlist: int = 50,
+    bits: int = 3,
+    m_dims: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    centroids: list[list[int]] | None = None,
+    nprobe: int = 2,
+):
+    """The ``foreachBatch`` function for the QUERY side of the
+    streaming ANN story: queries ARRIVE as a stream (identified by
+    corpus id, the family's query convention), each micro-batch is
+    answered against the committed index with the full probe-pruned
+    serving path (``ivf_pq_topk_from_index`` over
+    ``read_committed_index`` — cell prune × committed-epoch prune
+    before any I/O), and the batch's answers land under
+    ``epoch=N/`` with the SAME ledger discipline as the index side:
+    dynamic partition overwrite makes a replayed uncommitted epoch
+    rewrite exactly its own partitions, the marker makes answers
+    atomically visible, committed replays are skipped — exactly-once
+    answers as observed through ``read_committed_results``. An
+    answered query's rows must be IDENTICAL to the batch path's
+    (q257's oracle, verbatim — micro-batch boundaries must not change
+    a single rank; queries are independent, so per-batch serving IS
+    batch serving).
+
+    The per-batch id collect is bounded by arrivals per trigger
+    (query streams are human/request-scale, not corpus-scale); the
+    corpus-sized work stays distributed inside the serving call."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        if is_committed(results_path, int(epoch_id)):
+            print(
+                f"ann results: epoch {epoch_id} already committed, skipping replay"
+            )
+            return
+        qids = [r[0] for r in batch_df.select(id_col).collect()]
+        if qids:
+            from kinesis_producer_spark.operators.similarity import (
+                ivf_pq_topk_from_index,
+            )
+
+            spark = batch_df.sparkSession
+            res = ivf_pq_topk_from_index(
+                corpus, index_path, codebook, query_ids=[int(q) for q in qids],
+                k=k, shortlist=shortlist, bits=bits, m_dims=m_dims,
+                id_col=id_col, emb_col=emb_col, centroids=centroids,
+                nprobe=nprobe, index_df=read_committed_index(spark, index_path),
+            ).withColumn("epoch", F.lit(int(epoch_id)))
+            (
+                res.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(results_path)
+            )
+        _commit_marker(results_path, int(epoch_id))
+
+    return write
+
+
+def read_committed_results(spark: SparkSession, results_path: str) -> DataFrame:
+    """Answers for COMMITTED epochs only — the reader contract for
+    ``ann_query_writer`` output (same ledger-as-partition-filter
+    shape as ``read_committed_index``)."""
+    return _read_committed(spark, results_path, _RESULTS_SCHEMA)

@@ -1329,3 +1329,108 @@ def q260_streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for d in (idx, stream_dir, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+from kinesis_producer_spark.operators.llm_queries import (  # noqa: E402
+    _IVFPQ_TRAINED_TOPK_ORACLE,
+)
+
+
+@query("q272_streaming_ann_queries", oracle=_IVFPQ_TRAINED_TOPK_ORACLE)
+def q272_streaming_ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QUERY side of the streaming ANN story (q260 keeps the
+    index fresh; this serves a STREAM OF QUERIES against it): the
+    corpus is bootstrapped into the committed cell=/epoch= layout
+    with the TRAINED quantizer at the ivf_serving_config point, query
+    ids then ARRIVE through a Structured Streaming file source in two
+    sequential availableNow micro-batches ({0, 1} then {2}), and a
+    ``foreachBatch`` answerer (streaming/ann_index.ann_query_writer)
+    runs the full probe-pruned serving path per batch — probe-cell
+    partition filter × committed-epoch ledger filter ahead of any
+    I/O — landing each batch's answers under its own epoch with the
+    ledger discipline (dynamic overwrite + marker = exactly-once
+    answers, committed replays skipped). The returned frame is the
+    committed answers across both micro-batches, and it must be
+    ROW-IDENTICAL to the batch path — q257's oracle, verbatim:
+    queries are independent, so micro-batch boundaries must not
+    change a single rank.
+
+    Scale: each trigger touches the probed cells of its own queries
+    only (the probe list is per-batch driver control data that
+    becomes a partition filter); answers are append-only epoch
+    partitions; the corpus-sized work stays inside the distributed
+    serving call. Crash-replay exactly-once is pinned in
+    tests/test_streaming.py."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_serving_config,
+        train_ivf_centroids,
+    )
+    from kinesis_producer_spark.streaming.ann_index import (
+        ann_query_writer,
+        bootstrap_index,
+        read_committed_results,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n_cells, nprobe = ivf_serving_config(e.count())
+    cent = train_ivf_centroids(e, n_cells=n_cells, rounds=2)
+    run = uuid.uuid4().hex[:10]
+    idx = os.path.join(tempfile.gettempdir(), f"ann_qstream_idx_{run}")
+    res = os.path.join(tempfile.gettempdir(), f"ann_qstream_res_{run}")
+    stream_dir = os.path.join(tempfile.gettempdir(), f"ann_qstream_src_{run}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"ann_qstream_ckpt_{run}")
+    os.makedirs(stream_dir, exist_ok=True)
+    try:
+        cb = bootstrap_index(
+            e, idx, n_centroids=16, m_dims=8, centroids=cent
+        )
+        writer = ann_query_writer(
+            res, idx, e, cb, k=10, shortlist=50, m_dims=8,
+            centroids=cent, nprobe=nprobe,
+        )
+        for tag, ids in (("b1", [0, 1]), ("b2", [2])):
+            stage = os.path.join(
+                tempfile.gettempdir(), f"ann_qstage_{run}_{tag}"
+            )
+            (
+                e.filter(F.col("vec_id").isin(ids))
+                .select("vec_id")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            (part,) = [
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            ]
+            os.replace(
+                os.path.join(stage, part),
+                os.path.join(stream_dir, f"{tag}.parquet"),
+            )
+            shutil.rmtree(stage, ignore_errors=True)
+            arrivals = spark.readStream.schema("vec_id long").parquet(
+                stream_dir
+            )
+            q = (
+                arrivals.writeStream.foreachBatch(writer)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    f"q272 query batch {tag} did not drain within 300s"
+                )
+        return (
+            read_committed_results(spark, res)
+            .select("query_id", "vec_id", "adist_q", "cos_micro", "rank")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for d in (idx, res, stream_dir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)

@@ -3030,3 +3030,99 @@ def test_ann_index_ledger_compaction_and_empty_read(spark, tmp_path):
     assert got.count() == e.count()
     # idempotent: nothing left to fold
     assert compact_ledger(idx) == 2
+
+
+def test_streaming_ann_query_crash_replay_exactly_once(spark, tmp_path):
+    """The QUERY-side ledger contract (q272): a crash after the
+    answers write but BEFORE the results marker leaves the epoch's
+    answers INVISIBLE to read_committed_results; the checkpoint
+    restart replays the same epoch_id and dynamic partition overwrite
+    rewrites exactly its own epoch partition instead of
+    double-appending; a manual replay of the committed epoch is
+    skipped via the marker. Final committed answers == the batch
+    serving path (ivf_pq_topk_from_index) row-for-row — micro-batch
+    machinery must not change a single rank."""
+    import os
+
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_pq_topk_from_index,
+        train_ivf_centroids,
+    )
+    from kinesis_producer_spark.streaming.ann_index import (
+        ann_query_writer,
+        bootstrap_index,
+        committed_epochs,
+        read_committed_results,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = train_ivf_centroids(e, n_cells=8, rounds=2)
+    idx = str(tmp_path / "q_idx")
+    res = str(tmp_path / "q_res")
+    ckpt = str(tmp_path / "q_ckpt")
+    src = tmp_path / "q_src"
+    src.mkdir()
+    cb = bootstrap_index(e, idx, n_centroids=16, m_dims=8, centroids=cent)
+    real = ann_query_writer(
+        res, idx, e, cb, k=5, shortlist=20, m_dims=8, centroids=cent, nprobe=2
+    )
+
+    stage = tmp_path / "q_stage"
+    qdf = e.filter(F.col("vec_id").isin([0, 1])).select("vec_id")
+    qdf.coalesce(1).write.parquet(str(stage))
+    (pqf,) = [p for p in stage.iterdir() if p.name.endswith(".parquet")]
+    pqf.rename(src / "b1.parquet")
+
+    crash_flag = tmp_path / "q_crash_once"
+    crash_flag.write_text("armed")
+
+    def crashing(batch_df, epoch_id):
+        real(batch_df, epoch_id)
+        if crash_flag.exists():
+            os.replace(crash_flag, str(crash_flag) + ".used")
+            os.unlink(os.path.join(res, "_epoch_ledger", f"epoch-{epoch_id}"))
+            raise RuntimeError("injected crash before results commit")
+
+    def run(writer):
+        stream = spark.readStream.schema("vec_id long").parquet(str(src))
+        return (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run(crashing).awaitTermination(180)
+
+    # answers on disk but invisible: ledger-gated visibility
+    assert committed_epochs(res) == []
+    assert spark.read.parquet(res).count() > 0, "crashed epoch wrote nothing"
+    assert read_committed_results(spark, res).count() == 0
+
+    # restart replays the epoch; overwrite-own-partition, then marker
+    assert run(real).awaitTermination(180)
+    want = {
+        tuple(r)
+        for r in ivf_pq_topk_from_index(
+            e, idx, cb, query_ids=[0, 1], k=5, shortlist=20, m_dims=8,
+            centroids=cent, nprobe=2,
+        ).collect()
+    }
+    committed = read_committed_results(spark, res).select(
+        "query_id", "vec_id", "adist_q", "cos_micro", "rank"
+    )
+    got = {tuple(r) for r in committed.collect()}
+    assert got == want and got
+
+    # manual replay of the committed epoch is a no-op
+    real(qdf, 0)
+    assert {
+        tuple(r)
+        for r in read_committed_results(spark, res)
+        .select("query_id", "vec_id", "adist_q", "cos_micro", "rank")
+        .collect()
+    } == want

@@ -114,6 +114,13 @@ SOAK = [
     # that the sweep costs ~one q257 run, not |sweep| of them)
     "q268_ivf_cell_balance",
     "q269_ivf_nprobe_sweep_recall",
+    # filtered ANN (candidate-scan predicate ahead of ADC — same plan
+    # as q257 plus one pushed-down filter; the gate's truth side is
+    # O(|sample|·|filtered corpus|)) and the query-side stream (per
+    # trigger: probed cells of that batch's queries only)
+    "q270_filtered_ann_topk",
+    "q271_filtered_ann_recall",
+    "q272_streaming_ann_queries",
     "q133_stream_version_track",
     "q153_stateful_sessions",
 ]
