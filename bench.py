@@ -115,8 +115,11 @@ HEADLINE = [
     "q257_ivf_pq_trained_topk",
     # Round-9: trained per-subspace PQ codebooks (build = one (cid, d)
     # aggregate per Lloyd round for all M sub-codebooks; serving is
-    # q234's flat ADC byte-for-byte against the trained literals).
+    # q234's flat ADC byte-for-byte against the trained literals),
+    # and filtered ANN (metadata predicate pushed into the candidate
+    # scan ahead of ADC — q257's plan plus one pushed-down filter).
     "q264_pq_trained_adc_topk",
+    "q270_filtered_ann_topk",
 ]
 
 

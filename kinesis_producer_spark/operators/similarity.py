@@ -265,6 +265,24 @@ def ivf_serving_config(n: int, target_recall: float = 0.7) -> tuple[int, int]:
     return cells, min(nprobe, cells)
 
 
+def filtered_probe_width(nprobe: int, selectivity: float, n_cells: int) -> int:
+    """The serving-side lever for FILTERED ANN (q270/q271): with a
+    predicate keeping ~``selectivity`` of the corpus, a probed cell
+    holds ~selectivity·(n/cells) qualifying rows, so matching the
+    unfiltered path's candidate count takes ~nprobe/selectivity cells
+    — widen the probe list, capped at ``n_cells`` (a 10% predicate at
+    the 32×4 point probes all 32 cells, i.e. degrades gracefully to a
+    filtered flat-ADC scan). A per-request parameter: the index, the
+    codes and the partition layout are untouched — only the
+    partition-filter IN-list grows, which is exactly the knob a
+    100 TB serving tier can turn per query."""
+    if not 0 < selectivity <= 1:
+        raise ValueError(f"selectivity must be in (0, 1], got {selectivity}")
+    import math
+
+    return max(nprobe, min(int(math.ceil(nprobe / selectivity)), n_cells))
+
+
 def _trained_parts(centroids: list[list[int]], nprobe: int = 1):
     """Assignment/probe expression builders over TRAINED micro-int
     centroids (list index = cid): ``cell_fn(emb)`` → nearest-centroid

@@ -1927,3 +1927,66 @@ def test_filtered_ann_prefilter_semantics_and_gate(spark):
         post = sum(r.hits_postfilter for r in rows)
         assert pre > post, (sf, pre, post)
         assert pre * 10 >= sum(r.n_truth for r in rows), (sf, pre)
+
+
+def test_filtered_probe_widening_recovers_recall(spark):
+    """The q270/q271 serving lever measured: widening the probe list
+    by 1/selectivity (filtered_probe_width — 4/0.1 capped at 32 cells
+    probes everything) must recall at least as much filtered truth as
+    the default width, and strictly more on the fixture where the
+    default leaves probed cells starved of qualifying rows. Also pins
+    the function's arithmetic: cap, floor at nprobe, and the
+    (0, 1] selectivity guard."""
+    import pytest
+
+    from kinesis_producer_spark.operators.similarity import (
+        brute_force_topk,
+        filtered_probe_width,
+        ivf_pq_topk_trained,
+        ivf_serving_config,
+        train_ivf_centroids,
+    )
+
+    assert filtered_probe_width(4, 0.1, 32) == 32
+    assert filtered_probe_width(4, 0.5, 32) == 8
+    assert filtered_probe_width(4, 1.0, 32) == 4
+    assert filtered_probe_width(4, 0.001, 32) == 32
+    with pytest.raises(ValueError):
+        filtered_probe_width(4, 0.0, 32)
+
+    sf = "/root/testdata/sf0.01"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    n = e.count()
+    n_cells, nprobe = ivf_serving_config(n)
+    cent = train_ivf_centroids(e, n_cells=n_cells, rounds=2)
+    sel = e.filter(F.col("label") == 1).count() / n
+    wide = filtered_probe_width(nprobe, sel, n_cells)
+    assert wide > nprobe
+
+    qids = list(range(30))
+    qs = e.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    raw = brute_force_topk(
+        e.filter(F.col("label") == 1), qs, k=11, query_id_col="query_id"
+    ).collect()
+    per_q = {}
+    for r in raw:
+        if r.vec_id != r.query_id:
+            per_q.setdefault(r.query_id, []).append((-r.cos_micro, r.vec_id))
+    truth = {
+        (qid, vid)
+        for qid, lst in per_q.items()
+        for _, vid in sorted(lst)[:10]
+    }
+
+    def hits(np_):
+        res = ivf_pq_topk_trained(
+            e, qids, k=10, shortlist=50, nprobe=np_, exclude_self=True,
+            centroids=cent, where=F.col("label") == 1,
+        )
+        return sum(1 for r in res.collect() if (r.query_id, r.vec_id) in truth)
+
+    h_default, h_wide = hits(nprobe), hits(wide)
+    assert h_wide >= h_default, (h_wide, h_default)
+    assert h_wide > h_default, (h_wide, h_default)
