@@ -8892,8 +8892,13 @@ def q269_ivf_nprobe_sweep_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q270/q271 — PRE-filtered ANN (metadata-predicate top-k) + its gate
 # ---------------------------------------------------------------------------
 
+# nprobe=32: filtered_probe_width(4, ~0.1, 32) — the 10% predicate
+# widens the serving default's 4 probes to 4/0.1 = 40, capped at the
+# 32-cell count, so the sf0.01 oracle probes every cell (the graceful
+# filtered-flat-ADC degradation); at larger corpora the widened width
+# stays a small fraction (40 of 2048 cells at the sf1.0 soak point).
 _FILTERED_ANN_ORACLE = f"""
-    WITH {_IVFPQ_TRAINED_BASE.format(qids="0, 1, 2", nprobe=4, n_cells=32,
+    WITH {_IVFPQ_TRAINED_BASE.format(qids="0, 1, 2", nprobe=32, n_cells=32,
                                      samp_ctes="", tdims="dims",
                                      init_src="embeddings")},
     approx AS (
@@ -8932,11 +8937,18 @@ def q270_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     unfiltered top-10 instead would keep ~1 matching row at this
     selectivity (the q271 gate measures the gap). The index stays
     predicate-blind — trained once on the full corpus, filtered per
-    request — so one index serves every predicate. A query returns
-    FEWER than k rows when its probed cells hold fewer than k
-    qualifying vectors (measured 5-10 of 10 at the default width);
-    the per-request lever is widening ``nprobe`` ∝ 1/selectivity —
-    a serving parameter, no index change.
+    request — so one index serves every predicate.
+
+    Registered at the PRODUCTION probe width for a filtered request:
+    ``filtered_probe_width`` widens the serving default's nprobe by
+    1/selectivity (capped at the cell count) because a probed cell
+    holds only ~selectivity·(n/cells) qualifying rows — at the
+    default width the first sf1.0 soak returned ZERO rows (nprobe=4 of
+    2048 auto-scaled cells × a 10% filter starved every query;
+    AUDITS_r9/scale_soak.txt documents the starved row). Widened, the
+    sf0.01 oracle point probes all 32 cells (graceful degradation to
+    a filtered flat-ADC scan) while sf1.0 probes 40 of 2048 — the
+    widened width stays a shrinking fraction as the corpus grows.
 
     Scale: identical plan to q257 plus one pushed-down predicate on
     the candidate scan (at 100 TB the label rides the same parquet
@@ -8944,16 +8956,21 @@ def q270_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the probe-cell prune); the query side, training and re-rank
     are unchanged."""
     from kinesis_producer_spark.operators.similarity import (
+        filtered_probe_width,
         ivf_pq_topk_trained,
         ivf_serving_config,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    n_cells, nprobe = ivf_serving_config(e.count())
+    pred = F.col("label") == 1
+    n = e.count()
+    n_cells, nprobe = ivf_serving_config(n)
+    sel = e.filter(pred).count() / n
+    wide = filtered_probe_width(nprobe, sel, n_cells)
     return ivf_pq_topk_trained(
         e, query_ids=[0, 1, 2], k=10, shortlist=50, n_cells=n_cells,
-        nprobe=nprobe, rounds=2, n_centroids=16, m_dims=8,
-        where=F.col("label") == 1,
+        nprobe=wide, rounds=2, n_centroids=16, m_dims=8,
+        where=pred,
     )
 
 

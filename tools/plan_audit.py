@@ -106,6 +106,14 @@ NLJ_OK = {
     "q245_hard_negative_mining",
     # broadcast eval-set cross join: per-row max over the tiny side
     "q246_semantic_decontamination",
+    # round-9 late: q269's NLJs are (a) the q55 brute-force truth side
+    # over the broadcast 30-query sample (the q253/q258 adjudicated
+    # shape) and (b) the sweep fan-out's prank < nprobe inequality
+    # join against the broadcast 4-row sweep frame — both tiny inner
+    # sides by construction; q271's NLJ is the same q55 truth shape
+    # over the label-filtered corpus
+    "q269_ivf_nprobe_sweep_recall",
+    "q271_filtered_ann_recall",
 }
 
 # Full outer joins cannot broadcast (both sides need null extension) —
