@@ -9150,3 +9150,73 @@ def q271_filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV COUNT(*) AS BIGINT)"
         ).alias("recall_post_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q273 — IVF×SQ8: trained cells × scalar-quantized codes (IndexIVFSQ)
+# ---------------------------------------------------------------------------
+
+_IVF_SQ8_ORACLE = f"""
+    WITH {_IVFPQ_TRAINED_BASE.format(qids="0, 1, 2", nprobe=4, n_cells=32,
+                                     samp_ctes="", tdims="dims",
+                                     init_src="embeddings")},
+    rng AS (SELECT d, MIN(vm) AS mn, GREATEST(MAX(vm) - MIN(vm), 1) AS span
+            FROM dims GROUP BY d),
+    recon AS (
+      SELECT vec_id, dims.d,
+             rng.mn + ((((vm - rng.mn) * 255) // rng.span) * rng.span) // 255 AS rv
+      FROM dims JOIN rng USING (d)),
+    approx AS (
+      SELECT q.vec_id AS query_id, r.vec_id,
+             CAST(SUM((q.vm - r.rv) * (q.vm - r.rv)) AS BIGINT) AS adist_q
+      FROM (SELECT * FROM dims WHERE vec_id IN (0, 1, 2)) q
+      JOIN recon r ON r.d = q.d
+      JOIN tcells cl ON cl.vec_id = r.vec_id
+      JOIN tprobes p ON p.query_id = q.vec_id AND p.pcell = cl.cell
+      GROUP BY q.vec_id, r.vec_id),
+    short AS (
+      SELECT query_id, vec_id, adist_q FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist_q, vec_id) AS rn
+        FROM approx) WHERE rn <= 50),
+    scored AS (
+      SELECT s.query_id, s.vec_id, s.adist_q, {_COS_MICRO_SQL} AS cos_micro
+      FROM short s
+      JOIN embeddings a ON a.vec_id = s.query_id
+      JOIN embeddings b ON b.vec_id = s.vec_id)
+    SELECT query_id, vec_id, adist_q, cos_micro, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_micro DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= 10
+    """
+
+
+@query("q273_ivf_sq8_topk", oracle=_IVF_SQ8_ORACLE)
+def q273_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×SQ8 — FAISS's IndexIVFScalarQuantizer as a query: q257's
+    trained cells prune the scan to the probed fraction, and each
+    cell's payload is q263's 64-byte training-free SQ8 code instead
+    of PQ's 4 bytes. This is the frontier's missing middle member:
+    flat SQ8 reads 100% of the corpus for ~exact recall; trained
+    IVF×PQ reads ~3-13% but pays PQ quantization noise; IVF×SQ8
+    reads the same pruned fraction at near-exact in-cell ranking —
+    recall at the probe CEILING (the truths that live in probed
+    cells), pinned ≥ the same-point IVF×PQ at both fixtures
+    (tests/test_scale_strategies.py). Registered at the
+    ivf_serving_config operating point, q257's.
+
+    Scale: q257's build passes; serving scans nprobe/n_cells of the
+    corpus at 64 B/vec (16× IVF×PQ's bytes, same row pruning) plus
+    the dim·2-int range aggregate — the classic FAISS accuracy/payload
+    dial between IVFPQ and IVFFlat, made oracle-exact."""
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_serving_config,
+        ivf_sq8_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n_cells, nprobe = ivf_serving_config(e.count())
+    return ivf_sq8_topk(
+        e, query_ids=[0, 1, 2], k=10, shortlist=50, n_cells=n_cells,
+        nprobe=nprobe, rounds=2,
+    )

@@ -1905,6 +1905,76 @@ def sq8_topk(
     )
 
 
+def ivf_sq8_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    shortlist: int = 50,
+    n_cells: int | None = None,
+    nprobe: int = 2,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = False,
+    centroids: list[list[int]] | None = None,
+) -> DataFrame:
+    """IVF×SQ8 — FAISS's ``IndexIVFScalarQuantizer`` (QT_8bit): the
+    trained coarse quantizer prunes the scan to nprobe/n_cells
+    (q257's cells) and the per-cell payload is the 64-byte SQ8 code
+    (q263's training-free per-dimension quantization) instead of
+    PQ's 4 bytes. The operating point this buys: SQ8's asymmetric
+    distance is near-exact (8 bits/dim against the corpus range), so
+    recall is limited only by the probe ceiling — the frontier's
+    missing member between trained IVF×PQ (4 B, PQ-noise-bound) and
+    flat SQ8 (64 B, 100% scan). 16× the payload of IVF×PQ for
+    recall at the cell ceiling; same build passes, same pruned scan.
+
+    Scale: q257's build/serve shape with the codebook replaced by the
+    dim·2-int range frame (one map-side-combinable min/max aggregate,
+    bounded driver control data); code emission is one zero-shuffle
+    Arrow pass; the probed-cell scan carries 64 B/vec instead of
+    4 B — still ∝ nprobe/n_cells of the corpus, and at 100 TB the
+    cell id is the same partition column (ivf_pq_write_index's
+    layout admits any code payload)."""
+    from kinesis_producer_spark.tables import fan_out
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_cells=n_cells, rounds=rounds,
+            id_col=id_col, emb_col=emb_col,
+        )
+    cell_fn, probes_fn = _trained_parts(centroids, nprobe)
+    _, recon_udf = _sq8_parts(corpus, emb_col)
+    qm_col = F.transform(
+        F.col(emb_col),
+        lambda x: F.floor(F.lit(1e6) * x.cast("double") + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    coded = fan_out(corpus).select(
+        F.col(id_col).alias("vec_id"),
+        cell_fn(F.col(emb_col)).alias("_cell"),
+        recon_udf(F.col(emb_col)).alias("_codes"),
+    )
+    q = corpus.filter(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probes_fn(F.col(emb_col))).alias("_cell"),
+        qm_col.alias("_qd2"),
+    )
+    cand = coded.join(F.broadcast(q), "_cell")
+
+    def adist_fn(recon_col: Column, qm: Column) -> Column:
+        diffs = F.zip_with(qm, recon_col, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(
+            diffs, F.lit(0).cast("bigint"), lambda acc, p: acc + p
+        )
+
+    return _adc_shortlist_rerank(
+        corpus, cand, adist_fn, query_ids, k, shortlist, id_col, emb_col,
+        exclude_self,
+    )
+
+
 def prototypicality_prune(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -1990,3 +1990,54 @@ def test_filtered_probe_widening_recovers_recall(spark):
     h_default, h_wide = hits(nprobe), hits(wide)
     assert h_wide >= h_default, (h_wide, h_default)
     assert h_wide > h_default, (h_wide, h_default)
+
+
+def test_ivf_sq8_recall_geq_ivf_pq_at_same_point(spark):
+    """The IVF×SQ8 contract (q273): at the SAME trained cells, probe
+    width and shortlist, replacing the 4-byte PQ payload with the
+    64-byte SQ8 payload must recall at least as much exact truth —
+    SQ8's asymmetric distance is strictly finer-grained, so the only
+    recall loss left is the probe ceiling itself. Measured 240 vs 238
+    (sf0.01) and 235 vs 232 (sf0.1) of 300 — the ≥ direction is the
+    pin (the gap is small BECAUSE trained PQ at the serving point is
+    already near the ceiling; the q269 sweep shows where that ceiling
+    sits)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_producer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk_trained,
+        ivf_serving_config,
+        ivf_sq8_topk,
+        train_ivf_centroids,
+    )
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        e = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qids = list(range(30))
+        n_cells, nprobe = ivf_serving_config(e.count())
+        cent = train_ivf_centroids(e, n_cells=n_cells, rounds=2)
+        qs = e.filter(F.col("vec_id") < 30).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        raw = brute_force_topk(e, qs, k=11).collect()
+        per = {}
+        for r in raw:
+            if r.vec_id != r.query_id:
+                per.setdefault(r.query_id, []).append((-r.cos_micro, r.vec_id))
+        truth = {
+            (q, v) for q, lst in per.items() for _, v in sorted(lst)[:10]
+        }
+
+        def hits(fn):
+            res = fn(
+                e, query_ids=qids, k=10, shortlist=50, nprobe=nprobe,
+                exclude_self=True, centroids=cent,
+            )
+            return sum(
+                1 for r in res.collect() if (r.query_id, r.vec_id) in truth
+            )
+
+        h_sq8, h_pq = hits(ivf_sq8_topk), hits(ivf_pq_topk_trained)
+        assert h_sq8 >= h_pq, (sf, h_sq8, h_pq)
+        assert h_sq8 * 2 > 300, (sf, h_sq8)

@@ -40,6 +40,7 @@ def main() -> None:
         ivf_pq_topk_trained,
         ivf_serving_config,
         pq_codes_and_adc_topk,
+        ivf_sq8_topk,
         sq8_topk,
         train_ivf_centroids,
         train_pq_codebooks,
@@ -205,6 +206,9 @@ def main() -> None:
         lambda: ivf_pq_residual_topk_trained(e, n_cells=16, nprobe=2,
                                              centroids=cent16,
                                              pq_codebook=cbres16, **kw))
+    run(f"trained IVF×SQ8 {cells_def}×{nprobe_def} (q273)", 64, p_def,
+        lambda: ivf_sq8_topk(e, n_cells=cells_def, nprobe=nprobe_def,
+                             centroids=cent_def, **kw))
 
     print(f"# ANN frontier — {sf_dir} (n={n}, {_RECALL_QUERIES} queries, "
           f"recall@{_RECALL_K}, shortlist 50, serve = min-of-3 ms with "

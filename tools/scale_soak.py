@@ -121,6 +121,9 @@ SOAK = [
     "q270_filtered_ann_topk",
     "q271_filtered_ann_recall",
     "q272_streaming_ann_queries",
+    # IVF×SQ8: q257's pruned scan at the 64 B payload — same cells,
+    # near-exact in-cell ranking; wall should track q257
+    "q273_ivf_sq8_topk",
     "q133_stream_version_track",
     "q153_stateful_sessions",
 ]
