@@ -351,3 +351,70 @@ def read_committed_results(spark: SparkSession, results_path: str) -> DataFrame:
     ``ann_query_writer`` output (same ledger-as-partition-filter
     shape as ``read_committed_index``)."""
     return _read_committed(spark, results_path, _RESULTS_SCHEMA)
+
+
+def compact_index(spark: SparkSession, index_path: str) -> int:
+    """Fold every COMMITTED epoch's code rows into the bootstrap
+    epoch — the small-file answer for a long-lived streaming index:
+    each micro-batch epoch lands ~1 file per touched cell, so after
+    E epochs a probe of one cell opens up to E files; compaction
+    rewrites the committed view as ONE file per cell
+    (``repartition("cell")``, the bootstrap layout) and keeps serving
+    and replay contracts intact. ``compact_ledger`` bounds the
+    LEDGER; this bounds the DATA files.
+
+    The replay-skip contract is the subtle part and is preserved
+    deliberately: the new ledger is a high-watermark marker covering
+    the CONTIGUOUS committed prefix (plus per-epoch markers for
+    committed epochs above a gap — a crashed, not-yet-replayed epoch
+    stops the watermark below it, compact_ledger's rule), NOT a
+    reset. A Structured Streaming restart that re-delivers an
+    already-committed epoch_id still sees ``is_committed() == True``
+    and skips — folding data into epoch=-1 without keeping the
+    watermark would re-append every replayed epoch as duplicates.
+    An UNCOMMITTED epoch's partial files are dropped by the rewrite
+    (they were never visible) and its replay proceeds normally.
+
+    Swap protocol (single-writer maintenance op): the compacted copy
+    is fully written and ledgered at ``<index>.compacting``, then two
+    directory renames swap it in. Local-FS renames give a brief
+    window where the path is absent (readers retry); the recovery
+    fact is that ``<index>.precompact`` holds the complete old index
+    until the swap finishes — an object-store deployment swaps a
+    conditional pointer instead, same layout. Returns the new
+    watermark epoch."""
+    import shutil
+
+    hwm, extras = _ledger_state(index_path)
+    if hwm is None and not extras:
+        raise ValueError(f"nothing committed under {index_path!r}")
+    floor = hwm if hwm is not None else BOOTSTRAP_EPOCH - 1
+    new_hwm = floor
+    es = set(extras)
+    while new_hwm + 1 in es:
+        new_hwm += 1
+    keep_extras = [e for e in extras if e > new_hwm]
+
+    df = read_committed_index(spark, index_path)
+    tmp = index_path + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        df.drop("epoch")
+        .withColumn("epoch", F.lit(BOOTSTRAP_EPOCH))
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell", "epoch")
+        .parquet(tmp)
+    )
+    os.makedirs(os.path.join(tmp, _LEDGER), exist_ok=True)
+    with open(_hwm_path(tmp, new_hwm), "w") as fh:
+        fh.write("committed-through")
+    for e in keep_extras:
+        with open(_marker(tmp, e), "x") as fh:
+            fh.write("committed")
+    old = index_path + ".precompact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(index_path, old)
+    os.replace(tmp, index_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return new_hwm

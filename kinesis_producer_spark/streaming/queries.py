@@ -1434,3 +1434,65 @@ def q272_streaming_ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for d in (idx, res, stream_dir, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+@query("q274_ann_index_compaction", oracle=_IVFPQ_CDC_ORACLE)
+def q274_ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index COMPACTION — the maintenance op a long-lived streaming
+    index needs (q260 appends one file set per epoch; after E epochs
+    a probe of one cell opens up to E files — the classic small-file
+    problem): ``compact_index`` folds every committed epoch's code
+    rows into the bootstrap epoch at ONE file per cell and replaces
+    the per-epoch ledger with a high-watermark marker, preserving
+    BOTH contracts — serving (this query must be row-identical to the
+    never-compacted CDC path: q255's oracle, verbatim) and replay-skip
+    (a re-delivered committed epoch_id still reads as committed via
+    the watermark — folding data without keeping the watermark would
+    re-append every replayed epoch as duplicates; pinned with the
+    crashed-epoch/gap cases in tests/test_streaming.py).
+
+    Scale: compaction reads committed code rows once (vec_id + cell +
+    M ints — never raw vectors) and writes them clustered by cell,
+    the same repartition("cell") discipline as the bootstrap; the
+    swap is two directory renames locally, a conditional pointer
+    swap on an object store. Run it when the per-cell file count
+    hurts probe latency; between runs, ``compact_ledger`` alone keeps
+    the serving filter bounded."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_pq_topk_from_index,
+    )
+    from kinesis_producer_spark.streaming.ann_index import (
+        bootstrap_index,
+        compact_index,
+        index_append_writer,
+        read_committed_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    idx = os.path.join(
+        tempfile.gettempdir(), f"ann_compact_{uuid.uuid4().hex[:10]}"
+    )
+    try:
+        cb = bootstrap_index(base, idx, n_centroids=16, m_dims=8, bits=3)
+        writer = index_append_writer(idx, cb, bits=3, m_dims=8)
+        writer(
+            e.filter(F.col("vec_id") % 20 == 0).select("vec_id", "embedding"),
+            0,
+        )
+        writer(
+            e.filter(F.col("vec_id") % 20 == 10).select("vec_id", "embedding"),
+            1,
+        )
+        compact_index(spark, idx)
+        return ivf_pq_topk_from_index(
+            e, idx, cb, query_ids=[0, 1, 2], k=10, shortlist=50, bits=3,
+            m_dims=8, index_df=read_committed_index(spark, idx),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)

@@ -3126,3 +3126,75 @@ def test_streaming_ann_query_crash_replay_exactly_once(spark, tmp_path):
         .select("query_id", "vec_id", "adist_q", "cos_micro", "rank")
         .collect()
     } == want
+
+
+def test_index_compaction_preserves_serving_and_replay(spark, tmp_path):
+    """compact_index's three contracts on one index: (1) the served
+    view is row-identical before and after; (2) the data files fold
+    to ONE per cell; (3) replay-skip survives — a re-delivered
+    COMMITTED epoch still reads as committed via the new watermark
+    (the duplicate-append hazard compaction must not introduce),
+    while an UNCOMMITTED epoch's partial files are dropped and its
+    replay lands normally. Plus the gap rule: a committed epoch
+    ABOVE a missing one keeps its per-epoch marker and the watermark
+    stops below the gap."""
+    import os
+
+    from kinesis_producer_spark.streaming.ann_index import (
+        bootstrap_index,
+        committed_epochs,
+        compact_index,
+        index_append_writer,
+        read_committed_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    idx = str(tmp_path / "cmp_idx")
+    cb = bootstrap_index(base, idx, n_centroids=16, m_dims=8, bits=3)
+    writer = index_append_writer(idx, cb, bits=3, m_dims=8)
+    writer(e.filter(F.col("vec_id") % 20 == 0).select("vec_id", "embedding"), 0)
+    writer(
+        e.filter((F.col("vec_id") % 20 == 10) & ~F.col("vec_id").isin([30, 70]))
+        .select("vec_id", "embedding"),
+        1,
+    )
+    # a crashed epoch: data written, marker yanked (the q260 window)
+    writer(e.filter(F.col("vec_id") == 30).select("vec_id", "embedding"), 2)
+    os.unlink(os.path.join(idx, "_epoch_ledger", "epoch-2"))
+    # a committed epoch ABOVE the gap
+    writer(e.filter(F.col("vec_id") == 70).select("vec_id", "embedding"), 3)
+
+    def served():
+        return {
+            (r.vec_id, r.cell, tuple(r.codes))
+            for r in read_committed_index(spark, idx).collect()
+        }
+
+    before = served()
+    assert committed_epochs(idx) == [-1, 0, 1, 3]
+    hwm = compact_index(spark, idx)
+    assert hwm == 1  # the gap at 2 stops the watermark
+    assert served() == before
+    assert committed_epochs(idx) == [-1, 0, 1, 3]
+
+    # one data file per cell dir (all under epoch=-1 now, except the
+    # kept-extra epoch-3 marker whose DATA was folded too)
+    for cell_dir in (d for d in os.listdir(idx) if d.startswith("cell=")):
+        files = []
+        for root, _dirs, names in os.walk(os.path.join(idx, cell_dir)):
+            files += [f for f in names if f.endswith(".parquet")]
+        assert len(files) == 1, (cell_dir, files)
+
+    # replay-skip: committed epochs are no-ops after compaction
+    n = read_committed_index(spark, idx).count()
+    writer(e.filter(F.col("vec_id") % 20 == 0).select("vec_id", "embedding"), 0)
+    writer(e.filter(F.col("vec_id") == 70).select("vec_id", "embedding"), 3)
+    assert read_committed_index(spark, idx).count() == n
+
+    # the crashed epoch replays normally and becomes visible
+    writer(e.filter(F.col("vec_id") == 30).select("vec_id", "embedding"), 2)
+    after = served()
+    assert len(after) == len(before) + 1
+    assert any(v == 30 for v, _c, _k in after)
+    assert committed_epochs(idx) == [-1, 0, 1, 2, 3]

@@ -124,6 +124,9 @@ SOAK = [
     # IVF×SQ8: q257's pruned scan at the 64 B payload — same cells,
     # near-exact in-cell ranking; wall should track q257
     "q273_ivf_sq8_topk",
+    # index compaction: fold E epochs to 1 file/cell; reads code rows
+    # once (never raw vectors), writes clustered by cell
+    "q274_ann_index_compaction",
     "q133_stream_version_track",
     "q153_stateful_sessions",
 ]
