@@ -275,11 +275,19 @@ def filtered_probe_width(nprobe: int, selectivity: float, n_cells: int) -> int:
     filtered flat-ADC scan). A per-request parameter: the index, the
     codes and the partition layout are untouched — only the
     partition-filter IN-list grows, which is exactly the knob a
-    100 TB serving tier can turn per query."""
-    if not 0 < selectivity <= 1:
-        raise ValueError(f"selectivity must be in (0, 1], got {selectivity}")
+    100 TB serving tier can turn per query.
+
+    ``selectivity == 0`` means the predicate matched NO rows (the
+    q270 pattern measures sel = matched/n, and an empty match is a
+    legitimate request, round-9 ADVICE): the result set is empty at
+    ANY width, so the cheapest correct answer is the narrowest scan —
+    the unwidened ``nprobe``."""
+    if not 0 <= selectivity <= 1:
+        raise ValueError(f"selectivity must be in [0, 1], got {selectivity}")
     import math
 
+    if selectivity == 0:
+        return min(nprobe, n_cells)
     return max(nprobe, min(int(math.ceil(nprobe / selectivity)), n_cells))
 
 
@@ -923,28 +931,36 @@ def _adc_shortlist_rerank(
     id_col: str,
     emb_col: str,
     exclude_self: bool,
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Shared tail of every IVF×PQ serving path (inline q252,
-    index-backed q254/q255, residual q256): candidates → ADC lookup
-    sum → per-query shortlist → exact-cosine re-rank (hoisted
-    self-norms) → top-k. ``cand`` carries (query_id, vec_id, _codes,
-    _qd2); the re-rank touches raw vectors for |queries|·shortlist
-    rows only, and the exact same window tie-breaks keep the four
-    paths row-comparable."""
+    index-backed q254/q255, residual q256, the q269 sweep):
+    candidates → ADC lookup sum → per-query shortlist → exact-cosine
+    re-rank (hoisted self-norms) → top-k. ``cand`` carries
+    (query_id, vec_id, _codes, _qd2) — or a precomputed ``adist_q``
+    with ``adist_fn=None``, the sweep's shape, where ADC ran once
+    before an operating-point fan-out. ``extra_keys`` prepends
+    grouping columns (the sweep's ``nprobe``) to every window
+    partition, so the shortlist/tie-break rules live HERE once
+    instead of in two hand-synced copies (round-9 ADVICE); the
+    re-rank touches raw vectors for |keys|·shortlist rows only, and
+    the exact same window tie-breaks keep every path row-comparable."""
+    keys = [*extra_keys, "query_id"]
     if exclude_self:
         # recall-eval convention (q242/q253): the query must not
         # count itself as its own neighbor
         cand = cand.filter(F.col("vec_id") != F.col("query_id"))
+    adist_col = (
+        F.col("adist_q")
+        if adist_fn is None
+        else adist_fn(F.col("_codes"), F.col("_qd2"))
+    )
     short = (
-        cand.select(
-            "query_id",
-            "vec_id",
-            adist_fn(F.col("_codes"), F.col("_qd2")).alias("adist_q"),
-        )
+        cand.select(*keys, "vec_id", adist_col.alias("adist_q"))
         .withColumn(
             "srn",
             F.row_number().over(
-                W.partitionBy("query_id").orderBy(
+                W.partitionBy(*keys).orderBy(
                     F.col("adist_q").asc(), F.col("vec_id")
                 )
             ),
@@ -966,17 +982,17 @@ def _adc_shortlist_rerank(
         short.join(ce, "vec_id")
         .join(F.broadcast(qe), "query_id")
         .select(
-            "query_id",
+            *keys,
             "vec_id",
             "adist_q",
             _cos_from_parts("_ce", "_qe", "_nc", "_nq").alias("cos_micro"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_micro").desc(), F.col("vec_id"))
+    w = W.partitionBy(*keys).orderBy(F.col("cos_micro").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "adist_q", "cos_micro", "rank")
+        .select(*keys, "vec_id", "adist_q", "cos_micro", "rank")
     )
 
 
@@ -1188,8 +1204,6 @@ def ivf_pq_nprobe_sweep(
         qd2_fn(F.col(emb_col)).alias("_qd2"),
     )
     cand = coded.join(F.broadcast(q), "_cell")
-    if exclude_self:
-        cand = cand.filter(F.col("vec_id") != F.col("query_id"))
     # ADC once per (query, candidate) — BEFORE the sweep fan-out
     scored1 = cand.select(
         "query_id",
@@ -1202,46 +1216,11 @@ def ivf_pq_nprobe_sweep(
         "nprobe",
         F.explode(F.filter(sweep_arr, lambda s: s > F.col("_prank"))),
     )
-    short = (
-        fanned.withColumn(
-            "srn",
-            F.row_number().over(
-                W.partitionBy("nprobe", "query_id").orderBy(
-                    F.col("adist_q").asc(), F.col("vec_id")
-                )
-            ),
-        )
-        .filter(F.col("srn") <= shortlist)
-        .select("nprobe", "query_id", "vec_id", "adist_q")
-    )
-    qe = corpus.filter(F.col(id_col).isin(*query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(emb_col).alias("_qe"),
-        qdot(F.col(emb_col), F.col(emb_col)).alias("_nq"),
-    )
-    ce = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(emb_col).alias("_ce"),
-        qdot(F.col(emb_col), F.col(emb_col)).alias("_nc"),
-    )
-    scored = (
-        short.join(ce, "vec_id")
-        .join(F.broadcast(qe), "query_id")
-        .select(
-            "nprobe",
-            "query_id",
-            "vec_id",
-            "adist_q",
-            _cos_from_parts("_ce", "_qe", "_nc", "_nq").alias("cos_micro"),
-        )
-    )
-    w = W.partitionBy("nprobe", "query_id").orderBy(
-        F.col("cos_micro").desc(), F.col("vec_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("nprobe", "query_id", "vec_id", "adist_q", "cos_micro", "rank")
+    # shared shortlist + re-rank tail, keyed by (nprobe, query_id) —
+    # the tie-break rules live in ONE place (round-9 ADVICE)
+    return _adc_shortlist_rerank(
+        corpus, fanned, None, query_ids, k, shortlist, id_col, emb_col,
+        exclude_self, extra_keys=("nprobe",),
     )
 
 

@@ -253,9 +253,26 @@ def _read_committed(
     watermark) pruned before any I/O; an empty ledger returns a typed
     empty frame WITHOUT touching the (possibly data-less) path —
     spark.read.parquet on a no-files dir raises an opaque
-    schema-inference error (round-8 ADVICE)."""
+    schema-inference error (round-8 ADVICE).
+
+    A MISSING ledger is only "never bootstrapped" when no compaction
+    residue exists: ``<path>.compacting`` / ``<path>.precompact``
+    mean a ``compact_index`` swap is in flight (or crashed between
+    its two renames), and silently serving an empty index there
+    would masquerade a recoverable maintenance state as truth
+    (round-9 ADVICE). Readers raise with the recovery fact instead —
+    the complete old index survives at ``<path>.precompact`` until
+    the swap finishes."""
     hwm, extras = _ledger_state(path)
     if hwm is None and not extras:
+        for residue in (path + ".compacting", path + ".precompact"):
+            if os.path.isdir(residue):
+                raise RuntimeError(
+                    f"index {path!r} has no ledger but {residue!r} exists: "
+                    "a compact_index swap is in flight or crashed mid-swap "
+                    "— retry after the swap, or recover by renaming "
+                    f"{path + '.precompact'!r} back to {path!r}"
+                )
         return spark.createDataFrame([], empty_schema)
     df = spark.read.parquet(path)
     cond = F.col("epoch").isin(extras) if extras else F.lit(False)
@@ -375,14 +392,42 @@ def compact_index(spark: SparkSession, index_path: str) -> int:
     An UNCOMMITTED epoch's partial files are dropped by the rewrite
     (they were never visible) and its replay proceeds normally.
 
-    Swap protocol (single-writer maintenance op): the compacted copy
-    is fully written and ledgered at ``<index>.compacting``, then two
-    directory renames swap it in. Local-FS renames give a brief
-    window where the path is absent (readers retry); the recovery
-    fact is that ``<index>.precompact`` holds the complete old index
-    until the swap finishes — an object-store deployment swaps a
-    conditional pointer instead, same layout. Returns the new
-    watermark epoch."""
+    Swap protocol (single-writer maintenance op — ENFORCED, round-9
+    ADVICE): a ``<index>.compact.lock`` sentinel (O_EXCL create) is
+    held for the duration, so a second concurrent compactor fails
+    loudly instead of both racing the swap; and because APPENDERS are
+    deliberately not blocked (a streaming writer must not stall on
+    maintenance), the ledger is re-read after the compacted copy is
+    written — if a new epoch committed meanwhile, the swap is ABORTED
+    (the rewrite would silently drop that epoch's data files while
+    its marker survived, the ledger claiming data that no longer
+    exists) and the caller retries at a quieter moment. The compacted
+    copy is fully written and ledgered at ``<index>.compacting``,
+    then two directory renames swap it in. Local-FS renames give a
+    brief window where the path is absent (readers RAISE via
+    ``_read_committed``'s residue check rather than serving empty);
+    the recovery fact is that ``<index>.precompact`` holds the
+    complete old index until the swap finishes — an object-store
+    deployment swaps a conditional pointer instead, same layout.
+    Returns the new watermark epoch."""
+    import shutil
+
+    lock = index_path + ".compact.lock"
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"another compact_index holds {lock!r} (or crashed holding "
+            "it: remove the lock after verifying no compactor is live)"
+        ) from None
+    os.close(fd)
+    try:
+        return _compact_index_locked(spark, index_path)
+    finally:
+        os.remove(lock)
+
+
+def _compact_index_locked(spark: SparkSession, index_path: str) -> int:
     import shutil
 
     hwm, extras = _ledger_state(index_path)
@@ -412,6 +457,19 @@ def compact_index(spark: SparkSession, index_path: str) -> int:
     for e in keep_extras:
         with open(_marker(tmp, e), "x") as fh:
             fh.write("committed")
+    # append-race recheck (round-9 ADVICE): the rewrite above is a
+    # snapshot; an epoch committed since would have its data files
+    # dropped by the swap while its marker survived. Abort — the
+    # old index is untouched, the caller retries.
+    if set(committed_epochs(index_path)) != set(
+        (list(range(BOOTSTRAP_EPOCH, hwm + 1)) if hwm is not None else [])
+        + extras
+    ):
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_index aborted: new epochs committed under "
+            f"{index_path!r} during the rewrite; retry"
+        )
     old = index_path + ".precompact"
     shutil.rmtree(old, ignore_errors=True)
     os.replace(index_path, old)

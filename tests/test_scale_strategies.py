@@ -1935,8 +1935,11 @@ def test_filtered_probe_widening_recovers_recall(spark):
     probes everything) must recall at least as much filtered truth as
     the default width, and strictly more on the fixture where the
     default leaves probed cells starved of qualifying rows. Also pins
-    the function's arithmetic: cap, floor at nprobe, and the
-    (0, 1] selectivity guard."""
+    the function's arithmetic: cap, floor at nprobe, the [0, 1]
+    selectivity guard, and the empty-match rule (sel == 0 yields the
+    narrowest scan, NOT a crash — the q270 pattern computes
+    sel = matched/n and zero matches is a legitimate request;
+    round-9 ADVICE)."""
     import pytest
 
     from kinesis_producer_spark.operators.similarity import (
@@ -1951,8 +1954,12 @@ def test_filtered_probe_widening_recovers_recall(spark):
     assert filtered_probe_width(4, 0.5, 32) == 8
     assert filtered_probe_width(4, 1.0, 32) == 4
     assert filtered_probe_width(4, 0.001, 32) == 32
+    assert filtered_probe_width(4, 0.0, 32) == 4
+    assert filtered_probe_width(4, 0.0, 2) == 2
     with pytest.raises(ValueError):
-        filtered_probe_width(4, 0.0, 32)
+        filtered_probe_width(4, -0.1, 32)
+    with pytest.raises(ValueError):
+        filtered_probe_width(4, 1.1, 32)
 
     sf = "/root/testdata/sf0.01"
     e = spark.read.parquet(f"{sf}/embeddings.parquet")

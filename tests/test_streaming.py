@@ -3198,3 +3198,64 @@ def test_index_compaction_preserves_serving_and_replay(spark, tmp_path):
     assert len(after) == len(before) + 1
     assert any(v == 30 for v, _c, _k in after)
     assert committed_epochs(idx) == [-1, 0, 1, 2, 3]
+
+
+def test_compact_swap_residue_and_lock_guards(spark, tmp_path):
+    """The round-9 ADVICE hardening of compact_index's swap, pinned:
+    (a) a reader that finds compaction residue (<index>.compacting or
+    <index>.precompact) next to a ledger-less path RAISES with the
+    recovery fact instead of silently serving an empty index — the
+    mid-swap/crashed-swap window is a recoverable maintenance state,
+    not 'never bootstrapped'; (b) a genuinely never-bootstrapped path
+    still reads as a typed empty frame; (c) compact_index is
+    single-writer ENFORCED — a held <index>.compact.lock fails the
+    second compactor loudly and a completed run releases the lock."""
+    import os
+
+    import pytest
+
+    from kinesis_producer_spark.streaming.ann_index import (
+        bootstrap_index,
+        compact_index,
+        index_append_writer,
+        read_committed_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    # (b) never bootstrapped: typed empty frame, no raise
+    empty = read_committed_index(spark, str(tmp_path / "never_idx"))
+    assert empty.count() == 0
+    assert "vec_id" in empty.columns
+
+    # (a) crashed-swap residue: the path is absent mid-swap but
+    # .precompact holds the complete old index — readers must raise
+    idx = str(tmp_path / "swap_idx")
+    cb = bootstrap_index(
+        e.filter(F.col("vec_id") % 10 != 0), idx, n_centroids=16, m_dims=8,
+        bits=3,
+    )
+    os.replace(idx, idx + ".precompact")
+    with pytest.raises(RuntimeError, match="precompact"):
+        read_committed_index(spark, idx)
+    os.replace(idx + ".precompact", idx)
+
+    # in-flight residue next to a ledger-less path raises too
+    os.makedirs(idx + "2.compacting", exist_ok=True)
+    with pytest.raises(RuntimeError, match="compacting"):
+        read_committed_index(spark, idx + "2")
+    os.rmdir(idx + "2.compacting")
+
+    # (c) lock enforcement: a held lock fails fast...
+    writer = index_append_writer(idx, cb, bits=3, m_dims=8)
+    writer(e.filter(F.col("vec_id") % 20 == 0).select("vec_id", "embedding"), 0)
+    with open(idx + ".compact.lock", "x") as fh:
+        fh.write("held")
+    with pytest.raises(RuntimeError, match="compact.lock"):
+        compact_index(spark, idx)
+    os.remove(idx + ".compact.lock")
+    # ...and a successful run releases it
+    before = read_committed_index(spark, idx).count()
+    compact_index(spark, idx)
+    assert not os.path.exists(idx + ".compact.lock")
+    assert read_committed_index(spark, idx).count() == before
