@@ -9220,3 +9220,76 @@ def q273_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, query_ids=[0, 1, 2], k=10, shortlist=50, n_cells=n_cells,
         nprobe=nprobe, rounds=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# q275 — persisted codebook artifacts: train once, serve many
+# ---------------------------------------------------------------------------
+
+
+@query("q275_codebook_artifact_serving", oracle=_IVFPQ_TRAINED_TOPK_ORACLE)
+def q275_codebook_artifact_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once / serve-many quantizer persistence (round-9 verdict
+    #2): the TRAINER job trains the coarse centroids and collects the
+    PQ codebook, writes ONE atomic JSON artifact
+    (operators/ann_artifacts.write_codebook — integers only, the
+    bit-exactness contract), and a logically separate SERVING job
+    loads the frozen quantizers from the artifact and answers top-k
+    WITHOUT retraining. Must be row-identical to q257 (its oracle,
+    verbatim): persistence is a deployment seam, never a rank change.
+    The round-trip is asserted in-body (read == written, value for
+    value) and the protocol metadata rides along so the server can
+    assert compatibility (m_dims, rounds, the q258 operating point).
+
+    Scale: the artifact is bounded control data (n_cells·dim +
+    K·dim ints as one small JSON file) — at 100 TB the trainer runs
+    once per rebuild decision (the q261 staleness monitor is the
+    trigger) and every serving job, batch or streaming, ships the
+    artifact instead of paying `rounds` training passes per run —
+    the FAISS faiss.write_index discipline for the quantizer state
+    this engine keeps as driver literals."""
+    import os
+    import tempfile
+    import uuid
+
+    from kinesis_producer_spark.operators.ann_artifacts import (
+        read_codebook,
+        write_codebook,
+    )
+    from kinesis_producer_spark.operators.similarity import (
+        _collect_codebook,
+        ivf_pq_topk_trained,
+        ivf_serving_config,
+        train_ivf_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n_cells, nprobe = ivf_serving_config(e.count())
+
+    # --- trainer job: train, collect, persist ---
+    cent = train_ivf_centroids(e, n_cells=n_cells, rounds=2)
+    cb = _collect_codebook(e, "vec_id", "embedding", 16)
+    art_path = os.path.join(
+        tempfile.gettempdir(), f"ann_codebook_{uuid.uuid4().hex[:10]}.json"
+    )
+    try:
+        write_codebook(
+            art_path, centroids=cent, codebook=cb,
+            meta={"rounds": 2, "n_cells": n_cells, "nprobe": nprobe,
+                  "n_centroids": 16, "m_dims": 8, "sample_rows": None},
+        )
+
+        # --- serving job: load frozen quantizers, serve ---
+        art = read_codebook(art_path)
+        assert art["centroids"] == cent and art["codebook"] == cb
+        assert art["meta"]["m_dims"] == 8 and art["meta"]["rounds"] == 2
+        return ivf_pq_topk_trained(
+            e, query_ids=[0, 1, 2], k=10, shortlist=50,
+            nprobe=art["meta"]["nprobe"], m_dims=art["meta"]["m_dims"],
+            centroids=art["centroids"], codebook=art["codebook"],
+        )
+    finally:
+        try:
+            os.remove(art_path)
+        except FileNotFoundError:
+            pass

@@ -2048,3 +2048,51 @@ def test_ivf_sq8_recall_geq_ivf_pq_at_same_point(spark):
         h_sq8, h_pq = hits(ivf_sq8_topk), hits(ivf_pq_topk_trained)
         assert h_sq8 >= h_pq, (sf, h_sq8, h_pq)
         assert h_sq8 * 2 > 300, (sf, h_sq8)
+
+
+def test_codebook_artifact_roundtrip_and_guards(tmp_path):
+    """The persisted-quantizer artifact (ann_artifacts): round-trip
+    is value-identical (the bit-exactness contract — integers in,
+    the same integers out), floats are rejected rather than silently
+    rounded, an unknown format version fails loudly, at least one
+    quantizer is required, and the write is atomic (no .tmp residue,
+    and a pre-existing artifact is replaced whole)."""
+    import json
+    import os
+
+    import pytest
+
+    from kinesis_producer_spark.operators.ann_artifacts import (
+        read_codebook,
+        write_codebook,
+    )
+
+    cent = [[1, -2, 3], [4, 5, -6]]
+    cb = [[7, 8, 9], [-10, 11, 12]]
+    p = str(tmp_path / "quant.json")
+    write_codebook(p, centroids=cent, codebook=cb,
+                   meta={"rounds": 2, "m_dims": 1, "sample_rows": None})
+    art = read_codebook(p)
+    assert art["centroids"] == cent
+    assert art["codebook"] == cb
+    assert art["meta"] == {"rounds": 2, "m_dims": 1, "sample_rows": None}
+    assert not os.path.exists(p + ".tmp")
+
+    # centroids-only and codebook-only artifacts are legal
+    write_codebook(p, centroids=cent)
+    art = read_codebook(p)
+    assert art["centroids"] == cent and art["codebook"] is None
+
+    with pytest.raises(ValueError, match="needs centroids"):
+        write_codebook(str(tmp_path / "none.json"))
+    with pytest.raises(ValueError, match="micro-ints"):
+        write_codebook(str(tmp_path / "f.json"), centroids=[[1.5, 2]])
+
+    # version guard: a future-format artifact fails loudly
+    with open(p) as fh:
+        doc = json.load(fh)
+    doc["format_version"] = 999
+    with open(p, "w") as fh:
+        json.dump(doc, fh)
+    with pytest.raises(ValueError, match="format_version"):
+        read_codebook(p)
