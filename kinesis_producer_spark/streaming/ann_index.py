@@ -44,6 +44,13 @@ from pyspark.sql import functions as F
 
 _LEDGER = "_epoch_ledger"
 BOOTSTRAP_EPOCH = -1
+# Tombstones ride the SAME cell=/epoch= layout as code rows, under a
+# reserved cell id (real cells are non-negative in both quantizers):
+# a tombstone (vec_id, epoch=t) suppresses that vector's code rows
+# with epoch < t — merge-on-read, the q158 discipline. An upsert
+# writes its tombstone and its new code row in the SAME epoch, so the
+# strict < keeps the new row while killing every older one.
+TOMBSTONE_CELL = -1
 
 
 def _cell_and_codes(
@@ -235,6 +242,117 @@ def index_append_writer(
     return write
 
 
+def index_upsert_writer(
+    index_path: str,
+    codebook: list[list[int]],
+    bits: int = 3,
+    m_dims: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    centroids: list[list[int]] | None = None,
+    op_col: str = "op",
+):
+    """``index_append_writer`` with a full CDC vocabulary — the
+    lifecycle gap the append-only path leaves open (round-9 verdict
+    #1: a vector deleted or re-embedded upstream stays served forever
+    short of a rebuild). Each batch row carries ``op``:
+
+    - ``add``: a brand-new vector — code row only (no tombstone, so a
+      pure-ingest stream writes zero tombstone volume).
+    - ``upsert``: a re-embedded vector — its NEW code row (possibly in
+      a different cell) plus a tombstone at the SAME epoch, which
+      suppresses every older row of that vec_id wherever it lives
+      (the old cell need not be known or read — the writer stays a
+      blind encode-and-land, no lookup pass).
+    - ``delete``: a takedown — tombstone only.
+
+    Tombstones land under the reserved ``cell=-1`` partition inside
+    the same epoch, so ONE dynamic-partition-overwrite write + ONE
+    marker keep the exactly-once contract for data and tombstones
+    together: a replayed uncommitted epoch rewrites exactly its own
+    (cell, epoch) leaves — including its tombstone leaf — and a
+    committed replay is skipped whole. Readers apply suppression via
+    ``read_served_index``; ``compact_index`` applies it PHYSICALLY
+    and drops fully-absorbed tombstones (the q274 fold).
+
+    Scale: tombstone volume is churn-bounded — upserts/deletes since
+    the last compaction, not corpus-sized (adds write none) — which
+    is what keeps the serving-side anti-join broadcastable; the
+    corpus-sized work stays in the distributed encode, exactly the
+    append writer's shape."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        if is_committed(index_path, int(epoch_id)):
+            print(
+                f"ann index: epoch {epoch_id} already committed, skipping replay"
+            )
+            return
+        ops = {"add", "upsert", "delete"}
+        bad = (
+            batch_df.filter(~F.col(op_col).isin(*ops))
+            .select(op_col)
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"unknown {op_col}={bad[0][0]!r}; expected one of {sorted(ops)}"
+            )
+        cell_col, codes_col = _cell_and_codes(
+            codebook, centroids, bits, m_dims, emb_col
+        )
+        data = batch_df.filter(F.col(op_col).isin("add", "upsert")).select(
+            F.col(id_col).alias("vec_id"),
+            cell_col.alias("cell"),
+            codes_col.alias("codes"),
+            F.lit(int(epoch_id)).alias("epoch"),
+        )
+        tombs = batch_df.filter(F.col(op_col).isin("upsert", "delete")).select(
+            F.col(id_col).alias("vec_id"),
+            F.lit(TOMBSTONE_CELL).alias("cell"),
+            F.lit(None).cast("array<int>").alias("codes"),
+            F.lit(int(epoch_id)).alias("epoch"),
+        )
+        (
+            data.unionByName(tombs)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell", "epoch")
+            .parquet(index_path)
+        )
+        _commit_marker(index_path, int(epoch_id))
+
+    return write
+
+
+def read_served_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """The MERGE-ON-READ serving view: committed code rows with every
+    committed tombstone applied — a row survives unless a tombstone
+    for its vec_id exists at a strictly later epoch — and tombstone
+    rows themselves excluded. This is what makes a delete stop being
+    served the moment its epoch commits and an upsert serve ONLY its
+    newest embedding, with zero rewrite of standing data; q158's
+    merge-on-read discipline composed with the epoch ledger.
+
+    Plan shape: the tombstone side is churn-bounded (see
+    ``index_upsert_writer``) and broadcast, so suppression is a
+    broadcast LEFT ANTI join that pushes the caller's probe-cell
+    partition filter straight through to the code-row scan — serving
+    keeps its cell-prune × committed-epoch-prune property untouched.
+    Compose with ``ivf_pq_topk_from_index(..., index_df=...)``."""
+    committed = read_committed_index(spark, index_path)
+    tombs = committed.filter(F.col("cell") == TOMBSTONE_CELL).select(
+        F.col("vec_id").alias("_t_vec"), F.col("epoch").alias("_t_epoch")
+    )
+    data = committed.filter(F.col("cell") != TOMBSTONE_CELL)
+    return data.join(
+        F.broadcast(tombs),
+        (F.col("vec_id") == F.col("_t_vec"))
+        & (F.col("epoch") < F.col("_t_epoch")),
+        "left_anti",
+    )
+
+
 def committed_epochs(index_path: str) -> list[int]:
     """The ledger, as driver control data: one int per committed
     epoch. A compacted ledger's watermark expands to its covered range
@@ -371,14 +489,25 @@ def read_committed_results(spark: SparkSession, results_path: str) -> DataFrame:
 
 
 def compact_index(spark: SparkSession, index_path: str) -> int:
-    """Fold every COMMITTED epoch's code rows into the bootstrap
-    epoch — the small-file answer for a long-lived streaming index:
-    each micro-batch epoch lands ~1 file per touched cell, so after
-    E epochs a probe of one cell opens up to E files; compaction
-    rewrites the committed view as ONE file per cell
-    (``repartition("cell")``, the bootstrap layout) and keeps serving
-    and replay contracts intact. ``compact_ledger`` bounds the
-    LEDGER; this bounds the DATA files.
+    """Fold the CONTIGUOUS committed prefix's code rows into the
+    bootstrap epoch — the small-file answer for a long-lived
+    streaming index: each micro-batch epoch lands ~1 file per touched
+    cell, so after E epochs a probe of one cell opens up to E files;
+    compaction rewrites the prefix as ONE file per cell
+    (``repartition("cell")``, the bootstrap layout) and keeps
+    serving and replay contracts intact. ``compact_ledger`` bounds
+    the LEDGER; this bounds the DATA files. Committed epochs ABOVE a
+    gap are preserved at their original epoch (see the fold comment
+    in the body — epoch order is load-bearing once tombstones exist).
+
+    Tombstones (``index_upsert_writer``) are APPLIED here: suppressed
+    code rows are physically dropped and fully-absorbed tombstones
+    (epoch <= the new watermark) disappear with them, so a compacted
+    index stops paying the merge-on-read anti-join for old churn —
+    ``read_served_index`` over the compacted index is row-identical
+    to the never-compacted view, with the takedown data physically
+    gone (the deletion-propagation guarantee, q156's, at the index
+    layer).
 
     The replay-skip contract is the subtle part and is preserved
     deliberately: the new ledger is a high-watermark marker covering
@@ -440,12 +569,44 @@ def _compact_index_locked(spark: SparkSession, index_path: str) -> int:
         new_hwm += 1
     keep_extras = [e for e in extras if e > new_hwm]
 
+    # Tombstone fold (round-10): suppression is applied PHYSICALLY —
+    # a row any committed tombstone suppresses is dropped from the
+    # rewrite (suppression only accrues, so a row suppressed now is
+    # suppressed forever), and tombstones with epoch <= new_hwm are
+    # dropped as fully absorbed (no replay below the watermark can
+    # ever land rows again — is_committed skips it). Epochs ABOVE the
+    # gap are preserved AT THEIR ORIGINAL EPOCH, data and tombstones
+    # both: a tombstone at epoch t > gap must keep suppressing the
+    # gap epoch's rows when that crashed epoch finally replays
+    # (epoch g < t), and an extras data row at epoch e > t must keep
+    # outliving t — folding either into the bootstrap epoch would
+    # corrupt exactly those orderings. Prefix rows fold to ONE file
+    # per cell; no prefix survivor can collide with a kept tombstone
+    # (every prefix epoch < every kept tombstone's epoch, so
+    # suppressed prefix rows of tombstoned vec_ids are already gone).
     df = read_committed_index(spark, index_path)
+    tombs = df.filter(F.col("cell") == TOMBSTONE_CELL)
+    tomb_keys = tombs.select(
+        F.col("vec_id").alias("_t_vec"), F.col("epoch").alias("_t_epoch")
+    )
+    survivors = df.filter(F.col("cell") != TOMBSTONE_CELL).join(
+        F.broadcast(tomb_keys),
+        (F.col("vec_id") == F.col("_t_vec"))
+        & (F.col("epoch") < F.col("_t_epoch")),
+        "left_anti",
+    )
+    folded = (
+        survivors.filter(F.col("epoch") <= F.lit(new_hwm))
+        .drop("epoch")
+        .withColumn("epoch", F.lit(BOOTSTRAP_EPOCH))
+    )
+    kept = survivors.filter(F.col("epoch") > F.lit(new_hwm)).unionByName(
+        tombs.filter(F.col("epoch") > F.lit(new_hwm))
+    )
     tmp = index_path + ".compacting"
     shutil.rmtree(tmp, ignore_errors=True)
     (
-        df.drop("epoch")
-        .withColumn("epoch", F.lit(BOOTSTRAP_EPOCH))
+        folded.unionByName(kept)
         .repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell", "epoch")

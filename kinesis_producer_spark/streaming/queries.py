@@ -1496,3 +1496,208 @@ def q274_ann_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+# The upsert/delete CDC contract for the streaming ANN index: base =
+# vec_id % 10 <> 0 (bootstrap), epoch 0 ADDS the rest, epoch 1
+# UPSERTS vec_id % 20 = 0 with re-embedded (negated) vectors — a
+# guaranteed cell move under the sign-bit quantizer — and epoch 2
+# DELETES vec_id % 30 = 0. The oracle is a REBUILD FROM THE SURVIVING
+# corpus: codes/cells computed over the post-stream state (upserted
+# rows negated, deleted rows absent), codebook frozen at the 16
+# lowest-id BASE rows (never upserted: % 20 = 0 implies % 10 = 0, and
+# never deleted: % 30 = 0 implies % 10 = 0, both outside base).
+# Queries 1, 2, 3 are untouched base rows. Shared verbatim by q276
+# (merge-on-read serving) and q277 (post-compaction serving) — the
+# trilogy convention: maintenance must never change a rank.
+_ANN_UPSERT_ORACLE = f"""
+    WITH cur AS MATERIALIZED (
+      SELECT vec_id,
+             CASE WHEN vec_id % 20 = 0
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS embedding
+      FROM embeddings WHERE vec_id % 30 <> 0),
+    cbids AS (
+      SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 0
+            ORDER BY vec_id LIMIT 16)),
+    dims AS (
+      SELECT vec_id, CAST(d // 8 AS INT) AS m, CAST(d % 8 AS INT) AS dd,
+             CAST(FLOOR(1e6 * CAST(embedding[d + 1] AS DOUBLE) + 0.5) AS BIGINT) AS vm
+      FROM cur CROSS JOIN (SELECT unnest(range(64)) AS d)
+    ),
+    cb AS (SELECT c.cid, d.m, d.dd, d.vm AS cm
+           FROM dims d JOIN cbids c USING (vec_id)),
+    sd AS (
+      SELECT dims.vec_id, dims.m, cb.cid,
+             CAST(SUM((vm - cm) * (vm - cm)) AS BIGINT) AS sd2
+      FROM dims JOIN cb ON dims.m = cb.m AND dims.dd = cb.dd
+      GROUP BY dims.vec_id, dims.m, cb.cid
+    ),
+    codes AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY sd2, cid) AS rn FROM sd
+      ) WHERE rn = 1
+    ),
+    cells AS (
+      SELECT vec_id,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS cell
+      FROM cur),
+    probes AS (
+      SELECT c.vec_id AS query_id, p.pcell
+      FROM cells c CROSS JOIN unnest([c.cell, xor(c.cell, 1),
+                                      xor(c.cell, 2), xor(c.cell, 4)]) AS p(pcell)
+      WHERE c.vec_id IN (1, 2, 3)),
+    adc AS (SELECT vec_id AS query_id, m, cid, sd2 AS qd2
+            FROM sd WHERE vec_id IN (1, 2, 3)),
+    approx AS (
+      SELECT p.query_id, codes.vec_id, CAST(SUM(qd2) AS BIGINT) AS adist_q
+      FROM codes
+      JOIN cells cl ON cl.vec_id = codes.vec_id
+      JOIN probes p ON p.pcell = cl.cell
+      JOIN adc a ON a.query_id = p.query_id
+                AND a.m = codes.m AND a.cid = codes.code
+      GROUP BY p.query_id, codes.vec_id),
+    short AS (
+      SELECT query_id, vec_id, adist_q FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist_q, vec_id) AS rn
+        FROM approx) WHERE rn <= 50),
+    scored AS (
+      SELECT s.query_id, s.vec_id, s.adist_q, {_COS_MICRO_SQL} AS cos_micro
+      FROM short s
+      JOIN cur a ON a.vec_id = s.query_id
+      JOIN cur b ON b.vec_id = s.vec_id)
+    SELECT query_id, vec_id, adist_q, cos_micro, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_micro DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= 10
+    """
+
+
+def _ann_upsert_scenario(spark: SparkSession, sf_dir: str, idx: str):
+    """Shared driver for q276/q277: bootstrap + add/upsert/delete
+    epochs through ``index_upsert_writer``; returns (cur, cb) — the
+    post-stream corpus for exact re-rank and the frozen codebook."""
+    from kinesis_producer_spark.streaming.ann_index import (
+        bootstrap_index,
+        index_upsert_writer,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    neg = F.transform(F.col("embedding"), lambda x: -x)
+    cur = e.filter(F.col("vec_id") % 30 != 0).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 20 == 0, neg).otherwise(F.col("embedding")),
+    )
+    cb = bootstrap_index(base, idx, n_centroids=16, m_dims=8, bits=3)
+    w = index_upsert_writer(idx, cb, bits=3, m_dims=8)
+    w(
+        e.filter(F.col("vec_id") % 10 == 0).select(
+            "vec_id", "embedding", F.lit("add").alias("op")
+        ),
+        0,
+    )
+    w(
+        e.filter(F.col("vec_id") % 20 == 0).select(
+            "vec_id", neg.alias("embedding"), F.lit("upsert").alias("op")
+        ),
+        1,
+    )
+    w(
+        e.filter(F.col("vec_id") % 30 == 0).select(
+            "vec_id", "embedding", F.lit("delete").alias("op")
+        ),
+        2,
+    )
+    return cur, cb
+
+
+@query("q276_ann_index_upsert_serving", oracle=_ANN_UPSERT_ORACLE)
+def q276_ann_index_upsert_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upserts and DELETES in the streaming ANN index — the lifecycle
+    gap the round-9 verdict named #1 (a takedown or re-embedding
+    stayed served forever short of a rebuild): tombstone rows
+    (vec_id, epoch) ride the same cell=/epoch= layout under a
+    reserved cell id, written by ``index_upsert_writer`` in the same
+    dynamic-overwrite + marker transaction as the epoch's code rows,
+    and ``read_served_index`` applies them merge-on-read (q158's
+    discipline) — a row survives unless a strictly-later tombstone
+    names its vec_id, so an upsert serves ONLY its newest embedding
+    (at its NEW cell, the old cell never read or rewritten) and a
+    delete stops being served the moment its epoch commits. Serving
+    rows must be IDENTICAL to a REBUILD from the surviving corpus —
+    this query's oracle, shared verbatim with q277.
+
+    Scale: the writer stays a blind delta-sized encode (no lookup
+    pass against standing data); tombstone volume is churn since the
+    last compaction (adds write none), which keeps the suppression
+    side broadcastable; the probe-cell partition filter pushes
+    through the anti-join untouched. Exactly-once for tombstone
+    epochs and the gap-ordering subtlety are pinned in
+    tests/test_streaming.py::test_ann_index_tombstone_lifecycle."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_pq_topk_from_index,
+    )
+    from kinesis_producer_spark.streaming.ann_index import read_served_index
+
+    idx = os.path.join(
+        tempfile.gettempdir(), f"ann_upsert_{uuid.uuid4().hex[:10]}"
+    )
+    try:
+        cur, cb = _ann_upsert_scenario(spark, sf_dir, idx)
+        return ivf_pq_topk_from_index(
+            cur, idx, cb, query_ids=[1, 2, 3], k=10, shortlist=50, bits=3,
+            m_dims=8, index_df=read_served_index(spark, idx),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+@query("q277_ann_upsert_compaction_serving", oracle=_ANN_UPSERT_ORACLE)
+def q277_ann_upsert_compaction_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q276 after ``compact_index`` — compaction is where tombstones
+    are APPLIED physically: suppressed code rows (the deleted vectors
+    and every upsert's superseded old-cell row) are dropped from the
+    rewrite and fully-absorbed tombstones disappear with them, so the
+    compacted index serves the merge-on-read answer with ZERO
+    remaining anti-join work for old churn — and the takedown data is
+    physically gone from disk (the deletion-propagation guarantee at
+    the index layer). Must be row-identical to q276 (same oracle,
+    verbatim): folding is maintenance, never a rank change. The
+    physical-drop and above-gap ordering facts are pinned in
+    tests/test_streaming.py::test_ann_index_tombstone_lifecycle."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_pq_topk_from_index,
+    )
+    from kinesis_producer_spark.streaming.ann_index import (
+        compact_index,
+        read_served_index,
+    )
+
+    idx = os.path.join(
+        tempfile.gettempdir(), f"ann_upsertc_{uuid.uuid4().hex[:10]}"
+    )
+    try:
+        cur, cb = _ann_upsert_scenario(spark, sf_dir, idx)
+        compact_index(spark, idx)
+        return ivf_pq_topk_from_index(
+            cur, idx, cb, query_ids=[1, 2, 3], k=10, shortlist=50, bits=3,
+            m_dims=8, index_df=read_served_index(spark, idx),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)

@@ -3178,13 +3178,23 @@ def test_index_compaction_preserves_serving_and_replay(spark, tmp_path):
     assert served() == before
     assert committed_epochs(idx) == [-1, 0, 1, 3]
 
-    # one data file per cell dir (all under epoch=-1 now, except the
-    # kept-extra epoch-3 marker whose DATA was folded too)
+    # one data file per (cell, epoch) leaf: the prefix folded to
+    # epoch=-1, the above-gap epoch-3 DATA preserved at its own epoch
+    # (epoch order is load-bearing once tombstones exist — a kept
+    # tombstone must keep outranking a replayed gap epoch's rows)
+    seen_epochs = set()
     for cell_dir in (d for d in os.listdir(idx) if d.startswith("cell=")):
-        files = []
-        for root, _dirs, names in os.walk(os.path.join(idx, cell_dir)):
-            files += [f for f in names if f.endswith(".parquet")]
-        assert len(files) == 1, (cell_dir, files)
+        for ep_dir in os.listdir(os.path.join(idx, cell_dir)):
+            if not ep_dir.startswith("epoch="):
+                continue
+            seen_epochs.add(int(ep_dir.split("=")[1]))
+            files = [
+                f
+                for f in os.listdir(os.path.join(idx, cell_dir, ep_dir))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (cell_dir, ep_dir, files)
+    assert -1 in seen_epochs and seen_epochs <= {-1, 3}, seen_epochs
 
     # replay-skip: committed epochs are no-ops after compaction
     n = read_committed_index(spark, idx).count()
@@ -3259,3 +3269,121 @@ def test_compact_swap_residue_and_lock_guards(spark, tmp_path):
     compact_index(spark, idx)
     assert not os.path.exists(idx + ".compact.lock")
     assert read_committed_index(spark, idx).count() == before
+
+
+def test_ann_index_tombstone_lifecycle(spark, tmp_path):
+    """The round-10 headline pinned end to end: upserts and deletes in
+    the streaming ANN index. (1) merge-on-read — a deleted vector
+    stops being served the moment its epoch commits; an upserted
+    vector is served EXACTLY ONCE, at its NEW cell (the old-cell row
+    is suppressed without being read or rewritten). (2) exactly-once
+    for tombstone epochs — a committed upsert/delete epoch replays as
+    a no-op; a crashed one replays normally. (3) compaction applies
+    tombstones PHYSICALLY: served rows identical before/after, the
+    suppressed rows and absorbed tombstones gone from disk. (4) the
+    ordering subtlety: a tombstone committed ABOVE a gap keeps its
+    original epoch through compaction, so when the crashed gap epoch
+    finally replays, its rows are STILL suppressed — final state
+    equals the in-order apply (add then delete → absent)."""
+    import os
+
+    from kinesis_producer_spark.streaming.ann_index import (
+        TOMBSTONE_CELL,
+        bootstrap_index,
+        compact_index,
+        index_upsert_writer,
+        read_served_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    idx = str(tmp_path / "ts_idx")
+    cb = bootstrap_index(base, idx, n_centroids=16, m_dims=8, bits=3)
+    writer = index_upsert_writer(idx, cb, bits=3, m_dims=8)
+
+    def with_op(df, op):
+        return df.select("vec_id", "embedding", F.lit(op).alias("op"))
+
+    neg = F.transform(F.col("embedding"), lambda x: -x)
+
+    # epoch 0: pure adds (the CDC delta) — must write ZERO tombstones
+    writer(with_op(e.filter(F.col("vec_id") % 20 == 0), "add"), 0)
+    assert not os.path.isdir(os.path.join(idx, f"cell={TOMBSTONE_CELL}"))
+
+    # epoch 1: re-embed vecs 40 and 80 (negated → different sign-bit
+    # cell); epoch 2: delete 11 (base) and 60 (the epoch-0 add)
+    ups = e.filter(F.col("vec_id").isin(40, 80)).select(
+        "vec_id", neg.alias("embedding"), F.lit("upsert").alias("op")
+    )
+    writer(ups, 1)
+    writer(with_op(e.filter(F.col("vec_id").isin(11, 60)), "delete"), 2)
+
+    def served():
+        # content identity (vec_id, cell, codes) — the epoch column
+        # is bookkeeping that compaction legitimately rewrites
+        return {
+            (r.vec_id, r.cell, tuple(r.codes))
+            for r in read_served_index(spark, idx).collect()
+        }
+
+    s = served()
+    vec_counts = {}
+    for v, _c, _k in s:
+        vec_counts[v] = vec_counts.get(v, 0) + 1
+    assert all(n == 1 for n in vec_counts.values())
+    assert 11 not in vec_counts and 60 not in vec_counts
+    # upserted vectors serve once, from their upsert epoch and at the
+    # NEGATED embedding's cell
+    from kinesis_producer_spark.operators.similarity import ivf_cell
+
+    new_cells = {
+        r.vec_id: r.nc
+        for r in e.filter(F.col("vec_id").isin(40, 80))
+        .select("vec_id", ivf_cell(neg, 3).alias("nc"))
+        .collect()
+    }
+    up_rows = {
+        (r.vec_id, r.cell, r.epoch)
+        for r in read_served_index(spark, idx)
+        .filter(F.col("vec_id").isin(40, 80))
+        .collect()
+    }
+    assert up_rows == {(40, new_cells[40], 1), (80, new_cells[80], 1)}
+
+    # (2) committed replays are no-ops — data AND tombstone epochs
+    before = served()
+    writer(ups, 1)
+    writer(with_op(e.filter(F.col("vec_id").isin(11, 60)), "delete"), 2)
+    assert served() == before
+    # unknown ops fail loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown op"):
+        writer(with_op(e.filter(F.col("vec_id") == 1), "replace"), 5)
+
+    # (3) compaction: served identity + physical drop
+    hwm = compact_index(spark, idx)
+    assert hwm == 2
+    assert served() == before
+    raw = spark.read.parquet(idx)
+    assert raw.filter(F.col("vec_id").isin(11, 60)).count() == 0
+    assert raw.filter(F.col("cell") == TOMBSTONE_CELL).count() == 0
+    assert raw.filter(F.col("vec_id").isin(40, 80)).count() == 2
+
+    # (4) tombstone above a gap outlives compaction at its own epoch
+    # and suppresses the gap epoch's late replay. Stream order: epoch
+    # 3 adds vec 30 (crashes pre-marker), epoch 4 deletes vec 30.
+    writer(with_op(e.filter(F.col("vec_id") == 30), "add"), 3)
+    os.unlink(os.path.join(idx, "_epoch_ledger", "epoch-3"))
+    writer(with_op(e.filter(F.col("vec_id") == 30), "delete"), 4)
+    assert 30 not in {v for v, _c, _k in served()}
+    hwm = compact_index(spark, idx)
+    assert hwm == 2  # the gap at 3 stops the watermark
+    raw = spark.read.parquet(idx)
+    kept_tombs = raw.filter(F.col("cell") == TOMBSTONE_CELL).collect()
+    assert [(r.vec_id, r.epoch) for r in kept_tombs] == [(30, 4)]
+    # the crashed add replays and commits — and must STAY suppressed
+    writer(with_op(e.filter(F.col("vec_id") == 30), "add"), 3)
+    assert 30 not in {v for v, _c, _k in served()}
+    # in-order equivalence: add-then-delete == absent, exactly-once
+    assert served() == before
