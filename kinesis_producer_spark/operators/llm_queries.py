@@ -7465,11 +7465,23 @@ _IVFPQ_TRAINED_BASE = """
                  FROM kdf) WHERE rn = 1),
     tprobes AS (SELECT vec_id AS query_id, kcid AS pcell FROM (
                   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                               ORDER BY kd2, kcid) AS rn
-                  FROM kdf WHERE vec_id IN ({qids})) WHERE rn <= {nprobe}),
+                                               ORDER BY kd2, kcid) AS rn,
+                         MIN(kd2) OVER (PARTITION BY vec_id) AS kd0
+                  FROM kdf WHERE vec_id IN ({qids})) WHERE rn <= {nprobe}{probe_rule}),
     adc AS (SELECT vec_id AS query_id, m, cid, sd2 AS qd2
             FROM sd WHERE vec_id IN ({qids}))
 """
+
+
+def _fmt_trained_base(**kw) -> str:
+    """Render ``_IVFPQ_TRAINED_BASE``. ``probe_rule`` (optional)
+    appends a predicate to the probe-list frame — the ADAPTIVE width
+    hook (q278/q279): the frame always exposes ``kd0`` = the query's
+    nearest-centroid distance, so a rule like
+    `` AND (rn = 1 OR kd2 * 1 <= kd0 * 2)`` reproduces
+    ``_trained_parts(adapt=(2, 1))`` exactly."""
+    kw.setdefault("probe_rule", "")
+    return _IVFPQ_TRAINED_BASE.format(**kw)
 
 
 # shared by q257 (inline) and q259 (persisted trained index) — the two
@@ -7504,7 +7516,7 @@ _IVFPQ_TRAINED_TOPK_TAIL = f"""
     """
 
 _IVFPQ_TRAINED_TOPK_ORACLE = f"""
-    WITH {_IVFPQ_TRAINED_BASE.format(qids="0, 1, 2", nprobe=4, n_cells=32,
+    WITH {_fmt_trained_base(qids="0, 1, 2", nprobe=4, n_cells=32,
                                      samp_ctes="", tdims="dims",
                                      init_src="embeddings")},{_IVFPQ_TRAINED_TOPK_TAIL}"""
 
@@ -7520,7 +7532,7 @@ _IVFPQ_SAMPLED_CTES = """
       SELECT dims.* FROM dims JOIN samp USING (vec_id)),"""
 
 _IVFPQ_SAMPLED_TOPK_ORACLE = f"""
-    WITH {_IVFPQ_TRAINED_BASE.format(qids="0, 1, 2", nprobe=2, n_cells=16,
+    WITH {_fmt_trained_base(qids="0, 1, 2", nprobe=2, n_cells=16,
                                      samp_ctes=_IVFPQ_SAMPLED_CTES,
                                      tdims="sdims",
                                      init_src="samp")},{_IVFPQ_TRAINED_TOPK_TAIL}"""
@@ -7608,7 +7620,7 @@ def q259_ivf_pq_trained_index_serving(spark: SparkSession, sf_dir: str) -> DataF
 @query(
     "q258_ivf_pq_trained_recall",
     oracle=f"""
-    WITH {_IVFPQ_TRAINED_BASE.format(qids=_IVFPQ_RECALL_QIDS, nprobe=4, n_cells=32,
+    WITH {_fmt_trained_base(qids=_IVFPQ_RECALL_QIDS, nprobe=4, n_cells=32,
                                      samp_ctes="", tdims="dims",
                                      init_src="embeddings")},
     scells AS (
@@ -8040,7 +8052,7 @@ def q261_ivf_pq_codebook_staleness(spark: SparkSession, sf_dir: str) -> DataFram
 @query(
     "q262_ivf_pq_trained_residual_topk",
     oracle=f"""
-    WITH {_IVFPQ_TRAINED_BASE.format(qids="0, 1, 2", nprobe=2, n_cells=16,
+    WITH {_fmt_trained_base(qids="0, 1, 2", nprobe=2, n_cells=16,
                                      samp_ctes="", tdims="dims",
                                      init_src="embeddings")},
     rdims AS MATERIALIZED (
@@ -8492,7 +8504,7 @@ def q265_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q266_ivf_pq_fully_trained_topk",
     oracle=f"""
-    WITH {_IVFPQ_TRAINED_BASE.format(qids="0, 1, 2", nprobe=2, n_cells=16,
+    WITH {_fmt_trained_base(qids="0, 1, 2", nprobe=2, n_cells=16,
                                      samp_ctes="", tdims="dims",
                                      init_src="embeddings")},
     rdims AS MATERIALIZED (
@@ -8676,7 +8688,7 @@ def q267_ivf_sampled_training_topk(spark: SparkSession, sf_dir: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 _IVF_CELL_BALANCE_ORACLE = f"""
-    WITH {_IVFPQ_TRAINED_BASE.format(qids="0", nprobe=1, n_cells=32,
+    WITH {_fmt_trained_base(qids="0", nprobe=1, n_cells=32,
                                      samp_ctes="", tdims="dims",
                                      init_src="embeddings")},
     counts AS (
@@ -8723,7 +8735,7 @@ def q268_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_NPROBE_SWEEP_ORACLE = f"""
-    WITH {_IVFPQ_TRAINED_BASE.format(qids=_IVFPQ_RECALL_QIDS, nprobe=8,
+    WITH {_fmt_trained_base(qids=_IVFPQ_RECALL_QIDS, nprobe=8,
                                      n_cells=32, samp_ctes="", tdims="dims",
                                      init_src="embeddings")},
     tpr AS (
@@ -8898,7 +8910,7 @@ def q269_ivf_nprobe_sweep_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # filtered-flat-ADC degradation); at larger corpora the widened width
 # stays a small fraction (40 of 2048 cells at the sf1.0 soak point).
 _FILTERED_ANN_ORACLE = f"""
-    WITH {_IVFPQ_TRAINED_BASE.format(qids="0, 1, 2", nprobe=32, n_cells=32,
+    WITH {_fmt_trained_base(qids="0, 1, 2", nprobe=32, n_cells=32,
                                      samp_ctes="", tdims="dims",
                                      init_src="embeddings")},
     approx AS (
@@ -8975,7 +8987,7 @@ def q270_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FILTERED_ANN_GATE_ORACLE = f"""
-    WITH {_IVFPQ_TRAINED_BASE.format(qids=_IVFPQ_RECALL_QIDS, nprobe=4,
+    WITH {_fmt_trained_base(qids=_IVFPQ_RECALL_QIDS, nprobe=4,
                                      n_cells=32, samp_ctes="", tdims="dims",
                                      init_src="embeddings")},
     ftruth AS (
@@ -9157,7 +9169,7 @@ def q271_filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _IVF_SQ8_ORACLE = f"""
-    WITH {_IVFPQ_TRAINED_BASE.format(qids="0, 1, 2", nprobe=4, n_cells=32,
+    WITH {_fmt_trained_base(qids="0, 1, 2", nprobe=4, n_cells=32,
                                      samp_ctes="", tdims="dims",
                                      init_src="embeddings")},
     rng AS (SELECT d, MIN(vm) AS mn, GREATEST(MAX(vm) - MIN(vm), 1) AS span
@@ -9293,3 +9305,279 @@ def q275_codebook_artifact_serving(spark: SparkSession, sf_dir: str) -> DataFram
             os.remove(art_path)
         except FileNotFoundError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# q278/q279 — ADAPTIVE per-query probe width (round-9 verdict #5)
+# ---------------------------------------------------------------------------
+
+# The decision rule, measured on both fixtures before being frozen
+# (ratio sweep at ceiling 8 vs fixed widths, 30 queries, recall@10
+# hits of 300 / probed cells of 240):
+#
+#   ==========  ==================  ==================
+#   setting     sf0.01 hits/cells   sf0.1 hits/cells
+#   ==========  ==================  ==================
+#   fixed 4     238 / 120           232 / 120
+#   fixed 8     220 / 240           209 / 240
+#   ratio 3/2   206 / 30            208 / 30
+#   ratio 2/1   227 / 177           224 / 87
+#   ==========  ==================  ==================
+#
+# Ratio 2 at ceiling 8 DOMINATES fixed width 8 on both axes at both
+# fixtures (more recall at fewer probes): a query deep inside one
+# cell stops early, and the far cells it skips would have fed the
+# shortlist mostly PQ noise (the ivf_serving_config finding — at
+# fixed cells, width past ~4 LOWERS recall). Tighter ratios (3/2)
+# collapse to ~1 probe/query and give the noise win away.
+_ADAPT_RULE = " AND (rn = 1 OR kd2 * 1 <= kd0 * 2)"
+
+_IVFPQ_ADAPTIVE_TOPK_ORACLE = f"""
+    WITH {_fmt_trained_base(qids="0, 1, 2", nprobe=8, n_cells=32,
+                            samp_ctes="", tdims="dims",
+                            init_src="embeddings",
+                            probe_rule=_ADAPT_RULE)},{_IVFPQ_TRAINED_TOPK_TAIL}"""
+
+
+@query("q278_ivf_adaptive_nprobe_topk", oracle=_IVFPQ_ADAPTIVE_TOPK_ORACLE)
+def q278_ivf_adaptive_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ serving with PER-QUERY ADAPTIVE probe width: instead of
+    a fixed nprobe, each query widens its probe list only while the
+    i-th nearest centroid's distance stays within a measured ratio of
+    the nearest (d2_i ≤ 2·d2_0, ceiling 8) — a query deep inside one
+    cluster probes one cell, a boundary query keeps the full width.
+    This is the unfiltered analogue of q270's ``filtered_probe_width``
+    lever and the p99-vs-cost knob a serving tier actually tunes: the
+    q279 gate pins that it DOMINATES the same-ceiling fixed width
+    (recall ≥ at strictly fewer probed rows) on both fixtures.
+    Integer-exact (one int64 multiply per side on the same ROW_NUMBER
+    frame), so the oracle reproduces every probe decision.
+
+    Scale: the rule costs nothing — the centroid distances are
+    already computed for the probe ranking; the probe list stays
+    driver-bounded control data that prunes partitions, now sized by
+    the query's geometry instead of the worst case."""
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_pq_topk_trained,
+        ivf_serving_config,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n_cells, _ = ivf_serving_config(e.count())
+    return ivf_pq_topk_trained(
+        e, query_ids=[0, 1, 2], k=10, shortlist=50, n_cells=n_cells,
+        nprobe=8, rounds=2, n_centroids=16, m_dims=8, adapt_ratio=(2, 1),
+    )
+
+
+@query(
+    "q279_ivf_adaptive_nprobe_recall",
+    oracle=f"""
+    WITH {_fmt_trained_base(qids=_IVFPQ_RECALL_QIDS, nprobe=8, n_cells=32,
+                            samp_ctes="", tdims="dims",
+                            init_src="embeddings",
+                            probe_rule=_ADAPT_RULE)},
+    fprobes AS (SELECT vec_id AS query_id, kcid AS pcell FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                               ORDER BY kd2, kcid) AS rn
+                  FROM kdf WHERE vec_id IN ({_IVFPQ_RECALL_QIDS}))
+                WHERE rn <= 8),
+    truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT a.query_id, b.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY a.query_id
+                 ORDER BY {_COS_MICRO_SQL} DESC, b.vec_id) AS rnk
+        FROM (SELECT vec_id AS query_id, embedding FROM embeddings
+              WHERE vec_id < {_RECALL_QUERIES}) a
+        JOIN embeddings b ON b.vec_id <> a.query_id)
+      WHERE rnk <= {_RECALL_K}),
+    approx_ad AS (
+      SELECT p.query_id, codes.vec_id, CAST(SUM(qd2) AS BIGINT) AS adist_q
+      FROM codes
+      JOIN tcells cl ON cl.vec_id = codes.vec_id
+      JOIN tprobes p ON p.pcell = cl.cell
+      JOIN adc a ON a.query_id = p.query_id
+                AND a.m = codes.m AND a.cid = codes.code
+      WHERE codes.vec_id <> p.query_id
+      GROUP BY p.query_id, codes.vec_id),
+    short_ad AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist_q, vec_id) AS rn
+        FROM approx_ad) WHERE rn <= 50),
+    adk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT s.query_id, s.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                 ORDER BY {_COS_MICRO_SQL} DESC, s.vec_id) AS rnk
+        FROM short_ad s
+        JOIN embeddings a ON a.vec_id = s.query_id
+        JOIN embeddings b ON b.vec_id = s.vec_id)
+      WHERE rnk <= {_RECALL_K}),
+    approx_fx AS (
+      SELECT p.query_id, codes.vec_id, CAST(SUM(qd2) AS BIGINT) AS adist_q
+      FROM codes
+      JOIN tcells cl ON cl.vec_id = codes.vec_id
+      JOIN fprobes p ON p.pcell = cl.cell
+      JOIN adc a ON a.query_id = p.query_id
+                AND a.m = codes.m AND a.cid = codes.code
+      WHERE codes.vec_id <> p.query_id
+      GROUP BY p.query_id, codes.vec_id),
+    short_fx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adist_q, vec_id) AS rn
+        FROM approx_fx) WHERE rn <= 50),
+    fxk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT s.query_id, s.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                 ORDER BY {_COS_MICRO_SQL} DESC, s.vec_id) AS rnk
+        FROM short_fx s
+        JOIN embeddings a ON a.vec_id = s.query_id
+        JOIN embeddings b ON b.vec_id = s.vec_id)
+      WHERE rnk <= {_RECALL_K}),
+    probed_ad AS (
+      SELECT p.query_id, CAST(COUNT(*) AS BIGINT) AS probed_adaptive
+      FROM tprobes p JOIN tcells c ON c.cell = p.pcell
+      GROUP BY p.query_id),
+    probed_fx AS (
+      SELECT p.query_id, CAST(COUNT(*) AS BIGINT) AS probed_fixed
+      FROM fprobes p JOIN tcells c ON c.cell = p.pcell
+      GROUP BY p.query_id)
+    SELECT t.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_adaptive,
+           CAST(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_fixed,
+           MIN(pa.probed_adaptive) AS probed_adaptive,
+           MIN(pf.probed_fixed) AS probed_fixed,
+           CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 100
+                // COUNT(*) AS BIGINT) AS recall_adaptive_pct,
+           CAST(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 100
+                // COUNT(*) AS BIGINT) AS recall_fixed_pct
+    FROM truth t
+    LEFT JOIN adk i ON i.query_id = t.query_id AND i.vec_id = t.vec_id
+    LEFT JOIN fxk f ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+    JOIN probed_ad pa ON pa.query_id = t.query_id
+    JOIN probed_fx pf ON pf.query_id = t.query_id
+    GROUP BY t.query_id
+    """,
+)
+def q279_ivf_adaptive_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adaptive-width gate (the q258 discipline applied to q278):
+    exact top-10 ground truth over the 30-query sample scored against
+    BOTH widths at the same ceiling — ADAPTIVE (probe while
+    d2 ≤ 2·d2_nearest, ceiling 8) vs FIXED 8 — with the probed
+    candidate count per query, so one row shows the dominance claim:
+    recall ≥ the fixed ceiling at strictly fewer scanned rows.
+    Measured aggregate (hits of 300 / probed candidate rows):
+    adaptive 227/2887 vs fixed 220/3941 at sf0.01; adaptive 224/1425
+    vs fixed 209/3900 at sf0.1 — the skipped far cells were feeding the
+    shortlist PQ noise, so adaptive width buys BOTH axes
+    (tests/test_scale_strategies.py pins the direction at both
+    fixtures). Output: (query_id, n_truth, hits_adaptive, hits_fixed,
+    probed_adaptive, probed_fixed, recall_adaptive_pct,
+    recall_fixed_pct).
+
+    Scale: ground truth is O(|sample|·corpus) by design (q253's
+    contract); both serving sides share one trained quantizer, one
+    code table and one ADC pass shape; the probed counts are the
+    exact rows each side's ADC stage scans."""
+    from kinesis_producer_spark.operators.similarity import (
+        _trained_parts,
+        ivf_pq_topk_trained,
+        ivf_serving_config,
+        train_ivf_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(_RECALL_QUERIES))
+    n_cells, _ = ivf_serving_config(e.count())
+    cent = train_ivf_centroids(e, n_cells=n_cells, rounds=2)
+    qs = e.filter(F.col("vec_id") < _RECALL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = (
+        brute_force_topk(e, qs, k=_RECALL_K + 1, query_id_col="query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("cos_micro").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= _RECALL_K)
+        .select("query_id", "vec_id")
+    )
+    adaptive = ivf_pq_topk_trained(
+        e, query_ids=qids, k=_RECALL_K, shortlist=50, nprobe=8,
+        exclude_self=True, centroids=cent, adapt_ratio=(2, 1),
+    ).select(F.col("query_id").alias("_aq"), F.col("vec_id").alias("_av"))
+    fixed = ivf_pq_topk_trained(
+        e, query_ids=qids, k=_RECALL_K, shortlist=50, nprobe=8,
+        exclude_self=True, centroids=cent,
+    ).select(F.col("query_id").alias("_fq"), F.col("vec_id").alias("_fv"))
+    cell_fn, aprobes_fn = _trained_parts(cent, 8, adapt=(2, 1))
+    fprobes_fn = _trained_parts(cent, 8)[1]
+    tcells = e.select(cell_fn(F.col("embedding")).alias("_cell"))
+    qrows = e.filter(F.col("vec_id") < _RECALL_QUERIES)
+    probed_ad = (
+        qrows.select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(aprobes_fn(F.col("embedding"))).alias("_cell"),
+        )
+        .join(tcells, "_cell")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("probed_adaptive"))
+    )
+    probed_fx = (
+        qrows.select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(fprobes_fn(F.col("embedding"))).alias("_cell"),
+        )
+        .join(tcells, "_cell")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("probed_fixed"))
+    )
+    return (
+        truth.join(
+            adaptive,
+            (F.col("query_id") == F.col("_aq")) & (F.col("vec_id") == F.col("_av")),
+            "left",
+        )
+        .join(
+            fixed,
+            (F.col("query_id") == F.col("_fq")) & (F.col("vec_id") == F.col("_fv")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_truth"),
+            F.sum(F.when(F.col("_av").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("hits_adaptive"),
+            F.sum(F.when(F.col("_fv").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("hits_fixed"),
+        )
+        .join(F.broadcast(probed_ad), "query_id")
+        .join(F.broadcast(probed_fx), "query_id")
+        .select(
+            "query_id",
+            "n_truth",
+            "hits_adaptive",
+            "hits_fixed",
+            "probed_adaptive",
+            "probed_fixed",
+            F.expr("(hits_adaptive * 100) div n_truth")
+            .cast("bigint")
+            .alias("recall_adaptive_pct"),
+            F.expr("(hits_fixed * 100) div n_truth")
+            .cast("bigint")
+            .alias("recall_fixed_pct"),
+        )
+    )

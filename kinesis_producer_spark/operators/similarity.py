@@ -291,7 +291,11 @@ def filtered_probe_width(nprobe: int, selectivity: float, n_cells: int) -> int:
     return max(nprobe, min(int(math.ceil(nprobe / selectivity)), n_cells))
 
 
-def _trained_parts(centroids: list[list[int]], nprobe: int = 1):
+def _trained_parts(
+    centroids: list[list[int]],
+    nprobe: int = 1,
+    adapt: tuple[int, int] | None = None,
+):
     """Assignment/probe expression builders over TRAINED micro-int
     centroids (list index = cid): ``cell_fn(emb)`` → nearest-centroid
     id (squared L2 in micro-ints, ties to the lowest cid — a strict
@@ -303,6 +307,16 @@ def _trained_parts(centroids: list[list[int]], nprobe: int = 1):
     multiply-adds, exactly the shape the round-7 measurements banned
     from column expressions — and both are integer-exact, so the SQL
     oracle reproduces every assignment.
+
+    ``adapt=(num, den)`` makes the probe list PER-QUERY ADAPTIVE
+    (round-9 verdict #5): ``nprobe`` becomes the CEILING and the i-th
+    nearest centroid (i ≥ 1) is probed only while its distance stays
+    within the ratio of the nearest — ``d2_i · den ≤ d2_0 · num`` —
+    so a query deep inside one cell probes that cell alone while a
+    boundary query keeps its full width. Integer-exact (one int64
+    multiply each side; micro-int d2 ≤ ~2.6e14 at dim 64, so small
+    ratios never overflow), hence oracle-expressible as a predicate
+    on the same ROW_NUMBER frame. The nearest cell is always probed.
 
     Scratch is bounded at batch·(dim + _CELL_BLOCK) int64s: centroids
     are scanned in ``_CELL_BLOCK``-cell blocks with a running
@@ -394,9 +408,20 @@ def _trained_parts(centroids: list[list[int]], nprobe: int = 1):
                 rows = np.arange(len(vm))[:, None]
                 d, c = d[rows, sel], c[rows, sel]
             run_d, run_c = d, c
+        rows = np.arange(len(vm))[:, None]
         sel = np.argsort(run_d, axis=1, kind="stable")
-        run_c = run_c[np.arange(len(vm))[:, None], sel]
-        return pd.Series(list(run_c.astype(np.int32)))
+        run_c = run_c[rows, sel]
+        if adapt is None:
+            return pd.Series(list(run_c.astype(np.int32)))
+        num, den = adapt
+        run_d = run_d[rows, sel]
+        # distances ascend along the row, so the ratio test keeps a
+        # PREFIX of the width-nprobe list; rank 0 always survives
+        keep = run_d * den <= run_d[:, :1] * num
+        keep[:, 0] = True
+        return pd.Series(
+            [c[k].astype(np.int32) for c, k in zip(run_c, keep)]
+        )
 
     cell_udf = F.pandas_udf(_cells, "int")
     probes_udf = F.pandas_udf(_probes, "array<int>")
@@ -1077,6 +1102,7 @@ def ivf_pq_topk_trained(
     codebook: list[list[int]] | None = None,
     sample_rows: int | None = None,
     where: Column | None = None,
+    adapt_ratio: tuple[int, int] | None = None,
 ) -> DataFrame:
     """q252's IVF×PQ serving composition with the TRAINED coarse
     quantizer (Jégou et al. 2011 use k-means for the coarse stage;
@@ -1106,7 +1132,14 @@ def ivf_pq_topk_trained(
     query side stay predicate-blind — the index is built once, the
     filter varies per request; at 100 TB a selective predicate column
     rides the same parquet scan (row-group stats / secondary
-    partition dim), composing with the probe-cell prune."""
+    partition dim), composing with the probe-cell prune.
+
+    ``adapt_ratio=(num, den)`` switches the probe list to PER-QUERY
+    ADAPTIVE width (``_trained_parts``): ``nprobe`` becomes the
+    ceiling and farther centroids are probed only while their d2
+    stays within num/den of the nearest — the serving lever that
+    cuts the MEAN probed fraction without losing boundary-query
+    recall (the q279 gate measures exactly this)."""
     from kinesis_producer_spark.tables import fan_out
 
     if centroids is None:
@@ -1114,7 +1147,7 @@ def ivf_pq_topk_trained(
             corpus, n_cells=n_cells, rounds=rounds,
             id_col=id_col, emb_col=emb_col, sample_rows=sample_rows,
         )
-    cell_fn, probes_fn = _trained_parts(centroids, nprobe)
+    cell_fn, probes_fn = _trained_parts(centroids, nprobe, adapt=adapt_ratio)
     cb = (
         codebook
         if codebook is not None

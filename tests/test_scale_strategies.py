@@ -2096,3 +2096,50 @@ def test_codebook_artifact_roundtrip_and_guards(tmp_path):
         json.dump(doc, fh)
     with pytest.raises(ValueError, match="format_version"):
         read_codebook(p)
+
+
+def test_adaptive_nprobe_dominates_fixed_ceiling(spark):
+    """The q278/q279 serving lever gated at BOTH fixtures: per-query
+    adaptive probe width (probe while d2 <= 2 * d2_nearest, ceiling 8)
+    must recall AT LEAST as much exact truth as the fixed ceiling
+    while scanning STRICTLY fewer candidate rows — dominance on both
+    axes, not a trade (the far cells the rule skips feed the
+    shortlist PQ noise, the ivf_serving_config finding). Also pins
+    the probe-list mechanics: the adaptive list is a non-empty prefix
+    of the fixed-width list (same (d2, cid) order), so rank 0 is
+    always probed."""
+    from kinesis_producer_spark.operators.llm_queries import (
+        q279_ivf_adaptive_nprobe_recall,
+    )
+    from kinesis_producer_spark.operators.similarity import (
+        _trained_parts,
+        train_ivf_centroids,
+    )
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        rows = q279_ivf_adaptive_nprobe_recall(spark, sf).collect()
+        assert len(rows) == 30
+        hits_ad = sum(r.hits_adaptive for r in rows)
+        hits_fx = sum(r.hits_fixed for r in rows)
+        probed_ad = sum(r.probed_adaptive for r in rows)
+        probed_fx = sum(r.probed_fixed for r in rows)
+        assert hits_ad >= hits_fx, (sf, hits_ad, hits_fx)
+        assert probed_ad < probed_fx, (sf, probed_ad, probed_fx)
+        # per-query: adaptive never probes more rows than fixed
+        assert all(r.probed_adaptive <= r.probed_fixed for r in rows)
+
+    # prefix property on the fixture quantizer
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cent = train_ivf_centroids(e, n_cells=32, rounds=2)
+    ap = _trained_parts(cent, 8, adapt=(2, 1))[1]
+    fp = _trained_parts(cent, 8)[1]
+    both = (
+        e.filter(F.col("vec_id") < 30)
+        .select(
+            ap(F.col("embedding")).alias("a"), fp(F.col("embedding")).alias("f")
+        )
+        .collect()
+    )
+    for r in both:
+        assert 1 <= len(r.a) <= len(r.f) == 8
+        assert list(r.f[: len(r.a)]) == list(r.a)
