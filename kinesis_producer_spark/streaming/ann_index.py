@@ -464,11 +464,17 @@ def ann_query_writer(
             )
 
             spark = batch_df.sparkSession
+            # served view, not the raw committed one: an index kept
+            # fresh by index_upsert_writer must answer queries from
+            # post-suppression rows (a takedown stops being served the
+            # trigger after its epoch commits); on a tombstone-free
+            # index the two views are row-identical, so the q257
+            # oracle contract is unchanged
             res = ivf_pq_topk_from_index(
                 corpus, index_path, codebook, query_ids=[int(q) for q in qids],
                 k=k, shortlist=shortlist, bits=bits, m_dims=m_dims,
                 id_col=id_col, emb_col=emb_col, centroids=centroids,
-                nprobe=nprobe, index_df=read_committed_index(spark, index_path),
+                nprobe=nprobe, index_df=read_served_index(spark, index_path),
             ).withColumn("epoch", F.lit(int(epoch_id)))
             (
                 res.write.mode("overwrite")

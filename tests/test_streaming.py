@@ -3387,3 +3387,88 @@ def test_ann_index_tombstone_lifecycle(spark, tmp_path):
     assert 30 not in {v for v, _c, _k in served()}
     # in-order equivalence: add-then-delete == absent, exactly-once
     assert served() == before
+
+
+def test_upsert_stream_and_query_serving_see_suppression(spark, tmp_path):
+    """The tombstone path driven by a REAL Structured Streaming
+    source (not direct writer calls) and composed with the query
+    side: a micro-batch of upserts/deletes lands through
+    index_upsert_writer inside foreachBatch, and a subsequent
+    ann_query_writer batch answers from the SERVED view — the
+    takedown vanishes from answers the trigger after its epoch
+    commits, and every answered row comes from the post-suppression
+    index (pinned row-identical to a direct batch serve over
+    read_served_index)."""
+    import os
+
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_pq_topk_from_index,
+    )
+    from kinesis_producer_spark.streaming.ann_index import (
+        ann_query_writer,
+        bootstrap_index,
+        index_upsert_writer,
+        read_committed_results,
+        read_served_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "upq_idx")
+    res = str(tmp_path / "upq_res")
+    src = str(tmp_path / "upq_src")
+    ckpt = str(tmp_path / "upq_ckpt")
+    os.makedirs(src, exist_ok=True)
+    cb = bootstrap_index(e, idx, n_centroids=16, m_dims=8, bits=3)
+
+    # one real micro-batch: delete 7 and 9, re-embed 13 (negated)
+    neg = F.transform(F.col("embedding"), lambda x: -x)
+    batch = (
+        e.filter(F.col("vec_id").isin(7, 9))
+        .select("vec_id", "embedding", F.lit("delete").alias("op"))
+        .unionByName(
+            e.filter(F.col("vec_id") == 13).select(
+                "vec_id", neg.alias("embedding"), F.lit("upsert").alias("op")
+            )
+        )
+    )
+    stage = str(tmp_path / "upq_stage")
+    batch.coalesce(1).write.mode("overwrite").parquet(stage)
+    (part,) = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    os.replace(os.path.join(stage, part), os.path.join(src, "b1.parquet"))
+    arrivals = spark.readStream.schema(
+        "vec_id long, embedding array<float>, op string"
+    ).parquet(src)
+    writer = index_upsert_writer(idx, cb, bits=3, m_dims=8)
+    q = (
+        arrivals.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    served = read_served_index(spark, idx)
+    assert served.filter(F.col("vec_id").isin(7, 9)).count() == 0
+    assert served.filter(F.col("vec_id") == 13).count() == 1
+
+    # the post-stream corpus: 13 re-embedded, 7/9 gone
+    cur = e.filter(~F.col("vec_id").isin(7, 9)).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 13, neg).otherwise(F.col("embedding")),
+    )
+    # query stream: one batch asking for neighbors of 0, 1
+    qwriter = ann_query_writer(
+        res, idx, cur, cb, k=10, shortlist=50, bits=3, m_dims=8
+    )
+    qwriter(e.filter(F.col("vec_id").isin(0, 1)).select("vec_id"), 0)
+    answers = read_committed_results(spark, res).select(
+        "query_id", "vec_id", "adist_q", "cos_micro", "rank"
+    )
+    got = {tuple(r) for r in answers.collect()}
+    assert got and all(v not in (7, 9) for _q, v, *_ in got)
+    # row-identical to the direct batch serve over the served view
+    direct = ivf_pq_topk_from_index(
+        cur, idx, cb, query_ids=[0, 1], k=10, shortlist=50, bits=3,
+        m_dims=8, index_df=read_served_index(spark, idx),
+    )
+    assert got == {tuple(r) for r in direct.collect()}
