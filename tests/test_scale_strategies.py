@@ -2143,3 +2143,106 @@ def test_adaptive_nprobe_dominates_fixed_ceiling(spark):
     for r in both:
         assert 1 <= len(r.a) <= len(r.f) == 8
         assert list(r.f[: len(r.a)]) == list(r.a)
+
+
+def test_served_index_pruning_survives_tombstone_antijoin(spark, tmp_path):
+    """The read_served_index plan claim pinned: the probe-cell
+    partition filter pushes THROUGH the tombstone anti-join to the
+    code-row scan (file pruning before I/O, q254's property intact
+    under merge-on-read), the suppression side is a BROADCAST anti
+    join whose own scan prunes to the reserved tombstone partition,
+    and the files actually read on the data side are exactly the
+    probed cells'."""
+    import re
+
+    from kinesis_producer_spark.streaming.ann_index import (
+        bootstrap_index,
+        index_upsert_writer,
+        read_served_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    idx = str(tmp_path / "srv_idx")
+    cb = bootstrap_index(e, idx, n_centroids=16, m_dims=8, bits=3)
+    w = index_upsert_writer(idx, cb, bits=3, m_dims=8)
+    w(
+        e.filter(F.col("vec_id").isin(5, 6)).select(
+            "vec_id", "embedding", F.lit("delete").alias("op")
+        ),
+        0,
+    )
+
+    probe_cells = [0, 3]
+    pruned = read_served_index(spark, idx).filter(
+        F.col("cell").isin(probe_cells)
+    )
+    plan = _plan(pruned)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # data-side scan: probe IN-list arrived as a PARTITION filter
+    assert re.search(r"PartitionFilters:.*cell.*IN \(0,3\)", plan) or re.search(
+        r"PartitionFilters:.*cell.* IN \(0, ?3\)", plan
+    ), plan
+    # tombstone-side scan prunes to the reserved partition
+    assert re.search(r"PartitionFilters:.*cell.*=.*-1", plan), plan
+    # (input_file_name() can't verify per-side files on a two-source
+    # plan — Spark's PreReadCheck forbids it; the PartitionFilters
+    # lines above ARE the file-prune evidence, same as plan_audit)
+    # and the served rows exclude the takedowns
+    assert pruned.filter(F.col("vec_id").isin(5, 6)).count() == 0
+    assert pruned.count() > 0
+
+
+def test_codebook_artifact_composes_with_streaming_index(spark, tmp_path):
+    """The train-once / serve-many split end to end across JOBS: a
+    trainer writes the artifact; a logically separate streaming
+    maintenance job loads it and bootstraps + appends with the frozen
+    quantizers; serving over the streamed index is row-identical to
+    serving over an index built directly from the in-memory values —
+    the artifact is a transport, never a rank change."""
+    from kinesis_producer_spark.operators.ann_artifacts import (
+        read_codebook,
+        write_codebook,
+    )
+    from kinesis_producer_spark.operators.similarity import (
+        _collect_codebook,
+        ivf_pq_topk_from_index,
+        train_ivf_centroids,
+    )
+    from kinesis_producer_spark.streaming.ann_index import (
+        bootstrap_index,
+        index_append_writer,
+        read_committed_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    delta = e.filter(F.col("vec_id") % 10 == 0)
+
+    # trainer job
+    cent = train_ivf_centroids(base, n_cells=8, rounds=2)
+    cb = _collect_codebook(base, "vec_id", "embedding", 16)
+    art_path = str(tmp_path / "quantizers.json")
+    write_codebook(art_path, centroids=cent, codebook=cb,
+                   meta={"m_dims": 8, "rounds": 2, "n_cells": 8})
+
+    def build_and_serve(idx, centroids, codebook):
+        bootstrap_index(base, idx, m_dims=8, centroids=centroids,
+                        codebook=codebook)
+        w = index_append_writer(idx, codebook, m_dims=8,
+                                centroids=centroids)
+        w(delta.select("vec_id", "embedding"), 0)
+        return {
+            tuple(r)
+            for r in ivf_pq_topk_from_index(
+                e, idx, codebook, query_ids=[0, 1, 2], k=10, shortlist=50,
+                m_dims=8, centroids=centroids, nprobe=2,
+                index_df=read_committed_index(spark, idx),
+            ).collect()
+        }
+
+    art = read_codebook(art_path)
+    via_artifact = build_and_serve(
+        str(tmp_path / "idx_art"), art["centroids"], art["codebook"]
+    )
+    direct = build_and_serve(str(tmp_path / "idx_mem"), cent, cb)
+    assert via_artifact == direct and via_artifact
