@@ -120,6 +120,14 @@ HEADLINE = [
     # scan ahead of ADC — q257's plan plus one pushed-down filter).
     "q264_pq_trained_adc_topk",
     "q270_filtered_ann_topk",
+    # Round-10: the index LIFECYCLE completed — upsert/delete
+    # tombstones served merge-on-read (suppression = churn-bounded
+    # broadcast anti-join behind the same probe-cell partition
+    # prune) — and adaptive per-query probe width (widen while
+    # d2 <= 2x the nearest centroid's, ceiling 8: dominates the
+    # fixed ceiling on recall AND probed rows at both fixtures).
+    "q276_ann_index_upsert_serving",
+    "q278_ivf_adaptive_nprobe_topk",
 ]
 
 

@@ -84,8 +84,8 @@ def main() -> None:
         e, n_centroids=16, m_dims=8, rounds=2, centroids=cent16
     )
 
-    def probed_trained(cent, nprobe):
-        cell_fn, probes_fn = _trained_parts(cent, nprobe)
+    def probed_trained(cent, nprobe, adapt=None):
+        cell_fn, probes_fn = _trained_parts(cent, nprobe, adapt=adapt)
         tcells = e.select(cell_fn(F.col("embedding")).alias("_cell"))
         tprobes = e.filter(F.col("vec_id") < _RECALL_QUERIES).select(
             F.col("vec_id").alias("query_id"),
@@ -209,6 +209,17 @@ def main() -> None:
     run(f"trained IVF×SQ8 {cells_def}×{nprobe_def} (q273)", 64, p_def,
         lambda: ivf_sq8_topk(e, n_cells=cells_def, nprobe=nprobe_def,
                              centroids=cent_def, **kw))
+    p_ad = probed_trained(cent_def, 8, adapt=(2, 1))
+    run(f"trained {cells_def} cells, ADAPTIVE nprobe<=8 ratio 2 (q278)",
+        4, p_ad,
+        lambda: ivf_pq_topk_trained(e, n_cells=cells_def, nprobe=8,
+                                    centroids=cent_def,
+                                    adapt_ratio=(2, 1), **kw))
+    p_fx8 = probed_trained(cent_def, 8)
+    run(f"trained {cells_def} cells, FIXED nprobe=8 (q279 comparator)",
+        4, p_fx8,
+        lambda: ivf_pq_topk_trained(e, n_cells=cells_def, nprobe=8,
+                                    centroids=cent_def, **kw))
 
     print(f"# ANN frontier — {sf_dir} (n={n}, {_RECALL_QUERIES} queries, "
           f"recall@{_RECALL_K}, shortlist 50, serve = min-of-3 ms with "

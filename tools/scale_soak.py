@@ -127,6 +127,18 @@ SOAK = [
     # index compaction: fold E epochs to 1 file/cell; reads code rows
     # once (never raw vectors), writes clustered by cell
     "q274_ann_index_compaction",
+    # round-10: artifact-path serving (q257's plan plus one bounded
+    # JSON round-trip — wall should track q257), tombstone
+    # upsert/delete serving and its compaction fold (the suppression
+    # anti-join is churn-bounded broadcast: shuffle must NOT grow
+    # with corpus, only with the delete/upsert volume), and adaptive
+    # probe width (per-query narrower scans — wall should sit AT OR
+    # UNDER the fixed-ceiling q257 shape)
+    "q275_codebook_artifact_serving",
+    "q276_ann_index_upsert_serving",
+    "q277_ann_upsert_compaction_serving",
+    "q278_ivf_adaptive_nprobe_topk",
+    "q279_ivf_adaptive_nprobe_recall",
     "q133_stream_version_track",
     "q153_stateful_sessions",
 ]
