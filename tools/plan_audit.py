@@ -47,6 +47,10 @@ NLJ_OK = {
     # protocol twice plus q55's brute-force truth side
     "q264_pq_trained_adc_topk",
     "q265_pq_trained_recall",
+    # round-10 adaptive-width gate: the q258 shape exactly — the NLJ
+    # is q55's brute-force truth side over the broadcast 30-query
+    # sample; both serving sides and the probed counts are key-joined
+    "q279_ivf_adaptive_nprobe_recall",
     "q07_band_join",
     "q08_asof_join",
     "q63_tfidf",
