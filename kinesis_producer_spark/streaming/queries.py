@@ -1701,3 +1701,99 @@ def q277_ann_upsert_compaction_serving(spark: SparkSession, sf_dir: str) -> Data
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+@query(
+    "q280_ann_index_health",
+    oracle="""
+    WITH written AS (
+      SELECT vec_id, embedding, -1 AS epoch
+      FROM embeddings WHERE vec_id % 10 <> 0
+      UNION ALL
+      SELECT vec_id, embedding, 0 FROM embeddings WHERE vec_id % 10 = 0
+      UNION ALL
+      SELECT vec_id, list_transform(embedding, x -> -x), 1
+      FROM embeddings WHERE vec_id % 20 = 0),
+    tomb AS (
+      SELECT vec_id, 1 AS epoch FROM embeddings WHERE vec_id % 20 = 0
+      UNION ALL
+      SELECT vec_id, 2 FROM embeddings WHERE vec_id % 30 = 0),
+    flagged AS (
+      SELECT w.vec_id, w.epoch,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS cell,
+             EXISTS (SELECT 1 FROM tomb t
+                     WHERE t.vec_id = w.vec_id AND t.epoch > w.epoch) AS dead
+      FROM written w)
+    SELECT cell,
+           CAST(SUM(CASE WHEN NOT dead THEN 1 ELSE 0 END) AS BIGINT) AS live_rows,
+           CAST(SUM(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT) AS suppressed_rows
+    FROM flagged GROUP BY cell
+    """,
+)
+def q280_ann_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index HEALTH under churn — the compaction trigger metric
+    (q268 measures cell balance of a fresh build; this measures what
+    a LIVED-IN index accumulates): per cell, the live code rows vs
+    the rows a committed tombstone suppresses — the dead weight every
+    probe of that cell still reads and the merge-on-read anti-join
+    still filters. A serving tier watches suppressed/live per cell
+    and calls ``compact_index`` (q277) when the ratio crosses its
+    latency budget; after compaction this query's suppressed column
+    is zero BY CONSTRUCTION (the fold physically drops it). Runs on
+    the q276 scenario (adds + re-embed upserts + deletes), oracle =
+    the same written-rows/tombstone algebra recomputed relationally.
+
+    Scale: one pass over the committed code table (vec_id + cell +
+    epoch — never raw vectors) against the churn-bounded broadcast
+    tombstone side, then a per-cell count — the same plan shape
+    serving already pays, minus ADC."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from kinesis_producer_spark.streaming.ann_index import (
+        TOMBSTONE_CELL,
+        read_committed_index,
+    )
+
+    idx = os.path.join(
+        tempfile.gettempdir(), f"ann_health_{uuid.uuid4().hex[:10]}"
+    )
+    try:
+        _ann_upsert_scenario(spark, sf_dir, idx)
+        committed = read_committed_index(spark, idx)
+        tombs = committed.filter(F.col("cell") == TOMBSTONE_CELL).select(
+            F.col("vec_id").alias("_t_vec"), F.col("epoch").alias("_t_epoch")
+        )
+        data = committed.filter(F.col("cell") != TOMBSTONE_CELL)
+        cond = (F.col("vec_id") == F.col("_t_vec")) & (
+            F.col("epoch") < F.col("_t_epoch")
+        )
+        live = (
+            data.join(F.broadcast(tombs), cond, "left_anti")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("live_rows"))
+        )
+        dead = (
+            data.join(F.broadcast(tombs), cond, "left_semi")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("suppressed_rows"))
+        )
+        return (
+            live.join(dead, "cell", "full_outer")
+            .select(
+                "cell",
+                F.coalesce(F.col("live_rows"), F.lit(0))
+                .cast("bigint")
+                .alias("live_rows"),
+                F.coalesce(F.col("suppressed_rows"), F.lit(0))
+                .cast("bigint")
+                .alias("suppressed_rows"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)

@@ -3472,3 +3472,52 @@ def test_upsert_stream_and_query_serving_see_suppression(spark, tmp_path):
         m_dims=8, index_df=read_served_index(spark, idx),
     )
     assert got == {tuple(r) for r in direct.collect()}
+
+
+def test_index_health_zeroes_after_compaction(spark, tmp_path):
+    """q280's compaction-trigger semantics pinned: on the lived-in
+    (q276 scenario) index the health metric reports real dead weight
+    (suppressed rows > 0 somewhere, and exactly the deleted/
+    superseded rows), and after compact_index every cell reads
+    suppressed_rows == 0 with live_rows unchanged — the fold
+    physically removed what the metric counted."""
+    from kinesis_producer_spark.streaming.ann_index import (
+        TOMBSTONE_CELL,
+        compact_index,
+        read_committed_index,
+    )
+    from kinesis_producer_spark.streaming.queries import (
+        _ann_upsert_scenario,
+    )
+
+    idx = str(tmp_path / "health_idx")
+    _ann_upsert_scenario(spark, "/root/testdata/sf0.001", idx)
+
+    def health():
+        committed = read_committed_index(spark, idx)
+        tombs = committed.filter(F.col("cell") == TOMBSTONE_CELL).select(
+            F.col("vec_id").alias("_t_vec"), F.col("epoch").alias("_t_epoch")
+        )
+        data = committed.filter(F.col("cell") != TOMBSTONE_CELL)
+        cond = (F.col("vec_id") == F.col("_t_vec")) & (
+            F.col("epoch") < F.col("_t_epoch")
+        )
+        live = {
+            r.cell: r.n
+            for r in data.join(F.broadcast(tombs), cond, "left_anti")
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        dead = {
+            r.cell: r.n
+            for r in data.join(F.broadcast(tombs), cond, "left_semi")
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        return live, dead
+
+    live_before, dead_before = health()
+    assert sum(dead_before.values()) > 0
+    hwm = compact_index(spark, idx)
+    assert hwm == 2
+    live_after, dead_after = health()
+    assert dead_after == {}
+    assert live_after == live_before

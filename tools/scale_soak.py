@@ -139,6 +139,9 @@ SOAK = [
     "q277_ann_upsert_compaction_serving",
     "q278_ivf_adaptive_nprobe_topk",
     "q279_ivf_adaptive_nprobe_recall",
+    # index health under churn: one code-table pass + churn-bounded
+    # broadcast tombstone side + per-cell count (serving's plan minus ADC)
+    "q280_ann_index_health",
     "q133_stream_version_track",
     "q153_stateful_sessions",
 ]
