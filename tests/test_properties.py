@@ -1041,3 +1041,139 @@ def test_html_extraction_drops_all_chrome_blocks(spark, tmp_path):
     assert r.clean_md5 == hashlib.md5(expect.encode()).hexdigest(), r
     assert r.n_clean == len(expect)
     assert r.content_ratio_micro == (1_000_000 * r.n_clean) // r.n_raw
+
+@given(data=st.data())
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_tombstone_algebra_matches_in_order_model(spark, data):
+    """Model-based check of the round-10 tombstone algebra: a random
+    add/upsert/delete epoch sequence — with random crash-before-marker
+    epochs replayed LATER and compactions interleaved anywhere — must
+    serve exactly what a plain-Python dict applying the SAME ops in
+    EPOCH-NUMBER order serves (exactly-once semantics: replay time is
+    irrelevant, suppression keys off the epoch number). Every vec
+    serves at most once, at the cell of the embedding its newest op
+    wrote; deleted vecs serve nowhere; compaction at any interleaving
+    point changes nothing observable."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from kinesis_producer_spark.operators.similarity import ivf_cell
+    from kinesis_producer_spark.streaming.ann_index import (
+        bootstrap_index,
+        compact_index,
+        index_upsert_writer,
+        read_served_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ids = list(range(15))
+    pool = e.filter(F.col("vec_id") < 15).cache()
+    neg = F.transform(F.col("embedding"), lambda x: -x)
+    # expected cell per (id, parity): parity 0 = original embedding,
+    # parity 1 = negated (each effective upsert flips)
+    cell_of = {
+        (r.vec_id, 0): r.c
+        for r in pool.select(
+            "vec_id", ivf_cell(F.col("embedding"), 3).alias("c")
+        ).collect()
+    }
+    cell_of.update(
+        {
+            (r.vec_id, 1): r.c
+            for r in pool.select("vec_id", ivf_cell(neg, 3).alias("c")).collect()
+        }
+    )
+
+    idx = os.path.join(
+        tempfile.gettempdir(), f"prop_ts_{uuid.uuid4().hex[:10]}"
+    )
+    try:
+        base_ids = [i for i in ids if i % 2 == 1]
+        cb = bootstrap_index(
+            pool.filter(F.col("vec_id").isin(base_ids)), idx,
+            n_centroids=4, m_dims=8, bits=3,
+        )
+        w = index_upsert_writer(idx, cb, bits=3, m_dims=8)
+
+        # generation-time state chooses which parity gets WRITTEN; the
+        # recorded history is the ground truth the model replays
+        gen_live = {i: 0 for i in base_ids}
+        history = []  # (epoch, id, op, written_parity)
+        crashed = []
+        n_epochs = data.draw(st.integers(2, 5), label="n_epochs")
+        for ep in range(n_epochs):
+            n_ops = data.draw(st.integers(1, 5), label=f"n_ops_{ep}")
+            ops = []
+            seen = set()
+            for _ in range(n_ops):
+                i = data.draw(st.sampled_from(ids), label=f"id_{ep}")
+                if i in seen:  # one op per id per epoch (an epoch's rows
+                    continue   # land as one dynamic overwrite)
+                seen.add(i)
+                if i in gen_live:
+                    op = data.draw(
+                        st.sampled_from(["upsert", "delete"]),
+                        label=f"op_{ep}_{i}",
+                    )
+                else:
+                    op = data.draw(
+                        st.sampled_from(["add", "upsert"]),
+                        label=f"op_{ep}_{i}",
+                    )
+                if op == "delete":
+                    wp = None
+                    gen_live.pop(i, None)
+                else:
+                    wp = (gen_live[i] ^ 1) if i in gen_live else 0
+                    gen_live[i] = wp
+                ops.append((i, op, wp))
+                history.append((ep, i, op, wp))
+            if not ops:
+                continue
+            batch = None
+            for i, op, wp in ops:
+                emb = neg if wp == 1 else F.col("embedding")
+                row = pool.filter(F.col("vec_id") == i).select(
+                    "vec_id",
+                    (emb if op != "delete" else F.col("embedding")).alias(
+                        "embedding"
+                    ),
+                    F.lit(op).alias("op"),
+                )
+                batch = row if batch is None else batch.unionByName(row)
+            w(batch, ep)
+            if data.draw(st.booleans(), label=f"crash_{ep}"):
+                os.unlink(
+                    os.path.join(idx, "_epoch_ledger", f"epoch-{ep}")
+                )
+                crashed.append((ep, batch))
+            elif data.draw(st.booleans(), label=f"compact_{ep}"):
+                compact_index(spark, idx)
+
+        # replay crashed epochs (commits them), then a final compaction
+        for ep, batch in crashed:
+            w(batch, ep)
+        if data.draw(st.booleans(), label="final_compact"):
+            compact_index(spark, idx)
+
+        # the MODEL: apply the recorded history in epoch-number order
+        model = {i: 0 for i in base_ids}  # id -> parity of live emb
+        for ep, i, op, wp in sorted(history, key=lambda t: t[0]):
+            if op == "delete":
+                model.pop(i, None)
+            else:
+                model[i] = wp
+        expected = {(i, cell_of[(i, p)]) for i, p in model.items()}
+
+        served = {
+            (r.vec_id, r.cell)
+            for r in read_served_index(spark, idx).collect()
+        }
+        assert served == expected, (sorted(served), sorted(expected))
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+        shutil.rmtree(idx + ".precompact", ignore_errors=True)
