@@ -288,8 +288,12 @@ def index_upsert_writer(
             )
             return
         ops = {"add", "upsert", "delete"}
+        # NULL-safe: ~isin(null) is null, which a plain filter would
+        # silently drop — a null op must fail loudly, not vanish
         bad = (
-            batch_df.filter(~F.col(op_col).isin(*ops))
+            batch_df.filter(
+                ~F.col(op_col).isin(*ops) | F.col(op_col).isNull()
+            )
             .select(op_col)
             .limit(1)
             .collect()
@@ -391,6 +395,15 @@ def _read_committed(
                     "— retry after the swap, or recover by renaming "
                     f"{path + '.precompact'!r} back to {path!r}"
                 )
+        return spark.createDataFrame([], empty_schema)
+    if not any(
+        name.startswith("cell=") or name.startswith("epoch=")
+        for name in (os.listdir(path) if os.path.isdir(path) else [])
+    ):
+        # a ledgered index with NO data partitions is legitimately
+        # empty — e.g. every row tombstoned and then compacted away
+        # (the fold writes nothing); spark.read.parquet on a
+        # data-less dir raises an opaque schema-inference error
         return spark.createDataFrame([], empty_schema)
     df = spark.read.parquet(path)
     cond = F.col("epoch").isin(extras) if extras else F.lit(False)

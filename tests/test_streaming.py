@@ -3521,3 +3521,56 @@ def test_index_health_zeroes_after_compaction(spark, tmp_path):
     live_after, dead_after = health()
     assert dead_after == {}
     assert live_after == live_before
+
+
+def test_full_deletion_compacts_to_empty_and_recovers(spark, tmp_path):
+    """The total-takedown edge: delete EVERY vector, compact — the
+    fold writes no data partitions at all — and the index must read
+    as a typed EMPTY frame (not an opaque schema-inference crash),
+    keep its replay-skip ledger, and accept fresh adds afterward.
+    Also pins the writer's null-op guard: a NULL op fails loudly
+    instead of silently vanishing from the batch."""
+    import pytest
+
+    from kinesis_producer_spark.streaming.ann_index import (
+        bootstrap_index,
+        compact_index,
+        index_upsert_writer,
+        read_committed_index,
+        read_served_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    small = e.filter(F.col("vec_id") < 20)
+    idx = str(tmp_path / "wipe_idx")
+    cb = bootstrap_index(small, idx, n_centroids=4, m_dims=8, bits=3)
+    w = index_upsert_writer(idx, cb, bits=3, m_dims=8)
+
+    # null op: loud failure, nothing written
+    with pytest.raises(ValueError, match="unknown op"):
+        w(
+            small.limit(1).select(
+                "vec_id", "embedding",
+                F.lit(None).cast("string").alias("op"),
+            ),
+            0,
+        )
+
+    w(small.select("vec_id", "embedding", F.lit("delete").alias("op")), 0)
+    assert read_served_index(spark, idx).count() == 0
+    hwm = compact_index(spark, idx)
+    assert hwm == 0
+    # data-less but ledgered: typed empty frames, no crash
+    assert read_committed_index(spark, idx).count() == 0
+    assert read_served_index(spark, idx).count() == 0
+    # replay-skip survived the wipe
+    w(small.select("vec_id", "embedding", F.lit("delete").alias("op")), 0)
+    assert read_committed_index(spark, idx).count() == 0
+    # and the index accepts fresh adds
+    w(
+        small.filter(F.col("vec_id") < 3).select(
+            "vec_id", "embedding", F.lit("add").alias("op")
+        ),
+        1,
+    )
+    assert read_served_index(spark, idx).count() == 3
