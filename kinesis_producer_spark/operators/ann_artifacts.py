@@ -47,19 +47,28 @@ def write_codebook(
     centroids: list[list[int]] | None = None,
     codebook: list[list[int]] | None = None,
     meta: dict | None = None,
+    sq8_ranges: tuple[list[int], list[int]] | None = None,
 ) -> None:
     """Persist frozen quantizers: ``centroids`` = the coarse (IVF)
     quantizer (list index = cell id), ``codebook`` = the PQ
     sub-codebooks flattened to full-dim rows (list index = centroid
-    id — exactly the shape every ``codebook=`` seam takes), ``meta``
-    = the training protocol (rounds, sample spec, m_dims, ...) the
-    serving job asserts against. At least one quantizer is required.
+    id — exactly the shape every ``codebook=`` seam takes),
+    ``sq8_ranges`` = the scalar quantizer's per-dimension (mn, span)
+    lists (``sq8_train_ranges`` — the ``ranges=`` seam of the SQ8
+    family), ``meta`` = the training protocol (rounds, sample spec,
+    m_dims, ...) the serving job asserts against. At least one
+    quantizer is required.
     Values must be plain ints — the artifact IS the bit-exactness
     contract, so floats are rejected rather than silently rounded.
     The write is atomic: a reader never observes a torn file."""
-    if centroids is None and codebook is None:
+    if centroids is None and codebook is None and sq8_ranges is None:
         raise ValueError("artifact needs centroids and/or a codebook")
-    for name, q in (("centroids", centroids), ("codebook", codebook)):
+    rng_rows = list(sq8_ranges) if sq8_ranges is not None else None
+    for name, q in (
+        ("centroids", centroids),
+        ("codebook", codebook),
+        ("sq8_ranges", rng_rows),
+    ):
         if q is None:
             continue
         for row in q:
@@ -73,6 +82,7 @@ def write_codebook(
         "format_version": FORMAT_VERSION,
         "centroids": centroids,
         "codebook": codebook,
+        "sq8_ranges": rng_rows,
         "meta": dict(meta or {}),
     }
     tmp = path + ".tmp"
@@ -87,8 +97,9 @@ def read_codebook(path: str) -> dict:
     exact integer values written — drop ``centroids`` into any
     ``centroids=`` seam and ``codebook`` into any ``codebook=`` seam
     (ivf_pq_topk_trained, ivf_pq_write_index, bootstrap_index,
-    index_append_writer, ann_query_writer). Fails loudly on a
-    version this reader does not understand."""
+    index_append_writer, ann_query_writer) and ``sq8_ranges`` into
+    any ``ranges=`` seam (sq8_codes/sq8_topk/ivf_sq8_topk). Fails
+    loudly on a version this reader does not understand."""
     with open(path) as fh:
         doc = json.load(fh)
     v = doc.get("format_version")
@@ -97,8 +108,10 @@ def read_codebook(path: str) -> dict:
             f"codebook artifact {path!r} has format_version {v!r}; "
             f"this reader understands {FORMAT_VERSION}"
         )
+    rng = doc.get("sq8_ranges")
     return {
         "centroids": doc.get("centroids"),
         "codebook": doc.get("codebook"),
+        "sq8_ranges": (rng[0], rng[1]) if rng is not None else None,
         "meta": doc.get("meta") or {},
     }

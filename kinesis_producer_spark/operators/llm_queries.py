@@ -9581,3 +9581,65 @@ def q279_ivf_adaptive_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFra
             .alias("recall_fixed_pct"),
         )
     )
+
+
+@query("q281_sq8_artifact_serving", oracle=_IVF_SQ8_ORACLE)
+def q281_sq8_artifact_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q275's train-once / serve-many split applied to the LAST
+    quantizer with in-run trained state — the scalar quantizer's
+    per-dimension (min, span) ranges: the trainer runs
+    ``sq8_train_ranges`` (one map-side min/max aggregate) plus the
+    coarse Lloyd training, persists BOTH in one artifact, and the
+    serving job answers IVF×SQ8 top-k from the frozen values without
+    touching the corpus for quantizer state. Row-identical to q273
+    (its oracle, verbatim): with this, every quantizer the family
+    trains — coarse centroids, PQ sub-codebooks, SQ8 ranges — ships
+    through ``ann_artifacts`` and no serving job ever retrains.
+
+    Scale: the range frame is dim·2 ints; freezing it matters beyond
+    cost — a serving fleet quantizing against ranges re-derived from
+    its own shard would de-calibrate codes across shards, exactly the
+    drift the frozen-codebook discipline (q255) exists to prevent."""
+    import os
+    import tempfile
+    import uuid
+
+    from kinesis_producer_spark.operators.ann_artifacts import (
+        read_codebook,
+        write_codebook,
+    )
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_serving_config,
+        ivf_sq8_topk,
+        sq8_train_ranges,
+        train_ivf_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n_cells, nprobe = ivf_serving_config(e.count())
+
+    # --- trainer job ---
+    cent = train_ivf_centroids(e, n_cells=n_cells, rounds=2)
+    rng = sq8_train_ranges(e)
+    art_path = os.path.join(
+        tempfile.gettempdir(), f"sq8_art_{uuid.uuid4().hex[:10]}.json"
+    )
+    try:
+        write_codebook(
+            art_path, centroids=cent, sq8_ranges=rng,
+            meta={"rounds": 2, "n_cells": n_cells, "nprobe": nprobe},
+        )
+
+        # --- serving job ---
+        art = read_codebook(art_path)
+        assert art["sq8_ranges"] == (rng[0], rng[1])
+        return ivf_sq8_topk(
+            e, query_ids=[0, 1, 2], k=10, shortlist=50,
+            nprobe=art["meta"]["nprobe"], centroids=art["centroids"],
+            ranges=art["sq8_ranges"],
+        )
+    finally:
+        try:
+            os.remove(art_path)
+        except FileNotFoundError:
+            pass

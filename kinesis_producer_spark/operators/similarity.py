@@ -1792,15 +1792,16 @@ def pq_codes_and_adc_topk(
     )
 
 
-def _sq8_parts(corpus: DataFrame, emb_col: str):
-    """Shared SQ8 machinery: per-dimension [min, max] micro-int range
-    (ONE map-side-combinable aggregate, dim·2 ints of driver control
-    data) and the Arrow-vectorized code/reconstruction UDFs over it.
-    All div operands are non-negative, so numpy floor division, Spark
-    ``div`` and DuckDB ``//`` agree."""
-    import numpy as np
-    import pandas as pd
-
+def sq8_train_ranges(
+    corpus: DataFrame, emb_col: str = "embedding"
+) -> tuple[list[int], list[int]]:
+    """The SQ8 quantizer's trainable state: per-dimension micro-int
+    (min, span) — ONE map-side-combinable aggregate, dim·2 ints of
+    driver control data. Returned as plain int lists so it persists
+    in the codebook artifact (``ann_artifacts.write_codebook(
+    sq8_ranges=...)``) exactly like centroids/codebooks: at 100 TB
+    the range pass runs once in the trainer job and every serving
+    job loads the frozen ranges instead of re-scanning the corpus."""
     rng_rows = (
         corpus.select(F.posexplode(F.col(emb_col)).alias("d", "v"))
         .select(
@@ -1814,11 +1815,33 @@ def _sq8_parts(corpus: DataFrame, emb_col: str):
         .collect()
     )  # bounded control data: dim rows
     dim = max(int(r["d"]) for r in rng_rows) + 1
-    mn = np.zeros(dim, dtype=np.int64)
-    span = np.ones(dim, dtype=np.int64)
+    mn = [0] * dim
+    span = [1] * dim
     for r in rng_rows:
         mn[int(r["d"])] = int(r["mn"])
         span[int(r["d"])] = max(int(r["mx"]) - int(r["mn"]), 1)
+    return mn, span
+
+
+def _sq8_parts(
+    corpus: DataFrame,
+    emb_col: str,
+    ranges: tuple[list[int], list[int]] | None = None,
+):
+    """Shared SQ8 machinery: per-dimension [min, max] micro-int range
+    (``sq8_train_ranges``, or a FROZEN ``ranges`` from the codebook
+    artifact — the train-once/serve-many seam) and the
+    Arrow-vectorized code/reconstruction UDFs over it. All div
+    operands are non-negative, so numpy floor division, Spark
+    ``div`` and DuckDB ``//`` agree."""
+    import numpy as np
+    import pandas as pd
+
+    mn_l, span_l = (
+        ranges if ranges is not None else sq8_train_ranges(corpus, emb_col)
+    )
+    mn = np.array(mn_l, dtype=np.int64)
+    span = np.array(span_l, dtype=np.int64)
 
     def _vm(embs: pd.Series) -> "np.ndarray":
         v = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
@@ -1840,12 +1863,16 @@ def _sq8_parts(corpus: DataFrame, emb_col: str):
 
 
 def sq8_codes(
-    corpus: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    ranges: tuple[list[int], list[int]] | None = None,
 ) -> DataFrame:
     """(vec_id, sq8_codes array<int>) — the persisted 64-bytes-per-
     vector payload (every element in [0, 255]; pinned in tests). One
-    zero-shuffle Arrow pass, the q234 emission discipline."""
-    codes_udf, _ = _sq8_parts(corpus, emb_col)
+    zero-shuffle Arrow pass, the q234 emission discipline. ``ranges``
+    = frozen (mn, span) from the codebook artifact."""
+    codes_udf, _ = _sq8_parts(corpus, emb_col, ranges)
     return corpus.select(
         F.col(id_col).alias("vec_id"),
         codes_udf(F.col(emb_col)).alias("sq8_codes"),
@@ -1860,6 +1887,7 @@ def sq8_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     exclude_self: bool = False,
+    ranges: tuple[list[int], list[int]] | None = None,
 ) -> DataFrame:
     """Scalar (SQ8) quantization ANN — the OTHER production
     compression member of the family (FAISS's ScalarQuantizer QT_8bit,
@@ -1883,8 +1911,10 @@ def sq8_topk(
     zero-shuffle Arrow pass (the q234 discipline: one array per
     vector, no dim explosion); the flat code scan is n·|queries|
     zip_with sums — compose with the IVF cell (q252's pruning) when
-    the corpus outgrows a flat scan, exactly as PQ does."""
-    _, recon_udf = _sq8_parts(corpus, emb_col)
+    the corpus outgrows a flat scan, exactly as PQ does. ``ranges``
+    = frozen (mn, span) from the codebook artifact (train-once /
+    serve-many; q281's seam)."""
+    _, recon_udf = _sq8_parts(corpus, emb_col, ranges)
     qm_col = F.transform(
         F.col(emb_col),
         lambda x: F.floor(F.lit(1e6) * x.cast("double") + F.lit(0.5)).cast(
@@ -1929,6 +1959,7 @@ def ivf_sq8_topk(
     emb_col: str = "embedding",
     exclude_self: bool = False,
     centroids: list[list[int]] | None = None,
+    ranges: tuple[list[int], list[int]] | None = None,
 ) -> DataFrame:
     """IVF×SQ8 — FAISS's ``IndexIVFScalarQuantizer`` (QT_8bit): the
     trained coarse quantizer prunes the scan to nprobe/n_cells
@@ -1956,7 +1987,7 @@ def ivf_sq8_topk(
             id_col=id_col, emb_col=emb_col,
         )
     cell_fn, probes_fn = _trained_parts(centroids, nprobe)
-    _, recon_udf = _sq8_parts(corpus, emb_col)
+    _, recon_udf = _sq8_parts(corpus, emb_col, ranges)
     qm_col = F.transform(
         F.col(emb_col),
         lambda x: F.floor(F.lit(1e6) * x.cast("double") + F.lit(0.5)).cast(

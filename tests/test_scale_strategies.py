@@ -2246,3 +2246,60 @@ def test_codebook_artifact_composes_with_streaming_index(spark, tmp_path):
     )
     direct = build_and_serve(str(tmp_path / "idx_mem"), cent, cb)
     assert via_artifact == direct and via_artifact
+
+
+def test_sq8_ranges_artifact_bit_identity():
+    """sq8_train_ranges through the artifact is the SAME quantizer:
+    codes and top-k rows bit-identical to in-run derivation, and the
+    ranges row-group validates as integers."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import SparkSession
+
+    from kinesis_producer_spark.operators.ann_artifacts import (
+        read_codebook,
+        write_codebook,
+    )
+    from kinesis_producer_spark.operators.similarity import (
+        sq8_codes,
+        sq8_topk,
+        sq8_train_ranges,
+    )
+
+    spark = SparkSession.getActiveSession() or (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rng = sq8_train_ranges(e)
+    assert all(isinstance(v, int) for part in rng for v in part)
+    p = os.path.join(
+        tempfile.gettempdir(), f"sq8rt_{uuid.uuid4().hex[:8]}.json"
+    )
+    try:
+        write_codebook(p, sq8_ranges=rng)
+        art = read_codebook(p)
+        derived = {
+            (r.vec_id, tuple(r.sq8_codes)) for r in sq8_codes(e).collect()
+        }
+        frozen = {
+            (r.vec_id, tuple(r.sq8_codes))
+            for r in sq8_codes(e, ranges=art["sq8_ranges"]).collect()
+        }
+        assert derived == frozen and derived
+        a = {tuple(r) for r in sq8_topk(e, [0, 1], k=5).collect()}
+        b = {
+            tuple(r)
+            for r in sq8_topk(
+                e, [0, 1], k=5, ranges=art["sq8_ranges"]
+            ).collect()
+        }
+        assert a == b and a
+    finally:
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass

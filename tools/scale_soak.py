@@ -142,6 +142,9 @@ SOAK = [
     # index health under churn: one code-table pass + churn-bounded
     # broadcast tombstone side + per-cell count (serving's plan minus ADC)
     "q280_ann_index_health",
+    # SQ8 ranges through the artifact: q273's plan with the range
+    # aggregate replaced by frozen control data — wall tracks q273
+    "q281_sq8_artifact_serving",
     "q133_stream_version_track",
     "q153_stateful_sessions",
 ]
