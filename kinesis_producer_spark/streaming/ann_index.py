@@ -302,6 +302,27 @@ def index_upsert_writer(
             raise ValueError(
                 f"unknown {op_col}={bad[0][0]!r}; expected one of {sorted(ops)}"
             )
+        # one op per key per epoch: suppression is keyed by EPOCH, so
+        # two upserts for one vec in the same batch would BOTH outlive
+        # each other's tombstone and double-serve — and there is no
+        # intra-batch order column to pick a winner from. The caller
+        # collapses multi-update keys to their last state first (the
+        # standard CDC micro-batch discipline); violations fail loudly
+        # instead of silently corrupting the served view.
+        dup = (
+            batch_df.groupBy(id_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"{id_col}={dup[0][0]!r} appears more than once in epoch "
+                f"{epoch_id}; collapse each key to its last state before "
+                "the write (suppression is per-epoch, so duplicates would "
+                "double-serve)"
+            )
         cell_col, codes_col = _cell_and_codes(
             codebook, centroids, bits, m_dims, emb_col
         )

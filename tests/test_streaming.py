@@ -3574,3 +3574,61 @@ def test_full_deletion_compacts_to_empty_and_recovers(spark, tmp_path):
         1,
     )
     assert read_served_index(spark, idx).count() == 3
+
+
+def test_upsert_writer_rejects_intra_batch_duplicates(spark, tmp_path):
+    """One op per key per epoch, enforced: suppression is keyed by
+    epoch number, so two upserts for one vec_id in the same batch
+    would both outlive each other's tombstone and double-serve — the
+    writer fails loudly instead, and nothing is written (no data, no
+    tombstones, no marker — the epoch stays uncommitted and a
+    corrected batch can land under the same epoch id)."""
+    import os
+
+    import pytest
+
+    from kinesis_producer_spark.streaming.ann_index import (
+        bootstrap_index,
+        index_upsert_writer,
+        is_committed,
+        read_served_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "dup_idx")
+    cb = bootstrap_index(
+        e.filter(F.col("vec_id") % 10 != 0), idx, n_centroids=4, m_dims=8,
+        bits=3,
+    )
+    w = index_upsert_writer(idx, cb, bits=3, m_dims=8)
+    before = read_served_index(spark, idx).count()
+
+    dup_batch = (
+        e.filter(F.col("vec_id") == 3)
+        .select("vec_id", "embedding", F.lit("upsert").alias("op"))
+        .unionByName(
+            e.filter(F.col("vec_id") == 3).select(
+                "vec_id",
+                F.transform(F.col("embedding"), lambda x: -x).alias(
+                    "embedding"
+                ),
+                F.lit("upsert").alias("op"),
+            )
+        )
+    )
+    with pytest.raises(ValueError, match="more than once"):
+        w(dup_batch, 0)
+    assert not is_committed(idx, 0)
+    assert read_served_index(spark, idx).count() == before
+    # the corrected (collapsed) batch lands under the same epoch id
+    w(
+        e.filter(F.col("vec_id") == 3).select(
+            "vec_id", "embedding", F.lit("upsert").alias("op")
+        ),
+        0,
+    )
+    assert is_committed(idx, 0)
+    assert (
+        read_served_index(spark, idx).filter(F.col("vec_id") == 3).count()
+        == 1
+    )
