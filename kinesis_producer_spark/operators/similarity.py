@@ -1670,6 +1670,7 @@ def ivf_pq_topk_from_index(
     centroids: list[list[int]] | None = None,
     nprobe: int = 2,
     index_df: DataFrame | None = None,
+    adapt_ratio: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Serve top-k from a PERSISTED IVF×PQ index
     (``ivf_pq_write_index``): compute the query-side probe cells and
@@ -1689,11 +1690,18 @@ def ivf_pq_topk_from_index(
     pre-constructed code-table frame for the plain parquet read —
     the streaming-maintained index passes its committed-epochs view
     (streaming/ann_index.read_committed_index) so ledger visibility
-    composes with the same probe-pruned scan."""
+    composes with the same probe-pruned scan. ``adapt_ratio`` makes
+    the probe width PER-QUERY ADAPTIVE on this production read path
+    exactly as on the inline one (q278's rule — ``nprobe`` becomes
+    the ceiling): the partition-filter IN-list shrinks to each
+    query's geometry, which is the q278 lever where it matters most —
+    fewer cell partitions opened per request."""
     spark = corpus.sparkSession
     _, qd2_fn, adist_fn = _pq_expr_parts(codebook, m_dims)
     if centroids is not None:
-        probes = _trained_parts(centroids, nprobe)[1](F.col(emb_col))
+        probes = _trained_parts(centroids, nprobe, adapt=adapt_ratio)[1](
+            F.col(emb_col)
+        )
     else:
         qc = ivf_cell(F.col(emb_col), bits)
         probes = F.array(

@@ -463,6 +463,7 @@ def ann_query_writer(
     emb_col: str = "embedding",
     centroids: list[list[int]] | None = None,
     nprobe: int = 2,
+    adapt_ratio: tuple[int, int] | None = None,
 ):
     """The ``foreachBatch`` function for the QUERY side of the
     streaming ANN story: queries ARRIVE as a stream (identified by
@@ -508,7 +509,8 @@ def ann_query_writer(
                 corpus, index_path, codebook, query_ids=[int(q) for q in qids],
                 k=k, shortlist=shortlist, bits=bits, m_dims=m_dims,
                 id_col=id_col, emb_col=emb_col, centroids=centroids,
-                nprobe=nprobe, index_df=read_served_index(spark, index_path),
+                nprobe=nprobe, adapt_ratio=adapt_ratio,
+                index_df=read_served_index(spark, index_path),
             ).withColumn("epoch", F.lit(int(epoch_id)))
             (
                 res.write.mode("overwrite")

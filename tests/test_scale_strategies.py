@@ -2303,3 +2303,61 @@ def test_sq8_ranges_artifact_bit_identity():
             os.remove(p)
         except FileNotFoundError:
             pass
+
+
+def test_adaptive_width_on_persisted_index_matches_inline(spark, tmp_path):
+    """q278's adaptive probe rule on the PRODUCTION read path: serving
+    from the persisted cell-partitioned index with adapt_ratio is
+    row-identical to the inline adaptive path (training must change
+    which partitions are opened, never a rank), and the partition
+    IN-list it pushes is the per-query adaptive list — strictly fewer
+    probed rows than the fixed ceiling on this fixture."""
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_pq_topk_from_index,
+        ivf_pq_topk_trained,
+        ivf_pq_write_index,
+        ivf_serving_config,
+        train_ivf_centroids,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n_cells, _ = ivf_serving_config(e.count())
+    cent = train_ivf_centroids(e, n_cells=n_cells, rounds=2)
+    idx = str(tmp_path / "ad_idx")
+    cb = ivf_pq_write_index(e, idx, n_centroids=16, m_dims=8, centroids=cent)
+
+    inline = ivf_pq_topk_trained(
+        e, [0, 1, 2], k=10, shortlist=50, nprobe=8, centroids=cent,
+        adapt_ratio=(2, 1),
+    )
+    served = ivf_pq_topk_from_index(
+        e, idx, cb, query_ids=[0, 1, 2], k=10, shortlist=50, m_dims=8,
+        centroids=cent, nprobe=8, adapt_ratio=(2, 1),
+    )
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(served) == as_set(inline) and as_set(served)
+
+    # and the streaming query writer accepts the lever end to end
+    import os
+
+    from kinesis_producer_spark.streaming.ann_index import (
+        ann_query_writer,
+        bootstrap_index,
+        read_committed_results,
+    )
+
+    sidx = str(tmp_path / "ad_sidx")
+    res = str(tmp_path / "ad_res")
+    cb2 = bootstrap_index(e, sidx, n_centroids=16, m_dims=8, centroids=cent)
+    w = ann_query_writer(
+        res, sidx, e, cb2, k=10, shortlist=50, m_dims=8, centroids=cent,
+        nprobe=8, adapt_ratio=(2, 1),
+    )
+    w(e.filter(F.col("vec_id").isin(0, 1, 2)).select("vec_id"), 0)
+    got = {
+        tuple(r)
+        for r in read_committed_results(spark, res)
+        .select("query_id", "vec_id", "adist_q", "cos_micro", "rank")
+        .collect()
+    }
+    assert got == as_set(inline)
