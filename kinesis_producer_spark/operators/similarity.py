@@ -327,6 +327,21 @@ def _trained_parts(
     import numpy as np
     import pandas as pd
 
+    if adapt is not None:
+        # degenerate ratios silently corrupt the keep mask (den=0
+        # keeps full width, negative den keeps rank 0 only) and
+        # diverge from the oracle's predicate — fail loudly instead
+        # (round-10 ADVICE)
+        a_num, a_den = adapt
+        if not (
+            isinstance(a_num, int)
+            and isinstance(a_den, int)
+            and a_num >= 1
+            and a_den >= 1
+        ):
+            raise ValueError(
+                f"adapt=(num, den) must be integers >= 1, got {adapt!r}"
+            )
     cmat = np.array(centroids, dtype=np.int64)  # (C, dim)
     n_c = len(cmat)
     dim = cmat.shape[1] if n_c else 0
@@ -1703,6 +1718,17 @@ def ivf_pq_topk_from_index(
             F.col(emb_col)
         )
     else:
+        if adapt_ratio is not None:
+            # the sign-bit quantizer's probe list is the fixed xor
+            # neighborhood — there is no centroid-distance ranking to
+            # adapt on. Silently ignoring the lever would leave the
+            # caller believing adaptive width is active (round-10
+            # ADVICE); the lever is trained-quantizer-only.
+            raise ValueError(
+                "adapt_ratio requires a trained quantizer "
+                "(centroids=...); the sign-bit path's probe list is "
+                "the fixed xor neighborhood"
+            )
         qc = ivf_cell(F.col(emb_col), bits)
         probes = F.array(
             qc, *[qc.bitwiseXOR(F.lit(1 << i)) for i in range(bits)]

@@ -288,40 +288,45 @@ def index_upsert_writer(
             )
             return
         ops = {"add", "upsert", "delete"}
-        # NULL-safe: ~isin(null) is null, which a plain filter would
-        # silently drop — a null op must fail loudly, not vanish
-        bad = (
-            batch_df.filter(
-                ~F.col(op_col).isin(*ops) | F.col(op_col).isNull()
-            )
-            .select(op_col)
-            .limit(1)
-            .collect()
-        )
-        if bad:
-            raise ValueError(
-                f"unknown {op_col}={bad[0][0]!r}; expected one of {sorted(ops)}"
-            )
-        # one op per key per epoch: suppression is keyed by EPOCH, so
+        # Both guards in ONE aggregation job (round-10 ADVICE: two
+        # eager collects re-evaluated the batch source twice per
+        # trigger). NULL-safe: ~isin(null) is null, which a plain
+        # filter would silently drop — a null op must fail loudly,
+        # not vanish, so it maps to a sentinel before the agg.
+        # One op per key per epoch: suppression is keyed by EPOCH, so
         # two upserts for one vec in the same batch would BOTH outlive
         # each other's tombstone and double-serve — and there is no
         # intra-batch order column to pick a winner from. The caller
         # collapses multi-update keys to their last state first (the
         # standard CDC micro-batch discipline); violations fail loudly
         # instead of silently corrupting the served view.
-        dup = (
-            batch_df.groupBy(id_col)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .collect()
+        bad_expr = F.when(
+            ~F.col(op_col).isin(*ops) | F.col(op_col).isNull(),
+            F.coalesce(F.col(op_col).cast("string"), F.lit("<NULL>")),
         )
-        if dup:
+        viol = (
+            batch_df.groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.min(bad_expr).alias("_bad"),
+            )
+            .agg(
+                F.min("_bad").alias("bad_op"),
+                F.min(F.when(F.col("_n") > 1, F.col(id_col))).alias("dup_key"),
+            )
+            .collect()[0]  # bounded: one row; map-side-combinable agg
+        )
+        if viol["bad_op"] is not None:
             raise ValueError(
-                f"{id_col}={dup[0][0]!r} appears more than once in epoch "
-                f"{epoch_id}; collapse each key to its last state before "
-                "the write (suppression is per-epoch, so duplicates would "
-                "double-serve)"
+                f"unknown {op_col}={viol['bad_op']!r}; "
+                f"expected one of {sorted(ops)}"
+            )
+        if viol["dup_key"] is not None:
+            raise ValueError(
+                f"{id_col}={viol['dup_key']!r} appears more than once in "
+                f"epoch {epoch_id}; collapse each key to its last state "
+                "before the write (suppression is per-epoch, so duplicates "
+                "would double-serve)"
             )
         cell_col, codes_col = _cell_and_codes(
             codebook, centroids, bits, m_dims, emb_col
@@ -568,11 +573,18 @@ def compact_index(spark: SparkSession, index_path: str) -> int:
     held for the duration, so a second concurrent compactor fails
     loudly instead of both racing the swap; and because APPENDERS are
     deliberately not blocked (a streaming writer must not stall on
-    maintenance), the ledger is re-read after the compacted copy is
-    written — if a new epoch committed meanwhile, the swap is ABORTED
-    (the rewrite would silently drop that epoch's data files while
-    its marker survived, the ledger claiming data that no longer
-    exists) and the caller retries at a quieter moment. The compacted
+    maintenance), the ledger is re-read TWICE — after the compacted
+    copy is written, and again after the old index is renamed aside
+    (the rename moves data and ledger together, so the second read is
+    race-free against epochs that committed before it): either
+    mismatch ABORTS the swap with the old index back in place (the
+    rewrite would otherwise silently drop that epoch's data files
+    while its marker survived, the ledger claiming data that no
+    longer exists) and the caller retries at a quieter moment. An
+    appender that starts after the rename-aside recreates the path
+    and makes the swap-in rename FAIL LOUDLY (old index intact at
+    ``.precompact``, recovery in the error) — no silent-loss path
+    remains, only a loud abort. The compacted
     copy is fully written and ledgered at ``<index>.compacting``,
     then two directory renames swap it in. Local-FS renames give a
     brief window where the path is absent (readers RAISE via
@@ -664,10 +676,11 @@ def _compact_index_locked(spark: SparkSession, index_path: str) -> int:
     # snapshot; an epoch committed since would have its data files
     # dropped by the swap while its marker survived. Abort — the
     # old index is untouched, the caller retries.
-    if set(committed_epochs(index_path)) != set(
+    expected = set(
         (list(range(BOOTSTRAP_EPOCH, hwm + 1)) if hwm is not None else [])
         + extras
-    ):
+    )
+    if set(committed_epochs(index_path)) != expected:
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
             f"compact_index aborted: new epochs committed under "
@@ -676,6 +689,33 @@ def _compact_index_locked(spark: SparkSession, index_path: str) -> int:
     old = index_path + ".precompact"
     shutil.rmtree(old, ignore_errors=True)
     os.replace(index_path, old)
-    os.replace(tmp, index_path)
+    # post-rename recheck (round-10 ADVICE): an epoch that finished
+    # committing between the recheck above and the rename now lives —
+    # data files AND marker — inside `old`; completing the swap would
+    # discard its data while the checkpoint has advanced past it
+    # (silent loss, never replayed). The rename moved the whole dir
+    # atomically, so the ledger in `old` is exactly the pre-swap
+    # ledger: re-read it and SWAP BACK on mismatch. The residual
+    # window is an appender that starts AFTER this rename — it
+    # recreates `index_path` fresh, which makes the second rename
+    # below fail loudly (rename onto a non-empty dir) with the old
+    # index intact at `.precompact`; no silent path remains.
+    if set(committed_epochs(old)) != expected:
+        os.replace(old, index_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_index aborted: an epoch committed under "
+            f"{index_path!r} during the swap; the old index was "
+            "restored in place — retry at a quieter moment"
+        )
+    try:
+        os.replace(tmp, index_path)
+    except OSError as exc:
+        raise RuntimeError(
+            f"compact_index swap failed ({exc}); an appender recreated "
+            f"{index_path!r} mid-swap. The complete pre-swap index is at "
+            f"{old!r} — quiesce writers, merge or discard the recreated "
+            f"dir, then rename {old!r} back to {index_path!r}"
+        ) from exc
     shutil.rmtree(old, ignore_errors=True)
     return new_hwm

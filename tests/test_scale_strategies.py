@@ -2361,3 +2361,39 @@ def test_adaptive_width_on_persisted_index_matches_inline(spark, tmp_path):
         .collect()
     }
     assert got == as_set(inline)
+
+
+def test_adaptive_probe_width_input_validation(spark):
+    """The round-10 ADVICE guards pinned: (a) degenerate adapt ratios
+    (den=0 keeps full width, non-positive members corrupt the keep
+    mask) fail loudly at _trained_parts / every adapt_ratio seam
+    instead of silently diverging from the oracle's predicate; (b)
+    adapt_ratio on the sign-bit (centroids=None) persisted-index path
+    raises instead of silently serving the fixed xor probe list."""
+    import pytest
+
+    from kinesis_producer_spark.operators.similarity import (
+        _trained_parts,
+        ivf_pq_topk_from_index,
+        ivf_pq_topk_trained,
+        train_ivf_centroids,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = train_ivf_centroids(e, n_cells=8, rounds=1)
+    for bad in ((2, 0), (0, 1), (-2, 1), (2, -1), (1.5, 1)):
+        with pytest.raises(ValueError, match="adapt"):
+            _trained_parts(cent, 8, adapt=bad)
+        with pytest.raises(ValueError, match="adapt"):
+            ivf_pq_topk_trained(
+                e, query_ids=[0], k=3, nprobe=8, centroids=cent,
+                adapt_ratio=bad,
+            ).collect()
+    # a valid ratio still builds
+    assert _trained_parts(cent, 8, adapt=(2, 1))[1] is not None
+
+    with pytest.raises(ValueError, match="trained quantizer"):
+        ivf_pq_topk_from_index(
+            e, "/nonexistent", [[0] * 64] * 4, query_ids=[0],
+            centroids=None, adapt_ratio=(2, 1),
+        )

@@ -3632,3 +3632,55 @@ def test_upsert_writer_rejects_intra_batch_duplicates(spark, tmp_path):
         read_served_index(spark, idx).filter(F.col("vec_id") == 3).count()
         == 1
     )
+
+
+def test_compact_swap_back_on_late_commit(spark, tmp_path, monkeypatch):
+    """The round-10 ADVICE race closed: an epoch that finishes
+    committing AFTER compact_index's ledger recheck but BEFORE the
+    rename-aside would have had its data silently discarded (marker
+    surviving in neither world, checkpoint already advanced — never
+    replayed). The post-rename recheck must catch it — the rename
+    moved data and ledger together, so the re-read is race-free —
+    SWAP THE OLD INDEX BACK, clean all residue, and raise; a retry at
+    a quiet moment then succeeds with the late epoch intact."""
+    from kinesis_producer_spark.streaming import ann_index as ai
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "race_idx")
+    cb = ai.bootstrap_index(
+        e.filter(F.col("vec_id") % 10 != 0), idx, n_centroids=16, m_dims=8,
+        bits=3,
+    )
+    writer = ai.index_append_writer(idx, cb, bits=3, m_dims=8)
+    writer(
+        e.filter(F.col("vec_id") % 20 == 0).select("vec_id", "embedding"), 0
+    )
+
+    late = e.filter(F.col("vec_id") % 20 == 10).select("vec_id", "embedding")
+    real_replace = os.replace
+    fired = []
+
+    def racing_replace(src, dst, *a, **k):
+        if src == idx and not fired:
+            fired.append(True)
+            # an appender lands + commits epoch 1 in the window
+            # between the pre-swap recheck and the rename-aside
+            writer(late, 1)
+        return real_replace(src, dst, *a, **k)
+
+    monkeypatch.setattr(ai.os, "replace", racing_replace)
+    with pytest.raises(RuntimeError, match="during the swap"):
+        ai.compact_index(spark, idx)
+    monkeypatch.setattr(ai.os, "replace", real_replace)
+
+    # old index restored IN PLACE with the late epoch's data + marker
+    assert sorted(ai.committed_epochs(idx)) == [-1, 0, 1]
+    for residue in (".compacting", ".precompact", ".compact.lock"):
+        assert not os.path.exists(idx + residue), residue
+    served = ai.read_committed_index(spark, idx)
+    n_late = e.filter(F.col("vec_id") % 20 == 10).count()
+    assert served.filter(F.col("epoch") == 1).count() == n_late
+    n_before = served.count()  # materialized before the retry moves files
+    # a quiet-moment retry folds everything, late epoch included
+    assert ai.compact_index(spark, idx) == 1
+    assert ai.read_committed_index(spark, idx).count() == n_before
