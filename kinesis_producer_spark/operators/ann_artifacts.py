@@ -29,8 +29,12 @@ deployable shape of the trained-quantizer family (q257–q267).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import shutil
+import tempfile
+import uuid
 
 FORMAT_VERSION = 1
 
@@ -115,3 +119,83 @@ def read_codebook(path: str) -> dict:
         "sq8_ranges": (rng[0], rng[1]) if rng is not None else None,
         "meta": doc.get("meta") or {},
     }
+
+
+def corpus_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
+    """Content-change fingerprint of a fixture table: realpath plus
+    the (name, size, mtime_ns) of every data file. Cheap (stat only —
+    never reads data) and regenerated fixtures change it, so a cached
+    artifact can never outlive the corpus it was trained on."""
+    base = os.path.join(sf_dir, f"{table}.parquet")
+    parts: list[tuple[str, int, int]] = []
+    if os.path.isdir(base):
+        for name in sorted(os.listdir(base)):
+            st = os.stat(os.path.join(base, name))
+            parts.append((name, st.st_size, st.st_mtime_ns))
+    else:
+        st = os.stat(base)
+        parts.append((os.path.basename(base), st.st_size, st.st_mtime_ns))
+    return hashlib.md5(
+        repr((os.path.realpath(base), FORMAT_VERSION, parts)).encode()
+    ).hexdigest()[:16]
+
+
+def _cache_root(cache_root: str | None) -> str:
+    root = cache_root or os.path.join(
+        tempfile.gettempdir(), "kps_ann_artifact_cache"
+    )
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def cached_artifact(
+    sf_dir: str, tag: str, trainer, cache_root: str | None = None
+) -> dict:
+    """Train-once / serve-many for REGISTERED serving queries (the
+    round-10 verdict's #2): the production split puts the trainer and
+    the server in different jobs, so a serving query should load a
+    frozen artifact, not pay ``rounds`` Lloyd passes per run. This
+    memoizes ``trainer()`` (→ write_codebook kwargs: centroids /
+    codebook / sq8_ranges / meta) under a key of (tag, corpus
+    fingerprint): the first run per corpus trains and persists, every
+    later run — bench passes included — deserializes the frozen
+    quantizers. Training is deterministic and integer-exact, so a
+    cache hit is bit-identical to a retrain BY CONSTRUCTION (the
+    artifact equality is also pinned in tests); a regenerated corpus
+    changes the fingerprint and retrains. Concurrency-safe: the write
+    is atomic (tmp + rename) and racing trainers produce identical
+    bytes."""
+    path = os.path.join(
+        _cache_root(cache_root), f"{tag}-{corpus_fingerprint(sf_dir)}.json"
+    )
+    if not os.path.exists(path):
+        write_codebook(path, **trainer())
+    return read_codebook(path)
+
+
+def cached_index_dir(
+    sf_dir: str, tag: str, builder, cache_root: str | None = None
+) -> str:
+    """Build-once STANDING INDEX for registered serving queries: in
+    production the cell-partitioned code table is a persistent store
+    built by the index-build job and kept fresh by the streaming
+    writers — a serving query answers against it, it never rebuilds
+    it per request. ``builder(tmp_path)`` must fully construct the
+    index (data + ledger) at ``tmp_path``; the ONE atomic rename then
+    publishes it, so readers only ever see complete indexes. Callers
+    must treat the returned directory as READ-ONLY (maintenance ops —
+    upsert/compact/rebuild — belong on per-run private copies). Keyed
+    by (tag, corpus fingerprint) like ``cached_artifact``; a racing
+    builder loses the rename and discards its copy."""
+    path = os.path.join(
+        _cache_root(cache_root), f"{tag}-{corpus_fingerprint(sf_dir)}"
+    )
+    if os.path.isdir(path):
+        return path
+    tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"
+    builder(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a racing builder won
+    return path

@@ -7576,6 +7576,38 @@ def q257_ivf_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trained_serving_artifact(e: DataFrame, sf_dir: str):
+    """The shared frozen-quantizer artifact at the
+    ``ivf_serving_config`` operating point — the round-10 verdict #2
+    seam for every registered query that SERVES with the trained
+    composition (q258/q259, streaming q272): one ``cached_artifact``
+    per corpus holds the 2-round Lloyd centroids and the lowest-id PQ
+    codebook, trained on first touch and deserialized after, so the
+    serving queries measure serving. A cache hit is bit-identical to
+    a retrain (deterministic integer-exact training; pinned in
+    tests/test_scale_strategies.py). Returns (n_cells, nprobe,
+    centroids, codebook)."""
+    from kinesis_producer_spark.operators.ann_artifacts import cached_artifact
+    from kinesis_producer_spark.operators.similarity import (
+        _collect_codebook,
+        ivf_serving_config,
+        train_ivf_centroids,
+    )
+
+    n_cells, nprobe = ivf_serving_config(e.count())
+    art = cached_artifact(
+        sf_dir,
+        f"ivfpq-tr-{n_cells}",
+        lambda: {
+            "centroids": train_ivf_centroids(e, n_cells=n_cells, rounds=2),
+            "codebook": _collect_codebook(e, "vec_id", "embedding", 16),
+            "meta": {"rounds": 2, "n_cells": n_cells, "nprobe": nprobe,
+                     "n_centroids": 16, "m_dims": 8},
+        },
+    )
+    return n_cells, nprobe, art["centroids"], art["codebook"]
+
+
 @query("q259_ivf_pq_trained_index_serving", oracle=_IVFPQ_TRAINED_TOPK_ORACLE)
 def q259_ivf_pq_trained_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q254's persisted-index serving against TRAINED cells: the
@@ -7584,37 +7616,36 @@ def q259_ivf_pq_trained_index_serving(spark: SparkSession, sf_dir: str) -> DataF
     table, so a query's nprobe-nearest-centroid list is an IN
     partition filter that prunes files before any I/O. Row-identical
     to q257 (its oracle, verbatim) — training must change WHICH
-    partitions exist, never a rank. Per-run uuid dir + eager
-    checkpoint (the q254 race discipline). (n_cells, nprobe) from
-    ``ivf_serving_config`` — the q257 default, kept in lockstep."""
-    import os
-    import shutil
-    import tempfile
-    import uuid
+    partitions exist, never a rank. (n_cells, nprobe) from
+    ``ivf_serving_config`` — the q257 default, kept in lockstep.
 
+    Registered on the ARTIFACT path (round-10 verdict #2): the frozen
+    quantizers come from a ``cached_artifact`` (train-once — the
+    trainer job's output, bit-identical to a retrain by construction)
+    and the code table from a ``cached_index_dir`` (build-once — the
+    standing index the build job publishes), so what this query
+    MEASURES per run is serving: probe-pruned scan + ADC + re-rank,
+    not Lloyd passes. First run per corpus pays the one-time
+    train+build, exactly the production cost model."""
+    from kinesis_producer_spark.operators.ann_artifacts import cached_index_dir
     from kinesis_producer_spark.operators.similarity import (
         ivf_pq_topk_from_index,
         ivf_pq_write_index,
-        ivf_serving_config,
-        train_ivf_centroids,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    n_cells, nprobe = ivf_serving_config(e.count())
-    cent = train_ivf_centroids(e, n_cells=n_cells, rounds=2)
-    idx = os.path.join(
-        tempfile.gettempdir(), f"ivfpq_tr_{uuid.uuid4().hex[:10]}"
+    n_cells, nprobe, cent, cb = _trained_serving_artifact(e, sf_dir)
+    idx = cached_index_dir(
+        sf_dir,
+        f"ivfpq-tr-idx-{n_cells}",
+        lambda p: ivf_pq_write_index(
+            e, p, n_centroids=16, m_dims=8, centroids=cent, codebook=cb
+        ),
     )
-    try:
-        cb = ivf_pq_write_index(
-            e, idx, n_centroids=16, m_dims=8, centroids=cent
-        )
-        return ivf_pq_topk_from_index(
-            e, idx, cb, query_ids=[0, 1, 2], k=10, shortlist=50, m_dims=8,
-            centroids=cent, nprobe=nprobe,
-        ).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(idx, ignore_errors=True)
+    return ivf_pq_topk_from_index(
+        e, idx, cb, query_ids=[0, 1, 2], k=10, shortlist=50, m_dims=8,
+        centroids=cent, nprobe=nprobe,
+    ).localCheckpoint(eager=True)
 
 
 @query(
@@ -7737,21 +7768,20 @@ def q258_ivf_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the knob, q253's contract); both approximate sides touch codes
     only until the ≤50-row re-rank; the probed counts are the exact
     rows each path's ADC stage scans — the efficiency claim measured
-    inside the query itself, not asserted in prose."""
+    inside the query itself, not asserted in prose. The trained
+    centroids come from the q259 ``cached_artifact`` (round-10
+    verdict #2 — per-run cost is the gate itself, not Lloyd passes;
+    a cache hit is bit-identical to a retrain by construction)."""
     from kinesis_producer_spark.operators.similarity import (
         _trained_parts,
         ivf_cell,
         ivf_pq_topk,
         ivf_pq_topk_trained,
-        train_ivf_centroids,
     )
-
-    from kinesis_producer_spark.operators.similarity import ivf_serving_config
 
     e = load_table(spark, sf_dir, "embeddings")
     qids = list(range(_RECALL_QUERIES))
-    n_cells, nprobe = ivf_serving_config(e.count())
-    cent = train_ivf_centroids(e, n_cells=n_cells, rounds=2)
+    n_cells, nprobe, cent, _ = _trained_serving_artifact(e, sf_dir)
     qs = e.filter(F.col("vec_id") < _RECALL_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -8619,7 +8649,13 @@ def q266_ivf_pq_fully_trained_topk(spark: SparkSession, sf_dir: str) -> DataFram
     subspaces together); serving is byte-identical to q262 — trained
     codebooks change VALUES, never the plan. The cells×nprobe point
     stays 16×2 so q262→q266 isolates codebook training; compose with
-    ivf_serving_config's operating point for deployment."""
+    ivf_serving_config's operating point for deployment. Registered
+    on the ARTIFACT path (round-10 verdict #2): both trained
+    quantizers — coarse centroids AND the residual sub-codebooks —
+    load from one ``cached_artifact``, so the per-run cost is the
+    serving composition, not four Lloyd passes; a cache hit is
+    bit-identical to a retrain by construction."""
+    from kinesis_producer_spark.operators.ann_artifacts import cached_artifact
     from kinesis_producer_spark.operators.similarity import (
         ivf_pq_residual_topk_trained,
         train_ivf_centroids,
@@ -8627,10 +8663,20 @@ def q266_ivf_pq_fully_trained_topk(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    cent = train_ivf_centroids(e, n_cells=16, rounds=2)
-    cbres = train_pq_codebooks(
-        e, n_centroids=16, m_dims=8, rounds=2, centroids=cent
-    )
+
+    def _train():
+        cent = train_ivf_centroids(e, n_cells=16, rounds=2)
+        return {
+            "centroids": cent,
+            "codebook": train_pq_codebooks(
+                e, n_centroids=16, m_dims=8, rounds=2, centroids=cent
+            ),
+            "meta": {"rounds": 2, "n_cells": 16, "n_centroids": 16,
+                     "m_dims": 8, "residual": True},
+        }
+
+    art = cached_artifact(sf_dir, "ivfpq-fully-tr-16", _train)
+    cent, cbres = art["centroids"], art["codebook"]
     return ivf_pq_residual_topk_trained(
         e, query_ids=[0, 1, 2], k=10, shortlist=50, n_cells=16, nprobe=2,
         rounds=2, n_centroids=16, m_dims=8, centroids=cent,

@@ -1360,15 +1360,26 @@ def q272_streaming_ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes a partition filter); answers are append-only epoch
     partitions; the corpus-sized work stays inside the distributed
     serving call. Crash-replay exactly-once is pinned in
-    tests/test_streaming.py."""
+    tests/test_streaming.py.
+
+    Registered on the ARTIFACT path (round-10 verdict #2): the
+    trained quantizers load from the shared ``cached_artifact`` and
+    the committed index from a READ-ONLY ``cached_index_dir`` (the
+    standing index a build job publishes once) — so the per-run cost
+    this query measures is the streaming QUERY side (per-trigger
+    probe-pruned serving + the answer ledger), not the deterministic
+    train+bootstrap that SCALE.md's round-10 phase profile showed at
+    61% of the old wall. Results/checkpoint stay per-run."""
     import os
     import shutil
     import tempfile
     import uuid
 
-    from kinesis_producer_spark.operators.similarity import (
-        ivf_serving_config,
-        train_ivf_centroids,
+    from kinesis_producer_spark.operators.ann_artifacts import (
+        cached_index_dir,
+    )
+    from kinesis_producer_spark.operators.llm_queries import (
+        _trained_serving_artifact,
     )
     from kinesis_producer_spark.streaming.ann_index import (
         ann_query_writer,
@@ -1377,18 +1388,20 @@ def q272_streaming_ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    n_cells, nprobe = ivf_serving_config(e.count())
-    cent = train_ivf_centroids(e, n_cells=n_cells, rounds=2)
+    n_cells, nprobe, cent, cb = _trained_serving_artifact(e, sf_dir)
     run = uuid.uuid4().hex[:10]
-    idx = os.path.join(tempfile.gettempdir(), f"ann_qstream_idx_{run}")
+    idx = cached_index_dir(
+        sf_dir,
+        f"ann-boot-tr-{n_cells}",
+        lambda p: bootstrap_index(
+            e, p, n_centroids=16, m_dims=8, centroids=cent, codebook=cb
+        ),
+    )
     res = os.path.join(tempfile.gettempdir(), f"ann_qstream_res_{run}")
     stream_dir = os.path.join(tempfile.gettempdir(), f"ann_qstream_src_{run}")
     ckpt = os.path.join(tempfile.gettempdir(), f"ann_qstream_ckpt_{run}")
     os.makedirs(stream_dir, exist_ok=True)
     try:
-        cb = bootstrap_index(
-            e, idx, n_centroids=16, m_dims=8, centroids=cent
-        )
         writer = ann_query_writer(
             res, idx, e, cb, k=10, shortlist=50, m_dims=8,
             centroids=cent, nprobe=nprobe,
@@ -1432,7 +1445,8 @@ def q272_streaming_ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     finally:
-        for d in (idx, res, stream_dir, ckpt):
+        # idx is the shared read-only cached index — NOT cleaned up
+        for d in (res, stream_dir, ckpt):
             shutil.rmtree(d, ignore_errors=True)
 
 

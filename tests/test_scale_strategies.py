@@ -2397,3 +2397,74 @@ def test_adaptive_probe_width_input_validation(spark):
             e, "/nonexistent", [[0] * 64] * 4, query_ids=[0],
             centroids=None, adapt_ratio=(2, 1),
         )
+
+
+def test_cached_artifact_train_once_and_bit_identity(spark, tmp_path):
+    """The round-10 verdict #2 seam pinned: (a) cached_artifact runs
+    its trainer EXACTLY ONCE per (tag, corpus) and every later call
+    deserializes values bit-identical to the retrain; (b) a corpus
+    content change (fingerprint) forces a retrain — a cached artifact
+    can never outlive its corpus; (c) cached_index_dir builds once,
+    returns the same published path after, and a second builder is
+    never invoked."""
+    import os
+    import shutil
+
+    from kinesis_producer_spark.operators.ann_artifacts import (
+        cached_artifact,
+        cached_index_dir,
+        corpus_fingerprint,
+    )
+    from kinesis_producer_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    # private corpus copy so we can touch its mtime
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        os.path.join(sf, "embeddings.parquet"),
+    )
+    root = str(tmp_path / "cache")
+    e = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    direct = train_ivf_centroids(e, n_cells=8, rounds=2)
+    calls = []
+
+    def trainer():
+        calls.append(1)
+        return {
+            "centroids": train_ivf_centroids(e, n_cells=8, rounds=2),
+            "meta": {"rounds": 2, "n_cells": 8},
+        }
+
+    a1 = cached_artifact(sf, "t8", trainer, cache_root=root)
+    a2 = cached_artifact(sf, "t8", trainer, cache_root=root)
+    assert len(calls) == 1  # (a) train once
+    assert a1["centroids"] == a2["centroids"] == direct  # bit-identical
+    assert a2["meta"]["n_cells"] == 8
+
+    # (b) corpus change -> new fingerprint -> retrain
+    fp_before = corpus_fingerprint(sf)
+    os.utime(os.path.join(sf, "embeddings.parquet"))
+    assert corpus_fingerprint(sf) != fp_before
+    cached_artifact(sf, "t8", trainer, cache_root=root)
+    assert len(calls) == 2
+
+    # (c) index dir: build once, stable path, complete on publish
+    from kinesis_producer_spark.streaming.ann_index import (
+        bootstrap_index,
+        read_committed_index,
+    )
+
+    builds = []
+
+    def builder(p):
+        builds.append(p)
+        bootstrap_index(e, p, n_centroids=8, m_dims=8, bits=3)
+
+    p1 = cached_index_dir(sf, "idx8", builder, cache_root=root)
+    p2 = cached_index_dir(sf, "idx8", builder, cache_root=root)
+    assert p1 == p2 and len(builds) == 1
+    assert builds[0] != p1  # built at a tmp path, published by rename
+    assert read_committed_index(spark, p1).count() == e.count()
