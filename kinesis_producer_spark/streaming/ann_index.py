@@ -593,21 +593,30 @@ def compact_index(spark: SparkSession, index_path: str) -> int:
     complete old index until the swap finishes — an object-store
     deployment swaps a conditional pointer instead, same layout.
     Returns the new watermark epoch."""
-    import shutil
+    lock = _acquire_maintenance_lock(index_path)
+    try:
+        return _compact_index_locked(spark, index_path)
+    finally:
+        os.remove(lock)
 
+
+def _acquire_maintenance_lock(index_path: str) -> str:
+    """One maintenance op at a time per index — compact_index and
+    rebuild_index share the SAME ``<index>.compact.lock`` sentinel
+    (O_EXCL create), so a compaction and a rebuild can never race
+    each other's swap. Appenders are deliberately NOT blocked; the
+    swap rechecks handle them (``_checked_swap``)."""
     lock = index_path + ".compact.lock"
     try:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
         raise RuntimeError(
-            f"another compact_index holds {lock!r} (or crashed holding "
-            "it: remove the lock after verifying no compactor is live)"
+            f"another maintenance op holds {lock!r} (or crashed holding "
+            "it: remove the lock after verifying no compactor/rebuilder "
+            "is live)"
         ) from None
     os.close(fd)
-    try:
-        return _compact_index_locked(spark, index_path)
-    finally:
-        os.remove(lock)
+    return lock
 
 
 def _compact_index_locked(spark: SparkSession, index_path: str) -> int:
@@ -672,10 +681,35 @@ def _compact_index_locked(spark: SparkSession, index_path: str) -> int:
     for e in keep_extras:
         with open(_marker(tmp, e), "x") as fh:
             fh.write("committed")
-    # append-race recheck (round-9 ADVICE): the rewrite above is a
-    # snapshot; an epoch committed since would have its data files
-    # dropped by the swap while its marker survived. Abort — the
-    # old index is untouched, the caller retries.
+    _checked_swap(index_path, tmp, hwm, extras, op="compact_index")
+    return new_hwm
+
+
+def _checked_swap(
+    index_path: str,
+    tmp: str,
+    hwm: int | None,
+    extras: list[int],
+    op: str,
+) -> None:
+    """The shared maintenance-swap tail (compact_index and
+    rebuild_index): publish the fully-written replacement at ``tmp``
+    (= ``<index>.compacting``) over ``index_path`` with the
+    append-race rechecks. (hwm, extras) is the ledger snapshot the
+    rewrite was computed from.
+
+    Race discipline: the ledger is re-read TWICE — before the
+    rename-aside (round-9 ADVICE: cheap abort, old index untouched)
+    and again AFTER it (round-10 ADVICE: the rename moves data and
+    ledger together, so the re-read is race-free against epochs that
+    finished committing in between; on mismatch the old index is
+    SWAPPED BACK in place and the caller retries). An appender that
+    starts after the rename-aside recreates ``index_path`` fresh and
+    makes the swap-in rename fail loudly with the complete old index
+    at ``.precompact`` and recovery steps in the error — no
+    silent-loss path remains, only loud aborts."""
+    import shutil
+
     expected = set(
         (list(range(BOOTSTRAP_EPOCH, hwm + 1)) if hwm is not None else [])
         + extras
@@ -683,28 +717,17 @@ def _compact_index_locked(spark: SparkSession, index_path: str) -> int:
     if set(committed_epochs(index_path)) != expected:
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
-            f"compact_index aborted: new epochs committed under "
+            f"{op} aborted: new epochs committed under "
             f"{index_path!r} during the rewrite; retry"
         )
     old = index_path + ".precompact"
     shutil.rmtree(old, ignore_errors=True)
     os.replace(index_path, old)
-    # post-rename recheck (round-10 ADVICE): an epoch that finished
-    # committing between the recheck above and the rename now lives —
-    # data files AND marker — inside `old`; completing the swap would
-    # discard its data while the checkpoint has advanced past it
-    # (silent loss, never replayed). The rename moved the whole dir
-    # atomically, so the ledger in `old` is exactly the pre-swap
-    # ledger: re-read it and SWAP BACK on mismatch. The residual
-    # window is an appender that starts AFTER this rename — it
-    # recreates `index_path` fresh, which makes the second rename
-    # below fail loudly (rename onto a non-empty dir) with the old
-    # index intact at `.precompact`; no silent path remains.
     if set(committed_epochs(old)) != expected:
         os.replace(old, index_path)
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
-            f"compact_index aborted: an epoch committed under "
+            f"{op} aborted: an epoch committed under "
             f"{index_path!r} during the swap; the old index was "
             "restored in place — retry at a quieter moment"
         )
@@ -712,10 +735,234 @@ def _compact_index_locked(spark: SparkSession, index_path: str) -> int:
         os.replace(tmp, index_path)
     except OSError as exc:
         raise RuntimeError(
-            f"compact_index swap failed ({exc}); an appender recreated "
+            f"{op} swap failed ({exc}); an appender recreated "
             f"{index_path!r} mid-swap. The complete pre-swap index is at "
             f"{old!r} — quiesce writers, merge or discard the recreated "
             f"dir, then rename {old!r} back to {index_path!r}"
         ) from exc
     shutil.rmtree(old, ignore_errors=True)
-    return new_hwm
+
+
+def index_health(spark: SparkSession, index_path: str) -> DataFrame:
+    """Per-cell (cell, live_rows, suppressed_rows) over the committed
+    index — the compaction-trigger metric (q280): suppressed rows are
+    the dead weight every probe of that cell still reads and the
+    merge-on-read anti-join still filters. One pass over the code
+    table (vec_id + cell + epoch, never raw vectors) against the
+    churn-bounded broadcast tombstone side — the plan shape serving
+    already pays, minus ADC."""
+    committed = read_committed_index(spark, index_path)
+    tombs = committed.filter(F.col("cell") == TOMBSTONE_CELL).select(
+        F.col("vec_id").alias("_t_vec"), F.col("epoch").alias("_t_epoch")
+    )
+    data = committed.filter(F.col("cell") != TOMBSTONE_CELL)
+    cond = (F.col("vec_id") == F.col("_t_vec")) & (
+        F.col("epoch") < F.col("_t_epoch")
+    )
+    live = (
+        data.join(F.broadcast(tombs), cond, "left_anti")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("live_rows"))
+    )
+    dead = (
+        data.join(F.broadcast(tombs), cond, "left_semi")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("suppressed_rows"))
+    )
+    return live.join(dead, "cell", "full_outer").select(
+        "cell",
+        F.coalesce(F.col("live_rows"), F.lit(0))
+        .cast("bigint")
+        .alias("live_rows"),
+        F.coalesce(F.col("suppressed_rows"), F.lit(0))
+        .cast("bigint")
+        .alias("suppressed_rows"),
+    )
+
+
+def maybe_compact(
+    spark: SparkSession,
+    index_path: str,
+    max_suppressed_num: int = 1,
+    max_suppressed_den: int = 10,
+) -> int | None:
+    """The auto-compaction POLICY (round-10 verdict #7) — the
+    threshold rule a serving tier runs on a schedule so the q280
+    health metric has an actuator: compact when the index-wide
+    suppressed/live ratio STRICTLY exceeds num/den (default 1/10 —
+    compact once >10% of the rows probes read are dead weight).
+    Integer-exact (``suppressed · den > live · num``, no float
+    ratio), so the decision is oracle-expressible. Fires
+    ``compact_index`` (its lock/swap discipline unchanged) and
+    returns the new watermark, or returns None without touching the
+    index. A fully-dead index (live=0, suppressed>0) fires; an empty
+    or tombstone-free index never does."""
+    if max_suppressed_num < 0 or max_suppressed_den < 1:
+        raise ValueError(
+            "threshold num/den must be >= 0 / >= 1, got "
+            f"{max_suppressed_num}/{max_suppressed_den}"
+        )
+    totals = index_health(spark, index_path).agg(
+        F.coalesce(F.sum("live_rows"), F.lit(0)).alias("live"),
+        F.coalesce(F.sum("suppressed_rows"), F.lit(0)).alias("dead"),
+    ).collect()[0]  # bounded: one row
+    if int(totals["dead"]) * max_suppressed_den > (
+        int(totals["live"]) * max_suppressed_num
+    ):
+        return compact_index(spark, index_path)
+    return None
+
+
+def rebuild_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_path: str,
+    n_centroids: int = 16,
+    m_dims: int = 8,
+    bits: int = 3,
+    n_cells: int | None = None,
+    rounds: int = 2,
+    sample_rows: int | None = None,
+    train_cells: bool = False,
+    artifact_path: str | None = None,
+    trigger=None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> dict:
+    """Close the index lifecycle loop (round-10 verdict #1): the
+    monitor (q261 staleness / q280 health) DETECTS drift, the
+    trainers produce fresh quantizers, the artifact persists them,
+    and ``compact_index`` owns the swap discipline — this operator
+    composes them into the one runbook a drifting 100 TB corpus
+    needs: **monitor fired → retrain on the surviving corpus →
+    re-encode → swap serving atomically**.
+
+    - ``trigger``: optional ``callable(spark, index_path) -> bool``
+      (e.g. a q261 recall-gap check or a q280 health threshold);
+      falsy → ``{"fired": False}`` and the index is untouched.
+      ``None`` = rebuild unconditionally.
+    - ``corpus`` is the SYSTEM OF RECORD: current raw embeddings for
+      every live vector (upserted rows already re-embedded). The
+      rebuild re-encodes the corpus rows whose ids the SERVED view
+      holds — suppression applied, so deleted/superseded rows are
+      physically absent from the new index. A served id missing from
+      the corpus fails loudly (silently dropping it would turn a
+      bookkeeping gap into data loss).
+    - quantizers are retrained FROM the surviving corpus:
+      ``train_cells=True`` runs ``train_ivf_centroids`` (bounded by
+      ``sample_rows`` — the q267 discipline; full-corpus Lloyd is
+      the one superlinear build pass); default keeps the sign-bit
+      coarse quantizer so the whole rebuild is oracle-expressible
+      (q282). The PQ codebook is always re-collected
+      (``_collect_codebook`` — the drifted corpus's lowest-id rows).
+    - the new index is written COMPLETE at ``<index>.compacting``
+      (one file per cell, bootstrap layout) with its ledger = a
+      high-watermark marker at the old max committed epoch — the
+      replay-skip contract survives the rebuild exactly as it
+      survives compaction: a Structured Streaming restart that
+      re-delivers any pre-rebuild epoch_id still skips it.
+    - swap = ``_checked_swap``: same lock (``_acquire_maintenance_
+      lock`` — a rebuild and a compaction can never race), same
+      double recheck + swap-back (a concurrent append ABORTS the
+      swap with the old index back in place), same loud-failure
+      residue story; readers raise on ``.compacting``/``.precompact``
+      residue mid-swap instead of serving empty.
+    - a LEDGER GAP (a crashed epoch below a committed one) REFUSES
+      the rebuild: folding everything to the bootstrap epoch would
+      mark the crashed epoch committed and skip its replay forever
+      (silent loss) — drain the stream first, then rebuild.
+    - ``artifact_path``: on success the new frozen quantizers are
+      persisted via ``write_codebook`` (atomic) — the serving jobs'
+      train-once artifact; writers must be re-created from it (the
+      old writer's frozen codebook no longer matches the index).
+
+    Returns ``{"fired": True, "hwm": N, "centroids": ...,
+    "codebook": ...}``. Pinned: post-swap serving row-identical to a
+    fresh ``bootstrap_index`` from the surviving corpus (q282's
+    oracle + tests), crash-mid-swap recovery, concurrent-append
+    abort, gap refusal, replay-skip survival."""
+    if trigger is not None and not trigger(spark, index_path):
+        return {"fired": False, "hwm": None, "centroids": None,
+                "codebook": None}
+    from kinesis_producer_spark.operators.ann_artifacts import write_codebook
+    from kinesis_producer_spark.operators.similarity import (
+        _collect_codebook,
+        train_ivf_centroids,
+    )
+
+    lock = _acquire_maintenance_lock(index_path)
+    try:
+        hwm, extras = _ledger_state(index_path)
+        if hwm is None and not extras:
+            raise ValueError(f"nothing committed under {index_path!r}")
+        floor = hwm if hwm is not None else BOOTSTRAP_EPOCH - 1
+        new_hwm = floor
+        es = set(extras)
+        while new_hwm + 1 in es:
+            new_hwm += 1
+        if any(e > new_hwm for e in extras):
+            raise ValueError(
+                f"rebuild_index refused: ledger gap under {index_path!r} "
+                f"(committed epochs {sorted(es)} above watermark "
+                f"{new_hwm}) — a crashed epoch is still awaiting replay, "
+                "and folding past it would skip that replay forever; "
+                "drain the stream, then rebuild"
+            )
+
+        served_ids = (
+            read_served_index(spark, index_path)
+            .select(F.col("vec_id").alias(id_col))
+            .distinct()
+        )
+        surviving = corpus.join(served_ids, id_col, "left_semi")
+        n_served = served_ids.count()
+        n_surv = surviving.count()
+        if n_surv != n_served:
+            raise ValueError(
+                f"corpus covers {n_surv} of {n_served} served ids under "
+                f"{index_path!r}; the rebuild corpus must be the system "
+                "of record for every live vector"
+            )
+        cent = (
+            train_ivf_centroids(
+                surviving, n_cells=n_cells, rounds=rounds,
+                id_col=id_col, emb_col=emb_col, sample_rows=sample_rows,
+            )
+            if train_cells
+            else None
+        )
+        cb = _collect_codebook(surviving, id_col, emb_col, n_centroids)
+        cell_col, codes_col = _cell_and_codes(cb, cent, bits, m_dims, emb_col)
+
+        import shutil
+
+        tmp = index_path + ".compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            surviving.select(
+                F.col(id_col).alias("vec_id"),
+                cell_col.alias("cell"),
+                codes_col.alias("codes"),
+                F.lit(BOOTSTRAP_EPOCH).alias("epoch"),
+            )
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell", "epoch")
+            .parquet(tmp)
+        )
+        os.makedirs(os.path.join(tmp, _LEDGER), exist_ok=True)
+        with open(_hwm_path(tmp, new_hwm), "w") as fh:
+            fh.write("committed-through")
+        _checked_swap(index_path, tmp, hwm, extras, op="rebuild_index")
+        if artifact_path is not None:
+            write_codebook(
+                artifact_path, centroids=cent, codebook=cb,
+                meta={"rounds": rounds if train_cells else None,
+                      "n_cells": n_cells, "n_centroids": n_centroids,
+                      "m_dims": m_dims, "sample_rows": sample_rows,
+                      "rebuilt_hwm": new_hwm},
+            )
+        return {"fired": True, "hwm": new_hwm, "centroids": cent,
+                "codebook": cb}
+    finally:
+        os.remove(lock)

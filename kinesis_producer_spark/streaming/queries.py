@@ -1768,46 +1768,198 @@ def q280_ann_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from kinesis_producer_spark.streaming.ann_index import (
-        TOMBSTONE_CELL,
-        read_committed_index,
-    )
+    from kinesis_producer_spark.streaming.ann_index import index_health
 
     idx = os.path.join(
         tempfile.gettempdir(), f"ann_health_{uuid.uuid4().hex[:10]}"
     )
     try:
         _ann_upsert_scenario(spark, sf_dir, idx)
-        committed = read_committed_index(spark, idx)
-        tombs = committed.filter(F.col("cell") == TOMBSTONE_CELL).select(
-            F.col("vec_id").alias("_t_vec"), F.col("epoch").alias("_t_epoch")
+        return index_health(spark, idx).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+# The REBUILD oracle: the q276 scenario rebuilt from scratch — same
+# surviving corpus, but the codebook is RETRAINED on it (the 16
+# lowest-id SURVIVING rows, vs the frozen base codebook the upsert
+# oracle keeps), which is exactly what rebuild_index does. Everything
+# else — cells, probes, ADC, shortlist, re-rank — is the shared
+# upsert-oracle algebra over the post-churn corpus.
+_ANN_REBUILD_ORACLE = _ANN_UPSERT_ORACLE.replace(
+    "FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 0",
+    "FROM (SELECT vec_id FROM embeddings WHERE vec_id % 30 <> 0",
+)
+assert _ANN_REBUILD_ORACLE != _ANN_UPSERT_ORACLE
+
+
+@query("q282_ann_index_rebuild_serving", oracle=_ANN_REBUILD_ORACLE)
+def q282_ann_index_rebuild_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index LIFECYCLE LOOP closed (round-10 verdict #1): after
+    the q276 add/upsert/delete stream has drifted the corpus away
+    from the bootstrap-time codebook, ``rebuild_index`` performs
+    monitor→retrain→re-encode→swap as ONE operator — retrains the
+    quantizers on the SURVIVING corpus (suppression applied: deleted
+    rows gone, upserts at their current embedding), re-encodes it
+    into a complete new index at one file per cell, persists the
+    frozen quantizers as the train-once artifact, and swaps serving
+    atomically under the same lock/recheck/residue discipline as
+    ``compact_index`` (a concurrent append ABORTS the swap; readers
+    raise on mid-swap residue; replay-skip survives via the carried
+    high watermark). Serving afterwards must be row-identical to a
+    FRESH ``bootstrap_index`` from the surviving corpus — this
+    query's oracle is exactly that fresh rebuild (the q276 algebra
+    with the codebook retrained on the survivors), and the
+    operator-vs-fresh-bootstrap equality plus crash/race/gap edges
+    are pinned in tests/test_streaming.py.
+
+    Scale: the rebuild is ONE bounded-train pass (sample_rows caps
+    Lloyd when trained cells are used) plus one distributed
+    encode+write of the surviving corpus — the same cost as the
+    initial build, paid only when the staleness monitor fires; the
+    swap is two renames. The serving read afterwards is the standard
+    probe-pruned scan with ZERO merge-on-read anti-join work (the
+    rebuild physically dropped all churn)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from kinesis_producer_spark.operators.ann_artifacts import read_codebook
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_pq_topk_from_index,
+    )
+    from kinesis_producer_spark.streaming.ann_index import (
+        read_served_index,
+        rebuild_index,
+    )
+
+    run = uuid.uuid4().hex[:10]
+    idx = os.path.join(tempfile.gettempdir(), f"ann_rebuild_{run}")
+    art = os.path.join(tempfile.gettempdir(), f"ann_rebuild_{run}.json")
+    try:
+        cur, _cb_old = _ann_upsert_scenario(spark, sf_dir, idx)
+        out = rebuild_index(
+            spark, cur, idx, n_centroids=16, m_dims=8, bits=3,
+            artifact_path=art,
         )
-        data = committed.filter(F.col("cell") != TOMBSTONE_CELL)
-        cond = (F.col("vec_id") == F.col("_t_vec")) & (
-            F.col("epoch") < F.col("_t_epoch")
-        )
-        live = (
-            data.join(F.broadcast(tombs), cond, "left_anti")
-            .groupBy("cell")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("live_rows"))
-        )
-        dead = (
-            data.join(F.broadcast(tombs), cond, "left_semi")
-            .groupBy("cell")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("suppressed_rows"))
-        )
-        return (
-            live.join(dead, "cell", "full_outer")
-            .select(
-                "cell",
-                F.coalesce(F.col("live_rows"), F.lit(0))
+        assert out["fired"] and read_codebook(art)["codebook"] == out["codebook"]
+        return ivf_pq_topk_from_index(
+            cur, idx, out["codebook"], query_ids=[1, 2, 3], k=10,
+            shortlist=50, bits=3, m_dims=8,
+            index_df=read_served_index(spark, idx),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+        try:
+            os.remove(art)
+        except FileNotFoundError:
+            pass
+
+
+@query(
+    "q283_ann_auto_compaction_policy",
+    oracle="""
+    WITH written AS (
+      SELECT vec_id, embedding, -1 AS epoch
+      FROM embeddings WHERE vec_id % 10 <> 0
+      UNION ALL
+      SELECT vec_id, embedding, 0 FROM embeddings WHERE vec_id % 10 = 0
+      UNION ALL
+      SELECT vec_id, list_transform(embedding, x -> -x), 1
+      FROM embeddings WHERE vec_id % 20 = 0),
+    tomb AS (
+      SELECT vec_id, 1 AS epoch FROM embeddings WHERE vec_id % 20 = 0
+      UNION ALL
+      SELECT vec_id, 2 FROM embeddings WHERE vec_id % 30 = 0),
+    flagged AS (
+      SELECT w.vec_id, w.epoch,
+             EXISTS (SELECT 1 FROM tomb t
+                     WHERE t.vec_id = w.vec_id AND t.epoch > w.epoch) AS dead
+      FROM written w),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN NOT dead THEN 1 ELSE 0 END) AS BIGINT) AS live_rows,
+             CAST(SUM(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT) AS suppressed_rows
+      FROM flagged)
+    SELECT live_rows, suppressed_rows,
+           CAST(CASE WHEN suppressed_rows * 20 > live_rows * 1
+                THEN 1 ELSE 0 END AS BIGINT) AS fired,
+           CAST(CASE WHEN suppressed_rows * 20 > live_rows * 1
+                THEN 0 ELSE suppressed_rows END AS BIGINT) AS post_suppressed
+    FROM tot
+    """,
+)
+def q283_ann_auto_compaction_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO-COMPACTION policy (round-10 verdict #7) — the q280 health
+    metric gets its actuator: ``maybe_compact`` fires
+    ``compact_index`` exactly when the index-wide suppressed/live
+    ratio STRICTLY exceeds num/den (registered at 1/20 — compact once
+    >5% of the rows probes read are dead weight; the q276 churn
+    fixture sits near 8.6%, so the policy fires here and the
+    oracle's integer rule agrees). Output row: the pre-policy totals,
+    the decision, and the POST-policy suppressed count recomputed
+    from the physical index — zero when fired (the fold dropped the
+    churn), unchanged when not. The threshold rule is integer-exact
+    (``suppressed·den > live·num``), so the oracle reproduces the
+    decision from the written-rows/tombstone algebra alone;
+    fires-exactly-at-threshold (both sides) is pinned in
+    tests/test_streaming.py.
+
+    Scale: the decision reads (cell, epoch, vec_id) once against the
+    churn-bounded broadcast tombstone side — the health scan a
+    serving tier already runs; the compaction it triggers is the
+    q274/q277 fold, amortized over every probe that stops reading
+    dead rows."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from kinesis_producer_spark.streaming.ann_index import (
+        index_health,
+        maybe_compact,
+    )
+
+    idx = os.path.join(
+        tempfile.gettempdir(), f"ann_policy_{uuid.uuid4().hex[:10]}"
+    )
+    try:
+        _ann_upsert_scenario(spark, sf_dir, idx)
+        pre = (
+            index_health(spark, idx)
+            .agg(
+                F.coalesce(F.sum("live_rows"), F.lit(0))
                 .cast("bigint")
                 .alias("live_rows"),
-                F.coalesce(F.col("suppressed_rows"), F.lit(0))
+                F.coalesce(F.sum("suppressed_rows"), F.lit(0))
                 .cast("bigint")
                 .alias("suppressed_rows"),
             )
-            .localCheckpoint(eager=True)
+            .collect()[0]
         )
+        hwm = maybe_compact(
+            spark, idx, max_suppressed_num=1, max_suppressed_den=20
+        )
+        post = (
+            index_health(spark, idx)
+            .agg(
+                F.coalesce(F.sum("suppressed_rows"), F.lit(0))
+                .cast("bigint")
+                .alias("post_suppressed")
+            )
+            .collect()[0]
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    int(pre["live_rows"]),
+                    int(pre["suppressed_rows"]),
+                    1 if hwm is not None else 0,
+                    int(post["post_suppressed"]),
+                )
+            ],
+            "live_rows bigint, suppressed_rows bigint, fired bigint, "
+            "post_suppressed bigint",
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(idx, ignore_errors=True)

@@ -3684,3 +3684,263 @@ def test_compact_swap_back_on_late_commit(spark, tmp_path, monkeypatch):
     # a quiet-moment retry folds everything, late epoch included
     assert ai.compact_index(spark, idx) == 1
     assert ai.read_committed_index(spark, idx).count() == n_before
+
+
+def _rebuild_scenario(spark, idx):
+    """The q276 churn fixture on sf0.001: bootstrap + add/upsert/
+    delete epochs; returns the post-stream corpus (system of record)."""
+    from kinesis_producer_spark.streaming.ann_index import (
+        bootstrap_index,
+        index_upsert_writer,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    neg = F.transform(F.col("embedding"), lambda x: -x)
+    cur = e.filter(F.col("vec_id") % 30 != 0).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 20 == 0, neg).otherwise(F.col("embedding")),
+    )
+    cb = bootstrap_index(
+        e.filter(F.col("vec_id") % 10 != 0), idx, n_centroids=16, m_dims=8,
+        bits=3,
+    )
+    w = index_upsert_writer(idx, cb, bits=3, m_dims=8)
+    w(e.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", "embedding", F.lit("add").alias("op")), 0)
+    w(e.filter(F.col("vec_id") % 20 == 0).select(
+        "vec_id", neg.alias("embedding"), F.lit("upsert").alias("op")), 1)
+    w(e.filter(F.col("vec_id") % 30 == 0).select(
+        "vec_id", "embedding", F.lit("delete").alias("op")), 2)
+    return cur
+
+
+def test_rebuild_index_lifecycle(spark, tmp_path):
+    """The round-11 headline pinned: rebuild_index composes
+    monitor→retrain→re-encode→swap. (1) the rebuilt index is
+    ROW-IDENTICAL (vec_id, cell, codes) to a FRESH bootstrap_index
+    from the surviving corpus — rebuild-equivalence, the operator's
+    core contract; (2) all churn is physically gone (no tombstones,
+    no suppressed rows); (3) replay-skip survives: every pre-rebuild
+    epoch_id still reads committed, so a checkpoint replay is a
+    no-op; (4) a falsy trigger leaves the index untouched; (5) the
+    artifact records exactly the quantizers serving; (6) a corpus
+    missing a served id fails loudly; (7) a ledger gap refuses the
+    rebuild (folding past it would skip the crashed epoch's replay
+    forever)."""
+    from kinesis_producer_spark.streaming import ann_index as ai
+
+    idx = str(tmp_path / "rb_idx")
+    cur = _rebuild_scenario(spark, idx)
+
+    # (4) falsy trigger: untouched
+    before = ai.committed_epochs(idx)
+    out = ai.rebuild_index(
+        spark, cur, idx, trigger=lambda s, p: False
+    )
+    assert out == {"fired": False, "hwm": None, "centroids": None,
+                   "codebook": None}
+    assert ai.committed_epochs(idx) == before
+
+    # (6) corpus missing a served id fails loudly, index untouched
+    import pytest
+
+    with pytest.raises(ValueError, match="system of record"):
+        ai.rebuild_index(spark, cur.filter(F.col("vec_id") != 1), idx)
+    assert ai.committed_epochs(idx) == before
+
+    # the rebuild itself, with an artifact
+    art = str(tmp_path / "rb_art.json")
+    out = ai.rebuild_index(
+        spark, cur, idx, n_centroids=16, m_dims=8, bits=3,
+        artifact_path=art,
+    )
+    assert out["fired"] and out["hwm"] == 2
+
+    # (1) rebuild-equivalence vs a fresh bootstrap from survivors
+    fresh = str(tmp_path / "fresh_idx")
+    cb_fresh = ai.bootstrap_index(
+        cur, fresh, n_centroids=16, m_dims=8, bits=3
+    )
+    assert out["codebook"] == cb_fresh
+    rows = lambda p: {  # noqa: E731
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in ai.read_served_index(spark, p).collect()
+    }
+    assert rows(idx) == rows(fresh)
+
+    # (2) churn physically gone; ledger folded to one watermark
+    raw = spark.read.parquet(idx)
+    assert raw.filter(F.col("cell") == ai.TOMBSTONE_CELL).count() == 0
+    assert raw.filter(F.col("epoch") != ai.BOOTSTRAP_EPOCH).count() == 0
+    assert ai.committed_epochs(idx) == [-1, 0, 1, 2]
+
+    # (5) the artifact records the serving quantizers
+    from kinesis_producer_spark.operators.ann_artifacts import read_codebook
+
+    a = read_codebook(art)
+    assert a["codebook"] == out["codebook"] and a["centroids"] is None
+    assert a["meta"]["rebuilt_hwm"] == 2
+
+    # (3) replay-skip: a pre-rebuild epoch re-delivered by a restarted
+    # stream is skipped (writers rebuilt from the NEW artifact)
+    w2 = ai.index_upsert_writer(idx, a["codebook"], bits=3, m_dims=8)
+    served_before = rows(idx)
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    w2(
+        e.filter(F.col("vec_id") % 20 == 0).select(
+            "vec_id", "embedding", F.lit("upsert").alias("op")
+        ),
+        1,
+    )
+    assert rows(idx) == served_before
+    # and genuinely new epochs land normally
+    w2(
+        e.filter(F.col("vec_id") == 7).select(
+            "vec_id", "embedding", F.lit("delete").alias("op")
+        ),
+        3,
+    )
+    assert 7 not in {v for v, _c, _k in rows(idx)}
+
+    # (7) gap refusal: epoch 5 crashes pre-marker, epoch 6 commits
+    import os
+
+    w2(e.filter(F.col("vec_id") == 8).select(
+        "vec_id", "embedding", F.lit("add").alias("op")), 5)
+    os.unlink(os.path.join(idx, "_epoch_ledger", "epoch-5"))
+    w2(e.filter(F.col("vec_id") == 9).select(
+        "vec_id", "embedding", F.lit("delete").alias("op")), 6)
+    with pytest.raises(ValueError, match="gap"):
+        ai.rebuild_index(spark, cur, idx)
+
+
+def test_rebuild_index_swap_races(spark, tmp_path, monkeypatch):
+    """rebuild_index inherits compact_index's swap discipline, pinned
+    on the rebuild path itself: (a) an epoch committed during the
+    swap window ABORTS the rebuild with the old index (late epoch
+    included) restored in place; (b) a crash between the two swap
+    renames leaves readers RAISING with the recovery fact and the
+    complete old index at .precompact — renaming it back recovers,
+    and the retried rebuild succeeds; (c) the maintenance lock is
+    shared — a held compact.lock fails the rebuild loudly."""
+    import os
+
+    import pytest
+
+    from kinesis_producer_spark.streaming import ann_index as ai
+
+    idx = str(tmp_path / "rbr_idx")
+    cur = _rebuild_scenario(spark, idx)
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    # (c) shared maintenance lock
+    with open(idx + ".compact.lock", "x") as fh:
+        fh.write("held")
+    with pytest.raises(RuntimeError, match="maintenance op"):
+        ai.rebuild_index(spark, cur, idx)
+    os.remove(idx + ".compact.lock")
+
+    # (a) concurrent append commits in the swap window -> abort +
+    # restore (writer uses the OLD codebook: the rebuild never
+    # happened, so the old quantizers are still the index's)
+    from kinesis_producer_spark.operators.similarity import _collect_codebook
+
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    old_cb = _collect_codebook(base, "vec_id", "embedding", 16)
+    w_old = ai.index_upsert_writer(idx, old_cb, bits=3, m_dims=8)
+    real_replace = os.replace
+    fired = []
+
+    def racing_replace(src, dst, *a, **k):
+        if src == idx and not fired:
+            fired.append(True)
+            w_old(
+                e.filter(F.col("vec_id") == 4).select(
+                    "vec_id", "embedding", F.lit("delete").alias("op")
+                ),
+                3,
+            )
+        return real_replace(src, dst, *a, **k)
+
+    monkeypatch.setattr(ai.os, "replace", racing_replace)
+    with pytest.raises(RuntimeError, match="during the swap"):
+        ai.rebuild_index(spark, cur, idx)
+    monkeypatch.setattr(ai.os, "replace", real_replace)
+    assert sorted(ai.committed_epochs(idx)) == [-1, 0, 1, 2, 3]
+    for residue in (".compacting", ".precompact", ".compact.lock"):
+        assert not os.path.exists(idx + residue), residue
+    assert 4 not in {
+        r.vec_id for r in ai.read_served_index(spark, idx).collect()
+    }
+
+    # (b) crash between the two swap renames
+    cur2 = cur.filter(F.col("vec_id") != 4)  # epoch 3 deleted vec 4
+    calls = []
+
+    def crashing_replace(src, dst, *a, **k):
+        if src == idx:
+            calls.append(1)
+            real_replace(src, dst, *a, **k)
+            raise OSError("simulated crash after rename-aside")
+        return real_replace(src, dst, *a, **k)
+
+    monkeypatch.setattr(ai.os, "replace", crashing_replace)
+    with pytest.raises(OSError, match="simulated crash"):
+        ai.rebuild_index(spark, cur2, idx)
+    monkeypatch.setattr(ai.os, "replace", real_replace)
+    # (a real crash would die holding the lock; the in-test exception
+    # unwinds through rebuild_index's finally, which releases it)
+    # readers surface the recoverable state instead of serving empty
+    with pytest.raises(RuntimeError, match="precompact"):
+        ai.read_committed_index(spark, idx)
+    # recovery: the complete old index survives at .precompact
+    os.replace(idx + ".precompact", idx)
+    import shutil
+
+    shutil.rmtree(idx + ".compacting", ignore_errors=True)
+    assert sorted(ai.committed_epochs(idx)) == [-1, 0, 1, 2, 3]
+    # and the retried rebuild succeeds end to end
+    out = ai.rebuild_index(spark, cur2, idx)
+    assert out["fired"] and out["hwm"] == 3
+    assert 4 not in {
+        r.vec_id for r in ai.read_served_index(spark, idx).collect()
+    }
+
+
+def test_maybe_compact_fires_exactly_at_threshold(spark, tmp_path):
+    """The auto-compaction policy pinned on BOTH sides of its
+    threshold: on the q276 churn fixture (suppressed/live ≈ 8.6%)
+    maybe_compact(1, 10) does NOT fire (8.6% < 10%) and leaves every
+    tombstone on disk; maybe_compact(1, 20) DOES fire (> 5%),
+    compacts, and the suppressed count is physically zero; a second
+    call after compaction never fires (0% dead). Decision is
+    integer-exact — the same rule the q283 oracle computes."""
+    import os
+
+    from kinesis_producer_spark.streaming import ann_index as ai
+
+    idx = str(tmp_path / "pol_idx")
+    _rebuild_scenario(spark, idx)
+    tot = ai.index_health(spark, idx).agg(
+        F.sum("live_rows").alias("l"), F.sum("suppressed_rows").alias("d")
+    ).collect()[0]
+    live, dead = int(tot["l"]), int(tot["d"])
+    assert dead * 10 <= live * 1 < dead * 20  # the fixture straddles
+
+    assert ai.maybe_compact(spark, idx, 1, 10) is None
+    raw = spark.read.parquet(idx)
+    assert raw.filter(F.col("cell") == ai.TOMBSTONE_CELL).count() > 0
+
+    hwm = ai.maybe_compact(spark, idx, 1, 20)
+    assert hwm == 2
+    assert not os.path.exists(idx + ".compact.lock")
+    post = ai.index_health(spark, idx).agg(
+        F.sum("suppressed_rows").alias("d")
+    ).collect()[0]
+    assert int(post["d"]) == 0
+    assert ai.maybe_compact(spark, idx, 1, 20) is None
+
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold"):
+        ai.maybe_compact(spark, idx, 1, 0)
