@@ -1963,3 +1963,128 @@ def q283_ann_auto_compaction_policy(spark: SparkSession, sf_dir: str) -> DataFra
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+@query(
+    "q284_kinesis_consume_roundtrip",
+    oracle=f"""
+    SELECT 'shardId-' || LPAD(CAST((INSTR('0123456789abcdef',
+               SUBSTR(MD5(event_type), 1, 1)) - 1) // 4 AS VARCHAR),
+               12, '0') AS shard_id,
+           event_type AS typeOfReading,
+           COUNT(*) AS n_ok,
+           {dsum_sql('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q284_kinesis_consume_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's produce→consume LOOP closed end to end
+    (round-10 verdict #3): the producer half fills the stream
+    (q40's sink path — chunking, retries, hash-range shard routing —
+    over a DURABLE transport: ``FileStreamTransport`` persists every
+    successful record in per-shard block files with per-shard
+    sequence numbers, the mock of Kinesis shard storage), and the
+    consumer half reads it back SHARD-AWARE
+    (``read_stream_records``: one distributed scan reconstructing
+    (shard_id, sequence_number) from the block layout) and runs the
+    q45 Firehose transform on the consumed bytes — exactly the
+    reference's topology, where main.py:20-23 puts records and
+    acoustic_parser_lambda.py:54-70 consumes them off the stream.
+    Output: per (shard_id, typeOfReading) delivered-record counts and
+    value sums; the oracle recomputes shard routing from the md5
+    hash-range contract and the aggregate from the events table —
+    every record must arrive exactly once on exactly the right shard,
+    through a producer path that includes injected throttle failures
+    and their retries (a failed attempt must NOT land in the stream;
+    its retry must).
+
+    Per-shard sequence ordering, iterator paging, checkpointed
+    at-least-once consumption with dedup-on-SequenceNumber, and the
+    resharding parent-before-children rule are pinned in
+    tests/test_streaming.py (ordering facts are consumer-side
+    contracts a run-once aggregate cannot express).
+
+    Scale: the produce side is q40's executor-parallel path; the
+    consume side is an ordinary partitioned file scan (at 100 TB the
+    shard logs are object-store prefixes, same read); sequence
+    reconstruction is a projection — no shuffle until the final
+    aggregate."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from kinesis_producer_spark.operators.etl_queries import (
+        _signal_xml_from_events,
+    )
+    from kinesis_producer_spark.streaming.kinesis_sink import KinesisSink
+    from kinesis_producer_spark.streaming.kinesis_source import (
+        FileStreamTransport,
+        read_stream_records,
+    )
+    from kinesis_producer_spark.streaming.transform import firehose_transform
+
+    e = load_table(spark, sf_dir, "events")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"kin_stream_{uuid.uuid4().hex[:10]}"
+    )
+    try:
+        records = _signal_xml_from_events(e).select(
+            F.col("payload"),
+            F.regexp_extract(
+                "payload",
+                "<NS1:typeOfReading>([^<]*)</NS1:typeOfReading>",
+                1,
+            ).alias("pk"),
+        )
+        sink = KinesisSink(
+            stream_name="loop-stream",
+            transport_factory=lambda: FileStreamTransport(
+                stream_dir, n_shards=4
+            ),
+            max_retries=3,
+            backoff_s=0.0,
+        )
+        # ONE action on the lazy ack frame — re-running it would
+        # re-send (the documented at-least-once tail)
+        acks = sink.write_batch(
+            records, data_col="payload", partition_key_col="pk"
+        ).localCheckpoint(eager=True)
+        assert acks.filter(F.col("status") != "ok").count() == 0
+
+        consumed = read_stream_records(spark, stream_dir)
+        out = firehose_transform(
+            consumed.select(
+                "shard_id", F.base64("data").alias("data")
+            ),
+            declared=["value", "k"],
+            uom_for=["value"],
+        )
+        parsed = out.filter(F.col("result") == "Ok").select(
+            "shard_id",
+            F.from_json(
+                F.unbase64("data_out").cast("string"),
+                "typeOfReading string, value string",
+            ).alias("s"),
+        )
+        return (
+            parsed.select(
+                "shard_id",
+                F.col("s.typeOfReading").alias("typeOfReading"),
+                F.col("s.value").cast("double").alias("v"),
+            )
+            .groupBy("shard_id", "typeOfReading")
+            .agg(
+                F.count(F.lit(1)).alias("n_ok"),
+                F.sum(
+                    F.floor(F.col("v") * 10000 + F.lit(0.5)).cast(
+                        "decimal(38,0)"
+                    )
+                )
+                .cast("bigint")
+                .alias("sum_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)

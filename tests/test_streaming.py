@@ -3944,3 +3944,173 @@ def test_maybe_compact_fires_exactly_at_threshold(spark, tmp_path):
 
     with pytest.raises(ValueError, match="threshold"):
         ai.maybe_compact(spark, idx, 1, 0)
+
+
+def _produce_stream(spark, stream_dir, n=200, n_shards=4, shard_map=None):
+    """Send n small records through the full sink path into a durable
+    FileStreamTransport stream; returns the ack rows."""
+    from kinesis_producer_spark.streaming.kinesis_sink import KinesisSink
+    from kinesis_producer_spark.streaming.kinesis_source import (
+        FileStreamTransport,
+    )
+
+    df = spark.range(n).select(
+        F.concat(F.lit("rec:"), F.col("id").cast("string")).alias("payload"),
+        F.concat(F.lit("key"), (F.col("id") % 7).cast("string")).alias("pk"),
+    )
+    sink = KinesisSink(
+        stream_name="s",
+        transport_factory=lambda: FileStreamTransport(
+            stream_dir, n_shards=n_shards, shard_map=shard_map
+        ),
+        max_retries=3,
+        backoff_s=0.0,
+    )
+    return (
+        sink.write_batch(df, data_col="payload", partition_key_col="pk")
+        .localCheckpoint(eager=True)
+        .collect()
+    )
+
+
+def test_kinesis_source_iterators_and_ordering(spark, tmp_path):
+    """The consumer contracts pinned against the producer's own acks:
+    (1) every successfully acked record appears in the stream EXACTLY
+    ONCE, at exactly the (shard, sequence_number) the ack reported —
+    including records whose first attempt was throttle-injected (the
+    failed attempt must not land; the retry must); (2) per-shard
+    sequence numbers are unique and the distributed read agrees with
+    the driver-side GetRecords page walk record for record, in
+    order; (3) TRIM_HORIZON paging with a small limit walks the whole
+    shard without loss or duplication and AFTER_SEQUENCE_NUMBER
+    resumes exactly after a consumed position."""
+    from kinesis_producer_spark.streaming.kinesis_source import (
+        get_records,
+        get_shard_iterator,
+        read_stream_records,
+    )
+
+    sd = str(tmp_path / "stream")
+    acks = _produce_stream(spark, sd, n=200)
+    assert all(a["status"] == "ok" for a in acks)
+    assert any(a["attempts"] > 1 for a in acks)  # injection exercised
+
+    # (1) ack ↔ stream agreement, exactly once
+    consumed = read_stream_records(spark, sd).collect()
+    got = {(r.shard_id, r.sequence_number): bytes(r.data) for r in consumed}
+    assert len(got) == len(consumed) == 200  # unique (shard, seq)
+    import hashlib
+
+    for a in acks:
+        key = (a["shard_id"], a["sequence_number"])
+        assert key in got
+        assert hashlib.md5(got[key]).hexdigest() == a["data_md5"]
+
+    # (2)+(3) page walk per shard == distributed read, in order
+    shards = sorted({r.shard_id for r in consumed})
+    for sid in shards:
+        walked = []
+        it = get_shard_iterator(sd, sid)
+        while True:
+            page, it = get_records(sd, it, limit=7)
+            if not page:
+                break
+            walked.extend(page)
+        seqs = [r["SequenceNumber"] for r in walked]
+        assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+        dist = sorted(
+            (r.sequence_number for r in consumed if r.shard_id == sid)
+        )
+        assert seqs == dist
+        # resume strictly after a mid-shard position
+        mid = seqs[len(seqs) // 2]
+        page2, _ = get_records(
+            sd,
+            get_shard_iterator(sd, sid, "AFTER_SEQUENCE_NUMBER", mid),
+            limit=10_000,
+        )
+        assert [r["SequenceNumber"] for r in page2] == [
+            s for s in seqs if s > mid
+        ]
+
+
+def test_kinesis_consume_checkpoint_and_reshard(spark, tmp_path):
+    """The incremental consumer pinned: (a) at-least-once + dedup on
+    SequenceNumber — an uncommitted round re-serves exactly the same
+    records, a committed one never re-serves them; (b) the resharding
+    rule — after a mid-stream SplitShard, the children are NOT
+    eligible until the closed parent is exhausted (per-key order
+    across the boundary), then a later round serves exactly the
+    children's records; (c) shard_generation orders parents strictly
+    before children."""
+    from kinesis_producer_spark.streaming.kinesis_sink import ShardMap
+    from kinesis_producer_spark.streaming.kinesis_source import (
+        ShardCheckpoint,
+        consume_new_records,
+        load_topology,
+        shard_generation,
+    )
+
+    sd = str(tmp_path / "stream")
+    smap = ShardMap.uniform(2)
+    _produce_stream(spark, sd, n=60, n_shards=2, shard_map=smap)
+
+    ck = ShardCheckpoint(str(tmp_path / "positions.json"))
+    df1, pos1 = consume_new_records(spark, sd, ck)
+    rows1 = {(r.shard_id, r.sequence_number) for r in df1.collect()}
+    assert len(rows1) == 60
+    # (a) crash before commit: the SAME records are re-served
+    df1b, pos1b = consume_new_records(spark, sd, ck)
+    assert {(r.shard_id, r.sequence_number) for r in df1b.collect()} == rows1
+    assert pos1b == pos1
+    ck.commit(pos1)
+    df2, _ = consume_new_records(spark, sd, ck)
+    assert df2.count() == 0  # committed → dedup'd
+
+    # (b) mid-stream split; children receive the follow-on traffic
+    parent = smap.open_shards()[0].shard_id
+    c1, c2 = smap.split(parent)
+    _produce_stream(spark, sd, n=40, n_shards=2, shard_map=smap)
+    topo = load_topology(sd)
+    assert not topo[parent]["open"]
+    assert topo[c1]["parents"] == [parent] == topo[c2]["parents"]
+    # (c) generations: parent 0, children 1
+    assert shard_generation(topo, parent) == 0
+    assert shard_generation(topo, c1) == 1
+
+    # the parent was fully consumed+committed above, so the children
+    # are eligible immediately — serve the new round
+    df3, pos3 = consume_new_records(spark, sd, ck)
+    got3 = df3.collect()
+    new_shards = {r.shard_id for r in got3}
+    assert new_shards <= {c1, c2, smap.open_shards()[-1].shard_id}
+    n3 = len(got3)
+    assert n3 == 40
+
+    # now pin the DEFERRAL: rebuild the scenario with an unconsumed
+    # parent — children must wait
+    sd2 = str(tmp_path / "stream2")
+    smap2 = ShardMap.uniform(2)
+    _produce_stream(spark, sd2, n=30, n_shards=2, shard_map=smap2)
+    p2 = smap2.open_shards()[0].shard_id
+    d1, d2 = smap2.split(p2)
+    _produce_stream(spark, sd2, n=30, n_shards=2, shard_map=smap2)
+    ck2 = ShardCheckpoint(str(tmp_path / "positions2.json"))
+    dfa, posa = consume_new_records(spark, sd2, ck2)
+    served_a = {r.shard_id for r in dfa.collect()}
+    assert d1 not in served_a and d2 not in served_a  # deferred
+    n_a = dfa.count()
+    ck2.commit(posa)
+    dfb, posb = consume_new_records(spark, sd2, ck2)
+    served_b = dfb.collect()
+    assert {r.shard_id for r in served_b} <= {d1, d2}
+    # conservation: rounds A+B together serve the whole stream exactly
+    from kinesis_producer_spark.streaming.kinesis_source import (
+        read_stream_records,
+    )
+
+    total2 = read_stream_records(spark, sd2).count()
+    assert len(served_b) > 0 and n_a + len(served_b) == total2 == 60
+    ck2.commit(posb)
+    dfc, _ = consume_new_records(spark, sd2, ck2)
+    assert dfc.count() == 0  # fully drained
