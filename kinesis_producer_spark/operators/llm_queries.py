@@ -9689,3 +9689,305 @@ def q281_sq8_artifact_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.remove(art_path)
         except FileNotFoundError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# q285/q286 — PERCEPTUAL image dedup (round-10 verdict #5): pHash
+# (32-point DCT, banded-bucket candidates) and dHash (box-mean
+# gradients), both through the REAL PNG decode path.
+# ---------------------------------------------------------------------------
+
+# The 8×32 truncated DCT-II basis, micro-scaled to integers at 1e4 so
+# the whole pHash pipeline is integer-exact and oracle-expressible:
+# C[u][x] = ⌊1e4·cos(π(2x+1)u/64) + 0.5⌋. Computed ONCE here and
+# embedded as literals in BOTH the Spark kernel and the SQL oracle —
+# the two engines never evaluate cos() themselves, so there is no
+# float seam to drift through. Bounds: |pixel| ≤ 255, |C| ≤ 1e4 ⇒
+# |row pass| ≤ 255·32·1e4 ≈ 8.2e7, |2D coeff| ≤ 8.2e7·32·1e4 ≈
+# 2.6e13, and the 63·coeff threshold product ≤ 1.7e15 — all safely
+# inside int64.
+_PHASH_SCALE = 10_000
+_PHASH_C = [
+    [
+        __import__("math").floor(
+            _PHASH_SCALE * __import__("math").cos(
+                __import__("math").pi * (2 * x + 1) * u / 64
+            )
+            + 0.5
+        )
+        for x in range(32)
+    ]
+    for u in range(8)
+]
+_PHASH_C_SQL = ", ".join(
+    f"({u}, {x}, {c})"
+    for u, row in enumerate(_PHASH_C)
+    for x, c in enumerate(row)
+)
+
+# Shared fixture CTEs: a deterministic 32×32 grayscale image per
+# document — pixel v = the first md5 byte of "<base>:<y*32+x>" (full
+# per-pixel entropy, so 63-bit perceptual hashes are collision-free
+# between unrelated documents), where base = doc_id with the low bit
+# cleared: every odd doc is the PLANTED NEAR-DUPLICATE of its even
+# partner, +8 on one 4×4 patch (clipped at 255) — a small localized
+# edit, the perceptual-dedup target.
+_PHASH_PIXELS_SQL = """
+    px AS (
+      SELECT d.doc_id, (d.doc_id - d.doc_id % 2) AS base,
+             CAST(i.i // 32 AS INT) AS y, CAST(i.i % 32 AS INT) AS x,
+             (16 * (INSTR('0123456789abcdef',
+                    SUBSTR(MD5(CAST(d.doc_id - d.doc_id % 2 AS VARCHAR)
+                               || ':' || CAST(i.i AS VARCHAR)), 1, 1)) - 1)
+              + (INSTR('0123456789abcdef',
+                    SUBSTR(MD5(CAST(d.doc_id - d.doc_id % 2 AS VARCHAR)
+                               || ':' || CAST(i.i AS VARCHAR)), 2, 1)) - 1)
+             ) AS v0
+      FROM documents d, UNNEST(range(1024)) AS i(i)),
+    pv AS (
+      SELECT doc_id, y, x,
+             CASE WHEN doc_id % 2 = 1
+                   AND y >= 4 * ((base // 2) % 8)
+                   AND y < 4 * ((base // 2) % 8) + 4
+                   AND x >= 4 * ((base // 3) % 8)
+                   AND x < 4 * ((base // 3) % 8) + 4
+                  THEN LEAST(v0 + 8, 255) ELSE v0 END AS v
+      FROM px)
+"""
+
+
+def _phash_pixels(doc_id: int):
+    """The fixture image, Spark-side: must match _PHASH_PIXELS_SQL
+    value for value (md5 bytes + the planted-patch rule)."""
+    import hashlib
+
+    import numpy as np
+
+    base = doc_id - (doc_id % 2)
+    P = np.empty(1024, np.int64)
+    for i in range(1024):
+        P[i] = int(
+            hashlib.md5(f"{base}:{i}".encode()).hexdigest()[:2], 16
+        )
+    P = P.reshape(32, 32)
+    if doc_id % 2 == 1:
+        py = 4 * ((base // 2) % 8)
+        px = 4 * ((base // 3) % 8)
+        P[py:py + 4, px:px + 4] = np.minimum(
+            P[py:py + 4, px:px + 4] + 8, 255
+        )
+    return P
+
+
+def _perceptual_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perceptual hashes over the REAL PNG decode path:
+    synthesize the fixture image, encode it as a genuine PNG
+    (filter_type cycles through all five scanline filters), DECODE it
+    with the zlib+unfilter decoder (operators/png.py — PNG is
+    lossless, so the decoded pixels ARE the fixture), then compute
+
+    - ``phash``: 32-point integer DCT (the embedded _PHASH_C basis),
+      top-left 8×8 block minus DC = 63 AC coefficients, bit i set iff
+      63·coeff_i > Σ AC (the mean rule, integer-exact);
+    - ``dhash``: 4×4 box SUMS (no division — exact) down to an 8×8
+      grid, bit r·7+c set iff G[r][c+1] > G[r][c] (56 horizontal
+      gradient bits).
+
+    Everything per-row runs in ONE Arrow-batched mapInPandas stage —
+    blobs never leave the executor; the hash frame that comes out is
+    16 bytes/doc."""
+    import numpy as np
+    import pandas as pd
+
+    from kinesis_producer_spark.operators.png import decode_png, encode_png
+
+    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+    cmat = np.array(_PHASH_C, dtype=np.int64)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                img = _phash_pixels(did).astype(np.uint8)
+                png = encode_png(img, filter_type=did % 5)
+                P = decode_png(png).astype(np.int64)
+                D = cmat @ P @ cmat.T
+                s = int(D.sum()) - int(D[0, 0])
+                flat = D.reshape(-1)[1:]  # row-major, DC dropped
+                bits = (63 * flat > s).astype(np.uint64)
+                ph = int((bits << np.arange(63, dtype=np.uint64)).sum())
+                G = P.reshape(8, 4, 8, 4).sum(axis=(1, 3))
+                gb = (G[:, 1:] > G[:, :-1]).astype(np.uint64).reshape(-1)
+                dh = int((gb << np.arange(56, dtype=np.uint64)).sum())
+                rows.append({"doc_id": did, "phash": ph, "dhash": dh})
+            yield pd.DataFrame(rows, columns=["doc_id", "phash", "dhash"])
+
+    return d.mapInPandas(run, "doc_id long, phash long, dhash long")
+
+
+_PHASH_HASH_SQL = f"""
+    {_PHASH_PIXELS_SQL},
+    co AS (SELECT * FROM (VALUES {_PHASH_C_SQL}) AS t(u, x, c)),
+    -- D = C·P·Cᵀ: the row pass pairs u with the IMAGE ROW (y), the
+    -- column pass pairs v with the column (x) — the kernel's GEMM
+    -- orientation, kept identical so the hash BITS (not just
+    -- permutation-invariant Hamming distances) agree across engines
+    rowd AS (
+      SELECT pv.doc_id, co.u, pv.x AS rx,
+             CAST(SUM(pv.v * co.c) AS BIGINT) AS rv
+      FROM pv JOIN co ON co.x = pv.y
+      GROUP BY pv.doc_id, co.u, pv.x),
+    dct AS (
+      SELECT rowd.doc_id, rowd.u, co.u AS vv,
+             CAST(SUM(rowd.rv * co.c) AS BIGINT) AS dv
+      FROM rowd JOIN co ON co.x = rowd.rx
+      GROUP BY rowd.doc_id, rowd.u, co.u),
+    acsum AS (
+      SELECT doc_id,
+             CAST(SUM(dv) - SUM(CASE WHEN u = 0 AND vv = 0 THEN dv
+                                     ELSE 0 END) AS BIGINT) AS s
+      FROM dct GROUP BY doc_id),
+    hashes AS (
+      SELECT dct.doc_id,
+             CAST(SUM(CASE WHEN NOT (u = 0 AND vv = 0)
+                            AND 63 * dv > acsum.s
+                           THEN CAST(1 AS BIGINT) << (u * 8 + vv - 1)
+                           ELSE 0 END) AS BIGINT) AS phash
+      FROM dct JOIN acsum USING (doc_id)
+      GROUP BY dct.doc_id)
+"""
+
+
+@query(
+    "q285_phash_near_dup_pairs",
+    oracle=f"""
+    WITH {_PHASH_HASH_SQL},
+    bands AS (
+      SELECT doc_id, b.b AS band_idx,
+             (phash >> (16 * b.b)) & 65535 AS band_val
+      FROM hashes, UNNEST(range(4)) AS b(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(ha.phash, hb.phash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN hashes ha ON ha.doc_id = c.doc_a
+    JOIN hashes hb ON hb.doc_id = c.doc_b
+    WHERE bit_count(xor(ha.phash, hb.phash)) <= 3
+    """,
+)
+def q285_phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL image near-dup detection — the multimodal member of
+    the dedup mandate (round-10 verdict #5): every document's fixture
+    image goes through a genuine PNG encode→decode (operators/png.py,
+    all five scanline filters exercised), a 32-point INTEGER DCT
+    (micro-int cos basis embedded as literals in both engines — no
+    float seam), and the classic pHash rule (top-left 8×8 minus DC,
+    bit = coefficient above the AC mean). Candidate pairs come from
+    BANDED buckets — 4 bands × 16 bits, self-joined per band — never
+    all-pairs, and at threshold Hamming ≤ 3 the banding is
+    PIGEONHOLE-COMPLETE: ≤3 flipped bits can dirty at most 3 of the 4
+    bands, so every qualifying pair shares at least one clean band
+    (exact LSH, not probabilistic — completeness vs brute force is
+    pinned in tests). Fixture: every odd doc is a planted near-dup of
+    its even partner (+8 on one 4×4 patch); md5-byte pixels make
+    unrelated hashes collision-free, so the found pairs are the
+    planted pairs (recall ≥ 95% — a handful of planted edits
+    legitimately flip > 3 borderline bits, exactly pHash's real
+    behavior).
+
+    Scale: hashes are 8 bytes/doc; the banded self-join shuffles
+    O(docs·4) band rows and the verify join touches only candidates —
+    the MinHash-LSH shape (q51–q53) on the image modality."""
+    h = _perceptual_hashes(spark, sf_dir).select("doc_id", "phash")
+    bands = h.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftright("phash", 16 * i)
+                    .bitwiseAND(F.lit(65535))
+                    .alias("band_val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "phash", "b.band_idx", "b.band_val")
+    left = bands.select(
+        F.col("band_idx").alias("_bi"),
+        F.col("band_val").alias("_bv"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("_ha"),
+    )
+    right = bands.select(
+        F.col("band_idx").alias("_bi"),
+        F.col("band_val").alias("_bv"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("_hb"),
+    )
+    cand = (
+        left.join(right, ["_bi", "_bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_ha", "_hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return cand.filter(ham <= 3).select(
+        "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
+    )
+
+
+@query(
+    "q286_dhash_exact_dedup",
+    oracle=f"""
+    WITH {_PHASH_PIXELS_SQL},
+    g AS (
+      SELECT doc_id, CAST(y // 4 AS INT) AS r, CAST(x // 4 AS INT) AS c,
+             CAST(SUM(v) AS BIGINT) AS gv
+      FROM pv GROUP BY doc_id, y // 4, x // 4),
+    dh AS (
+      SELECT a.doc_id,
+             CAST(SUM(CASE WHEN b.gv > a.gv
+                           THEN CAST(1 AS BIGINT) << (a.r * 7 + a.c)
+                           ELSE 0 END) AS BIGINT) AS dhash
+      FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.r = a.r
+                       AND b.c = a.c + 1
+      GROUP BY a.doc_id)
+    SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM dh GROUP BY dhash HAVING COUNT(*) > 1
+    """,
+)
+def q286_dhash_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash EXACT dedup — the cheap first gate of the perceptual
+    family (industry practice: dHash equality catches resized/
+    re-encoded copies before the pHash banding pays for near-misses):
+    4×4 box SUMS of the decoded PNG pixels (integer-exact — no
+    division) down to an 8×8 grid, 56 horizontal-gradient bits, then
+    a plain hash-groupBy for duplicate groups — the q50 exact-dedup
+    shape on the image modality. On the fixture, a planted +8 patch
+    preserves the gradient signs for most pairs (the patch aligns
+    with exactly one box, moving one G cell), so duplicate groups are
+    precisely the planted pairs whose edit stayed below the gradient
+    margins — and md5-byte pixels make cross-pair collisions in 56
+    uniform bits impossible at corpus scale (pinned in tests).
+
+    Scale: one mapInPandas decode pass, then a groupBy on an 8-byte
+    key — shuffle O(docs), duplicate groups only."""
+    h = _perceptual_hashes(spark, sf_dir).select("doc_id", "dhash")
+    return (
+        h.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

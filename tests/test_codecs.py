@@ -1405,3 +1405,117 @@ def test_webp_variant_sniff_terminates_on_adversarial_chunks(clens, fourccs):
     blob = b"RIFF" + len(body).to_bytes(4, "little") + body
     out = sniff_image_format(blob)
     assert out in ("webp", "webp_vp8")
+
+
+# ---------------------------------------------------------------------------
+# q285/q286 — perceptual image dedup
+# ---------------------------------------------------------------------------
+
+
+def _phash_model(P):
+    """Plain-Python integer pHash model — nested loops, no numpy: the
+    independent implementation the vectorized kernel is pinned
+    against. Same embedded micro-int DCT basis."""
+    from kinesis_producer_spark.operators.llm_queries import _PHASH_C
+
+    # D = C·P·Cᵀ — u pairs with the image ROW, v with the column (the
+    # kernel's and the oracle's shared orientation)
+    rowd = [
+        [
+            sum(int(P[y][x]) * _PHASH_C[u][y] for y in range(32))
+            for x in range(32)
+        ]
+        for u in range(8)
+    ]
+    D = [
+        [
+            sum(rowd[u][x] * _PHASH_C[v][x] for x in range(32))
+            for v in range(8)
+        ]
+        for u in range(8)
+    ]
+    s = sum(D[u][v] for u in range(8) for v in range(8)) - D[0][0]
+    bits = 0
+    i = 0
+    for u in range(8):
+        for v in range(8):
+            if (u, v) == (0, 0):
+                continue
+            if 63 * D[u][v] > s:
+                bits |= 1 << i
+            i += 1
+    return bits
+
+
+def _phash_kernel(P):
+    """The numpy kernel exactly as _perceptual_hashes computes it."""
+    from kinesis_producer_spark.operators.llm_queries import _PHASH_C
+
+    cmat = np.array(_PHASH_C, dtype=np.int64)
+    D = cmat @ P.astype(np.int64) @ cmat.T
+    s = int(D.sum()) - int(D[0, 0])
+    flat = D.reshape(-1)[1:]
+    bits = (63 * flat > s).astype(np.uint64)
+    return int((bits << np.arange(63, dtype=np.uint64)).sum())
+
+
+@given(hst.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=30, deadline=None)
+def test_phash_kernel_matches_python_model(seed):
+    """The vectorized integer-DCT pHash kernel is bit-identical to a
+    plain-Python nested-loop model on arbitrary images — the GEMM,
+    the bit packing, and the mean-threshold rule have no numpy-only
+    behavior (overflow, dtype promotion) hiding in them."""
+    rng = np.random.default_rng(seed)
+    P = rng.integers(0, 256, size=(32, 32), dtype=np.int64)
+    assert _phash_kernel(P) == _phash_model([list(r) for r in P])
+
+
+def test_phash_fixture_roundtrip_and_banding_completeness(spark):
+    """q285's structural claims pinned at sf0.001 (500 docs): (1) the
+    PNG encode→decode round trip is lossless — hashes computed from
+    decoded pixels equal hashes from the fixture directly; (2) BANDED
+    candidate generation is COMPLETE vs brute force at Hamming ≤ 3
+    (the pigeonhole guarantee: ≤3 flips dirty ≤3 of 4 bands); (3)
+    every reported pair is a planted (even, odd) pair and recall over
+    planted pairs is ≥ 95%; (4) q286's duplicate groups are planted
+    pairs only (56 uniform bits cannot collide across bases at this
+    scale)."""
+    from kinesis_producer_spark.operators.llm_queries import (
+        _perceptual_hashes,
+        _phash_pixels,
+        q285_phash_near_dup_pairs,
+        q286_dhash_exact_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = _perceptual_hashes(spark, sf).collect()
+    hs = {r.doc_id: r.phash for r in rows}
+    # (1) lossless round trip: recompute from the fixture directly
+    for did in (0, 1, 7, 42, 499):
+        assert hs[did] == _phash_kernel(_phash_pixels(did))
+
+    # (2) banding completeness vs brute force
+    ids = sorted(hs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(hs[a] ^ hs[b]).count("1") <= 3
+    }
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in q285_phash_near_dup_pairs(spark, sf).collect()
+    }
+    assert found == brute
+
+    # (3) planted-only + recall
+    planted = {(2 * k, 2 * k + 1) for k in range(len(ids) // 2)}
+    assert found <= planted
+    assert len(found) >= 0.95 * len(planted)
+
+    # (4) dhash groups are planted pairs only
+    groups = q286_dhash_exact_dedup(spark, sf).collect()
+    for g in groups:
+        assert g.n_docs == 2 and g.max_doc == g.min_doc + 1
+        assert g.min_doc % 2 == 0
