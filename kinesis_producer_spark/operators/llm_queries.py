@@ -9991,3 +9991,256 @@ def q286_dhash_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# q287/q288 — supervised text-quality classifier (round-10 verdict #6):
+# hashed-feature Naive-Bayes-style linear scorer TRAINED BY COUNTING —
+# the CCNet/fastText quality-filter stage between the heuristic gates
+# (q57-q59) and the LM scorers (q113/q232/q233).
+# ---------------------------------------------------------------------------
+
+# Shared fixture + feature CTEs. Labels are PLANTED: every document
+# yields a 'clean' variant (its real text) and a 'degraded' twin in
+# which each token whose md5 starts with an odd hex digit is replaced
+# by its md5 hex — a content-keyed half-corruption, so the two classes
+# overlap on ~half the vocabulary and the classifier must actually
+# learn the distributional difference (a disjoint-vocab fixture would
+# be trivially separable). Features are the HASHING TRICK: token →
+# md5-derived bucket in [0, 2048) — the weight table is bounded
+# (broadcastable) no matter how large the vocabulary, fastText's
+# core scaling move. Everything is log-free and integer-exact: class-
+# conditional Laplace probabilities quantize to nano-units after ONE
+# fixed-order double expression (the q113 discipline), and the weight
+# is their integer difference — a linear approximation of the NB
+# log-likelihood ratio that stays oracle-exact.
+_NB_FEAT_SQL = """
+    tok AS (
+      SELECT doc_id, source, u.t AS t
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS u(t)),
+    var AS (
+      SELECT doc_id, source, 'clean' AS variant, t FROM tok
+      UNION ALL
+      SELECT doc_id, source, 'degraded',
+             CASE WHEN (INSTR('0123456789abcdef', SUBSTR(MD5(t), 1, 1)) - 1)
+                       % 2 = 1
+                  THEN MD5(t) ELSE t END
+      FROM tok),
+    feat AS (
+      SELECT doc_id, source, variant,
+             (256 * (INSTR('0123456789abcdef', SUBSTR(MD5(t), 1, 1)) - 1)
+              + 16 * (INSTR('0123456789abcdef', SUBSTR(MD5(t), 2, 1)) - 1)
+              + (INSTR('0123456789abcdef', SUBSTR(MD5(t), 3, 1)) - 1))
+             % 2048 AS b
+      FROM var),
+    counts AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN variant = 'clean' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hq,
+             CAST(SUM(CASE WHEN variant = 'degraded' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_lq
+      FROM feat GROUP BY b),
+    tots AS (
+      SELECT CAST(SUM(n_hq) AS BIGINT) AS th,
+             CAST(SUM(n_lq) AS BIGINT) AS tl
+      FROM counts),
+    wt AS (
+      SELECT CAST(r.r AS BIGINT) AS bucket,
+             COALESCE(c.n_hq, 0) AS n_hq,
+             COALESCE(c.n_lq, 0) AS n_lq,
+             CAST(FLOOR(1e9 * (COALESCE(c.n_hq, 0) + 1) / (t.th + 2048)
+                        + 0.5) AS BIGINT)
+             - CAST(FLOOR(1e9 * (COALESCE(c.n_lq, 0) + 1) / (t.tl + 2048)
+                          + 0.5) AS BIGINT) AS w_nano
+      FROM UNNEST(range(2048)) AS r(r)
+      CROSS JOIN tots t
+      LEFT JOIN counts c ON c.b = r.r)
+"""
+
+_NB_BUCKETS = 2048
+
+
+def _nb_hex(col, pos: int):
+    """Hex digit `pos` (1-based) of md5(col), as an int — the
+    INSTR('0123456789abcdef', ...) - 1 of the SQL side."""
+    return F.conv(
+        F.substring(F.md5(col.cast("binary")), pos, 1), 16, 10
+    ).cast("int")
+
+
+def _nb_feature_frames(spark: SparkSession, sf_dir: str):
+    """(feat, weights): the planted two-class token/bucket frame and
+    the counted weight table — shared by q287 (emits the weights) and
+    q288 (scores with them). The weight table is 2048 rows = bounded
+    control data; scoring is a BROADCAST join against it."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).alias("t"),
+    )
+    degraded = F.when(
+        _nb_hex(F.col("t"), 1) % 2 == 1, F.md5(F.col("t").cast("binary"))
+    ).otherwise(F.col("t"))
+    var = tok.select(
+        "doc_id", "source", F.lit("clean").alias("variant"), "t"
+    ).unionByName(
+        tok.select(
+            "doc_id", "source", F.lit("degraded").alias("variant"),
+            degraded.alias("t"),
+        )
+    )
+    bucket = (
+        _nb_hex(F.col("t"), 1) * 256
+        + _nb_hex(F.col("t"), 2) * 16
+        + _nb_hex(F.col("t"), 3)
+    ) % _NB_BUCKETS
+    feat = var.select("doc_id", "source", "variant", bucket.alias("b"))
+    counts = feat.groupBy("b").agg(
+        F.sum(F.when(F.col("variant") == "clean", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hq"),
+        F.sum(F.when(F.col("variant") == "degraded", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lq"),
+    )
+    tots = counts.agg(
+        F.sum("n_hq").cast("bigint").alias("th"),
+        F.sum("n_lq").cast("bigint").alias("tl"),
+    )
+    buckets = spark.range(_NB_BUCKETS).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    laplace = lambda n, tot: (  # noqa: E731 — ONE fixed-order double expr
+        F.floor(
+            F.lit(1e9) * (n + F.lit(1)) / (tot + F.lit(_NB_BUCKETS))
+            + F.lit(0.5)
+        ).cast("bigint")
+    )
+    weights = (
+        buckets.join(
+            counts.withColumnRenamed("b", "bucket"), "bucket", "left"
+        )
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            F.coalesce(F.col("n_hq"), F.lit(0)).cast("bigint").alias("n_hq"),
+            F.coalesce(F.col("n_lq"), F.lit(0)).cast("bigint").alias("n_lq"),
+            (
+                laplace(F.coalesce(F.col("n_hq"), F.lit(0)), F.col("th"))
+                - laplace(F.coalesce(F.col("n_lq"), F.lit(0)), F.col("tl"))
+            ).alias("w_nano"),
+        )
+    )
+    return feat, weights
+
+
+@query(
+    "q287_nb_quality_train",
+    oracle=f"""
+    WITH {_NB_FEAT_SQL}
+    SELECT bucket, n_hq, n_lq, w_nano FROM wt
+    """,
+)
+def q287_nb_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the hashed-feature quality classifier — by counting, no
+    SGD (the Naive Bayes estimator: class-conditional Laplace token
+    probabilities over 2048 hash buckets, weight = P̂(b|clean) −
+    P̂(b|degraded) in integer nano-units). The planted fixture makes
+    the supervision real but derivable: the degraded class is a
+    content-keyed half-corruption of the clean one, so ~half the
+    buckets are class-neutral and the classifier must learn the rest.
+    Output: the full 2048-row weight table (bucket, n_hq, n_lq,
+    w_nano) — the model IS bounded driver-broadcastable control data,
+    which is the entire scaling argument.
+
+    Scale: one token-keyed count over the corpus (map-side
+    combinable) + a 2048-row dimension join — training cost equals
+    ONE aggregation pass regardless of corpus size; no iterations,
+    no driver funnel."""
+    _, weights = _nb_feature_frames(spark, sf_dir)
+    return weights
+
+
+@query(
+    "q288_nb_quality_score",
+    oracle=f"""
+    WITH {_NB_FEAT_SQL},
+    score AS (
+      SELECT f.doc_id, f.variant, MIN(f.source) AS source,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(FLOOR(CAST(SUM(w.w_nano) AS DOUBLE) / COUNT(*) + 0.5)
+                  AS BIGINT) AS score_nano
+      FROM feat f JOIN wt w ON w.bucket = f.b
+      GROUP BY f.doc_id, f.variant),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY variant, source
+                                ORDER BY score_nano, doc_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY variant, source) AS n_src
+      FROM score)
+    SELECT doc_id, variant, source, n_tokens, score_nano,
+           CAST(CASE WHEN n_src = 1 THEN 1000000
+                ELSE ((rnk - 1) * 1000000) // (n_src - 1) END AS BIGINT)
+             AS pct_micro,
+           CAST(CASE WHEN n_src = 1 THEN 1000000
+                ELSE ((rnk - 1) * 1000000) // (n_src - 1) END >= 500000
+                AS BIGINT) AS kept_fair
+    FROM r
+    """,
+)
+def q288_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCORE with the trained classifier (q287's weights, broadcast)
+    and CALIBRATE the verdict per source (q247's integer percent-rank
+    — one global threshold over heterogeneous sources silently skews
+    the mix, so the keep decision is the within-(variant, source)
+    percentile). Every document is scored in both variants; the
+    planted direction — clean scores above its own degraded twin —
+    is pinned per-document in tests (≥ 99% of pairs; the classifier
+    genuinely separates, not just on average).
+
+    Scale: scoring is the token pass joined to the 2048-row broadcast
+    weight table and one doc-keyed aggregate; calibration is one
+    window rank per (variant, source) — the q247 exchange. Nothing
+    iterative, nothing driver-side."""
+    feat, weights = _nb_feature_frames(spark, sf_dir)
+    score = (
+        feat.join(
+            F.broadcast(weights.withColumnRenamed("bucket", "b")), "b"
+        )
+        .groupBy("doc_id", "variant")
+        .agg(
+            F.min("source").alias("source"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.floor(
+                F.sum("w_nano").cast("double") / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("score_nano"),
+        )
+    )
+    w = W.partitionBy("variant", "source").orderBy(
+        F.col("score_nano"), F.col("doc_id")
+    )
+    wc = W.partitionBy("variant", "source")
+    pct = F.when(F.col("n_src") == 1, F.lit(1_000_000)).otherwise(
+        F.expr("((rnk - 1) * 1000000) div (n_src - 1)")
+    )
+    return (
+        score.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_src", F.count(F.lit(1)).over(wc))
+        .select(
+            "doc_id",
+            "variant",
+            "source",
+            "n_tokens",
+            "score_nano",
+            pct.cast("bigint").alias("pct_micro"),
+            (pct >= 500_000).cast("bigint").alias("kept_fair"),
+        )
+    )

