@@ -128,6 +128,19 @@ HEADLINE = [
     # fixed ceiling on recall AND probed rows at both fixtures).
     "q276_ann_index_upsert_serving",
     "q278_ivf_adaptive_nprobe_topk",
+    # Round-11: the lifecycle loop CLOSED — staleness-triggered
+    # rebuild (retrain on the surviving corpus → re-encode → atomic
+    # swap under the compaction lock discipline) — the produce→
+    # consume Kinesis loop (durable shard logs read back shard-aware
+    # into the Firehose transform), perceptual image dedup (integer-
+    # DCT pHash, pigeonhole-complete banded candidates through the
+    # real PNG decoder), and the count-trained hashed-feature quality
+    # classifier (train = ONE aggregation pass, score = broadcast
+    # join).
+    "q282_ann_index_rebuild_serving",
+    "q284_kinesis_consume_roundtrip",
+    "q285_phash_near_dup_pairs",
+    "q288_nb_quality_score",
 ]
 
 

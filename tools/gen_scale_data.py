@@ -100,10 +100,18 @@ def main() -> int:
         print(f"{name}: {src.num_rows} rows (fixed dimension)")
     for name in SHIFT_COLS:
         src = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
-        copies = [_shift_copy(src, name, k) for k in range(n_copies)]
-        big = pa.concat_tables(copies)
-        pq.write_table(big, os.path.join(out_dir, f"{name}.parquet"))
-        print(f"{name}: {src.num_rows} -> {big.num_rows} rows")
+        # stream copies through one ParquetWriter instead of a single
+        # concat: a second decade (sf10 = 100 copies — round-10
+        # verdict #4) would otherwise materialize 60M lineitem rows
+        # in memory at once; peak stays ONE copy this way
+        out_path = os.path.join(out_dir, f"{name}.parquet")
+        total = 0
+        with pq.ParquetWriter(out_path, src.schema) as writer:
+            for k in range(n_copies):
+                copy = _shift_copy(src, name, k)
+                writer.write_table(copy)
+                total += copy.num_rows
+        print(f"{name}: {src.num_rows} -> {total} rows")
     return 0
 
 

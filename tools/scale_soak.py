@@ -147,12 +147,39 @@ SOAK = [
     "q281_sq8_artifact_serving",
     "q133_stream_version_track",
     "q153_stateful_sessions",
+    # round-11: the rebuild runbook (one bounded-train pass + one
+    # distributed encode — the initial-build shape, paid on trigger),
+    # the auto-compaction policy (the health scan + the q274 fold),
+    # the Kinesis consume loop (executor-parallel produce + one
+    # partitioned block scan), perceptual image dedup (one decode
+    # pass + banded self-join — the MinHash-LSH shuffle shape on 8-
+    # byte keys), and the count-trained quality classifier (one
+    # token-keyed aggregate to train, broadcast-join to score)
+    "q282_ann_index_rebuild_serving",
+    "q283_ann_auto_compaction_policy",
+    "q284_kinesis_consume_roundtrip",
+    "q285_phash_near_dup_pairs",
+    "q286_dhash_exact_dedup",
+    "q287_nb_quality_train",
+    "q288_nb_quality_score",
 ]
 
-SF_DIRS = {
-    "sf0.1": "/root/testdata/sf0.1",
-    "sf1.0": os.path.join(REPO, ".scale", "sf1.0"),
-}
+# Override the soaked decades with e.g.
+#   SOAK_SFS="sf0.1:/root/testdata/sf0.1,sf10:<repo>/.scale/sf10"
+# (round-10 verdict #4: a second decade separates O(n log n) from
+# O(n^2) tails one decade can hide). Ratios are printed between the
+# FIRST and LAST listed sf.
+_sfs_env = os.environ.get("SOAK_SFS")
+if _sfs_env:
+    SF_DIRS = {}
+    for part in _sfs_env.split(","):
+        label, path = part.split(":", 1)
+        SF_DIRS[label] = path
+else:
+    SF_DIRS = {
+        "sf0.1": "/root/testdata/sf0.1",
+        "sf1.0": os.path.join(REPO, ".scale", "sf1.0"),
+    }
 
 
 def _rest(base: str, path: str):
@@ -236,16 +263,18 @@ def main() -> int:
                 flush=True,
             )
 
+    labels = list(SF_DIRS)
+    lo, hi = labels[0], labels[-1]
     print(
-        "\n== sf0.1 -> sf1.0 ratios (10x data; linear = ~10x; "
+        f"\n== {lo} -> {hi} ratios (linear = data ratio; "
         "ptask_r ~1x = flat PER-TASK memory — the axis that OOMs a 100x run) =="
     )
     print(
-        f"{'query':<32} {'t0.1':>7} {'t1.0':>8} {'t_ratio':>8} {'w_ratio':>8} "
-        f"{'rows_ratio':>10} {'spill1.0':>10} {'ptask0.1':>9} {'ptask1.0':>9} {'ptask_r':>8}"
+        f"{'query':<32} {'t_lo':>7} {'t_hi':>8} {'t_ratio':>8} {'w_ratio':>8} "
+        f"{'rows_ratio':>10} {'spill_hi':>10} {'ptask_lo':>9} {'ptask_hi':>9} {'ptask_r':>8}"
     )
     for name, d in out.items():
-        a, b = d["sf0.1"], d["sf1.0"]
+        a, b = d[lo], d[hi]
         tr = b[0] / a[0] if a[0] else float("inf")
         wr = b[1] / a[1] if a[1] else float("inf") if b[1] else 1.0
         rr = b[4] / a[4] if a[4] else float("inf")
