@@ -353,7 +353,14 @@ def min_label_components(
             .localCheckpoint(eager=True)
         )
         if (i + 1) % check_every == 0 or i == max_rounds - 1:
-            s = labels.agg(F.sum("label")).collect()[0][0]
+            # decimal(38,0) sum: the invariant is Σ label over ALL
+            # vertices — at wide-key corpora (the sf10 soak: ids near
+            # 2^46 over millions of vertices) an int64 sum overflows
+            # long before any single label does. Monotonicity is
+            # unaffected; 38 digits cover 2^63 ids × 10^18 vertices.
+            s = labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).collect()[0][0]
             if s == prev_sum:
                 return labels
             prev_sum = s
