@@ -53,12 +53,33 @@ FIXED_TABLES = ["region", "nation"]  # dimensions don't scale
 
 
 def _rot_table(k: int) -> dict[int, int]:
-    """Per-copy rotation over lowercase, uppercase, digits."""
+    """Per-copy character substitution over lowercase, uppercase,
+    digits — a PERMUTATION drawn per copy (deterministic LCG
+    Fisher-Yates), not a rotation: the round-10 generator's Caesar
+    shift cycles every 26 copies, so a 100-copy decade (sf10) made
+    copies k and k+26 near-identical in letters — REAL cross-copy
+    near-duplicates that blew LSH candidate volume up 32× past
+    linear (observed: q51 3200× rows at 100× data). Two independent
+    random permutations agree on a whole shingle with probability
+    ~(1/52)^|distinct chars| ≈ 0, so cross-copy shingle overlap stays
+    zero at ANY copy count; within-copy structure (word lengths,
+    shingle counts, self-similarity) is preserved exactly as before.
+    k=0 is the identity (copy 0 IS the source)."""
     out: dict[int, int] = {}
+    if k == 0:
+        return out
+    state = 0x9E3779B9 * (k + 1) & 0xFFFFFFFF
+    def rnd(n: int) -> int:
+        nonlocal state
+        state = (state * 1664525 + 1013904223) & 0xFFFFFFFF
+        return state % n
     for alphabet in (string.ascii_lowercase, string.ascii_uppercase, string.digits):
-        n = len(alphabet)
-        for i, ch in enumerate(alphabet):
-            out[ord(ch)] = ord(alphabet[(i + k) % n])
+        perm = list(alphabet)
+        for i in range(len(perm) - 1, 0, -1):
+            j = rnd(i + 1)
+            perm[i], perm[j] = perm[j], perm[i]
+        for ch, to in zip(alphabet, perm):
+            out[ord(ch)] = ord(to)
     return out
 
 

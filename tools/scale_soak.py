@@ -201,6 +201,14 @@ def main() -> int:
             "spark.ui.enabled": "true",
             "spark.ui.retainedStages": "40000",
             "spark.ui.retainedJobs": "40000",
+            # streaming queries return results through a memory sink
+            # (harness convenience); at sf10 a corpus-scale result
+            # (e.g. near-dup pairs) exceeds the 1g default — the cap
+            # is the HARNESS ceiling, not operator state, so the soak
+            # raises it to measure the operator
+            "spark.driver.maxResultSize": os.environ.get(
+                "SOAK_MAX_RESULT", "8g"
+            ),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
