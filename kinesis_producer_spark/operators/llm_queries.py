@@ -6572,7 +6572,7 @@ def q247_source_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFra
     wc = W.partitionBy("source")
     pct = F.when(
         F.col("n_src") == 1, F.lit(1_000_000)
-    ).otherwise(F.expr("((rnk - 1) * 1000000) div (n_src - 1)"))
+    ).otherwise(F.expr("((CAST(rnk AS BIGINT) - 1) * 1000000) div (n_src - 1)"))
     return (
         d.withColumn("rnk", F.row_number().over(w))
         .withColumn("n_src", F.count(F.lit(1)).over(wc))
@@ -10229,7 +10229,7 @@ def q288_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wc = W.partitionBy("variant", "source")
     pct = F.when(F.col("n_src") == 1, F.lit(1_000_000)).otherwise(
-        F.expr("((rnk - 1) * 1000000) div (n_src - 1)")
+        F.expr("((CAST(rnk AS BIGINT) - 1) * 1000000) div (n_src - 1)")
     )
     return (
         score.withColumn("rnk", F.row_number().over(w))

@@ -62,6 +62,11 @@ NLJ_OK = {
     "q113_unigram_lm_quality",
     "q114_stopword_discovery",
     "q115_event_zscore",
+    # round-11 classifier: the 2048-bucket dimension crossJoins the
+    # broadcast SINGLE-ROW class-totals frame (the q113 share-of-total
+    # shape); every corpus-sized join in the pair is key-joined
+    "q287_nb_quality_train",
+    "q288_nb_quality_score",
     # order-statistic positions + median row: all broadcast single-row frames
     "q117_median_mad",
     # grand-total / token-total single-row broadcast cross joins
