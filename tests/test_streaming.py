@@ -4114,3 +4114,58 @@ def test_kinesis_consume_checkpoint_and_reshard(spark, tmp_path):
     ck2.commit(posb)
     dfc, _ = consume_new_records(spark, sd2, ck2)
     assert dfc.count() == 0  # fully drained
+
+
+def test_rebuild_index_with_trained_quantizers(spark, tmp_path):
+    """rebuild_index(train_cells=True) — the production shape (the
+    monitor fires BECAUSE the frozen quantizers drifted, so the
+    rebuild retrains them): the rebuilt index must be ROW-IDENTICAL
+    to a fresh trained bootstrap from the surviving corpus — same
+    Lloyd protocol (train_ivf_centroids), same lowest-id PQ codebook
+    — and the returned/persisted quantizers must equal the directly
+    trained ones value for value. Also pins the bounded-sample seam
+    (sample_rows) reaching the trainer: a full-corpus-covering sample
+    is bit-identical to full training (the q267 property), exercised
+    through the rebuild path."""
+    from kinesis_producer_spark.operators.ann_artifacts import read_codebook
+    from kinesis_producer_spark.operators.similarity import (
+        _collect_codebook,
+        train_ivf_centroids,
+    )
+    from kinesis_producer_spark.streaming import ann_index as ai
+
+    idx = str(tmp_path / "trb_idx")
+    cur = _rebuild_scenario(spark, idx)
+
+    art = str(tmp_path / "trb_art.json")
+    out = ai.rebuild_index(
+        spark, cur, idx, n_centroids=16, m_dims=8, train_cells=True,
+        n_cells=8, rounds=2, sample_rows=1000, artifact_path=art,
+    )
+    assert out["fired"] and out["hwm"] == 2
+
+    # the directly trained quantizers (sample covers the corpus at
+    # sf0.001: |cur| < 1000, so sampled == full training)
+    cent = train_ivf_centroids(
+        cur, n_cells=8, rounds=2, sample_rows=1000
+    )
+    cb = _collect_codebook(cur, "vec_id", "embedding", 16)
+    assert out["centroids"] == cent and out["codebook"] == cb
+    a = read_codebook(art)
+    assert a["centroids"] == cent and a["codebook"] == cb
+    assert a["meta"]["rounds"] == 2 and a["meta"]["sample_rows"] == 1000
+
+    # rebuild-equivalence vs a fresh TRAINED bootstrap
+    fresh = str(tmp_path / "trb_fresh")
+    ai.bootstrap_index(
+        cur, fresh, n_centroids=16, m_dims=8, centroids=cent, codebook=cb
+    )
+    rows = lambda p: {  # noqa: E731
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in ai.read_served_index(spark, p).collect()
+    }
+    assert rows(idx) == rows(fresh)
+    # trained cells actually in use (more than the sign-bit 8 would
+    # allow is not guaranteed at n_cells=8, but cells must be < 8)
+    cells = {c for _v, c, _k in rows(idx)}
+    assert cells <= set(range(8)) and len(cells) > 1
