@@ -2088,3 +2088,98 @@ def q284_kinesis_consume_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         )
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+# The TRAINED-rebuild oracle: the q282 scenario with the rebuild
+# retraining the COARSE quantizer too (2-round Lloyd over the
+# surviving corpus — the production shape: the monitor fired BECAUSE
+# the frozen quantizers drifted). Rendered from the shared trained-
+# base template with three surgical substitutions, each asserted:
+# dims over the surviving corpus, the PQ codebook = the 16 LOWEST ids
+# of the survivors (rank-based — id 0 is deleted, so `vec_id < 16`
+# would yield 15 rows), and the exact re-rank against the survivors'
+# CURRENT embeddings.
+from kinesis_producer_spark.operators.llm_queries import (  # noqa: E402
+    _IVFPQ_TRAINED_TOPK_TAIL,
+    _fmt_trained_base,
+)
+
+_CUR_CTE = """cur AS MATERIALIZED (
+      SELECT vec_id,
+             CASE WHEN vec_id % 20 = 0
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS embedding
+      FROM embeddings WHERE vec_id % 30 <> 0),"""
+
+_TR_BASE = _fmt_trained_base(
+    qids="1, 2, 3", nprobe=2, n_cells=16, samp_ctes="", tdims="dims",
+    init_src="cur",
+)
+_old_dims = "FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS d)"
+_new_dims = "FROM cur CROSS JOIN (SELECT unnest(range(64)) AS d)"
+_old_cb = """cb AS (SELECT CAST(vec_id AS INT) AS cid, m, dd, vm AS cm
+           FROM dims WHERE vec_id < 16),"""
+_new_cb = """cbids AS (
+      SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+      FROM (SELECT vec_id FROM cur ORDER BY vec_id LIMIT 16)),
+    cb AS (SELECT c.cid, d.m, d.dd, d.vm AS cm
+           FROM dims d JOIN cbids c USING (vec_id)),"""
+assert _old_dims in _TR_BASE and _old_cb in _TR_BASE
+_TR_BASE = _TR_BASE.replace(_old_dims, _new_dims).replace(_old_cb, _new_cb)
+_TR_TAIL = _IVFPQ_TRAINED_TOPK_TAIL.replace(
+    "JOIN embeddings a ON a.vec_id = s.query_id", "JOIN cur a ON a.vec_id = s.query_id"
+).replace("JOIN embeddings b ON b.vec_id = s.vec_id", "JOIN cur b ON b.vec_id = s.vec_id")
+assert _TR_TAIL != _IVFPQ_TRAINED_TOPK_TAIL
+
+_ANN_TRAINED_REBUILD_ORACLE = f"WITH {_CUR_CTE}{_TR_BASE},{_TR_TAIL}"
+
+
+@query("q289_ann_trained_rebuild_serving", oracle=_ANN_TRAINED_REBUILD_ORACLE)
+def q289_ann_trained_rebuild_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rebuild_index(train_cells=True)`` — the PRODUCTION rebuild,
+    oracle-checked end to end: after the q276 add/upsert/delete churn,
+    the rebuild retrains the COARSE quantizer on the surviving corpus
+    (2-round integer-exact Lloyd, init = the 16 lowest surviving ids —
+    exactly ``train_ivf_centroids``' protocol, which the oracle
+    unrolls over the suppressed-and-re-embedded survivors), recollects
+    the PQ codebook from the survivors' lowest ids, re-encodes, swaps
+    atomically, and serves at the trained 16×2 point. q282 pinned the
+    loop with the sign-bit quantizer (the oracle-light protocol); this
+    closes the gap between the tested trained path and the ORACLE —
+    monitor→RETRAIN→re-encode→swap is now hash-checked against a full
+    SQL rebuild, Lloyd rounds included.
+
+    Scale: identical to q282 plus the bounded-train passes (two
+    Arrow-vectorized assignment scans + two (cell, d) aggregates —
+    sample_rows caps them in production, pinned through the rebuild
+    path in tests); serving afterwards is the probe-pruned scan with
+    zero anti-join work."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_pq_topk_from_index,
+    )
+    from kinesis_producer_spark.streaming.ann_index import (
+        read_served_index,
+        rebuild_index,
+    )
+
+    idx = os.path.join(
+        tempfile.gettempdir(), f"ann_trebuild_{uuid.uuid4().hex[:10]}"
+    )
+    try:
+        cur, _cb_old = _ann_upsert_scenario(spark, sf_dir, idx)
+        out = rebuild_index(
+            spark, cur, idx, n_centroids=16, m_dims=8,
+            train_cells=True, n_cells=16, rounds=2,
+        )
+        return ivf_pq_topk_from_index(
+            cur, idx, out["codebook"], query_ids=[1, 2, 3], k=10,
+            shortlist=50, m_dims=8, centroids=out["centroids"], nprobe=2,
+            index_df=read_served_index(spark, idx),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)

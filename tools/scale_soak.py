@@ -162,6 +162,7 @@ SOAK = [
     "q286_dhash_exact_dedup",
     "q287_nb_quality_train",
     "q288_nb_quality_score",
+    "q289_ann_trained_rebuild_serving",
 ]
 
 # Override the soaked decades with e.g.
