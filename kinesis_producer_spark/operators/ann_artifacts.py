@@ -89,10 +89,17 @@ def write_codebook(
         "sq8_ranges": rng_rows,
         "meta": dict(meta or {}),
     }
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(doc, fh, sort_keys=True, separators=(",", ":"))
-    os.replace(tmp, path)
+    # Unique tmp per writer: the artifact cache is cross-process, so
+    # two racing trainers sharing one fixed tmp path could interleave
+    # truncate/buffered writes and publish a torn file via rename.
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    try:
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh, sort_keys=True, separators=(",", ":"))
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def read_codebook(path: str) -> dict:

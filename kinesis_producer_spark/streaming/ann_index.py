@@ -724,8 +724,22 @@ def _checked_swap(
     shutil.rmtree(old, ignore_errors=True)
     os.replace(index_path, old)
     if set(committed_epochs(old)) != expected:
-        os.replace(old, index_path)
         shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            os.replace(old, index_path)
+        except OSError as exc:
+            # An appender recreated index_path in the rename-aside
+            # window: replace over a non-empty dir raises ENOTEMPTY.
+            # Same loud-abort-with-recovery contract as the forward
+            # swap below — the good index must never be stranded
+            # behind a raw OSError.
+            raise RuntimeError(
+                f"{op} swap-back failed ({exc}); an appender recreated "
+                f"{index_path!r} mid-restore. The complete pre-swap "
+                f"index is at {old!r} — quiesce writers, merge or "
+                f"discard the recreated dir, then rename {old!r} back "
+                f"to {index_path!r}"
+            ) from exc
         raise RuntimeError(
             f"{op} aborted: an epoch committed under "
             f"{index_path!r} during the swap; the old index was "

@@ -229,14 +229,25 @@ def shard_generation(topology: dict, shard_id: str) -> int:
     """Root shards are generation 0; a resharded child is one past its
     oldest parent — the coarse consume-order key (a parent is always a
     strictly earlier generation than its children)."""
-    seen = set()
+    # Cycle detection must track the RECURSION STACK, not all visited
+    # nodes: a split-then-merge diamond (merge of two children of one
+    # split — the canonical Kinesis scale-up-then-down reshard) reaches
+    # the common ancestor via both branches, which is legal. Memoize
+    # per-node results so the diamond costs O(shards), not O(paths).
+    on_stack: set[str] = set()
+    memo: dict[str, int] = {}
 
     def gen(sid: str) -> int:
-        if sid in seen:
+        if sid in memo:
+            return memo[sid]
+        if sid in on_stack:
             raise ValueError(f"topology cycle at {sid!r}")
-        seen.add(sid)
+        on_stack.add(sid)
         parents = topology.get(sid, {}).get("parents") or []
-        return 0 if not parents else 1 + max(gen(p) for p in parents)
+        g = 0 if not parents else 1 + max(gen(p) for p in parents)
+        on_stack.discard(sid)
+        memo[sid] = g
+        return g
 
     return gen(shard_id)
 
@@ -395,22 +406,37 @@ def consume_new_records(
     committed sequence number is never served twice.
 
     Resharding rule (the KCL contract): a CHILD shard is eligible
-    only when every parent is closed AND exhausted — consuming a
-    child while parent records remain would break per-key ordering
-    across the split/merge boundary. Ineligible children are simply
-    deferred to a later round (their records are not lost, just not
-    yet served)."""
+    only when every ANCESTOR (transitively, via the parent links) is
+    closed AND exhausted — consuming a child while any ancestor's
+    records for the same hash range remain would break per-key
+    ordering across the split/merge boundary. The walk must be
+    transitive: after two quick reshards a closed intermediate shard
+    that never received records is trivially exhausted, but its own
+    parent may still hold unconsumed records. Ineligible children are
+    simply deferred to a later round (their records are not lost,
+    just not yet served)."""
     topo = load_topology(stream_dir)
     positions = checkpoint.read()
-    eligible = set()
-    for sid, meta in topo.items():
-        parents = meta.get("parents") or []
-        if all(
-            not topo.get(p, {}).get("open", False)
-            and _shard_exhausted(stream_dir, p, positions)
-            for p in parents
-        ):
-            eligible.add(sid)
+    # Memoized "every ancestor closed+exhausted" — O(shards) total.
+    anc_ok: dict[str, bool] = {}
+
+    def ancestors_drained(sid: str) -> bool:
+        if sid in anc_ok:
+            return anc_ok[sid]
+        anc_ok[sid] = False  # stack sentinel: a cycle never drains
+        ok = True
+        for p in topo.get(sid, {}).get("parents") or []:
+            if (
+                topo.get(p, {}).get("open", False)
+                or not _shard_exhausted(stream_dir, p, positions)
+                or not ancestors_drained(p)
+            ):
+                ok = False
+                break
+        anc_ok[sid] = ok
+        return ok
+
+    eligible = {sid for sid in topo if ancestors_drained(sid)}
     df = read_stream_records(spark, stream_dir).filter(
         F.col("shard_id").isin(sorted(eligible))
         if eligible
@@ -435,4 +461,22 @@ def consume_new_records(
     new_positions = dict(positions)
     for r in new_rows:
         new_positions[r["shard_id"]] = r["mx"]
+    # Pin the served frame to the committed positions: the returned df
+    # is lazy, so a producer appending blocks between this collect and
+    # the caller's materialization would otherwise re-evaluate the scan
+    # and serve records ABOVE new_positions — processed this round AND
+    # re-served next round (duplicates despite the dedup contract).
+    # Filtering to the collected per-shard max makes served set and
+    # committed positions one snapshot.
+    if new_rows:
+        mx_map = F.create_map(
+            *[
+                F.lit(x)
+                for r in new_rows
+                for x in (r["shard_id"], r["mx"])
+            ]
+        )
+        df = df.filter(
+            F.col("sequence_number") <= mx_map[F.col("shard_id")]
+        )
     return df, new_positions

@@ -4169,3 +4169,89 @@ def test_rebuild_index_with_trained_quantizers(spark, tmp_path):
     # allow is not guaranteed at n_cells=8, but cells must be < 8)
     cells = {c for _v, c, _k in rows(idx)}
     assert cells <= set(range(8)) and len(cells) > 1
+
+
+def test_kinesis_source_diamond_and_transitive_eligibility(spark, tmp_path):
+    """Round-12 ADVICE regressions on the consumer's topology walk:
+
+    (a) a split-then-merge DIAMOND (split p -> c1,c2; merge c1+c2 ->
+        m — the canonical Kinesis scale-up-then-down reshard) is a
+        legal DAG: shard_generation must NOT raise 'topology cycle'
+        at the common ancestor (the old code used one shared visited
+        set across sibling branches), and the merged child sits one
+        generation past its deepest parent;
+    (b) child eligibility is TRANSITIVE: after two quick reshards the
+        closed intermediates (c1, c2) never received records and are
+        trivially exhausted, but the GRANDPARENT p still holds
+        unconsumed records for the same hash range — the merged
+        grandchild m must be deferred until p is drained, else
+        per-key ordering breaks across the reshard boundary;
+    (c) the served frame is a SNAPSHOT: records appended after
+        consume_new_records returns but before the caller
+        materializes the DataFrame must not be served (they would be
+        re-served next round — duplicates)."""
+    from kinesis_producer_spark.streaming.kinesis_sink import ShardMap
+    from kinesis_producer_spark.streaming.kinesis_source import (
+        ShardCheckpoint,
+        consume_new_records,
+        load_topology,
+        read_stream_records,
+        shard_generation,
+    )
+
+    sd = str(tmp_path / "stream")
+    smap = ShardMap.uniform(1)
+    _produce_stream(spark, sd, n=20, n_shards=1, shard_map=smap)
+    p = smap.open_shards()[0].shard_id
+    c1, c2 = smap.split(p)
+    m = smap.merge(c1, c2)
+    # land the post-reshard traffic in the merged grandchild
+    _produce_stream(spark, sd, n=20, n_shards=1, shard_map=smap)
+
+    topo = load_topology(sd)
+    # (a) diamond: generation computes, no false cycle
+    assert shard_generation(topo, p) == 0
+    assert shard_generation(topo, c1) == 1 == shard_generation(topo, c2)
+    assert shard_generation(topo, m) == 2
+
+    # (b) intermediates are closed and empty (trivially exhausted)...
+    assert not topo[c1]["open"] and not topo[c2]["open"]
+    per_shard = {
+        r["shard_id"]: r["n"]
+        for r in read_stream_records(spark, sd)
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert c1 not in per_shard and c2 not in per_shard
+    assert per_shard == {p: 20, m: 20}
+    # ...yet m must be deferred while grandparent p is unconsumed
+    ck = ShardCheckpoint(str(tmp_path / "positions.json"))
+    df1, pos1 = consume_new_records(spark, sd, ck)
+    served1 = df1.collect()
+    assert {r.shard_id for r in served1} == {p}
+    assert len(served1) == 20
+    ck.commit(pos1)
+    # p drained -> the whole ancestry chain is exhausted -> m serves
+    df2, pos2 = consume_new_records(spark, sd, ck)
+    served2 = df2.collect()
+    assert {r.shard_id for r in served2} == {m}
+    assert len(served2) == 20
+    ck.commit(pos2)
+
+    # (c) snapshot pinning: take a consume round, then append MORE
+    # records before materializing — the lazy frame must still serve
+    # exactly the snapshot its committed positions describe.
+    _produce_stream(spark, sd, n=15, n_shards=1, shard_map=smap)
+    df3, pos3 = consume_new_records(spark, sd, ck)
+    _produce_stream(spark, sd, n=15, n_shards=1, shard_map=smap)
+    served3 = df3.collect()  # materialize AFTER the append
+    assert len(served3) == 15
+    assert max(r.sequence_number for r in served3) == pos3[m]
+    ck.commit(pos3)
+    # the appended records arrive in the NEXT round, exactly once
+    df4, pos4 = consume_new_records(spark, sd, ck)
+    assert df4.count() == 15
+    ck.commit(pos4)
+    total = read_stream_records(spark, sd).count()
+    assert total == 70  # 20+20+15+15, conservation across all rounds
