@@ -10244,3 +10244,64 @@ def q288_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (pct >= 500_000).cast("bigint").alias("kept_fair"),
         )
     )
+
+
+# The auto-bits cell id, oracle-side: bits b is derived from COUNT(*)
+# by the integer form of semdedup_auto_bits (bit_length(⌈n/64⌉−1),
+# clamped to [1,16] — see operators/similarity.py:semdedup_auto_bits),
+# and the cell is the sign-bit word of the first b dimensions. The
+# CASE chain covers the full clamp range; dims past b contribute 0.
+_AUTO_BITS_SQL = (
+    "GREATEST(1, LEAST(16, LENGTH(BIN((COUNT(*) + 63) // 64 - 1))))"
+)
+_AUTO_CELL_SQL = " + ".join(
+    f"CASE WHEN {d} <= bw.b AND embedding[{d}] > 0 THEN {1 << (d - 1)} ELSE 0 END"
+    for d in range(1, 17)
+)
+
+
+@query(
+    "q290_semantic_dedup_auto_bits",
+    oracle=f"""
+    WITH bw AS (SELECT {_AUTO_BITS_SQL} AS b FROM embeddings),
+    cells AS (
+      SELECT vec_id, embedding, ({_AUTO_CELL_SQL}) AS cell
+      FROM embeddings, bw),
+    dups AS (
+      SELECT a.vec_id AS vid, MIN(b.vec_id) AS dup_of
+      FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE {_COS_MICRO_SQL} >= 300000
+      GROUP BY a.vec_id)
+    SELECT c.vec_id,
+           CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+           CAST(COALESCE(d.dup_of, -1) AS BIGINT) AS dup_of
+    FROM cells c LEFT JOIN dups d ON c.vec_id = d.vid
+    """,
+)
+def q290_semantic_dedup_auto_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the PRODUCTION quantizer width — q231's semantics
+    with ``bits`` derived from the corpus count instead of pinned
+    (``semdedup_auto_bits``: bit_length(⌈n/64⌉−1) clamped to [1,16],
+    so the EXPECTED cell population stays ≤64 as the corpus grows).
+    q231 pins bits=3 for its fixture contract, which is quadratic at
+    100× adversarial density (the round-11 SCALE.md adjudication);
+    this registers the auto-width default as its own oracle-checked
+    query, so the scale-safe shape is the pinned one. The bit-width
+    derivation is integer-exact on both engines (no float log2), and
+    the rest of the chain is exactly q231's: within-cell integer-
+    quantized cosine ≥ 0.3, lowest-id canonical survivor, (vec_id,
+    kept, dup_of) out.
+
+    Scale: one metadata-cheap COUNT to size the quantizer, one
+    shuffle on the cell id, sum-of-|cell|² pair work with |cell|
+    bounded ~64 by construction — the 100 TB shape by design
+    (Abbas et al. 2023 scale cluster count with corpus size)."""
+    from kinesis_producer_spark.operators.similarity import semantic_dedup_keep_list
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup_keep_list(e, bits=None, threshold_micro=300_000)
+    return out.select(
+        "vec_id",
+        F.col("kept").cast("bigint").alias("kept"),
+        F.coalesce(F.col("dup_of"), F.lit(-1)).cast("bigint").alias("dup_of"),
+    )

@@ -751,12 +751,17 @@ def semdedup_auto_bits(
     use k ∝ corpus). max_bits=16 caps the quantizer at 65 536 sign-bit
     cells (the leading-dim signs run out of decorrelated information
     well before 64 bits; past that, switch the cell id to a trained
-    coarse quantizer)."""
-    import math
+    coarse quantizer).
 
+    Computed in INTEGER arithmetic (⌈log₂(n/t)⌉ = bit_length(⌈n/t⌉-1)
+    — since 2^k ≥ n/t ⟺ 2^k ≥ ⌈n/t⌉ for integer 2^k), identical to
+    the real-valued formula at every n and exactly reproducible in an
+    oracle as LENGTH(BIN((n + t - 1) // t - 1)) — no float log2 whose
+    rounding could flip the ceil at power-of-two boundaries."""
     if n <= 0:
         return 1
-    return max(1, min(int(max_bits), math.ceil(math.log2(max(1.0, n / target_cell)))))
+    m = (n + target_cell - 1) // target_cell
+    return max(1, min(int(max_bits), (m - 1).bit_length()))
 
 
 def semantic_dedup_keep_list(

@@ -163,6 +163,11 @@ SOAK = [
     "q287_nb_quality_train",
     "q288_nb_quality_score",
     "q289_ann_trained_rebuild_serving",
+    # round-12: the auto-bits SemDeDup registration (VERDICT r11 #1) —
+    # the corpus-count-derived quantizer width is exactly what keeps
+    # within-cell pair volume ~linear where the pinned-bits q231 goes
+    # quadratic at 100x density; this row is the proof
+    "q290_semantic_dedup_auto_bits",
 ]
 
 # Override the soaked decades with e.g.
