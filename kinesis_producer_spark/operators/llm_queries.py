@@ -10305,3 +10305,224 @@ def q290_semantic_dedup_auto_bits(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("kept").cast("bigint").alias("kept"),
         F.coalesce(F.col("dup_of"), F.lit(-1)).cast("bigint").alias("dup_of"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q291/q292 — perceptual AUDIO dedup through the real FLAC codec
+# (round-11 verdict #2): the audio member of the multimodal dedup
+# family, completing text (q50/q51/q226/q231) and image (q285/q286).
+# Fixture: per doc a deterministic md5-byte PCM signal (1024 samples,
+# shared by each even/odd partner pair), the odd twin perturbed by +24
+# on exactly ONE 16-sample frame — a localized edit that can flip at
+# most the two adjacent energy-delta bits, so banded candidates at
+# Hamming <= 3 are pigeonhole-complete over the planted pairs. The
+# signal goes through a GENUINE FLAC encode->decode (operators/flac.py,
+# lossless), so the oracle recomputes the fingerprint from the
+# generating formula.
+# ---------------------------------------------------------------------------
+
+_AUDIO_MD5_SQL = (
+    "MD5(CAST(d.doc_id - d.doc_id % 2 AS VARCHAR) || ':' "
+    "|| CAST(i.i AS VARCHAR))"
+)
+_AUDIO_FP_SQL = f"""
+    au AS (
+      SELECT d.doc_id, (d.doc_id - d.doc_id % 2) AS base,
+             CAST(i.i AS BIGINT) AS i,
+             (16 * (INSTR('0123456789abcdef',
+                          SUBSTR({_AUDIO_MD5_SQL}, 1, 1)) - 1)
+              + (INSTR('0123456789abcdef',
+                       SUBSTR({_AUDIO_MD5_SQL}, 2, 1)) - 1)
+              - 128) AS s0
+      FROM documents d, UNNEST(range(1024)) AS i(i)),
+    sv AS (
+      SELECT doc_id, i,
+             CASE WHEN doc_id % 2 = 1
+                   AND i // 16 = 1 + (base // 2) % 62
+                  THEN s0 + 24 ELSE s0 END AS s
+      FROM au),
+    en AS (
+      SELECT doc_id, CAST(i // 16 AS INT) AS f,
+             CAST(SUM(s * s) AS BIGINT) AS e
+      FROM sv GROUP BY doc_id, i // 16),
+    afps AS (
+      SELECT a.doc_id,
+             CAST(SUM(CASE WHEN b.e > a.e
+                           THEN CAST(1 AS BIGINT) << a.f
+                           ELSE 0 END) AS BIGINT) AS afp
+      FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+      GROUP BY a.doc_id)
+"""
+
+
+def _audio_fixture_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture corpus as REAL FLAC blobs: must match _AUDIO_FP_SQL
+    sample for sample (md5 bytes − 128, +24 on the planted frame of
+    odd docs), encoded with block_size=64 so every blob spans multiple
+    FLAC frames. One Arrow synthesis stage; blobs stay executor-side."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from kinesis_producer_spark.operators.flac import encode_flac
+
+    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                base = did - did % 2
+                s = np.array(
+                    [
+                        int(
+                            hashlib.md5(f"{base}:{i}".encode()).hexdigest()[:2],
+                            16,
+                        )
+                        - 128
+                        for i in range(1024)
+                    ],
+                    dtype=np.int16,
+                )
+                if did % 2 == 1:
+                    k = 1 + (base // 2) % 62
+                    s[16 * k : 16 * k + 16] += 24
+                rows.append(
+                    {
+                        "media_id": did,
+                        "content": encode_flac(
+                            s, sample_rate=16000, block_size=64
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return d.mapInPandas(synth, "media_id long, content binary")
+
+
+@query(
+    "q291_audio_fp_near_dup_pairs",
+    oracle=f"""
+    WITH {_AUDIO_FP_SQL},
+    bands AS (
+      SELECT doc_id, b.b AS band_idx,
+             (afp >> (16 * b.b)) & 65535 AS band_val
+      FROM afps, UNNEST(range(4)) AS b(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(fa.afp, fb.afp)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN afps fa ON fa.doc_id = c.doc_a
+    JOIN afps fb ON fb.doc_id = c.doc_b
+    WHERE bit_count(xor(fa.afp, fb.afp)) <= 3
+    """,
+)
+def q291_audio_fp_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL audio near-dup detection — the audio member of the
+    multimodal dedup mandate: every document's fixture signal goes
+    through a genuine FLAC encode→decode (operators/flac.py — fixed
+    predictors + Rice residuals, multi-frame blobs), then the
+    chromaprint-shaped integer fingerprint (``audio_fingerprint``:
+    16-sample frame energies as integer sums of squares, 63
+    sign-of-delta bits — division-free, the q286 dHash discipline on
+    the time axis). Candidate pairs come from BANDED buckets — 4
+    bands × 16 bits, self-joined per band, never all-pairs — and at
+    Hamming ≤ 3 the banding is PIGEONHOLE-COMPLETE: ≤3 flipped bits
+    dirty at most 3 of 4 bands, so every qualifying pair shares a
+    clean band (exact LSH — completeness vs brute force pinned in
+    tests). The fixture's planted edit perturbs ONE frame's energy,
+    flipping at most the 2 adjacent delta bits, so recall over the
+    planted pairs is structurally 100% (pinned in tests); md5-byte
+    samples make unrelated 63-bit fingerprints collision-free at
+    Hamming ≤ 3.
+
+    Scale: fingerprints are 8 bytes/blob out of one Arrow decode
+    stage; the banded self-join shuffles O(blobs·4) band rows and the
+    verify join touches only candidates — the q285/q51 LSH shape on
+    the audio modality."""
+    from kinesis_producer_spark.operators.multimodal import audio_fingerprint
+
+    h = audio_fingerprint(_audio_fixture_blobs(spark, sf_dir)).select(
+        F.col("media_id").alias("doc_id"), "afp"
+    )
+    bands = h.select(
+        "doc_id",
+        "afp",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftright("afp", 16 * i)
+                    .bitwiseAND(F.lit(65535))
+                    .alias("band_val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "afp", "b.band_idx", "b.band_val")
+    left = bands.select(
+        F.col("band_idx").alias("_bi"),
+        F.col("band_val").alias("_bv"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("afp").alias("_fa"),
+    )
+    right = bands.select(
+        F.col("band_idx").alias("_bi"),
+        F.col("band_val").alias("_bv"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("afp").alias("_fb"),
+    )
+    cand = (
+        left.join(right, ["_bi", "_bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_fa", "_fb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    return cand.filter(ham <= 3).select(
+        "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
+    )
+
+
+@query(
+    "q292_audio_fp_exact_dedup",
+    oracle=f"""
+    WITH {_AUDIO_FP_SQL}
+    SELECT afp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM afps GROUP BY afp HAVING COUNT(*) > 1
+    """,
+)
+def q292_audio_fp_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint EXACT dedup — the cheap first gate of the
+    perceptual audio family (the q286/q50 shape on the audio
+    modality): group blobs by the full 63-bit fingerprint, emit
+    duplicate groups. On the fixture this catches exactly the planted
+    pairs whose one-frame edit left every energy-delta comparison's
+    sign unchanged (the sub-margin copies), while q291's banding
+    catches the rest — together the production two-stage pipeline:
+    hash-equality first, banded near-miss second.
+
+    Scale: one Arrow decode stage, then a groupBy on an 8-byte key —
+    shuffle O(blobs), duplicate groups only."""
+    from kinesis_producer_spark.operators.multimodal import audio_fingerprint
+
+    h = audio_fingerprint(_audio_fixture_blobs(spark, sf_dir)).select(
+        F.col("media_id").alias("doc_id"), "afp"
+    )
+    return (
+        h.groupBy("afp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

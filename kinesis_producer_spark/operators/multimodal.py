@@ -1044,6 +1044,75 @@ def decode_audio_pcm(
     return src.mapInPandas(run, PCM_SCHEMA)
 
 
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    frame: int = 16,
+    n_bits: int = 63,
+) -> DataFrame:
+    """Chromaprint-shaped PERCEPTUAL audio fingerprint over the real
+    decode path (FLAC via ``operators.flac``, else 16-bit PCM WAV):
+    the first ``(n_bits+1)·frame`` interleaved samples are boxed into
+    ``n_bits+1`` frames, each frame's ENERGY is the integer sum of
+    squares (division-free — the q286 dHash discipline on the time
+    axis), and bit f is set iff E[f+1] > E[f] — ``n_bits``
+    sign-of-delta bits packed into one BIGINT (``afp`` — the default
+    63 bits keeps the packed value inside a signed int64, the q285
+    phash convention). Blobs that
+    fail to decode or are shorter than the fingerprint window yield a
+    NULL afp (callers drop or quarantine them, never silently hash
+    garbage).
+
+    Energy deltas are amplitude-robust in the way that matters for
+    near-dup detection: a localized edit (one re-encoded region, a
+    click removed) perturbs the energies of the touched frames only,
+    flipping at most the adjacent delta bits — which is what makes
+    Hamming-banded candidate generation (q291) pigeonhole-complete at
+    a stated radius, exactly the pHash discipline of q285 on the
+    audio modality.
+
+    Scale: one Arrow-batched mapInPandas stage; samples never leave
+    the executor; output is 8 bytes/blob. Everything downstream
+    (banded near-dup pairs, exact groups) works on the BIGINT."""
+    import numpy as np
+
+    from kinesis_producer_spark.operators.flac import decode_flac
+
+    need = (n_bits + 1) * frame
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(blob) if blob is not None else b""
+                if b[:4] == b"fLaC":
+                    flac = decode_flac(b)
+                    s = (
+                        flac[0].reshape(-1)
+                        if flac is not None and flac[1] > 0
+                        else None
+                    )
+                else:
+                    parsed = _parse_wav_pcm(b)
+                    s = parsed[2] if parsed is not None else None
+                afp = None
+                if s is not None and s.size >= need:
+                    e = (
+                        s[:need].astype(np.int64).reshape(n_bits + 1, frame)
+                        ** 2
+                    ).sum(axis=1)
+                    bits = (e[1:] > e[:-1]).astype(np.uint64)
+                    afp = int(
+                        (bits << np.arange(n_bits, dtype=np.uint64)).sum()
+                    )
+                rows.append({"media_id": mid, "afp": afp})
+            yield pd.DataFrame(rows, columns=["media_id", "afp"])
+
+    src = df.select(F.col(id_col), F.col(content_col))
+    return src.mapInPandas(run, "media_id long, afp long")
+
+
 BMP_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -1519,3 +1519,139 @@ def test_phash_fixture_roundtrip_and_banding_completeness(spark):
     for g in groups:
         assert g.n_docs == 2 and g.max_doc == g.min_doc + 1
         assert g.min_doc % 2 == 0
+
+
+# ---------------------------------------------------------------------------
+# q291/q292 — perceptual audio dedup (audio_fingerprint)
+# ---------------------------------------------------------------------------
+
+
+def _audio_fp_model(samples, frame=16, n_bits=63):
+    """Plain-Python audio-fingerprint model — nested loops, no numpy:
+    the independent implementation the vectorized operator kernel is
+    pinned against. Frame energies as integer sums of squares, bit f
+    set iff E[f+1] > E[f]."""
+    need = (n_bits + 1) * frame
+    if len(samples) < need:
+        return None
+    e = [
+        sum(int(samples[f * frame + j]) ** 2 for j in range(frame))
+        for f in range(n_bits + 1)
+    ]
+    bits = 0
+    for f in range(n_bits):
+        if e[f + 1] > e[f]:
+            bits |= 1 << f
+    return bits
+
+
+@given(hst.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=30, deadline=None)
+def test_audio_fp_kernel_matches_python_model(seed):
+    """The audio_fingerprint energy/bit kernel is bit-identical to a
+    plain-Python nested-loop model on arbitrary int16 signals, THROUGH
+    a genuine FLAC encode→decode (lossless, so any divergence is a
+    codec or kernel bug, not fixture noise)."""
+    import numpy as np
+
+    from kinesis_producer_spark.operators.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1024, 1400))
+    s = rng.integers(-2048, 2048, size=n).astype(np.int16)
+    blob = encode_flac(s, sample_rate=16000, block_size=64)
+    dec, rate = decode_flac(blob)
+    flat = dec.reshape(-1)
+    assert np.array_equal(flat, s)
+    # the operator's vectorized form, exactly as audio_fingerprint
+    # computes it
+    e = (flat[:1024].astype(np.int64).reshape(64, 16) ** 2).sum(axis=1)
+    bits = (e[1:] > e[:-1]).astype(np.uint64)
+    kern = int((bits << np.arange(63, dtype=np.uint64)).sum())
+    assert kern == _audio_fp_model([int(v) for v in s])
+
+
+def test_audio_fp_fixture_roundtrip_and_banding_completeness(spark):
+    """q291/q292's structural claims pinned at sf0.001 (500 docs):
+    (1) FLAC round trip is lossless — distributed fingerprints equal
+    the plain-Python model on the fixture signal; (2) BANDED candidate
+    generation is COMPLETE vs brute force at Hamming ≤ 3; (3) recall
+    over planted pairs is structurally 100% (the one-frame edit flips
+    at most 2 adjacent delta bits) and every reported pair is a
+    planted (even, odd) pair; (4) q292's duplicate groups are planted
+    pairs only, and q291 ⊇ q292's groups (the exact gate is a subset
+    of the near-dup gate); (5) short/undecodable blobs yield NULL afp
+    rather than a garbage hash."""
+    import hashlib
+
+    import numpy as np
+
+    from kinesis_producer_spark.operators.flac import encode_flac
+    from kinesis_producer_spark.operators.llm_queries import (
+        q291_audio_fp_near_dup_pairs,
+        q292_audio_fp_exact_dedup,
+        _audio_fixture_blobs,
+    )
+    from kinesis_producer_spark.operators.multimodal import audio_fingerprint
+
+    sf = "/root/testdata/sf0.001"
+    fps = {
+        r.media_id: r.afp
+        for r in audio_fingerprint(_audio_fixture_blobs(spark, sf)).collect()
+    }
+    assert len(fps) == 500 and all(v is not None for v in fps.values())
+
+    # (1) model agreement on a sample of docs, from the raw fixture
+    def fixture_signal(did):
+        base = did - did % 2
+        s = [
+            int(hashlib.md5(f"{base}:{i}".encode()).hexdigest()[:2], 16) - 128
+            for i in range(1024)
+        ]
+        if did % 2 == 1:
+            k = 1 + (base // 2) % 62
+            for j in range(16 * k, 16 * k + 16):
+                s[j] += 24
+        return s
+
+    for did in (0, 1, 8, 123, 499):
+        assert fps[did] == _audio_fp_model(fixture_signal(did))
+
+    # (2) banding completeness vs brute force at Hamming <= 3
+    ids = sorted(fps)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in q291_audio_fp_near_dup_pairs(spark, sf).collect()
+    }
+    assert found == brute
+
+    # (3) structural 100% recall + planted-only
+    planted = {(2 * k, 2 * k + 1) for k in range(len(ids) // 2)}
+    assert found == planted
+
+    # (4) exact groups are planted pairs and a subset of q291's
+    groups = q292_audio_fp_exact_dedup(spark, sf).collect()
+    for g in groups:
+        assert g.n_docs == 2 and g.max_doc == g.min_doc + 1
+        assert g.min_doc % 2 == 0
+        assert (g.min_doc, g.max_doc) in found
+
+    # (5) null contract: too-short and garbage blobs
+    import pandas as pd
+
+    short = encode_flac(
+        np.arange(64, dtype=np.int16), sample_rate=16000, block_size=64
+    )
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [1, 2], "content": [short, b"not audio at all"]}
+        )
+    )
+    out = {r.media_id: r.afp for r in audio_fingerprint(bad).collect()}
+    assert out == {1: None, 2: None}

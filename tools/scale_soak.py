@@ -168,6 +168,11 @@ SOAK = [
     # within-cell pair volume ~linear where the pinned-bits q231 goes
     # quadratic at 100x density; this row is the proof
     "q290_semantic_dedup_auto_bits",
+    # round-12: perceptual audio dedup through the real FLAC codec —
+    # one Arrow encode+decode pass then the q285 banded-candidate
+    # shuffle on 8-byte keys (q291) / the q50 hash-groupBy (q292)
+    "q291_audio_fp_near_dup_pairs",
+    "q292_audio_fp_exact_dedup",
 ]
 
 # Override the soaked decades with e.g.
