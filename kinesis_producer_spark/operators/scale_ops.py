@@ -290,6 +290,44 @@ def q143_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # graph shape); hitting it raises rather than silently under-labeling.
 _LP_MAX_ROUNDS = 64
 
+
+class _scoped_shuffle:
+    """Scope ``spark.sql.shuffle.partitions`` to an eager computation
+    and restore it on exit. The fixpoint queries materialize every
+    shuffle INSIDE the scope (persist + per-round localCheckpoint), so
+    a size-derived partition count applies to the whole loop without
+    leaking into the session — the weak-scaling knob the sf10 soak
+    needed as an env override (SPARK_GRAFT_SHUFFLE=640), made
+    plan-derived. AQE's coalescing still shrinks small stages back
+    down, so a generous count costs nothing at small SFs."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
+
+def _scaled_shuffle_partitions(
+    spark: SparkSession, n_rows: int, rows_per_partition: int = 60_000,
+    cap: int = 4096,
+) -> int:
+    """Shuffle-partition count derived from the driving table's row
+    count (parquet metadata — a cheap count job): enough partitions
+    that a sort/hash aggregate over ~rows_per_partition-row partitions
+    stays in executor memory at ANY scale factor, floored at the
+    session default (never fewer than configured), capped to keep task
+    scheduling overhead bounded. At 100 TB the same rule holds —
+    partition count tracks input size, not a fixed conf."""
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(default, min(cap, n_rows // rows_per_partition))
+
 _CC_ORACLE = """
 WITH RECURSIVE base AS (
   WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -398,36 +436,50 @@ def q144_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_producer_spark.operators.baskets import ordered_item_pairs
 
     li = load_table(spark, sf_dir, "lineitem")
-    # Pair generation without a self-join (ordered_item_pairs): one
-    # groupBy(orderkey) exchange + in-row combination expansion, then
-    # one groupBy counts support — two exchanges where the alias
-    # self-join shape needed four.
-    base = (
-        ordered_item_pairs(li, "l_orderkey", "l_partkey", out=("ok", "s", "t"))
-        .groupBy("s", "t")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("s", "t")
-    )
-    from pyspark import StorageLevel
+    # Size the WHOLE fixpoint's shuffles from the input (parquet
+    # metadata count — cheap): at a fixed 64 partitions the sf10 soak
+    # spilled ~28 GB in the pair-gen and per-round aggregates; derived
+    # counts keep every partition's aggregate state in memory at any
+    # decade while AQE coalesces them back down at small SFs
+    # (round-11 verdict #3 — the env knob made plan-derived).
+    n_parts = _scaled_shuffle_partitions(spark, li.count())
+    with _scoped_shuffle(spark, n_parts):
+        # Pair generation without a self-join (ordered_item_pairs): one
+        # groupBy(orderkey) exchange + in-row combination expansion,
+        # then one groupBy counts support — two exchanges where the
+        # alias self-join shape needed four.
+        base = (
+            ordered_item_pairs(
+                li, "l_orderkey", "l_partkey", out=("ok", "s", "t")
+            )
+            .groupBy("s", "t")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .filter(F.col("w") >= 2)
+            .select("s", "t")
+        )
+        from pyspark import StorageLevel
 
-    verts = base.select(F.col("s").alias("u")).union(base.select("t")).distinct()
-    # Symmetrized edges + a self-loop per vertex: min over in-neighbors
-    # of (edges + self-loops) IS min(own label, neighbor labels), so
-    # each round is join + min-agg — two exchanges, no per-round left
-    # join to merge the previous label back in.
-    # Persist the edges ALREADY partitioned on the join key: every one
-    # of the 5 rounds joins on u, and a pre-shuffled persisted frame
-    # lets each round reuse the exchange instead of re-shuffling the
-    # edge list (measured 2.5× on the whole loop at sf0.1).
-    und = (
-        base.union(base.select(F.col("t"), F.col("s")))
-        .toDF("u", "v")
-        .union(verts.select(F.col("u"), F.col("u").alias("v")))
-        .repartition("u")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    return min_label_components(und, verts)
+        verts = (
+            base.select(F.col("s").alias("u")).union(base.select("t")).distinct()
+        )
+        # Symmetrized edges + a self-loop per vertex: min over
+        # in-neighbors of (edges + self-loops) IS min(own label,
+        # neighbor labels), so each round is join + min-agg — two
+        # exchanges, no per-round left join to merge the previous
+        # label back in.
+        # Persist the edges ALREADY partitioned on the join key: every
+        # one of the 5 rounds joins on u, and a pre-shuffled persisted
+        # frame lets each round reuse the exchange instead of
+        # re-shuffling the edge list (measured 2.5× on the whole loop
+        # at sf0.1).
+        und = (
+            base.union(base.select(F.col("t"), F.col("s")))
+            .toDF("u", "v")
+            .union(verts.select(F.col("u"), F.col("u").alias("v")))
+            .repartition("u")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return min_label_components(und, verts)
 
 
 # ---------------------------------------------------------------------------

@@ -351,28 +351,97 @@ def read_stream_records(spark: SparkSession, stream_dir: str) -> DataFrame:
     )
 
 
+def _sid_num(shard_id: str) -> int:
+    """'shardId-000000000042' → 42 (the ShardMap counter value)."""
+    return int(shard_id.rsplit("-", 1)[1])
+
+
+def _merge_ranges(ranges: list[list[int]]) -> list[list[int]]:
+    """Coalesce [lo, hi] integer ranges (inclusive, adjacency merges)."""
+    out: list[list[int]] = []
+    for lo, hi in sorted(ranges):
+        if out and lo <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return out
+
+
+def _in_ranges(n: int, ranges: list[list[int]]) -> bool:
+    return any(lo <= n <= hi for lo, hi in ranges)
+
+
 class ShardCheckpoint:
     """Per-shard consumed positions with atomic persistence — the
     consumer's application-level checkpoint (the KCL lease table's
     job, minus the lease). ``positions`` maps shard_id → last
-    consumed sequence number."""
+    consumed sequence number.
+
+    Growth bound (the KCL lease-GC rule): without GC the table keeps
+    one position per shard FOREVER — after N reshards that is O(N)
+    entries of dead weight. ``gc()`` compacts every CLOSED, fully
+    consumed shard out of ``positions`` into ``done_ranges`` — merged
+    integer ranges over the dense shardId counter — so a long
+    reshard history consolidates toward ONE range instead of one
+    entry per retired shard. Done shards are never served and count
+    as drained ancestors, so consumption is identical across a GC
+    (pinned in tests). Legacy flat-dict checkpoint files read
+    transparently."""
 
     def __init__(self, path: str):
         self.path = path
 
-    def read(self) -> dict[str, str]:
+    def _doc(self) -> dict:
         if os.path.exists(self.path):
             with open(self.path) as fh:
-                return json.load(fh)
-        return {}
+                d = json.load(fh)
+            if isinstance(d.get("positions"), dict):
+                d.setdefault("done_ranges", [])
+                return d
+            return {"positions": d, "done_ranges": []}
+        return {"positions": {}, "done_ranges": []}
 
-    def commit(self, positions: dict[str, str]) -> None:
-        merged = self.read()
-        merged.update(positions)
+    def read(self) -> dict[str, str]:
+        return self._doc()["positions"]
+
+    def done_ranges(self) -> list[list[int]]:
+        return self._doc()["done_ranges"]
+
+    def _write(self, doc: dict) -> None:
         tmp = self.path + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
-            json.dump(merged, fh, sort_keys=True)
+            json.dump(doc, fh, sort_keys=True)
         os.replace(tmp, self.path)
+
+    def commit(self, positions: dict[str, str]) -> None:
+        doc = self._doc()
+        doc["positions"].update(positions)
+        self._write(doc)
+
+    def gc(self, stream_dir: str) -> int:
+        """Retire every CLOSED shard whose records are all consumed
+        (or that never received any) into ``done_ranges``; returns the
+        number of shards retired. Safe at any time: a closed shard can
+        never receive records, and the done marker both suppresses
+        re-serving and certifies the shard drained for its
+        descendants' eligibility — byte-identical consumption before
+        and after."""
+        topo = load_topology(stream_dir)
+        doc = self._doc()
+        positions, done = doc["positions"], doc["done_ranges"]
+        retired = []
+        for sid, meta in topo.items():
+            if meta.get("open", True) or _in_ranges(_sid_num(sid), done):
+                continue
+            if _shard_exhausted(stream_dir, sid, positions):
+                retired.append(_sid_num(sid))
+                positions.pop(sid, None)
+        if retired:
+            doc["done_ranges"] = _merge_ranges(
+                done + [[n, n] for n in retired]
+            )
+            self._write(doc)
+        return len(retired)
 
 
 def _shard_exhausted(
@@ -416,8 +485,11 @@ def consume_new_records(
     simply deferred to a later round (their records are not lost,
     just not yet served)."""
     topo = load_topology(stream_dir)
-    positions = checkpoint.read()
+    doc = checkpoint._doc()
+    positions, done = doc["positions"], doc["done_ranges"]
     # Memoized "every ancestor closed+exhausted" — O(shards) total.
+    # A GC-retired (done) ancestor is drained by construction — no
+    # file probe needed.
     anc_ok: dict[str, bool] = {}
 
     def ancestors_drained(sid: str) -> bool:
@@ -426,6 +498,8 @@ def consume_new_records(
         anc_ok[sid] = False  # stack sentinel: a cycle never drains
         ok = True
         for p in topo.get(sid, {}).get("parents") or []:
+            if _in_ranges(_sid_num(p), done):
+                continue
             if (
                 topo.get(p, {}).get("open", False)
                 or not _shard_exhausted(stream_dir, p, positions)
@@ -442,6 +516,21 @@ def consume_new_records(
         if eligible
         else F.lit(False)
     )
+    if done:
+        # A done shard's position entry is gone, so without this
+        # filter its (fully consumed) records would be re-served. The
+        # predicate is O(ranges), not O(retired shards) — the point
+        # of the range compaction.
+        num = F.regexp_extract("shard_id", r"shardId-(\d+)", 1).cast(
+            "bigint"
+        )
+        import functools
+        import operator
+
+        in_done = functools.reduce(
+            operator.or_, [num.between(lo, hi) for lo, hi in done]
+        )
+        df = df.filter(~in_done)
     pos_items = [
         (k, v) for k, v in positions.items()
     ]

@@ -2183,3 +2183,150 @@ def q289_ann_trained_rebuild_serving(spark: SparkSession, sf_dir: str) -> DataFr
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+@query(
+    "q293_stream_consume_flatten_sink",
+    oracle=f"""
+    SELECT event_type AS typeOfReading,
+           CAST(EXTRACT(day FROM ts) AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('value')} AS sum_value,
+           MAX(STRFTIME(ts, '%Y-%m-%dT%H:%M:%S.%f')) AS max_rts
+    FROM events
+    WHERE event_type IN ('click', 'error')
+      AND EXTRACT(day FROM ts) BETWEEN 10 AND 19
+    GROUP BY 1, 2
+    """,
+)
+def q293_stream_consume_flatten_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The COMPLETE reference pipeline through the STREAM (round-11
+    verdict #4): q284 closed produce→consume→transform; this carries
+    the consumed records on through the reference's flatten stage —
+    checkpointed consume (``consume_new_records``: at-least-once with
+    dedup-on-SequenceNumber, positions committed only after the sink
+    write succeeds — the crash-safe order) → XML parse → DECLARED EAV
+    pivot (op 10) → quoted Hive-partitioned CSV sink partitioned on
+    (typeOfReading, y, m, d) (ops 17+18 — exactly
+    file_flattener.py:157-170's layout) → PARTITION-PRUNED re-read
+    (op 19: two reading types × a 10-day window — the returned frame
+    is the LAZY re-read, so the plan audit sees the pruned scan).
+    The oracle recomputes the same aggregate straight from the events
+    table — every record must survive produce (with injected
+    throttles + retries), shard-aware consume, parse, pivot, the
+    string-typed CSV round trip, and partition pruning bit-exactly.
+
+    Scale: produce/consume are q284's executor-parallel paths; the
+    flatten is one scan-side projection (zero-shuffle pivot); the
+    sink shuffles once on the partition columns; the re-read scans
+    only the 20 matching partitions of 150 — the op-19 contract that
+    makes the flattened lake cheap to query at 100 TB."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from kinesis_producer_spark.operators.eav_pivot import pivot_declared
+    from kinesis_producer_spark.operators.etl_queries import (
+        _signal_xml_from_events,
+    )
+    from kinesis_producer_spark.sinks import write_hive_partitioned_csv
+    from kinesis_producer_spark.sources.xml import parse_signal_messages
+    from kinesis_producer_spark.streaming.kinesis_sink import KinesisSink
+    from kinesis_producer_spark.streaming.kinesis_source import (
+        FileStreamTransport,
+        ShardCheckpoint,
+        consume_new_records,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"stream_flatten_{tag}")
+    stream_dir = os.path.join(root, "stream")
+    flat_dir = os.path.join(root, "flattened")
+    pos_path = os.path.join(root, "positions.json")
+    # the stream transport APPENDS blocks and the checkpoint carries
+    # consumed positions across runs — reset both so the query is
+    # idempotent (the CSV sink's overwrite handles its own dir)
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    if os.path.exists(pos_path):
+        os.unlink(pos_path)
+
+    e = load_table(spark, sf_dir, "events")
+    records = _signal_xml_from_events(e).select(
+        "payload",
+        F.regexp_extract(
+            "payload", "<NS1:typeOfReading>([^<]*)</NS1:typeOfReading>", 1
+        ).alias("pk"),
+    )
+    sink = KinesisSink(
+        stream_name="flatten-stream",
+        transport_factory=lambda: FileStreamTransport(stream_dir, n_shards=4),
+        max_retries=3,
+        backoff_s=0.0,
+    )
+    acks = sink.write_batch(
+        records, data_col="payload", partition_key_col="pk"
+    ).localCheckpoint(eager=True)
+    assert acks.filter(F.col("status") != "ok").count() == 0
+
+    ck = ShardCheckpoint(pos_path)
+    consumed, new_positions = consume_new_records(spark, stream_dir, ck)
+    parsed = parse_signal_messages(
+        consumed.select(F.col("data").cast("string").alias("payload")),
+        "payload",
+        mode="FAILFAST",
+    )
+    wide = pivot_declared(
+        parsed, declared=["value", "k"], uom_for=["value"], keep_extras=False
+    )
+    rts = F.col("envelope").getItem("readingTimestampUTC")
+    flat = wide.select(
+        F.col("envelope").getItem("vehicleIdentifier").alias("vehicleIdentifier"),
+        rts.alias("readingTimestampUTC"),
+        F.col("value"),
+        F.col("value_UoM"),
+        F.col("k"),
+        F.col("envelope").getItem("typeOfReading").alias("typeOfReading"),
+        F.substring(rts, 1, 4).cast("int").alias("y"),
+        F.substring(rts, 6, 2).cast("int").alias("m"),
+        F.substring(rts, 9, 2).cast("int").alias("d"),
+    )
+    # Cluster rows by the partition columns before the sink: without
+    # this every upstream task writes a sliver of every Hive partition
+    # (tasks × partitions tiny files — measured 984-task re-read scans
+    # at sf0.01); with it the layout is one file per partition and the
+    # pruned re-read opens exactly the matching files. This is the
+    # reference's one-file-per-day layout (file_flattener.py:162-164)
+    # expressed as a shuffle, and the discipline that keeps a 100 TB
+    # flattened lake listable.
+    write_hive_partitioned_csv(
+        flat.repartition("typeOfReading", "y", "m", "d"),
+        flat_dir,
+        partition_by=["typeOfReading", "y", "m", "d"],
+    )
+    # the sink write (the processing action) succeeded — NOW commit
+    # the consumer positions (crash before this line = clean re-serve)
+    ck.commit(new_positions)
+
+    reread = spark.read.option("header", True).csv(flat_dir)
+    return (
+        reread.filter(
+            F.col("typeOfReading").isin("click", "error")
+            & F.col("d").between(10, 19)
+        )
+        .groupBy("typeOfReading", "d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dsum(F.col("value").cast("double"), "sum_value"),
+            F.max("readingTimestampUTC").alias("max_rts"),
+        )
+        .select(
+            "typeOfReading",
+            F.col("d").cast("bigint").alias("d"),
+            "n",
+            "sum_value",
+            "max_rts",
+        )
+    )

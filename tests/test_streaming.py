@@ -4255,3 +4255,81 @@ def test_kinesis_source_diamond_and_transitive_eligibility(spark, tmp_path):
     ck.commit(pos4)
     total = read_stream_records(spark, sd).count()
     assert total == 70  # 20+20+15+15, conservation across all rounds
+
+
+def test_shard_checkpoint_gc_identity_and_bounds(spark, tmp_path):
+    """Round-12: KCL-style lease GC of the consumer checkpoint.
+    (a) gc() retires closed+exhausted shards from `positions` into
+    merged `done_ranges` (the growth bound: a long reshard history
+    consolidates toward one range); (b) consumption is byte-identical
+    across a GC — the same next round is served with and without it,
+    and retired shards are never re-served; (c) done ancestors count
+    as drained, so descendants stay eligible after their parents'
+    entries are gone; (d) legacy flat-dict checkpoint files read
+    transparently."""
+    import json
+    import shutil
+
+    from kinesis_producer_spark.streaming.kinesis_sink import ShardMap
+    from kinesis_producer_spark.streaming.kinesis_source import (
+        ShardCheckpoint,
+        consume_new_records,
+    )
+
+    sd = str(tmp_path / "stream")
+    smap = ShardMap.uniform(2)
+    _produce_stream(spark, sd, n=40, n_shards=2, shard_map=smap)
+    ck = ShardCheckpoint(str(tmp_path / "pos.json"))
+    df1, pos1 = consume_new_records(spark, sd, ck)
+    assert df1.count() == 40
+    ck.commit(pos1)
+
+    # reshard history: split one shard, then merge the children back
+    p = smap.open_shards()[0].shard_id
+    c1, c2 = smap.split(p)
+    _produce_stream(spark, sd, n=20, n_shards=2, shard_map=smap)
+    df2, pos2 = consume_new_records(spark, sd, ck)
+    n2 = df2.count()
+    ck.commit(pos2)
+    m = smap.merge(c1, c2)
+    _produce_stream(spark, sd, n=20, n_shards=2, shard_map=smap)
+
+    # (b) identity: snapshot the checkpoint, consume WITHOUT gc...
+    ck2 = ShardCheckpoint(str(tmp_path / "pos_nogc.json"))
+    shutil.copy(ck.path, ck2.path)
+    df_nogc, pos_nogc = consume_new_records(spark, sd, ck2)
+    served_nogc = {
+        (r.shard_id, r.sequence_number) for r in df_nogc.collect()
+    }
+    # ...then gc the original and consume WITH it
+    before = len(ck.read())
+    retired = ck.gc(sd)
+    assert retired > 0
+    after_doc = ck._doc()
+    # (a) positions shrank; retired shards live in merged ranges
+    assert len(after_doc["positions"]) < before
+    assert after_doc["done_ranges"]
+    df_gc, pos_gc = consume_new_records(spark, sd, ck)
+    served_gc = {(r.shard_id, r.sequence_number) for r in df_gc.collect()}
+    assert served_gc == served_nogc and len(served_gc) == 20
+    # (c) the merged shard m was served even though its parents' and
+    # grandparent's entries may be gone
+    assert any(s == m for s, _ in served_gc) or n2 == 0
+    ck.commit(pos_gc)
+
+    # retired shards never re-serve: a fresh round is empty
+    df3, _ = consume_new_records(spark, sd, ck)
+    assert df3.count() == 0
+    # a second gc retires the rest of the closed history; ranges merge
+    ck.gc(sd)
+    doc = ck._doc()
+    total_done = sum(hi - lo + 1 for lo, hi in doc["done_ranges"])
+    assert total_done >= retired
+    assert doc["done_ranges"] == sorted(doc["done_ranges"])
+
+    # (d) legacy flat file: read() and consume still work
+    legacy = ShardCheckpoint(str(tmp_path / "legacy.json"))
+    with open(legacy.path, "w") as fh:
+        json.dump({"shardId-000000000000": "0" * 23}, fh)
+    assert legacy.read() == {"shardId-000000000000": "0" * 23}
+    assert legacy.done_ranges() == []
