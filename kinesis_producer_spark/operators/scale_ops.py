@@ -301,16 +301,37 @@ class _scoped_shuffle:
     plan-derived. AQE's coalescing still shrinks small stages back
     down, so a generous count costs nothing at small SFs."""
 
-    def __init__(self, spark: SparkSession, n: int):
+    def __init__(
+        self, spark: SparkSession, n: int, disable_coalesce: bool = False
+    ):
+        # disable_coalesce: AQE sizes post-shuffle partitions on the
+        # exchange's COMPRESSED INPUT bytes, so a stage whose work
+        # explodes in-stage (per-group combination expansion, per-row
+        # fan-out) gets coalesced back to a handful of fat tasks that
+        # sort-spill — measured on q144 at sf10: 1000 derived
+        # partitions coalesced to ~50, ~470 MB sorts, 28 GB spill.
+        # Scoping coalescing OFF lets the row-derived count stand;
+        # callers pass it only when the derived count exceeds the
+        # default (small inputs keep AQE's packing).
         self.spark, self.n = spark, n
+        self.disable_coalesce = disable_coalesce
 
     def __enter__(self):
-        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        conf = self.spark.conf
+        self.old = conf.get("spark.sql.shuffle.partitions")
+        self.old_coal = conf.get(
+            "spark.sql.adaptive.coalescePartitions.enabled"
+        )
+        conf.set("spark.sql.shuffle.partitions", str(self.n))
+        if self.disable_coalesce:
+            conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
         return self
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        self.spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", self.old_coal
+        )
         return False
 
 
@@ -442,8 +463,9 @@ def q144_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts keep every partition's aggregate state in memory at any
     # decade while AQE coalesces them back down at small SFs
     # (round-11 verdict #3 — the env knob made plan-derived).
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_parts = _scaled_shuffle_partitions(spark, li.count())
-    with _scoped_shuffle(spark, n_parts):
+    with _scoped_shuffle(spark, n_parts, disable_coalesce=n_parts > default):
         # Pair generation without a self-join (ordered_item_pairs): one
         # groupBy(orderkey) exchange + in-row combination expansion,
         # then one groupBy counts support — two exchanges where the

@@ -757,6 +757,128 @@ def _checked_swap(
     shutil.rmtree(old, ignore_errors=True)
 
 
+def health_rebuild_trigger(
+    max_suppressed_num: int = 1, max_suppressed_den: int = 10
+):
+    """A ``rebuild_index(trigger=...)`` monitor from the q280 health
+    metric: fire when the index-wide suppressed/live ratio STRICTLY
+    exceeds num/den — the same integer-exact rule as
+    ``maybe_compact``, pointed at the rebuild actuator (rebuild also
+    drops the churn, and additionally retrains the quantizers the
+    churn drifted). Bounded: one aggregate row per evaluation."""
+    if max_suppressed_num < 0 or max_suppressed_den < 1:
+        raise ValueError(
+            "threshold num/den must be >= 0 / >= 1, got "
+            f"{max_suppressed_num}/{max_suppressed_den}"
+        )
+
+    def trigger(spark: SparkSession, index_path: str) -> bool:
+        totals = index_health(spark, index_path).agg(
+            F.coalesce(F.sum("live_rows"), F.lit(0)).alias("live"),
+            F.coalesce(F.sum("suppressed_rows"), F.lit(0)).alias("dead"),
+        ).collect()[0]  # bounded: one row
+        return int(totals["dead"]) * max_suppressed_den > (
+            int(totals["live"]) * max_suppressed_num
+        )
+
+    return trigger
+
+
+class IndexMaintenanceWriter:
+    """The upsert writer WITH the maintenance loop inside the stream
+    (round-11 verdict #5): per micro-batch, (1) apply the CDC epoch
+    through ``index_upsert_writer`` (its exactly-once ledger
+    unchanged), then (2) evaluate the monitor and, if it fires, run
+    ``rebuild_index`` — retrain on the system-of-record corpus,
+    re-encode, atomic swap — WHILE the stream stays live. After a
+    rebuild the PQ codebook has changed, so the inner writer is
+    RE-CREATED from the rebuild's output — subsequent epochs encode
+    against the fresh quantizers and land on the rebuilt index (the
+    ledger watermark carried through the swap keeps replay-skip
+    intact across the boundary).
+
+    ``corpus_provider(spark) -> DataFrame`` must return the CURRENT
+    raw embedding for every live vector at the moment the monitor
+    fires (the rebuild's system-of-record contract — a served id
+    missing from it fails loudly).
+
+    Crash discipline (pinned in tests): a crash between the epoch
+    commit and the rebuild re-delivers the epoch on restart — the
+    inner writer skips it (committed) and the monitor re-evaluates
+    over the same state, so the rebuild fires on the retry; a crash
+    mid-rebuild leaves the documented ``.compacting``/``.precompact``
+    residue and the old index intact (or loudly recoverable) — the
+    next trigger evaluation reruns the rebuild from scratch. Either
+    way the terminal state is identical to a crash-free run.
+
+    Scale: the monitor is one bounded aggregate per batch over the
+    code table; the rebuild cost is the initial-build shape, paid
+    only when the monitor fires — exactly the direct-call q282 path,
+    relocated into ``foreachBatch``."""
+
+    def __init__(
+        self,
+        index_path: str,
+        codebook: list[list[int]],
+        corpus_provider,
+        *,
+        bits: int = 3,
+        m_dims: int = 8,
+        n_centroids: int = 16,
+        max_suppressed_num: int = 1,
+        max_suppressed_den: int = 10,
+        artifact_path: str | None = None,
+        train_cells: bool = False,
+        n_cells: int | None = None,
+        rounds: int = 2,
+        sample_rows: int | None = None,
+        centroids: list[list[int]] | None = None,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+        op_col: str = "op",
+    ):
+        self.index_path = index_path
+        self.codebook = codebook
+        self.centroids = centroids
+        self._corpus_provider = corpus_provider
+        self._kw = dict(
+            bits=bits, m_dims=m_dims, id_col=id_col, emb_col=emb_col,
+            op_col=op_col,
+        )
+        self._rb = dict(
+            n_centroids=n_centroids, m_dims=m_dims, bits=bits,
+            n_cells=n_cells, rounds=rounds, sample_rows=sample_rows,
+            train_cells=train_cells, artifact_path=artifact_path,
+            id_col=id_col, emb_col=emb_col,
+        )
+        self._trigger = health_rebuild_trigger(
+            max_suppressed_num, max_suppressed_den
+        )
+        self._writer = index_upsert_writer(
+            index_path, codebook, centroids=centroids, **self._kw
+        )
+        self.rebuilds = 0
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        self._writer(batch_df, epoch_id)
+        spark = batch_df.sparkSession
+        out = rebuild_index(
+            spark,
+            self._corpus_provider(spark),
+            self.index_path,
+            trigger=self._trigger,
+            **self._rb,
+        )
+        if out["fired"]:
+            self.rebuilds += 1
+            self.codebook = out["codebook"]
+            self.centroids = out["centroids"]
+            self._writer = index_upsert_writer(
+                self.index_path, self.codebook,
+                centroids=self.centroids, **self._kw,
+            )
+
+
 def index_health(spark: SparkSession, index_path: str) -> DataFrame:
     """Per-cell (cell, live_rows, suppressed_rows) over the committed
     index — the compaction-trigger metric (q280): suppressed rows are

@@ -2330,3 +2330,147 @@ def q293_stream_consume_flatten_sink(
             "max_rts",
         )
     )
+
+
+# q294's terminal state: the q282 rebuild algebra (codebook = the
+# SURVIVORS' 16 lowest ids) with the deleted rows RE-ADDED at their
+# original embeddings by a post-rebuild epoch — encoded with the
+# rebuilt codebook, exactly what the re-created writer does.
+_ANN_MAINT_ORACLE = _ANN_REBUILD_ORACLE.replace(
+    """      SELECT vec_id,
+             CASE WHEN vec_id % 20 = 0
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS embedding
+      FROM embeddings WHERE vec_id % 30 <> 0),""",
+    """      SELECT vec_id,
+             CASE WHEN vec_id % 30 = 0 THEN embedding
+                  WHEN vec_id % 20 = 0
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS embedding
+      FROM embeddings),""",
+)
+assert _ANN_MAINT_ORACLE != _ANN_REBUILD_ORACLE
+
+
+@query("q294_streaming_rebuild_maintenance", oracle=_ANN_MAINT_ORACLE)
+def q294_streaming_rebuild_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The rebuild fired FROM INSIDE a live upsert stream (round-11
+    verdict #5): q282/q289 call ``rebuild_index`` directly; here the
+    monitor runs INSIDE ``foreachBatch`` (``IndexMaintenanceWriter``:
+    apply the CDC epoch → evaluate the q280-health trigger → rebuild
+    through the ``trigger=`` seam) while the stream stays live. Four
+    availableNow micro-batches over one checkpoint: adds, upserts,
+    deletes — after which the suppressed/live ratio (~8.7%) STRICTLY
+    exceeds the registered 1/20 threshold and the rebuild fires
+    mid-stream (retrain on the system-of-record survivors, re-encode,
+    atomic swap, writer re-created from the fresh quantizers) — then
+    a FOURTH batch re-adds the deleted vectors, encoded with the
+    REBUILT codebook onto the rebuilt index (the epoch ledger
+    watermark carried through the swap keeps its exactly-once
+    contract). Serving afterwards must match the closed-form algebra
+    of exactly that history — rebuild-of-survivors plus one
+    fresh-codebook epoch — which is this query's oracle. The
+    fires-exactly-once-per-history rule and the crash matrix (crash
+    between epoch commit and rebuild; crash mid-swap; re-delivery
+    after the rebuild) are pinned in tests/test_streaming.py.
+
+    Scale: the monitor is one bounded aggregate per micro-batch over
+    the code table (the scan serving already pays, minus ADC); the
+    rebuild is the initial-build shape paid exactly when the monitor
+    fires; every batch stays a delta-sized blind encode."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from kinesis_producer_spark.operators.ann_artifacts import read_codebook
+    from kinesis_producer_spark.operators.similarity import (
+        ivf_pq_topk_from_index,
+    )
+    from kinesis_producer_spark.streaming.ann_index import (
+        IndexMaintenanceWriter,
+        bootstrap_index,
+        read_served_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    neg = F.transform(F.col("embedding"), lambda x: -x)
+    # system of record at the moment the monitor fires (post-deletes)
+    surv = e.filter(F.col("vec_id") % 30 != 0).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 20 == 0, neg).otherwise(F.col("embedding")),
+    )
+    # terminal corpus after the post-rebuild re-adds
+    final = e.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 30 == 0, F.col("embedding"))
+        .when(F.col("vec_id") % 20 == 0, neg)
+        .otherwise(F.col("embedding")),
+    )
+
+    run = uuid.uuid4().hex[:10]
+    idx = os.path.join(tempfile.gettempdir(), f"ann_maint_{run}")
+    art = os.path.join(tempfile.gettempdir(), f"ann_maint_{run}.json")
+    stream_dir = os.path.join(tempfile.gettempdir(), f"ann_maint_src_{run}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"ann_maint_ckpt_{run}")
+    os.makedirs(stream_dir, exist_ok=True)
+    try:
+        cb = bootstrap_index(base, idx, n_centroids=16, m_dims=8, bits=3)
+        w = IndexMaintenanceWriter(
+            idx, cb, corpus_provider=lambda s: surv,
+            bits=3, m_dims=8, n_centroids=16,
+            max_suppressed_num=1, max_suppressed_den=20,
+            artifact_path=art,
+        )
+        batches = [
+            ("b0", e.filter(F.col("vec_id") % 10 == 0).select(
+                "vec_id", "embedding", F.lit("add").alias("op"))),
+            ("b1", e.filter(F.col("vec_id") % 20 == 0).select(
+                "vec_id", neg.alias("embedding"), F.lit("upsert").alias("op"))),
+            ("b2", e.filter(F.col("vec_id") % 30 == 0).select(
+                "vec_id", "embedding", F.lit("delete").alias("op"))),
+            ("b3", e.filter(F.col("vec_id") % 30 == 0).select(
+                "vec_id", "embedding", F.lit("add").alias("op"))),
+        ]
+        for tag, bdf in batches:
+            stage = os.path.join(
+                tempfile.gettempdir(), f"ann_maint_stage_{run}_{tag}"
+            )
+            bdf.coalesce(1).write.mode("overwrite").parquet(stage)
+            (part,) = [
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            ]
+            os.replace(
+                os.path.join(stage, part),
+                os.path.join(stream_dir, f"{tag}.parquet"),
+            )
+            shutil.rmtree(stage, ignore_errors=True)
+            arrivals = spark.readStream.schema(
+                "vec_id long, embedding array<float>, op string"
+            ).parquet(stream_dir)
+            q = (
+                arrivals.writeStream.foreachBatch(w)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError("maintenance stream timed out")
+        assert w.rebuilds == 1, f"expected one mid-stream rebuild, got {w.rebuilds}"
+        assert read_codebook(art)["codebook"] == w.codebook
+        return ivf_pq_topk_from_index(
+            final, idx, w.codebook, query_ids=[1, 2, 3], k=10,
+            shortlist=50, bits=3, m_dims=8,
+            index_df=read_served_index(spark, idx),
+        ).localCheckpoint(eager=True)
+    finally:
+        for p in (idx, stream_dir, ckpt):
+            shutil.rmtree(p, ignore_errors=True)
+        try:
+            os.remove(art)
+        except FileNotFoundError:
+            pass

@@ -4333,3 +4333,123 @@ def test_shard_checkpoint_gc_identity_and_bounds(spark, tmp_path):
         json.dump({"shardId-000000000000": "0" * 23}, fh)
     assert legacy.read() == {"shardId-000000000000": "0" * 23}
     assert legacy.done_ranges() == []
+
+
+def test_index_maintenance_writer_crash_matrix(spark, tmp_path, monkeypatch):
+    """Round-12 (VERDICT r11 #5): the in-stream maintenance loop is
+    exactly-once across a crash at EACH phase boundary. Scenario =
+    q294's: add/upsert/delete epochs with a 1/20 health threshold
+    (fires after the delete epoch), then a re-add epoch on the
+    rebuilt index. Crash points: (a) between the delete epoch's
+    commit and the rebuild — the re-delivered epoch is skipped by the
+    ledger and the monitor re-fires on the same state; (b) mid-swap
+    inside the rebuild (.compacting residue, old index intact) — the
+    retry reruns the rebuild from scratch; (c) re-delivery of the
+    delete epoch AFTER a successful rebuild — skipped (the carried
+    watermark), and the monitor must NOT re-fire on the clean index.
+    Each crashed run must end row-identical to the crash-free run."""
+    import kinesis_producer_spark.streaming.ann_index as ann
+
+    sf = "/root/testdata/sf0.001"
+    from kinesis_producer_spark.tables import load_table
+
+    e = load_table(spark, sf, "embeddings")
+    neg = F.transform(F.col("embedding"), lambda x: -x)
+    surv = e.filter(F.col("vec_id") % 30 != 0).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 20 == 0, neg).otherwise(F.col("embedding")),
+    )
+
+    def batches():
+        return [
+            (0, e.filter(F.col("vec_id") % 10 == 0).select(
+                "vec_id", "embedding", F.lit("add").alias("op"))),
+            (1, e.filter(F.col("vec_id") % 20 == 0).select(
+                "vec_id", neg.alias("embedding"), F.lit("upsert").alias("op"))),
+            (2, e.filter(F.col("vec_id") % 30 == 0).select(
+                "vec_id", "embedding", F.lit("delete").alias("op"))),
+            (3, e.filter(F.col("vec_id") % 30 == 0).select(
+                "vec_id", "embedding", F.lit("add").alias("op"))),
+        ]
+
+    def served_rows(idx):
+        return {
+            (r.vec_id, r.cell, tuple(r.codes) if r.codes else None, r.epoch)
+            for r in ann.read_served_index(spark, idx).collect()
+        }
+
+    def fresh_writer(idx, cb):
+        return ann.IndexMaintenanceWriter(
+            idx, cb, corpus_provider=lambda s: surv,
+            bits=3, m_dims=8, n_centroids=16,
+            max_suppressed_num=1, max_suppressed_den=20,
+        )
+
+    # ---- crash-free reference run
+    idx0 = str(tmp_path / "ref_idx")
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    cb0 = ann.bootstrap_index(base, idx0, n_centroids=16, m_dims=8, bits=3)
+    w0 = fresh_writer(idx0, cb0)
+    for ep, bdf in batches():
+        w0(bdf, ep)
+    assert w0.rebuilds == 1
+    ref = served_rows(idx0)
+
+    # ---- (a) crash between epoch commit and rebuild
+    idx_a = str(tmp_path / "idx_a")
+    cb_a = ann.bootstrap_index(base, idx_a, n_centroids=16, m_dims=8, bits=3)
+    w_a = fresh_writer(idx_a, cb_a)
+    bs = batches()
+    w_a(bs[0][1], 0)
+    w_a(bs[1][1], 1)
+    real_rebuild = ann.rebuild_index
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before rebuild")
+
+    monkeypatch.setattr(ann, "rebuild_index", boom)
+    try:
+        w_a(bs[2][1], 2)
+        raise AssertionError("crash injection did not fire")
+    except RuntimeError as exc:
+        assert "injected crash" in str(exc)
+    monkeypatch.setattr(ann, "rebuild_index", real_rebuild)
+    # restart: fresh writer (old codebook), epoch 2 re-delivered
+    w_a2 = fresh_writer(idx_a, cb_a)
+    w_a2(bs[2][1], 2)  # ledger skips the apply; monitor re-fires
+    assert w_a2.rebuilds == 1
+    w_a2(bs[3][1], 3)
+    assert served_rows(idx_a) == ref
+
+    # ---- (b) crash mid-swap inside the rebuild
+    idx_b = str(tmp_path / "idx_b")
+    cb_b = ann.bootstrap_index(base, idx_b, n_centroids=16, m_dims=8, bits=3)
+    w_b = fresh_writer(idx_b, cb_b)
+    w_b(bs[0][1], 0)
+    w_b(bs[1][1], 1)
+    real_swap = ann._checked_swap
+
+    def swap_boom(*a, **k):
+        raise RuntimeError("injected crash mid-swap")
+
+    monkeypatch.setattr(ann, "_checked_swap", swap_boom)
+    try:
+        w_b(bs[2][1], 2)
+        raise AssertionError("swap crash injection did not fire")
+    except RuntimeError as exc:
+        assert "mid-swap" in str(exc)
+    monkeypatch.setattr(ann, "_checked_swap", real_swap)
+    # the old index must be intact (residue at .compacting only)
+    assert os.path.isdir(idx_b)
+    w_b2 = fresh_writer(idx_b, cb_b)
+    w_b2(bs[2][1], 2)
+    assert w_b2.rebuilds == 1
+    w_b2(bs[3][1], 3)
+    assert served_rows(idx_b) == ref
+
+    # ---- (c) re-delivery AFTER a successful rebuild: skipped, and
+    # the monitor does not re-fire on the clean index
+    w0_rebuilds = w0.rebuilds
+    w0(bs[2][1], 2)  # re-delivered delete epoch
+    assert w0.rebuilds == w0_rebuilds  # no second rebuild
+    assert served_rows(idx0) == ref
