@@ -10526,3 +10526,356 @@ def q292_audio_fp_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# q295–q297 — graph-based ANN (the NSW/HNSW family; operators/graph_ann.py)
+# The build is closed-form (top-per_cell neighbors within each 1-bit-
+# Hamming probe cell), and the search is a FIXED-HORIZON beam, so the
+# whole walk unrolls into `hops` SQL CTEs — the family the round-11
+# verdict called hard to oracle-express, made exact by bounding it.
+# ---------------------------------------------------------------------------
+
+# Operating point from the registered sweep (see SCALE.md round 12):
+# per_cell=3, hops=6, beam=16 measured 13/15 (sf0.01) and 12/15
+# (sf0.1) recall@5 vs brute force; per_cell=2/hops=4/beam=8 sat at
+# 9/15 and 6/15. q298 layers the graph to recover the rest.
+_NSW_BITS, _NSW_PER_CELL, _NSW_HOPS, _NSW_BEAM, _NSW_K = 3, 3, 6, 16, 5
+
+_NSW_CELL_SQL = (
+    "(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END"
+    " + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END"
+    " + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)"
+)
+
+def _nsw_edges_sql(prefix: str = "", where: str = "") -> str:
+    """The edge-rule CTEs, parameterized so the layered search (q298)
+    can build the upper layer's graph over a filtered node set with a
+    distinct CTE prefix."""
+    return f"""
+    {prefix}c AS (SELECT vec_id, embedding, {_NSW_CELL_SQL} AS cell
+                  FROM embeddings {where}),
+    {prefix}e0 AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst, p.pc AS pc,
+             {_COS_MICRO_SQL} AS cm
+      FROM {prefix}c a CROSS JOIN unnest([0, 1, 2, 4]) AS p(pc)
+      JOIN {prefix}c b ON b.cell = xor(a.cell, p.pc) AND b.vec_id <> a.vec_id),
+    {prefix}edges AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src, pc
+                                  ORDER BY cm DESC, dst) AS rn
+        FROM {prefix}e0) WHERE rn <= {_NSW_PER_CELL})
+"""
+
+
+_NSW_EDGES_SQL = _nsw_edges_sql()
+
+
+def _nsw_hop_sql(prev: str, new: str, edges: str, beam: int) -> str:
+    """One unrolled beam hop: new = top-beam of (prev ∪ N(prev))."""
+    return f"""
+    {new} AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, q.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY q.cm DESC, q.vec_id) AS rn
+        FROM qs q JOIN (
+          SELECT query_id, vec_id FROM {prev}
+          UNION
+          SELECT f.query_id, e.dst FROM {prev} f
+          JOIN {edges} e ON e.src = f.vec_id
+        ) cand ON cand.query_id = q.query_id AND cand.vec_id = q.vec_id
+      ) WHERE rn <= {beam})"""
+
+
+_NSW_SEARCH_SQL = (
+    f"""
+    qs AS MATERIALIZED (
+      SELECT a.vec_id AS query_id, b.vec_id, {_COS_MICRO_SQL} AS cm
+      FROM embeddings a CROSS JOIN embeddings b
+      WHERE a.vec_id IN (1, 2, 3)),
+    s0 AS (
+      SELECT DISTINCT query_id,
+             (SELECT MIN(vec_id) FROM embeddings) AS vec_id
+      FROM qs),"""
+    + ",".join(
+        _nsw_hop_sql(f"s{i - 1}", f"s{i}", "edges", _NSW_BEAM)
+        for i in range(1, _NSW_HOPS + 1)
+    )
+)
+
+
+@query(
+    "q295_nsw_graph_build",
+    oracle=f"""
+    WITH {_NSW_EDGES_SQL}
+    SELECT src, dst FROM edges
+    """,
+)
+def q295_nsw_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The navigable neighborhood graph (operators/graph_ann.py:
+    nsw_graph): per node, its top-2 integer-cosine neighbors within
+    each 1-bit-Hamming probe cell of its sign-bit IVF cell — own-cell
+    short links plus deterministic cross-cell bridges (the hypercube
+    over cell ids is connected, giving HNSW's navigability without
+    its randomized layers). Edge ranks tie-break on the lower dst id,
+    so the edge SET is unique and both engines derive it bit-equal.
+
+    Scale: the q231 cell discipline — one shuffle on the candidate
+    cell, pair work Σ|cell|·(bits+1) probes (never all-pairs), a
+    bounded per-(src, probe-cell) window, ≤ (bits+1)·per_cell edges
+    per node out."""
+    from kinesis_producer_spark.operators.graph_ann import nsw_graph
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return nsw_graph(e, bits=_NSW_BITS, per_cell=_NSW_PER_CELL)
+
+
+@query(
+    "q296_nsw_beam_search",
+    oracle=f"""
+    WITH {_NSW_EDGES_SQL},
+    {_NSW_SEARCH_SQL}
+    SELECT query_id, vec_id, cm AS cos_micro, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT q.query_id, q.vec_id, q.cm,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY q.cm DESC, q.vec_id) AS rn
+      FROM qs q JOIN s{_NSW_HOPS} s
+        ON s.query_id = q.query_id AND s.vec_id = q.vec_id
+    ) WHERE rn <= {_NSW_K}
+    """,
+)
+def q296_nsw_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN SERVING (operators/graph_ann.py:nsw_search): a
+    fixed-horizon beam over the q295 graph — start at the global
+    lowest-id entry, 4 hops of expand-neighbors → keep the 8 best by
+    integer cosine (id tie-break), then the top-5 of the final beam.
+    Bounding the horizon is what makes the classically sequential
+    HNSW walk engine-exact: with hops/beam literal the whole search
+    unrolls into four SQL CTEs, and the oracle replays it hop for
+    hop — any divergence in edge choice, beam pruning, or tie-breaks
+    hash-mismatches.
+
+    Scale: the frontier is |queries|·beam rows per hop (broadcast
+    side); the graph is partitioned by src and probed by bounded
+    joins; no per-hop work grows with the corpus beyond the one-time
+    partitionings. Recall vs brute force is q297's gate."""
+    from kinesis_producer_spark.operators.graph_ann import nsw_graph, nsw_search
+
+    e = load_table(spark, sf_dir, "embeddings")
+    g = nsw_graph(e, bits=_NSW_BITS, per_cell=_NSW_PER_CELL)
+    return nsw_search(
+        e, g, query_ids=[1, 2, 3], hops=_NSW_HOPS, beam=_NSW_BEAM, k=_NSW_K
+    )
+
+
+@query(
+    "q297_nsw_recall_gate",
+    oracle=f"""
+    WITH {_NSW_EDGES_SQL},
+    {_NSW_SEARCH_SQL},
+    found AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, q.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY q.cm DESC, q.vec_id) AS rn
+        FROM qs q JOIN s{_NSW_HOPS} s
+          ON s.query_id = q.query_id AND s.vec_id = q.vec_id
+      ) WHERE rn <= {_NSW_K}),
+    truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cm DESC, vec_id) AS rn
+        FROM qs) WHERE rn <= {_NSW_K})
+    SELECT t.query_id,
+           CAST({_NSW_K} AS BIGINT) AS k,
+           CAST(COUNT(f.vec_id) AS BIGINT) AS n_hits
+    FROM truth t LEFT JOIN found f
+      ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+    GROUP BY t.query_id
+    """,
+)
+def q297_nsw_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q253/q258-style recall gate for the graph index: q296's
+    beam-search top-5 against the exact brute-force top-5, per query
+    — (query_id, k, n_hits). The gate is the honest measure of what
+    a 4-hop beam from a single global entry reaches; widening beam
+    or hops trades serve cost for recall exactly as HNSW's efSearch
+    does, and both engines agree on every hit because the whole walk
+    is integer-exact.
+
+    Scale: brute-force truth is |queries|·n scored pairs — the same
+    bounded-query-side shape as q54; everything else reuses q296's
+    plan."""
+    from kinesis_producer_spark.operators.graph_ann import nsw_graph, nsw_search
+    from kinesis_producer_spark.operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    g = nsw_graph(e, bits=_NSW_BITS, per_cell=_NSW_PER_CELL)
+    found = nsw_search(
+        e, g, query_ids=[1, 2, 3], hops=_NSW_HOPS, beam=_NSW_BEAM, k=_NSW_K
+    ).select("query_id", F.col("vec_id").alias("_fv"))
+    qdf = e.filter(F.col("vec_id").isin([1, 2, 3])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = brute_force_topk(e, qdf, k=_NSW_K).select(
+        "query_id", F.col("vec_id").alias("_tv")
+    )
+    return (
+        truth.join(
+            found,
+            (truth["query_id"] == found["query_id"])
+            & (truth["_tv"] == found["_fv"]),
+            "left",
+        )
+        .drop(found["query_id"])
+        .groupBy("query_id")
+        .agg(
+            F.lit(_NSW_K).cast("bigint").alias("k"),
+            F.count("_fv").cast("bigint").alias("n_hits"),
+        )
+    )
+
+
+# q298/q299 — the HIERARCHY: upper layer = vec_id % 16 == 0 (HNSW's
+# geometric layer assignment made deterministic), searched first for
+# the entry set the base-layer beam starts from.
+_NSW_LAYER_MOD, _NSW_UPPER_HOPS = 16, 4
+
+_NSW_LAYERED_SQL = (
+    f"""
+    qs AS MATERIALIZED (
+      SELECT a.vec_id AS query_id, b.vec_id, {_COS_MICRO_SQL} AS cm
+      FROM embeddings a CROSS JOIN embeddings b
+      WHERE a.vec_id IN (1, 2, 3)),
+    u0 AS (
+      SELECT DISTINCT query_id,
+             (SELECT MIN(vec_id) FROM embeddings
+              WHERE vec_id % {_NSW_LAYER_MOD} = 0) AS vec_id
+      FROM qs),"""
+    + ",".join(
+        _nsw_hop_sql(f"u{i - 1}", f"u{i}", "uedges", _NSW_BEAM)
+        for i in range(1, _NSW_UPPER_HOPS + 1)
+    )
+    + f", t0 AS (SELECT query_id, vec_id FROM u{_NSW_UPPER_HOPS}),"
+    + ",".join(
+        _nsw_hop_sql(f"t{i - 1}", f"t{i}", "edges", _NSW_BEAM)
+        for i in range(1, _NSW_HOPS + 1)
+    )
+)
+
+
+@query(
+    "q298_hnsw_layered_search",
+    oracle=f"""
+    WITH {_nsw_edges_sql()},
+    {_nsw_edges_sql("u", f"WHERE vec_id % {_NSW_LAYER_MOD} = 0")},
+    {_NSW_LAYERED_SQL}
+    SELECT query_id, vec_id, cm AS cos_micro, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT q.query_id, q.vec_id, q.cm,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY q.cm DESC, q.vec_id) AS rn
+      FROM qs q JOIN t{_NSW_HOPS} s
+        ON s.query_id = q.query_id AND s.vec_id = q.vec_id
+    ) WHERE rn <= {_NSW_K}
+    """,
+)
+def q298_hnsw_layered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW's HIERARCHY, deterministic (operators/graph_ann.py:
+    hnsw_layered_search): the upper layer is the ``vec_id % 16 == 0``
+    subset — HNSW's geometric layer assignment with the randomness
+    replaced by id arithmetic — wired with its own nsw_graph (the
+    sparser population makes the same per-cell edge rule produce
+    longer-range links, which is exactly why HNSW's upper layers
+    navigate). Search zooms out then in: a 4-hop beam over the upper
+    subgraph (from the upper layer's lowest-id entry, scored against
+    the full-corpus query embeddings), whose surviving 16-beam seeds
+    the 6-hop base-layer beam. Both beams unroll into SQL CTEs, so
+    the oracle replays the entire two-layer walk hop for hop.
+    Measured recall@5 on the shipped fixtures: 14/15 at BOTH sf0.01
+    and sf0.1 (vs 13/15 and 12/15 for the flat q296 search) — the
+    hierarchy is what keeps the horizon flat as the corpus grows.
+
+    Scale: two bounded beams (each q296's shape); the upper graph
+    build touches 1/16 of the corpus; the handoff is |queries|·beam
+    rows. q299 gates the recall."""
+    from kinesis_producer_spark.operators.graph_ann import hnsw_layered_search
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return hnsw_layered_search(
+        e, query_ids=[1, 2, 3], layer_mod=_NSW_LAYER_MOD, bits=_NSW_BITS,
+        per_cell=_NSW_PER_CELL, upper_hops=_NSW_UPPER_HOPS,
+        hops=_NSW_HOPS, beam=_NSW_BEAM, k=_NSW_K,
+    )
+
+
+@query(
+    "q299_hnsw_recall_gate",
+    oracle=f"""
+    WITH {_nsw_edges_sql()},
+    {_nsw_edges_sql("u", f"WHERE vec_id % {_NSW_LAYER_MOD} = 0")},
+    {_NSW_LAYERED_SQL},
+    found AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, q.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY q.cm DESC, q.vec_id) AS rn
+        FROM qs q JOIN t{_NSW_HOPS} s
+          ON s.query_id = q.query_id AND s.vec_id = q.vec_id
+      ) WHERE rn <= {_NSW_K}),
+    truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cm DESC, vec_id) AS rn
+        FROM qs) WHERE rn <= {_NSW_K})
+    SELECT t.query_id,
+           CAST({_NSW_K} AS BIGINT) AS k,
+           CAST(COUNT(f.vec_id) AS BIGINT) AS n_hits
+    FROM truth t LEFT JOIN found f
+      ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+    GROUP BY t.query_id
+    """,
+)
+def q299_hnsw_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall gate for the LAYERED graph search (q297's shape on
+    q298's walk): layered top-5 vs exact brute-force top-5 per query.
+    The pair (q297, q299) is the honest efSearch-style trade-off
+    surface: flat beam vs hierarchy at the same beam width — on the
+    shipped fixtures the hierarchy wins 14/15 to 12/15 at sf0.1.
+
+    Scale: truth is |queries|·n scored pairs (the q54 bounded-query
+    shape); the rest reuses q298's plan."""
+    from kinesis_producer_spark.operators.graph_ann import hnsw_layered_search
+    from kinesis_producer_spark.operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    found = hnsw_layered_search(
+        e, query_ids=[1, 2, 3], layer_mod=_NSW_LAYER_MOD, bits=_NSW_BITS,
+        per_cell=_NSW_PER_CELL, upper_hops=_NSW_UPPER_HOPS,
+        hops=_NSW_HOPS, beam=_NSW_BEAM, k=_NSW_K,
+    ).select("query_id", F.col("vec_id").alias("_fv"))
+    qdf = e.filter(F.col("vec_id").isin([1, 2, 3])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = brute_force_topk(e, qdf, k=_NSW_K).select(
+        "query_id", F.col("vec_id").alias("_tv")
+    )
+    return (
+        truth.join(
+            found,
+            (truth["query_id"] == found["query_id"])
+            & (truth["_tv"] == found["_fv"]),
+            "left",
+        )
+        .drop(found["query_id"])
+        .groupBy("query_id")
+        .agg(
+            F.lit(_NSW_K).cast("bigint").alias("k"),
+            F.count("_fv").cast("bigint").alias("n_hits"),
+        )
+    )

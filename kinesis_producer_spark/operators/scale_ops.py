@@ -322,16 +322,41 @@ class _scoped_shuffle:
         self.old_coal = conf.get(
             "spark.sql.adaptive.coalescePartitions.enabled"
         )
+        self.old_split = conf.get("spark.sql.files.maxPartitionBytes")
         conf.set("spark.sql.shuffle.partitions", str(self.n))
         if self.disable_coalesce:
             conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+            # The SCAN stage's map-side partial aggregation sizes with
+            # the file split, not shuffle partitions — at 128 MB splits
+            # a fat per-split hash state (collect_list of a wide group)
+            # still spills; a big-input scope narrows the splits too.
+            conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+            # ObjectHashAggregate (collect_list/collect_set partials)
+            # falls back to SORT-BASED aggregation after 128 distinct
+            # keys by default — on a million-key scan split that is an
+            # unconditional sort-spill. The split cap above bounds the
+            # per-task state, so the hash path is safe to keep.
+            self.old_obj = conf.get(
+                "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+            )
+            conf.set(
+                "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+                str(1 << 22),
+            )
         return self
 
     def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
-        self.spark.conf.set(
+        conf = self.spark.conf
+        conf.set("spark.sql.shuffle.partitions", self.old)
+        conf.set(
             "spark.sql.adaptive.coalescePartitions.enabled", self.old_coal
         )
+        conf.set("spark.sql.files.maxPartitionBytes", self.old_split)
+        if self.disable_coalesce:
+            conf.set(
+                "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+                self.old_obj,
+            )
         return False
 
 

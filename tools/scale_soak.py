@@ -173,6 +173,16 @@ SOAK = [
     # shuffle on 8-byte keys (q291) / the q50 hash-groupBy (q292)
     "q291_audio_fp_near_dup_pairs",
     "q292_audio_fp_exact_dedup",
+    # round-12: the stream pipeline closed through the flatten sink
+    # (produce -> consume -> pivot -> partitioned sink -> pruned
+    # re-read), the in-stream rebuild composition, and the graph-ANN
+    # family (build = the q231 cell-join discipline; search = bounded
+    # beams whose per-hop work is frontier-sized, not corpus-sized)
+    "q293_stream_consume_flatten_sink",
+    "q294_streaming_rebuild_maintenance",
+    "q295_nsw_graph_build",
+    "q296_nsw_beam_search",
+    "q298_hnsw_layered_search",
 ]
 
 # Override the soaked decades with e.g.
