@@ -141,6 +141,20 @@ HEADLINE = [
     "q284_kinesis_consume_roundtrip",
     "q285_phash_near_dup_pairs",
     "q288_nb_quality_score",
+    # Round-12: the production-width SemDeDup registration (the
+    # corpus-count-derived quantizer that stays linear where pinned
+    # bits went quadratic), perceptual AUDIO dedup through the real
+    # FLAC codec (banded energy-delta fingerprints), the stream
+    # pipeline closed through the flatten sink (consume → EAV pivot →
+    # partitioned CSV → pruned re-read), the in-stream rebuild
+    # composition, and the graph-ANN family (cell-hypercube NSW build
+    # + fixed-horizon layered beam search).
+    "q290_semantic_dedup_auto_bits",
+    "q291_audio_fp_near_dup_pairs",
+    "q293_stream_consume_flatten_sink",
+    "q294_streaming_rebuild_maintenance",
+    "q295_nsw_graph_build",
+    "q298_hnsw_layered_search",
 ]
 
 
