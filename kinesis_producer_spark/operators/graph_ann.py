@@ -58,45 +58,102 @@ def nsw_graph(
     Returns (src, dst) — directed; consumers treat it as an adjacency
     list. Ties break on the lower dst id, so the edge set is unique.
 
-    Scale: one shuffle on the candidate cell; per-src ranking is a
-    bounded window inside the cell-join output; the result is
-    ≤ (bits+1)·per_cell edges per node."""
+    Physical shape (optimization round 12, guide §4.2): the original
+    build joined the probe-exploded corpus to the cell-keyed corpus
+    and scored every candidate pair with the JVM ``qdot`` expression —
+    a zip_with/aggregate HOF lambda evaluated PER PAIR (Σ|cell|·probes
+    pairs ≈ 2M at sf0.1), measured ~10 µs/element interpreted: 21 s
+    for the sf0.1 build. This build moves the pair scoring into ONE
+    Arrow cogroup stage keyed on the probe cell: each side crosses the
+    Python boundary ONCE PER NODE-PROBE (never per pair), and the
+    |A|×|B| scoring runs as blocked numpy float64 — bit-identical to
+    the SQL formula because every step (per-element
+    ⌊x·y·10¹²+0.5⌋, exact-integer partial sums < 2⁵³, one IEEE
+    divide/sqrt, final floor) is the same IEEE double op in both
+    engines; the descending STABLE argsort over a dst-sorted block IS
+    the (cos DESC, dst ASC) window tie-break.
+
+    Scale: one shuffle on the candidate cell (unchanged); pair work
+    Σ|cell|·probes flops (never all-pairs), blocked to ≤64 MB scratch
+    per task; the result is ≤ (bits+1)·per_cell edges per node.
+    Parallelism = number of cells, which grows with ``bits`` exactly
+    as the IVF family's does."""
+    import numpy as np
+    import pandas as pd
+
     probes = [0] + [1 << i for i in range(bits)]
     a = corpus.select(
         F.col(id_col).alias("src"),
-        F.col(emb_col).alias("_ea"),
+        F.col(emb_col).alias("_e"),
         ivf_cell(F.col(emb_col), bits).alias("_cell"),
-        qdot(F.col(emb_col), F.col(emb_col)).alias("_na"),
     ).select(
         "src",
-        "_ea",
-        "_na",
+        "_e",
         F.explode(
             F.array(*[F.col("_cell").bitwiseXOR(F.lit(p)) for p in probes])
         ).alias("_pcell"),
     )
     b = corpus.select(
         F.col(id_col).alias("dst"),
-        F.col(emb_col).alias("_eb"),
+        F.col(emb_col).alias("_e"),
         ivf_cell(F.col(emb_col), bits).alias("_pcell"),
-        qdot(F.col(emb_col), F.col(emb_col)).alias("_nb"),
     )
-    cos = F.floor(
-        F.lit(1e6)
-        * qdot(F.col("_ea"), F.col("_eb")).cast("double")
-        / F.sqrt(F.col("_na").cast("double") * F.col("_nb").cast("double"))
-        + F.lit(0.5)
-    ).cast("bigint")
-    w = W.partitionBy("src", "_pcell").orderBy(
-        F.col("_cm").desc(), F.col("dst")
-    )
+
+    _SENTINEL = -(1 << 62)  # sorts after every real cos; -x never overflows
+
+    def _qnorms(mat: "np.ndarray") -> "np.ndarray":
+        # qdot(e, e): per-element ⌊x²·10¹²+0.5⌋ then sum — every floor
+        # is an exact integer in float64 and the 64-term sum stays
+        # < 2⁵³, so summation order cannot round
+        return np.floor(mat * mat * 1e12 + 0.5).sum(axis=1)
+
+    def build(a_pdf: "pd.DataFrame", b_pdf: "pd.DataFrame"):
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return pd.DataFrame(
+                {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")}
+            )
+        # dst-ascending order makes the stable argsort's tie-break the
+        # window's ORDER BY cos DESC, dst ASC
+        b_pdf = b_pdf.sort_values("dst", kind="mergesort")
+        dstv = b_pdf["dst"].to_numpy(dtype=np.int64)
+        bmat = np.stack([np.asarray(e, dtype=np.float64) for e in b_pdf["_e"]])
+        srcv = a_pdf["src"].to_numpy(dtype=np.int64)
+        amat = np.stack([np.asarray(e, dtype=np.float64) for e in a_pdf["_e"]])
+        nb = _qnorms(bmat)
+        na = _qnorms(amat)
+        dim = bmat.shape[1]
+        # block A so the (block × |B| × dim) scratch stays ≤ ~64 MB
+        step = max(1, int(64_000_000 // max(1, len(dstv) * dim * 8)))
+        srcs: list["np.ndarray"] = []
+        dsts: list["np.ndarray"] = []
+        for lo in range(0, len(srcv), step):
+            ac, nac, sc = (
+                amat[lo : lo + step],
+                na[lo : lo + step],
+                srcv[lo : lo + step],
+            )
+            num = np.floor(ac[:, None, :] * bmat[None, :, :] * 1e12 + 0.5).sum(
+                axis=2
+            )
+            # same op order as the JVM expression: (1e6 · num) / den
+            cos = np.floor(
+                (1e6 * num) / np.sqrt(nac[:, None] * nb[None, :]) + 0.5
+            ).astype(np.int64)
+            cos[sc[:, None] == dstv[None, :]] = _SENTINEL  # dst != src
+            width = min(per_cell, cos.shape[1])
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :width]
+            picked = np.take_along_axis(cos, order, axis=1)
+            keep = (picked != _SENTINEL).ravel()
+            srcs.append(np.repeat(sc, width)[keep])
+            dsts.append(dstv[order].ravel()[keep])
+        return pd.DataFrame(
+            {"src": np.concatenate(srcs), "dst": np.concatenate(dsts)}
+        )
+
     return (
-        a.join(b, "_pcell")
-        .where(F.col("dst") != F.col("src"))
-        .select("src", "dst", "_pcell", cos.alias("_cm"))
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= per_cell)
-        .select("src", "dst")
+        a.groupBy("_pcell")
+        .cogroup(b.groupBy("_pcell"))
+        .applyInPandas(build, "src long, dst long")
     )
 
 
@@ -130,7 +187,14 @@ def nsw_search(
     side of every join; the graph side is partitioned by src and the
     corpus lookup by id; per hop the candidate set is ≤ frontier ×
     (degree+1) rows. No shuffle grows with the corpus beyond the
-    one-time graph/corpus partitioning."""
+    one-time graph/corpus partitioning.
+
+    The graph and the node-norm projection are materialized ONCE
+    (localCheckpoint) before the hop loop — without this every hop's
+    join re-evaluated the ENTIRE graph build plan (hops × the full
+    Σ|cell|·probes pair scoring: measured 117 s for q298 at sf0.1,
+    ~10× the one-time build). Same lineage-truncation discipline the
+    loop already applies to the frontier (guide §2.4/§5)."""
     if k > beam:
         raise ValueError(f"k={k} must be <= beam={beam}")
     # query embeddings may live outside the searched node set (the
@@ -142,11 +206,12 @@ def nsw_search(
         F.col(emb_col).alias("_qe"),
         qdot(F.col(emb_col), F.col(emb_col)).alias("_nq"),
     )
+    graph = graph.localCheckpoint(eager=True)
     nodes = corpus.select(
         F.col(id_col).alias("_nid"),
         F.col(emb_col).alias("_ne"),
         qdot(F.col(emb_col), F.col(emb_col)).alias("_nn"),
-    )
+    ).localCheckpoint(eager=True)
     cos = F.floor(
         F.lit(1e6)
         * qdot(F.col("_qe"), F.col("_ne")).cast("double")
@@ -168,7 +233,12 @@ def nsw_search(
             "query_id", F.lit(entry).cast("long").alias("vec_id")
         )
     else:
-        frontier = entry_df.select("query_id", "vec_id")
+        # materialize the handoff once: hop 1 references the frontier
+        # twice (neighbor join + union), which would re-evaluate the
+        # caller's entry plan (the whole upper-layer search in q298)
+        frontier = entry_df.select("query_id", "vec_id").localCheckpoint(
+            eager=True
+        )
     w = W.partitionBy("query_id").orderBy(
         F.col("cos_micro").desc(), F.col("vec_id")
     )
@@ -177,11 +247,21 @@ def nsw_search(
             frontier.join(graph, frontier["vec_id"] == graph["src"])
             .select("query_id", F.col("dst").alias("vec_id"))
         )
-        cand = frontier.select("query_id", "vec_id").union(neighbors).distinct()
+        # one exchange per hop instead of two (guide §2.4): the
+        # candidate multiset is scored WITH duplicates (a node reached
+        # via several frontier edges repeats; duplicate rows carry the
+        # identical cos), ranked with dense_rank — duplicates tie at
+        # the same (cos, vec_id) key, so rank <= beam admits exactly
+        # the top-beam DISTINCT candidates, the same set the old
+        # distinct() + row_number computed — and deduplicated by an
+        # aggregate that REUSES the window's hash partitioning
+        # (grouping keys ⊇ partition key → no second exchange).
+        cand = frontier.select("query_id", "vec_id").union(neighbors)
         frontier = (
             score(cand)
-            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_rn", F.dense_rank().over(w))
             .where(F.col("_rn") <= beam)
+            .dropDuplicates(["query_id", "vec_id"])
             .select("query_id", "vec_id")
             .localCheckpoint(eager=True)  # flat plan per hop
         )
