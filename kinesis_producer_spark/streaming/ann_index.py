@@ -355,6 +355,22 @@ def index_upsert_writer(
     return write
 
 
+def _latest_tombstones(committed: DataFrame) -> DataFrame:
+    """(_t_vec, _t_epoch): each tombstoned vec_id with its LATEST
+    tombstone epoch. "Suppressed by SOME strictly-later tombstone" is
+    exactly "epoch < max tombstone epoch for that vec", so every
+    consumer that needs AT MOST ONE match per code row (the health
+    scan's LEFT-join classification) can join it without duplicating
+    data rows — behavior-identical to exists-a-later-tombstone by the
+    max algebra. Serving's anti-join deliberately keeps the raw
+    tombstone rows instead (see read_served_index)."""
+    return (
+        committed.filter(F.col("cell") == TOMBSTONE_CELL)
+        .groupBy(F.col("vec_id").alias("_t_vec"))
+        .agg(F.max("epoch").alias("_t_epoch"))
+    )
+
+
 def read_served_index(spark: SparkSession, index_path: str) -> DataFrame:
     """The MERGE-ON-READ serving view: committed code rows with every
     committed tombstone applied — a row survives unless a tombstone
@@ -369,7 +385,12 @@ def read_served_index(spark: SparkSession, index_path: str) -> DataFrame:
     broadcast LEFT ANTI join that pushes the caller's probe-cell
     partition filter straight through to the code-row scan — serving
     keeps its cell-prune × committed-epoch-prune property untouched.
-    Compose with ``ivf_pq_topk_from_index(..., index_df=...)``."""
+    (Deliberately NOT pre-folded to max-epoch-per-vec: the fold adds
+    an exchange+aggregate to every serving read for a broadcast that
+    is already churn-bounded — measured +1.5 s per read at sf0.1 for
+    zero join-work change; the anti-join's exists-semantics make the
+    duplicate tombstone rows free.) Compose with
+    ``ivf_pq_topk_from_index(..., index_df=...)``."""
     committed = read_committed_index(spark, index_path)
     tombs = committed.filter(F.col("cell") == TOMBSTONE_CELL).select(
         F.col("vec_id").alias("_t_vec"), F.col("epoch").alias("_t_epoch")
@@ -883,36 +904,32 @@ def index_health(spark: SparkSession, index_path: str) -> DataFrame:
     """Per-cell (cell, live_rows, suppressed_rows) over the committed
     index — the compaction-trigger metric (q280): suppressed rows are
     the dead weight every probe of that cell still reads and the
-    merge-on-read anti-join still filters. One pass over the code
-    table (vec_id + cell + epoch, never raw vectors) against the
-    churn-bounded broadcast tombstone side — the plan shape serving
-    already pays, minus ADC."""
+    merge-on-read anti-join still filters. ONE pass over the code
+    table (vec_id + cell + epoch, never raw vectors): a broadcast
+    LEFT join against the max-epoch-per-vec tombstone side classifies
+    each row live/suppressed and one aggregate counts both per cell —
+    the previous anti-join + semi-join + full-outer shape scanned the
+    code table twice and paid a third join to merge the counts
+    (optimization round 12, guide §2.4; same rows, same algebra)."""
     committed = read_committed_index(spark, index_path)
-    tombs = committed.filter(F.col("cell") == TOMBSTONE_CELL).select(
-        F.col("vec_id").alias("_t_vec"), F.col("epoch").alias("_t_epoch")
-    )
+    tombs = _latest_tombstones(committed)
     data = committed.filter(F.col("cell") != TOMBSTONE_CELL)
-    cond = (F.col("vec_id") == F.col("_t_vec")) & (
+    dead = F.col("_t_epoch").isNotNull() & (
         F.col("epoch") < F.col("_t_epoch")
     )
-    live = (
-        data.join(F.broadcast(tombs), cond, "left_anti")
+    return (
+        data.join(
+            F.broadcast(tombs), F.col("vec_id") == F.col("_t_vec"), "left"
+        )
         .groupBy("cell")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("live_rows"))
-    )
-    dead = (
-        data.join(F.broadcast(tombs), cond, "left_semi")
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("suppressed_rows"))
-    )
-    return live.join(dead, "cell", "full_outer").select(
-        "cell",
-        F.coalesce(F.col("live_rows"), F.lit(0))
-        .cast("bigint")
-        .alias("live_rows"),
-        F.coalesce(F.col("suppressed_rows"), F.lit(0))
-        .cast("bigint")
-        .alias("suppressed_rows"),
+        .agg(
+            F.sum(F.when(dead, 0).otherwise(1))
+            .cast("bigint")
+            .alias("live_rows"),
+            F.sum(F.when(dead, 1).otherwise(0))
+            .cast("bigint")
+            .alias("suppressed_rows"),
+        )
     )
 
 
@@ -1051,11 +1068,15 @@ def rebuild_index(
             .distinct()
         )
         surviving = corpus.join(served_ids, id_col, "left_semi")
-        n_served = served_ids.count()
-        n_surv = surviving.count()
-        if n_surv != n_served:
+        # coverage check in ONE job: count served ids the corpus lacks
+        # (the previous count(served) + count(surviving) pair ran the
+        # served-view scan twice — guide §1.2 step 1)
+        n_missing = served_ids.join(
+            corpus.select(id_col), id_col, "left_anti"
+        ).count()
+        if n_missing:
             raise ValueError(
-                f"corpus covers {n_surv} of {n_served} served ids under "
+                f"corpus is missing {n_missing} served id(s) under "
                 f"{index_path!r}; the rebuild corpus must be the system "
                 "of record for every live vector"
             )

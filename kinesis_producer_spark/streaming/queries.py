@@ -2435,7 +2435,15 @@ def q294_streaming_rebuild_maintenance(
             ("b3", e.filter(F.col("vec_id") % 30 == 0).select(
                 "vec_id", "embedding", F.lit("add").alias("op"))),
         ]
-        for tag, bdf in batches:
+        # All four arrival files staged up front with strictly
+        # ascending mtimes, then ONE availableNow run with
+        # maxFilesPerTrigger=1 — the file source still delivers them
+        # as four ordered micro-batches (epochs 0..3) through the same
+        # checkpoint, but the query pays one stream start instead of
+        # four (optimization round 12; the per-restart listing/offset
+        # machinery was ~40% of this query's wall at sf0.1). Identical
+        # epochs, identical writer-object state across batches.
+        for i, (tag, bdf) in enumerate(batches):
             stage = os.path.join(
                 tempfile.gettempdir(), f"ann_maint_stage_{run}_{tag}"
             )
@@ -2443,23 +2451,28 @@ def q294_streaming_rebuild_maintenance(
             (part,) = [
                 f for f in os.listdir(stage) if f.endswith(".parquet")
             ]
-            os.replace(
-                os.path.join(stage, part),
-                os.path.join(stream_dir, f"{tag}.parquet"),
-            )
+            dst = os.path.join(stream_dir, f"{tag}.parquet")
+            os.replace(os.path.join(stage, part), dst)
             shutil.rmtree(stage, ignore_errors=True)
-            arrivals = spark.readStream.schema(
+            # the file source orders batches by modification time —
+            # pin it so b0..b3 arrive in CDC order on any filesystem
+            os.utime(dst, (1_000_000_000 + 10 * i, 1_000_000_000 + 10 * i))
+        arrivals = (
+            spark.readStream.schema(
                 "vec_id long, embedding array<float>, op string"
-            ).parquet(stream_dir)
-            q = (
-                arrivals.writeStream.foreachBatch(w)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
             )
-            if not q.awaitTermination(300):
-                q.stop()
-                raise RuntimeError("maintenance stream timed out")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = (
+            arrivals.writeStream.foreachBatch(w)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("maintenance stream timed out")
         assert w.rebuilds == 1, f"expected one mid-stream rebuild, got {w.rebuilds}"
         assert read_codebook(art)["codebook"] == w.codebook
         return ivf_pq_topk_from_index(
