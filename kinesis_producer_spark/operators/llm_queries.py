@@ -10074,7 +10074,17 @@ def _nb_feature_frames(spark: SparkSession, sf_dir: str):
     """(feat, weights): the planted two-class token/bucket frame and
     the counted weight table — shared by q287 (emits the weights) and
     q288 (scores with them). The weight table is 2048 rows = bounded
-    control data; scoring is a BROADCAST join against it."""
+    control data; scoring is a BROADCAST join against it.
+
+    Physical shape (optimization round 12, guide §2.3/§4): the
+    original frame unioned a clean and a degraded SELECT over the
+    token explode — two scans of ``documents``, two explodes, and
+    md5(token) recomputed ~4× per token (degradation flip + three
+    bucket digits). One projection now hashes each token ONCE, derives
+    both variants' buckets from that hash (the degraded bucket hashes
+    the hex string only on the flipped half), and emits the two
+    variant rows by an array explode — one scan, one tokenize, 1-2
+    md5 per token. Same row multiset, same oracle."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
@@ -10083,23 +10093,42 @@ def _nb_feature_frames(spark: SparkSession, sf_dir: str):
             F.filter(F.split("text", r"\s+"), lambda x: x != "")
         ).alias("t"),
     )
-    degraded = F.when(
-        _nb_hex(F.col("t"), 1) % 2 == 1, F.md5(F.col("t").cast("binary"))
-    ).otherwise(F.col("t"))
-    var = tok.select(
-        "doc_id", "source", F.lit("clean").alias("variant"), "t"
-    ).unionByName(
-        tok.select(
-            "doc_id", "source", F.lit("degraded").alias("variant"),
-            degraded.alias("t"),
-        )
+
+    def _hexd(h, pos: int):
+        return F.conv(F.substring(h, pos, 1), 16, 10).cast("int")
+
+    def _bucket(h):
+        return (
+            _hexd(h, 1) * 256 + _hexd(h, 2) * 16 + _hexd(h, 3)
+        ) % _NB_BUCKETS
+
+    # md5 of the raw token, computed once: feeds the degradation flip
+    # AND the clean bucket; the degraded token IS this hex string, so
+    # its bucket hashes the string (not the raw token) — exactly the
+    # original md5(md5(t)) on the flipped half
+    hashed = tok.select(
+        "doc_id", "source", F.md5(F.col("t").cast("binary")).alias("_h")
     )
-    bucket = (
-        _nb_hex(F.col("t"), 1) * 256
-        + _nb_hex(F.col("t"), 2) * 16
-        + _nb_hex(F.col("t"), 3)
-    ) % _NB_BUCKETS
-    feat = var.select("doc_id", "source", "variant", bucket.alias("b"))
+    deg_bucket = F.when(
+        _hexd(F.col("_h"), 1) % 2 == 1,
+        _bucket(F.md5(F.col("_h").cast("binary"))),
+    ).otherwise(_bucket(F.col("_h")))
+    feat = hashed.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("clean").alias("variant"),
+                    _bucket(F.col("_h")).alias("b"),
+                ),
+                F.struct(
+                    F.lit("degraded").alias("variant"),
+                    deg_bucket.alias("b"),
+                ),
+            )
+        ).alias("_v"),
+    ).select("doc_id", "source", F.col("_v.variant").alias("variant"), F.col("_v.b").alias("b"))
     counts = feat.groupBy("b").agg(
         F.sum(F.when(F.col("variant") == "clean", 1).otherwise(0))
         .cast("bigint")

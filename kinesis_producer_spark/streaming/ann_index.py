@@ -1062,10 +1062,15 @@ def rebuild_index(
                 "drain the stream, then rebuild"
             )
 
+        # materialized once: the served-id set feeds the coverage
+        # check, the surviving semi-join inside the encode write, AND
+        # the codebook collect — without the checkpoint each of those
+        # jobs re-ran the full served-view scan + suppression anti-join
         served_ids = (
             read_served_index(spark, index_path)
             .select(F.col("vec_id").alias(id_col))
             .distinct()
+            .localCheckpoint(eager=True)
         )
         surviving = corpus.join(served_ids, id_col, "left_semi")
         # coverage check in ONE job: count served ids the corpus lacks
