@@ -542,6 +542,17 @@ def consume_new_records(
             pos_map[F.col("shard_id")].isNull()
             | (F.col("sequence_number") > pos_map[F.col("shard_id")])
         )
+    # Pin the served frame to ONE snapshot by materializing it: the
+    # returned df must not re-evaluate the scan at the caller's action
+    # (a producer appending blocks in between would serve records
+    # ABOVE the committed positions — processed this round AND
+    # re-served next round, duplicates despite the dedup contract).
+    # The eager checkpoint both pins the snapshot and makes this the
+    # round's ONLY block-log scan — the position collect below and the
+    # caller's processing reuse the materialized rows instead of each
+    # re-parsing every block file (one consume round is micro-batch
+    # sized, so the materialization is bounded).
+    df = df.localCheckpoint(eager=True)
     new_rows = (
         df.groupBy("shard_id")
         .agg(F.max("sequence_number").alias("mx"))
@@ -550,22 +561,4 @@ def consume_new_records(
     new_positions = dict(positions)
     for r in new_rows:
         new_positions[r["shard_id"]] = r["mx"]
-    # Pin the served frame to the committed positions: the returned df
-    # is lazy, so a producer appending blocks between this collect and
-    # the caller's materialization would otherwise re-evaluate the scan
-    # and serve records ABOVE new_positions — processed this round AND
-    # re-served next round (duplicates despite the dedup contract).
-    # Filtering to the collected per-shard max makes served set and
-    # committed positions one snapshot.
-    if new_rows:
-        mx_map = F.create_map(
-            *[
-                F.lit(x)
-                for r in new_rows
-                for x in (r["shard_id"], r["mx"])
-            ]
-        )
-        df = df.filter(
-            F.col("sequence_number") <= mx_map[F.col("shard_id")]
-        )
     return df, new_positions
