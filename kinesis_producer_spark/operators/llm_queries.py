@@ -10399,11 +10399,13 @@ def _audio_fixture_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
-        for pdf in batches:
-            rows = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                base = did - did % 2
+        base_cache: dict[int, "np.ndarray"] = {}
+
+        def base_signal(base: int) -> "np.ndarray":
+            # even/odd partners share the base signal — hash it once
+            # per pair instead of once per doc (1024 md5 calls each)
+            s = base_cache.get(base)
+            if s is None:
                 s = np.array(
                     [
                         int(
@@ -10415,7 +10417,17 @@ def _audio_fixture_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ],
                     dtype=np.int16,
                 )
+                base_cache[base] = s
+            return s
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                base = did - did % 2
+                s = base_signal(base)
                 if did % 2 == 1:
+                    s = s.copy()
                     k = 1 + (base // 2) % 62
                     s[16 * k : 16 * k + 16] += 24
                 rows.append(
