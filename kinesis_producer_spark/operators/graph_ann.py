@@ -103,9 +103,10 @@ def nsw_graph(
 
     def _qnorms(mat: "np.ndarray") -> "np.ndarray":
         # qdot(e, e): per-element ⌊x²·10¹²+0.5⌋ then sum — every floor
-        # is an exact integer in float64 and the 64-term sum stays
-        # < 2⁵³, so summation order cannot round
-        return np.floor(mat * mat * 1e12 + 0.5).sum(axis=1)
+        # is an exact integer in float64; accumulating in int64 matches
+        # the JVM's bigint summation EXACTLY for any input magnitude
+        # (float64 partial sums would only match while < 2⁵³)
+        return np.floor(mat * mat * 1e12 + 0.5).astype(np.int64).sum(axis=1)
 
     def build(a_pdf: "pd.DataFrame", b_pdf: "pd.DataFrame"):
         if len(a_pdf) == 0 or len(b_pdf) == 0:
@@ -132,12 +133,25 @@ def nsw_graph(
                 na[lo : lo + step],
                 srcv[lo : lo + step],
             )
-            num = np.floor(ac[:, None, :] * bmat[None, :, :] * 1e12 + 0.5).sum(
-                axis=2
+            # int64 accumulation = the JVM's bigint sum, exact at any
+            # magnitude; 1e6·num then converts to float64 exactly like
+            # the JVM's CAST(... AS DOUBLE)
+            num = (
+                np.floor(ac[:, None, :] * bmat[None, :, :] * 1e12 + 0.5)
+                .astype(np.int64)
+                .sum(axis=2)
             )
             # same op order as the JVM expression: (1e6 · num) / den
+            # norms cast to double BEFORE the product (the JVM's
+            # CAST(_nq AS DOUBLE) * CAST(_nn AS DOUBLE) — an int64
+            # product would overflow at qnorm² ~ 1e24)
             cos = np.floor(
-                (1e6 * num) / np.sqrt(nac[:, None] * nb[None, :]) + 0.5
+                (1e6 * num)
+                / np.sqrt(
+                    nac[:, None].astype(np.float64)
+                    * nb[None, :].astype(np.float64)
+                )
+                + 0.5
             ).astype(np.int64)
             cos[sc[:, None] == dstv[None, :]] = _SENTINEL  # dst != src
             width = min(per_cell, cos.shape[1])
@@ -189,12 +203,33 @@ def nsw_search(
     (degree+1) rows. No shuffle grows with the corpus beyond the
     one-time graph/corpus partitioning.
 
-    The graph and the node-norm projection are materialized ONCE
-    (localCheckpoint) before the hop loop — without this every hop's
-    join re-evaluated the ENTIRE graph build plan (hops × the full
-    Σ|cell|·probes pair scoring: measured 117 s for q298 at sf0.1,
-    ~10× the one-time build). Same lineage-truncation discipline the
-    loop already applies to the frontier (guide §2.4/§5)."""
+    Physical shape (optimization round 13, guide §2.4/§5): the ENTIRE
+    multi-hop walk is ONE lazy plan executed by the consumer's single
+    action. Round 12's loop ran one eager localCheckpoint job per hop
+    (plus AQE stage-jobs): measured 61 jobs / 91 stages for the 4-hop
+    q296 and 105 jobs / 158 stages for q298 — ~90% pure job machinery
+    on a ≤|queries|·beam-row frontier. Two structural moves make the
+    lazy form viable:
+
+    - SELF-LOOP edges: the hop set S ∪ N(S) needs the frontier twice
+      (union + neighbor join), which doubles the plan per hop — the
+      round-12 blocker that forced the per-hop checkpoint. Adding one
+      (v, v) edge per corpus node to the adjacency list ONCE turns the
+      hop into a single frontier→graph join (the self-loop emits the
+      frontier row itself, real edges emit the neighbors — the exact
+      same candidate multiset), so the frontier is referenced ONCE per
+      hop and the plan grows linearly.
+    - the graph is still localCheckpoint-ed once (its lineage is the
+      expensive cogroup build), but the NODE projection is left lazy:
+      inside the one job, every hop's node-lookup join hangs off the
+      same exchange subtree, which Spark materializes once and reuses
+      (ReusedExchange / AQE stage cache) — no full-corpus
+      materialization to executor local disk, and executor loss
+      recomputes instead of failing (the round-12 ADVICE hazard).
+
+    The entry point is a broadcast 1-row aggregate folded into the
+    plan (no driver collect), and the layered handoff (``entry_df``)
+    stays lazy for the same single-reference reason."""
     if k > beam:
         raise ValueError(f"k={k} must be <= beam={beam}")
     # query embeddings may live outside the searched node set (the
@@ -206,12 +241,21 @@ def nsw_search(
         F.col(emb_col).alias("_qe"),
         qdot(F.col(emb_col), F.col(emb_col)).alias("_nq"),
     )
-    graph = graph.localCheckpoint(eager=True)
+    # self-loops: S ∪ N(S) as ONE join (see docstring). Added for every
+    # corpus node (not just edge sources) so isolated nodes survive.
+    # ONE checkpoint materializes graph+loops together: every hop's
+    # probe side is then a single in-memory adjacency scan.
+    graph_sl = graph.union(
+        corpus.select(
+            F.col(id_col).cast("long").alias("src"),
+            F.col(id_col).cast("long").alias("dst"),
+        )
+    ).localCheckpoint(eager=True)
     nodes = corpus.select(
         F.col(id_col).alias("_nid"),
         F.col(emb_col).alias("_ne"),
         qdot(F.col(emb_col), F.col(emb_col)).alias("_nn"),
-    ).localCheckpoint(eager=True)
+    )
     cos = F.floor(
         F.lit(1e6)
         * qdot(F.col("_qe"), F.col("_ne")).cast("double")
@@ -228,42 +272,33 @@ def nsw_search(
         )
 
     if entry_df is None:
-        entry = corpus.agg(F.min(id_col)).collect()[0][0]  # bounded: 1 row
-        frontier = qs.select(
-            "query_id", F.lit(entry).cast("long").alias("vec_id")
-        )
+        # 1-row broadcast aggregate instead of a blocking driver
+        # collect: the entry is part of the lazy plan
+        entry = corpus.agg(F.min(F.col(id_col)).cast("long").alias("vec_id"))
+        frontier = qs.select("query_id").crossJoin(F.broadcast(entry))
     else:
-        # materialize the handoff once: hop 1 references the frontier
-        # twice (neighbor join + union), which would re-evaluate the
-        # caller's entry plan (the whole upper-layer search in q298)
-        frontier = entry_df.select("query_id", "vec_id").localCheckpoint(
-            eager=True
-        )
+        frontier = entry_df.select("query_id", "vec_id")
     w = W.partitionBy("query_id").orderBy(
         F.col("cos_micro").desc(), F.col("vec_id")
     )
     for _ in range(hops):
-        neighbors = (
-            frontier.join(graph, frontier["vec_id"] == graph["src"])
-            .select("query_id", F.col("dst").alias("vec_id"))
-        )
-        # one exchange per hop instead of two (guide §2.4): the
-        # candidate multiset is scored WITH duplicates (a node reached
-        # via several frontier edges repeats; duplicate rows carry the
+        # one join emits the whole candidate multiset (self-loop row =
+        # the frontier member itself, real edges = its neighbors); the
+        # multiset is scored WITH duplicates (duplicate rows carry the
         # identical cos), ranked with dense_rank — duplicates tie at
         # the same (cos, vec_id) key, so rank <= beam admits exactly
-        # the top-beam DISTINCT candidates, the same set the old
-        # distinct() + row_number computed — and deduplicated by an
+        # the top-beam DISTINCT candidates — and deduplicated by an
         # aggregate that REUSES the window's hash partitioning
         # (grouping keys ⊇ partition key → no second exchange).
-        cand = frontier.select("query_id", "vec_id").union(neighbors)
+        cand = frontier.join(
+            graph_sl, frontier["vec_id"] == graph_sl["src"]
+        ).select("query_id", F.col("dst").alias("vec_id"))
         frontier = (
             score(cand)
             .withColumn("_rn", F.dense_rank().over(w))
             .where(F.col("_rn") <= beam)
             .dropDuplicates(["query_id", "vec_id"])
             .select("query_id", "vec_id")
-            .localCheckpoint(eager=True)  # flat plan per hop
         )
     return (
         score(frontier)

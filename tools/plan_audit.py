@@ -51,6 +51,15 @@ NLJ_OK = {
     # is q55's brute-force truth side over the broadcast 30-query
     # sample; both serving sides and the probed counts are key-joined
     "q279_ivf_adaptive_nprobe_recall",
+    # round-13 graph-ANN: the beam-search entry point is a broadcast
+    # SINGLE-ROW MIN(vec_id) aggregate cross-joined onto the query set
+    # (the q85 single-row shape — replaces a blocking driver collect);
+    # q297/q299 additionally carry q55's brute-force truth side over
+    # the broadcast 3-query sample (the q258/q279 recall-gate shape)
+    "q296_nsw_beam_search",
+    "q297_nsw_recall_gate",
+    "q298_hnsw_layered_search",
+    "q299_hnsw_recall_gate",
     "q07_band_join",
     "q08_asof_join",
     "q63_tfidf",
