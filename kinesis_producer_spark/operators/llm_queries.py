@@ -2767,13 +2767,26 @@ def q147_bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round count amortized by deleting only the changed pair counts
     (delta counting); 3 rounds keeps the oracle unrollable.
     """
+    import os as _os
+
     from pyspark import StorageLevel
 
     from kinesis_producer_spark.tables import fan_out
 
     d = load_table(spark, sf_dir, "documents")
+    # size-derived fan-out (guide §2.2/§2.4): the per-round pair scan
+    # is ~µs/byte, so a full 32-way split of a KB-scale state spends
+    # more on task scheduling than it buys back (measured 1.0s → 0.6s
+    # per round at sf0.1 going 32 → sized partitions). ~4 MB of input
+    # per task; at scale the source arrives as ≥cores splits and the
+    # repartition is a no-op exactly as before.
+    nbytes = sum(
+        _os.path.getsize(p)
+        for p in (f.removeprefix("file:") for f in d.inputFiles())
+        if _os.path.exists(p)
+    )
     state = (
-        fan_out(d)
+        fan_out(d, target=int(nbytes // (4 << 20)) + 1)
         .select(
             F.concat(
                 F.lit("|"), F.array_join(F.split("text", r"\s+"), "|"), F.lit("|")
@@ -2781,19 +2794,25 @@ def q147_bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    tokens = F.filter(F.split("s", r"\|"), lambda t: F.length(t) > 0)
 
     def pair_counts(st: DataFrame) -> DataFrame:
-        a = F.col("a")
-        pairs = F.zip_with(
-            a,
-            F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))),
-            lambda x, y: F.concat_ws(" ", x, y),
-        )
-        pairs = F.slice(pairs, 1, F.greatest(F.size(a) - 1, F.lit(0)))
+        # adjacent pairs straight off the delimited state string: a
+        # zero-width lookahead at each '|' boundary captures the
+        # OVERLAPPING "a|b" windows (compiled-regex codegen — the
+        # previous zip_with/slice/concat_ws array build evaluated its
+        # lambda interpreted per element, ~25% of the round's wall).
+        # translate to the space-joined form BEFORE the aggregate so
+        # the (count desc, pair asc) tie-break compares the exact
+        # bytes the oracle compares.
         return (
-            st.select(tokens.alias("a"))
-            .select(F.explode(pairs).alias("pair"))
+            st.select(
+                F.explode(
+                    F.regexp_extract_all(
+                        "s", F.lit(r"(?=\|([^|]+\|[^|]+)\|)"), 1
+                    )
+                ).alias("p")
+            )
+            .select(F.translate("p", "|", " ").alias("pair"))
             .groupBy("pair")
             .count()
         )
@@ -2814,7 +2833,14 @@ def q147_bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = new_state
 
     vocab = (
-        state.select(F.explode(tokens).alias("token"))
+        # tokens = the non-empty inter-pipe segments, via the same
+        # compiled-regex path as the pair scan (the split+filter HOF
+        # pair evaluated interpreted)
+        state.select(
+            F.explode(
+                F.regexp_extract_all("s", F.lit(r"([^|]+)"), 1)
+            ).alias("token")
+        )
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("token"))

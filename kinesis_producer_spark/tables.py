@@ -89,7 +89,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return dfs
 
 
-def fan_out(df: DataFrame) -> DataFrame:
+def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     """Ensure a compute-heavy per-row stage uses every core.
 
     A small input (one parquet file < maxPartitionBytes) arrives as a
@@ -97,10 +97,18 @@ def fan_out(df: DataFrame) -> DataFrame:
     hashing) on one core. When upstream parallelism is below the cluster
     default, repartition — the shuffle moves raw strings once and is
     dwarfed by the compute. At scale (splits ≫ cores) this is a no-op.
+
+    ``target`` caps the fan-out below the cluster default for stages
+    whose per-row work is LIGHT relative to scheduling cost (the
+    caller derives it from input size — e.g. q147's per-round pair
+    scan is ~µs/byte, where a 32-way split of a KB-scale state costs
+    more task scheduling than it buys back in parallelism).
     """
     if df.isStreaming:  # micro-batch sizing is the trigger's job
         return df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if target is not None:
+        want = max(1, min(want, target))
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
     return df
