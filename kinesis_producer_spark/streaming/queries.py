@@ -348,7 +348,7 @@ def q97_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_producer_spark.streaming.windows import run_stream_append
 
     clicks = (
-        events_multifile_stream(spark, sf_dir, n_files=4)
+        events_multifile_stream(spark, sf_dir, n_files=4, files_per_trigger=2)
         .filter(F.col("event_type") == "click")
         .withWatermark("ts", "2 hours")
         .select(
@@ -358,7 +358,7 @@ def q97_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     purchases = (
-        events_multifile_stream(spark, sf_dir, n_files=4)
+        events_multifile_stream(spark, sf_dir, n_files=4, files_per_trigger=2)
         .filter(F.col("event_type") == "purchase")
         .withWatermark("ts", "2 hours")
         .select(
@@ -422,7 +422,7 @@ def q100_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_producer_spark.streaming.windows import run_stream_append
 
     clicks = (
-        events_multifile_stream(spark, sf_dir, n_files=4)
+        events_multifile_stream(spark, sf_dir, n_files=4, files_per_trigger=2)
         .filter(F.col("event_type") == "click")
         .withWatermark("ts", "10 minutes")
         .select(
@@ -432,7 +432,7 @@ def q100_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     purchases = (
-        events_multifile_stream(spark, sf_dir, n_files=4)
+        events_multifile_stream(spark, sf_dir, n_files=4, files_per_trigger=2)
         .filter(F.col("event_type") == "purchase")
         .withWatermark("ts", "10 minutes")
         .select(

@@ -73,15 +73,26 @@ def finalize_first_seen(emissions: DataFrame) -> DataFrame:
 
 
 def events_multifile_stream(
-    spark, sf_dir: str, n_files: int = 4, duplicate: bool = False
+    spark,
+    sf_dir: str,
+    n_files: int = 4,
+    duplicate: bool = False,
+    files_per_trigger: int = 1,
 ) -> DataFrame:
     """The events fixture as a bounded *multi-batch* file stream.
 
     Splits events into ``n_files`` ts-range parquet files (one-time
-    prep via repartitionByRange) and streams them one file per trigger,
-    so stateful operators genuinely carry state across micro-batches.
-    ``duplicate=True`` writes every event twice (same ts → same range
-    file → same micro-batch) to exercise streaming dedup.
+    prep via repartitionByRange) and streams them ``files_per_trigger``
+    files per trigger, so stateful operators genuinely carry state
+    across micro-batches. ``duplicate=True`` writes every event twice
+    (same ts → same range file → same micro-batch) to exercise
+    streaming dedup. ``files_per_trigger`` > 1 trades trigger count
+    for batch size (guide §2: fewer, larger micro-batches) — the
+    stream-stream joins use 2, which halves their per-trigger state
+    store commits (4 stores × partitions × sides each) while still
+    carrying join state across a genuine batch boundary; watermarks
+    only advance between batches, so any grouping of the ts-ascending
+    range files yields the identical final table.
     """
     import hashlib
     import os
@@ -111,7 +122,7 @@ def events_multifile_stream(
         os.utime(os.path.join(prep, f), (1_000_000 + i, 1_000_000 + i))
     return spark.readStream.schema(
         "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
-    ).option("maxFilesPerTrigger", 1).parquet(prep)
+    ).option("maxFilesPerTrigger", int(files_per_trigger)).parquet(prep)
 
 
 def run_stream_update(df: DataFrame, spark) -> DataFrame:
