@@ -458,21 +458,78 @@ def _collect_centroids_by(
     fixed-order double division, floor). One map-side-combinable
     aggregation pass; the collect is bounded control data
     (|cells|·dim rows). Shared by the sign-bit residual path and the
-    trained quantizer's Lloyd M-step."""
-    dims = corpus.select(
-        cell_col.alias("cell"),
-        F.posexplode(F.col(emb_col)).alias("d", "v"),
-    ).select(
-        "cell",
-        "d",
-        F.floor(F.lit(1e6) * F.col("v").cast("double") + F.lit(0.5))
-        .cast("bigint")
-        .alias("vm"),
-    )
-    cen = dims.groupBy("cell", "d").agg(
-        F.floor(F.sum("vm").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
-        .cast("bigint")
-        .alias("cm")
+    trained quantizer's Lloyd M-step.
+
+    Physical shape (optimization round 13, guide §4.2): the per-row
+    work — micro-quantize every element and partially sum it per
+    (cell, d) — runs as blocked numpy inside ONE mapInPandas pass
+    emitting ≤ |cells|·dim partial rows per task, instead of a JVM
+    posexplode to |train|·dim rows through a hash aggregate. The
+    exchange carries the same (cell, d) partials as before (map-side
+    combine made them partial either way); the merge divides once in
+    the identical expression. Bit-exact: ⌊10⁶·x + 0.5⌋ per element is
+    the same IEEE double op in numpy, int64 partial sums are exact,
+    and the final cast-to-double + divide + floor is unchanged JVM
+    arithmetic over the identical sums and counts."""
+    import numpy as np
+    import pandas as pd
+
+    src = corpus.select(cell_col.alias("cell"), F.col(emb_col).alias("_e"))
+
+    def partials(batches):
+        sums: dict[int, "np.ndarray"] = {}
+        cnts: dict[int, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cells = pdf["cell"].to_numpy()
+            mat = np.stack([np.asarray(x, np.float64) for x in pdf["_e"]])
+            vm = np.floor(1e6 * mat + 0.5).astype(np.int64)
+            uniq, inv = np.unique(cells, return_inverse=True)
+            smat = np.zeros((len(uniq), vm.shape[1]), dtype=np.int64)
+            np.add.at(smat, inv, vm)  # int64-exact scatter-add
+            nvec = np.bincount(inv, minlength=len(uniq))
+            for i, c in enumerate(uniq):
+                key = int(c)
+                if key in sums:
+                    sums[key] += smat[i]
+                    cnts[key] += int(nvec[i])
+                else:
+                    sums[key] = smat[i]
+                    cnts[key] = int(nvec[i])
+        if not sums:
+            yield pd.DataFrame(
+                {
+                    "cell": np.array([], np.int64),
+                    "d": np.array([], np.int32),
+                    "s": np.array([], np.int64),
+                    "n": np.array([], np.int64),
+                }
+            )
+            return
+        cells_arr = np.fromiter(sums.keys(), np.int64, len(sums))
+        smat = np.stack(list(sums.values()))
+        nvec = np.fromiter(cnts.values(), np.int64, len(cnts))
+        dim = smat.shape[1]
+        yield pd.DataFrame(
+            {
+                "cell": np.repeat(cells_arr, dim),
+                "d": np.tile(np.arange(dim, dtype=np.int32), len(cells_arr)),
+                "s": smat.ravel(),
+                "n": np.repeat(nvec, dim),
+            }
+        )
+
+    cen = (
+        src.mapInPandas(partials, "cell long, d int, s long, n long")
+        .groupBy("cell", "d")
+        .agg(
+            F.floor(
+                F.sum("s").cast("double") / F.sum("n") + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cm")
+        )
     )
     # collect ONE row per cell (dims packed as a d-sorted array), not
     # one per (cell, d): the control data is |cells|·dim ints either
@@ -578,24 +635,82 @@ def train_ivf_centroids(
     return cent
 
 
-def _pq_mstep(dims: DataFrame, prev: list[list[int]]) -> list[list[int]]:
+def _pq_mstep(
+    with_codes: DataFrame,
+    prev: list[list[int]],
+    m_dims: int,
+    val_col: str,
+    quantize: bool,
+) -> list[list[int]]:
     """Shared Lloyd M-step for the per-subspace PQ protocol: per
     (cid, d) micro-int mean — int64 sums, ONE fixed-order double
-    division, floor (the q235 expression) — over a frame of
-    (cid, d, vm) rows where ``cid`` is the row's code in dimension
-    d's subspace. ONE map-side-combinable aggregate updates ALL M
-    sub-codebooks at once (m = d div m_dims is a function of d, so
-    grouping by (cid, d) IS grouping by (cid, m, dd)); the collect is
-    bounded control data (≤ K·dim rows). An empty (cid, m) cell has
-    no rows for ANY of its dims, so per-(cid, d) defaulting to the
-    previous value is exactly the oracle's per-(cid, m)
-    keep-previous UNION ALL guard."""
-    rows = (
-        dims.groupBy("cid", "d")
-        .agg(
-            F.floor(
-                F.sum("vm").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+    division, floor (the q235 expression) — where ``cid`` is the
+    row's code in dimension d's subspace (``_codes[d div m_dims]``).
+    ONE pass updates ALL M sub-codebooks at once (m = d div m_dims is
+    a function of d, so grouping by (cid, d) IS grouping by
+    (cid, m, dd)); the collect is bounded control data (≤ K·dim
+    rows). An empty (cid, m) cell has no rows for ANY of its dims, so
+    per-(cid, d) defaulting to the previous value is exactly the
+    oracle's per-(cid, m) keep-previous UNION ALL guard.
+
+    Physical shape (optimization round 13, guide §4.2/§2.2): the
+    per-row work — micro-quantize (when ``quantize``) and partially
+    sum per (cid, d) — runs as blocked numpy inside ONE mapInPandas
+    pass emitting ≤ K·dim partial rows per task, instead of a JVM
+    posexplode to |corpus|·dim rows through a hash aggregate. The
+    merge divides once over the identical int64 sums and counts, so
+    the result is bit-exact vs the exploded form (⌊10⁶·x + 0.5⌋ per
+    element is the same IEEE double op in numpy; scatter-adds stay in
+    int64)."""
+    import numpy as np
+    import pandas as pd
+
+    n_cent = len(prev)
+    dim = len(prev[0])
+    n_sub = dim // m_dims
+
+    def partials(batches):
+        sums = np.zeros((n_cent, dim), dtype=np.int64)
+        cnts = np.zeros((n_cent, dim), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(
+                [np.asarray(c, np.int64) for c in pdf["_codes"]]
             )
+            if quantize:
+                mat = np.stack(
+                    [np.asarray(x, np.float64) for x in pdf[val_col]]
+                )
+                vm = np.floor(1e6 * mat + 0.5).astype(np.int64)
+            else:
+                vm = np.stack(
+                    [np.asarray(x, np.int64) for x in pdf[val_col]]
+                )
+            for m in range(n_sub):
+                blk = slice(m * m_dims, (m + 1) * m_dims)
+                cid = codes[:, m]
+                np.add.at(sums[:, blk], cid, vm[:, blk])
+                cnts[:, blk] += np.bincount(cid, minlength=n_cent)[
+                    :, None
+                ]
+        mask = cnts > 0
+        kk, dd = np.nonzero(mask)
+        yield pd.DataFrame(
+            {
+                "cid": kk.astype(np.int64),
+                "d": dd.astype(np.int32),
+                "s": sums[mask],
+                "n": cnts[mask],
+            }
+        )
+
+    rows = (
+        with_codes.select("_codes", val_col)
+        .mapInPandas(partials, "cid long, d int, s long, n long")
+        .groupBy("cid", "d")
+        .agg(
+            F.floor(F.sum("s").cast("double") / F.sum("n") + F.lit(0.5))
             .cast("bigint")
             .alias("cm")
         )
@@ -675,7 +790,6 @@ def train_pq_codebooks(
             eager=True
         )
     corpus = fan_out(corpus)  # per-round Arrow code passes on all cores
-    sub_idx = (F.floor(F.col("d") / F.lit(m_dims)).cast("int") + F.lit(1))
     if centroids is None:
         cb = _collect_codebook(corpus, id_col, emb_col, n_centroids)
         for _ in range(rounds):
@@ -684,16 +798,7 @@ def train_pq_codebooks(
                 codes_fn(F.col(emb_col)).alias("_codes"),
                 F.col(emb_col).alias("_e"),
             )
-            dims = with_codes.select(
-                "_codes", F.posexplode("_e").alias("d", "v")
-            ).select(
-                F.element_at(F.col("_codes"), sub_idx).alias("cid"),
-                "d",
-                F.floor(F.lit(1e6) * F.col("v").cast("double") + F.lit(0.5))
-                .cast("bigint")
-                .alias("vm"),
-            )
-            cb = _pq_mstep(dims, cb)
+            cb = _pq_mstep(with_codes, cb, m_dims, "_e", quantize=True)
         return cb
 
     cell_fn, _ = _trained_parts(centroids)
@@ -729,12 +834,7 @@ def train_pq_codebooks(
             codes_fn(F.col("_e"), F.col("_cell")).alias("_codes"),
             resid_udf(F.col("_e"), F.col("_cell")).alias("_rm"),
         )
-        dims = with_codes.select(
-            "_codes", F.posexplode("_rm").alias("d", "vm")
-        ).select(
-            F.element_at(F.col("_codes"), sub_idx).alias("cid"), "d", "vm"
-        )
-        cb = _pq_mstep(dims, cb)
+        cb = _pq_mstep(with_codes, cb, m_dims, "_rm", quantize=False)
     return cb
 
 
