@@ -9929,7 +9929,16 @@ def q285_phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: hashes are 8 bytes/doc; the banded self-join shuffles
     O(docs·4) band rows and the verify join touches only candidates —
     the MinHash-LSH shape (q51–q53) on the image modality."""
-    h = _perceptual_hashes(spark, sf_dir).select("doc_id", "phash")
+    # materialize the hashes ONCE (eager localCheckpoint): both sides
+    # of the banded self-join consume this frame, and without pinning
+    # it each side re-runs the synth→PNG-encode→decode→DCT chain (the
+    # broadcast side cannot reuse the shuffle exchange — the q291
+    # finding, same shape). Bounded dedup state: 8 bytes per doc.
+    h = (
+        _perceptual_hashes(spark, sf_dir)
+        .select("doc_id", "phash")
+        .localCheckpoint(eager=True)
+    )
     bands = h.select(
         "doc_id",
         "phash",
@@ -10515,8 +10524,16 @@ def q291_audio_fp_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audio modality."""
     from kinesis_producer_spark.operators.multimodal import audio_fingerprint
 
-    h = audio_fingerprint(_audio_fixture_blobs(spark, sf_dir)).select(
-        F.col("media_id").alias("doc_id"), "afp"
+    # materialize the fingerprints ONCE (eager localCheckpoint): both
+    # sides of the banded self-join consume this frame, and without
+    # pinning it each side re-runs the whole synth→FLAC-encode→decode
+    # →fingerprint chain (the broadcast side cannot reuse the shuffle
+    # exchange — measured 2 full MapInPandas chains in the plan). The
+    # checkpointed state is bounded dedup state: 8 bytes per blob.
+    h = (
+        audio_fingerprint(_audio_fixture_blobs(spark, sf_dir))
+        .select(F.col("media_id").alias("doc_id"), "afp")
+        .localCheckpoint(eager=True)
     )
     bands = h.select(
         "doc_id",
