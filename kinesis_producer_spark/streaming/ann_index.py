@@ -1073,17 +1073,39 @@ def rebuild_index(
             .localCheckpoint(eager=True)
         )
         surviving = corpus.join(served_ids, id_col, "left_semi")
-        # coverage check in ONE job: count served ids the corpus lacks
-        # (the previous count(served) + count(surviving) pair ran the
-        # served-view scan twice — guide §1.2 step 1)
-        n_missing = served_ids.join(
-            corpus.select(id_col), id_col, "left_anti"
-        ).count()
+        # coverage check in ONE job: a right-outer join onto the
+        # (distinct, checkpointed) served-id set counts BOTH served
+        # ids the corpus lacks (corpus marker null) and duplicate
+        # corpus rows per served id (total joined rows > distinct
+        # ids) — the pre-r12 n_surv != n_served comparison caught the
+        # duplicate case too, and the r12 left-anti rewrite silently
+        # dropped it (round-12 ADVICE); this restores it without a
+        # second served-view scan (guide §1.2 step 1).
+        cov = (
+            corpus.select(F.col(id_col), F.lit(1).alias("_c"))
+            .join(served_ids, id_col, "right_outer")
+            .agg(
+                F.sum(F.when(F.col("_c").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_missing"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(id_col).alias("n_served"),
+            )
+            .first()
+        )
+        n_missing = int(cov["n_missing"] or 0)
         if n_missing:
             raise ValueError(
                 f"corpus is missing {n_missing} served id(s) under "
                 f"{index_path!r}; the rebuild corpus must be the system "
                 "of record for every live vector"
+            )
+        if int(cov["n_rows"]) != int(cov["n_served"]):
+            raise ValueError(
+                f"corpus has {int(cov['n_rows']) - int(cov['n_served'])} "
+                f"duplicate row(s) across served id(s) under "
+                f"{index_path!r}; the rebuild corpus must carry exactly "
+                "one row per live vector"
             )
         cent = (
             train_ivf_centroids(

@@ -3748,6 +3748,13 @@ def test_rebuild_index_lifecycle(spark, tmp_path):
         ai.rebuild_index(spark, cur.filter(F.col("vec_id") != 1), idx)
     assert ai.committed_epochs(idx) == before
 
+    # (6b) duplicate corpus rows per served id fail loudly too — the
+    # pre-r12 n_surv != n_served comparison caught this and the r13
+    # one-job coverage check must keep catching it (round-12 ADVICE)
+    with pytest.raises(ValueError, match="duplicate row"):
+        ai.rebuild_index(spark, cur.unionAll(cur.limit(3)), idx)
+    assert ai.committed_epochs(idx) == before
+
     # the rebuild itself, with an artifact
     art = str(tmp_path / "rb_art.json")
     out = ai.rebuild_index(
